@@ -1,0 +1,126 @@
+"""Gold-layer transforms (SURVEY §2 rows A11-A19, A24).
+
+The reference's ``unify_cortex`` (``/root/reference/app.py:219-280``):
+union N cleaned files, dedup keeping the most-recent row per endpoint,
+then derive count summaries and a keyword-flagged failure slice.
+
+Scale notes
+-----------
+- ``dedup_latest`` is ONE shuffle on the dedup keys (window + rn=1).
+  The reference's sort-then-drop-duplicates (app.py:237-240) relies on
+  pandas' stable sort; a naive Spark ``orderBy().dropDuplicates()`` is
+  non-deterministic, so the window form with an explicit total-order
+  tiebreaker is the only correct distributed translation (SURVEY §7
+  "what's hard" #1). At 100 TB this is a standard hash-partitioned
+  window — AQE handles skewed endpoints.
+- ``value_counts`` is a map-side-combinable hash aggregate — partial
+  aggregation means the shuffle carries one row per (key, partition),
+  not per input row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators.cleaning import FAIL_KEYWORDS, keyword_flag
+
+DEFAULT_DEDUP_KEYS = ("endpoint_name", "endpoint_alias")
+DEFAULT_RECENCY_COLS = ("last_seen", "last_upgrade_status_time")
+FAIL_CHECK_COLS = ("last_upgrade_status", "last_upgrade_failure_reason")
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """A11: ``pd.concat(ignore_index=True)`` (app.py:325).
+
+    pandas concat aligns on column names and NaN-fills the gaps, so the
+    faithful mapping is ``unionByName(allowMissingColumns=True)`` —
+    positional ``union`` would silently mis-align heterogeneous files.
+    """
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def dedup_latest(
+    df: DataFrame,
+    keys: Sequence[str] = DEFAULT_DEDUP_KEYS,
+    recency_cols: Sequence[str] = DEFAULT_RECENCY_COLS,
+) -> DataFrame:
+    """A12+A13: keep the most-recent row per key group (app.py:237-240).
+
+    Window ``row_number`` with descending recency columns; any remaining
+    tie is broken by every other column descending so the survivor is
+    deterministic regardless of partitioning (the pandas original's
+    survivor depends on input row order — a contract Spark cannot and
+    should not honor).
+
+    Falls back to full-row distinct (A14, app.py:242) when none of the
+    requested keys exist, exactly like the reference.
+    """
+    keys = [k for k in keys if k in df.columns]
+    if not keys:
+        return df.dropDuplicates()
+    order = [F.desc_nulls_last(c) for c in recency_cols if c in df.columns]
+    # deterministic tiebreak: remaining columns, stable order
+    tiebreak = [
+        F.desc_nulls_last(c)
+        for c in df.columns
+        if c not in keys and c not in recency_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*(order + tiebreak))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def value_counts(df: DataFrame, col: str, count_name: str = "qtd") -> DataFrame:
+    """A15: group-by count keeping NULL keys, biggest first (app.py:245-261).
+
+    Spark groupBy keeps NULL groups by default = pandas
+    ``dropna=False``. Secondary sort on the key makes the output order
+    total (the reference inherits pandas' stable sort; ties in qtd
+    would otherwise be partition-order-dependent here).
+    """
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .orderBy(F.desc(count_name), F.asc_nulls_last(col))
+    )
+
+
+def filter_failures(
+    df: DataFrame,
+    cols: Iterable[str] = FAIL_CHECK_COLS,
+    pattern: str = FAIL_KEYWORDS,
+) -> DataFrame:
+    """A16+A17: rows where any keyword column matches (app.py:264-270)."""
+    return df.filter(keyword_flag(df, cols, pattern))
+
+
+def unify(
+    df: DataFrame,
+    dedup_on: Sequence[str] = DEFAULT_DEDUP_KEYS,
+) -> dict[str, DataFrame]:
+    """A18/A24: the gold 'sheet book' (app.py:219-280).
+
+    Returns the four output tables keyed by the reference's sheet
+    names. The deduped base is cached: three downstream outputs branch
+    from it (the reference recomputes from scratch on every Streamlit
+    rerun — SURVEY §4.3 calls out the cache as the Spark win).
+
+    Empty-summary suppression (A18, app.py:272-278) is left to the
+    caller/sink — at plan-build time emptiness is unknown without an
+    action, and the xlsx sink already checks it when materializing.
+    """
+    base = dedup_latest(df, keys=dedup_on).cache()
+    sheets: dict[str, DataFrame] = {"Base_Limpa": base}
+    if "endpoint_status" in base.columns:
+        sheets["Resumo_Status"] = value_counts(base, "endpoint_status")
+    if "operating_system" in base.columns:
+        sheets["Resumo_OS"] = value_counts(base, "operating_system")
+    sheets["Falhas_Upgrade"] = filter_failures(base)
+    return sheets

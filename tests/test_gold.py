@@ -1,0 +1,90 @@
+"""Gold transform tests incl. the A13 dedup-determinism trap (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_cortex_spark.operators import gold as G
+
+SCHEMA = (
+    "endpoint_name string, endpoint_alias string, endpoint_status string, "
+    "operating_system string, last_seen timestamp, last_upgrade_status_time timestamp, "
+    "last_upgrade_status string"
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _fixture(spark):
+    rows = [
+        # ep1: three versions, keep 2024-03-01 (latest last_seen)
+        ("ep1", "a", "Connected", "Windows", _ts("2024-01-01"), None, "Success"),
+        ("ep1", "a", "Lost", "Windows", _ts("2024-03-01"), None, "Failed"),
+        ("ep1", "a", "Connected", "Windows", _ts("2024-02-01"), None, "Success"),
+        # ep2: last_seen ties, tiebreak on last_upgrade_status_time
+        ("ep2", None, "Connected", "Linux", _ts("2024-01-01"), _ts("2024-01-05"), "Success"),
+        ("ep2", None, "Disconnected", "Linux", _ts("2024-01-01"), _ts("2024-01-09"), "Timed Out"),
+        # ep3: single row, null OS (kept as a NULL group in Resumo_OS)
+        ("ep3", "c", "Lost", None, _ts("2024-05-01"), None, "error: boom"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_dedup_latest_keeps_most_recent(spark):
+    out = G.dedup_latest(_fixture(spark)).collect()
+    by_name = {r.endpoint_name: r for r in out}
+    assert len(out) == 3
+    assert by_name["ep1"].last_seen == _ts("2024-03-01")
+    assert by_name["ep2"].last_upgrade_status_time == _ts("2024-01-09")
+
+
+def test_dedup_latest_deterministic_across_partitions(spark):
+    """Adversarial: same data, different partitionings → same survivor set."""
+    df = _fixture(spark)
+    a = sorted(map(tuple, G.dedup_latest(df.repartition(16)).collect()))
+    b = sorted(map(tuple, G.dedup_latest(df.coalesce(1)).collect()))
+    c = sorted(map(tuple, G.dedup_latest(df.repartition(3, "endpoint_status")).collect()))
+    assert a == b == c
+
+
+def test_dedup_falls_back_to_distinct_when_keys_absent(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "a long, b string")
+    assert G.dedup_latest(df).count() == 2
+
+
+def test_value_counts_keeps_null_groups_desc(spark):
+    base = G.dedup_latest(_fixture(spark))
+    rows = G.value_counts(base, "operating_system").collect()
+    assert [(r.operating_system, r.qtd) for r in rows] == [
+        ("Linux", 1),
+        ("Windows", 1),
+        (None, 1),
+    ]
+
+
+def test_unify_sheets(spark):
+    sheets = G.unify(_fixture(spark))
+    assert set(sheets) == {"Base_Limpa", "Resumo_Status", "Resumo_OS", "Falhas_Upgrade"}
+    assert sheets["Base_Limpa"].count() == 3
+    fails = sheets["Falhas_Upgrade"].collect()
+    # ep1 survivor has "Failed", ep2 survivor "Timed Out", ep3 "error: boom"
+    assert sorted(r.endpoint_name for r in fails) == ["ep1", "ep2", "ep3"]
+
+
+def test_union_all_missing_columns(spark):
+    a = spark.createDataFrame([("e1", "10.0.0.1")], "endpoint_name string, ip string")
+    b = spark.createDataFrame([("e2",)], "endpoint_name string")
+    out = G.union_all([a, b])
+    assert set(out.columns) == {"endpoint_name", "ip"}
+    assert out.count() == 2
+    assert out.filter("ip is null").count() == 1
+
+
+def test_dedup_idempotent(spark):
+    """Property: gold(gold(x)) == gold(x) (SURVEY §5.2(4))."""
+    df = _fixture(spark)
+    once = G.dedup_latest(df)
+    twice = G.dedup_latest(once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
