@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet TIMESTAMP(NANOS) is otherwise illegal in Spark; read as
+        # long and convert at the source wrapper (sources.tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -14,8 +14,10 @@ parquet; the API is identical — only the paths change.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -37,9 +39,50 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+@lru_cache(maxsize=256)
+def _nanos_ts_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — illegal for Spark's
+    vectorized reader, so the session reads them as raw nanosecond longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and this wrapper restores
+    TimestampType at microsecond precision. Footer-only inspection:
+    driver-side, no data read."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            inner = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not inner:
+                return ()
+            f = os.path.join(path, inner[0])
+        schema = pq.read_schema(f)
+        return tuple(
+            fld.name
+            for fld in schema
+            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
+        )
+    except Exception:
+        return ()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one table. No action is triggered."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Lazy parquet scan of one table. No action is triggered.
+
+    Nanosecond-timestamp columns come back as TimestampType truncated to
+    microseconds (integer ``div 1000`` — float division would lose
+    precision above 2^53 ns).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Defensive: the caller may hand us a session built elsewhere (the
+    # driver does). Both confs are runtime-settable and required for
+    # correct reads/oracle parity regardless of who built the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_cols(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
