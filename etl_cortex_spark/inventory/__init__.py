@@ -1,0 +1,12 @@
+"""Query inventory, one module per SURVEY.md §2 tier.
+
+Importing this package registers every (query, oracle) pair into
+``etl_cortex_spark.queries.QUERIES/ORACLE``.
+"""
+
+from etl_cortex_spark.inventory import (  # noqa: F401
+    tier_a,
+    tier_b,
+    tier_c_rel,
+    tier_c_scalar,
+)

@@ -1,0 +1,186 @@
+"""Tier B inventory — README-declared capabilities (SURVEY §2 B1-B14).
+
+Sources (CSV/JSON) read committed fixture files under ``fixtures/`` so
+the Spark reader and the DuckDB oracle parse the exact same bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators import cleaning as C
+from etl_cortex_spark.queries import T, query
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures")
+NATION_CSV = os.path.join(FIXTURES, "nation.csv")
+EVENTS_JSONL = os.path.join(FIXTURES, "events.jsonl")
+
+
+@query(
+    "b01_csv_scan",
+    oracle=f"""
+    SELECT n_regionkey, count(*) AS n_nations
+    FROM read_csv_auto('{NATION_CSV}')
+    GROUP BY n_regionkey ORDER BY n_regionkey NULLS LAST
+    """,
+)
+def b01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.csv(NATION_CSV, header=True, inferSchema=True)
+    return (
+        df.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy(F.asc_nulls_last("n_regionkey"))
+    )
+
+
+@query(
+    "b02_bronze_passthrough",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def b02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = T(spark, sf_dir, "region")
+    df.createOrReplaceTempView("bronze")
+    return spark.sql("SELECT r_regionkey, r_name FROM bronze")
+
+
+@query(
+    "b03_trim_all_strings",
+    oracle="""
+    SELECT doc_id, trim(' ' || lang || '  ') AS lang, trim(source) AS source
+    FROM documents
+    """,
+)
+def b03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    padded = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(" "), F.col("lang"), F.lit("  ")).alias("lang"),
+        F.col("source"),
+    )
+    return C.trim_strings(padded)
+
+
+@query(
+    "b07_null_filter",
+    oracle="""
+    SELECT event_id, nullif(event_type, 'error') AS et FROM events
+    WHERE nullif(event_type, 'error') IS NOT NULL
+    """,
+)
+def b07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = T(spark, sf_dir, "events").select(
+        "event_id", F.expr("nullif(event_type, 'error')").alias("et")
+    )
+    return df.na.drop(subset=["et"])
+
+
+@query(
+    "b08_date_range_filter",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS qtd FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY o_orderstatus ORDER BY qtd DESC, o_orderstatus
+    """,
+)
+def b08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1996-01-01 00:00:00", "1997-12-31 23:59:59"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("qtd"))
+        .orderBy(F.desc("qtd"), "o_orderstatus")
+    )
+
+
+@query(
+    "b11_sql_passthrough",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's general SQL surface: register layer views, run user SQL."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("gold")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+        FROM gold GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "b12_histogram",
+    oracle="""
+    SELECT CAST(floor((p_retailprice - 900.0) / 10.0) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM part GROUP BY bin ORDER BY bin
+    """,
+)
+def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram: fixed-width binning + count (README.md:42)."""
+    return (
+        T(spark, sf_dir, "part")
+        .select(
+            F.floor((F.col("p_retailprice") - F.lit(900.0)) / F.lit(10.0))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+@query(
+    "b13_timeseries_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series aggregation: value over time (README.md:43)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "b14_category_counts",
+    oracle="""
+    SELECT event_type, count(*) AS qtd FROM events
+    GROUP BY event_type ORDER BY qtd DESC, event_type
+    """,
+)
+def b14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cortex_spark.operators.gold import value_counts
+
+    return value_counts(T(spark, sf_dir, "events"), "event_type")
+
+
+@query(
+    "c03_json_scan",
+    oracle=f"""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM read_json_auto('{EVENTS_JSONL}')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.json(EVENTS_JSONL)
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,813 @@
+"""Tier C inventory (relational): joins C10-C16, aggregation C17-C25,
+windows C26-C29, sort/limit/top-k/sampling C30-C33, set ops C34-C36,
+query structure C37-C39 (SURVEY §2).
+
+Plan-shape notes are on each query: what shuffles, what broadcasts,
+what AQE is expected to do at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators.asof import asof_join
+from etl_cortex_spark.queries import T, query
+
+# --- Joins -------------------------------------------------------------------
+
+
+@query(
+    "c10_join_inner_agg",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + agg. customer ≪ orders → AQE picks broadcast-hash at
+    test SF; at 100 TB both sides shuffle on the key (sort-merge) and
+    the aggregate is map-side partial."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "c11_join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def c11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "c11_join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def c11b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "c12_join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def c12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "c12_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def c12b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "c13_cross_join",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def c13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = T(spark, sf_dir, "region").select("r_name")
+    status = T(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+@query(
+    "c14_theta_range_join",
+    oracle="""
+    SELECT b.label AS size_class, count(*) AS n_parts
+    FROM part p
+    JOIN (VALUES ('small', 1, 15), ('medium', 16, 35), ('large', 36, 50))
+         b(label, lo, hi)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.label ORDER BY b.label
+    """,
+)
+def c14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join → broadcast-nested-loop against a tiny inline
+    VALUES table (C39). The small side is explicit-broadcast: at any
+    scale the bucket table is constant-size, so BNLJ is O(n·buckets)
+    with zero shuffle of the big side."""
+    part = T(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("small", 1, 15), ("medium", 16, 35), ("large", 36, 50)],
+        "label string, lo int, hi int",
+    )
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part.p_size >= buckets.lo) & (part.p_size <= buckets.hi),
+        )
+        .groupBy(F.col("label").alias("size_class"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("size_class")
+    )
+
+
+@query(
+    "c15_broadcast_join",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def c15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hints on both dims — the star-join pattern:
+    fact streams once, no shuffle until the final small aggregate."""
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "c16_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS click_event_id, c.value AS click_value
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join via the union+window rewrite (operators/asof.py): each
+    purchase gets the user's most recent preceding click."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.select("event_id", "user_id", "click_event_id", "click_value")
+
+
+# --- Aggregation -------------------------------------------------------------
+
+
+@query(
+    "c17_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def c17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical hash-aggregate with map-side partials.
+    Filter + 2-col grouping over the fact table; scan should show
+    PushedFilters on l_shipdate and a pruned ReadSchema."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "c18_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def c18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("c19_approx_count_distinct")  # no oracle: HLL sketches differ per engine
+def c19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketch values are engine-specific,
+    so the driver records a rows-only check; the pytest suite asserts
+    the estimate is within 5% of exact instead."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+    )
+
+
+@query(
+    "c20_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders FROM orders
+    GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY n_orders DESC, o_custkey
+    """,
+)
+def c20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy(F.desc("n_orders"), "o_custkey")
+    )
+
+
+@query(
+    "c21_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def c21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "c21_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def c21b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "c22_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_price,
+           round(sum(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END), 2) AS big_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def c22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.round(
+                F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+            ).alias("taxed_price"),
+            F.round(
+                F.sum(F.when(F.col("l_quantity") > 25, F.col("l_quantity")).otherwise(0.0)),
+                2,
+            ).alias("big_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "c23_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(median(l_quantity), 2) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def c23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+            F.round(F.median("l_quantity"), 2).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "c24_collect_set",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def c24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined to a string so the value-hash is
+    order-stable (set order is nondeterministic by definition)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            )
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "c25_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def c25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never let Spark run the
+    extra distinct-values job at scale."""
+    out = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "c25_unpivot",
+    oracle="""
+    SELECT o_orderpriority, 'F' AS status, count(*) FILTER (WHERE o_orderstatus='F') AS n
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'O', count(*) FILTER (WHERE o_orderstatus='O')
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'P', count(*) FILTER (WHERE o_orderstatus='P')
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def c25b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    wide = wide.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+    return wide.unpivot(
+        "o_orderpriority", ["F", "O", "P"], variableColumnName="status", valueColumnName="n"
+    )
+
+
+# --- Window functions ---------------------------------------------------------
+
+
+@query(
+    "c26_window_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def c26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "c27_window_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(event_id) OVER w AS first_event,
+           nth_value(event_id, 2) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def c27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.nth_value("event_id", 2).over(wfull).alias("second_event"),
+    )
+
+
+@query(
+    "c28_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+           round(avg(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4) AS moving_avg3,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS n_similar_price
+    FROM orders
+    """,
+)
+def c28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames over money: prices go through exact integer cents
+    first — windowed double sums re-associate differently per engine
+    (segment trees), so cent-exact arithmetic is the portable form."""
+    w_rows = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_range = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-100, 100)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(cents)
+        .over(w_rows.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+        F.round(F.avg(cents).over(w_rows.rowsBetween(-2, 0)) / 100.0, 4).alias(
+            "moving_avg3"
+        ),
+        F.count(F.lit(1)).over(w_range).alias("n_similar_price"),
+    )
+
+
+@query(
+    "c29_qualify_rewrite",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+)
+def c29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY has no Spark keyword — the mechanical rewrite is
+    window-column + filter (SURVEY C29)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        T(spark, sf_dir, "orders")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# --- Sort / limit / top-k / sampling -----------------------------------------
+
+
+@query(
+    "c30_sort_nulls_last",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+    FROM events
+    ORDER BY v ASC NULLS LAST, event_id
+    LIMIT 50
+    """,
+)
+def c30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    return df.orderBy(F.asc_nulls_last("v"), F.asc("event_id")).limit(50)
+
+
+@query(
+    "c31_limit_offset",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10",
+)
+def c31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+@query(
+    "c32_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def c32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "c33_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def c33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling: deterministic, engine-portable ~1/16
+    sample (md5 agrees everywhere; Bernoulli .sample() RNG does not,
+    so that variant is pytest-only)."""
+    df = T(spark, sf_dir, "orders")
+    return df.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 1) == "0"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --- Set operations ------------------------------------------------------------
+
+
+@query(
+    "c34_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+    """,
+)
+def c34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(F.col("c_nationkey").alias("nk"))
+    b = cust.filter(F.col("c_mktsegment") == "FURNITURE").select(F.col("c_nationkey").alias("nk"))
+    return a.union(b).distinct()
+
+
+@query(
+    "c35_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+    """,
+)
+def c35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(F.col("c_nationkey").alias("nk"))
+    b = cust.filter(F.col("c_mktsegment") == "FURNITURE").select(F.col("c_nationkey").alias("nk"))
+    return a.intersect(b)
+
+
+@query(
+    "c36_except",
+    oracle="""
+    SELECT s_nationkey AS nk FROM supplier
+    EXCEPT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def c36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    cust = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    return supp.exceptAll(cust).distinct()
+
+
+# --- Query structure ------------------------------------------------------------
+
+
+@query(
+    "c37_cte",
+    oracle="""
+    WITH nation_bal AS (
+      SELECT c_nationkey, round(avg(c_acctbal), 2) AS nation_avg, count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), global_avg AS (
+      SELECT avg(c_acctbal) AS g FROM customer
+    )
+    SELECT c_nationkey, nation_avg, n_cust
+    FROM nation_bal, global_avg WHERE nation_avg > g
+    """,
+)
+def c37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTEs via the SQL passthrough (also exercises B11)."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH nation_bal AS (
+          SELECT c_nationkey, round(avg(c_acctbal), 2) AS nation_avg, count(*) AS n_cust
+          FROM customer GROUP BY c_nationkey
+        ), global_avg AS (
+          SELECT avg(c_acctbal) AS g FROM customer
+        )
+        SELECT c_nationkey, nation_avg, n_cust
+        FROM nation_bal, global_avg WHERE nation_avg > g
+        """
+    )
+
+
+@query(
+    "c38_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_nationkey FROM customer c1
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c1.c_nationkey)
+    """,
+)
+def c38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (SURVEY C38)."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey FROM customer c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        """
+    )
+
+
+@query(
+    "c39_values_inline",
+    oracle="""
+    SELECT w.tier AS tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('3-MEDIUM', 'warm'),
+                 ('4-NOT SPECIFIED', 'cold'), ('5-LOW', 'cold')) w(prio, tier)
+      ON o_orderpriority = w.prio
+    GROUP BY w.tier ORDER BY tier
+    """,
+)
+def c39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lookup = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        "prio string, tier string",
+    )
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(lookup), orders.o_orderpriority == lookup.prio)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("tier")
+    )

@@ -101,3 +101,8 @@ def flagship_events_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("qtd"), "event_type")
     )
+
+
+# Populate the registry with the full tier inventory (import must stay
+# at the bottom: the tier modules import `query`/`T` from this module).
+from etl_cortex_spark import inventory  # noqa: E402,F401

@@ -48,6 +48,12 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> Non
     )
     assert len(got) == len(want), f"{name}: rowcount spark={len(got)} oracle={len(want)}"
     for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        kind = {"u": "i"}.get  # unsigned counts as signed
+        assert kind(gk, gk) == kind(wk, wk), (
+            f"{name}: dtype-kind mismatch on {c}: spark={got[c].dtype} oracle={want[c].dtype}"
+        )
+    for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             g = g.astype("float64")

@@ -22,12 +22,20 @@ def test_query_matches_oracle(spark, name):
     run_pair(spark, SF_DIR, name, QUERIES[name], ORACLE[name])
 
 
+# Ops whose results are engine-specific (sketches, RNG) or not
+# SQL-expressible (streaming, sinks, multimodal) — the driver records a
+# weaker rows-only check for these; everything else MUST have an oracle.
+EXPECTED_NO_ORACLE = {
+    "c19_approx_count_distinct",
+}
+
+
 def test_every_query_has_oracle_or_is_flagged():
-    missing = sorted(set(QUERIES) - set(ORACLE))
-    # non-SQL-expressible ops are allowed to omit the oracle; keep the
-    # list explicit so nothing drops out silently.
-    allowed = {n for n in missing if n.startswith(("stream_", "sink_", "multimodal_"))}
-    assert missing == sorted(allowed), f"queries without oracle: {missing}"
+    missing = set(QUERIES) - set(ORACLE)
+    allowed = EXPECTED_NO_ORACLE | {
+        n for n in missing if n.startswith(("stream_", "sink_", "multimodal_"))
+    }
+    assert missing <= allowed, f"queries without oracle: {sorted(missing - allowed)}"
 
 
 def test_entry_smoke(spark):
