@@ -9,4 +9,5 @@ from etl_cortex_spark.inventory import (  # noqa: F401
     tier_b,
     tier_c_rel,
     tier_c_scalar,
+    tier_d,
 )

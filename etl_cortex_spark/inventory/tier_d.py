@@ -1,0 +1,346 @@
+"""Tier D inventory — LLM-data-pipeline operators (SURVEY §2 D1-D9,
+BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding), similarity search (brute force + LSH),
+text analysis, multimodal plumbing, streaming.
+
+Oracle notes: tokenization, shingling, jaccard, quality arithmetic and
+fingerprints are reproduced in DuckDB SQL operator-for-operator.
+Engine-specific hashing (xxhash64 in MinHash/SimHash) and streaming
+are rows-only by contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators import dedup as DD
+from etl_cortex_spark.operators import multimodal as MM
+from etl_cortex_spark.operators import similarity as SIM
+from etl_cortex_spark.operators import textops as TX
+from etl_cortex_spark.queries import T, query
+
+# shared oracle SQL fragments (DuckDB): whitespace words + k-shingles,
+# mirroring textops.words / textops.shingles exactly.
+_WORDS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _shingles_sql(k: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({_WORDS}) - {k - 2}, 2)), "
+        f"i -> array_to_string(array_slice({_WORDS}, i, i + {k - 1}), ' ')))"
+    )
+
+
+# --- D1: exact dedup ----------------------------------------------------------
+
+
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, n_copies FROM (
+      SELECT doc_id, lang,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).select("doc_id", "lang", "n_copies")
+
+
+# --- D2: near-dup dedup -------------------------------------------------------
+
+
+@query("d02_minhash_lsh_pairs")  # rows-only: xxhash64 minhashing is engine-specific
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs. The testdata word soup has no real
+    near-dups, so the query self-seeds them: a mutated copy (one
+    prepended word) of every 10th document must pair with its source.
+    Verified jaccard filtering makes output independent of LSH noise
+    up to recall; the pytest suite checks recall against the exact
+    quadratic baseline."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(mutated)
+    return DD.minhash_lsh_pairs(base, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@query(
+    "d02_ngram_jaccard_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_shingles_sql(3)} AS sh
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+             AS jaccard
+    FROM d a, d b WHERE a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def d02b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return (
+        DD.ngram_jaccard_pairs(docs)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query("d02_simhash_candidates")  # rows-only: xxhash64-based signature
+def d02c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(mutated)
+    return DD.simhash_candidates(base, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "d02_embedding_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """,
+)
+def d02d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return DD.embedding_near_dup_pairs(emb, min_cosine=0.3)
+
+
+# --- D3: similarity search ----------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        T(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "d03_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k — the verifier baseline for ANN."""
+    qv = _query_vec(spark, sf_dir)
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return SIM.cosine_topk(emb, qv, k=10)
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    """Sign-LSH bucket of a SQL vector expression, with the SAME
+    literal hyperplanes the Spark side uses (similarity.hyperplanes,
+    dim=64, n=6, seed=7) — data-independent literals, so one oracle
+    string works at every scale factor."""
+    planes = SIM.hyperplanes(64, n=6, seed=7)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+
+
+@query(
+    "d03_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM e, q
+    WHERE ({_bucket_sql("v")}) = ({_bucket_sql("qv")})
+    ORDER BY cosine DESC, vec_id LIMIT 5
+    """,
+)
+def d03b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH bucket pruning; deterministic literal
+    hyperplanes (IVF-style: at scale the bucket is a partition key and
+    this becomes partition pruning)."""
+    qv = _query_vec(spark, sf_dir)
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return SIM.lsh_topk(emb, qv, k=5, n_planes=6, seed=7)
+
+
+# --- D4: text analysis --------------------------------------------------------
+
+
+@query(
+    "d04_token_stats",
+    oracle=rf"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len({_WORDS})), 4) AS avg_tokens,
+           round(avg(length(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}'))), 4) AS avg_bpe_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            TX.n_tokens("text").alias("nt"),
+            TX.n_bpe_tokens("text").alias("nb"),
+            F.length("text").cast("bigint").alias("nc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+            F.round(F.avg("nb"), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg("nc"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SW = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+
+
+@query(
+    "d04_quality_score",
+    oracle=rf"""
+    SELECT doc_id,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct({_WORDS})) / greatest(len({_WORDS}), 1))
+               + 0.3 * (len(list_filter({_WORDS}, x -> list_contains([{_SW}], lower(x))))
+                        / greatest(len({_WORDS}), 1)), 6) AS quality
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def d04b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+_M = {k: ", ".join(f"'{m}'" for m in v) for k, v in TX.LANG_MARKERS.items()}
+
+
+@query(
+    "d04_lang_id",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, lang AS label,
+             len(list_filter({_WORDS}, x -> list_contains([{_M["en"]}], lower(x)))) AS c_en,
+             len(list_filter({_WORDS}, x -> list_contains([{_M["es"]}], lower(x)))) AS c_es,
+             len(list_filter({_WORDS}, x -> list_contains([{_M["fr"]}], lower(x)))) AS c_fr
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, label,
+           CASE WHEN c_en = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+                WHEN c_fr >= c_es AND c_fr >= c_en THEN 'fr'
+                WHEN c_es >= c_en THEN 'es'
+                ELSE 'en' END AS lang_pred
+    FROM scored
+    """,
+)
+def d04c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id", F.col("lang").alias("label"), TX.lang_id("text").alias("lang_pred")
+    )
+
+
+@query(
+    "d04_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_aggregate(list_transform(
+             list_transform(range(1, greatest(len({_WORDS}) - 3, 2)),
+                            i -> array_to_string(array_slice({_WORDS}, i, i + 4), ' ')),
+             g -> md5(g)), 'min') AS fingerprint
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def d04d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select("doc_id", TX.kgram_fingerprint("text", k=5).alias("fingerprint"))
+
+
+# --- D5: multimodal -----------------------------------------------------------
+
+
+@query("multimodal_features")  # rows-only: mapInPandas pipeline, not SQL
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    assets = MM.synthesize_assets(docs)
+    return MM.extract_features(assets)
+
+
+# --- D6-D8: streaming ---------------------------------------------------------
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY win_start, event_type
+    """,
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling windows — batch-equivalent on a bounded
+    replay, so it IS oracle-checkable (1-day tumbling == date_trunc)."""
+    from etl_cortex_spark.streaming.events import tumbling_counts
+
+    return tumbling_counts(spark, sf_dir)
+
+
+@query("stream_session_windows")  # rows-only: session assembly is stateful
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cortex_spark.streaming.events import session_windows
+
+    return session_windows(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_cortex_spark.streaming.events import dedup_within_watermark
+
+    return dedup_within_watermark(spark, sf_dir)
+
+
+# --- D9 is covered by c46_json_funcs and the flagship silver stage. ----------

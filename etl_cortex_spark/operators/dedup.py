@@ -1,0 +1,239 @@
+"""Deduplication operators for LLM training-data pipelines (tier D,
+BASELINE.json: "dedup" — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Scale design
+------------
+- **exact_dedup**: hash-groupBy on a content digest — one shuffle of
+  (digest, id), never of the payload. The survivor rule (min id) is
+  deterministic.
+- **minhash_lsh_pairs**: the shingle→minhash→band→bucket-join pipeline.
+  Work per doc is O(shingles × H) entirely in JVM HOFs; the only
+  shuffle is the band-bucket self-join, whose fan-out is controlled by
+  the band hash — the classic way to avoid the O(n²) all-pairs join at
+  100 TB. Candidates are then verified with exact Jaccard on the
+  shingle sets.
+- **simhash**: 16-bit rotational-sum signature, pure HOFs; hamming
+  buckets give near-dup candidates.
+- **ngram_jaccard_pairs**: the exact (quadratic) baseline — only ever
+  run on a bounded slice (caller restricts), used as oracle/recall
+  reference for the LSH paths.
+- **embedding_near_dup_pairs**: cosine threshold over vector pairs —
+  quadratic baseline here; the scale path is LSH bucketing in
+  operators/similarity.py.
+
+MinHash permutations use universal hashing ``(a·h + b) mod p`` over a
+single base ``xxhash64`` reduced to 31 bits, so products stay far from
+64-bit overflow (Spark 4 runs ANSI mode: overflow would raise, not
+wrap).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators.textops import shingles
+
+# 2^61-1 (Mersenne prime) — modulus for the universal hash family.
+_P = (1 << 61) - 1
+_H31 = (1 << 31) - 1
+
+
+def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _H31), rng.randrange(0, _H31)) for _ in range(n)]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """D1: exact dedup on a sha256 digest; survivor = min id per digest.
+
+    Adds ``n_copies`` so downstream can weight by multiplicity. The
+    digest shuffle carries ~50 bytes/row regardless of document size.
+    """
+    digest = F.sha2(F.col(text_col).cast("binary"), 256).alias("__digest")
+    w = Window.partitionBy("__digest").orderBy(F.asc(id_col))
+    return (
+        df.select("*", digest)
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("__digest")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__digest")
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
+    """Array of ``num_hashes`` MinHash values for an array-of-shingles
+    column. Base hash: xxhash64 → 31 bits; permutations: (a·h+b) mod p."""
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_H31)))
+    sigs = [
+        F.array_min(F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_P))))
+        for a, b in _perm_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH, verified with
+    exact Jaccard over the shingle sets. Returns (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard >= threshold."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("__id", "__shingles", F.explode(band_cols).alias("bb")).select(
+        "__id", "__shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__shingles").alias("sh_a"),
+            F.col("r.__shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact all-pairs word-k-gram Jaccard (quadratic — bound your
+    input). Returns (id_a, id_b, jaccard) for every pair id_a < id_b."""
+    s = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+    return a.join(b, F.col("a.__id") < F.col("b.__id")).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def simhash16(text_col) -> F.Column:
+    """16-bit SimHash from whitespace-token xxhash64s, entirely in
+    builtin HOFs: per bit, sum +1/-1 over token hashes; bit set when
+    the sum is positive."""
+    from etl_cortex_spark.operators.textops import words
+
+    toks = words(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # 16 static bit positions → plain python loop with literal masks
+    # (shift amounts must be literals in Spark's shift functions).
+    # NB: the mask must be closed over via a factory — a default-arg
+    # lambda would change the visible arity and break HOF binding.
+    def bit_counter(mask: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0)
+    for b in range(16):
+        mask = 1 << b
+        out = out + F.when(bit_counter(mask) > 0, F.lit(mask)).otherwise(F.lit(0))
+    return out.cast("bigint")
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs whose 16-bit SimHashes differ in at
+    most ``max_hamming`` bits. Self-join is bucketed by the top byte to
+    avoid a full cross join (docs differing there are > max_hamming
+    away only when max_hamming < 8 — acceptable candidate recall trade,
+    documented)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash16(F.col(text_col)).alias("__sim")
+    ).withColumn("__bucket", F.shiftright("__sim", 8))
+    a, b = sh.alias("a"), sh.alias("b")
+    xor = F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact quadratic baseline; bound
+    the input — the LSH-bucketed scale path lives in similarity.py)."""
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("a.__v")) * norm(F.col("b.__v")))
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,92 @@
+"""Multimodal (binary) column plumbing (tier D / BASELINE.json:
+"multimodal columns").
+
+Design: media payloads are opaque ``binary`` columns carried next to a
+typed metadata struct — the lakehouse-native layout (parquet stores the
+bytes; column pruning means metadata-only queries never touch them).
+Real ingestion uses ``spark.read.format("binaryFile")``; here payloads
+are synthesized deterministically from the documents table so the
+plumbing (schema, batching, partitioning, UDF signatures) is exercised
+end-to-end without media libraries.
+
+The decode step is STUBBED: the container has no image/audio codecs,
+so ``decode_image`` raises NotImplementedError by contract, and
+``extract_features`` runs the real ``mapInPandas`` pipeline with a
+deterministic fake decoder. The Spark-side shape — Arrow batches in,
+Arrow batches out, fixed output schema, no driver collection — is
+exactly what a real decoder would use; only the numpy kernel changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "asset_id bigint, modality string, byte_len bigint, "
+    "width int, height int, mean_byte double, feature_crc string"
+)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media assets: payload = repeated sha2 bytes of
+    the text; metadata struct carries (modality, width, height)."""
+    payload = F.to_binary(
+        F.repeat(F.sha2(F.col("text").cast("binary"), 256), 4), F.lit("hex")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("modality"),
+            ((F.col("doc_id") % 8 + 1) * 64).cast("int").alias("width"),
+            ((F.col("doc_id") % 4 + 1) * 64).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder contract — not available in this container.
+
+    A production build plugs Pillow/libvips here; everything around it
+    (schema, batching, partitioning) is already real.
+    """
+    raise NotImplementedError("image codecs are not available in this environment")
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — per-partition, zero driver involvement. The
+    'features' are deterministic byte statistics standing in for a
+    decoded-media feature vector."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            meta = pdf["meta"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": [m["modality"] for m in meta],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "width": [m["width"] for m in meta],
+                    "height": [m["height"] for m in meta],
+                    "mean_byte": [
+                        float(sum(p)) / max(len(p), 1) for p in payloads
+                    ],
+                    "feature_crc": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,108 @@
+"""Embedding similarity search (tier D / BASELINE.json: "similarity
+search over an embedding column").
+
+Two paths, per the scale contract:
+
+- **cosine_topk** — exact brute force: one scan, dot/norm as builtin
+  HOFs (zip_with + aggregate fold), TakeOrdered top-k. At 100 TB this
+  is the per-query baseline and the verifier for the ANN path; the
+  scan parallelizes perfectly and the top-k needs no full sort
+  (Catalyst plans TakeOrderedAndProject).
+- **lsh_topk** — random-hyperplane LSH: H fixed signed projections →
+  2^H buckets; only the query's bucket is scanned for candidates. The
+  hyperplanes are deterministic literals (seeded off-line), so results
+  are reproducible across engines and runs — and the bucketing column
+  can be precomputed and used as a partition key at scale (IVF-style:
+  partition pruning turns a 100 TB scan into one bucket's worth).
+
+Norm conventions: vectors are cast float→double before any
+arithmetic; fold order is left-to-right in both our HOFs and the
+oracle SQL so cross-engine sums agree bit-for-bit at round(6).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def hyperplanes(dim: int, n: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (literals, no runtime
+    RNG) for sign-LSH. Gaussian via random.Random for portability."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j set iff dot(vec, plane_j) > 0."""
+    out = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        out = out + F.when(dot(vec, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+    Deterministic total order: (cosine desc, id asc)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    v = as_double(F.col(vec_col))
+    return (
+        df.select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: candidates = vectors in the query's sign-LSH bucket,
+    ranked by exact cosine. Recall < 1 by design; the planes being
+    literals makes the result deterministic and oracle-checkable."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qbucket = sum(
+        (1 << j)
+        for j, plane in enumerate(planes)
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0
+    )
+    v = as_double(F.col(vec_col))
+    return (
+        df.withColumn("__bucket", lsh_bucket(v, planes))
+        .filter(F.col("__bucket") == qbucket)
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2
+tier D / BASELINE.json north star: "text analysis").
+
+Everything here is pure column expressions (whole-stage codegen, no
+Python in the hot path): tokenization, token statistics, quality
+scoring, language-ID heuristics, and k-gram fingerprinting. These are
+the per-document map stages of a 100 TB pipeline — embarrassingly
+parallel, no shuffle until the final (small) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation
+#: marks — the classic GPT-2-style pre-split shape, portable regex.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+#: tiny stopword list for quality ratios (public, trivially replaceable)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+#: language marker words for the n-gram/marker-count language-ID
+#: heuristic. Real deployments plug in fastText-style profiles; the
+#: engine mechanism (score → argmax with deterministic tiebreak) is
+#: what matters here.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def n_tokens(col: Column | str) -> Column:
+    return F.size(words(col)).cast("bigint")
+
+
+def n_bpe_tokens(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-split — the budget metric for
+    LLM context windows."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("bigint")
+
+
+def distinct_ratio(col: Column | str) -> Column:
+    """|distinct words| / |words| — low values flag repetitive spam."""
+    w = words(col)
+    return F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
+    w = words(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x))))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[^\sA-Za-z0-9]")).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def quality_score(col: Column | str, target_chars: int = 500) -> Column:
+    """Composite [0,1] quality score: length saturation + lexical
+    diversity + stopword plausibility. Deterministic arithmetic only
+    (int divisions promoted to double the same way in any engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_part = F.least(F.length(c) / F.lit(float(target_chars)), F.lit(1.0))
+    return F.round(
+        0.4 * length_part + 0.3 * distinct_ratio(c) + 0.3 * stopword_ratio(c), 6
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-token hit count per candidate language."""
+    w = words(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, F.lower(x)))).cast(
+            "bigint"
+        )
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over lang_scores with deterministic lexicographic
+    tiebreak; 'und' when no marker hits at all."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    )
+    # struct max compares (score, lang) lexicographically: highest
+    # score wins; ties fall to the lexicographically largest lang —
+    # that IS the documented tiebreak.
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def kgram_fingerprint(col: Column | str, k: int = 5) -> Column:
+    """Document fingerprint: minimum md5 over word k-grams (a 1-hash
+    MinHash / winnowing-style content signature). Stable across
+    engines because md5 is."""
+    w = words(col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    return F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles (for Jaccard / MinHash dedup). Short
+    docs (< k words) collapse to their single full-text shingle."""
+    w = words(col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    )

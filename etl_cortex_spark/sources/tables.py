@@ -79,6 +79,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # correct reads/oracle parity regardless of who built the session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Right-size shuffles when the caller's session still has the 200
+    # default: AQE coalesces most stages anyway, but stateful streaming
+    # disables AQE and would run 200 tiny tasks per stage.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     df = spark.read.parquet(path)
     for c in _nanos_ts_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

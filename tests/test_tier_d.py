@@ -1,0 +1,114 @@
+"""Tier D operator tests: LSH recall vs exact baseline, simhash
+properties, ANN vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators import dedup as DD
+from etl_cortex_spark.operators import multimodal as MM
+from etl_cortex_spark.operators import similarity as SIM
+from etl_cortex_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") % 10 == 0)
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated).cache()
+
+
+def test_minhash_lsh_recall(spark, docs_with_dups):
+    """Every exact-Jaccard pair ≥ 0.8 must be found by LSH (recall at
+    high similarity ~1 with 8 bands × 4 rows)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs_with_dups).filter("jaccard >= 0.8").collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_lsh_no_false_positives_below_threshold(spark, docs_with_dups):
+    out = DD.minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()
+    assert all(r.jaccard >= 0.5 for r in out)
+
+
+def test_simhash_identical_and_mutated(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sims = {r.doc_id: r.s for r in df.select("doc_id", DD.simhash16("text").alias("s")).collect()}
+    assert sims[1] == sims[2]  # identical text → identical signature
+    ham13 = bin(sims[1] ^ sims[3]).count("1")
+    ham14 = bin(sims[1] ^ sims[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+    cands = DD.simhash_candidates(df, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in cands} >= {(1, 2)}
+
+
+def test_ann_results_subset_of_brute_force_ranking(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    exact = DD  # noqa: F841  (readability)
+    brute = SIM.cosine_topk(emb.filter("vec_id != 0"), qv, k=500)
+    order = {r.vec_id: i for i, r in enumerate(brute.collect())}
+    ann = SIM.lsh_topk(emb.filter("vec_id != 0"), qv, k=5).collect()
+    assert len(ann) > 0
+    # ANN candidates must be ranked consistently with brute force
+    ranks = [order[r.vec_id] for r in ann]
+    assert ranks == sorted(ranks)
+
+
+def test_exact_dedup_removes_planted_duplicates(spark):
+    docs = load_table(spark, SF, "documents").limit(20).select("doc_id", "text", "lang")
+    dup = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text", "lang")
+    out = DD.exact_dedup(docs.unionByName(dup))
+    rows = out.collect()
+    assert len(rows) == 20  # survivors only
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.doc_id < 1000 for r in rows)  # min-id survivor rule
+
+
+def test_multimodal_pipeline_schema_and_determinism(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    feats = MM.extract_features(MM.synthesize_assets(docs))
+    assert feats.schema.simpleString() == (
+        "struct<asset_id:bigint,modality:string,byte_len:bigint,"
+        "width:int,height:int,mean_byte:double,feature_crc:string>"
+    )
+    a = sorted(map(tuple, feats.collect()))
+    b = sorted(map(tuple, feats.repartition(7).collect()))
+    assert a == b  # partitioning must not change results
+    assert all(r[2] == 128 for r in a)  # 256 hex chars → 128 bytes
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a"),
+        F.countDistinct("l_orderkey").alias("e"),
+    ).first()
+    assert abs(got.a - got.e) / got.e < 0.05
