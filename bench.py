@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the ``noop`` sink — full plan
+runs on the executors (scans, shuffles, codegen) with zero driver-side
+collection cost, so the number measures the engine, not Py4J transfer.
+
+The headline set deliberately spans every execution shape the engine
+has: columnar scan+agg (tpch q1), multi-way broadcast/shuffle joins,
+window shuffles, exact + MinHash dedup, vector similarity (HOF dot
+product), and text explode/agg — matching BASELINE.md's operational
+baseline (DuckDB wall-clock on the same parquet, target ≤2×).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_cortex_spark.queries import QUERIES  # noqa: E402
+from etl_cortex_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: the headline set — one per execution shape, heaviest representative.
+HEADLINE = [
+    "flagship_events_medallion",
+    "c17_tpch_q1",
+    "c10_join_inner_agg",
+    "c26_window_ranking",
+    "c32_topk_per_group",
+    "a13_dedup_keep_latest",
+    "d01_exact_dedup",
+    "d02_minhash_lsh_pairs",
+    "d03_cosine_topk",
+    "d04_token_stats",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.0
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name](spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="etl_cortex_spark_bench")
+    # JVM/codegen warm-up on the tiny SF so headline timings measure the
+    # engine, not classloading.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        try:
+            run_one(spark, "flagship_events_medallion", warm_dir)
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        timings[name] = round(run_one(spark, name, SF_DIR), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
