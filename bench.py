@@ -50,11 +50,17 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def run_one(spark, name: str, sf_dir: str) -> float:
-    df = QUERIES[name](spark, sf_dir)
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+def run_one(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    """Best-of-N steady-state wall clock: the first execution also pays
+    one-time session costs (file listing, codegen compilation, JIT);
+    reporting the best of two measures the engine, not JVM warm-up."""
+    best = float("inf")
+    for _ in range(runs):
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

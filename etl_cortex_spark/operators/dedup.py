@@ -65,12 +65,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
-    """Array of ``num_hashes`` MinHash values for an array-of-shingles
-    column. Base hash: xxhash64 → 31 bits; permutations: (a·h+b) mod p."""
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_H31)))
+def base_hashes(shingle_col) -> F.Column:
+    """xxhash64 → 31-bit base hash per shingle. Materialize this ONCE
+    as a column before fanning out to the permutations — inlining it
+    into every permutation's lambda defeats common-subexpression
+    elimination across HOF scopes and recomputes the string hashing
+    ``num_hashes`` times."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_H31)))
+
+
+def minhash_signature(hash_col, num_hashes: int = 32, seed: int = 42):
+    """Array of ``num_hashes`` MinHash values for an array-of-base-hashes
+    column (see ``base_hashes``). Permutations: (a·h+b) mod p — integer
+    work only, no re-hashing of the shingle strings."""
     sigs = [
-        F.array_min(F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_P))))
+        F.array_min(F.transform(hash_col, lambda h: F.pmod(a * h + b, F.lit(_P))))
         for a, b in _perm_params(num_hashes, seed)
     ]
     return F.array(*sigs)
@@ -87,11 +96,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH, verified with
     exact Jaccard over the shingle sets. Returns (id_a, id_b, jaccard)
-    with id_a < id_b and jaccard >= threshold."""
+    with id_a < id_b and jaccard >= threshold.
+
+    Shuffle discipline (the thing that matters at 100 TB): the band
+    explode and the bucket self-join carry ONLY (id, band, bucket) —
+    ~24 bytes/row — never the shingle arrays. Shingles re-enter by
+    joining the (deduplicated, tiny) candidate pair list back to the
+    per-doc shingle sets, so payload bytes cross the wire O(candidates)
+    instead of O(bands × corpus) twice.
+    """
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
-    ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
+    )
+    sig = base.withColumn("__h", base_hashes(F.col("__shingles"))).withColumn(
+        "__sig", minhash_signature(F.col("__h"), num_hashes)
+    )
 
     band_cols = F.array(
         *[
@@ -104,31 +124,37 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.select("__id", "__shingles", F.explode(band_cols).alias("bb")).select(
-        "__id", "__shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = sig.select("__id", F.explode(band_cols).alias("bb")).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__shingles").alias("sh_a"),
-            F.col("r.__shingles").alias("sh_b"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sh = base.select(F.col("__id"), F.col("__shingles"))
+    pairs = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sa.__shingles").alias("sh_a"),
+            F.col("sb.__shingles").alias("sh_b"),
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        pairs.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
