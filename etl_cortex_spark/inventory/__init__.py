@@ -6,6 +6,7 @@ Importing this package registers every (query, oracle) pair into
 
 from etl_cortex_spark.inventory import (  # noqa: F401
     tier_a,
+    tier_a_excel,
     tier_b,
     tier_c_core,
     tier_c_rel,

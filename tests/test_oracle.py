@@ -27,6 +27,7 @@ def test_query_matches_oracle(spark, name):
 # weaker rows-only check for these; everything else MUST have an oracle.
 EXPECTED_NO_ORACLE = {
     "c19_approx_count_distinct",
+    "c40_explain",  # EXPLAIN output is engine-specific by construction
     "d02_minhash_lsh_pairs",
     "d02_simhash_candidates",
 }
