@@ -12,4 +12,6 @@ from etl_cortex_spark.inventory import (  # noqa: F401
     tier_c_rel,
     tier_c_scalar,
     tier_d,
+    tier_scale,
+    tier_sinks,
 )

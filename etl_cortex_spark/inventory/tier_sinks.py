@@ -1,0 +1,75 @@
+"""Sink roundtrips as oracle-paired queries (SURVEY §2 rows B9, B10, C5).
+
+A write is not oracle-comparable by itself, so each entry writes with
+the engine's sink, reads its own output back, and returns that — the
+oracle is a plain SELECT over the source table. A hash match therefore
+proves the write+read cycle is lossless (values, types, NULLs), which
+is the property a sink owes its users.
+
+Outputs land under a per-(query, sf) temp dir — overwritten each run,
+never committed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.queries import T, query
+from etl_cortex_spark.sinks.files import write_csv, write_parquet
+
+
+def _out_dir(tag: str, sf_dir: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "etl_cortex_spark_sinks", f"{tag}_{h}")
+
+
+@query(
+    "sink_parquet_partitioned_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey <= 5000
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/B10: partitioned parquet write, read back through the
+    partition-discovery path (o_orderstatus becomes a directory key —
+    downstream scans get partition pruning on it)."""
+    src = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+    path = _out_dir("pq", sf_dir)
+    write_parquet(src, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    # partition columns come back as the last column; restore order and
+    # the original type (directory keys read as string)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: CSV write + schema-preserving read-back."""
+    src = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _out_dir("csv", sf_dir)
+    write_csv(src, path, coalesce_to=1)
+    return (
+        spark.read.option("header", True)
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .csv(path)
+    )
