@@ -330,6 +330,24 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(coalesce(value, 0)), 2) AS total_value,
+           max(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def d08b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    profile state flushed on a bounded replay == batch groupBy."""
+    from etl_cortex_spark.streaming.events import stateful_user_profile
+
+    return stateful_user_profile(spark, sf_dir)
+
+
+@query(
     "stream_dedup_watermark",
     oracle="""
     SELECT event_type, count(*) AS n
@@ -344,3 +362,64 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- D9 is covered by c46_json_funcs and the flagship silver stage. ----------
+
+
+@query(
+    "d04_tfidf_topk",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM corpus
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n FROM corpus),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def d04_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 tf-idf: whitespace tokens, raw-count tf, ln(N/df) idf, top-3
+    terms per document. Two shuffles (tf groupBy, df groupBy) + one
+    broadcast of the 1-row corpus count; ranking uses the ROUNDED score
+    so libm ULP drift between engines cannot flip tie order."""
+    from pyspark.sql import Window
+
+    from etl_cortex_spark.operators.textops import words
+
+    corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = corpus.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = corpus.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

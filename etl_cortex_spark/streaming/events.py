@@ -23,6 +23,8 @@ from __future__ import annotations
 import os
 from itertools import count
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,6 +106,70 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -
         F.col("session_window.start").alias("sess_start"),
         "user_id",
         "n_events",
+    )
+
+
+def stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running profile (event count, value total, last-seen
+    timestamp) maintained in explicit group state across microbatches.
+
+    This is the sanctioned shape for operators Structured Streaming
+    lacks natively (per-key accumulators, rate limiters, CEP-ish
+    logic): Arrow batches in, explicit typed state, Arrow batches out —
+    state lives in the state store (RocksDB at scale), partitioned by
+    the grouping key, so it shards across executors like any keyed
+    stream. On a bounded single-batch replay the flushed state equals
+    the batch ``groupBy(user_id).agg(...)`` — which is the oracle.
+
+    The timestamp is carried in state as integer microseconds: the
+    state schema round-trips through Arrow per microbatch, and integer
+    micros are immune to tz/precision coercion on that path.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value", "ts")
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, last_ts_us bigint"
+    )
+    state_schema = "n bigint, tot double, last_us bigint"
+
+    def update_profile(key, pdfs, state: GroupState):
+        n, tot, last_us = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].fillna(0.0).sum())
+            # normalize to µs regardless of the batch's datetime64 unit
+            ts_us = pdf["ts"].dropna().astype("datetime64[us]").astype("int64")
+            if len(ts_us):
+                batch_max = int(ts_us.max())
+                last_us = batch_max if last_us is None else max(last_us, batch_max)
+        state.update((n, tot, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [tot],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    profiled = ev.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(profiled, "update")
+    # one microbatch per bounded replay → one row per user; convert the
+    # state-carried micros back to a timestamp for the caller
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.expr("timestamp_micros(last_ts_us)").alias("last_ts"),
     )
 
 
