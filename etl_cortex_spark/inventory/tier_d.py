@@ -322,6 +322,27 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(spark, sf_dir)
 
 
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 43200) * 43200)
+                  AS TIMESTAMP) AS b
+      FROM events
+    )
+    SELECT win_start, count(*) AS n FROM (
+      SELECT unnest([b - INTERVAL 12 HOUR, b]) AS win_start FROM base
+    ) GROUP BY win_start
+    """,
+)
+def d07b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 sliding windows (1 day / 12 h): every event lands in exactly
+    two windows — the oracle enumerates both via the 12h-floor."""
+    from etl_cortex_spark.streaming.events import sliding_counts
+
+    return sliding_counts(spark, sf_dir)
+
+
 @query("stream_session_windows")  # rows-only: session assembly is stateful
 def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cortex_spark.streaming.events import session_windows
