@@ -112,3 +112,29 @@ def test_approx_count_distinct_within_5pct(spark):
         F.countDistinct("l_orderkey").alias("e"),
     ).first()
     assert abs(got.a - got.e) / got.e < 0.05
+
+
+def test_multimodal_resize_preserves_payload_and_caps_dims(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    assets = MM.synthesize_assets(docs)
+    resized = MM.resize_images(assets, max_side=128)
+    rows = resized.collect()
+    assert len(rows) == 30
+    assert all(max(r.width, r.height) <= 128 for r in rows)
+    # payload passes through untouched (resize happens at re-encode)
+    src = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    assert all(bytes(r.payload) == src[r.asset_id] for r in rows)
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    assets = MM.synthesize_assets(docs)
+    frames = MM.sample_frames(assets, every_n_bytes=64)
+    n_video = assets.filter("meta.modality = 'video'").count()
+    rows = frames.collect()
+    # every video payload is 128 bytes (256 hex chars) → 2 frames each
+    assert len(rows) == n_video * 2
+    assert all(r.offset % 64 == 0 for r in rows)
+    # deterministic under repartitioning
+    again = sorted(map(tuple, frames.repartition(5).collect()))
+    assert sorted(map(tuple, rows)) == again
