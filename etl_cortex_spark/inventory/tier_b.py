@@ -122,17 +122,9 @@ def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric histogram: fixed-width binning + count (README.md:42)."""
-    return (
-        T(spark, sf_dir, "part")
-        .select(
-            F.floor((F.col("p_retailprice") - F.lit(900.0)) / F.lit(10.0))
-            .cast("bigint")
-            .alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("bin")
-    )
+    from etl_cortex_spark.operators.viz import histogram
+
+    return histogram(T(spark, sf_dir, "part"), "p_retailprice", lo=900.0, width=10.0)
 
 
 @query(
@@ -145,15 +137,9 @@ def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series aggregation: value over time (README.md:43)."""
-    return (
-        T(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("day")
-    )
+    from etl_cortex_spark.operators.viz import time_series
+
+    return time_series(T(spark, sf_dir, "events"), "ts", "value", grain="day")
 
 
 @query(
@@ -164,9 +150,9 @@ def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_cortex_spark.operators.gold import value_counts
+    from etl_cortex_spark.operators.viz import category_counts
 
-    return value_counts(T(spark, sf_dir, "events"), "event_type")
+    return category_counts(T(spark, sf_dir, "events"), "event_type")
 
 
 @query(
