@@ -1,0 +1,58 @@
+"""The sanctioned Python escape hatch (SURVEY §2 'UDF surface').
+
+Policy: builtin column expressions first (every hot-path operator in
+this engine is one); when Python is genuinely needed, Arrow-batched
+pandas UDFs — never row-at-a-time ``F.udf``. These two are the
+reference patterns, each with a builtin-expression twin the tests (and
+one oracle query) compare against, so the escape hatch is held to the
+same correctness bar as the builtins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+# NB: explicit DataType objects, not DDL strings — string return types
+# are parsed at decoration time and would demand a live SparkSession at
+# import.
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def normalize_vec(vectors: pd.Series) -> pd.Series:
+    """SCALAR pandas UDF: L2-normalize an array<double> column.
+    Arrow hands each batch as a Series of numpy arrays; the kernel is
+    vectorized per batch. Builtin twin: transform(v, x -> x / sqrt(agg))."""
+    def _norm(v):
+        if v is None:
+            return None
+        a = np.asarray(v, dtype="float64")
+        n = float(np.sqrt((a * a).sum()))
+        return (a / n).tolist() if n > 0 else a.tolist()
+
+    return vectors.map(_norm)
+
+
+@pandas_udf(DoubleType())
+def geometric_mean(values: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF: geometric mean of positive values.
+    Builtin twin: exp(avg(ln(x))) — which is also the DuckDB oracle."""
+    v = values.dropna()
+    v = v[v > 0]
+    if len(v) == 0:
+        return float("nan")
+    return float(np.exp(np.log(v.astype("float64")).mean()))
+
+
+def normalize_vec_builtin(col):
+    """The builtin-expression twin of ``normalize_vec`` (stays in
+    codegen; preferred in hot paths — the UDF exists to document the
+    escape-hatch shape)."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = F.transform(c, lambda x: x.cast("double"))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)

@@ -1,0 +1,59 @@
+"""Pandas-UDF escape hatch: each UDF must agree with its builtin twin."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.functions.pandas_udfs import (
+    geometric_mean,
+    normalize_vec,
+    normalize_vec_builtin,
+)
+from etl_cortex_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_normalize_vec_matches_builtin(spark):
+    emb = load_table(spark, SF, "embeddings").limit(200)
+    both = emb.select(
+        normalize_vec(F.col("embedding").cast("array<double>")).alias("udf"),
+        normalize_vec_builtin("embedding").alias("builtin"),
+    ).collect()
+    for r in both:
+        assert len(r.udf) == len(r.builtin)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(r.udf, r.builtin))
+        norm = math.sqrt(sum(x * x for x in r.udf))
+        assert abs(norm - 1.0) < 1e-9
+
+
+def test_grouped_geomean_matches_expression(spark):
+    li = load_table(spark, SF, "lineitem").limit(5000)
+    udf_side = (
+        li.groupBy("l_returnflag")
+        .agg(F.round(geometric_mean("l_quantity"), 6).alias("g"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    expr_side = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.exp(F.avg(F.log("l_quantity"))), 6).alias("g"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [(r.l_returnflag, r.g) for r in udf_side] == [
+        (r.l_returnflag, r.g) for r in expr_side
+    ]
+
+
+def test_udf_plans_are_arrow_not_batch_python(spark):
+    """The escape hatch must take the Arrow path (vectorized), never
+    row-pickling BatchEvalPython."""
+    emb = load_table(spark, SF, "embeddings").limit(10)
+    q = emb.select(normalize_vec(F.col("embedding").cast("array<double>")))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
