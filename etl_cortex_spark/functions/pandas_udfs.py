@@ -38,13 +38,15 @@ def normalize_vec(vectors: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
-def geometric_mean(values: pd.Series) -> float:
+def geometric_mean(values: pd.Series) -> float | None:
     """GROUPED_AGG pandas UDF: geometric mean of positive values.
-    Builtin twin: exp(avg(ln(x))) — which is also the DuckDB oracle."""
+    Builtin twin: exp(avg(ln(x))) — which is also the DuckDB oracle.
+    Groups with no positive values return NULL (matching the twin,
+    where avg over all-NULL ln(x) is NULL), never NaN."""
     v = values.dropna()
     v = v[v > 0]
     if len(v) == 0:
-        return float("nan")
+        return None
     return float(np.exp(np.log(v.astype("float64")).mean()))
 
 
@@ -52,7 +54,8 @@ def normalize_vec_builtin(col):
     """The builtin-expression twin of ``normalize_vec`` (stays in
     codegen; preferred in hot paths — the UDF exists to document the
     escape-hatch shape)."""
-    c = F.col(col) if isinstance(col, str) else col
-    v = F.transform(c, lambda x: x.cast("double"))
-    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    from etl_cortex_spark.operators.similarity import as_double, l2norm
+
+    v = as_double(col)
+    n = l2norm(v)
     return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)

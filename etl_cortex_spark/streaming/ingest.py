@@ -20,8 +20,6 @@ table; same plan shape).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -45,6 +43,10 @@ def incremental_silver(
     raw = (
         spark.readStream.schema(schema)
         .option("header", True)
+        # verify header names against the schema instead of binding
+        # positionally — a reordered drop file must fail loudly, not
+        # silently swap columns (same rule as union_all's by-name union)
+        .option("enforceSchema", False)
         .csv(in_dir)
     )
     cleaned = silver_clean(raw)
@@ -63,10 +65,25 @@ def drain(query) -> None:
     query.awaitTermination()
 
 
-def silver_table(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The accumulated silver table (empty-safe before first batch)."""
-    if not os.path.isdir(out_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(out_dir)
-    ):
-        return spark.createDataFrame([], "endpoint_name string")
-    return spark.read.parquet(out_dir)
+def silver_table(
+    spark: SparkSession,
+    out_dir: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """The accumulated silver table.
+
+    Before the first batch commits there is nothing to read; when the
+    caller passes the ingest ``schema``, the fallback is an empty frame
+    with the REAL post-clean silver schema (derived by running
+    ``silver_clean`` over an empty input — same code path, so it cannot
+    drift). Existence is probed by attempting the read, which works on
+    any Hadoop filesystem (S3/HDFS), not just the driver's local disk.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir)
+    except AnalysisException:
+        if schema is not None:
+            return silver_clean(spark.createDataFrame([], schema))
+        raise

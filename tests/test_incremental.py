@@ -77,3 +77,14 @@ def test_restart_is_exactly_once(spark, dirs):
     # rerunning with the same checkpoint must be a no-op
     drain(incremental_silver(spark, in_dir, out_dir, ckpt, SCHEMA))
     assert silver_table(spark, out_dir).count() == 1
+
+def test_silver_table_empty_fallback_has_real_schema(spark, dirs):
+    from etl_cortex_spark.streaming.ingest import silver_table
+
+    _, out_dir, _ = dirs
+    empty = silver_table(spark, out_dir, schema=SCHEMA)
+    assert empty.count() == 0
+    # post-clean schema: derivations present, so downstream gold code
+    # (dedup on last_seen, ipv4 selection) analyzes fine pre-first-batch
+    assert "ipv4" in empty.columns and "last_seen" in empty.columns
+    assert dict(empty.dtypes)["last_seen"] == "timestamp"

@@ -57,3 +57,20 @@ def test_udf_plans_are_arrow_not_batch_python(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+def test_grouped_geomean_null_parity_on_nonpositive_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", -1.0), ("b", 0.0)], "k string, v double"
+    )
+    udf_side = {
+        r.k: r.g
+        for r in df.groupBy("k").agg(geometric_mean("v").alias("g")).collect()
+    }
+    expr_side = {
+        r.k: r.g
+        for r in df.groupBy("k")
+        .agg(F.exp(F.avg(F.log(F.when(F.col("v") > 0, F.col("v"))))).alias("g"))
+        .collect()
+    }
+    assert abs(udf_side["a"] - 4.0) < 1e-12 and abs(expr_side["a"] - 4.0) < 1e-12
+    assert udf_side["b"] is None and expr_side["b"] is None
