@@ -35,6 +35,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream replaying the events parquet."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # stateful stages key their state-store count off shuffle
+    # partitions and AQE is off for streaming: a vanilla session's 200
+    # would mean 200 state partitions per stage — right-size it here.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # FileStreamSource wants a directory: stream the sf dir, glob down
