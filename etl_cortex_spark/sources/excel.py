@@ -43,6 +43,8 @@ _REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}
 #: i.e. any date after Feb 1900 — converts correctly despite the
 #: Lotus-1-2-3 leap-year bug).
 _EXCEL_EPOCH = datetime(1899, 12, 30)
+#: Mac-origin workbooks (workbookPr date1904="1") count from 1904.
+_EXCEL_EPOCH_1904 = datetime(1904, 1, 1)
 
 #: builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30).
 _DATE_NUMFMT_IDS = frozenset(range(14, 23)) | frozenset(range(45, 48))
@@ -111,6 +113,16 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     return out
 
 
+def _is_date1904(z: zipfile.ZipFile) -> bool:
+    """True when the workbook uses the 1904 date system (Mac origin)."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        pr = wb.find(f"{_NS}workbookPr")
+        return pr is not None and pr.get("date1904", "0").lower() in ("1", "true")
+    except (KeyError, ET.ParseError):
+        return False
+
+
 def _first_sheet_path(z: zipfile.ZipFile) -> str:
     """Resolve sheet 0 (workbook order) through the rels table."""
     try:
@@ -129,7 +141,12 @@ def _first_sheet_path(z: zipfile.ZipFile) -> str:
         return "xl/worksheets/sheet1.xml"
 
 
-def _cell_value(c: ET.Element, shared: list[str], date_xfs: frozenset[int]):
+def _cell_value(
+    c: ET.Element,
+    shared: list[str],
+    date_xfs: frozenset[int],
+    epoch: datetime = _EXCEL_EPOCH,
+):
     t = c.get("t", "n")
     if t == "inlineStr":
         return "".join(e.text or "" for e in c.iter(f"{_NS}t")) or None
@@ -145,7 +162,7 @@ def _cell_value(c: ET.Element, shared: list[str], date_xfs: frozenset[int]):
         return raw == "1"
     num = float(raw)
     if int(c.get("s", "0")) in date_xfs:
-        return _EXCEL_EPOCH + timedelta(days=num)
+        return epoch + timedelta(days=num)
     return int(num) if num.is_integer() else num
 
 
@@ -155,6 +172,7 @@ def parse_xlsx_rows(data: bytes) -> list[list]:
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         shared = _shared_strings(z)
         date_xfs = _date_styles(z)
+        epoch = _EXCEL_EPOCH_1904 if _is_date1904(z) else _EXCEL_EPOCH
         root = ET.fromstring(z.read(_first_sheet_path(z)))
         rows: list[list] = []
         width = 0
@@ -165,7 +183,7 @@ def parse_xlsx_rows(data: bytes) -> list[list]:
                 idx = _col_index(ref) if ref else len(row)
                 while len(row) < idx:
                     row.append(None)
-                row.append(_cell_value(c, shared, date_xfs))
+                row.append(_cell_value(c, shared, date_xfs, epoch))
             rows.append(row)
             width = max(width, len(row))
         for row in rows:

@@ -307,3 +307,30 @@ def test_file_sinks_roundtrip(spark, tmp_path):
     write_csv(df, csv, coalesce_to=1)
     back_csv = spark.read.option("header", True).csv(csv)
     assert back_csv.count() == 100 and back_csv.columns == ["id", "k", "v"]
+
+def test_xlsx_1904_date_epoch():
+    """Mac-origin workbooks (workbookPr date1904) shift serials by
+    1462 days; the reader must honor the flag."""
+    import io
+    import zipfile
+
+    pdf = pd.DataFrame({"t": pd.to_datetime(["2024-01-01 12:00:00"])})
+    data = df_to_xlsx_bytes({"T": pdf}, drop_empty_after_first=False)
+
+    # rewrite workbook.xml with the date1904 flag set
+    src = zipfile.ZipFile(io.BytesIO(data))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as z:
+        for name in src.namelist():
+            content = src.read(name)
+            if name == "xl/workbook.xml":
+                content = content.replace(
+                    b"<sheets>", b'<workbookPr date1904="1"/><sheets>'
+                )
+            z.writestr(name, content)
+
+    rows_1900 = parse_xlsx_rows(data)
+    rows_1904 = parse_xlsx_rows(out.getvalue())
+    # same serial, different epoch: 1904 reading is 1462 days later
+    delta = rows_1904[1][0] - rows_1900[1][0]
+    assert delta == dt.timedelta(days=1462)
