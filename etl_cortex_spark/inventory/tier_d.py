@@ -95,6 +95,19 @@ def d02b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("d02_minhash_lsh_ml_pairs")  # rows-only: MLlib hashing is engine-specific
+def d02ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib MinHashLSH variant of d02 — same self-seeded mutated
+    corpus, same (id_a, id_b, jaccard) contract."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(mutated)
+    return DD.minhash_lsh_pairs_ml(base, threshold=0.5).orderBy("id_a", "id_b")
+
+
 @query("d02_simhash_candidates")  # rows-only: xxhash64-based signature
 def d02c(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)

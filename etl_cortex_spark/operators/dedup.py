@@ -160,6 +160,52 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_ml(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The MLlib path for D2 (SURVEY: ``ml.feature.MinHashLSH`` +
+    ``approxSimilarityJoin``): shingles → binary HashingTF sparse
+    vectors → MinHash tables → approximate Jaccard-distance self-join.
+
+    Complements the hand-rolled ``minhash_lsh_pairs``: same contract
+    (id_a < id_b, jaccard ≥ threshold), different engine — MLlib owns
+    the banding internals and its Jaccard is computed on the hashed
+    feature sets (HashingTF collisions make it approximate), so results
+    are engine-specific (rows-only check; recall vs the exact baseline
+    is pinned in pytest).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from etl_cortex_spark.operators.textops import shingles as _sh
+
+    base = df.select(
+        F.col(id_col).alias("__id"), _sh(F.col(text_col), k).alias("__shingles")
+    ).filter(F.size("__shingles") > 0)
+    tf = HashingTF(
+        inputCol="__shingles", outputCol="__features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(base)
+    mh = MinHashLSH(
+        inputCol="__features", outputCol="__hashes", numHashTables=num_hashes, seed=42
+    )
+    model = mh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="__dist")
+    return (
+        joined.filter(F.col("datasetA.__id") < F.col("datasetB.__id"))
+        .select(
+            F.col("datasetA.__id").alias("id_a"),
+            F.col("datasetB.__id").alias("id_b"),
+            F.round(1.0 - F.col("__dist"), 6).alias("jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

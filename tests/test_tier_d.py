@@ -138,3 +138,20 @@ def test_multimodal_frame_sampling_fanout(spark):
     # deterministic under repartitioning
     again = sorted(map(tuple, frames.repartition(5).collect()))
     assert sorted(map(tuple, rows)) == again
+
+def test_minhash_lsh_ml_recall(spark, docs_with_dups):
+    """The MLlib MinHashLSH path must also find every high-similarity
+    pair the exact baseline finds."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs_with_dups)
+        .filter("jaccard >= 0.8")
+        .collect()
+    }
+    assert exact
+    ml = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs_ml(docs_with_dups, threshold=0.5).collect()
+    }
+    missed = exact - ml
+    assert not missed, f"MLlib LSH missed pairs: {sorted(missed)[:5]}"
