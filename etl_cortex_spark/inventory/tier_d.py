@@ -209,6 +209,14 @@ def d03b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, qv, k=5, n_planes=6, seed=7)
 
 
+@query("d03_ann_brp_topk")  # rows-only: MLlib hashing is engine-specific
+def d03c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via MLlib BucketedRandomProjectionLSH."""
+    qv = _query_vec(spark, sf_dir)
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return SIM.ann_brp_topk(emb, qv, k=5)
+
+
 # --- D4: text analysis --------------------------------------------------------
 
 

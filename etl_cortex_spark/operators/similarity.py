@@ -79,6 +79,53 @@ def cosine_topk(
     )
 
 
+def ann_brp_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    n_tables: int = 3,
+) -> DataFrame:
+    """The MLlib path for ANN (SURVEY D3: ``BucketedRandomProjectionLSH``):
+    Euclidean-LSH bucketing + ``approxNearestNeighbors`` for the top-k,
+    re-scored with exact cosine for a comparable output contract
+    (vec_id, cosine). Engine-specific hashing → rows-only check; the
+    pytest suite pins rank-consistency against the brute-force baseline.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    feat = df.select(
+        F.col(id_col), array_to_vector(as_double(F.col(vec_col))).alias("__vec")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="__vec",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=n_tables,
+        seed=7,
+    )
+    model = brp.fit(feat)
+    hits = model.approxNearestNeighbors(
+        feat, Vectors.dense([float(v) for v in query_vec]), k, distCol="__dist"
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vec_arr = F.transform("__vec_arr", lambda x: x.cast("double"))
+    from pyspark.ml.functions import vector_to_array
+
+    return (
+        hits.withColumn("__vec_arr", vector_to_array("__vec"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(vec_arr, q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -31,6 +31,7 @@ EXPECTED_NO_ORACLE = {
     "d02_minhash_lsh_pairs",
     "d02_minhash_lsh_ml_pairs",
     "d02_simhash_candidates",
+    "d03_ann_brp_topk",
 }
 
 

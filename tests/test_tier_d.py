@@ -155,3 +155,16 @@ def test_minhash_lsh_ml_recall(spark, docs_with_dups):
     }
     missed = exact - ml
     assert not missed, f"MLlib LSH missed pairs: {sorted(missed)[:5]}"
+
+
+def test_ann_brp_rank_consistent_with_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    pool = emb.filter("vec_id != 0")
+    order = {
+        r.vec_id: i for i, r in enumerate(SIM.cosine_topk(pool, qv, k=2000).collect())
+    }
+    ann = SIM.ann_brp_topk(pool, qv, k=5).collect()
+    assert 0 < len(ann) <= 5
+    ranks = [order[r.vec_id] for r in ann]
+    assert ranks == sorted(ranks)  # cosine ordering consistent
