@@ -34,6 +34,19 @@ import pandas as pd
 
 _EXCEL_EPOCH = datetime(1899, 12, 30)
 _INVALID_SHEET = re.compile(r"[\[\]:*?/\\]")
+#: XML-1.0-illegal control characters — Excel rejects them verbatim;
+#: strip like openpyxl does.
+_ILLEGAL_XML = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _xml_text(value) -> str:
+    """Escape a value for XML text content, stripping illegal chars."""
+    return escape(_ILLEGAL_XML.sub("", str(value)))
+
+
+def _xml_attr(value: str) -> str:
+    """Escape a value for an XML attribute (quotes included)."""
+    return escape(_ILLEGAL_XML.sub("", str(value)), {'"': "&quot;"})
 
 # cellXfs style indices (written in _STYLES below)
 _XF_DEFAULT, _XF_FLOAT, _XF_INT, _XF_DATETIME, _XF_HEADER = 0, 1, 2, 3, 4
@@ -93,13 +106,16 @@ def _flatten_frame(pdf: pd.DataFrame) -> pd.DataFrame:
 def _cell_xml(ref: str, value) -> str:
     if isinstance(value, np.generic):  # itertuples yields numpy scalars
         value = value.item()
-    if value is None or (isinstance(value, float) and value != value):
+    # scalar missing markers: None, float NaN, pd.NaT, pd.NA (nullable
+    # dtypes) — containers are never "na", route them to the str branch
+    if value is None or (
+        not isinstance(value, (list, tuple, dict, set, np.ndarray, bytes))
+        and pd.isna(value)
+    ):
         return ""
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (datetime, pd.Timestamp)):
-        if pd.isna(value):
-            return ""
         serial = (value.to_pydatetime() if isinstance(value, pd.Timestamp) else value)
         serial = serial.replace(tzinfo=None)
         days = (serial - _EXCEL_EPOCH).total_seconds() / 86400.0
@@ -110,20 +126,24 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, int):
         return f'<c r="{ref}" s="{_XF_INT}"><v>{value}</v></c>'
     if isinstance(value, float):
+        if value != value or value in (float("inf"), float("-inf")):
+            return ""  # xlsx numerics have no NaN/inf representation
         return f'<c r="{ref}" s="{_XF_FLOAT}"><v>{value!r}</v></c>'
-    text = escape(str(value))
+    text = _xml_text(value)
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 
 def _col_widths(pdf: pd.DataFrame, sample_rows: int) -> list[float]:
     """Max rendered length over header + ≤sample rows, padded, capped —
-    the reference's estimate (app.py:79-98) without a full scan."""
+    the reference's estimate (app.py:79-98) without a full scan.
+    Positional iloc access: duplicate column names (possible after a
+    MultiIndex flatten) must not fan out to multi-column selections."""
     sample = pdf.head(sample_rows)
     widths = []
-    for c in pdf.columns:
+    for i, c in enumerate(pdf.columns):
         longest = len(str(c))
         if len(sample):
-            longest = max(longest, int(sample[c].astype(str).str.len().max()))
+            longest = max(longest, int(sample.iloc[:, i].astype(str).str.len().max()))
         widths.append(min(longest + 2, 60))
     return widths
 
@@ -135,7 +155,7 @@ def _sheet_xml(pdf: pd.DataFrame, sample_rows: int) -> str:
     )
     header_cells = "".join(
         f'<c r="{_col_ref(j)}1" t="inlineStr" s="{_XF_HEADER}">'
-        f'<is><t xml:space="preserve">{escape(str(c))}</t></is></c>'
+        f'<is><t xml:space="preserve">{_xml_text(c)}</t></is></c>'
         for j, c in enumerate(pdf.columns)
     )
     body = [f'<row r="1">{header_cells}</row>']
@@ -170,7 +190,7 @@ def df_to_xlsx_bytes(
     pdfs: dict[str, pd.DataFrame] = {}
     for i, (name, df) in enumerate(sheets.items()):
         pdf = df if isinstance(df, pd.DataFrame) else df.limit(max_rows).toPandas()
-        pdf = _flatten_frame(pdf)
+        pdf = _flatten_frame(pdf).iloc[:max_rows]  # cap pandas inputs too
         if drop_empty_after_first and i > 0 and len(pdf) == 0:
             continue
         pdfs[name] = pdf
@@ -181,7 +201,7 @@ def df_to_xlsx_bytes(
     names = {raw: _sheet_name(raw, used) for raw in pdfs}
 
     sheet_entries = "".join(
-        f'<sheet name="{escape(names[raw])}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{_xml_attr(names[raw])}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, raw in enumerate(pdfs)
     )
     workbook = (

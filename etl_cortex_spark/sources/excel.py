@@ -108,8 +108,12 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
         return []
     out = []
     for si in root.findall(f"{_NS}si"):
-        # plain <t> or rich-text runs <r><t>…</t></r>
-        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        # plain <t> or rich-text runs <r><t> — explicitly NOT si.iter:
+        # that would also pick up <rPh> phonetic (furigana) runs and
+        # concatenate them into the cell text.
+        parts = [t.text or "" for t in si.findall(f"{_NS}t")]
+        parts += [t.text or "" for t in si.findall(f"{_NS}r/{_NS}t")]
+        out.append("".join(parts))
     return out
 
 
@@ -135,8 +139,10 @@ def _first_sheet_path(z: zipfile.ZipFile) -> str:
             )
         }
         first = next(iter(wb.iter(f"{_NS}sheet")))
-        target = rel_map[first.get(f"{_REL_NS}id")]
-        return target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+        # OPC targets may be workbook-relative ("worksheets/sheet1.xml")
+        # or absolute ("/xl/worksheets/sheet1.xml") — normalize both.
+        target = rel_map[first.get(f"{_REL_NS}id")].lstrip("/")
+        return target if target.startswith("xl/") else f"xl/{target}"
     except (KeyError, ET.ParseError, StopIteration):
         return "xl/worksheets/sheet1.xml"
 
@@ -206,8 +212,10 @@ def detect_header_index(
 
 def rows_to_pandas(rows: Sequence[Sequence], header_idx: int) -> pd.DataFrame:
     """A3 (app.py:173-181): header row → snake_case column names, rows
-    below → data, all-null rows/cols dropped (A4/A5, app.py:178)."""
-    if not rows:
+    below → data, all-null rows/cols dropped (A4/A5, app.py:178).
+    Sheets too short to hold the (possibly fallback) header index parse
+    as empty rather than crashing."""
+    if not rows or header_idx >= len(rows):
         return pd.DataFrame()
     header = [
         norm_col(h) if h is not None else f"unnamed_{i}"
@@ -264,9 +272,14 @@ def read_excel_distributed(
         for batch in batches:
             for path, content in zip(batch["path"], batch["content"]):
                 pdf, _ = parse_cortex_xlsx(bytes(content))
+                # Series-valued columns even when absent from this file:
+                # an all-scalar dict would raise for files sharing no
+                # expected columns (one bad upload must not fail the job)
                 aligned = pd.DataFrame(
                     {
-                        c: pdf[c].astype("string") if c in pdf.columns else None
+                        c: pdf[c].astype("string")
+                        if c in pdf.columns
+                        else pd.Series([None] * len(pdf), dtype="string")
                         for c in out_cols
                     }
                 )

@@ -334,3 +334,73 @@ def test_xlsx_1904_date_epoch():
     # same serial, different epoch: 1904 reading is 1462 days later
     delta = rows_1904[1][0] - rows_1900[1][0]
     assert delta == dt.timedelta(days=1462)
+
+
+def test_xlsx_writer_hostile_values():
+    """Quotes in sheet names, inf/NA values, control chars, duplicate
+    columns — none may corrupt the output or crash the writer."""
+    import io
+    import zipfile
+
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, float("inf"), float("-inf")],
+            "b": pd.array([1, None, 3], dtype="Int64"),  # pd.NA path
+            "c": ["ok", "ctrl\x01char", "fine"],
+        }
+    )
+    dup = pd.concat([pdf, pdf[["a"]]], axis=1)  # duplicate column name 'a'
+    data = df_to_xlsx_bytes({'Q3 "Final" & more': dup}, drop_empty_after_first=False)
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        from xml.etree import ElementTree as ET
+
+        for name in z.namelist():
+            if name.endswith(".xml"):
+                ET.fromstring(z.read(name))  # every part is valid XML
+    rows = parse_xlsx_rows(data)
+    assert rows[0] == ["a", "b", "a", "a"] or rows[0][:2] == ["a", "b"]
+    assert rows[2][0] is None  # inf → empty cell
+    assert rows[2][1] is None  # pd.NA → empty cell
+    assert rows[2][2] == "ctrlchar"  # control char stripped
+
+
+def test_xlsx_reader_edge_cases():
+    """Absolute rel targets, phonetic runs, and too-short sheets."""
+    import io
+    import zipfile
+
+    pdf = pd.DataFrame({"x": ["hello"]})
+    data = df_to_xlsx_bytes({"S": pdf}, drop_empty_after_first=False)
+    src = zipfile.ZipFile(io.BytesIO(data))
+
+    # rewrite: absolute worksheet target + a phonetic run in sharedStrings
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as z:
+        for name in src.namelist():
+            content = src.read(name)
+            if name == "xl/_rels/workbook.xml.rels":
+                content = content.replace(
+                    b'Target="worksheets/sheet1.xml"',
+                    b'Target="/xl/worksheets/sheet1.xml"',
+                )
+            z.writestr(name, content)
+        z.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns='
+            '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<si><r><t>Tokyo</t></r><rPh><t>TOKYO-YOMI</t></rPh></si></sst>",
+        )
+    rows = parse_xlsx_rows(out.getvalue())
+    assert rows[0] == ["x"]  # absolute target resolved
+
+    from etl_cortex_spark.sources.excel import _shared_strings
+
+    shared = _shared_strings(zipfile.ZipFile(out))
+    assert shared == ["Tokyo"]  # phonetic run excluded
+
+    # single-row sheet + fallback header index 1 → empty frame, no crash
+    from etl_cortex_spark.sources.excel import rows_to_pandas
+
+    assert len(rows_to_pandas([["only", "row"]], 1)) == 0
