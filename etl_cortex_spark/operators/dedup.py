@@ -93,6 +93,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH, verified with
     exact Jaccard over the shingle sets. Returns (id_a, id_b, jaccard)
@@ -104,11 +105,22 @@ def minhash_lsh_pairs(
     joining the (deduplicated, tiny) candidate pair list back to the
     per-doc shingle sets, so payload bytes cross the wire O(candidates)
     instead of O(bands × corpus) twice.
+
+    ``persist`` caches the (id, shingles) frame (MEMORY_AND_DISK, so it
+    spills rather than OOMs): four plan branches read it — banding,
+    both self-join sides, and verification — and without the cache the
+    scan + shingling re-runs per branch (~2× wall on the bench corpus).
+    Spark evicts it LRU; pass False for fire-and-forget one-shot use
+    on corpora you'd rather re-read than spill.
     """
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
     )
+    if persist:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sig = base.withColumn("__h", base_hashes(F.col("__shingles"))).withColumn(
         "__sig", minhash_signature(F.col("__h"), num_hashes)
     )
