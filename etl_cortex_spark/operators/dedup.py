@@ -227,6 +227,9 @@ def ngram_jaccard_pairs(
     """Exact all-pairs word-k-gram Jaccard (quadratic — bound your
     input). Returns (id_a, id_b, jaccard) for every pair id_a < id_b."""
     s = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
+    from pyspark import StorageLevel
+
+    s = s.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
     a, b = s.alias("a"), s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
     union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
@@ -274,9 +277,13 @@ def simhash_candidates(
     avoid a full cross join (docs differing there are > max_hamming
     away only when max_hamming < 8 — acceptable candidate recall trade,
     documented)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash16(F.col(text_col)).alias("__sim")
-    ).withColumn("__bucket", F.shiftright("__sim", 8))
+    from pyspark import StorageLevel
+
+    sh = (
+        df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col)).alias("__sim"))
+        .withColumn("__bucket", F.shiftright("__sim", 8))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+    )
     a, b = sh.alias("a"), sh.alias("b")
     xor = F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
     return (
@@ -303,10 +310,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact quadratic baseline; bound
     the input — the LSH-bucketed scale path lives in similarity.py)."""
+    from pyspark import StorageLevel
+
     v = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
