@@ -34,6 +34,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "flagship_events_medallion",
     "c17_tpch_q1",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "c10_join_inner_agg",
     "c26_window_ranking",
     "c32_topk_per_group",

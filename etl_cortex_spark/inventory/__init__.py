@@ -14,4 +14,5 @@ from etl_cortex_spark.inventory import (  # noqa: F401
     tier_d,
     tier_scale,
     tier_sinks,
+    tier_tpch,
 )
