@@ -177,3 +177,113 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01'
+      AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 shape: correlated EXISTS → left-semi join + agg. The classic
+    commitdate<receiptdate predicate is adapted to the testdata's
+    column subset (shipped strictly after order date)."""
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    shipped_late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        shipped_late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 shape: conditional aggregation ratio over a fact⋈dim join
+    (part broadcasts)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+    )
+    part = F.broadcast(T(spark, sf_dir, "part"))
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0))
+            / F.sum(net),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ) big ON big.l_orderkey = o_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18 shape: HAVING-filtered aggregate subquery joined back to the
+    fact chain + top-k."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty_raw"))
+        .filter(F.col("total_qty_raw") > 250)
+    )
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(big, big.l_orderkey == orders.o_orderkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty_raw", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
