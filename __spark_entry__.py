@@ -21,6 +21,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_cortex_spark.queries import ORACLE, QUERIES  # noqa: E402
 
+# Names already recorded green in CORRECTNESS_r01.json.  The driver samples
+# the first N registry entries per round, so rotate: entries it has NOT yet
+# recorded go first, the round-1-verified tail last (VERDICT.md next-round #1).
+_R1_RECORDED = frozenset(
+    [
+        "flagship_events_medallion",
+        "a04_drop_all_null_cols", "a05_drop_all_null_rows", "a06_norm_cols",
+        "a07_ts_parse_coerce", "a08_norm_title_status", "a09_extract_first_ipv4",
+        "a10_extract_first_ipv6", "a11_union_missing_cols", "a13_dedup_keep_latest",
+        "a14_full_row_distinct", "a15_value_counts", "a16_keyword_flag_filter",
+        "a19_row_count", "a21_head_n", "a18_unify_gold_sheets", "a01_xlsx_scan",
+        "b01_csv_scan", "b02_bronze_passthrough", "b03_trim_all_strings",
+        "b07_null_filter", "b08_date_range_filter", "b11_sql_passthrough",
+        "b12_histogram", "b13_timeseries_daily", "b14_category_counts",
+        "c03_json_scan", "c01_parquet_scan_pushdown", "c02_csv_scan_inferred",
+        "c04_inmemory_registration", "c06_projection_computed", "c07_predicate_zoo",
+        "c08_case_when_3vl", "c09_cast_try_cast", "c40_explain",
+        "b04_string_to_datetime", "b05_column_selection", "b06_drop_duplicates",
+        "c10_join_inner_agg", "c11_join_left_outer", "c11_join_full_outer",
+        "c12_join_semi", "c12_join_anti", "c13_cross_join", "c14_theta_range_join",
+        "c15_broadcast_join", "c16_asof_join", "c17_tpch_q1", "c18_count_distinct",
+        "c19_approx_count_distinct",
+    ]
+)
+
+
+def _rotated(d: dict) -> dict:
+    unrecorded = {k: v for k, v in d.items() if k not in _R1_RECORDED}
+    recorded = {k: v for k, v in d.items() if k in _R1_RECORDED}
+    return {**unrecorded, **recorded}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -29,9 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query; omitted keys get rows-only checks."""
-    return dict(ORACLE)
+    return _rotated(ORACLE)
