@@ -218,18 +218,47 @@ def minhash_lsh_pairs_ml(
     )
 
 
+def _guard_quadratic(df: DataFrame, max_rows: int | None, op: str) -> None:
+    """Enforce the bounded-input contract of the quadratic baselines.
+
+    The count is a deliberate eager action: one cheap scan is the price
+    of making it impossible to accidentally launch an O(n²) self-join
+    over a 100 TB corpus. Pass ``max_rows=None`` to opt out (e.g. when
+    the caller already counted).
+    """
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"{op} is an all-pairs quadratic baseline: input has {n} rows "
+                f"> max_rows={max_rows} (≈{n * (n - 1) // 2} pairs). Use the "
+                f"LSH path for large corpora, or pass max_rows=None/higher "
+                f"to override."
+            )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_rows: int | None = 100_000,
+    persist: bool = True,
 ) -> DataFrame:
-    """Exact all-pairs word-k-gram Jaccard (quadratic — bound your
-    input). Returns (id_a, id_b, jaccard) for every pair id_a < id_b."""
+    """Exact all-pairs word-k-gram Jaccard (quadratic — the guarded
+    oracle/recall baseline for the LSH paths). Returns
+    (id_a, id_b, jaccard) for every pair id_a < id_b.
+
+    ``persist`` caches the shingle frame (both self-join sides read
+    it); callers owning a long-lived session can pass False or clear
+    via ``spark.catalog.clearCache()``.
+    """
+    _guard_quadratic(df, max_rows, "ngram_jaccard_pairs")
     s = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
     from pyspark import StorageLevel
 
-    s = s.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+    if persist:
+        s = s.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
     a, b = s.alias("a"), s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
     union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
@@ -271,34 +300,67 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bands: int = 4,
+    persist: bool = True,
 ) -> DataFrame:
-    """Near-dup candidate pairs whose 16-bit SimHashes differ in at
-    most ``max_hamming`` bits. Self-join is bucketed by the top byte to
-    avoid a full cross join (docs differing there are > max_hamming
-    away only when max_hamming < 8 — acceptable candidate recall trade,
-    documented)."""
+    """Near-dup pairs whose 16-bit SimHashes differ in at most
+    ``max_hamming`` bits, via Hamming-LSH banding: the signature is
+    split into ``bands`` equal bit-bands, each doc explodes to
+    (band, band_value) keys, and the self-join matches on those keys.
+
+    Pigeonhole guarantee: a pair with hamming ≤ bands-1 has at least
+    one band with zero differing bits, so for the default 4 bands and
+    max_hamming=3 recall is 100% (pinned in tests/test_tier_d.py) —
+    unlike a single top-byte bucket, which silently dropped pairs
+    differing in that byte. Bucket sizes are bounded too: 4-bit band
+    values give 16 buckets per band on random signatures, vs one
+    N/256-row quadratic bucket per top-byte value.
+
+    The exploded join carries only (id, sim, band, value) — 24 bytes a
+    row; payloads never shuffle.
+    """
     from pyspark import StorageLevel
 
-    sh = (
-        df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col)).alias("__sim"))
-        .withColumn("__bucket", F.shiftright("__sim", 8))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+    if 16 % bands:
+        raise ValueError(f"bands={bands} must divide the 16-bit signature")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} bands "
+            f"for the pigeonhole recall guarantee (got bands={bands})"
+        )
+    band_bits = 16 // bands
+    vmask = (1 << band_bits) - 1
+    sh = df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col)).alias("__sim"))
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("__sim", i * band_bits).bitwiseAND(F.lit(vmask)).alias("val"),
+            )
+            for i in range(bands)
+        ]
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    banded = sh.select("__id", "__sim", F.explode(band_keys).alias("bb")).select(
+        "__id", "__sim", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     xor = F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
     return (
         a.join(
             b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .withColumn("hamming", F.bit_count(xor))
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("hamming").cast("int").alias("hamming"),
+            F.bit_count(xor).cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -307,15 +369,21 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     min_cosine: float = 0.9,
+    max_rows: int | None = 100_000,
+    persist: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact quadratic baseline; bound
-    the input — the LSH-bucketed scale path lives in similarity.py)."""
+    """Embedding-cosine near-dup pairs (exact quadratic baseline,
+    guarded by ``max_rows`` — the LSH-bucketed scale path lives in
+    similarity.py)."""
     from pyspark import StorageLevel
 
+    _guard_quadratic(df, max_rows, "embedding_near_dup_pairs")
     v = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+    )
+    if persist:
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
@@ -329,4 +397,85 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= min_cosine)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cosine")
+    )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph via iterative
+    min-label propagation — joins and aggregations only, no GraphFrames
+    dependency. Returns (node, label) where label is the component's
+    minimum node id (singletons label themselves).
+
+    ``nodes`` is a 1-column frame of ids; ``pairs`` has (id_a, id_b).
+
+    Scale design: each round is one shuffle-join of the edge list
+    against the current labels plus a min-aggregate — O(E) state, no
+    driver-side graph. Rounds needed = graph diameter, and LSH dup
+    clusters are near-cliques (diameter ≤ 2-3 in practice); max_iter
+    bounds pathological chains. Convergence is detected by the label
+    sum (strictly decreasing until fixpoint — labels only ever move
+    down to the component min), one scalar action per round.
+    ``localCheckpoint`` truncates the otherwise exponentially nesting
+    join lineage each round; on a real cluster with a checkpoint dir,
+    ``checkpoint()`` gives the same truncation fault-tolerantly.
+    """
+    node_col = nodes.columns[0]
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("__nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("__nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    max_iter: int = 20,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: candidate pairs → connected
+    components → one deterministic survivor (min id) per cluster.
+    Returns the input rows minus the losers — the operator a training
+    -data pipeline actually calls (pairs alone are only step one).
+
+    ``pairs`` defaults to ``minhash_lsh_pairs(df, **lsh_kwargs)``; pass
+    an explicit (id_a, id_b) frame to cluster by any other notion of
+    near-duplicate (exact Jaccard, SimHash, embedding cosine).
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    labels = connected_components(
+        df.select(id_col), pairs.select("id_a", "id_b"), max_iter=max_iter
+    )
+    survivors = labels.filter(F.col("node") == F.col("label")).select("node")
+    return df.join(
+        survivors, df[id_col] == survivors["node"], "left_semi"
     )

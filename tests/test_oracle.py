@@ -29,6 +29,7 @@ EXPECTED_NO_ORACLE = {
     "c19_approx_count_distinct",
     "c40_explain",  # EXPLAIN output is engine-specific by construction
     "d02_minhash_lsh_pairs",
+    "d02_near_dedup_minhash",  # LSH pairing → engine-specific recall
     "d02_minhash_lsh_ml_pairs",
     "d02_simhash_candidates",
     "d03_ann_brp_topk",

@@ -168,3 +168,75 @@ def test_ann_brp_rank_consistent_with_brute_force(spark):
     assert 0 < len(ann) <= 5
     ranks = [order[r.vec_id] for r in ann]
     assert ranks == sorted(ranks)  # cosine ordering consistent
+
+
+def test_simhash_banding_full_recall_vs_exact_hamming(spark, docs_with_dups):
+    """Pigeonhole guarantee: 4 bands × 4 bits must find EVERY pair with
+    hamming ≤ 3 (the old single top-byte bucket silently dropped pairs
+    differing in that byte)."""
+    sims = docs_with_dups.select(
+        "doc_id", DD.simhash16(F.col("text")).alias("s")
+    ).collect()
+    exact = {
+        (a.doc_id, b.doc_id)
+        for i, a in enumerate(sims)
+        for b in sims[i + 1 :]
+        if bin(a.s ^ b.s).count("1") <= 3
+    }
+    exact = {(min(p), max(p)) for p in exact}
+    assert exact, "fixture should contain hamming-close pairs"
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_candidates(docs_with_dups, max_hamming=3).collect()
+    }
+    missed = exact - got
+    assert not missed, f"banding missed hamming≤3 pairs: {sorted(missed)[:5]}"
+    assert got == exact  # and no pair above the bound sneaks in
+
+
+def test_simhash_banding_parameter_validation(spark, docs_with_dups):
+    with pytest.raises(ValueError, match="must divide"):
+        DD.simhash_candidates(docs_with_dups, bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_candidates(docs_with_dups, max_hamming=4, bands=4)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C pairs (no A-C edge) must collapse into one cluster
+    labeled by the min id — label propagation has to transit."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    labels = {r.node: r.label for r in DD.connected_components(nodes, pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_near_dedup_end_to_end(spark):
+    """pairs → clusters → min-id survivor: three near-identical docs
+    (transitively linked) keep exactly one survivor; unrelated docs all
+    survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " extra"),
+            (12, "prefix " + base),
+            (20, "completely different content about spark execution engines"),
+            (30, "a third unrelated document mentioning columnar parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.near_dedup(df, threshold=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [10, 20, 30]
+    # input schema passes through untouched
+    assert out.columns == df.columns
+
+
+def test_quadratic_guards_raise_on_unbounded_input(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="quadratic"):
+        DD.ngram_jaccard_pairs(docs, max_rows=10)
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="quadratic"):
+        DD.embedding_near_dup_pairs(emb, max_rows=10)
