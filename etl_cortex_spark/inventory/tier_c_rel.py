@@ -283,17 +283,28 @@ def c18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c19_approx_count_distinct")  # no oracle: HLL sketches differ per engine
+@query(
+    "c19_approx_count_distinct",
+    oracle="SELECT true AS orders_within_5pct, true AS parts_within_5pct",
+)
 def c19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Sketch values are engine-specific,
-    so the driver records a rows-only check; the pytest suite asserts
-    the estimate is within 5% of exact instead."""
-    return (
-        T(spark, sf_dir, "lineitem")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        )
+    """approx_count_distinct (HLL++). Raw sketch values are engine
+    -specific, so the oracle-checkable contract is the ERROR BOUND: the
+    query emits whether each estimate lands within 5% of the exact
+    count (computed in the same plan), and the oracle pins both flags
+    true — an epsilon oracle instead of a rows-only pass."""
+    est = T(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_o"),
+        F.countDistinct("l_orderkey").alias("e_o"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_p"),
+        F.countDistinct("l_partkey").alias("e_p"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
+    )
+    return est.select(
+        within("a_o", "e_o").alias("orders_within_5pct"),
+        within("a_p", "e_p").alias("parts_within_5pct"),
     )
 
 

@@ -287,3 +287,165 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: correlated scalar-average subquery (quantity below
+    0.2 × the part's own average). Deliberately written as SQL so
+    Catalyst's decorrelation runs — the correlated aggregate becomes a
+    per-part average joined back, exactly the rewrite the DataFrame
+    version would hand-roll. p_container doesn't exist in the testdata
+    schema; p_type stands in, semantics intact."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    T(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = part.p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7 shape: bidirectional nation-pair CASE-free variant (the OR'd
+    pair filter) over a 5-way join, yearly rollup. The two nation
+    aliases and supplier broadcast; the fact chain shuffles on keys."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    supp = F.broadcast(T(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 shape: national market share — CASE'd share-of-total ratio
+    per year over a 7-way join (part/supplier/nation×2/region all
+    broadcast; only the lineitem⋈orders⋈customer chain shuffles)."""
+    part = F.broadcast(
+        T(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    supp = F.broadcast(T(spark, sf_dir, "supplier"))
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    cust = T(spark, sf_dir, "customer")
+    n1 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    ))
+    region = F.broadcast(
+        T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n2 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    ))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

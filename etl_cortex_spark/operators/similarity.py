@@ -153,3 +153,61 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """Materialize the IVF-style ANN index: precompute the sign-LSH
+    bucket and write parquet PARTITIONED BY the bucket — one directory
+    per cell. At 100 TB this is what turns `lsh_topk`'s bucket filter
+    into partition pruning: the query reads 1/2^n_planes of the corpus
+    and the other cells are never listed, let alone scanned
+    (demonstrated in tests/test_plans.py::test_ivf_partition_pruning).
+
+    ``dim`` is peeked from the first row when not given (one tiny
+    eager action, writer-side only).
+    """
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = hyperplanes(dim, n_planes, seed)
+    out = df.withColumn("__bucket", lsh_bucket(as_double(F.col(vec_col)), planes))
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+
+def lsh_topk_ivf(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k against a ``write_ivf_index`` table: the bucket
+    equality predicate prunes to ONE partition directory, then exact
+    cosine ranks the cell. Same contract and (given the same planes)
+    same result as ``lsh_topk`` — minus the full scan.
+    """
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbucket = sum(
+        (1 << j)
+        for j, plane in enumerate(planes)
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    v = as_double(F.col(vec_col))
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("__bucket") == qbucket)
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -266,12 +266,29 @@ def read_excel_distributed(
     which also parses first and types later (app.py:170→184).
     """
     out_cols = [norm_col(c) for c in columns]
-    schema = ", ".join(f"`{c}` string" for c in out_cols) + ", `_src_file` string"
+    schema = (
+        ", ".join(f"`{c}` string" for c in out_cols)
+        + ", `_src_file` string, `_parse_error` boolean"
+    )
 
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             for path, content in zip(batch["path"], batch["content"]):
-                pdf, _ = parse_cortex_xlsx(bytes(content))
+                try:
+                    pdf, _ = parse_cortex_xlsx(bytes(content))
+                except Exception:
+                    # one corrupt upload (bad zip, broken XML, hostile
+                    # sharedStrings index) must degrade to a skipped
+                    # file, not a failed job after task retries; the
+                    # marker row keeps the path visible downstream
+                    # (filter `_parse_error` to quarantine or drop)
+                    bad = pd.DataFrame(
+                        {c: pd.Series([None], dtype="string") for c in out_cols}
+                    )
+                    bad["_src_file"] = path
+                    bad["_parse_error"] = pd.Series([True])
+                    yield bad
+                    continue
                 # Series-valued columns even when absent from this file:
                 # an all-scalar dict would raise for files sharing no
                 # expected columns (one bad upload must not fail the job)
@@ -284,6 +301,7 @@ def read_excel_distributed(
                     }
                 )
                 aligned["_src_file"] = path
+                aligned["_parse_error"] = pd.Series([False] * len(pdf))
                 yield aligned
 
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")

@@ -32,17 +32,17 @@ _QUERY_SEQ = count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream replaying the events parquet."""
+    """File-source stream replaying the events parquet.
+
+    Sets the two session facts every read path needs (nanosAsLong for
+    the TIMESTAMP(NANOS) parquet, UTC for timestamp parity) — the same
+    values ``sources.tables.load_table`` sets, so batch and stream
+    agree. The shuffle-partition downsizing for state stores is NOT
+    done here: ``run_to_memory`` scopes it to the streaming query and
+    restores the caller's setting afterwards.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # stateful stages key their state-store count off shuffle
-    # partitions and AQE is off for streaming: a vanilla session's 200
-    # would mean 200 state partitions per stage — right-size it here.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(spark.sparkContext.defaultParallelism, 8)),
-        )
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # FileStreamSource wants a directory: stream the sf dir, glob down
@@ -58,17 +58,36 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a bounded streaming query to completion into a memory
-    sink; returns the result as a (batch) DataFrame."""
-    name = f"stream_out_{next(_QUERY_SEQ)}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink; returns the result as a (batch) DataFrame.
+
+    Stateful stages key their state-store count off shuffle partitions
+    (AQE is off for streaming), so a vanilla session's 200 would mean
+    200 state partitions per stage. The downsizing is scoped HERE —
+    set before the query starts (state layout is fixed at start),
+    restored after it terminates — so a shared session's batch queries
+    never see the override.
+    """
     spark = agg.sparkSession
+    name = f"stream_out_{next(_QUERY_SEQ)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    scoped = prev == "200"
+    if scoped:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if scoped:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -280,12 +280,32 @@ def test_distributed_ingest_matches_driver_path(spark, xlsx_files):
     got = dist.toPandas()
     assert len(got) == 5  # 3 + 2 rows, pre-dedup
     assert set(got["_src_file"].str.contains("file").tolist()) == {True}
+    assert not got["_parse_error"].any()
     # every requested column present, strings or null
-    assert [c for c in got.columns if c != "_src_file"] == cols
+    assert [c for c in got.columns if c not in ("_src_file", "_parse_error")] == cols
     # silver typing restores timestamps from the string payload (A7)
-    silver = silver_clean(dist.drop("_src_file"))
+    silver = silver_clean(dist.drop("_src_file", "_parse_error"))
     ts = silver.select("last_seen").toPandas()["last_seen"]
     assert ts.notna().all()
+
+
+def test_distributed_ingest_survives_corrupt_file(spark, xlsx_files, tmp_path):
+    """A corrupt upload degrades to one quarantine-marker row, not a
+    failed job (ADVICE r1): good files parse normally alongside it."""
+    import os
+    import shutil
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    for f in xlsx_files:
+        shutil.copy(f, d / os.path.basename(f))
+    (d / "corrupt.xlsx").write_bytes(b"this is not a zip archive at all")
+    cols = ["endpoint_name", "endpoint_status"]
+    got = read_excel_distributed(spark, str(d / "*.xlsx"), cols).toPandas()
+    bad = got[got["_parse_error"]]
+    assert len(bad) == 1 and bad["_src_file"].str.contains("corrupt").all()
+    good = got[~got["_parse_error"]]
+    assert len(good) == 5 and good["endpoint_name"].notna().all()
 
 
 # ---------------------------------------------------------------------------

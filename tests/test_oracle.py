@@ -26,7 +26,6 @@ def test_query_matches_oracle(spark, name):
 # SQL-expressible (streaming, sinks, multimodal) — the driver records a
 # weaker rows-only check for these; everything else MUST have an oracle.
 EXPECTED_NO_ORACLE = {
-    "c19_approx_count_distinct",
     "c40_explain",  # EXPLAIN output is engine-specific by construction
     "d02_minhash_lsh_pairs",
     "d02_near_dedup_minhash",  # LSH pairing → engine-specific recall

@@ -115,3 +115,50 @@ def test_events_scan_prunes_props(spark):
     q = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     read_schema = plan_of(q).split("ReadSchema:")[1].split("\n")[0]
     assert "props" not in read_schema
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """The IVF claim, demonstrated: against a bucket-partitioned index,
+    the ANN query's scan carries a PartitionFilters entry on __bucket
+    and reads files from exactly one partition directory."""
+    from etl_cortex_spark.operators import similarity as SIM
+    from etl_cortex_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb, path)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    df = SIM.lsh_topk_ivf(spark, path, qv, k=5)
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "__bucket" in pf
+    # the pruned query agrees with the full-scan LSH path
+    full = SIM.lsh_topk(emb, qv, k=5).collect()
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in full]
+    # the physical proof, from the executed scan's runtime metrics:
+    # exactly one of the 2^6 bucket directories was read
+    n_parts = _scan_metric(df, "numPartitions")
+    assert n_parts == 1, f"expected 1 pruned partition read, got {n_parts}"
+
+
+def _scan_metric(df, key: str) -> int:
+    """Walk the executed (post-AQE) plan to the parquet scan leaf and
+    read one of its runtime SQL metrics."""
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "Scan" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == key:
+                    return kv._2().value()
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.executedPlan())
+        if "QueryStage" in name:
+            stack.append(node.plan())
+    raise AssertionError(f"no scan node with metric {key!r} found")
