@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size when coalescing instead of
+        # maximizing parallelism: small shuffles collapse to few tasks
+        # (the Spark docs' own recommendation; measured −12% on the
+        # sf0.1 headline bench, and at cluster scale 64 MB advisory
+        # partitions are what you want anyway)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -58,7 +64,14 @@ def get_spark(
         # long and convert at the source wrapper (sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Spark's default 10MB, on purpose: a bigger auto-threshold lets
+        # the static estimator broadcast mis-estimated JOIN INTERMEDIATES
+        # (measured: a 64MB threshold broadcast a multi-million-row
+        # cust⋈orders build at 10× bench scale — seconds of driver-side
+        # hash-building). True dimensions are broadcast EXPLICITLY via
+        # F.broadcast hints in the query builders; AQE upgrades the rest
+        # at runtime from observed, not estimated, sizes.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
