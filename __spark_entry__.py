@@ -47,10 +47,32 @@ _R1_RECORDED = frozenset(
 )
 
 
+# Round-2 additions — never verified by ANY official run yet, so they
+# outrank the round-1 entries the judge already re-verified manually.
+_R2_NEW = (
+    "d02_near_dedup_survivors",
+    "d02_near_dedup_minhash",
+    "d10_pii_redaction",
+    "d10_training_prep_pipeline",
+    "d11_stratified_sample",
+    "d12_contamination_check",
+    "d13_pack_sequences",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "c19_approx_count_distinct",  # newly oracle-paired (epsilon bound)
+)
+
+
 def _rotated(d: dict) -> dict:
-    unrecorded = {k: v for k, v in d.items() if k not in _R1_RECORDED}
-    recorded = {k: v for k, v in d.items() if k in _R1_RECORDED}
-    return {**unrecorded, **recorded}
+    new = {k: d[k] for k in _R2_NEW if k in d}
+    unrecorded = {
+        k: v for k, v in d.items() if k not in _R1_RECORDED and k not in new
+    }
+    recorded = {
+        k: v for k, v in d.items() if k in _R1_RECORDED and k not in new
+    }
+    return {**new, **unrecorded, **recorded}
 
 
 def entry(spark: SparkSession) -> DataFrame:

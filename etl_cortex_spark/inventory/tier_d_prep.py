@@ -1,0 +1,245 @@
+"""Tier D inventory, training-data prep extensions (D10-D13): PII
+redaction, stratified sampling, benchmark decontamination, sequence
+packing, and the composed prep pipeline.
+
+Oracle notes: redaction patterns are written in the Java∩RE2 regex
+subset so the SAME pattern string runs on both engines (DuckDB needs
+the 'g' flag to match Spark's replace-all). Sampling compares md5 hex
+prefixes as strings — no base conversion, portable everywhere.
+Contamination joins on gram STRINGS in the oracle where Spark joins on
+xxhash64(gram): equality joins agree regardless of hash function.
+Packing is stateful per bin → rows-only + pytest invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.inventory.tier_d import _shingles_sql
+from etl_cortex_spark.operators import llmprep as LP
+from etl_cortex_spark.operators import textops as TX
+from etl_cortex_spark.queries import T, query
+
+
+def _seeded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically seed PII into the synthetic corpus (it has
+    none): every 7th doc gets an email + ip sentence, every 11th a
+    phone + long number. The oracle builds the same seeded text."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1 555 010 2"),
+                (F.col("doc_id") % 1000).cast("string"),
+                F.lit(" ref 90210555012"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_SEED_SQL = """
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || doc_id || '@example.com from 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                WHEN doc_id % 11 = 0
+                THEN text || ' call +1 555 010 2' || CAST(doc_id % 1000 AS VARCHAR)
+                     || ' ref 90210555012'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+# SQL string literals in DuckDB treat backslashes literally, so the
+# Java∩RE2 patterns embed verbatim — only quotes need escaping.
+def _redact_sql(col: str) -> str:
+    out = col
+    for _, pattern, token in LP.PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{token}', 'g')"
+    return out
+
+
+def _count_sql(col: str) -> list[str]:
+    cols = []
+    for name, pattern, _ in LP.PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        cols.append(
+            f"CAST(len(regexp_extract_all({col}, '{p}')) AS INT) AS n_{name}"
+        )
+    return cols
+
+
+@query(
+    "d10_pii_redaction",
+    oracle=f"""
+    WITH seeded AS ({_SEED_SQL})
+    SELECT doc_id,
+           {_redact_sql("text")} AS redacted,
+           {", ".join(_count_sql("text"))}
+    FROM seeded WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: PII redaction + per-category audit counts, one codegen'd
+    projection (chained regexp_replace / regexp_count)."""
+    seeded = _seeded_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)
+    )
+    counts = LP.pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        LP.redact_pii("text").alias("redacted"),
+        *[
+            counts.getField(name).alias(f"n_{name}")
+            for name, _, _ in LP.PII_PATTERNS
+        ],
+    )
+
+
+@query(
+    "d11_stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_docs FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '80' WHEN 'es' THEN '40'
+                    WHEN 'fr' THEN '20' ELSE '08' END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: deterministic stratified sampling for training-mix
+    weighting — en 50%, es 25%, fr 12.5%, everything else ~3% — by md5
+    hex-prefix threshold (engine-portable, repartition-invariant)."""
+    docs = T(spark, sf_dir, "documents")
+    sampled = LP.stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5, "es": 0.25, "fr": 0.125},
+        key_col="doc_id",
+        default_fraction=0.03125,
+    )
+    return (
+        sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+    )
+
+
+@query(
+    "d12_contamination_check",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, len({_shingles_sql(5)}) AS n_grams,
+             unnest({_shingles_sql(5)}) AS gram
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest({_shingles_sql(5)}) AS gram
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    matched AS (
+      SELECT g.doc_id, g.n_grams, count(*) AS n_matched
+      FROM grams g JOIN bench b ON g.gram = b.gram
+      GROUP BY g.doc_id, g.n_grams
+    )
+    SELECT doc_id, n_grams, n_matched,
+           round(n_matched / greatest(n_grams, 1), 6) AS overlap
+    FROM matched
+    WHERE round(n_matched / greatest(n_grams, 1), 6) >= 0.5
+    """,
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: eval-set decontamination — flag corpus docs whose 5-gram
+    sets overlap the (broadcast) benchmark gram set ≥ 50%. The
+    benchmark here is the doc_id%97 slice of the corpus itself, so the
+    flagged set provably contains those docs (overlap 1.0)."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return LP.contamination_check(docs, bench, k=5, min_overlap=0.5)
+
+
+@query("d13_pack_sequences")  # rows-only: stateful next-fit packing
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: pack documents into 2048-token next-fit bins over 32
+    deterministic hash buckets (applyInPandas; invariants — budget
+    respected, every doc packed once, repartition-invariant — pinned
+    in tests/test_tier_d.py)."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", TX.n_tokens("text").alias("n_tokens")
+    )
+    return LP.pack_sequences(docs, max_tokens=2048).orderBy("bin_id", "doc_id")
+
+
+@query(
+    "d10_training_prep_pipeline",
+    oracle=f"""
+    WITH seeded AS ({_SEED_SQL}),
+    silver AS (
+      SELECT doc_id, lang, {_redact_sql("text")} AS text
+      FROM seeded
+      WHERE length(text) >= 100
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM silver
+      ) WHERE rn = 1
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE lang WHEN 'en' THEN '80' ELSE '40' END
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')))
+                AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def d10p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed prep pipeline a training run actually executes:
+    length floor → PII redaction → exact dedup → stratified mix →
+    token budget per stratum. One lazy plan: scan → projection →
+    digest window → hash filter → agg; the only shuffles are the dedup
+    window and the final small agg."""
+    from etl_cortex_spark.operators.dedup import exact_dedup
+
+    silver = (
+        _seeded_docs(spark, sf_dir)
+        .filter(F.length("text") >= 100)
+        .select("doc_id", "lang", LP.redact_pii("text").alias("text"))
+    )
+    deduped = exact_dedup(silver).drop("n_copies")
+    sampled = LP.stratified_sample(
+        deduped,
+        strata_col="lang",
+        fractions={"en": 0.5},
+        key_col="doc_id",
+        default_fraction=0.25,
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.n_tokens("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

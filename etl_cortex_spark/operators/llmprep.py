@@ -1,0 +1,214 @@
+"""Training-data preparation operators beyond dedup/similarity (tier D
+extensions D10-D13): PII redaction, stratified sampling, benchmark
+contamination checks, and sequence packing.
+
+These are the remaining stages of a real LLM data pipeline (quality
+filter → lang filter → dedup → REDACT → DECONTAMINATE → SAMPLE → PACK).
+Everything except packing is pure column expressions / joins — linear,
+shuffle-minimal, oracle-checkable in SQL. Packing is inherently
+stateful-per-bin and uses the sanctioned ``applyInPandas`` escape
+hatch with an explicitly deterministic partitioning contract.
+
+The reference has no counterpart for any of these (its whole pipeline
+is ``app.py``'s Excel unification); they extend the BASELINE.json
+north star the same way ``operators/dedup.py`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- D10: PII redaction -------------------------------------------------------
+
+#: Redaction patterns, deliberately written in the regex subset that
+#: Java (Spark) and RE2 (DuckDB/Go) interpret identically — no
+#: backrefs, no lookaround — so the oracle can run the SAME pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+    ("long_digits", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4s, phone-shaped numbers, and long digit runs
+    with typed placeholder tokens. Chained ``regexp_replace`` — one
+    codegen'd projection, no Python, order fixed (email before phone so
+    user@host digits never half-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-category match counts — the audit side of
+    redaction (what a compliance report aggregates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(p)).cast("int").alias(name)
+            for name, p, _ in PII_PATTERNS
+        ]
+    )
+
+
+# --- D11: stratified sampling -------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the md5 of
+    its unique key lands below the stratum's fraction of the hash
+    space. Content-hash sampling (not RNG) so the same row is kept by
+    every engine, every run, at every partitioning — the property a
+    reproducible training mix needs. One scan, zero shuffles.
+
+    ``fractions`` maps stratum value → keep-rate in [0, 1]; unlisted
+    strata get ``default_fraction``. Rates are quantized to 1/256 (the
+    first md5 byte, compared as a two-hex-char STRING so the predicate
+    is identical in every engine — no base conversion) — plenty for
+    mix weighting, and exactly reproducible in the SQL oracle.
+    """
+    bucket = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 2)
+    rate = F.lit(f"{int(default_fraction * 256):02x}")
+    expr = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        lim = F.lit(f"{int(frac * 256):02x}")
+        expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+    rate = expr.otherwise(rate) if expr is not None else rate
+    return df.filter(bucket < rate)
+
+
+# --- D12: benchmark contamination check ---------------------------------------
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    k: int = 5,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Flag corpus documents whose word-k-gram sets overlap a benchmark
+    set — the standard eval-decontamination step before training.
+
+    Shape (the part that matters at 100 TB): explode corpus docs to
+    (id, gram-hash), build the DISTINCT benchmark gram-hash set (small:
+    benchmarks are thousands of rows) and broadcast it, count matched
+    grams per doc with a broadcast semi-probe, and emit docs whose
+    matched fraction ≥ ``min_overlap``. The corpus is never
+    self-joined and only (id, hash) pairs leave the scan.
+
+    Returns (id_col, n_grams, n_matched, overlap) for flagged docs.
+    """
+    from etl_cortex_spark.operators.textops import shingles
+
+    c = corpus.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__grams")
+    ).withColumn("__n_grams", F.size("__grams"))
+    exploded = c.select(
+        id_col, "__n_grams", F.explode("__grams").alias("__gram")
+    ).withColumn("__h", F.xxhash64("__gram"))
+    bench = (
+        benchmark.select(F.explode(shingles(F.col(bench_text_col), k)).alias("__gram"))
+        .select(F.xxhash64("__gram").alias("__h"))
+        .distinct()
+    )
+    matched = (
+        exploded.join(F.broadcast(bench), "__h", "left_semi")
+        .groupBy(id_col, "__n_grams")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        matched.withColumn(
+            "overlap",
+            F.round(F.col("n_matched") / F.greatest("__n_grams", F.lit(1)), 6),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            F.col(id_col),
+            F.col("__n_grams").alias("n_grams"),
+            "n_matched",
+            "overlap",
+        )
+    )
+
+
+# --- D13: sequence packing ----------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget bins (next-fit), the step
+    that turns a deduped corpus into fixed-length training sequences.
+
+    Bin assignment is stateful (each bin's remaining budget depends on
+    every prior doc), so this is the sanctioned ``applyInPandas``
+    shape: documents are hash-bucketed by id into ``n_buckets``
+    independent groups, each group is packed next-fit in ascending id
+    order, and bin ids are namespaced per bucket. The contract is
+    DETERMINISTIC by construction — bucket = crc32(id) % n_buckets and
+    in-bucket order is total — so the output is stable under any input
+    partitioning (pinned in pytest). At scale each bucket packs in
+    parallel; cross-bucket waste is bounded by one underfull bin per
+    bucket.
+
+    Documents larger than ``max_tokens`` get a singleton bin (truncate
+    /split policy is the tokenizer's job, not the packer's).
+
+    Returns (bin_id, id_col, token_col, bin_tokens bigint).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"bin_id bigint, {id_col} bigint, {token_col} bigint, bin_fill bigint"
+    )
+
+    def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bucket = int(pdf["__bucket"].iloc[0])
+        base = bucket * 10_000_000
+        bins, fills = [], []
+        cur_bin, cur_fill = 0, 0
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            if cur_fill > 0 and cur_fill + t > max_tokens:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += t
+            bins.append(base + cur_bin)
+            fills.append(cur_fill)
+        out = pd.DataFrame(
+            {
+                "bin_id": pd.Series(bins, dtype="int64"),
+                id_col: pdf[id_col].astype("int64"),
+                token_col: pdf[token_col].astype("int64"),
+                "bin_fill": pd.Series(fills, dtype="int64"),
+            }
+        )
+        return out
+
+    bucketed = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(token_col).cast("bigint").alias(token_col),
+        F.pmod(F.crc32(F.col(id_col).cast("string").cast("binary")), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bucket"),
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(pack_bucket, schema=out_schema)

@@ -30,6 +30,7 @@ EXPECTED_NO_ORACLE = {
     "d02_minhash_lsh_pairs",
     "d02_near_dedup_minhash",  # LSH pairing → engine-specific recall
     "d02_minhash_lsh_ml_pairs",
+    "d13_pack_sequences",  # stateful next-fit packing, not SQL-expressible
     "d02_simhash_candidates",
     "d03_ann_brp_topk",
 }

@@ -240,3 +240,98 @@ def test_quadratic_guards_raise_on_unbounded_input(spark):
     emb = load_table(spark, SF, "embeddings")
     with pytest.raises(ValueError, match="quadratic"):
         DD.embedding_near_dup_pairs(emb, max_rows=10)
+
+
+# --- D10-D13 training-prep operators -----------------------------------------
+
+
+def test_redact_pii_categories(spark):
+    from etl_cortex_spark.operators import llmprep as LP
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 192.168.0.255 down"),
+            (3, "call +44 555 0102 9999 today"),
+            (4, "account 1234567890123 flagged"),
+            (5, "clean text with no identifiers"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.red for r in df.select("id", LP.redact_pii("text").alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> down"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "account <NUM> flagged"
+    assert out[5] == "clean text with no identifiers"
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from etl_cortex_spark.operators import llmprep as LP
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    s1 = LP.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id", 0.0)
+    a = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    b = sorted(r.doc_id for r in s1.repartition(13).select("doc_id").collect())
+    assert a == b and a  # repartition-invariant, non-empty
+    n_en = docs.filter("lang = 'en'").count()
+    # 50% nominal rate: binomial bounds, generous
+    assert 0.35 * n_en < len(a) < 0.65 * n_en
+    # only the sampled stratum survives a 0-default
+    assert s1.filter("lang <> 'en'").count() == 0
+
+
+def test_contamination_flags_benchmark_members(spark):
+    from etl_cortex_spark.operators import llmprep as LP
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter("doc_id % 50 = 0")
+    out = LP.contamination_check(docs, bench, k=5, min_overlap=0.99)
+    flagged = {r.doc_id for r in out.collect()}
+    members = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert members <= flagged  # every benchmark doc is 100% contaminated
+
+
+def test_pack_sequences_invariants(spark):
+    from etl_cortex_spark.operators import llmprep as LP
+    from etl_cortex_spark.operators import textops as TX
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", TX.n_tokens("text").alias("n_tokens")
+    )
+    packed = LP.pack_sequences(docs, max_tokens=64, n_buckets=4)
+    rows = packed.collect()
+    # every doc packed exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    # no bin over budget unless it holds a single oversized doc
+    import collections
+
+    bins = collections.defaultdict(list)
+    for r in rows:
+        bins[r.bin_id].append(int(r.n_tokens))
+    for _, toks in bins.items():
+        assert sum(toks) <= 64 or len(toks) == 1
+    # deterministic under repartitioning
+    again = sorted(map(tuple, LP.pack_sequences(
+        docs.repartition(7), max_tokens=64, n_buckets=4).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_near_dedup_exact_first_same_survivors(spark):
+    """exact_first is a pure optimization: survivors must equal the
+    direct-LSH path on a corpus with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base), (2, base), (3, base),          # exact-dup clique
+        (10, base + " extra"),                     # near-dup of the clique
+        (20, "entirely different content on spark physical planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted(r.doc_id for r in DD.near_dedup(df, threshold=0.5).collect())
+    slow = sorted(
+        r.doc_id
+        for r in DD.near_dedup(df, threshold=0.5, exact_first=False).collect()
+    )
+    assert fast == slow == [1, 20]
