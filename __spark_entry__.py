@@ -57,6 +57,8 @@ _R2_NEW = (
     "d11_stratified_sample",
     "d12_contamination_check",
     "d13_pack_sequences",
+    "sink_orc_roundtrip",
+    "sink_json_roundtrip",
     "tpch_q17_small_quantity_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

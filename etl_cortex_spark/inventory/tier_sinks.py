@@ -73,3 +73,38 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .csv(path)
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back (Spark's second first-class columnar
+    format; same lossless-roundtrip contract as the parquet sink).
+    Rounding pinned on both sides: ORC stores the double exactly, the
+    round is only hash-stability discipline."""
+    src = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    path = _out_dir("orc", sf_dir)
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + schema-enforced read-back (the interchange
+    sink: every row a self-describing document)."""
+    src = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = _out_dir("json", sf_dir)
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema("r_regionkey bigint, r_name string").json(path)
