@@ -76,3 +76,66 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_nationkey",
     )
+
+
+@query(
+    "scale_binned_range_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_hits,
+           round(sum(l_quantity), 2) AS qty
+    FROM (SELECT datediff('day', DATE '1970-01-01', l_shipdate) AS ship_day,
+                 l_quantity
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-06-01' AND l_shipdate < DATE '1996-07-01') p
+    JOIN (SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS lo_day,
+                 datediff('day', DATE '1970-01-01', o_orderdate) + 14 AS hi_day,
+                 o_orderpriority
+          FROM orders
+          WHERE o_orderdate >= DATE '1996-05-20' AND o_orderdate < DATE '1996-06-20') iv
+      ON p.ship_day BETWEEN iv.lo_day AND iv.hi_day
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def scale_binned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-to-big interval join with NO equi key (which shipments fall
+    inside each order's 14-day fulfilment window): the naive plan is a
+    nested-loop cartesian probe; the binned rewrite is an equi-join on
+    floor(day/16) with interval fan-out ≤ 2. The oracle is the naive
+    BETWEEN join — the hash match proves the rewrite is
+    semantics-preserving; the plan test proves no NestedLoop survives."""
+    from etl_cortex_spark.operators.rangejoin import binned_range_join
+
+    epoch = F.lit("1970-01-01")
+    pts = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-06-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .select(
+            F.datediff("l_shipdate", epoch).alias("ship_day"),
+            "l_quantity",
+        )
+    )
+    ivs = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-05-20").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-06-20").cast("date"))
+        )
+        .select(
+            F.datediff("o_orderdate", epoch).alias("lo_day"),
+            (F.datediff("o_orderdate", epoch) + 14).alias("hi_day"),
+            "o_orderpriority",
+        )
+    )
+    joined = binned_range_join(pts, ivs, "ship_day", "lo_day", "hi_day", bin_width=16)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

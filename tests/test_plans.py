@@ -162,3 +162,13 @@ def _scan_metric(df, key: str) -> int:
         if "QueryStage" in name:
             stack.append(node.plan())
     raise AssertionError(f"no scan node with metric {key!r} found")
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    """The big-to-big interval join must plan as a hash/sort-merge
+    equi-join on the bin key — if a BroadcastNestedLoopJoin (or
+    cartesian) appears, the rewrite regressed to the O(n*m) shape."""
+    plan = plan_of(QUERIES["scale_binned_range_join"](spark, SF))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # and it's still a join, on the bin key
+    assert "__bin" in plan
