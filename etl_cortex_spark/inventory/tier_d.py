@@ -525,3 +525,36 @@ def d04_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` runs a protobuf-based state
+    server; gate registration on the dependency actually importing
+    (this container ships a broken google.protobuf)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_available():
+
+    @query(
+        "stream_tws_user_stats",
+        oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(coalesce(value, 0)), 2) AS total_value,
+               round(max(value), 2) AS max_value
+        FROM events GROUP BY user_id
+        """,
+    )
+    def d08c(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """D8 via the Spark-4 ``transformWithStateInPandas`` API (typed
+        ValueState through the processor handle) — bounded replay
+        equals the batch groupBy, so it IS oracle-checkable."""
+        from etl_cortex_spark.streaming.events import tws_user_value_stats
+
+        return tws_user_value_stats(spark, sf_dir)

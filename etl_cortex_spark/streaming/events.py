@@ -212,3 +212,67 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_to_memory(agg, "complete")
+
+
+def tws_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 on the MODERN arbitrary-state API (``transformWithStateInPandas``,
+    Spark 4): per-user event count + value total + max single value kept
+    in typed ValueState, emitted on every update. The successor to
+    ``applyInPandasWithState`` — state variables are declared against a
+    schema through the processor handle (``getValueState``), which is
+    what RocksDB-backed state and state-schema evolution key off at
+    scale. On a bounded single-batch replay the flushed state equals
+    the batch groupBy — which is the oracle.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    class UserValueStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n BIGINT, tot DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tot, mx = (
+                self._state.get() if self._state.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    tot += float(vals.sum())
+                    batch_max = float(vals.max())
+                    mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, tot, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [tot],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        UserValueStats(),
+        outputStructType="user_id bigint, n_events bigint, total_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    res = run_to_memory(out, "update")
+    return res.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )

@@ -335,3 +335,27 @@ def test_near_dedup_exact_first_same_survivors(spark):
         for r in DD.near_dedup(df, threshold=0.5, exact_first=False).collect()
     )
     assert fast == slow == [1, 20]
+
+
+def test_tws_user_stats_matches_batch_when_available(spark):
+    """Spark-4 transformWithStateInPandas variant of D8 — skipped where
+    the container's protobuf is unusable (the API runs a
+    protobuf-based state server)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_cortex_spark.streaming.events import tws_user_value_stats
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in tws_user_value_stats(spark, SF).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
