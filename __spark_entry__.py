@@ -57,6 +57,7 @@ _R2_NEW = (
     "d11_stratified_sample",
     "d12_contamination_check",
     "d13_pack_sequences",
+    "b13b_resample_gapfill_locf",
     "scale_binned_range_join",
     "sink_orc_roundtrip",
     "sink_json_roundtrip",

@@ -170,3 +170,46 @@ def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "b13b_resample_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 2) AS val
+      FROM events GROUP BY day, event_type
+    ),
+    cal AS (
+      SELECT unnest(generate_series(
+               (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events),
+               (SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events),
+               INTERVAL 1 DAY)) :: DATE AS day
+    ),
+    dense AS (
+      SELECT c.day, k.event_type, coalesce(d.n, 0) AS n, d.val
+      FROM cal c
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) k
+      LEFT JOIN daily d ON d.day = c.day AND d.event_type = k.event_type
+    ),
+    grouped AS (
+      SELECT *, count(val) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+      FROM dense
+    )
+    SELECT day, event_type, n, val,
+           max(val) OVER (PARTITION BY event_type, grp) AS val_filled
+    FROM grouped
+    """,
+)
+def b13b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 extended to the dense-series shape: full calendar, zero-count
+    gap days, last-observation-carried-forward. The oracle implements
+    LOCF with the portable cumulative-count trick (count(val) OVER …
+    forms a group per observation; max within group = carried value) —
+    bit-identical to Spark's last(ignoreNulls) because each group holds
+    exactly one non-NULL."""
+    from etl_cortex_spark.operators.timeseries import resample_daily_locf
+
+    ev = T(spark, sf_dir, "events")
+    return resample_daily_locf(ev, "ts", "event_type", "value")

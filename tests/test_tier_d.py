@@ -359,3 +359,26 @@ def test_tws_user_stats_matches_batch_when_available(spark):
         .collect()
     }
     assert got == want
+
+
+def test_resample_locf_fills_gaps(spark):
+    from etl_cortex_spark.operators.timeseries import resample_daily_locf
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 1.0),
+            ("a", "2024-01-04 10:00:00", 4.0),   # 2-day gap before
+            ("b", "2024-01-02 10:00:00", 2.0),   # leading gap on day 1
+        ],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.k, str(r.day)): (r.n, r.val, r.val_filled)
+        for r in resample_daily_locf(df, "ts", "k", "v").collect()
+    }
+    assert len(out) == 8  # 4-day calendar × 2 keys, dense
+    assert out[("a", "2024-01-02")] == (0, None, 1.0)  # gap carried
+    assert out[("a", "2024-01-03")] == (0, None, 1.0)
+    assert out[("a", "2024-01-04")] == (1, 4.0, 4.0)   # own value wins
+    assert out[("b", "2024-01-01")] == (0, None, None)  # leading gap stays NULL
+    assert out[("b", "2024-01-04")] == (0, None, 2.0)
