@@ -197,7 +197,7 @@ def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS grp
       FROM dense
     )
-    SELECT day, event_type, n, val,
+    SELECT CAST(day AS TIMESTAMP) AS day, event_type, n, val,
            max(val) OVER (PARTITION BY event_type, grp) AS val_filled
     FROM grouped
     """,
@@ -212,4 +212,7 @@ def b13b(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cortex_spark.operators.timeseries import resample_daily_locf
 
     ev = T(spark, sf_dir, "events")
-    return resample_daily_locf(ev, "ts", "event_type", "value")
+    out = resample_daily_locf(ev, "ts", "event_type", "value")
+    # DateType → timestamp for cross-engine dtype parity (dates render
+    # as objects in pandas; timestamps compare as datetime64 on both)
+    return out.withColumn("day", F.col("day").cast("timestamp"))

@@ -54,6 +54,23 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D2: near-dup dedup -------------------------------------------------------
 
 
+def _mutated_corpus(spark: SparkSession, sf_dir: str, mutate: str = "prefix") -> DataFrame:
+    """The shared self-seeded near-dup corpus: the %10 document slice
+    plus one mutated copy of each (id + 10_000_000). ONE definition —
+    five queries and their DuckDB oracle strings (offset, 'mutated '
+    prefix) depend on these exact constants staying in sync."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    mutated_text = (
+        F.concat(F.lit("mutated "), F.col("text"))
+        if mutate == "prefix"
+        else F.concat(F.col("text"), F.lit(" suffix"))
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), mutated_text.alias("text")
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
 @query("d02_minhash_lsh_pairs")  # rows-only: xxhash64 minhashing is engine-specific
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs. The testdata word soup has no real
@@ -62,12 +79,7 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified jaccard filtering makes output independent of LSH noise
     up to recall; the pytest suite checks recall against the exact
     quadratic baseline."""
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    mutated = docs.select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
-    )
-    base = docs.select("doc_id", "text").unionByName(mutated)
+    base = _mutated_corpus(spark, sf_dir)
     return DD.minhash_lsh_pairs(base, threshold=0.5).orderBy("id_a", "id_b")
 
 
@@ -99,23 +111,13 @@ def d02b(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d02ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib MinHashLSH variant of d02 — same self-seeded mutated
     corpus, same (id_a, id_b, jaccard) contract."""
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    mutated = docs.select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
-    )
-    base = docs.select("doc_id", "text").unionByName(mutated)
+    base = _mutated_corpus(spark, sf_dir)
     return DD.minhash_lsh_pairs_ml(base, threshold=0.5).orderBy("id_a", "id_b")
 
 
 @query("d02_simhash_candidates")  # rows-only: xxhash64-based signature
 def d02c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    mutated = docs.select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
-    )
-    base = docs.select("doc_id", "text").unionByName(mutated)
+    base = _mutated_corpus(spark, sf_dir, mutate="suffix")
     return DD.simhash_candidates(base, max_hamming=3).orderBy("id_a", "id_b")
 
 
@@ -155,12 +157,7 @@ def d02e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is oracle-checkable (the DuckDB oracle mirrors the
     clustering with a recursive CTE); the production LSH pairing is
     exercised by d02_near_dedup_minhash and pytest."""
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    mutated = docs.select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
-    )
-    base = docs.select("doc_id", "text").unionByName(mutated)
+    base = _mutated_corpus(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(base, max_rows=None).filter(F.col("jaccard") >= 0.5)
     return DD.near_dedup(base, pairs=pairs).select("doc_id").orderBy("doc_id")
 
@@ -170,12 +167,7 @@ def d02f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dedup path: MinHash-LSH pairs feed the same
     clustering. Rows-only (LSH recall is engine-specific); recall vs
     the exact path is pinned in tests/test_tier_d.py."""
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    mutated = docs.select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
-    )
-    base = docs.select("doc_id", "text").unionByName(mutated)
+    base = _mutated_corpus(spark, sf_dir)
     return DD.near_dedup(base, threshold=0.5).select("doc_id").orderBy("doc_id")
 
 

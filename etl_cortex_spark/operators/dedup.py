@@ -227,13 +227,16 @@ def _guard_quadratic(df: DataFrame, max_rows: int | None, op: str) -> None:
     the caller already counted).
     """
     if max_rows is not None:
-        n = df.count()
+        # limit-probe, not a full count: the scan stops as soon as
+        # max_rows+1 rows exist, so the guard's cost is bounded by the
+        # cap, not the (possibly huge) input.
+        n = df.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
-                f"{op} is an all-pairs quadratic baseline: input has {n} rows "
-                f"> max_rows={max_rows} (≈{n * (n - 1) // 2} pairs). Use the "
-                f"LSH path for large corpora, or pass max_rows=None/higher "
-                f"to override."
+                f"{op} is an all-pairs quadratic baseline: input exceeds "
+                f"max_rows={max_rows} (>{max_rows * (max_rows - 1) // 2} "
+                f"pairs). Use the LSH path for large corpora, or pass "
+                f"max_rows=None/higher to override."
             )
 
 
@@ -424,14 +427,20 @@ def connected_components(
     ``checkpoint()`` gives the same truncation fault-tolerantly.
     """
     node_col = nodes.columns[0]
+    # Materialize the edge list ONCE: every propagation round reads it,
+    # and without the checkpoint each round's job would re-execute the
+    # whole upstream pair-generation plan (the LSH pipeline or the
+    # quadratic baseline) from scratch.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -448,8 +457,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # exhaustion != convergence: silently returning mid-propagation
+        # labels would split one true cluster into several "survivors".
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds — the pair graph has a chain longer than max_iter; "
+            f"raise max_iter (rounds needed = graph diameter)."
+        )
     return labels
 
 

@@ -77,12 +77,18 @@ def stratified_sample(
     is identical in every engine — no base conversion) — plenty for
     mix weighting, and exactly reproducible in the SQL oracle.
     """
+    def threshold(frac: float) -> str:
+        # frac >= 1.0 must keep EVERYTHING: int(1.0*256) would format
+        # as the 3-char '100', and '100' < any 2-hex-char bucket
+        # lexicographically — use a sentinel above 'ff' instead.
+        return "zz" if frac >= 1.0 else f"{int(frac * 256):02x}"
+
     bucket = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 2)
-    rate = F.lit(f"{int(default_fraction * 256):02x}")
+    rate = F.lit(threshold(default_fraction))
     expr = None
     for value, frac in sorted(fractions.items()):
         cond = F.col(strata_col) == value
-        lim = F.lit(f"{int(frac * 256):02x}")
+        lim = F.lit(threshold(frac))
         expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
     rate = expr.otherwise(rate) if expr is not None else rate
     return df.filter(bucket < rate)
@@ -172,7 +178,9 @@ def pack_sequences(
     Documents larger than ``max_tokens`` get a singleton bin (truncate
     /split policy is the tokenizer's job, not the packer's).
 
-    Returns (bin_id, id_col, token_col, bin_tokens bigint).
+    Returns (bin_id, id_col, token_col, bin_fill bigint) — ``bin_fill``
+    is the RUNNING fill of the bin after this document; a bin's total
+    is ``max(bin_fill)`` grouped by ``bin_id``.
     """
     import pandas as pd
 

@@ -42,7 +42,18 @@ def binned_range_join(
     day numbers first — e.g. ``F.datediff(col, F.lit("1970-01-01"))``).
     Output columns: all of ``points`` then all of ``intervals``
     (names must not collide; prefix beforehand if they do).
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: the
+    no-duplicates argument relies on every match meeting in the
+    point's single bin — an UNMATCHED exploded interval row would
+    surface once per overlapped bin on right/full sides.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+        raise ValueError(
+            f"how={how!r} unsupported: right/full outer would emit one "
+            f"null-padded row per exploded interval bin, not per interval"
+        )
     p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width))
     iv = intervals.withColumn(
         "__bin",

@@ -61,6 +61,17 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side twin of ``lsh_bucket`` for a literal query vector —
+    ONE definition of the sign convention (strict > 0), shared by the
+    full-scan and IVF paths so index and query can never disagree."""
+    return sum(
+        (1 << j)
+        for j, plane in enumerate(planes)
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -140,11 +151,7 @@ def lsh_topk(
     literals makes the result deterministic and oracle-checkable."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qbucket = sum(
-        (1 << j)
-        for j, plane in enumerate(planes)
-        if sum(a * b for a, b in zip(query_vec, plane)) > 0
-    )
+    qbucket = query_bucket(query_vec, planes)
     v = as_double(F.col(vec_col))
     return (
         df.withColumn("__bucket", lsh_bucket(v, planes))
@@ -175,7 +182,13 @@ def write_ivf_index(
     eager action, writer-side only).
     """
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col))).first()[0]
+        first = df.select(F.size(F.col(vec_col))).first()
+        if first is None or first[0] is None or first[0] < 0:
+            raise ValueError(
+                f"write_ivf_index: cannot infer vector dim from an empty "
+                f"input or NULL {vec_col!r} — pass dim explicitly"
+            )
+        dim = first[0]
     planes = hyperplanes(dim, n_planes, seed)
     out = df.withColumn("__bucket", lsh_bucket(as_double(F.col(vec_col)), planes))
     out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
@@ -197,11 +210,7 @@ def lsh_topk_ivf(
     same result as ``lsh_topk`` — minus the full scan.
     """
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qbucket = sum(
-        (1 << j)
-        for j, plane in enumerate(planes)
-        if sum(a * b for a, b in zip(query_vec, plane)) > 0
-    )
+    qbucket = query_bucket(query_vec, planes)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     v = as_double(F.col(vec_col))
     return (

@@ -382,3 +382,33 @@ def test_resample_locf_fills_gaps(spark):
     assert out[("a", "2024-01-04")] == (1, 4.0, 4.0)   # own value wins
     assert out[("b", "2024-01-01")] == (0, None, None)  # leading gap stays NULL
     assert out[("b", "2024-01-04")] == (0, None, 2.0)
+
+
+def test_stratified_sample_full_fraction_keeps_everything(spark):
+    from etl_cortex_spark.operators import llmprep as LP
+
+    docs = load_table(spark, SF, "documents")
+    kept = LP.stratified_sample(docs, "lang", {"en": 1.0}, "doc_id", 1.0)
+    assert kept.count() == docs.count()  # frac=1.0 means ALL rows
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    """A 5-node chain cannot converge in 2 rounds — exhaustion must be
+    an error, never silently-wrong labels."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(nodes, chain, max_iter=2)
+    labels = {r.node: r.label for r in DD.connected_components(nodes, chain).collect()}
+    assert set(labels.values()) == {1}
+
+
+def test_binned_range_join_rejects_outer_sides(spark):
+    from etl_cortex_spark.operators.rangejoin import binned_range_join
+
+    pts = spark.createDataFrame([(5,)], "p long")
+    ivs = spark.createDataFrame([(0, 40)], "lo long, hi long")
+    with pytest.raises(ValueError, match="unsupported"):
+        binned_range_join(pts, ivs, "p", "lo", "hi", 16, how="full")
