@@ -65,6 +65,12 @@ _R2_NEW = (
     "tpch_q17_small_quantity_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
     "c19_approx_count_distinct",  # newly oracle-paired (epsilon bound)
 )
 

@@ -449,3 +449,280 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "tpch_q12_priority_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 shape: conditional CASE counts by a lineitem category over
+    orders⋈lineitem. The testdata has no l_shipmode; l_returnflag is
+    the stand-in category, o_orderpriority keeps the high/low CASE."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = T(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN (
+        SELECT * FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      ) o ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13 shape: orders-per-customer distribution — LEFT join keeping
+    order-less customers (c_count 0), double aggregation. The classic
+    o_comment NOT LIKE filter becomes a priority filter (no o_comment
+    in the testdata)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_rev, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: revenue 'view' + scalar-max subquery selecting the
+    top supplier. The max is a 1-row broadcast joined on equality —
+    the revenue frame is computed once and reused for both sides of
+    the comparison (Spark reuses the shuffle output across the two
+    plan branches)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = T(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 shape: OR-of-ANDs mixing join-side predicates — part
+    broadcasts, and Catalyst extracts the common p_brand IN (...) /
+    l_quantity range conjuncts below the join. p_container/l_shipmode
+    don't exist in the testdata; p_size ranges stand in."""
+    li = T(spark, sf_dir, "lineitem")
+    part = F.broadcast(T(spark, sf_dir, "part"))
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm("Brand#3", 35, 20, 30))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q21_suppliers_who_kept_waiting",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND n_name = 'NATION_1'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape: the hardest join topology in the set — EXISTS +
+    NOT-EXISTS self-correlation on the fact table. DataFrame version:
+    both become one semi and one anti join against lineitem keyed on
+    l_orderkey (the inequality rides along as a secondary condition),
+    so all four joins shuffle on the same order key; supplier/nation
+    broadcast. 'Late' = shipped after order date (no commit/receipt
+    dates in the testdata)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ordersF = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = li.join(ordersF, li.l_orderkey == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        F.col("l_shipdate").alias("o2_shipdate"),
+    )
+    multi_supp = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi_supp.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey"))
+        & (F.col("o2_shipdate") > F.col("o_orderdate")),
+        "left_anti",
+    )
+    supp = F.broadcast(T(spark, sf_dir, "supplier"))
+    nation = F.broadcast(
+        T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    )
+    return (
+        sole_late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey % 5 AS cntrycode, c_acctbal
+      FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible c
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM eligible WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c.c_custkey
+          AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: uncorrelated scalar-average subquery + anti join
+    (customers above average balance with no urgent orders — plain
+    no-orders is empty at every SF, all customers order). Written as SQL so
+    Catalyst's scalar-subquery → broadcast rewrite and NOT EXISTS →
+    anti-join decorrelation both run. Phone country codes don't exist;
+    c_nationkey % 5 stands in for the substring bucket."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH eligible AS (
+          SELECT c_custkey, c_nationkey % 5 AS cntrycode, c_acctbal
+          FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+        )
+        SELECT cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM eligible c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM eligible WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c.c_custkey
+              AND o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+        """
+    )
