@@ -110,7 +110,13 @@ def duckdb_timings(names: list[str], sf_dir: str, runs: int = 2) -> dict[str, fl
 #: otherwise. The correctness gate always runs with vanilla conf.
 BENCH_CONF = {
     "spark.sql.adaptive.enabled": "false",
-    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.shuffle.partitions": "4",
+    # ~10 MB shuffles: lz4 costs more CPU than the bytes it saves on a
+    # local disk that never leaves page cache. At cluster scale shuffle
+    # compression is non-negotiable (network-bound) — this, like the
+    # partition count, is sizing the session to the measured SF.
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
 }
 
 
