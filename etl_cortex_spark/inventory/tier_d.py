@@ -550,3 +550,58 @@ if _tws_available():
         from etl_cortex_spark.streaming.events import tws_user_value_stats
 
         return tws_user_value_stats(spark, sf_dir)
+
+
+# --- D4+: Gopher-style quality/repetition gate --------------------------------
+
+_GOPHER_SUM = "coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0)"
+_GOPHER_ALPHA = "len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))"
+_GOPHER_SYM = r"len(regexp_extract_all(text, '#|\.\.\.'))"
+_GOPHER_TOP = (
+    "coalesce(list_aggregate(list_transform(list_distinct(ws), "
+    "d -> len(list_filter(ws, x -> x = d))), 'max'), 0)"
+)
+_GOPHER_STOP = f"len(list_filter(ws, x -> list_contains([{_SW}], lower(x))))"
+
+
+@query(
+    "d14_gopher_quality_flags",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, text, {_WORDS} AS ws
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round({_GOPHER_SUM} / greatest(len(ws), 1), 4) AS mean_word_len,
+           round({_GOPHER_ALPHA} / greatest(len(ws), 1), 4) AS alpha_word_ratio,
+           round({_GOPHER_SYM} / greatest(len(ws), 1), 4) AS symbol_word_ratio,
+           round({_GOPHER_TOP} / greatest(len(ws), 1), 4) AS top_word_frac,
+           {_GOPHER_STOP} AS stopword_hits,
+           (len(ws) BETWEEN 5 AND 100000)
+             AND ({_GOPHER_SUM} / greatest(len(ws), 1) BETWEEN 3.0 AND 10.0)
+             AND ({_GOPHER_ALPHA} / greatest(len(ws), 1) >= 0.8)
+             AND ({_GOPHER_SYM} / greatest(len(ws), 1) <= 0.1)
+             AND ({_GOPHER_TOP} / greatest(len(ws), 1) <= 0.2)
+             AND ({_GOPHER_STOP} >= 1) AS keep
+    FROM w ORDER BY doc_id
+    """,
+)
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality gate (Rae et al. 2021 MassiveText
+    rules, adapted thresholds): word-count bounds, mean word length,
+    alphabetic-word ratio, symbol ratio, top-word repetition fraction,
+    stopword presence — every signal a pure column expression
+    (whole-stage codegen, zero shuffle), so the gate runs at scan
+    speed on any corpus size."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        F.size(TX.words("text")).cast("bigint").alias("n_words"),
+        F.round(TX.mean_word_length("text"), 4).alias("mean_word_len"),
+        F.round(TX.alpha_word_ratio("text"), 4).alias("alpha_word_ratio"),
+        F.round(TX.symbol_word_ratio("text"), 4).alias("symbol_word_ratio"),
+        F.round(TX.top_word_frac("text"), 4).alias("top_word_frac"),
+        TX.stopword_hits("text").alias("stopword_hits"),
+        TX.gopher_pass("text").alias("keep"),
+    ).orderBy("doc_id")

@@ -125,3 +125,74 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
     )
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean characters per whitespace token (0.0 for empty docs)."""
+    w = words(col)
+    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total / F.greatest(F.size(w), F.lit(1))
+
+
+def alpha_word_ratio(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter — the
+    Gopher-rule '80% of words must have an alphabetic character'."""
+    w = words(col)
+    hits = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    return hits / F.greatest(F.size(w), F.lit(1))
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """Symbols (# or ...) per token — high values flag markup/spam."""
+    c = F.col(col) if isinstance(col, str) else col
+    syms = F.regexp_count(c, F.lit(r"#|\.\.\."))
+    return syms / F.greatest(F.size(words(c)), F.lit(1))
+
+
+def top_word_frac(col: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token —
+    the Gopher top-n-gram repetition rule at n=1. O(n·distinct) per
+    document as a pure expression (documents are bounded; corpus-level
+    n-gram stats are a different operator with a shuffle)."""
+    w = words(col)
+    counts = F.transform(
+        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
+    )
+    return F.array_max(F.concat(counts, F.array(F.lit(0)))) / F.greatest(
+        F.size(w), F.lit(1)
+    )
+
+
+def stopword_hits(col: Column | str, stopwords=STOPWORDS) -> Column:
+    """Absolute stopword token count (the Gopher 'must contain at
+    least N stopwords' rule wants a count, not a ratio)."""
+    w = words(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x)))).cast(
+        "bigint"
+    )
+
+
+def gopher_pass(
+    col: Column | str,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    max_top_word_frac: float = 0.2,
+    min_stopwords: int = 1,
+) -> Column:
+    """The combined Gopher-style keep/drop gate (Rae et al. 2021,
+    MassiveText filtering, adapted thresholds). Pure conjunction of
+    per-row expressions — embarrassingly parallel at any scale."""
+    n = F.size(words(col))
+    return (
+        n.between(min_words, max_words)
+        & mean_word_length(col).between(min_mean_len, max_mean_len)
+        & (alpha_word_ratio(col) >= min_alpha_ratio)
+        & (symbol_word_ratio(col) <= max_symbol_ratio)
+        & (top_word_frac(col) <= max_top_word_frac)
+        & (stopword_hits(col) >= min_stopwords)
+    )

@@ -172,3 +172,34 @@ def test_binned_range_join_avoids_nested_loop(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan  # and it's still a join, on the bin key
     assert "__bin" in plan
+
+
+def test_q21_semi_anti_share_order_key(spark):
+    """q21's EXISTS/NOT-EXISTS become one semi + one anti join, both
+    keyed on l_orderkey (equality key present → hash-joinable at any
+    scale, never a nested loop)."""
+    plan = plan_of(QUERIES["tpch_q21_suppliers_who_kept_waiting"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q19_or_of_ands_pushes_common_predicates(spark):
+    """Catalyst extracts the brand IN-list from the OR-of-ANDs and
+    pushes it to the part scan — the broadcast side shrinks before the
+    join, not after."""
+    plan = plan_of(QUERIES["tpch_q19_discounted_revenue"](spark, SF))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters:" in ln and "p_brand" in ln
+    ]
+    assert pushed, "p_brand IN-list must reach the part parquet scan"
+
+
+def test_d14_gopher_gate_is_shuffle_free(spark):
+    """The quality gate is pure per-row expressions: no Exchange before
+    the final sort — it runs at scan speed on any corpus."""
+    import re
+    df = QUERIES["d14_gopher_quality_flags"](spark, SF)
+    plan = plan_of(df)
+    body = plan.split("Sort")[0]  # everything below the output sort
+    assert not re.search(r"\(\d+\) Exchange", body)

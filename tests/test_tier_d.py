@@ -412,3 +412,25 @@ def test_binned_range_join_rejects_outer_sides(spark):
     ivs = spark.createDataFrame([(0, 40)], "lo long, hi long")
     with pytest.raises(ValueError, match="unsupported"):
         binned_range_join(pts, ivs, "p", "lo", "hi", 16, how="full")
+
+
+def test_gopher_gate_flags_each_failure_mode(spark):
+    from etl_cortex_spark.operators import textops as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy sleeping dog today"),
+            (2, "spam spam spam spam spam spam spam spam the end"),   # repetition
+            (3, "the ### fox ### ran ### off ### again ### now"),     # symbols
+            (4, "too short"),                                          # word count
+            (5, "12 34 56 78 90 11 22 33 44 55 the end"),              # non-alpha
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.keep
+        for r in docs.select(
+            "doc_id", TX.gopher_pass("text").alias("keep")
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
