@@ -243,3 +243,42 @@ def d10p(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- D15: C4-style corpus line dedup ------------------------------------------
+
+
+@query(
+    "d15_line_dedup_boilerplate",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || chr(10) || 'click here to subscribe now' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ), expl AS (
+      SELECT doc_id, u.line AS line, u.pos AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(text, chr(10)),
+                                     (x, i) -> {'line': x, 'pos': i})) AS u
+        FROM seeded)
+    ), freq AS (
+      SELECT line FROM expl GROUP BY line HAVING count(*) >= 3
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM expl WHERE line NOT IN (SELECT line FROM freq)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15: corpus-level line dedup (C4 boilerplate rule) on a
+    self-seeded corpus — every doc gets the same 'subscribe' footer
+    line appended; the operator must strip exactly that line from
+    every document and keep the unique content lines in order."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), F.lit("click here to subscribe now")
+        ).alias("text"),
+    )
+    return LP.line_dedup(seeded, min_count=3).orderBy("doc_id")

@@ -220,3 +220,46 @@ def pack_sequences(
         .alias("__bucket"),
     )
     return bucketed.groupBy("__bucket").applyInPandas(pack_bucket, schema=out_schema)
+
+
+# --- D15: C4-style corpus line dedup ------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove every line that occurs ``min_count``+ times across the
+    whole corpus (C4's boilerplate rule: nav bars, cookie banners,
+    'subscribe' footers repeat across pages; real content doesn't).
+    Documents whose lines are all boilerplate drop out entirely.
+
+    Scale shape: posexplode → line-count aggregation (map-side partial
+    combine on the line key) → anti join lines⋈frequent (the frequent
+    set is tiny — AQE broadcasts it at runtime) → one groupBy(id) to
+    reassemble in original order via sorted (pos, line) structs. Two
+    shuffles total, both keyed; no Python in any path.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("line")
+    )
+    kept = lines.join(frequent, "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )

@@ -434,3 +434,19 @@ def test_gopher_gate_flags_each_failure_mode(spark):
         ).collect()
     }
     assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_line_dedup_drops_frequent_keeps_order(spark):
+    from etl_cortex_spark.operators import llmprep as LP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nSPAM\nbeta"),
+            (2, "SPAM\ngamma"),
+            (3, "delta\nSPAM"),
+            (4, "SPAM"),          # all-boilerplate doc disappears
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in LP.line_dedup(docs, min_count=3).collect()}
+    assert out == {1: "alpha\nbeta", 2: "gamma", 3: "delta"}
