@@ -605,3 +605,58 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.stopword_hits("text").alias("stopword_hits"),
         TX.gopher_pass("text").alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- D3+: int8 embedding quantization -----------------------------------------
+
+
+@query(
+    "d16_embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') / 127 AS scale,
+             embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), qq AS (
+      SELECT vec_id, scale,
+             list_transform(embedding, x -> CAST(
+                 CASE WHEN scale = 0 THEN 0
+                      ELSE round(CAST(x AS DOUBLE) / scale) END AS TINYINT)) AS qvec,
+             embedding
+      FROM q
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(qvec, ',') AS qvec_str,
+           (list_aggregate(list_transform(embedding,
+               (x, i) -> pow(CAST(x AS DOUBLE) - qvec[i] * scale, 2)), 'sum')
+               / greatest(len(embedding), 1)) < 1e-5 AS mse_below_tol
+    FROM qq ORDER BY vec_id
+    """,
+)
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3+: symmetric int8 quantization of the embedding column with
+    per-vector scale and reconstruction MSE — the 4×-smaller storage
+    format an ANN index ships at corpus scale. Pure array expressions;
+    the reconstruction-error audit is emitted as a tolerance boolean
+    (raw MSE ~3e-7 rounds unstably across engines at any fixed decimal)."""
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    qs = SIM.quantize_embedding(F.col("embedding"))
+    v = SIM.as_double(F.col("embedding"))
+    out = emb.select("vec_id", qs.getField("scale").alias("scale"),
+                     qs.getField("q").alias("qvec"), v.alias("v"))
+    deq = SIM.dequantize_embedding(F.col("qvec"), F.col("scale"))
+    err = F.zip_with(F.col("v"), deq, lambda a, b: F.pow(a - b, F.lit(2.0)))
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(F.col("qvec"), ",").alias("qvec_str"),
+        (
+            (
+                F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+                / F.greatest(F.size("v"), F.lit(1))
+            )
+            < 1e-5
+        ).alias("mse_below_tol"),
+    ).orderBy("vec_id")

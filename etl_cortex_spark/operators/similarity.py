@@ -220,3 +220,29 @@ def lsh_topk_ivf(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- int8 quantization (the ANN storage path at corpus scale) -----------------
+
+
+def quantize_embedding(vec: Column, bits: int = 8) -> Column:
+    """Symmetric per-vector int quantization: ``struct(scale double,
+    q array<tinyint>)`` with ``scale = max(|v|)/qmax`` so dequantized
+    values are ``q * scale``. 4× smaller than float32 on disk and in
+    shuffle — at corpus scale the index fits where floats wouldn't.
+    All-zero vectors quantize to all-zero with scale 0 (no division)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = as_double(vec)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(qmax)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(x / scale))
+        .cast("tinyint"),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_embedding(q: Column, scale: Column) -> Column:
+    """Inverse of ``quantize_embedding``: ``array<double>`` ≈ original."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -450,3 +450,25 @@ def test_line_dedup_drops_frequent_keeps_order(spark):
     )
     out = {r.doc_id: r.text for r in LP.line_dedup(docs, min_count=3).collect()}
     assert out == {1: "alpha\nbeta", 2: "gamma", 3: "delta"}
+
+
+def test_quantized_cosine_topk_matches_float(spark):
+    """int8 dequantized vectors must reproduce the float top-10 (the
+    whole point of shipping the 4x-smaller index)."""
+    from etl_cortex_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings")
+    qvec = [float(i % 7 - 3) / 7.0 for i in range(
+        emb.select(F.size("embedding")).first()[0])]
+    exact = [r.vec_id for r in SIM.cosine_topk(emb, qvec, k=10).collect()]
+
+    qs = SIM.quantize_embedding(F.col("embedding"))
+    deq = emb.select(
+        "vec_id",
+        SIM.dequantize_embedding(
+            qs.getField("q"), qs.getField("scale")
+        ).alias("embedding"),
+    )
+    approx = [r.vec_id for r in SIM.cosine_topk(deq, qvec, k=10).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 9, f"int8 recall@10 too low: {overlap}/10"
