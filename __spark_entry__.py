@@ -61,6 +61,7 @@ _R2_NEW = (
     "d14_gopher_quality_flags",
     "d15_line_dedup_boilerplate",
     "d16_embedding_quantize_int8",
+    "d17_trigram_lm_score",
     "stream_tws_user_stats",  # registers only where protobuf imports
     "scale_binned_range_join",
     "sink_orc_roundtrip",

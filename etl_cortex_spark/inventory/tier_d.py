@@ -660,3 +660,39 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 1e-5
         ).alias("mse_below_tol"),
     ).orderBy("vec_id")
+
+
+# --- D4+: corpus-trained trigram LM quality score -----------------------------
+
+
+@query(
+    "d17_trigram_lm_score",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+    ), tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                                   i -> substr(t, i, 3))) AS tg
+      FROM docs
+    ), counts AS (
+      SELECT tg, count(*) AS n FROM tg GROUP BY tg
+    ), lm AS (
+      SELECT tg, ln(n / (SELECT sum(n) FROM counts)) AS lp FROM counts
+    )
+    SELECT doc_id, round(avg(lp), 4) AS mean_logprob, count(*) AS n_trigrams
+    FROM tg JOIN lm USING (tg)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+: KenLM-style quality screening with a corpus-trained
+    character-trigram LM — no external model, two keyed shuffles, the
+    logprob table broadcasts (vocab bounded by charset³)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = TX.trigram_lm_scores(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.round("mean_logprob", 4).alias("mean_logprob"),
+        "n_trigrams",
+    ).orderBy("doc_id")

@@ -196,3 +196,39 @@ def gopher_pass(
         & (top_word_frac(col) <= max_top_word_frac)
         & (stopword_hits(col) >= min_stopwords)
     )
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """All full character 3-grams of the lowercased text (documents
+    under 3 chars contribute none)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.length(c)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), (n - 2).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: c.substr(i, F.lit(3)))
+
+
+def trigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text"):
+    """KenLM-style quality signal without an external model: train a
+    unigram-over-trigrams LM on the corpus itself (one count shuffle),
+    broadcast the (bounded: |charset|³) logprob table, and score each
+    document by its mean trigram logprob (second shuffle, keyed on id).
+    Gibberish and boilerplate sit far from the corpus mean — the same
+    screening KenLM perplexity does in web-scale pipelines, minus the
+    external model dependency. Returns (id, mean_logprob, n_trigrams),
+    mean unrounded (callers round for cross-engine hashing)."""
+    tg = df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("tg"))
+    counts = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "tg", F.log(F.col("n") / F.col("total")).alias("lp")
+    )
+    return (
+        tg.join(F.broadcast(lm), "tg")
+        .groupBy(id_col)
+        .agg(
+            F.avg("lp").alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_trigrams"),
+        )
+    )

@@ -472,3 +472,24 @@ def test_quantized_cosine_topk_matches_float(spark):
     approx = [r.vec_id for r in SIM.cosine_topk(deq, qvec, k=10).collect()]
     overlap = len(set(exact) & set(approx))
     assert overlap >= 9, f"int8 recall@10 too low: {overlap}/10"
+
+
+def test_trigram_lm_flags_gibberish(spark):
+    """A gibberish doc planted in a real corpus must score clearly
+    below the corpus mean logprob — that is the screening signal."""
+    from etl_cortex_spark.operators import textops as TX
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(999_999, "qzxjv wqkfz xjqvz bzzkq jxqwv zqxkj vjqzx kqzwx")],
+            "doc_id long, text string",
+        )
+    )
+    scores = {
+        r.doc_id: r.mean_logprob
+        for r in TX.trigram_lm_scores(planted).collect()
+    }
+    gib = scores.pop(999_999)
+    mean = sum(scores.values()) / len(scores)
+    assert gib < mean - 1.0, f"gibberish {gib} not below corpus mean {mean}"
