@@ -66,6 +66,7 @@ _R2_NEW = (
     "scale_binned_range_join",
     "sink_orc_roundtrip",
     "sink_json_roundtrip",
+    "sink_text_gzip_roundtrip",
     "tpch_q17_small_quantity_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",

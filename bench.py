@@ -56,10 +56,11 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def run_one(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+def run_one(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     """Best-of-N steady-state wall clock: the first execution also pays
     one-time session costs (file listing, codegen compilation, JIT);
-    reporting the best of two measures the engine, not JVM warm-up."""
+    reporting the best of three measures the engine, not JVM warm-up
+    or a transient host-load spike (the host swings 2-3x between windows)."""
     best = float("inf")
     for _ in range(runs):
         df = QUERIES[name](spark, sf_dir)
@@ -69,7 +70,7 @@ def run_one(spark, name: str, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
-def duckdb_timings(names: list[str], sf_dir: str, runs: int = 2) -> dict[str, float]:
+def duckdb_timings(names: list[str], sf_dir: str, runs: int = 3) -> dict[str, float]:
     """Best-of-N DuckDB wall clock for each query's paired oracle SQL on
     the same parquet, same thread count — measured HERE, in the same
     process window, because the host's wall clock swings 2-3× between

@@ -108,3 +108,29 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _out_dir("json", sf_dir)
     src.write.mode("overwrite").json(path)
     return spark.read.schema("r_regionkey bigint, r_name string").json(path)
+
+
+@query(
+    "sink_text_gzip_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def sink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text corpus roundtrip — the line-per-document format LLM
+    corpora actually ship in (one doc per line, gzip-compressed; gzip
+    is unsplittable, so shard parallelism = file count, which the
+    writer controls via the upstream partitioning). Write → read →
+    corpus stats must equal the source table's (lossless: corpus text
+    contains no newlines by construction)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    path = _out_dir("txt", sf_dir)
+    docs.select("text").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("value")).alias("n_chars"),
+    )
