@@ -58,6 +58,7 @@ _R2_NEW = (
     "d12_contamination_check",
     "d13_pack_sequences",
     "b13b_resample_gapfill_locf",
+    "b15_scd2_history",
     "d14_gopher_quality_flags",
     "d15_line_dedup_boilerplate",
     "d16_embedding_quantize_int8",

@@ -216,3 +216,42 @@ def b13b(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DateType → timestamp for cross-engine dtype parity (dates render
     # as objects in pandas; timestamps compare as datetime64 on both)
     return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+@query(
+    "b15_scd2_history",
+    oracle="""
+    WITH silver AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id % 10 = 0
+    ), ch AS (
+      SELECT *, lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM silver
+    ), runs AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ch WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
+               AS is_current
+    FROM runs
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def b15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 (A24-adjacent gold transform): type-2 SCD history from an
+    observation stream — collapse consecutive identical states per key
+    into validity ranges. Both windows share the user_id partitioning:
+    one shuffle total."""
+    from etl_cortex_spark.operators.gold import scd2_from_snapshots
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    out = scd2_from_snapshots(
+        ev, key_cols=["user_id"], attr_cols=["event_type"],
+        ts_col="ts", tiebreak_cols=["event_id"],
+    )
+    return out.orderBy("user_id", "valid_from")

@@ -124,3 +124,39 @@ def unify(
         sheets["Resumo_OS"] = value_counts(base, "operating_system")
     sheets["Falhas_Upgrade"] = filter_failures(base)
     return sheets
+
+
+def scd2_from_snapshots(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from periodic
+    snapshots/observations: collapse consecutive rows with identical
+    ``attr_cols`` per key, emitting one row per attribute run with
+    ``valid_from`` / ``valid_to`` / ``is_current``.
+
+    Scale shape: both windows (the change-detection lag and the
+    validity lead) partition on ``key_cols`` — Spark plans ONE shuffle
+    and reuses the partitioning for the second window. Null-safe
+    comparison (``eqNullSafe``) so NULL attribute values form runs
+    instead of infinite change-points. ``tiebreak_cols`` must make the
+    per-key order total or history assembly is nondeterministic.
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        df.withColumn("__prev", F.lag(attrs).over(w))
+        .filter(F.col("__prev").isNull() | ~attrs.eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+    )

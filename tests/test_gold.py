@@ -88,3 +88,32 @@ def test_dedup_idempotent(spark):
     once = G.dedup_latest(df)
     twice = G.dedup_latest(once)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    from etl_cortex_spark.operators.gold import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "a", 10, 100),
+            (1, "a", 20, 101),   # same state -> same run
+            (1, "b", 30, 102),   # change
+            (1, "a", 40, 103),   # change back -> NEW run (type-2, not distinct)
+            (2, None, 10, 104),  # NULL state run
+            (2, None, 20, 105),
+            (2, "x", 30, 106),
+        ],
+        "k long, state string, ts long, oid long",
+    )
+    out = scd2_from_snapshots(
+        snaps, key_cols=["k"], attr_cols=["state"], ts_col="ts",
+        tiebreak_cols=["oid"],
+    ).orderBy("k", "valid_from").collect()
+    rows = [(r.k, r.state, r.valid_from, r.valid_to, r.is_current) for r in out]
+    assert rows == [
+        (1, "a", 10, 30, False),
+        (1, "b", 30, 40, False),
+        (1, "a", 40, None, True),
+        (2, None, 10, 30, False),
+        (2, "x", 30, None, True),
+    ]
