@@ -59,6 +59,7 @@ _R2_NEW = (
     "d13_pack_sequences",
     "b13b_resample_gapfill_locf",
     "b15_scd2_history",
+    "b16_batch_sessionization",
     "d14_gopher_quality_flags",
     "d15_line_dedup_boilerplate",
     "d16_embedding_quantize_int8",

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators import cleaning as C
@@ -255,3 +255,61 @@ def b15(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", tiebreak_cols=["event_id"],
     )
     return out.orderBy("user_id", "valid_from")
+
+
+@query(
+    "b16_batch_sessionization",
+    oracle="""
+    WITH silver AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id % 10 = 0
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM silver WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def b16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 / D7 batch twin: gaps-and-islands sessionization (30-minute
+    inactivity gap) — the oracle-checkable batch equivalent of the
+    rows-only streaming session_window query. Both windows and the
+    final aggregate share the user_id hash partitioning: one shuffle
+    plus the output sort."""
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
