@@ -47,6 +47,19 @@ _R1_RECORDED = frozenset(
 )
 
 
+# Round-2 second-wave additions — newest first: never seen by driver OR judge.
+_R2_WAVE2 = (
+    "d18_chunk_overlap",
+    "d19_bm25_topk",
+    "d20_dup_ngram_flags",
+    "d23_vocab_coverage",
+    "b17_merge_upsert",
+    "c49_column_profile",
+    "c50_lateral_topk",
+    "c51_approx_quantiles",
+    "stream_static_join",
+)
+
 # Round-2 additions — never verified by ANY official run yet, so they
 # outrank the round-1 entries the judge already re-verified manually.
 _R2_NEW = (
@@ -83,7 +96,7 @@ _R2_NEW = (
 
 
 def _rotated(d: dict) -> dict:
-    new = {k: d[k] for k in _R2_NEW if k in d}
+    new = {k: d[k] for k in (*_R2_WAVE2, *_R2_NEW) if k in d}
     unrecorded = {
         k: v for k, v in d.items() if k not in _R1_RECORDED and k not in new
     }

@@ -12,6 +12,7 @@ from etl_cortex_spark.inventory import (  # noqa: F401
     tier_c_rel,
     tier_c_scalar,
     tier_d,
+    tier_d_ext,
     tier_d_prep,
     tier_scale,
     tier_sinks,

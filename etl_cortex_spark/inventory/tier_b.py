@@ -313,3 +313,55 @@ def b16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --- B17: MERGE/upsert (incremental gold refresh) -----------------------------
+
+
+@query(
+    "b17_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1996-01-01'
+    ), source AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice + 1000.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderdate >= DATE '1995-06-01'
+    )
+    SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                      ELSE t.o_totalprice END, 2) AS o_totalprice,
+           (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL) AS updated,
+           (t.o_orderkey IS NULL) AS inserted
+    FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def b17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold.merge_upsert — SQL MERGE semantics as one full-outer
+    shuffle join: a mid-1995 cutover where late orders arrive as a
+    delta batch (status reset to 'U', flat late-surcharge repricing) against the
+    existing gold snapshot. Target-only rows pass through, overlap
+    updates, delta-only inserts; audit flags prove which branch fired."""
+    from etl_cortex_spark.operators.gold import merge_upsert
+
+    orders = T(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderdate") < "1996-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = orders.filter(F.col("o_orderdate") >= "1995-06-01").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+    )
+    merged = merge_upsert(target, source, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "updated",
+        "inserted",
+    ).orderBy("o_orderkey")

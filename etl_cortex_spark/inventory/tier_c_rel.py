@@ -822,3 +822,133 @@ def c39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("tier")
     )
+
+
+# --- C49: single-pass column profiler -----------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+
+
+@query(
+    "c49_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_val,
+           CAST(max(l_quantity) AS VARCHAR) AS max_val FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           CAST(min(l_extendedprice) AS VARCHAR),
+           CAST(max(l_extendedprice) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           CAST(min(l_shipdate) AS VARCHAR),
+           CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def c49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the engine's `summarize`): count / nulls /
+    exact distinct / min / max for every profiled column in ONE pass
+    over the table — a single wide aggregate (Catalyst expands the
+    multi-column distinct; the scan still happens once), then an
+    in-memory pivot of the 1-row result to long form. The oracle scans
+    4× because SQL can't share the pass without the same expand trick;
+    the engine side is the point."""
+    li = T(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
+# --- C50: LATERAL correlated subquery -----------------------------------------
+
+
+@query(
+    "c50_lateral_topk",
+    oracle="""
+    SELECT n_name, c_name, c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3
+    )
+    ORDER BY n_name, c_acctbal DESC, c_name
+    """,
+)
+def c50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — top-3 customers per nation via
+    the SQL LATERAL surface. Catalyst decorrelates the LIMIT subquery
+    into a window rank over one hash-partitioned shuffle (same plan as
+    c32's DataFrame form) rather than a per-row re-execution."""
+    from etl_cortex_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, c_name, c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3
+        )
+        ORDER BY n_name, c_acctbal DESC, c_name
+        """
+    )
+
+
+# --- C51: approximate quantiles (epsilon oracle, c19 pattern) -----------------
+
+
+@query(
+    "c51_approx_quantiles",
+    oracle="SELECT true AS q25_within_1pct, true AS q50_within_1pct, "
+    "true AS q75_within_1pct",
+)
+def c51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna / KLL-style mergeable
+    sketch). Raw sketch output is engine-specific, so — like c19 — the
+    oracle-checkable contract is the ERROR BOUND: each approximate
+    quartile of l_extendedprice must land within 1% of the exact
+    in-plan percentile; the oracle pins all three flags true."""
+    est = T(spark, sf_dir, "lineitem").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10_000
+        ).alias("approx"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("exact"),
+    )
+    within = lambda i: (  # noqa: E731
+        F.abs(F.col("approx")[i] - F.col("exact")[i]) / F.col("exact")[i] <= 0.01
+    )
+    return est.select(
+        within(0).alias("q25_within_1pct"),
+        within(1).alias("q50_within_1pct"),
+        within(2).alias("q75_within_1pct"),
+    )

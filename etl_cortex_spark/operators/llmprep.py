@@ -263,3 +263,57 @@ def line_dedup(
             ),
         ).alias(text_col)
     )
+
+
+# --- D18: fixed-window document chunking --------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size word windows —
+    the context-window preparation step between cleaning and packing
+    (RAG indexing and pretraining both consume it).
+
+    Chunk c starts at word ``c·(size-overlap)``; starts run while they
+    point at more than ``overlap`` unseen words, so the final partial
+    chunk is emitted once rather than echoed as a pure-overlap tail.
+    Output: (id, chunk_id, chunk_text, chunk_words), empty chunks
+    dropped.
+
+    Scale shape: a generator expression per row — no shuffle at all;
+    fan-out is ceil(words/stride) rows per document, each carrying only
+    its own slice. Chunk ids are derivable (start/stride) so the op is
+    embarrassingly parallel and repartition-invariant.
+    """
+    from etl_cortex_spark.operators.textops import words
+
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError(f"size ({size}) must exceed overlap ({overlap})")
+    w = words(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(w) - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    rows = df.select(
+        F.col(id_col),
+        w.alias("__ws"),
+        F.explode(starts).alias("__start"),
+    )
+    return (
+        rows.select(
+            id_col,
+            (F.col("__start") / stride).cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(F.col("__ws"), F.col("__start") + 1, size)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(size), F.size("__ws") - F.col("__start")).alias("chunk_words"),
+        )
+        .filter(F.col("chunk_words") > 0)
+    )

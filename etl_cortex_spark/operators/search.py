@@ -1,0 +1,105 @@
+"""Corpus retrieval operators: BM25 ad-hoc ranking and vocabulary
+coverage statistics.
+
+The reference app (`/root/reference/app.py`) has no retrieval surface;
+these extend the mandated tier-D LLM-data-pipeline family (text
+analysis / similarity search) with the lexical-retrieval twin of
+`operators/similarity.py`'s embedding search.
+
+Scale design:
+- `bm25_topk` never materializes a full inverted index for an ad-hoc
+  query: tokens are filtered to the query's terms INSIDE the scan
+  projection, so the explode fans out O(matching terms) rows, not
+  O(corpus tokens). Per-term document frequencies are a tiny aggregate
+  (≤ |query| rows) broadcast back, corpus stats (N, avgdl) are a
+  single-row broadcast, and the final top-k is TakeOrderedAndProject —
+  no full sort of the corpus.
+- `vocab_topk` is the classic two-phase count (map-side partial agg on
+  token), a single-row total broadcast, and a window that runs AFTER
+  the top-k limit — the running-coverage sum orders k rows, never the
+  full vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators.textops import words
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k for an ad-hoc bag-of-words query.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (the standard
+    non-negative variant); score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Emits (id, bm25) with the score rounded to 3 decimals and the tie
+    broken on id so the top-k frontier is deterministic across engines.
+    """
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    w = words(text_col)
+    hits = docs.select(
+        F.col(id_col),
+        F.size(w).alias("dl"),
+        F.explode(F.filter(w, lambda t: F.array_contains(terms_lit, t))).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(w)).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / norm
+
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 3).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50, *, text_col: str = "text") -> DataFrame:
+    """Top-k vocabulary with cumulative corpus coverage.
+
+    Emits (token, cnt, rank, cum_frac): rank by descending count with
+    the token string as tiebreak, cum_frac = running token-count share
+    of the WHOLE corpus (so the k-th row reads "the top-k vocabulary
+    covers X% of all tokens" — the tokenizer-budget question).
+    """
+    counts = (
+        docs.select(F.explode(words(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    order = [F.desc("cnt"), F.asc("token")]
+    top = counts.orderBy(*order).limit(k).crossJoin(F.broadcast(total))
+    win = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return top.select(
+        "token",
+        "cnt",
+        F.row_number().over(win).alias("rank"),
+        F.round(F.sum("cnt").over(win) / F.col("total"), 4).alias("cum_frac"),
+    ).orderBy("rank")

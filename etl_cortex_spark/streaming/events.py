@@ -276,3 +276,39 @@ def tws_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         F.round("max_value", 2).alias("max_value"),
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 extension: stream-static join. The event stream is enriched
+    with a static per-user dimension (activity tier from a batch
+    aggregate — integer event counts, so the tier boundary is exact
+    across engines), then aggregated per (tier, event_type).
+
+    The static side is a batch DataFrame: Spark re-plans it into the
+    stream as a stateless broadcast join (no watermark, no state
+    store) — the canonical "enrich a firehose with a dimension table"
+    shape. At scale the dimension would be a compacted table the
+    stream picks up per micro-batch.
+    """
+    from etl_cortex_spark.sources.tables import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .select(
+            "user_id",
+            F.when(F.col("n_ev") >= 70, "high")
+            .when(F.col("n_ev") >= 60, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+    )
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("tier", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_memory(agg, "complete")
+    return out.orderBy("tier", "event_type")
