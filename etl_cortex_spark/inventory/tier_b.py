@@ -365,3 +365,63 @@ def b17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updated",
         "inserted",
     ).orderBy("o_orderkey")
+
+
+@query(
+    "b18_funnel_steps",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+    counts AS (
+      SELECT 0 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s0
+      UNION ALL SELECT 1, 'click', count(*) FROM s1
+      UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+    )
+    SELECT step_idx, step, n_users,
+           round(CAST(n_users AS DOUBLE) /
+                 max(CASE WHEN step_idx = 0 THEN n_users END) OVER (), 4) AS conv
+    FROM counts ORDER BY step_idx
+    """,
+)
+def b18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """behavior.funnel_counts — STRICT ordered funnel (each step's
+    first qualifying event must be after the user's previous-step
+    time, not merely co-occur). k steps = k pushdown-filtered scans
+    (event_type reaches the parquet reader) + k aggs/joins all hashed
+    on user_id, so stages after the first reuse the partitioning."""
+    from etl_cortex_spark.operators.behavior import funnel_counts
+
+    ev = T(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+@query(
+    "b19_cohort_retention",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+               FROM events),
+    first_seen AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, week FROM e),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first_seen GROUP BY 1)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+           count(*) AS n_active,
+           max(s.cohort_size) AS cohort_size
+    FROM active a JOIN first_seen f USING (user_id) JOIN sizes s USING (cohort_week)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """behavior.cohort_retention — weekly first-seen cohorts × active
+    week offsets, integer counts only (ratios are the consumer's
+    division: small-cohort ratios land on exact .5 boundaries where
+    engines' rounding disagrees). Two keyed shuffles + the (user,
+    week) distinct that rides the same partial agg."""
+    from etl_cortex_spark.operators.behavior import cohort_retention
+
+    ev = T(spark, sf_dir, "events")
+    return cohort_retention(ev)

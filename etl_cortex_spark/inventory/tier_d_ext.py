@@ -184,3 +184,126 @@ def d06_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cortex_spark.streaming.events import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+# --- D24/D25: embedding clustering + semantic dedup ---------------------------
+
+_CENTROID_K = 8
+
+
+def _centroid_sql() -> str:
+    """Initial-centroid view: the k lowest-id vectors, indexed 0..k-1
+    in id order — exactly clustering.initial_centroids."""
+    return f"""
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv
+    FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {_CENTROID_K})
+    """
+
+
+@query(
+    "d24_centroid_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS ({_centroid_sql()}),
+    d AS (
+      SELECT e.vec_id, CAST(c.idx AS INT) AS cluster,
+             round(list_sum(list_transform(e.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))), 6)
+               AS dist6
+      FROM e, c
+    )
+    SELECT vec_id, cluster FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist6, cluster) AS rn
+      FROM d
+    ) WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def d24a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clustering.assign_centroids — one Lloyd's assignment step
+    against the deterministic initial centroids (k lowest ids). The
+    assignment is a pure codegen projection (array of (dist, idx)
+    structs, array_min argmin — no shuffle, no UDF); distances are
+    rounded to 6 decimals before the argmin so the tie rule, not libm
+    ULP, decides near-equidistant points. The oracle replays the same
+    fold-order sum via DuckDB's indexed lambda and compares the
+    assignment (vec_id -> cluster); raw distances stay out of the
+    hash because round(double, N) drifts across engines at .xx5
+    boundaries — pytest pins the distance math instead."""
+    from etl_cortex_spark.operators import clustering as CL
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = CL.initial_centroids(emb, _CENTROID_K)
+    out = CL.assign_centroids(emb, cents)
+    return out.select("vec_id", "cluster").orderBy("vec_id")
+
+
+@query("d24_kmeans_sizes")  # rows-only: 3-iteration Lloyd's (iterative, not SQL)
+def d24b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clustering.kmeans_fit_predict — full Lloyd's (k=8, 3
+    iterations): per-cluster sizes + within-cluster sum of squares.
+    Iterative centroid refinement isn't single-statement SQL, so the
+    driver check is rows-only; the pytest suite pins determinism,
+    non-increasing inertia, and separable-cluster recovery."""
+    from etl_cortex_spark.operators import clustering as CL
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = CL.kmeans_fit_predict(emb, k=_CENTROID_K, iters=3)
+    return (
+        out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("sq_dist"), 2).alias("wcss"))
+        .orderBy("cluster")
+    )
+
+
+def _seeded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-seeded near-dup embedding corpus: every 10th vector gets a
+    +0.01-perturbed copy at id+10000 (cosine ≈ 1 with its original) —
+    same pattern as tier_d's mutated document corpus, so semantic
+    dedup has real prey. Perturbation happens in DOUBLE on both
+    engines for bit parity."""
+    emb = T(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"),
+        "label",
+    )
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"), "label"
+    ).unionByName(copies)
+
+
+@query(
+    "d25_semantic_dedup",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                         label FROM embeddings),
+    seeded AS (
+      SELECT vec_id, v, label FROM base
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(v, x -> x + 0.01), label
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    b AS (SELECT vec_id, label, v, ((CASE WHEN list_dot_product(v, [-0.2558802884476004, 0.511431512516514, -0.2260961647831047, -0.3150684223311854, -0.9300181903227674, -0.21330194742120367, 1.1119173809863208, 0.42414668412593615, 1.0368790788896665, 0.24890272766509133, 0.39476963461375775, 0.18532666042839877, -1.6660625253119432, 0.8552509687647372, 0.5063848458947204, 0.498818038161944, -1.6913645518484226, -1.7438881172756033, -0.8896153448069297, -0.4681892757332346, 0.3054459918324407, -0.045911730512585354, 0.520974898420902, -0.6422347498744938, 0.3087031492108811, 0.39415447685921007, -0.6611373475321424, 1.7175303173337426, 0.5566093558674555, 1.197005237979008, -0.6203329144828438, -0.7395158962247732, -0.34404667916316806, -0.10642133153854398, 0.6320787450321489, 0.24842725356969214, -0.44735489523216543, -0.9569123136623718, -0.5205903100665388, 1.2209213148999039, -0.8079464283078355, 0.24475874731607522, 0.4265189746741636, -1.4897431348611148, 0.048474357805962036, 1.3062435998070716, -2.014363824710263, -0.32159385106567046, -0.10613916862568372, -0.8172603024370143, 0.49739001119925413, -0.0622798949329554, -1.4646566571540556, 0.8278458784913143, 0.669335689821001, 0.9458417924074138, 1.440597413192603, 0.3622436703483417, 0.1192741503501188, -1.29916808473125, 0.6154432127149754, -0.6117589196103815, -0.4527018996188372, -1.2647877743013232]) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-0.9676143272108394, -0.5311210926158692, 1.288837543075987, -2.0317920474486755, -1.4577055535788668, 0.23935109637450452, 1.443349754156496, 0.5784969503748149, -1.899943276931952, -2.5182348300312385, 0.35739721571102645, -0.7362619397364518, -1.119786573527076, 0.9773712414195629, 1.101786204180404, 0.1572518804384863, 0.2457765102792436, 0.43436280983213216, 1.594004056931279, 0.6190286032553851, 0.5186495389757707, 0.5477375736312311, -1.5683105225549592, 1.2817335184040903, 0.955102083496128, 0.5296237217996917, -1.97387543553663, -0.6336800255863366, 0.842303593847481, -1.8112142525213255, -0.1840222293260406, 1.0195276718522928, -1.3111886130114665, 1.6101061983748743, 0.5519639717948621, -0.15013875127978507, 0.3248668210047183, 0.6498309914451523, 0.12039372620354538, 1.1456602358579617, -0.6615445657523961, -0.41473615589334284, 1.0416845530735936, 0.026798941547276814, -0.8804640811194406, 0.9464552654932115, 1.4654975743027467, -0.4448260851557471, -1.379993187160495, -0.13474820169311302, -0.1490188036402389, -0.2979996496335803, 1.4047703035775652, -1.0269364739157945, 1.2605866448383238, -1.2683219790736193, -0.7870394671827289, 0.6315212788981737, 1.128690305549404, 0.8590023502535399, 0.3452247461920301, 0.14235633795275582, 0.15248179045684337, 0.5752802708340415]) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-0.17619745775629098, 0.2774359968472974, 0.5727265336329771, 0.0008394764737400608, 0.7639823885379302, 0.5658781291403443, 2.0106321963650546, 0.32494263677272134, -0.4275929519432337, -0.3725512159128706, -0.013105597765684358, 0.9237846044248513, -0.3365636884977564, 0.3858259920571797, 1.8373012776494662, -2.564679474213934, -1.1239085853390323, 0.24389701690330107, 0.39833539441746396, 0.23857332886106958, -0.43115149906475186, 0.6551461933291434, 0.2821300659532711, -0.5220513382734014, 2.4300538751667524, 0.35513286238489494, -0.5542289707468753, -0.09944855217688697, -0.22559529002503245, -0.06274154660763057, -2.7280853409502006, -0.48689902987749445, 1.0085695080504102, -1.1685622644599787, -0.06670019084833684, 0.953505373781144, 0.8561767658598077, 1.4910519966346505, -1.7014133444479123, -0.35337600676388026, -0.3409499885992652, 0.6232898459421933, 1.0917875038700675, -2.6828295707823213, 1.0886792902698061, -1.4475434222626538, 0.6831498761023059, -1.4921384033709648, 0.1758527333971162, 1.194654610342507, -0.14931961088595433, 0.19110309114851495, 0.7971236448445002, 0.14137719514721223, -0.08848138185253349, 1.5332560594607463, 1.0484707258760626, -0.29381505949002173, 2.745325222713014, -1.1468390443176453, 0.9146091156866576, -0.2657145773117556, 0.13236571689072277, 0.7050056181659022]) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(v, [0.22222213219388434, 0.6386453076620816, -1.5273253626636443, -1.5095110821216398, 0.614942589651404, -0.9631584954660181, -1.0266482477157042, -1.4701393872716566, 1.2663800510697516, 0.7465580088791107, 1.4730747223165876, -0.9377376926458102, 0.001006361176401166, -1.1403069023670096, 0.7660373851792844, 1.5894228933877312, -0.8902210016364664, 1.560331722877474, 0.9880294936192074, -0.17783466698270087, -1.9719706859297967, 1.406631736935783, -0.09626049184656091, -0.6028282452915394, 0.3995953804847207, 0.4099643344682516, 1.4980950388878669, -1.020140810726624, 1.1362373205344798, 1.487360381407538, 1.4522360099017078, -0.18062457323422282, -0.7440285519188423, 1.0185727246115932, 0.11518531261028207, 0.12418948586415564, 1.424214629128952, -0.2634364671048731, -2.2967252108090643, -0.3871912071663193, -1.8539231821091202, 0.8187833309098644, 0.31703478716395445, -0.6112071513291476, -0.009599297743796214, 0.8326240130700854, 0.07894509069111393, 1.3265215121954472, -0.061284815505433334, 1.0403347667816991, 1.4914807619775488, 1.6098929837444262, -0.6718193753931158, 0.8799042085322046, -1.8759959069652823, -1.0833493949516109, -1.9627915133159943, 1.0689856225433496, -1.2319347228695534, -0.012764042825850742, -0.19221398052462813, -0.028597527773578522, -0.5915217765351448, 0.23366317531436248]) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(v, [1.7912670882203054, 0.04426855356723932, 0.5309821489194161, 1.000519367767209, -0.1979476908918288, -1.2596911318386328, -0.5553954715373572, 1.0735947393673675, -1.6462255708492126, -0.5978458205505127, 1.0074106526294715, 0.792736649857606, 0.007618128232682514, 0.8052357958724505, 0.16597943232983933, -1.1789154574572682, -1.563942369215198, -0.6389521365384299, 0.9227301102209123, -0.565545151756395, -0.9023586004604149, -0.7709605117789752, -1.5317669524976807, -0.11727492029984514, -1.1796069523217882, 0.3641459668086755, -2.3600964126154564, 0.3277812095660942, -0.6416107567993177, -1.9421479266214765, 0.724709448402856, -0.275508251441208, -2.2300367831585772, -0.8750631970150292, 0.29102424481911965, -0.4585822105092044, 0.779983687525831, 0.7475569414124802, 0.6662366416423052, 0.32662528809543556, 1.3336969496355782, 0.6598341701579238, 0.4512181743988895, -2.083978902544166, 0.8965557800878597, 1.3094251555769685, -0.2968980826814108, -0.4695074406834185, 1.9402984589295469, -1.7581325394842842, 0.46885693299161335, 2.423715777281978, -0.9276007408351008, 0.6895887603103621, 1.8863808434044749, -0.12021071198239965, 0.5611968429225049, 0.9025756438758757, -0.9057683298953746, -0.08909580115966619, 0.2928017222234918, 0.825384906595379, -0.03453411691863202, -0.19534031540028793]) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(v, [-1.016076060079454, -0.3589751774969397, 0.8916724552611744, 0.10174321702968378, -0.8530284462353348, -0.8416040883173763, 2.666679825295587, 1.1398942914069643, 0.637395441622035, -2.592918898090674, 0.621481570776758, 0.48069350043843734, 1.6840969559442966, 0.42776084526170044, -0.06748832720249312, 0.5224442730982287, -1.9442084464296083, 1.033253241769541, 0.3248848734274768, -0.7020713026445065, 1.325572315677972, 1.8093395348223056, -1.402401228611634, -0.6663342386941895, 0.2912654431574569, 0.18346504177956124, -0.3984806573532425, -0.9742108071691844, 2.1204674058622515, 1.0373874109296344, -1.1942285957085124, -1.3450079820248242, 1.7031284920759695, 0.9891487891565814, 1.820970607270463, 0.8101433981225372, -0.8720754993863207, 0.26066547473298435, -2.160062416568297, -0.7481188302399433, -0.058908982229867, 0.5227548093943034, -0.7275513172705698, -0.12422421999156745, 0.45854719384586046, 0.376688787759155, 0.6379962841237677, 0.20898171852910344, -0.32393469662347757, 0.7891569632740172, 0.04935941790144371, -0.8260956022644346, -0.6259281672414992, -0.0003484475806431715, -0.10960369347001762, 0.15699424609521928, -0.0004958849679764077, 0.1758690699903359, -0.1342889896191048, -1.2584316011337113, 0.4213535592448479, 1.0536904504800653, 0.4346429352825692, -0.18924595822576348]) > 0 THEN 32 ELSE 0 END)) AS bucket FROM seeded),
+    losers AS (
+      SELECT DISTINCT hi.vec_id FROM b lo JOIN b hi
+        ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+      WHERE round(list_dot_product(lo.v, hi.v) /
+            (sqrt(list_dot_product(lo.v, lo.v)) * sqrt(list_dot_product(hi.v, hi.v))), 6)
+            >= 0.99
+    )
+    SELECT vec_id, label, bucket FROM b
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    ORDER BY vec_id
+    """,
+)
+def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clustering.semantic_dedup (SemDeDup): sign-LSH bucket →
+    within-bucket pairwise cosine → drop any vector with a lower-id
+    ≥0.99 neighbor. On the seeded corpus the perturbed copies are the
+    losers. Bucket join is O(Σ bucket²), never all-pairs; the bucket
+    is the IVF partition key at scale."""
+    from etl_cortex_spark.operators import clustering as CL
+
+    seeded = _seeded_embeddings(spark, sf_dir)
+    out = CL.semantic_dedup(seeded, threshold=0.99, n_planes=6, seed=7)
+    return out.select("vec_id", "label", "bucket").orderBy("vec_id")

@@ -1,0 +1,161 @@
+"""Distributed embedding clustering and SemDeDup-style semantic dedup.
+
+The reference app has no ML surface; these extend the tier-D
+similarity/dedup families (SURVEY §2 D2/D3) with the cluster-then-
+prune pipeline (SemDeDup: Abbas et al. 2023) a pretraining corpus
+runs over its embedding table.
+
+Scale design:
+- ``kmeans_fit_predict`` is Lloyd's with the model kept driver-side
+  (k×dim floats — model state, the same thing MLlib's KMeans
+  collects), while ALL data movement stays declarative: assignment is
+  a codegen projection against centroid literals (no shuffle), the
+  centroid update is one (cluster, dim-position) partial-aggregated
+  shuffle per iteration. Per-iteration cost at 100 TB = one scan +
+  one narrow agg; the assignment output is re-derived at the end
+  rather than persisted per iteration.
+- ``semantic_dedup`` buckets by deterministic sign-LSH, so the
+  pairwise cosine check is a within-bucket self-join (O(Σ bucket²)
+  with 2^n_planes buckets bounding bucket size), never all-pairs.
+  Deterministic survivor rule: a vector is dropped iff some
+  lower-id vector in its bucket is ≥ threshold similar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators.similarity import (
+    as_double,
+    cosine,
+    hyperplanes,
+    lsh_bucket,
+)
+
+
+def _sq_dist(vec, centroid_lit):
+    d = F.zip_with(vec, centroid_lit, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str):
+    """Nearest-centroid assignment as a pure projection: an array of
+    (dist, idx) structs, array_min = lexicographic min → deterministic
+    argmin with the lowest cluster index on ties. Distances are
+    rounded to 6 decimals before the argmin so the tie rule (not libm
+    ULP) decides near-equidistant points."""
+    v = as_double(F.col(vec_col))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(_sq_dist(v, F.array(*[F.lit(x) for x in c])), 6).alias("dist"),
+                F.lit(j).alias("idx"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(pairs)
+    return best["idx"].alias("cluster"), best["dist"].alias("sq_dist")
+
+
+def initial_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic seed: the k lowest-id vectors (no runtime RNG, so
+    every engine and every run agrees)."""
+    rows = (
+        df.select(id_col, as_double(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd's assignment step as a DataFrame: (id, cluster,
+    sq_dist) against literal centroids — the oracle-checkable
+    workhorse the iterative fit repeats."""
+    base = df.select(id_col, as_double(F.col(vec_col)).alias("__v"))
+    cluster, dist = _assign(base, centroids, "__v")
+    return base.select(id_col, cluster, dist)
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns (id, cluster, sq_dist) for the final
+    model. Each iteration collects only the k×dim centroid model (the
+    sanctioned driver-side state); data-side work is one scan + one
+    (cluster, position) partial-agg shuffle."""
+    centroids = initial_centroids(df, k, id_col, vec_col)
+    base = df.select(id_col, as_double(F.col(vec_col)).alias("__v"))
+
+    for _ in range(iters):
+        cluster, _dist = _assign(base, centroids, "__v")
+        assigned = base.select(id_col, "__v", cluster)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        updated = {r.cluster: [float(x) for x in r.c] for r in new_rows}
+        # empty clusters keep their previous centroid
+        centroids = [updated.get(j, centroids[j]) for j in range(k)]
+
+    cluster, dist = _assign(base, centroids, "__v")
+    return base.select(id_col, cluster, dist)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style pruning: bucket by deterministic sign-LSH, then
+    drop every vector that has a lower-id bucket-mate with cosine ≥
+    ``threshold``. Returns the surviving rows plus their bucket.
+
+    Greedy-within-bucket (not transitive like ``dedup.near_dedup``):
+    mirrors SemDeDup's keep-one-per-ball rule, and the bucket key is a
+    partition key at scale (same IVF layout as similarity.lsh_topk)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n=n_planes, seed=seed)
+    v = as_double(F.col(vec_col))
+    e = df.withColumn("bucket", lsh_bucket(v, planes))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("bucket"), as_double(F.col(vec_col)).alias("va")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("bucket"), as_double(F.col(vec_col)).alias("vb")
+    )
+    losers = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return e.join(losers, id_col, "left_anti")
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Σ sq_dist of an assignment — the Lloyd's objective (test hook)."""
+    return float(assigned.agg(F.sum("sq_dist")).first()[0])

@@ -1,0 +1,169 @@
+"""Tests for operators/clustering.py — Lloyd's k-means and SemDeDup.
+
+The reference app has no clustering surface; these pin the tier-D
+extension's contracts: deterministic seeding/assignment, the Lloyd's
+objective (inertia) never increasing across iterations, recovery of
+well-separated synthetic clusters, and the SemDeDup survivor rule.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from etl_cortex_spark.operators import clustering as CL
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+# --- deterministic seeding + assignment --------------------------------------
+
+
+def test_initial_centroids_are_lowest_ids(spark):
+    emb = _emb(spark)
+    cents = CL.initial_centroids(emb, 4)
+    want = [
+        [float(x) for x in r.v]
+        for r in emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    ]
+    assert cents == want
+
+
+def test_assignment_deterministic_across_runs(spark):
+    emb = _emb(spark)
+    cents = CL.initial_centroids(emb, 4)
+    a = CL.assign_centroids(emb, cents).orderBy("vec_id").collect()
+    b = CL.assign_centroids(emb, cents).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_assignment_is_true_argmin(spark):
+    """Cross-check the struct-array argmin against a brute-force
+    per-centroid distance computation on a small sample."""
+    emb = _emb(spark).limit(20)
+    cents = CL.initial_centroids(emb, 3)
+    rows = CL.assign_centroids(emb, cents).collect()
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for r in rows:
+        v = vecs[r.vec_id]
+        dists = [
+            round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6) for c in cents
+        ]
+        assert dists[r.cluster] == min(dists)
+        assert abs(r.sq_dist - min(dists)) < 1e-9
+
+
+# --- Lloyd's convergence ------------------------------------------------------
+
+
+def test_inertia_non_increasing(spark):
+    emb = _emb(spark)
+    prev = None
+    for iters in (0, 1, 2, 3):
+        if iters == 0:
+            cents = CL.initial_centroids(emb, 4)
+            assigned = CL.assign_centroids(emb, cents)
+        else:
+            assigned = CL.kmeans_fit_predict(emb, k=4, iters=iters)
+        cur = CL.inertia(assigned)
+        if prev is not None:
+            assert cur <= prev + 1e-6, f"inertia rose at iter {iters}: {prev} -> {cur}"
+        prev = cur
+
+
+def test_recovers_separated_clusters(spark):
+    """Three tight blobs far apart, ids interleaved so the lowest-id
+    seeds land one per blob: Lloyd's must put each blob in exactly one
+    cluster."""
+    offsets = {0: 0.0, 1: 100.0, 2: -100.0}
+    rows = [
+        (blob + 3 * i, [offsets[blob] + 0.01 * i, offsets[blob] - 0.01 * i])
+        for blob in (0, 1, 2)
+        for i in range(8)
+    ]
+    schema = Ty.StructType(
+        [
+            Ty.StructField("vec_id", Ty.LongType()),
+            Ty.StructField("embedding", Ty.ArrayType(Ty.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = CL.kmeans_fit_predict(df, k=3, iters=5).collect()
+    label_of = {r.vec_id: r.cluster for r in out}
+    for blob in (0, 1, 2):
+        blob_labels = {label_of[blob + 3 * i] for i in range(8)}
+        assert len(blob_labels) == 1, f"blob {blob} split across {blob_labels}"
+    assert len({label_of[blob] for blob in (0, 1, 2)}) == 3
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """k larger than the number of distinct points: surplus clusters
+    must not crash the update loop (they keep their seed centroid)."""
+    rows = [(i, [float(i % 2), float(i % 2)]) for i in range(6)]
+    schema = Ty.StructType(
+        [
+            Ty.StructField("vec_id", Ty.LongType()),
+            Ty.StructField("embedding", Ty.ArrayType(Ty.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = CL.kmeans_fit_predict(df, k=4, iters=3)
+    assert out.count() == 6
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_perturbed_copies(spark):
+    """Seeded near-identical copies (cosine ~ 1 with their original,
+    higher id) must lose; originals must survive."""
+    emb = _emb(spark)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"),
+        "label",
+    )
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    seeded = base.unionByName(copies)
+    survivors = CL.semantic_dedup(seeded, threshold=0.99, n_planes=4, seed=7)
+    ids = {r.vec_id for r in survivors.select("vec_id").collect()}
+    originals = {r.vec_id for r in base.select("vec_id").collect()}
+    copy_ids = {r.vec_id for r in copies.select("vec_id").collect()}
+    # every original survives (no copy has a lower id than its original)
+    assert originals <= ids
+    # the copies share a bucket with their original (same sign pattern
+    # for a tiny perturbation in almost all cases) and must be dropped
+    assert len(copy_ids & ids) <= len(copy_ids) * 0.2, (
+        f"{len(copy_ids & ids)}/{len(copy_ids)} seeded copies survived"
+    )
+
+
+def test_semantic_dedup_preserves_input_columns(spark):
+    emb = _emb(spark).limit(50)
+    out = CL.semantic_dedup(emb, threshold=0.99, n_planes=4, seed=7)
+    assert set(emb.columns) <= set(out.columns)
+    assert "bucket" in out.columns
+
+
+def test_semantic_dedup_no_dups_is_identity(spark):
+    """With an impossible threshold nothing is dropped."""
+    emb = _emb(spark).limit(100)
+    out = CL.semantic_dedup(emb, threshold=1.5, n_planes=4, seed=7)
+    assert out.count() == 100
