@@ -307,3 +307,68 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded = _seeded_embeddings(spark, sf_dir)
     out = CL.semantic_dedup(seeded, threshold=0.99, n_planes=6, seed=7)
     return out.select("vec_id", "label", "bucket").orderBy("vec_id")
+
+
+# --- D26: fuzzy entity match --------------------------------------------------
+
+
+@query(
+    "d26_fuzzy_entity_match",
+    oracle="""
+    WITH clean AS (SELECT c_custkey, substr(c_name, 10, 9) AS key FROM customer),
+    dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substr(key, 1, CAST(c_custkey % 9 AS INT)) || 'x' ||
+             substr(key, CAST(c_custkey % 9 AS INT) + 2) AS key
+      FROM clean WHERE c_custkey % 7 = 0
+    ),
+    pairs AS (
+      SELECT d.dirty_id, c.c_custkey, levenshtein(d.key, c.key) AS dist
+      FROM dirty d CROSS JOIN clean c
+      WHERE levenshtein(d.key, c.key) <= 2
+    )
+    SELECT dirty_id, c_custkey, dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY dirty_id ORDER BY dist, c_custkey) AS rn
+      FROM pairs
+    ) WHERE rn = 1 ORDER BY dirty_id
+    """,
+)
+def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy.fuzzy_join + best_fuzzy_match — entity resolution of a
+    self-seeded dirty side (one digit of the 9-char key swapped to
+    'x', position = custkey % 9) back to the clean customer keys via
+    pigeonhole banding (3 bands for max_dist=2) and a levenshtein
+    refine, then deterministic best-match (min dist, min custkey).
+
+    The oracle brute-forces the cross join, which also finds dist-2
+    insert+delete "shift" pairs banding can miss — the results still
+    agree because every dirty key has its original at dist exactly 1,
+    and equal-length dist-1 pairs are single substitutions, which the
+    banding provably finds; the winner is always chosen among those.
+    The banded path is the one that scales: band shuffle carries
+    (id, slice) only, refine is per candidate, never per cross pair."""
+    from etl_cortex_spark.operators.fuzzy import best_fuzzy_match, fuzzy_join
+
+    cust = T(spark, sf_dir, "customer")
+    clean = cust.select("c_custkey", F.substring("c_name", 10, 9).alias("key"))
+    dirty = clean.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substring(key, 1, CAST(c_custkey % 9 AS INT))"),
+            F.lit("x"),
+            F.expr("substring(key, CAST(c_custkey % 9 AS INT) + 2)"),
+        ).alias("key"),
+    )
+    pairs = fuzzy_join(
+        dirty,
+        clean,
+        left_id="dirty_id",
+        right_id="c_custkey",
+        left_key="key",
+        right_key="key",
+        key_width=9,
+        max_dist=2,
+    )
+    return best_fuzzy_match(pairs, left_id="dirty_id", right_id="c_custkey").orderBy(
+        "dirty_id"
+    )

@@ -1,0 +1,106 @@
+"""Fuzzy (edit-distance) joins with banded blocking — the entity-
+resolution primitive the reference app's keyword matching
+(app.py:186-204, exact `str.contains`) stops short of.
+
+Scale design: the naive fuzzy join is a cross join (O(N·M)
+levenshtein calls). ``fuzzy_join`` instead uses pigeonhole banding:
+split each key into ``max_dist + 1`` contiguous slices — if two
+equal-length keys differ by at most ``max_dist`` substitutions, at
+least one slice is untouched and aligned, so an exact equi-join on
+(slice index, slice value) finds every such pair. The band shuffle
+carries only (id, band) rows; payloads re-join on the bounded
+candidate set, and the levenshtein refine runs per candidate, not per
+cross pair. Same architecture as ``dedup.minhash_lsh_pairs``.
+
+Honest recall contract: the pigeonhole guarantee covers
+substitution-only edits between equal-length keys (Hamming). Inserts
+and deletes shift positions across band boundaries, so such pairs may
+be missed by blocking even when their levenshtein distance ≤
+``max_dist`` (the refine still scores any candidate correctly).
+Production name-matching at 100 TB adds a q-gram or phonetic blocking
+pass for indels; the banding here is the part that bounds the join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bands(key, key_width: int, n_bands: int):
+    """Array of (band index, band slice) structs over the rpad-ed key."""
+    w = math.ceil(key_width / n_bands)
+    padded = F.rpad(key, key_width, " ")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring(padded, i * w + 1, w).alias("val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    left_key: str,
+    right_key: str,
+    key_width: int,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All (left, right) pairs with levenshtein(key_l, key_r) <=
+    max_dist reachable through banded blocking. Returns (left_id,
+    right_id, dist)."""
+    n_bands = max_dist + 1
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_key).alias("__lkey"),
+        F.explode(_bands(F.col(left_key), key_width, n_bands)).alias("__b"),
+    ).select("__lid", "__lkey", "__b.band", "__b.val")
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_key).alias("__rkey"),
+        F.explode(_bands(F.col(right_key), key_width, n_bands)).alias("__b"),
+    ).select("__rid", "__rkey", "__b.band", "__b.val")
+
+    # candidate ids only through the band shuffle; dedup before refine
+    cand = (
+        l.select("__lid", "__lkey", "band", "val")
+        .join(r.select("__rid", "__rkey", "band", "val"), ["band", "val"])
+        .select("__lid", "__lkey", "__rid", "__rkey")
+        .distinct()
+    )
+    dist = F.levenshtein("__lkey", "__rkey")
+    return cand.filter(dist <= max_dist).select(
+        F.col("__lid").alias(left_id if left_id != right_id else f"l_{left_id}"),
+        F.col("__rid").alias(right_id if right_id != left_id else f"r_{right_id}"),
+        dist.alias("dist"),
+    )
+
+
+def best_fuzzy_match(
+    pairs: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Deterministic resolution: per left id keep the (dist, right_id)
+    lexicographic minimum — closest match, lowest id on ties. A single
+    min-struct aggregate (no window, no sort of the full pair set)."""
+    best = F.min(F.struct(F.col("dist"), F.col(right_id))).alias("__best")
+    return (
+        pairs.groupBy(left_id)
+        .agg(best)
+        .select(
+            left_id,
+            F.col(f"__best.{right_id}").alias(right_id),
+            F.col("__best.dist").alias("dist"),
+        )
+    )
