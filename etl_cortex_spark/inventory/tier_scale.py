@@ -139,3 +139,41 @@ def scale_binned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Z-order layout -----------------------------------------------------------
+
+_Z_XR = (0.0, 200000.0)   # o_custkey domain (generous across SFs; clamped)
+_Z_YR = (0.0, 600000.0)   # o_totalprice domain
+
+
+def _zorder_oracle() -> str:
+    from etl_cortex_spark.operators.layout import morton_sql
+
+    z = morton_sql("o_custkey", "o_totalprice", x_range=_Z_XR, y_range=_Z_YR)
+    return f"""
+    SELECT o_orderkey, {z} AS zkey
+    FROM orders ORDER BY o_orderkey
+    """
+
+
+@query("scale_zorder_key", oracle=_zorder_oracle())
+def scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """layout.morton_key — the Z-order (Morton) clustering key behind
+    multi-column data skipping: fixed-point normalize o_custkey and
+    o_totalprice to 16 bits each and interleave. Pure codegen bit
+    expression (no UDF, no shuffle); the DuckDB oracle replays the
+    identical interleave emitted by the same generator
+    (layout.morton_sql), so the key is pinned bit-for-bit. The write
+    path (layout.write_zordered: one repartitionByRange shuffle +
+    local sort) is pytest-verified on per-file bounding-box tightness
+    — the property parquet min/max pruning needs."""
+    from etl_cortex_spark.operators.layout import morton_key
+
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        morton_key(
+            F.col("o_custkey"), F.col("o_totalprice"), x_range=_Z_XR, y_range=_Z_YR
+        ).alias("zkey"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,96 @@
+"""Z-order (Morton-curve) file layout for multi-column data skipping.
+
+A 100 TB table sorted by one column skips beautifully on that column
+and not at all on any other. Interleaving the bits of two columns
+into one Morton key and range-partitioning the write on that key
+gives every output file a tight bounding box in BOTH dimensions, so
+parquet min/max statistics (row-group pushdown, file pruning in
+stats-aware catalogs) cut scans for predicates on either column —
+the layout trick behind Delta/Iceberg OPTIMIZE ZORDER, built here
+from plain DataFrame ops:
+
+- ``morton_key``: a pure codegen expression (fixed-point normalize →
+  bit interleave via shift/and/or terms). No UDF, no shuffle.
+- ``write_zordered``: ``repartitionByRange`` on the key (one range
+  shuffle — the same cost as any global sort-write) + per-partition
+  local sort, then a plain parquet write.
+
+The same interleave is emitted as SQL text (``morton_sql``) from one
+shared generator, so the DuckDB oracle replays the key bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS = 16  # per-dimension fixed-point resolution
+
+
+def _normalize(col: Column, lo: float, hi: float) -> Column:
+    """Clamp to [lo, hi] and scale to an integer in [0, 2^BITS - 1].
+    Bounds are caller-supplied literals (domain knowledge or a cheap
+    pre-agg) so the key stays a deterministic pure expression."""
+    frac = (F.least(F.greatest(col.cast("double"), F.lit(float(lo))), F.lit(float(hi))) - lo) / (
+        hi - lo
+    )
+    return F.floor(frac * ((1 << BITS) - 1)).cast("long")
+
+
+def _normalize_sql(expr: str, lo: float, hi: float) -> str:
+    return (
+        f"CAST(floor((least(greatest(CAST({expr} AS DOUBLE), {float(lo)}), {float(hi)})"
+        f" - {float(lo)}) / ({float(hi)} - {float(lo)}) * {(1 << BITS) - 1}) AS BIGINT)"
+    )
+
+
+def morton_key(
+    x: Column, y: Column, *, x_range: tuple[float, float], y_range: tuple[float, float]
+) -> Column:
+    """Interleave the BITS-bit normalizations of x (odd positions) and
+    y (even positions) into one 2*BITS-bit key."""
+    xi = _normalize(x, *x_range)
+    yi = _normalize(y, *y_range)
+    key = F.lit(0).cast("long")
+    for i in range(BITS):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(xi, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(yi, i).bitwiseAND(F.lit(1)), 2 * i))
+    return key
+
+
+def morton_sql(
+    x_expr: str, y_expr: str, *, x_range: tuple[float, float], y_range: tuple[float, float]
+) -> str:
+    """The identical interleave as DuckDB SQL (oracle twin)."""
+    xi = _normalize_sql(x_expr, *x_range)
+    yi = _normalize_sql(y_expr, *y_range)
+    terms = []
+    for i in range(BITS):
+        terms.append(f"((({xi} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({yi} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    *,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    n_files: int = 8,
+) -> None:
+    """Write df as n_files parquet files clustered along the Morton
+    curve of (x, y): one range shuffle, per-file local sort, key
+    dropped from the payload."""
+    key = morton_key(F.col(x), F.col(y), x_range=x_range, y_range=y_range)
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

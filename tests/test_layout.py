@@ -1,0 +1,75 @@
+"""Tests for operators/layout.py — Z-order write layout.
+
+The point of Z-ordering is that every output file covers a tight
+bounding box in BOTH clustered dimensions, which is exactly what
+parquet min/max stats need to skip files/row-groups for predicates
+on either column. The test measures that property directly.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pandas as pd
+
+from etl_cortex_spark.operators.layout import write_zordered
+
+SF = "/root/testdata/sf0.001"
+XR = (0.0, 200000.0)
+YR = (0.0, 600000.0)
+
+
+def _file_boxes(path):
+    """Per output file: (x_span_frac, y_span_frac) of the global span."""
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    frames = [pd.read_parquet(f, columns=["o_custkey", "o_totalprice"]) for f in files]
+    full = pd.concat(frames)
+    gx = full.o_custkey.max() - full.o_custkey.min()
+    gy = full.o_totalprice.max() - full.o_totalprice.min()
+    boxes = []
+    for df in frames:
+        if len(df) == 0:
+            continue
+        boxes.append(
+            (
+                (df.o_custkey.max() - df.o_custkey.min()) / gx,
+                (df.o_totalprice.max() - df.o_totalprice.min()) / gy,
+            )
+        )
+    return boxes
+
+
+def test_zorder_files_are_tight_in_both_dims(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(
+        orders, zpath, "o_custkey", "o_totalprice",
+        x_range=XR, y_range=YR, n_files=8,
+    )
+    naive_path = str(tmp_path / "naive")
+    orders.repartition(8).write.mode("overwrite").parquet(naive_path)
+
+    z_area = [bx * by for bx, by in _file_boxes(zpath)]
+    n_area = [bx * by for bx, by in _file_boxes(naive_path)]
+    z_avg = sum(z_area) / len(z_area)
+    n_avg = sum(n_area) / len(n_area)
+    # naive hash layout: every file spans ~the full rectangle (area ~1);
+    # 8 z-range files each cover ~1/8 of the curve.
+    assert n_avg > 0.8, f"naive baseline unexpectedly clustered: {n_avg}"
+    assert z_avg < 0.45 * n_avg, f"z-order not clustering: {z_avg} vs naive {n_avg}"
+
+
+def test_zorder_write_preserves_rows(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    path = str(tmp_path / "z2")
+    write_zordered(
+        orders, path, "o_custkey", "o_totalprice",
+        x_range=XR, y_range=YR, n_files=4,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    a = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    b = {r.o_orderkey for r in back.select("o_orderkey").collect()}
+    assert a == b
