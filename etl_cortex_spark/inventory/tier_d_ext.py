@@ -372,3 +372,85 @@ def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_fuzzy_match(pairs, left_id="dirty_id", right_id="c_custkey").orderBy(
         "dirty_id"
     )
+
+
+# --- D8 extension: stream-stream interval join --------------------------------
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(p.pts - c.cts) AS gap_us
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 10 MINUTE
+    ORDER BY c.user_id, c.click_id, p.purchase_id
+    """,
+)
+def d08_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_stream_attribution — true stream-stream inner
+    join (click→purchase within 10 min per user), both sides
+    watermarked so join state is evictable; bounded replay equals the
+    batch interval join, which the oracle replays."""
+    from etl_cortex_spark.streaming.events import stream_stream_attribution
+
+    return stream_stream_attribution(spark, sf_dir, window_minutes=10)
+
+
+# --- D27: weighted PageRank over the nation trade graph -----------------------
+
+_TRADE_EDGES_SQL = """
+SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    from etl_cortex_spark.operators.graph import pagerank_unrolled_sql
+
+    inner = pagerank_unrolled_sql(
+        _TRADE_EDGES_SQL,
+        "SELECT n_nationkey AS node FROM nation",
+        iters=3,
+        damping=0.85,
+    )
+    return f"SELECT node, round(pr, 6) AS pr FROM ({inner}) ORDER BY node"
+
+
+@query("d27_pagerank_trade", oracle=_pagerank_oracle())
+def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.pagerank — weighted PageRank (3 iterations, d=0.85,
+    dangling mass redistributed) over the customer-nation →
+    supplier-nation trade graph. The rank vector stays a DataFrame
+    (billions of rows at web scale); per iteration one src-keyed join
+    + one dst agg, scalars ride as broadcast 1-row frames — no
+    collect anywhere. The oracle unrolls the identical iterations as
+    CTEs emitted by the same generator (graph.pagerank_unrolled_sql);
+    round(,6) absorbs summation-order FP drift."""
+    from etl_cortex_spark.operators.graph import pagerank
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    pr = pagerank(edges, nodes, iters=3, damping=0.85)
+    return pr.select("node", F.round("pr", 6).alias("pr")).orderBy("node")

@@ -1,0 +1,65 @@
+"""Tests for operators/graph.py — weighted PageRank invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as Ty
+
+from etl_cortex_spark.operators.graph import pagerank
+
+_E = Ty.StructType(
+    [
+        Ty.StructField("src", Ty.LongType()),
+        Ty.StructField("dst", Ty.LongType()),
+        Ty.StructField("w", Ty.DoubleType()),
+    ]
+)
+_N = Ty.StructType([Ty.StructField("node", Ty.LongType())])
+
+
+def _graph(spark, edges, nodes):
+    return (
+        spark.createDataFrame([(s, d, float(w)) for s, d, w in edges], _E),
+        spark.createDataFrame([(n,) for n in nodes], _N),
+    )
+
+
+def _ranks(df):
+    return {r.node: r.pr for r in df.collect()}
+
+
+def test_mass_conserved(spark):
+    e, n = _graph(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1), (0, 2, 2)], [0, 1, 2])
+    pr = _ranks(pagerank(e, n, iters=4))
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    e, n = _graph(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)], [0, 1, 2])
+    pr = _ranks(pagerank(e, n, iters=5))
+    for v in pr.values():
+        assert v == pytest.approx(1.0 / 3, abs=1e-9)
+
+
+def test_hub_outranks_leaves(spark):
+    # every leaf points at node 0; node 0 points at leaf 1 only
+    edges = [(i, 0, 1) for i in (1, 2, 3, 4)] + [(0, 1, 1)]
+    e, n = _graph(spark, edges, [0, 1, 2, 3, 4])
+    pr = _ranks(pagerank(e, n, iters=5))
+    assert pr[0] == max(pr.values())
+    assert pr[1] > pr[2] == pytest.approx(pr[3], abs=1e-12)
+
+
+def test_dangling_mass_redistributed(spark):
+    # node 2 has no out-edges: its mass must spread, keeping sum == 1
+    e, n = _graph(spark, [(0, 2, 1), (1, 2, 1)], [0, 1, 2])
+    pr = _ranks(pagerank(e, n, iters=4))
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    assert pr[2] == max(pr.values())
+
+
+def test_edge_weights_matter(spark):
+    # node 0 splits 9:1 between 1 and 2
+    e, n = _graph(spark, [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)], [0, 1, 2])
+    pr = _ranks(pagerank(e, n, iters=5))
+    assert pr[1] > pr[2]
