@@ -952,3 +952,96 @@ def c51(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(1).alias("q50_within_1pct"),
         within(2).alias("q75_within_1pct"),
     )
+
+
+@query(
+    "c52_quality_checks",
+    oracle="""
+    WITH t AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v_nonnull_key,
+             sum(CASE WHEN l_quantity <= 45 THEN 0 ELSE 1 END) AS v_qty_le_45,
+             sum(CASE WHEN l_discount < 0.08 THEN 0 ELSE 1 END) AS v_disc_lt_008,
+             sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS v_flag_domain
+      FROM lineitem
+    )
+    SELECT rule, n AS n_rows, CAST(v AS BIGINT) AS n_violations,
+           round(CAST(v AS DOUBLE) / n, 6) AS violation_frac
+    FROM t, (VALUES ('disc_lt_008', 1), ('flag_domain', 2), ('nonnull_key', 3), ('qty_le_45', 4)) r(rule, i),
+         LATERAL (SELECT CASE r.rule
+                    WHEN 'nonnull_key' THEN v_nonnull_key
+                    WHEN 'qty_le_45' THEN v_qty_le_45
+                    WHEN 'disc_lt_008' THEN v_disc_lt_008
+                    ELSE v_flag_domain END AS v) x
+    ORDER BY rule
+    """,
+)
+def c52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.check_rules — Deequ-style declarative constraints
+    evaluated in ONE aggregate pass (all counters share the scan and
+    the map-side partial combine; k rules != k jobs). NULL rule
+    results count as violations on both engines (3VL CASE parity).
+    Mix of passing and failing rules proves both paths."""
+    from etl_cortex_spark.operators.quality import check_rules
+
+    li = T(spark, sf_dir, "lineitem")
+    return check_rules(
+        li,
+        {
+            "nonnull_key": F.col("l_orderkey").isNotNull(),
+            "qty_le_45": F.col("l_quantity") <= 45,
+            "disc_lt_008": F.col("l_discount") < 0.08,
+            "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+@query(
+    "c53_rolling_time_window",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag,
+             CAST(l_shipdate AS DATE) AS day,
+             round(sum(round(l_extendedprice * (1 - l_discount), 4)), 4) AS daily_rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    n AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dayn FROM daily)
+    SELECT l_returnflag, day, daily_rev,
+           round(sum(daily_rev) OVER (
+             PARTITION BY l_returnflag ORDER BY dayn
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS trailing7
+    FROM n ORDER BY l_returnflag, day
+    """,
+)
+def c53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: 7-day trailing revenue per
+    returnflag. RANGE over the day ordinal (not ROWS) so gaps in the
+    calendar shrink the frame — the semantics ROWS cannot express.
+    Rounding discipline: the revenue term is rounded at its exact
+    decimal width (4) before summing, and the sums re-rounded at 4,
+    so cross-engine summation-order drift cannot surface. One keyed
+    shuffle for the daily agg; the window reuses the returnflag
+    partitioning."""
+    li = T(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            "l_returnflag", F.to_date("l_shipdate").alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4
+            ).alias("daily_rev")
+        )
+        .withColumn("dayn", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("dayn")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "l_returnflag",
+        "day",
+        "daily_rev",
+        F.round(F.sum("daily_rev").over(w), 4).alias("trailing7"),
+    ).orderBy("l_returnflag", "day")

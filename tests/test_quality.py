@@ -1,0 +1,70 @@
+"""Tests for operators/quality.py — one-pass declarative checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from etl_cortex_spark.operators.quality import check_rules, expect_clean
+
+_SCHEMA = Ty.StructType(
+    [
+        Ty.StructField("id", Ty.LongType()),
+        Ty.StructField("v", Ty.DoubleType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_counts_violations_per_rule(spark):
+    df = _df(spark, [(1, 1.0), (2, 5.0), (3, None), (4, -1.0)])
+    out = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in check_rules(
+            df,
+            {
+                "v_nonneg": F.col("v") >= 0,
+                "v_notnull": F.col("v").isNotNull(),
+                "id_pos": F.col("id") > 0,
+            },
+        ).collect()
+    }
+    # NULL comparison result counts as a violation (3VL-safe)
+    assert out["v_nonneg"] == (4, 2)
+    assert out["v_notnull"] == (4, 1)
+    assert out["id_pos"] == (4, 0)
+
+
+def test_single_pass_plan(spark):
+    """All rules share one aggregate — no join/union of per-rule
+    subplans, and exactly one Exchange in the physical plan."""
+    df = _df(spark, [(1, 1.0)])
+    report = check_rules(
+        df, {f"r{i}": F.col("v") > i for i in range(10)}
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) <= 1
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_expect_clean_raises_with_detail(spark):
+    df = _df(spark, [(1, -1.0)])
+    with pytest.raises(ValueError, match="v_nonneg: 1"):
+        expect_clean(df, {"v_nonneg": F.col("v") >= 0})
+
+
+def test_expect_clean_passes(spark):
+    df = _df(spark, [(1, 1.0)])
+    expect_clean(df, {"v_nonneg": F.col("v") >= 0})
+
+
+def test_empty_rules_rejected(spark):
+    df = _df(spark, [(1, 1.0)])
+    with pytest.raises(ValueError):
+        check_rules(df, {})
