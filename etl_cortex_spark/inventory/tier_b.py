@@ -407,7 +407,7 @@ def b18(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
     active AS (SELECT DISTINCT user_id, week FROM e),
     sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first_seen GROUP BY 1)
-    SELECT f.cohort_week,
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
            CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
            count(*) AS n_active,
            max(s.cohort_size) AS cohort_size
@@ -424,4 +424,50 @@ def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cortex_spark.operators.behavior import cohort_retention
 
     ev = T(spark, sf_dir, "events")
-    return cohort_retention(ev)
+    # date → timestamp on both sides: the repo's cross-engine date convention
+    return cohort_retention(ev).withColumn(
+        "cohort_week", F.col("cohort_week").cast("timestamp")
+    )
+
+
+@query(
+    "b20_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             avg(CAST(n AS DOUBLE)) OVER win AS m,
+             stddev_samp(CAST(n AS DOUBLE)) OVER win AS s,
+             count(n) OVER win AS h
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+           round(CASE WHEN h >= 7 AND s > 0 THEN (n - m) / s END, 4) AS z,
+           COALESCE(abs(CASE WHEN h >= 7 AND s > 0 THEN (n - m) / s END) > 2.0,
+                    FALSE) AS is_anomaly
+    FROM w ORDER BY event_type, day
+    """,
+)
+def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries.zscore_anomalies — trailing-window z-score anomaly
+    flags on daily event counts. The window excludes the current day
+    (an anomaly can't mask itself) and requires 7 days of history +
+    nonzero variance; integer daily counts keep the window inputs
+    engine-exact, so only summation-order ULPs separate the engines
+    and round(,4) absorbs them. One keyed shuffle total."""
+    from etl_cortex_spark.operators.timeseries import zscore_anomalies
+
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        zscore_anomalies(daily)
+        .withColumn("day", F.col("day").cast("timestamp"))
+        .orderBy("event_type", "day")
+    )

@@ -1006,7 +1006,7 @@ def c52(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2
     ),
     n AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dayn FROM daily)
-    SELECT l_returnflag, day, daily_rev,
+    SELECT l_returnflag, CAST(day AS TIMESTAMP) AS day, daily_rev,
            round(sum(daily_rev) OVER (
              PARTITION BY l_returnflag ORDER BY dayn
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS trailing7
@@ -1041,7 +1041,7 @@ def c53(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         "l_returnflag",
-        "day",
+        F.col("day").cast("timestamp").alias("day"),
         "daily_rev",
         F.round(F.sum("daily_rev").over(w), 4).alias("trailing7"),
     ).orderBy("l_returnflag", "day")

@@ -68,3 +68,46 @@ def resample_daily_locf(
     return joined.withColumn(
         "val_filled", F.last("val", ignorenulls=True).over(w)
     )
+
+
+def zscore_anomalies(
+    daily: DataFrame,
+    *,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "n",
+    lookback: int = 14,
+    min_history: int = 7,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection over a daily series.
+
+    For each (key, day): mean/stddev of the PRECEDING ``lookback``
+    days (current day excluded, so the anomaly can't mask itself),
+    z = (x - mean) / std, flagged when |z| > ``threshold``. Rows with
+    fewer than ``min_history`` prior days or zero variance get a NULL
+    z and are never flagged.
+
+    Integer daily counts make the inputs engine-exact; stddev_samp is
+    the cross-engine definition. One window over the key partitioning
+    — at scale this is a single keyed shuffle of (key, day, value).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col).cast("double")
+    mean = F.avg(x).over(w)
+    std = F.stddev_samp(x).over(w)
+    hist = F.count(x).over(w)
+    z = F.when(
+        (hist >= min_history) & (std > 0), (x - mean) / std
+    )
+    return daily.select(
+        key_col,
+        day_col,
+        value_col,
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -33,6 +33,7 @@ EXPECTED_NO_ORACLE = {
     "d13_pack_sequences",  # stateful next-fit packing, not SQL-expressible
     "d02_simhash_candidates",
     "d03_ann_brp_topk",
+    "d24_kmeans_sizes",  # iterative Lloyd's, not single-statement SQL
 }
 
 
