@@ -471,3 +471,104 @@ def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.col("day").cast("timestamp"))
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "b21_transition_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ),
+    nxt AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM e
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM nxt WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def b21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (first-order Markov counts): for each
+    user's time-ordered stream, count (event_type -> next event_type)
+    pairs — the path-analysis primitive behind sankey/flow charts.
+    (ts, event_id) ordering makes simultaneous events deterministic.
+    The window and the final agg share one user_id-keyed shuffle."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        nxt.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@query(
+    "b13c_resample_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             round(sum(value), 2) AS val
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, day,
+             CASE WHEN dayofmonth(day) % 5 != 0 THEN val END AS val,
+             date_diff('day', DATE '1970-01-01', day) AS dayn
+      FROM daily
+    ),
+    w AS (
+      SELECT *,
+        last_value(val IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN val IS NOT NULL THEN dayn END IGNORE NULLS) OVER wb AS pd,
+        first_value(val IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN val IS NOT NULL THEN dayn END IGNORE NULLS) OVER wf AS nd
+      FROM g
+      WINDOW wb AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, val,
+           round(CASE WHEN val IS NOT NULL THEN val
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) * (dayn - pd) / (nd - pd)
+                      WHEN pv IS NOT NULL THEN pv
+                      ELSE nv END, 4) AS val_interp
+    FROM w ORDER BY event_type, day
+    """,
+)
+def b13c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries.interpolate_gaps — B13b's LOCF sibling with linear
+    interpolation: gaps (here synthesized by nulling every 5th
+    calendar day) fill on the line between the nearest observations,
+    head gaps backfill, tail gaps carry forward. All four
+    prev/next windows share the LOCF shuffle; the identical
+    left-associative arithmetic on both engines makes round(,4)
+    exact."""
+    from etl_cortex_spark.operators.timeseries import interpolate_gaps
+
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("val"))
+    gapped = daily.withColumn(
+        "val", F.when(F.dayofmonth("day") % 5 != 0, F.col("val"))
+    )
+    out = interpolate_gaps(gapped)
+    return (
+        out.select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "val",
+            "val_interp",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1045,3 +1045,82 @@ def c53(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily_rev",
         F.round(F.sum("daily_rev").over(w), 4).alias("trailing7"),
     ).orderBy("l_returnflag", "day")
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"round(corr({a}, {b}), 6) AS corr FROM lineitem"
+            )
+    return " UNION ALL ".join(pairs) + " ORDER BY col_a, col_b"
+
+
+@query("c54_corr_matrix", oracle=_corr_oracle())
+def c54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass correlation matrix: every pairwise Pearson corr rides
+    a single wide aggregate (one scan, one exchange — same pattern as
+    c49/c52), then pivots long. The oracle runs k(k-1)/2 separate
+    scans because portable SQL can't share them — the engine side is
+    the point. round(,6) absorbs summation-order ULPs."""
+    li = T(spark, sf_dir, "lineitem")
+    aggs = []
+    names = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            names.append((a, b))
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"__c_{a}__{b}"))
+    one = li.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', __c_{a}__{b}" for a, b in names)
+    return (
+        one.selectExpr(f"stack({len(names)}, {stack}) AS (col_a, col_b, corr)")
+        .orderBy("col_a", "col_b")
+    )
+
+
+@query(
+    "c55_grouped_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS x,
+             round(sum(round(l_extendedprice * (1 - l_discount), 4)), 4) AS y
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           count(*) AS n_days,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope
+    FROM daily GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def c55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (closed form): daily revenue regressed on
+    the day ordinal, slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — grouped
+    linear regression without MLlib, as two chained aggregates that
+    share the returnflag partitioning. Integer x and 4-decimal y keep
+    the moment sums engine-stable; round(,6) on the final ratio."""
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")).alias("x"),
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4
+        ).alias("y")
+    )
+    n, sx, sy = F.count(F.lit(1)), F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    return (
+        daily.groupBy("l_returnflag")
+        .agg(
+            n.alias("n_days"),
+            F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+        )
+        .orderBy("l_returnflag")
+    )

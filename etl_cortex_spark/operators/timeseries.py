@@ -111,3 +111,50 @@ def zscore_anomalies(
         F.round(z, 4).alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def interpolate_gaps(
+    dense: DataFrame,
+    *,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    val_col: str = "val",
+) -> DataFrame:
+    """Linear interpolation over a dense daily series: NULL values are
+    filled on the line between the nearest preceding and following
+    observations; leading gaps backfill from the first observation,
+    trailing gaps carry the last forward (so the output has no NULLs
+    for any key with ≥1 observation).
+
+    Two symmetric window passes per key (preceding last / following
+    first, with their day ordinals) — the same single keyed shuffle as
+    LOCF, reused by all four windows. Output adds ``val_interp``
+    rounded to 4 decimals.
+    """
+    dayn = F.datediff(F.col(day_col), F.lit("1970-01-01"))
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(val_col)
+    obs_day = F.when(v.isNotNull(), dayn)
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_d = F.first(obs_day, ignorenulls=True).over(wf)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (dayn - prev_d) / (next_d - prev_d),
+        )
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return dense.withColumn("val_interp", F.round(interp, 4))
