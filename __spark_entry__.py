@@ -47,7 +47,27 @@ _R1_RECORDED = frozenset(
 )
 
 
-# Round-2 second-wave additions — newest first: never seen by driver OR judge.
+# Round-2 third-wave additions — newest first: never seen by driver OR judge.
+_R2_WAVE3 = (
+    "d24_centroid_assign",
+    "d24_kmeans_sizes",
+    "d25_semantic_dedup",
+    "d26_fuzzy_entity_match",
+    "d27_pagerank_trade",
+    "stream_stream_join",
+    "scale_zorder_key",
+    "b18_funnel_steps",
+    "b19_cohort_retention",
+    "b20_anomaly_zscore",
+    "b21_transition_matrix",
+    "b13c_resample_interpolate",
+    "c52_quality_checks",
+    "c53_rolling_time_window",
+    "c54_corr_matrix",
+    "c55_grouped_trend",
+)
+
+# Round-2 second-wave additions — never seen by driver OR judge.
 _R2_WAVE2 = (
     "d18_chunk_overlap",
     "d19_bm25_topk",
@@ -96,7 +116,7 @@ _R2_NEW = (
 
 
 def _rotated(d: dict) -> dict:
-    new = {k: d[k] for k in (*_R2_WAVE2, *_R2_NEW) if k in d}
+    new = {k: d[k] for k in (*_R2_WAVE3, *_R2_WAVE2, *_R2_NEW) if k in d}
     unrecorded = {
         k: v for k, v in d.items() if k not in _R1_RECORDED and k not in new
     }
