@@ -572,3 +572,66 @@ def b13c(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "b22_incremental_agg",
+    oracle="""
+    WITH state AS (
+      SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      FROM orders WHERE o_orderdate < '1996-01-01' GROUP BY 1
+    ),
+    delta AS (
+      SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      FROM orders WHERE o_orderdate >= '1996-01-01' GROUP BY 1
+    ),
+    merged AS (
+      SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n, sum(total) AS total
+      FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+      GROUP BY 1
+    ),
+    full_ AS (
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT m.o_orderstatus, m.n, round(m.total, 2) AS total,
+           (m.n = f.n AND round(m.total, 2) = f.total) AS matches_full
+    FROM merged m JOIN full_ f USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+)
+def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold.incremental_agg_merge — materialized-view maintenance for
+    algebraic aggregates: fold a delta batch's partial (count, sum)
+    into the stored state instead of rescanning history; the query
+    joins the merged view against a full recompute and asserts
+    equality in-plan (matches_full). Sums stay raw doubles until the
+    final round so merging never loses sub-cent mass; 2-decimal
+    inputs make the rounded totals engine-exact."""
+    from etl_cortex_spark.operators.gold import incremental_agg_merge
+
+    orders = T(spark, sf_dir, "orders")
+    mk = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+    )
+    state = mk(orders.filter(F.col("o_orderdate") < "1996-01-01"))
+    delta = mk(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
+    merged = incremental_agg_merge(
+        state, delta, ["o_orderstatus"], count_col="n", sum_cols=["total"]
+    )
+    full = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("fn"), F.round(F.sum("o_totalprice"), 2).alias("ftotal")
+    )
+    return (
+        merged.join(full, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            F.round("total", 2).alias("total"),
+            (
+                (F.col("n") == F.col("fn"))
+                & (F.round("total", 2) == F.col("ftotal"))
+            ).alias("matches_full"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -454,3 +454,59 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = n.select(F.col("n_nationkey").alias("node"))
     pr = pagerank(edges, nodes, iters=3, damping=0.85)
     return pr.select("node", F.round("pr", 6).alias("pr")).orderBy("node")
+
+
+# --- D28: sparse lexical doc-doc similarity (inverted index) ------------------
+
+
+@query(
+    "d28_tfidf_knn",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM corpus
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM corpus),
+    w AS (
+      SELECT tf.doc_id, tf.term, dfreq.df, n.n,
+             tf.tf * ln(n.n / dfreq.df) AS wt
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1),
+    j AS (SELECT * FROM w WHERE df >= 2 AND df <= greatest(2.0, 0.3 * n)),
+    dots AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, sum(a.wt * b.wt) AS dot
+      FROM j a JOIN j b ON a.term = b.term AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.ida AS doc_id, dots.idb AS neighbor_id,
+             round(dots.dot / (na.nrm * nb.nrm), 6) AS cos
+      FROM dots
+      JOIN norms na ON na.doc_id = dots.ida
+      JOIN norms nb ON nb.doc_id = dots.idb
+    )
+    SELECT doc_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search.tfidf_knn — doc-doc cosine through an inverted index:
+    the TERM is the index key, so the pairwise join touches only
+    documents sharing a term (posting-list join, Σ df² bounded by the
+    max_df stopword cut + df≥2 prune), never all pairs — the lexical
+    sibling of similarity.lsh_topk. Norms keep every term so the
+    denominator is the true vector length; ranking uses the rounded
+    cosine like d04."""
+    from etl_cortex_spark.operators.search import tfidf_knn
+
+    corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tfidf_knn(corpus, k=3, max_df_frac=0.3)

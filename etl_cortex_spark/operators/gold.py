@@ -200,3 +200,41 @@ def merge_upsert(
         (in_t & in_s).alias("updated"),
         (~in_t).alias("inserted"),
     )
+
+
+def incremental_agg_merge(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    count_col: str = "n",
+    sum_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental materialized-view maintenance for algebraic
+    aggregates: ``state`` holds per-key partial (count, sums); ``delta``
+    is the same shape computed over only the NEW rows; the merged view
+    is the union re-aggregated — identical to a full recompute because
+    count and sum are commutative monoids, but it touches only
+    O(|state| + |delta|) rows instead of rescanning history.
+
+    At 100 TB this is the difference between an hourly full-table
+    aggregate and folding an hour's partition into yesterday's state:
+    one keyed shuffle over data that is mostly the (already compact)
+    state table. avg/stddev derive from (count, sum, sum²) kept as
+    columns — never stored as ratios, which don't merge.
+    """
+    keys = list(keys)
+    cols = [count_col, *sum_cols]
+    for c in cols:
+        for side, df in (("state", state), ("delta", delta)):
+            if c not in df.columns:
+                raise ValueError(f"{side} is missing aggregate column: {c}")
+    return (
+        state.select(*keys, *cols)
+        .unionByName(delta.select(*keys, *cols))
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+    )

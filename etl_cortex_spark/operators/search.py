@@ -103,3 +103,78 @@ def vocab_topk(docs: DataFrame, k: int = 50, *, text_col: str = "text") -> DataF
         F.row_number().over(win).alias("rank"),
         F.round(F.sum("cnt").over(win) / F.col("total"), 4).alias("cum_frac"),
     ).orderBy("rank")
+
+
+def tfidf_knn(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    max_df_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse document-to-document similarity through an inverted
+    index: tf·idf weights, cosine over shared terms only, top-k
+    neighbors per document.
+
+    This is the lexical sibling of the embedding ANN path
+    (similarity.lsh_topk): instead of bucketing dense vectors, the
+    TERM is the index key — the pairwise join touches only documents
+    that share a term (posting-list join), never all pairs. Join
+    cost is Σ df², so terms in more than ``max_df_frac`` of the corpus
+    (stopword-grade postings) and df=1 terms (no pairs possible) are
+    excluded from the JOIN; norms still use every term, so the cosine
+    denominator is the true vector length.
+
+    Ranking orders on the ROUNDED cosine (6dp) + neighbor id, so libm
+    ULP drift between engines cannot flip the frontier.
+    """
+    from pyspark.sql import Window
+
+    from etl_cortex_spark.operators.textops import words
+
+    tok = docs.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "df",
+            "n",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
+        )
+        .persist()
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    joinable = w.filter(
+        (F.col("df") >= 2) & (F.col("df") <= F.greatest(F.lit(2.0), max_df_frac * F.col("n")))
+    )
+    a = joinable.select(F.col(id_col).alias("ida"), "term", F.col("wt").alias("wa"))
+    b = joinable.select(F.col(id_col).alias("idb"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("ida") != F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("ida"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("idb"), F.col("nrm").alias("nb"))
+    scored = dots.join(na, "ida").join(nb, "idb").select(
+        F.col("ida").alias(id_col),
+        F.col("idb").alias("neighbor_id"),
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("cos"), "neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .orderBy(id_col, "rank")
+    )
