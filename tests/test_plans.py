@@ -203,3 +203,52 @@ def test_d14_gopher_gate_is_shuffle_free(spark):
     plan = plan_of(df)
     body = plan.split("Sort")[0]  # everything below the output sort
     assert not re.search(r"\(\d+\) Exchange", body)
+
+
+def test_fuzzy_join_avoids_cartesian(spark):
+    """The banded fuzzy join must be an equi-join on (band, val) —
+    no CartesianProduct / nested-loop over the full sides."""
+    plan = plan_of(QUERIES["d26_fuzzy_entity_match"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_knn_joins_through_inverted_index(spark):
+    """Doc-doc similarity must pair documents through the term key
+    (posting-list equi-join), never a cross product."""
+    plan = plan_of(QUERIES["d28_tfidf_knn"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_joins_on_bucket(spark):
+    plan = plan_of(QUERIES["d25_semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_pushes_event_type_to_scan(spark):
+    """Each funnel step scans only its event type — the filter must
+    reach the parquet reader, not sit above a full scan."""
+    plan = plan_of(QUERIES["b18_funnel_steps"](spark, SF))
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters:" in line
+    ]
+    assert any("event_type" in line for line in pushed), pushed[:3]
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key must be computed without any Exchange — a pure
+    codegen projection over the scan."""
+    import re
+
+    from etl_cortex_spark.operators.layout import morton_key
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keyed = orders.select(
+        morton_key(
+            F.col("o_custkey"),
+            F.col("o_totalprice"),
+            x_range=(0.0, 200000.0),
+            y_range=(0.0, 600000.0),
+        ).alias("z")
+    )
+    plan = plan_of(keyed)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
