@@ -635,3 +635,93 @@ def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "b23_cdc_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 50 != 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(o_totalprice + 500.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 61 != 0
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_o, n.o_orderkey IS NOT NULL AS in_n,
+             o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+             o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice
+      FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_o THEN 'I' WHEN NOT in_n THEN 'D' ELSE 'U' END AS change_type,
+           old_o_orderstatus, new_o_orderstatus, old_o_totalprice, new_o_totalprice
+    FROM j
+    WHERE NOT in_o OR NOT in_n
+       OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+       OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+    ORDER BY o_orderkey
+    """,
+)
+def b23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold.cdc_diff — change-set extraction between snapshots (the
+    complement of b17's MERGE, which applies one): deterministic
+    synthetic drift (keys %50 missing from old → inserts, %61 missing
+    from new → deletes, %7 price bump → updates), null-safe value
+    compare, unchanged rows never emitted. One full-outer keyed
+    shuffle."""
+    from etl_cortex_spark.operators.gold import cdc_diff
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 50 != 0)
+    new = orders.filter(F.col("o_orderkey") % 61 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") + 500.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return cdc_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@query(
+    "b24_experiment_report",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT user_id,
+             CAST((strpos('0123456789abcdef',
+                    substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+                  AS INT) AS arm
+      FROM users
+    ),
+    per_user AS (
+      SELECT e.user_id, a.arm,
+             sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS goals
+      FROM events e JOIN arms a USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT arm,
+           count(*) AS n_users,
+           CAST(sum(CASE WHEN goals > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converters,
+           CAST(sum(goals) AS BIGINT) AS n_goal_events
+    FROM per_user GROUP BY arm ORDER BY arm
+    """,
+)
+def b24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """behavior.assign_experiment + experiment_report — deterministic
+    A/B assignment (first md5 hex char of salt:user mod arms — the
+    position-in-alphabet form is portable SQL, unlike hex→int base
+    conversion) and the per-arm readout in integer counts: users,
+    converters, goal events. Assignment is a pure projection; the
+    report is one user-keyed agg + broadcast-sized arm join."""
+    from etl_cortex_spark.operators.behavior import experiment_report
+
+    ev = T(spark, sf_dir, "events")
+    return experiment_report(ev, goal="purchase", salt="exp1", arms=2)

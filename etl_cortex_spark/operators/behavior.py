@@ -114,3 +114,69 @@ def cohort_retention(
         .join(sizes, "cohort_week")
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def assign_experiment(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    salt: str = "exp1",
+    arms: int = 2,
+) -> DataFrame:
+    """Deterministic experiment-arm assignment: arm = (first md5 hex
+    char of "salt:user") mod ``arms``. Content-hash (not RNG), so
+    every engine, run, and partitioning agrees, users keep their arm
+    forever, and a new salt reshuffles independently of past
+    experiments. Pure projection — zero shuffles.
+
+    The hex char carries 4 uniform bits, so ``arms`` must divide 16 —
+    the same quantization trade stratified_sample makes for exact
+    cross-engine reproducibility (position-in-alphabet is portable
+    SQL; hex→int base conversion is not).
+    """
+    if 16 % arms != 0:
+        raise ValueError("arms must divide 16 for an unbiased hex-char split")
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(user_col).cast("string")).cast("binary")
+    )
+    v = F.position(F.substring(h, 1, 1), F.lit("0123456789abcdef")) - 1
+    return df.withColumn("arm", (v % arms).cast("int"))
+
+
+def experiment_report(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    goal: str = "purchase",
+    salt: str = "exp1",
+    arms: int = 2,
+) -> DataFrame:
+    """Per-arm experiment readout: users, converters (≥1 goal event),
+    goal events per user — integer counts only; significance math is
+    the consumer's job (ratios don't survive cross-engine rounding;
+    see cohort_retention).
+
+    Assignment is per USER (distinct users → arm), then one keyed agg
+    over the events. The sample-ratio check is the first thing an
+    experimenter reads: arms of a healthy split differ only by
+    hash noise.
+    """
+    users = events.select(user_col).distinct()
+    arms_df = assign_experiment(users, user_col=user_col, salt=salt, arms=arms)
+    per_user = (
+        events.groupBy(user_col)
+        .agg(
+            F.sum((F.col(type_col) == goal).cast("int")).alias("__goals"),
+        )
+        .join(arms_df, user_col)
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum((F.col("__goals") > 0).cast("int")).alias("n_converters"),
+            F.sum("__goals").alias("n_goal_events"),
+        )
+        .orderBy("arm")
+    )

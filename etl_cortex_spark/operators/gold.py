@@ -238,3 +238,46 @@ def incremental_agg_merge(
             *[F.sum(c).alias(c) for c in sum_cols],
         )
     )
+
+
+def cdc_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture between two snapshots: emit the CHANGE SET
+    (the complement of ``merge_upsert``, which applies one). Rows only
+    in ``new`` → 'I', only in ``old`` → 'D', present in both with any
+    differing value column → 'U'; unchanged rows are not emitted.
+
+    One full-outer shuffle join on the keys; the value comparison is a
+    null-safe eqNullSafe conjunction, so NULL→value and value→NULL
+    transitions count as updates. At 100 TB both snapshots would be
+    bucketed on the keys, making the join co-located.
+    """
+    keys = list(keys)
+    value_cols = [c for c in old.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshots must share a schema")
+    o = old.alias("o").withColumn("__o", F.lit(True))
+    n = new.alias("n").withColumn("__n", F.lit(True))
+    joined = o.join(n, keys, "full_outer")
+    in_o, in_n = F.col("__o").isNotNull(), F.col("__n").isNotNull()
+    unchanged = F.lit(True)
+    for c in value_cols:
+        unchanged = unchanged & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~in_o, F.lit("I"))
+        .when(~in_n, F.lit("D"))
+        .when(~unchanged, F.lit("U"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[F.col(f"o.{c}").alias(f"old_{c}") for c in value_cols],
+            *[F.col(f"n.{c}").alias(f"new_{c}") for c in value_cols],
+        )
+    )
