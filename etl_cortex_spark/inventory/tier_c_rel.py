@@ -1124,3 +1124,75 @@ def c55(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "c56_set_ops_all",
+    oracle="""
+    WITH l AS (SELECT o_orderstatus AS s FROM orders WHERE o_orderkey % 3 = 0),
+    r AS (SELECT o_orderstatus AS s FROM orders WHERE o_orderkey % 5 = 0),
+    i AS (SELECT s FROM l INTERSECT ALL SELECT s FROM r),
+    e AS (SELECT s FROM l EXCEPT ALL SELECT s FROM r)
+    SELECT 'intersect_all' AS op, s, count(*) AS n FROM i GROUP BY s
+    UNION ALL
+    SELECT 'except_all', s, count(*) FROM e GROUP BY s
+    ORDER BY op, s
+    """,
+)
+def c56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: INTERSECT ALL keeps min
+    multiplicity per value, EXCEPT ALL subtracts multiplicities —
+    distinct Catalyst operators from the c35/c36 set forms (they
+    compile to aggregate+generate over counts, not joins). The output
+    groups multiplicities so the oracle compare is compact."""
+    orders = T(spark, sf_dir, "orders")
+    l = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderstatus").alias("s")
+    )
+    r = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderstatus").alias("s")
+    )
+    i = l.intersectAll(r).groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    e = l.exceptAll(r).groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        i.select(F.lit("intersect_all").alias("op"), "s", "n")
+        .unionByName(e.select(F.lit("except_all").alias("op"), "s", "n"))
+        .orderBy("op", "s")
+    )
+
+
+@query(
+    "c58_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity - 1 = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 1) END AS price_per_extra,
+           round(l_extendedprice + l_tax, 4) AS with_tax,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_num
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def c58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide yields NULL on zero
+    denominators (quantity=1 rows here) instead of failing the job,
+    try_add passes through, TRY_CAST of a non-numeric returns NULL —
+    the ANSI-mode escape hatches a pipeline needs to survive dirty
+    data. The oracle expresses the same semantics with CASE, which is
+    exactly what try_divide desugars to for legal-but-zero input.
+    The quotient is emitted UNROUNDED: IEEE division of identical
+    doubles is bit-identical on both engines, while round() is the
+    one op whose tie rule diverges (decimal-string vs binary)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 1).alias(
+            "price_per_extra"
+        ),
+        F.round(F.try_add(F.col("l_extendedprice"), F.col("l_tax")), 4).alias(
+            "with_tax"
+        ),
+        F.col("l_returnflag").try_cast("double").alias("flag_as_num"),
+    ).orderBy("l_orderkey", "l_linenumber")
