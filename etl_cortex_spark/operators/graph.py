@@ -36,20 +36,26 @@ def pagerank(
     dst: str = "dst",
     weight: str = "w",
     node_col: str = "node",
+    persist: bool = True,
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution; returns
     (node, pr) after ``iters`` synchronous iterations from the
-    uniform start vector."""
+    uniform start vector.
+
+    ``persist`` caches the edge-fraction frame every iteration reads
+    (MEMORY_AND_DISK); pass False in long-lived sessions that manage
+    their own caching, or drop it afterwards via
+    ``spark.catalog.clearCache()``."""
+    from pyspark import StorageLevel
+
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("__ow"))
-    frac = (
-        edges.join(out_w, src)
-        .select(
-            F.col(src).alias("__src"),
-            F.col(dst).alias("__dst"),
-            (F.col(weight) / F.col("__ow")).alias("__frac"),
-        )
-        .persist()
+    frac = edges.join(out_w, src).select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        (F.col(weight) / F.col("__ow")).alias("__frac"),
     )
+    if persist:
+        frac = frac.persist(StorageLevel.MEMORY_AND_DISK)
     srcs = frac.select(F.col("__src").alias(node_col)).distinct()
     n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
 

@@ -112,6 +112,7 @@ def tfidf_knn(
     max_df_frac: float = 0.3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Sparse document-to-document similarity through an inverted
     index: tf·idf weights, cosine over shared terms only, top-k
@@ -128,7 +129,12 @@ def tfidf_knn(
 
     Ranking orders on the ROUNDED cosine (6dp) + neighbor id, so libm
     ULP drift between engines cannot flip the frontier.
+
+    ``persist`` caches the weight frame read by the norms agg and both
+    join sides (MEMORY_AND_DISK); pass False in sessions that manage
+    their own caching (see dedup.minhash_lsh_pairs).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from etl_cortex_spark.operators.textops import words
@@ -149,8 +155,9 @@ def tfidf_knn(
             "n",
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
         )
-        .persist()
     )
+    if persist:
+        w = w.persist(StorageLevel.MEMORY_AND_DISK)
     norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
     joinable = w.filter(
         (F.col("df") >= 2) & (F.col("df") <= F.greatest(F.lit(2.0), max_df_frac * F.col("n")))
