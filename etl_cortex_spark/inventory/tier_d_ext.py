@@ -510,3 +510,85 @@ def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return tfidf_knn(corpus, k=3, max_df_frac=0.3)
+
+
+# --- D5 extension: multimodal extraction PLANS (oracle-checkable half) --------
+
+
+@query(
+    "d29_frame_sample_plan",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             30.0 + (doc_id % 7) * 10.0 AS duration_s,
+             CAST(24 + (doc_id % 2) * 6 AS DOUBLE) AS fps
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    plan AS (
+      SELECT asset_id, duration_s, fps,
+             unnest(range(0, CAST(least(8, greatest(1, CAST(floor(duration_s / 2.0) AS INT))) AS BIGINT))) AS sample_idx
+      FROM assets
+    )
+    SELECT asset_id,
+           CAST(sample_idx AS INT) AS sample_idx,
+           CAST(floor(sample_idx * 2.0 * fps) AS BIGINT) AS frame_no,
+           sample_idx * 2.0 AS t_offset_s
+    FROM plan ORDER BY asset_id, sample_idx
+    """,
+)
+def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.plan_frame_samples — the oracle-checkable half of
+    video frame extraction: per-asset frame indices / timestamps from
+    (duration, fps) metadata, one frame per 2 s capped at 8. Pure
+    sequence-explode arithmetic; the plan is the decode work manifest
+    (the pixel half stays behind the documented codec stub).
+    t_offset_s multiplies identical doubles, so it's emitted
+    unrounded."""
+    from etl_cortex_spark.operators.multimodal import plan_frame_samples
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (30.0 + (F.col("doc_id") % 7) * 10.0).alias("duration_s"),
+        (24 + (F.col("doc_id") % 2) * 6).cast("double").alias("fps"),
+    )
+    return plan_frame_samples(assets, every_s=2.0, max_frames=8).orderBy(
+        "asset_id", "sample_idx"
+    )
+
+
+@query(
+    "d30_audio_chunk_plan",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CAST((n_chars * 800) + 1234 AS BIGINT) AS n_samples
+      FROM documents WHERE doc_id % 4 = 1
+    ),
+    plan AS (
+      SELECT asset_id, n_samples,
+             unnest(range(0, greatest(CAST(ceil(CAST(n_samples AS DOUBLE) / 80000) AS BIGINT), 1))) AS chunk_id
+      FROM assets
+    )
+    SELECT asset_id, CAST(chunk_id AS INT) AS chunk_id,
+           chunk_id * 80000 * 2 AS byte_start,
+           least(chunk_id * 80000 + 80000, n_samples) * 2 AS byte_end,
+           least(chunk_id * 80000 + 80000, n_samples) - chunk_id * 80000 AS chunk_samples
+    FROM plan ORDER BY asset_id, chunk_id
+    """,
+)
+def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.plan_audio_chunks — byte ranges for 5 s PCM windows
+    (16 kHz, 2 bytes/sample) from per-asset sample counts, last chunk
+    truncated. Integer offset math end-to-end; the decoder slices the
+    binary payload by exactly these offsets."""
+    from etl_cortex_spark.operators.multimodal import plan_audio_chunks
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars").cast("long") * 800 + 1234).alias("n_samples"),
+    )
+    return plan_audio_chunks(
+        assets, window_s=5, sample_rate=16_000, bytes_per_sample=2
+    ).orderBy("asset_id", "chunk_id")

@@ -153,3 +153,66 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def plan_frame_samples(
+    assets: DataFrame,
+    *,
+    every_s: float = 2.0,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame-sampling PLAN: given per-asset (duration_s, fps)
+    metadata, emit the frame indices a decoder should extract — one
+    frame every ``every_s`` seconds, capped at ``max_frames``,
+    timestamps back-computed from the index. Pure column arithmetic +
+    one ``sequence`` explode: the planning half of frame extraction is
+    engine work (and oracle-checkable); only the pixel half needs a
+    codec.
+
+    At 100 TB the plan joins back to the binary table so each executor
+    decodes only its own assets' chosen frames — the plan IS the work
+    manifest.
+    """
+    n_frames = F.least(
+        F.lit(max_frames),
+        F.greatest(F.lit(1), F.floor(F.col("duration_s") / every_s).cast("int")),
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("sample_idx")
+    out = assets.select("asset_id", "duration_s", "fps", idx)
+    frame_no = F.floor(F.col("sample_idx") * every_s * F.col("fps")).cast("long")
+    return out.select(
+        "asset_id",
+        F.col("sample_idx").cast("int").alias("sample_idx"),
+        frame_no.alias("frame_no"),
+        (F.col("sample_idx") * F.lit(every_s)).alias("t_offset_s"),
+    )
+
+
+def plan_audio_chunks(
+    assets: DataFrame,
+    *,
+    window_s: int = 5,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+) -> DataFrame:
+    """Audio chunking PLAN: byte ranges for ``window_s``-second PCM
+    windows given (n_samples) metadata — (chunk_id, byte_start,
+    byte_end, n_samples) per chunk, last chunk truncated. The decoder
+    slices the binary payload by these offsets; the offset math is
+    pure engine arithmetic, verified against the SQL oracle.
+    """
+    samples_per_chunk = window_s * sample_rate
+    n_chunks = F.ceil(F.col("n_samples") / samples_per_chunk).cast("int")
+    cid = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias(
+        "chunk_id"
+    )
+    out = assets.select("asset_id", "n_samples", cid)
+    start_sample = F.col("chunk_id").cast("long") * samples_per_chunk
+    end_sample = F.least(start_sample + samples_per_chunk, F.col("n_samples"))
+    return out.select(
+        "asset_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (start_sample * bytes_per_sample).alias("byte_start"),
+        (end_sample * bytes_per_sample).alias("byte_end"),
+        (end_sample - start_sample).alias("chunk_samples"),
+    )
