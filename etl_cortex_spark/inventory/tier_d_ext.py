@@ -592,3 +592,78 @@ def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_audio_chunks(
         assets, window_s=5, sample_rate=16_000, bytes_per_sample=2
     ).orderBy("asset_id", "chunk_id")
+
+
+# --- D31: entity resolution end-to-end (fuzzy pairs -> clusters -> canonical) -
+
+
+@query(
+    "d31_entity_clusters",
+    oracle="""
+    WITH RECURSIVE clean AS (
+      SELECT c_custkey AS id, substr(c_name, 10, 9) AS key FROM customer
+    ),
+    dirty AS (
+      SELECT id + 1000000 AS id,
+             substr(key, 1, 1) || 'x' || substr(key, 3) AS key
+      FROM clean WHERE id % 7 = 0
+    ),
+    p AS (
+      SELECT d.id AS id_a, c.id AS id_b
+      FROM dirty d JOIN clean c ON levenshtein(d.key, c.key) <= 1
+    ),
+    nodes AS (SELECT id FROM clean UNION ALL SELECT id FROM dirty),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    cc AS (
+      SELECT id AS node, id AS label FROM nodes
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN e ON cc.node = e.src
+    )
+    SELECT node AS id, CAST(min(label) AS BIGINT) AS canonical_id
+    FROM cc GROUP BY node ORDER BY id
+    """,
+)
+def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: banded fuzzy match (bipartite —
+    dirty records against the clean master only) → connected
+    components → canonical id per record (component min). max_dist=1
+    with the mutation pinned to a guaranteed-zero digit position
+    (keys ≤ 7 digits of value) keeps components bounded — a dirty
+    record matches exactly its origin, never bridging the dense
+    numeric keyspace into a giant chain (mutating low digits links
+    ten-key stars through dirty bridges until min-label propagation
+    can't converge; transitive-chain CC is d02's territory). The
+    banded candidate set is provably identical to the oracle's
+    brute-force lev≤1 set (equal-length dist-1 pairs are single
+    substitutions — pigeonhole-complete). CC is
+    dedup.connected_components: min-label propagation, joins only;
+    the oracle replays it as a recursive CTE."""
+    from etl_cortex_spark.operators.dedup import connected_components
+    from etl_cortex_spark.operators.fuzzy import fuzzy_join
+
+    cust = T(spark, sf_dir, "customer")
+    clean = cust.select("c_custkey", F.substring("c_name", 10, 9).alias("key"))
+    dirty = clean.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(
+            F.substring("key", 1, 1), F.lit("x"), F.expr("substring(key, 3)")
+        ).alias("key"),
+    )
+    pairs = fuzzy_join(
+        dirty,
+        clean,
+        left_id="c_custkey",
+        right_id="c_custkey",
+        left_key="key",
+        right_key="key",
+        key_width=9,
+        max_dist=1,
+    ).select(F.col("l_c_custkey").alias("id_a"), F.col("r_c_custkey").alias("id_b"))
+    nodes = clean.select(F.col("c_custkey").alias("id")).unionByName(
+        dirty.select(F.col("c_custkey").alias("id"))
+    )
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("node").alias("id"), F.col("label").alias("canonical_id")
+    ).orderBy("id")
