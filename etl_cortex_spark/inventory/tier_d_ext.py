@@ -667,3 +667,56 @@ def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("id"), F.col("label").alias("canonical_id")
     ).orderBy("id")
+
+
+# --- D33: Python UDTF surface (row-expanding escape hatch) --------------------
+
+
+@query(
+    "d33_udtf_sentences",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, replace(text, ' a ', '. ') AS text
+      FROM documents WHERE doc_id < 100
+    ),
+    segs AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$'),
+                              x -> trim(x)),
+               x -> x != '') AS sents
+      FROM docs
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(sents, 1) - 1 AS INT) AS sent_idx,
+           unnest(sents) AS sentence,
+           CAST(len(unnest(sents)) AS INT) AS n_chars
+    FROM segs
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions.pandas_udfs.sentence_udtf — the Python UDTF surface
+    (Spark 3.5 @udtf): row-expanding generator applied per document
+    via SQL LATERAL. The corpus has no punctuation, so boundaries are
+    synthesized with a literal replace (identical non-overlapping
+    left-to-right semantics on both engines); the oracle re-derives
+    the exact split in pure SQL, proving the escape hatch is
+    swap-in/swap-out with the declarative form. UDTFs are the slow
+    path by policy — this entry documents the API, not a hot path."""
+    from etl_cortex_spark.functions.pandas_udfs import sentence_udtf
+
+    spark.udtf.register("sentence_split", sentence_udtf())
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.replace(F.col("text"), F.lit(" a "), F.lit(". ")).alias("text"))
+    )
+    docs.createOrReplaceTempView("d33_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM d33_docs d, LATERAL sentence_split(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )
