@@ -62,7 +62,14 @@ def pagerank(
     ranks = nodes.select(node_col).crossJoin(F.broadcast(n_frame)).select(
         node_col, (F.lit(1.0) / F.col("__n")).alias("pr")
     )
-    for _ in range(iters):
+    for it in range(iters):
+        # Join lineage nests once per iteration; truncate it every few
+        # rounds exactly like dedup.connected_components does, so a
+        # deep fit doesn't re-execute the whole chain per action (on a
+        # cluster with a checkpoint dir, checkpoint() is the
+        # fault-tolerant equivalent).
+        if it > 0 and it % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         dangling = (
             ranks.join(srcs, node_col, "left_anti")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__m"))

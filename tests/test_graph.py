@@ -63,3 +63,13 @@ def test_edge_weights_matter(spark):
     e, n = _graph(spark, [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)], [0, 1, 2])
     pr = _ranks(pagerank(e, n, iters=5))
     assert pr[1] > pr[2]
+
+
+def test_deep_iteration_with_lineage_truncation(spark):
+    """iters crossing the localCheckpoint boundaries must still
+    converge to the cycle's stationary uniform vector."""
+    e, n = _graph(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)], [0, 1, 2])
+    pr = _ranks(pagerank(e, n, iters=12))
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in pr.values():
+        assert v == pytest.approx(1.0 / 3, abs=1e-9)
