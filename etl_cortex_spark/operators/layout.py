@@ -94,3 +94,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE-compact half of the layout
+    story, next to Z-order): rewrite a directory of many small parquet
+    files into ceil(bytes / target) right-sized files, optionally
+    re-sorting so min/max stats stay tight after the rewrite.
+
+    File count comes from the actual on-disk byte size (not row
+    counts), so the result tracks the real small-files problem:
+    streaming sinks and per-partition appends produce kilobyte files
+    whose open/footer overhead dominates 100 TB scans. One
+    repartition (range if sorted, round-robin otherwise). Returns the
+    number of files written.
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst_path)
+    return n_files

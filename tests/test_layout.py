@@ -73,3 +73,45 @@ def test_zorder_write_preserves_rows(spark, tmp_path):
     a = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
     b = {r.o_orderkey for r in back.select("o_orderkey").collect()}
     assert a == b
+
+
+def test_compaction_reduces_file_count_losslessly(spark, tmp_path):
+    from etl_cortex_spark.operators.layout import compact_parquet
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    frag = str(tmp_path / "fragmented")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    n_small = len(glob.glob(f"{frag}/part-*.parquet"))
+    assert n_small == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_mb=128)
+    n_big = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n == 1 and n_big == 1  # tiny table → one right-sized file
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    a = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    b = {r.o_orderkey for r in back.select("o_orderkey").collect()}
+    assert a == b
+
+
+def test_compaction_with_sort_keeps_ranges_tight(spark, tmp_path):
+    from etl_cortex_spark.operators.layout import compact_parquet
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    frag = str(tmp_path / "frag2")
+    orders.repartition(32).write.mode("overwrite").parquet(frag)
+    out = str(tmp_path / "sorted")
+    # force several output files via a tiny target size
+    n = compact_parquet(spark, frag, out, target_file_mb=1, sort_cols=["o_orderkey"])
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == n >= 1
+    # range-partitioned + sorted: per-file key ranges must not overlap
+    ranges = []
+    for f in files:
+        pdf = pd.read_parquet(f, columns=["o_orderkey"])
+        if len(pdf):
+            ranges.append((pdf.o_orderkey.min(), pdf.o_orderkey.max()))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
