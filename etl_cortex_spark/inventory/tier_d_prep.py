@@ -282,3 +282,48 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return LP.line_dedup(seeded, min_count=3).orderBy("doc_id")
+
+
+@query(
+    "d34_winsorize_audit",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           b.p05, b.p95,
+           CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           count(*) AS n
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95
+    ORDER BY e.event_type
+    """,
+)
+def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit — the outlier-clipping prep step: exact
+    interpolated p05/p95 per group (broadcast back to the rows), and
+    how many rows each tail would clip. Bounds are interpolated
+    percentiles of identical doubles → IEEE-identical on both engines,
+    emitted UNROUNDED; the tail comparisons therefore count the same
+    rows. Clipped SUMS are deliberately not emitted — they re-order
+    float addition across engines. Two shuffles: percentile agg +
+    audit agg (both on event_type); the percentile frame broadcasts."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.sum((F.col("value") < F.col("p05")).cast("int")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("p95")).cast("int")).alias("n_clipped_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
