@@ -49,6 +49,7 @@ _R1_RECORDED = frozenset(
 
 # Round-2 third-wave additions — newest first: never seen by driver OR judge.
 _R2_WAVE3 = (
+    "c59_referential_integrity",
     "d34_winsorize_audit",
     "d33_udtf_sentences",
     "d31_entity_clusters",

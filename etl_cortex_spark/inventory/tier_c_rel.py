@@ -1196,3 +1196,52 @@ def c58(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_returnflag").try_cast("double").alias("flag_as_num"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "c59_referential_integrity",
+    oracle="""
+    WITH rel AS (
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_key,
+             (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem->supplier_even',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+             (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 2 = 0))
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+             (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    )
+    SELECT relation, n_child, CAST(n_null_key AS BIGINT) AS n_null_key,
+           CAST(n_orphans AS BIGINT) AS n_orphans
+    FROM rel ORDER BY relation
+    """,
+)
+def c59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.referential_integrity — cross-table FK audit (the
+    multi-table complement of c52): one payload-free anti join per
+    relation, NULL keys reported separately from true orphans. The
+    supplier side is filtered to even keys so the orphan path has
+    real prey alongside the two clean relations."""
+    from etl_cortex_spark.operators.quality import referential_integrity
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s_even = T(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    return referential_integrity(
+        spark,
+        [
+            ("lineitem->orders", li, "l_orderkey", "orders", o, "o_orderkey"),
+            ("lineitem->supplier_even", li, "l_suppkey", "supplier", s_even, "s_suppkey"),
+            ("orders->customer", o, "o_custkey", "customer", c, "c_custkey"),
+        ],
+    )

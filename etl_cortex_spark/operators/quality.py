@@ -58,3 +58,40 @@ def expect_clean(df: DataFrame, rules: dict[str, Column]) -> None:
     if report:
         detail = ", ".join(f"{r.rule}: {r.n_violations}" for r in report)
         raise ValueError(f"data-quality violations: {detail}")
+
+
+def referential_integrity(
+    spark: SparkSession,
+    relations: list[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table FK audit — the multi-table complement of
+    ``check_rules``: for each (name, child, child_key, parent_name,
+    parent, parent_key) relation, count child rows whose key has no
+    parent (NULL keys reported separately — they are not orphans in
+    SQL semantics, they are missing keys).
+
+    Each relation is one left-anti join on its key — the minimal plan
+    (anti joins don't carry payloads), and at 100 TB each runs
+    independently so AQE can broadcast whichever parent is small.
+    Returns (relation, n_child, n_null_key, n_orphans).
+    """
+    frames = []
+    for name, child, ck, _pname, parent, pk in relations:
+        keys = child.select(F.col(ck).alias("__k"))
+        pkeys = parent.select(F.col(pk).alias("__k")).distinct()
+        orphans = keys.filter(F.col("__k").isNotNull()).join(pkeys, "__k", "left_anti")
+        one = (
+            keys.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col("__k").isNull().cast("int")).alias("n_null_key"),
+            )
+            .crossJoin(F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans"))))
+            .select(
+                F.lit(name).alias("relation"), "n_child", "n_null_key", "n_orphans"
+            )
+        )
+        frames.append(one)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("relation")
