@@ -49,6 +49,8 @@ _R1_RECORDED = frozenset(
 
 # Round-2 third-wave additions — newest first: never seen by driver OR judge.
 _R2_WAVE3 = (
+    "b25_heatmap_2d",
+    "b26_rfm_segments",
     "c59_referential_integrity",
     "d34_winsorize_audit",
     "d33_udtf_sentences",

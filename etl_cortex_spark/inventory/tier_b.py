@@ -725,3 +725,103 @@ def b24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events")
     return experiment_report(ev, goal="purchase", salt="exp1", arms=2)
+
+
+@query(
+    "b25_heatmap_2d",
+    oracle="""
+    SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS price_bin,
+           CAST(floor(CAST(o_custkey % 100 AS DOUBLE) / 10.0) AS BIGINT) AS cust_bin,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def b25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap chart feed) — B12's binning generalized
+    to two axes: fixed-width bins on both dimensions, count + measure
+    per cell. One partial-agg shuffle keyed on the (tiny) bin pair;
+    integer bin indices keep the cell boundaries engine-exact."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("price_bin"),
+            F.floor((F.col("o_custkey") % 100).cast("double") / 10.0)
+            .cast("long")
+            .alias("cust_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("price_bin", "cust_bin")
+    )
+
+
+@query(
+    "b26_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT max(CAST(ts AS TIMESTAMP)) AS t FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', max(CAST(ts AS TIMESTAMP)), (SELECT t FROM ref)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+             ntile(4) OVER (ORDER BY n_purchases DESC, user_id) AS m_quartile
+      FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, n_purchases,
+           r_quartile, f_quartile, m_quartile,
+           CASE WHEN r_quartile = 1 AND f_quartile = 1 THEN 'champion'
+                WHEN r_quartile >= 3 AND f_quartile >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY user_id
+    """,
+)
+def b26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quartiles per
+    user with a rule-based segment label. All three metrics come from
+    ONE user-keyed aggregate; the quartiles are ntile windows with
+    user_id tiebreaks so equal metrics bucket deterministically on
+    both engines; integer metrics throughout (purchase count stands in
+    for monetary — events.value sums would re-order float addition)."""
+    ev = T(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("t"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchases"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("t"), F.to_date("last_ts")).alias("recency_days"),
+            "frequency",
+            "n_purchases",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    r = F.ntile(4).over(W.orderBy("recency_days", "user_id"))
+    f = F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id"))
+    m = F.ntile(4).over(W.orderBy(F.desc("n_purchases"), "user_id"))
+    scored = per_user.select(
+        "user_id", "recency_days", "frequency", "n_purchases",
+        r.alias("r_quartile"), f.alias("f_quartile"), m.alias("m_quartile"),
+    )
+    seg = (
+        F.when((F.col("r_quartile") == 1) & (F.col("f_quartile") == 1), "champion")
+        .when((F.col("r_quartile") >= 3) & (F.col("f_quartile") >= 3), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg).orderBy("user_id")
