@@ -49,6 +49,9 @@ _R1_RECORDED = frozenset(
 
 # Round-2 third-wave additions — newest first: never seen by driver OR judge.
 _R2_WAVE3 = (
+    "c60_grouping_sets",
+    "c61_percentile_disc",
+    "b27_rolling_wau",
     "b25_heatmap_2d",
     "b26_rfm_segments",
     "c59_referential_integrity",

@@ -825,3 +825,50 @@ def b26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg).orderBy("user_id")
+
+
+@query(
+    "b27_rolling_wau",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM active),
+    contrib AS (
+      SELECT user_id, CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE)
+               AS report_day
+      FROM active
+    )
+    SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+           count(DISTINCT user_id) AS wau
+    FROM contrib
+    WHERE report_day BETWEEN (SELECT lo FROM bounds) AND (SELECT hi FROM bounds)
+    GROUP BY report_day ORDER BY report_day
+    """,
+)
+def b27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day) — the windowed
+    DISTINCT that plain window frames cannot express: each (user,
+    active day) pair is exploded into the 7 report days it supports
+    (bounded 7x fan-out riding the scan), then one distinct-count agg
+    per report day. No self-join of the calendar against the activity
+    table, no quadratic anything; the fan-out factor is the window
+    length, a constant."""
+    ev = T(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = active.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("report_day").cast("timestamp").alias("report_day"), "wau")
+        .orderBy("report_day")
+    )

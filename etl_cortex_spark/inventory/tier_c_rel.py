@@ -1245,3 +1245,69 @@ def c59(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orders->customer", o, "o_custkey", "customer", c, "c_custkey"),
         ],
     )
+
+
+@query(
+    "c60_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+)
+def c60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from c21's ROLLUP/CUBE:
+    an arbitrary set list, here deliberately omitting the grand
+    total) + grouping_id to disambiguate NULL-as-group from
+    NULL-as-value. One expand + one partial-agg shuffle."""
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("c60_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM c60_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+        """
+    )
+
+
+@query(
+    "c61_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS median_qty_disc,
+           quantile_disc(l_extendedprice, 0.25) AS p25_price_disc,
+           quantile_disc(l_extendedprice, 0.75) AS p75_price_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def c61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc / quantile_disc): the
+    returned value is an ACTUAL data point, not an interpolation — the
+    semantics a median-of-prices report usually wants, and a different
+    code path from c23's continuous percentile. Data points pass
+    through untouched, so no rounding is needed at all."""
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("c61_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS median_qty_disc,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS p25_price_disc,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS p75_price_disc
+        FROM c61_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
