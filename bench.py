@@ -56,7 +56,13 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def run_one(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+#: best-of-N discipline shared by every leg (Spark and DuckDB alike) in
+#: bench.py and bench_slope.py — one constant so the two engines are
+#: never measured with different run counts.
+RUNS = 3
+
+
+def run_one(spark, name: str, sf_dir: str, runs: int = RUNS) -> float:
     """Best-of-N steady-state wall clock: the first execution also pays
     one-time session costs (file listing, codegen compilation, JIT);
     reporting the best of three measures the engine, not JVM warm-up
@@ -70,7 +76,7 @@ def run_one(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     return best
 
 
-def duckdb_timings(names: list[str], sf_dir: str, runs: int = 3) -> dict[str, float]:
+def duckdb_timings(names: list[str], sf_dir: str, runs: int = RUNS) -> dict[str, float]:
     """Best-of-N DuckDB wall clock for each query's paired oracle SQL on
     the same parquet, same thread count — measured HERE, in the same
     process window, because the host's wall clock swings 2-3× between
@@ -105,7 +111,7 @@ def duckdb_timings(names: list[str], sf_dir: str, runs: int = 3) -> dict[str, fl
 #: AQE only adds per-stage materialization round-trips — every stage
 #: becomes its own job submission — and 32 static partitions produce
 #: 32 near-empty tasks per shuffle. Sizing the session to the data
-#: (static 8-partition shuffles, plan-once execution) is what any
+#: (static 4-partition shuffles, plan-once execution) is what any
 #: production job with known-small inputs does; measured −19% on the
 #: headline set vs the cluster defaults, with identical plans
 #: otherwise. The correctness gate always runs with vanilla conf.

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb  # noqa: E402
 
-from bench import HEADLINE, run_one  # noqa: E402
+from bench import BENCH_CONF, HEADLINE, RUNS, run_one  # noqa: E402
 from etl_cortex_spark.queries import ORACLE, QUERIES  # noqa: E402
 from etl_cortex_spark.session import DEFAULT_CPUS, get_spark  # noqa: E402
 
@@ -75,7 +75,7 @@ def generate_sf1() -> None:
             )
 
 
-def duck_times(sf_dir: str, names: list[str], runs: int = 2) -> dict[str, float]:
+def duck_times(sf_dir: str, names: list[str], runs: int = RUNS) -> dict[str, float]:
     con = duckdb.connect()
     con.execute(f"SET threads = {int(DEFAULT_CPUS) if DEFAULT_CPUS.isdigit() else 32}")
     for t in FIXED + list(OFFSETS):
@@ -101,18 +101,20 @@ def spark_times(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 def main() -> None:
     generate_sf1()
-    # sf0.1 leg mirrors bench.py's SF-sized config (AQE off, 8 static
-    # partitions); the sf1 leg runs the engine's CLUSTER defaults (AQE
-    # on, runtime coalescing) — the slope claim has to hold under the
-    # config you'd actually ship at scale.
-    spark = get_spark(app_name="etl_cortex_spark_bench_slope")
+    # sf0.1 leg runs bench.py's EXACT BENCH_CONF (fresh session — the
+    # shuffle-compression keys are core conf, immutable at runtime); the
+    # sf1 leg runs the engine's CLUSTER defaults (AQE on, 32 static
+    # partitions, runtime coalescing) in a second fresh session — the
+    # slope claim has to hold under the config you'd actually ship at
+    # scale.
     result = {}
-    for label, sf_dir, parts, aqe in (
-        ("sf0.1", SRC_DIR, 8, "false"),
-        ("sf1", SF1_DIR, 32, "true"),
+    for label, sf_dir, extra_conf in (
+        ("sf0.1", SRC_DIR, BENCH_CONF),
+        ("sf1", SF1_DIR, None),
     ):
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark = get_spark(
+            app_name=f"etl_cortex_spark_bench_slope_{label}", extra_conf=extra_conf
+        )
         sp = spark_times(spark, sf_dir, HEADLINE)
         du = duck_times(sf_dir, HEADLINE)
         paired_sp = sum(sp[n] for n in du)
@@ -123,13 +125,13 @@ def main() -> None:
             "duckdb": du,
             "ratio_vs_duckdb": round(paired_sp / paired_du, 2) if paired_du else None,
         }
+        spark.stop()
     r01, r1 = result["sf0.1"]["ratio_vs_duckdb"], result["sf1"]["ratio_vs_duckdb"]
     result["slope_note"] = (
         f"10x data moved the ratio {r01}x -> {r1}x: the sf0.1 gap is "
         "Spark's flat per-query floor, not plan slope"
     )
     print(json.dumps(result))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -293,10 +293,14 @@ def b16(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the output sort."""
     ev = T(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Compare at full timestamp precision (the oracle compares the raw
+    # interval): casting to whole seconds would mis-bucket a sub-second
+    # gap straddling exactly 1800 s if the source ever carries them.
+    prev_ts = F.lag("ts").over(w)
+    gap_over = F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(prev_ts.isNull() | gap_over, 1).otherwise(0),
     )
     sess = flagged.withColumn(
         "session_id",

@@ -136,7 +136,13 @@ def semantic_dedup(
     Greedy-within-bucket (not transitive like ``dedup.near_dedup``):
     mirrors SemDeDup's keep-one-per-ball rule, and the bucket key is a
     partition key at scale (same IVF layout as similarity.lsh_topk)."""
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(F.size(F.col(vec_col))).first()
+    if first is None or first[0] is None or first[0] < 0:
+        raise ValueError(
+            f"semantic_dedup: cannot infer vector dim from an empty "
+            f"input or NULL {vec_col!r}"
+        )
+    dim = first[0]
     planes = hyperplanes(dim, n=n_planes, seed=seed)
     v = as_double(F.col(vec_col))
     e = df.withColumn("bucket", lsh_bucket(v, planes))
