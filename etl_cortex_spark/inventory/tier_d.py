@@ -416,8 +416,35 @@ def d07b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(spark, sf_dir)
 
 
-@query("stream_session_windows")  # rows-only: session assembly is stateful
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT min(ts) AS sess_start, user_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 session windows, oracle-grade (round-3 verdict #3): on a
+    bounded replay Spark's session assembly equals batch
+    gaps-and-islands — the same rule as the b16 twin, including the
+    boundary: measured empirically (tests/test_streaming_ts.py), an
+    event landing EXACTLY ``gap`` after the previous one still merges
+    into the session, so the island break is strict ``>``."""
     from etl_cortex_spark.streaming.events import session_windows
 
     return session_windows(spark, sf_dir)

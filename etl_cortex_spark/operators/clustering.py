@@ -136,11 +136,18 @@ def semantic_dedup(
     Greedy-within-bucket (not transitive like ``dedup.near_dedup``):
     mirrors SemDeDup's keep-one-per-ball rule, and the bucket key is a
     partition key at scale (same IVF layout as similarity.lsh_topk)."""
-    first = df.select(F.size(F.col(vec_col))).first()
+    # Infer dim from the first NON-NULL vector (round-3 advice): a
+    # stray NULL embedding landing first must not abort the job when
+    # every other row carries a valid vector.
+    first = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)))
+        .first()
+    )
     if first is None or first[0] is None or first[0] < 0:
         raise ValueError(
-            f"semantic_dedup: cannot infer vector dim from an empty "
-            f"input or NULL {vec_col!r}"
+            f"semantic_dedup: cannot infer vector dim — input is empty "
+            f"or {vec_col!r} is NULL in every row"
         )
     dim = first[0]
     planes = hyperplanes(dim, n=n_planes, seed=seed)

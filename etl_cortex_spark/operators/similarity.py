@@ -182,11 +182,17 @@ def write_ivf_index(
     eager action, writer-side only).
     """
     if dim is None:
-        first = df.select(F.size(F.col(vec_col))).first()
+        # first NON-NULL vector (round-3 advice, same as semantic_dedup)
+        first = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .first()
+        )
         if first is None or first[0] is None or first[0] < 0:
             raise ValueError(
-                f"write_ivf_index: cannot infer vector dim from an empty "
-                f"input or NULL {vec_col!r} — pass dim explicitly"
+                f"write_ivf_index: cannot infer vector dim — input is "
+                f"empty or {vec_col!r} is NULL in every row; pass dim "
+                f"explicitly"
             )
         dim = first[0]
     planes = hyperplanes(dim, n_planes, seed)

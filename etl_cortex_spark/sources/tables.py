@@ -45,7 +45,13 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
     vectorized reader, so the session reads them as raw nanosecond longs
     (``spark.sql.legacy.parquet.nanosAsLong``) and this wrapper restores
     TimestampType at microsecond precision. Footer-only inspection:
-    driver-side, no data read."""
+    driver-side, no data read.
+
+    Environments differ: the driver has generated this data with both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) footers across rounds, so
+    nothing may assume one or the other — the footer decides. Returns
+    () when every timestamp column is already µs/ms (Spark reads those
+    natively; no conversion needed)."""
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -14,8 +14,11 @@ and can be compared 1:1 against the equivalent batch plan (and the
 DuckDB oracle). At scale the same code takes a Kafka source and a real
 sink; only the ``format`` changes.
 
-The events parquet stores TIMESTAMP(NANOS) → the stream schema reads
-``ts`` as long (nanosAsLong) and converts, same as sources/tables.
+The events parquet has stored ``ts`` as TIMESTAMP(NANOS) in some
+environments and TIMESTAMP(MICROS) in others — ``read_events_stream``
+branches on the schema Spark infers, exactly like the footer-gated
+conversion in ``sources/tables.load_table``, so both layouts stream
+identically.
 """
 
 from __future__ import annotations
@@ -34,11 +37,22 @@ _QUERY_SEQ = count()
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream replaying the events parquet.
 
-    Sets the two session facts every read path needs (nanosAsLong for
-    the TIMESTAMP(NANOS) parquet, UTC for timestamp parity) — the same
-    values ``sources.tables.load_table`` sets, so batch and stream
-    agree. The shuffle-partition downsizing for state stores is NOT
-    done here: ``run_to_memory`` scopes it to the streaming query and
+    Sets the two session facts every read path needs (nanosAsLong in
+    case the parquet stores TIMESTAMP(NANOS), UTC for timestamp
+    parity) — the same values ``sources.tables.load_table`` sets, so
+    batch and stream agree. The ``ts`` handling mirrors the batch
+    path's footer-gated conversion, but keyed off the schema Spark
+    actually inferred:
+
+    - LongType → the footer said TIMESTAMP(NANOS) and nanosAsLong
+      surfaced raw nanoseconds; restore TimestampType at µs precision
+      (integer ``div 1000`` — float division loses precision > 2^53 ns).
+    - TIMESTAMP_NTZ / TimestampType → the footer said µs (or ms);
+      cast to session-tz TimestampType so every downstream watermark /
+      window / interval expression sees one type either way.
+
+    The shuffle-partition downsizing for state stores is NOT done
+    here: ``run_to_memory`` scopes it to the streaming query and
     restores the caller's setting afterwards.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -53,7 +67,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from pyspark.sql.types import LongType
+
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:

@@ -167,3 +167,31 @@ def test_semantic_dedup_no_dups_is_identity(spark):
     emb = _emb(spark).limit(100)
     out = CL.semantic_dedup(emb, threshold=1.5, n_planes=4, seed=7)
     assert out.count() == 100
+
+
+def test_semantic_dedup_tolerates_leading_null_embedding(spark):
+    """Dim inference skips NULL vectors (round-3 advice): a NULL
+    embedding sorted first must not abort the job."""
+    emb = _emb(spark).limit(20)
+    nulled = spark.createDataFrame(
+        [(-1, None, "x")], schema="vec_id long, embedding array<double>, label string"
+    )
+    seeded = nulled.unionByName(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+            "label",
+        )
+    )
+    out = CL.semantic_dedup(seeded, threshold=0.99, n_planes=4, seed=7)
+    assert out.count() >= 20
+
+
+def test_semantic_dedup_all_null_still_raises(spark):
+    import pytest as _pytest
+
+    nulled = spark.createDataFrame(
+        [(1, None, "x")], schema="vec_id long, embedding array<double>, label string"
+    )
+    with _pytest.raises(ValueError, match="cannot infer vector dim"):
+        CL.semantic_dedup(nulled, threshold=0.99, n_planes=4, seed=7)

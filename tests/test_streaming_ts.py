@@ -1,0 +1,123 @@
+"""Schema-drift regression tests for the streaming events reader.
+
+The driver has generated ``events.parquet`` with TIMESTAMP(NANOS)
+footers in some rounds and TIMESTAMP(MICROS) in others; round 3 broke
+because ``read_events_stream`` assumed nanos unconditionally while the
+batch path (``sources.tables.load_table``) gated the conversion on the
+parquet footer. These tests write BOTH layouts and round-trip each
+through the stream reader, so neither assumption can silently creep
+back in.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.streaming.events import read_events_stream, run_to_memory
+
+_TS = [
+    dt.datetime(2024, 3, 1, 0, 0, 0),
+    dt.datetime(2024, 3, 1, 0, 10, 30, 250000),
+    dt.datetime(2024, 3, 1, 1, 0, 0, 123456),
+    dt.datetime(2024, 3, 2, 12, 0, 0),
+]
+
+
+def _write_events(dirpath, unit: str) -> str:
+    """Write a minimal events.parquet with ts at the given unit."""
+    n = len(_TS)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(_TS, pa.timestamp(unit)),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    out = str(dirpath / "events.parquet")
+    pq.write_table(table, out)
+    return str(dirpath)
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_stream_reader_handles_both_ts_units(spark, tmp_path, unit):
+    (tmp_path / unit).mkdir(exist_ok=True)
+    sf_dir = _write_events(tmp_path / unit, unit)
+
+    ev = read_events_stream(spark, sf_dir)
+    # the reader must always hand downstream a session-tz timestamp —
+    # watermarks/windows/interval arithmetic all key off this type
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
+
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ts"))
+    )
+    rows = {
+        (r["win_start"], r["n"], r["max_ts"])
+        for r in run_to_memory(agg, "complete")
+        .select(F.col("window.start").alias("win_start"), "n", "max_ts")
+        .collect()
+    }
+    assert rows == {
+        (dt.datetime(2024, 3, 1), 3, dt.datetime(2024, 3, 1, 1, 0, 0, 123456)),
+        (dt.datetime(2024, 3, 2), 1, dt.datetime(2024, 3, 2, 12, 0, 0)),
+    }
+
+
+def test_session_window_boundary_is_inclusive(spark, tmp_path):
+    """An event exactly ``gap`` after the previous one MERGES into the
+    session (measured on Spark 4.1; the boundary is inclusive, the
+    same strict-``>`` island break as batch b16 and the
+    stream_session_windows oracle). The driver data has no exact-1800s
+    gaps, so this fixture is the only thing pinning the semantics."""
+    from etl_cortex_spark.streaming.events import session_windows
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    ts = [
+        base,  # session 1
+        base + dt.timedelta(minutes=29, seconds=59),  # still session 1
+        base + dt.timedelta(minutes=59, seconds=59),  # exactly 30:00 later → merges
+        base + dt.timedelta(hours=3),  # past the gap → session 2
+    ]
+    n = len(ts)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    d = tmp_path / "boundary"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    got = sorted(
+        (r["sess_start"], r["n_events"])
+        for r in session_windows(spark, str(d)).collect()
+    )
+    assert got == [(ts[0], 3), (ts[3], 1)]
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_batch_reader_handles_both_ts_units(spark, tmp_path, unit):
+    """The batch footer gate (tables._nanos_ts_cols) under the same drift."""
+    from etl_cortex_spark.sources.tables import load_table
+
+    (tmp_path / unit).mkdir(exist_ok=True)
+    sf_dir = _write_events(tmp_path / unit, unit)
+    df = load_table(spark, sf_dir, "events")
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    assert got == sorted(_TS)
