@@ -28,7 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb  # noqa: E402
 
-from bench import BENCH_CONF, HEADLINE, RUNS, run_one  # noqa: E402
+from bench import (  # noqa: E402
+    BENCH_CONF,
+    HEADLINE,
+    RUNS,
+    cache_dimensions,
+    run_one,
+    warm_up,
+)
 from etl_cortex_spark.queries import ORACLE, QUERIES  # noqa: E402
 from etl_cortex_spark.session import DEFAULT_CPUS, get_spark  # noqa: E402
 
@@ -115,6 +122,12 @@ def main() -> None:
         spark = get_spark(
             app_name=f"etl_cortex_spark_bench_slope_{label}", extra_conf=extra_conf
         )
+        # round-3 advice: pay classload/codegen before the first timed
+        # query of each fresh session, exactly like bench.py; and give
+        # both legs bench.py's cached-dimension treatment so the slope
+        # compares identical configurations.
+        warm_up(spark)
+        cache_dimensions(spark, sf_dir)
         sp = spark_times(spark, sf_dir, HEADLINE)
         du = duck_times(sf_dir, HEADLINE)
         paired_sp = sum(sp[n] for n in du)

@@ -81,17 +81,46 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = T(spark, sf_dir, "customer")
+    """The region cut (1/5 of nations) is pushed into BOTH fact-side
+    inputs before any big join (round-4 plan fix): customer is
+    semi-joined to the ASIA nation list and supplier is inner-joined
+    to it (picking up n_name), so the customer⋈orders⋈lineitem chain
+    never carries non-ASIA rows that the old plan discarded at the
+    end. Catalyst can't do this reordering itself without CBO stats —
+    the builder owns it. At 100 TB this is the difference between
+    joining 1/5 of the facts and joining all of them."""
+    asia_nations = (
+        T(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        T(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    supp = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     orders = T(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     li = T(spark, sf_dir, "lineitem")
-    supp = F.broadcast(T(spark, sf_dir, "supplier"))
-    nation = F.broadcast(T(spark, sf_dir, "nation"))
-    region = F.broadcast(
-        T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
@@ -100,8 +129,6 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -725,4 +752,101 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY cntrycode
         ORDER BY cntrycode
         """
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             s_acctbal, s_name, n_name
+      FROM cost
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey, p_type, ps_supplycost
+    FROM eligible e
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'ECONOMY'
+      AND ps_supplycost = (
+        SELECT min(ps_supplycost) FROM eligible
+        WHERE ps_partkey = e.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape (round-3 verdict stretch): min-cost supplier per part —
+    the classic correlated scalar subquery, decorrelated the Spark-first
+    way as a per-part min aggregate joined back on (part, cost). The
+    schema has no partsupp table (TESTDATA.md), so the supply catalog
+    derives from lineitem: supply cost of (part, supplier) :=
+    min(l_extendedprice / l_quantity) over their lineitems — a pure
+    quotient, IEEE-identical across engines, emitted UNROUNDED (the
+    SURVEY §7 drift rule: round() is the one diverging op).
+
+    Scale shape: one (partkey, suppkey) partial-agg shuffle over
+    lineitem builds the catalog; supplier⋈nation⋈region is a broadcast
+    chain with the region filter pre-applied; the per-part min is a
+    second partial-agg shuffle over the already-reduced catalog; the
+    final equality join on (partkey, cost) co-partitions with it. The
+    filtered part side (p_size/p_type cut ~1/300) broadcasts. Top-100
+    via TakeOrderedAndProject, never a full sort.
+    """
+    cost = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            )
+        )
+    )
+    dims = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = cost.join(
+        F.broadcast(dims), F.col("s_suppkey") == F.col("ps_suppkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    min_cost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    parts = T(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (eligible.ps_partkey == min_cost.ps_partkey)
+            & (eligible.ps_supplycost == min_cost.min_cost),
+        )
+        .drop(min_cost.ps_partkey)
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
     )
