@@ -1311,3 +1311,50 @@ def c61(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c61_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "c62_observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_qty,
+           round(sum(l_extendedprice), 2) AS total_price,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def c62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed in-flight metrics (``Dataset.observe``): quality
+    counters collected as a side effect of a job the pipeline was
+    running ANYWAY — here the job is a filtered noop write, and the
+    observation point sits on the unfiltered scan, so the metrics
+    cover every row while the main action only keeps a slice. The
+    query returns the observation as a one-row frame; the oracle
+    recomputes the same aggregates directly, proving the piggybacked
+    counters equal a dedicated scan's.
+    """
+    from etl_cortex_spark.operators.quality import observe_metrics
+
+    li = T(spark, sf_dir, "lineitem")
+    observed, obs = observe_metrics(
+        li,
+        "c62",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_qty": F.sum(F.col("l_quantity").isNull().cast("long")),
+            "total_price": F.round(F.sum("l_extendedprice"), 2),
+            # DISTINCT aggregates are rejected in observed metrics
+            # (INVALID_OBSERVED_METRICS); stick to accumulator-shaped aggs
+            "max_orderkey": F.max("l_orderkey"),
+        },
+    )
+    # the pipeline's own (filtered) action — metrics ride along
+    observed.filter(F.col("l_quantity") >= 25).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["n_rows"], got["null_qty"], got["total_price"], got["max_orderkey"])],
+        "n_rows bigint, null_qty bigint, total_price double, max_orderkey bigint",
+    )

@@ -177,3 +177,56 @@ def scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey"), F.col("o_totalprice"), x_range=_Z_XR, y_range=_Z_YR
         ).alias("zkey"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scale_hll_sketch_rollup",
+    oracle="""
+    SELECT r_name, true AS sketch_within_5pct FROM region ORDER BY r_name
+    """,
+)
+def scale_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Datasketches HLL via
+    ``hll_sketch_agg``/``hll_union_agg``): per-nation customer sketches
+    are built ONCE, then rolled up to region level by merging the
+    sketch binaries — no re-scan of the base table, the property that
+    makes sketches the 100 TB answer to distinct-count rollup cubes
+    (pre-aggregate per partition/day, union upward forever). Sketch
+    estimates are engine-specific, so the oracle-checkable contract is
+    the c19 epsilon pattern: the same plan computes the exact regional
+    COUNT(DISTINCT) and the query emits whether every region's
+    estimate lands within 5%; the oracle pins the flag true per
+    region."""
+    cust = (
+        T(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(T(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("r_name", "n_nationkey", "c_custkey")
+    )
+    per_nation = cust.groupBy("r_name", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    merged = per_nation.groupBy("r_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = cust.groupBy("r_name").agg(
+        F.countDistinct("c_custkey").alias("exact")
+    )
+    return (
+        merged.join(exact, "r_name")
+        .select(
+            "r_name",
+            (F.abs(F.col("est") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+                "sketch_within_5pct"
+            ),
+        )
+        .orderBy("r_name")
+    )

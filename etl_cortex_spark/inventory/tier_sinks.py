@@ -134,3 +134,28 @@ def sink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("value")).alias("n_chars"),
     )
+
+
+@query(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML roundtrip via Spark 4's built-in XML source (the first
+    Spark release where XML needs no external package). Write the
+    nation table as <row> elements, read it back with an EXPLICIT
+    schema (XML carries no types; inference would hand back strings
+    or misread empties) — hash match proves the cycle is lossless.
+    XML is row-per-element text: splittable by element at scale the
+    same way json-lines is by line."""
+    src = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _out_dir("xml", sf_dir)
+    src.write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    return (
+        spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .option("rowTag", "row")
+        .format("xml")
+        .load(path)
+    )

@@ -95,3 +95,23 @@ def referential_integrity(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("relation")
+
+
+def observe_metrics(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """Piggyback named aggregate metrics on whatever action the caller
+    runs next (``Dataset.observe``): the counters ride the existing
+    pass as accumulator-style expressions — ZERO extra scan, no second
+    job, which at 100 TB is the only affordable way to get per-run
+    quality counters on every pipeline stage (the check_rules
+    alternative is a deliberate separate audit pass).
+
+    Returns ``(observed_df, observation)``; read ``observation.get``
+    AFTER an action on ``observed_df`` (or any derivative) completes.
+    Only aggregate expressions are legal, and the metrics see the rows
+    flowing through THIS point of the plan — before any downstream
+    filter the caller adds later.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *(c.alias(n) for n, c in metrics.items())), obs

@@ -252,3 +252,41 @@ def test_zorder_key_is_pure_projection(spark):
     )
     plan = plan_of(keyed)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Runtime row-level filtering (SPARK-32268): when a shuffle join's
+    build side carries a selective filter, Catalyst injects a
+    bloom_filter_agg on the build keys and a might_contain probe on
+    the stream side — at 100 TB this prunes most of the fact shuffle
+    before the exchange. The feature keys off size thresholds
+    (creation side small enough to sketch, application side big enough
+    to care: 10 GB scan default), so tiny test inputs need the
+    thresholds scoped down to see the injection; production defaults
+    stay untouched outside this test."""
+    from etl_cortex_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter injected"
+        assert "might_contain" in plan, "no stream-side probe injected"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
