@@ -39,10 +39,15 @@ from etl_cortex_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
-# Entries fixed/changed since their last green record → re-verify ASAP.
+# Entries fixed/changed since their last green record → re-verify ASAP,
+# mapped to the round the fix landed. The boost expires by itself once a
+# CORRECTNESS file from that round (or later) records the entry again.
 # Round 4: the two stream joins were green in r02, broken by the events
 # parquet ns→µs drift, and repaired this round (streaming/events.py).
-_REVERIFY_NOW: tuple[str, ...] = ("stream_static_join", "stream_stream_join")
+_REVERIFY_NOW: dict[str, int] = {
+    "stream_static_join": 4,
+    "stream_stream_join": 4,
+}
 
 
 def _last_recorded_round() -> dict[str, int]:
@@ -75,8 +80,8 @@ def _rotated(d: dict) -> dict:
         idx, name = idx_name
         if name not in last:  # never recorded: streams first, then registry order
             return (0, 0 if name.startswith("stream_") else 1, idx)
-        if name in _REVERIFY_NOW:
-            return (1, 0, idx)
+        if last[name] < _REVERIFY_NOW.get(name, 0):
+            return (1, 0, idx)  # fixed after its last record → re-verify
         return (2, last[name], idx)  # least-recently-verified first
 
     ordered = sorted(enumerate(names), key=prio)

@@ -723,3 +723,59 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_logprob", 4).alias("mean_logprob"),
         "n_trigrams",
     ).orderBy("doc_id")
+
+
+@query(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+           value AS latest_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def d08d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 sink-side pattern: ``foreachBatch`` upsert into a keyed
+    per-user latest-event table (idempotent per batch_id; atomic
+    swap). On a bounded replay the merged table equals the batch
+    keep-latest argmax — the oracle. The multi-micro-batch ordering
+    and crash-replay idempotence are pinned separately in
+    tests/test_streaming_latedata.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_upsert,
+        read_upsert_table,
+    )
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_upsert", h)
+    # fresh run each call: the checkpoint identifies the source batches
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    q = foreach_batch_upsert(
+        ev,
+        table_dir=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    q.awaitTermination()
+    return read_upsert_table(spark, os.path.join(base, "table")).select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("ts").alias("latest_ts"),
+        F.col("value").alias("latest_value"),
+    )

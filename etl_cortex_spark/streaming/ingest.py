@@ -87,3 +87,76 @@ def silver_table(
         if schema is not None:
             return silver_clean(spark.createDataFrame([], schema))
         raise
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+):
+    """Streaming upsert sink via ``foreachBatch`` — the canonical
+    production pattern for sinks Structured Streaming has no native
+    writer for: each micro-batch runs an arbitrary BATCH plan that
+    merges the delta into the keyed target, keep-latest per key by
+    ``order_cols``.
+
+    Exactly-once story: ``foreachBatch`` hands over ``(df, batch_id)``
+    and replays the same batch_id after a crash; the guard file makes
+    the merge idempotent (a replayed batch is skipped). At 100 TB the
+    target is a lakehouse table and the body is one ``MERGE INTO`` —
+    the rewrite-and-swap here is the plain-parquet stand-in with the
+    same semantics, swapped atomically so concurrent readers never see
+    a half-written table.
+
+    Returns the started query; callers drive it with availableNow +
+    awaitTermination for bounded replays.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = stream.sparkSession
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    guard_dir = os.path.join(checkpoint_dir, "applied_batches")
+    os.makedirs(guard_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        guard = os.path.join(guard_dir, str(batch_id))
+        if os.path.exists(guard):  # replayed batch → already merged
+            return
+        live = os.path.join(table_dir, "live")
+        staging = os.path.join(table_dir, "staging")
+        if os.path.isdir(live):
+            merged = spark.read.parquet(live).unionByName(batch_df)
+        else:
+            merged = batch_df
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        latest.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        os.replace(staging, live)
+        open(guard, "w").close()
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(table_dir, "live"))

@@ -87,3 +87,77 @@ def test_late_never_seen_key_is_still_emitted(spark, tmp_path):
     assert counts == {1: 1, 3: 1, 4: 1}, (
         "late-but-new rows must flow through; dedup only bounds state"
     )
+
+
+def test_foreach_batch_upsert_across_batches_and_replay(spark, tmp_path):
+    """Upserts apply in micro-batch order (later batch wins per key),
+    and a replayed batch_id is a no-op (the guard that makes
+    foreachBatch exactly-once under crash-replay)."""
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_upsert,
+        read_upsert_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _write_ev(fname, rows):
+        ids, tss, users, vals = zip(*rows)
+        table = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        pq.write_table(table, str(src / fname))
+        time.sleep(1.1)
+
+    _write_ev("f1.parquet", [(1, T0, 7, 1.0), (2, T0, 8, 2.0)])
+    # batch 2: newer event for user 7 (wins), older event for user 8 (loses)
+    _write_ev(
+        "f2.parquet",
+        [
+            (3, T0 + dt.timedelta(minutes=5), 7, 9.0),
+            (4, T0 - dt.timedelta(minutes=5), 8, 3.0),
+        ],
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_upsert(
+        stream, table_dir, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_upsert_table(spark, table_dir).collect()
+    }
+    assert got == {7: (3, 9.0), 8: (2, 2.0)}
+
+    # crash-replay: re-merging an already-applied batch id is a no-op
+    import os
+
+    applied = sorted(os.listdir(os.path.join(ckpt, "applied_batches")))
+    assert len(applied) >= 2, "expected one guard per micro-batch"
+
+    # re-run the whole bounded stream with the SAME checkpoint: every
+    # batch id is already guarded, so the table must not change
+    q2 = foreach_batch_upsert(
+        stream, table_dir, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    q2.awaitTermination()
+    got2 = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_upsert_table(spark, table_dir).collect()
+    }
+    assert got2 == got
