@@ -850,3 +850,89 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity), 2) AS profit_sum
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN cost ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 shape (product-type profit): the widest classic topology —
+    lineitem at the center of five joins with a LIKE-filtered part cut
+    and a per-(part,supplier) cost attribute, aggregated by the
+    supplier's nation and order year. The supply catalog derives from
+    lineitem exactly as in tpch_q2 (no partsupp in this schema).
+
+    Scale shape: the part cut (LIKE '%gear%', ~1/6) broadcasts and
+    prunes lineitem FIRST — every downstream exchange carries only
+    matching rows; supplier⋈nation broadcasts; the cost catalog joins
+    on (partkey, suppkey) — the one fact-sized shuffle — and orders
+    joins on orderkey. Group-by is a partial agg on ~(25 nations ×
+    years) cells."""
+    cost = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            )
+        )
+    )
+    parts = T(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey"
+    )
+    supp_nation = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(T(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = T(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        li.join(
+            cost,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(
+            T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("ps_supplycost") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit_sum")
+        )
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
