@@ -230,3 +230,35 @@ def scale_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "scale_dedup_latest_agg",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def scale_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup via map-side-combining ``max_by`` aggregate
+    (operators/gold.dedup_latest_agg) — the shuffle-lean alternative
+    to the A13 window strategy, hash-checked against the identical
+    window-semantics oracle. The plan partially aggregates before the
+    exchange and never sorts on the recency columns
+    (tests/test_plans.py)."""
+    from etl_cortex_spark.operators.gold import dedup_latest_agg
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = dedup_latest_agg(
+        ev, keys=["user_id", "event_type"], recency_cols=["ts", "event_id"]
+    )
+    return out.select("user_id", "event_type", "event_id", "ts", "value")

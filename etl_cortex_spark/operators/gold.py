@@ -281,3 +281,48 @@ def cdc_diff(
             *[F.col(f"n.{c}").alias(f"new_{c}") for c in value_cols],
         )
     )
+
+
+def dedup_latest_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    recency_cols: Sequence[str],
+) -> DataFrame:
+    """Keep-latest dedup as an AGGREGATE (``max_by`` over an ordering
+    struct) instead of a window — same survivor as ``dedup_latest``
+    when the ordering is total, but a different physical strategy:
+
+    - window: exchange carries EVERY row, then per-partition sort on
+      (keys, recency) drives row_number (WindowGroupLimit trims late);
+    - max_by agg: map-side PARTIAL aggregation first — the exchange
+      carries at most one candidate row per (input partition, key).
+      Spark executes struct-valued max_by as a SortAggregate (struct
+      buffers cannot hash-aggregate), but its sorts are on the GROUP
+      KEYS only, never on the recency columns, and they run over the
+      already-reduced candidate set.
+
+    At 100 TB with heavy duplication the partial-agg variant wins on
+    shuffle bytes (the dominant cost); with near-unique keys the
+    window variant's WindowGroupLimit is comparable. Both are offered;
+    plans asserted in tests/test_plans.py.
+
+    Ordering-struct comparison ranks NULL fields lowest, matching
+    ``dedup_latest``'s ``desc_nulls_last`` (parity pinned in
+    tests/test_gold.py including NULL recency values).
+    """
+    payload = [c for c in df.columns if c not in keys]
+    ordering = list(recency_cols) + [
+        c for c in payload if c not in recency_cols
+    ]
+    packed = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in ordering]),
+        ).alias("__m")
+    )
+    return packed.select(
+        *[
+            F.col(f"__m.{c}").alias(c) if c in payload else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -117,3 +117,35 @@ def test_scd2_collapses_runs_and_chains_validity(spark):
         (2, None, 10, 30, False),
         (2, "x", 30, None, True),
     ]
+
+
+def test_dedup_latest_agg_matches_window_variant_with_nulls(spark):
+    """The max_by-aggregate dedup must pick the same survivor as the
+    window row_number variant, including NULL recency values (struct
+    comparison ranks NULL lowest == desc_nulls_last)."""
+    from etl_cortex_spark.operators.gold import dedup_latest, dedup_latest_agg
+
+    rows = [
+        # key (k), recency (r), payload (p)
+        (1, 10, "a"),
+        (1, 20, "b"),     # survivor for key 1
+        (2, None, "c"),
+        (2, 5, "d"),      # survivor for key 2: non-null beats NULL
+        (3, None, "e"),   # all-null recency: tiebreak on payload desc
+        (3, None, "f"),   # survivor for key 3 ("f" > "e")
+        (4, 7, "g"),
+        (4, 7, "h"),      # equal recency: payload desc tiebreak → "h"
+    ]
+    df = spark.createDataFrame(rows, "k long, r long, p string")
+    w = {
+        tuple(x)
+        for x in dedup_latest(df, keys=["k"], recency_cols=["r"]).collect()
+    }
+    a = {
+        tuple(x)
+        for x in dedup_latest_agg(df, keys=["k"], recency_cols=["r"]).collect()
+    }
+    assert a == w
+    assert {x[0] for x in a} == {1, 2, 3, 4}
+    assert (1, 20, "b") in a and (2, 5, "d") in a
+    assert (3, None, "f") in a and (4, 7, "h") in a

@@ -290,3 +290,19 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_latest_agg_shuffles_reduced_candidates(spark):
+    """The max_by dedup variant must partially aggregate BEFORE the
+    exchange (shuffle carries at most one candidate per key per input
+    partition, not every row), and any Sort it needs is on the group
+    keys only — never on the recency columns the window variant has
+    to sort by."""
+    import re
+
+    df = QUERIES["scale_dedup_latest_agg"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = plan.index("Exchange")
+    assert "partial_max_by" in plan[ex:], "no map-side combine before shuffle"
+    for sort_line in re.findall(r"Sort \[[^\]]*\]", plan):
+        assert "ts#" not in sort_line, f"recency column in sort: {sort_line}"
