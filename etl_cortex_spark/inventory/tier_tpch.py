@@ -1,16 +1,16 @@
 """Classic TPC-H-shaped queries (beyond q1 in tier_c_rel) — the
-multi-join analytical patterns a SQL engine is judged on: q3 (shipping
-priority), q5 (local supplier volume), q6 (forecast revenue), q10
-(returned items). Adapted to the driver's schema subset (orders lacks
-o_comment/o_shippriority; q3/q10 drop those columns, semantics intact).
+multi-join analytical patterns a SQL engine is judged on: q2-q10,
+q12-q15, q17-q19, q21, q22, adapted to the driver's schema subset
+(orders lacks o_comment/o_shippriority; there is no partsupp table, so
+q2/q9 derive the supply catalog from lineitem; phone country codes
+don't exist, so q22 buckets on c_nationkey).
 
-Scale shapes these exercise:
-- q3: 3-way join narrowed by two selective filters + top-k by computed
-  revenue (TakeOrderedAndProject, no full sort).
-- q5: 6-way join where region/nation/supplier broadcast and the
-  customer⋈orders⋈lineitem chain shuffles on keys.
-- q6: pure scan+filter+agg — every predicate pushes to parquet.
-- q10: join + group + top-k on aggregated revenue.
+Scale shapes these exercise (each builder's docstring carries its
+own): selective-filter top-k (q3/q10/q18), dimension-cut pushdown
+before fact joins (q5), pure pushdown scan+agg (q6), scalar-subquery
+decorrelation (q15/q17/q22), EXISTS/NOT-EXISTS as semi/anti joins
+(q4/q21), correlated-min decorrelation (q2), the widest 5-join star
+(q9), and LEFT-join zero-count distributions (q13).
 
 All doubles are rounded post-aggregation only (SURVEY §7 drift rule).
 """
