@@ -720,3 +720,60 @@ def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sent_idx
         """
     )
+
+
+@query(
+    "d36_triangle_count",
+    oracle="""
+    WITH ed AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE c_nationkey <> s_nationkey
+      GROUP BY 1, 2
+    ), cut AS (
+      SELECT * FROM ed WHERE w > (SELECT avg(w) FROM ed)
+    ), e AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM cut
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+    )
+    SELECT node, count(*) AS n_triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY node ORDER BY node
+    """,
+)
+def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.triangle_count — join-based triangle enumeration over the
+    above-average-weight trade graph (same edge build as d27, sparsified
+    with the scale-invariant ``w > avg(w)`` cut: integer counts make the
+    comparison exact on both engines). The oracle enumerates a<b<c
+    triangles by id-order; the operator's enumeration order is an
+    implementation choice (degree-ordering at scale) — the hash match
+    proves the triangle SET is orientation-invariant."""
+    from etl_cortex_spark.operators.graph import triangle_count
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    ed = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cut = ed.crossJoin(
+        F.broadcast(ed.agg(F.avg("w").alias("avg_w")))
+    ).filter(F.col("w") > F.col("avg_w"))
+    return triangle_count(cut).orderBy("node")

@@ -130,3 +130,52 @@ def pagerank_unrolled_sql(
             f"ON n.node = s.dst)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr FROM p{iters}"
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts via the join-based
+    enumeration every distributed engine uses (no per-node adjacency
+    materialization):
+
+    1. canonicalize to undirected edges with ``a < b`` (dedup both
+       directions, drop self-loops);
+    2. wedge join: E(a,b) ⋈ E(b,c) enumerates each candidate path
+       with ``a < b < c``;
+    3. closure join against E(a,c) keeps actual triangles — each
+       triangle found exactly once.
+
+    Scale: the wedge join is the hot spot and its size is Σ deg(v)²
+    under this id-ordering; for skewed real graphs swap step 1's order
+    for degree-ordering ((deg, id) ascending), which bounds wedges by
+    O(m·arboricity) — the enumerated triangle SET is identical either
+    way, which is exactly what the oracle hash-check proves. Returns
+    (node, n_triangles), nodes in ≥1 triangle only.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -73,3 +73,31 @@ def test_deep_iteration_with_lineage_truncation(spark):
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
     for v in pr.values():
         assert v == pytest.approx(1.0 / 3, abs=1e-9)
+
+
+def test_triangle_count_known_graphs(spark):
+    from etl_cortex_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles, every node in exactly 3; edge directions and
+    # duplicates must not matter
+    k4 = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 3)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["n_triangles"]) for r in triangle_count(k4).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+    # path graph: no triangles → empty result
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(path).count() == 0
+
+    # self-loops ignored
+    loops = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["n_triangles"]) for r in triangle_count(loops).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
