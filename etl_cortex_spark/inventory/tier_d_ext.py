@@ -777,3 +777,59 @@ def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ed.agg(F.avg("w").alias("avg_w")))
     ).filter(F.col("w") > F.col("avg_w"))
     return triangle_count(cut).orderBy("node")
+
+
+def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16) -> str:
+    """DuckDB replay of pq_encode under the deterministic codebooks
+    (the k lowest-id vectors' subvectors) — same generator-emits-the-
+    oracle pattern as d24: per subspace, the 6-decimal-rounded argmin
+    with lowest-code tiebreak."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "      FROM embeddings)",
+        "cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,"
+        "              v AS cv FROM e ORDER BY vec_id LIMIT " + str(k) + ")",
+    ]
+    joins = []
+    for j in range(m):
+        lo, hi = j * d_sub + 1, (j + 1) * d_sub
+        parts.append(
+            f"s{j} AS (SELECT e.vec_id, cb.cidx, "
+            f"round(list_sum(list_transform(e.v[{lo}:{hi}], "
+            f"(x, i) -> (x - cb.cv[{lo}:{hi}][i]) * (x - cb.cv[{lo}:{hi}][i]))), 6) AS d "
+            f"FROM e, cb)"
+        )
+        parts.append(
+            f"c{j} AS (SELECT vec_id, cidx FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn "
+            f"FROM s{j}) WHERE rn = 1)"
+        )
+        joins.append(f"c{j}")
+    sel = ", ".join(f"c{j}.cidx AS code{j}" for j in range(m))
+    frm = " JOIN ".join(
+        [joins[0]] + [f"{t} USING (vec_id)" for t in joins[1:]]
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT c0.vec_id, {sel} FROM {frm} ORDER BY vec_id"
+    )
+
+
+@query("d37_pq_encode", oracle=_pq_oracle())
+def d37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pq.pq_encode — product-quantization codes (m=4
+    subspaces × k=8 codewords over the 64-dim embeddings) under the
+    DETERMINISTIC codebooks, so the encode projection is fully
+    oracle-checkable; trained codebooks are engine state covered by
+    reconstruction tests (tests/test_pq.py). Encoding is a pure
+    codegen projection — no shuffle, no Python."""
+    from etl_cortex_spark.operators.pq import deterministic_codebooks, pq_encode
+
+    emb = T(spark, sf_dir, "embeddings")
+    books = deterministic_codebooks(emb, m=4, k=8)
+    codes = pq_encode(emb, books)
+    return codes.select(
+        "vec_id",
+        *[F.col("codes")[j].alias(f"code{j}") for j in range(4)],
+    ).orderBy("vec_id")
