@@ -1358,3 +1358,25 @@ def c62(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(got["n_rows"], got["null_qty"], got["total_price"], got["max_orderkey"])],
         "n_rows bigint, null_qty bigint, total_price double, max_orderkey bigint",
     )
+
+
+@query(
+    "c63_window_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def c63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist — the one ranking-family window function c26 didn't
+    cover (fraction of partition rows ≤ current ORDER BY value; peers
+    share a value, so no unique tiebreaker is needed for the result to
+    be deterministic)."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -327,3 +327,58 @@ def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "d38_hash_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE
+               WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 AS bucket
+        FROM documents
+      )
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def d38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) keyed on
+    md5(doc_id) — the split every training pipeline needs to be
+    REPRODUCIBLE across engines, reruns, and data relayouts: md5 is
+    bit-identical everywhere (probed: Spark and DuckDB agree on the
+    digest), unlike engine-native hash() (murmur3 vs DuckDB's hash).
+    Assignment is a pure projection; a new document lands in its split
+    forever regardless of partitioning or arrival order."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
