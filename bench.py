@@ -56,6 +56,63 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+#: Fact tables re-laid-out before timing (BASELINE.md "scan-parallelism
+#: artifact": every driver-generated parquet is ONE row group, the
+#: atomic split unit, so every fact scan runs as one task in Spark and
+#: caps DuckDB at intra-group morsels). The rewrite restores the layout
+#: any real ingest produces — many files/row groups per table — and
+#: BOTH engines read the same rewritten files, so the comparison stays
+#: symmetric. Dimensions are copied untouched (they are cached /
+#: page-cached anyway).
+FACT_RELAYOUT = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+#: one scan split per core: measured better than 8 for Spark (q1 −50%,
+#: q5 −22%) and neutral-to-mixed for DuckDB at sf0.1.
+RELAYOUT_FILES = 32
+
+
+def relayout(sf_dir: str) -> str:
+    """Mirror ``sf_dir`` into a bench-local multi-file layout dir, once:
+    a signature file keyed on source mtimes skips the rewrite when the
+    inputs haven't changed. Returns the mirror dir; on any failure
+    returns ``sf_dir`` unchanged (the bench must never break on a
+    layout nicety)."""
+    import hashlib
+    import shutil
+
+    from etl_cortex_spark.operators.layout import rewrite_multi_file
+
+    try:
+        srcs = {
+            t: os.path.join(sf_dir, f"{t}.parquet")
+            for t in TABLES
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        }
+        if not srcs:
+            return sf_dir
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        dst = os.path.join("/tmp", f"spark_graft_bench_layout_{tag}")
+        sig = "|".join(
+            f"{t}:{os.path.getmtime(p)}:{RELAYOUT_FILES}" for t, p in sorted(srcs.items())
+        )
+        marker = os.path.join(dst, ".layout_sig")
+        if os.path.exists(marker) and open(marker).read() == sig:
+            return dst
+        os.makedirs(dst, exist_ok=True)
+        for t, src in srcs.items():
+            dstp = os.path.join(dst, f"{t}.parquet")
+            if t in FACT_RELAYOUT:
+                rewrite_multi_file(src, dstp, n_files=RELAYOUT_FILES)
+            else:
+                if os.path.isdir(dstp):
+                    shutil.rmtree(dstp)
+                shutil.copyfile(src, dstp)
+        with open(marker, "w") as f:
+            f.write(sig)
+        return dst
+    except Exception:
+        return sf_dir
+
+
 #: best-of-N discipline shared by every leg (Spark and DuckDB alike) in
 #: bench.py and bench_slope.py — one constant so the two engines are
 #: never measured with different run counts.
@@ -89,7 +146,9 @@ def duckdb_timings(names: list[str], sf_dir: str, runs: int = RUNS) -> dict[str,
     con.execute(f"SET threads = {int(DEFAULT_CPUS) if DEFAULT_CPUS.isdigit() else 32}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # multi-file relayout: glob the parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     out: dict[str, float] = {}
     for name in names:
@@ -124,6 +183,15 @@ BENCH_CONF = {
     # partition count, is sizing the session to the measured SF.
     "spark.shuffle.compress": "false",
     "spark.shuffle.spill.compress": "false",
+    # The relayout splits each fact into RELAYOUT_FILES ~1.3 MB files;
+    # the cluster-default 128 MB maxPartitionBytes + 4 MB openCost
+    # would pack them all back into ONE task. Sizing the split to the
+    # measured SF (like the partition count above) lets the scan run
+    # RELAYOUT_FILES-wide. At real scale the defaults are correct —
+    # files carry thousands of row groups and 128 MB splits saturate
+    # every core on their own.
+    "spark.sql.files.maxPartitionBytes": "524288",
+    "spark.sql.files.openCostInBytes": "65536",
 }
 
 
@@ -162,17 +230,18 @@ def warm_up(spark) -> None:
 
 
 def main() -> None:
+    sf_dir = relayout(SF_DIR)
     spark = get_spark(app_name="etl_cortex_spark_bench", extra_conf=BENCH_CONF)
     warm_up(spark)
-    cache_dimensions(spark, SF_DIR)
+    cache_dimensions(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        timings[name] = round(run_one(spark, name, SF_DIR), 4)
+        timings[name] = round(run_one(spark, name, sf_dir), 4)
 
-    duck = duckdb_timings([n for n in HEADLINE if n in timings], SF_DIR)
+    duck = duckdb_timings([n for n in HEADLINE if n in timings], sf_dir)
     paired_spark = sum(timings[n] for n in duck)
     paired_duck = sum(duck.values())
     ratio = round(paired_spark / paired_duck, 2) if paired_duck else None
@@ -192,6 +261,13 @@ def main() -> None:
                 "duckdb_queries": duck,
                 "ratio_vs_duckdb": ratio,
                 "ratio_per_query": ratio_per_query,
+                "relayout": {
+                    "applied": sf_dir != SF_DIR,
+                    "n_files": RELAYOUT_FILES,
+                    "tables": sorted(FACT_RELAYOUT),
+                    "note": "facts rewritten multi-file/multi-row-group; "
+                    "both engines read the same rewritten files",
+                },
             }
         )
     )

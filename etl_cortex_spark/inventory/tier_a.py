@@ -178,13 +178,17 @@ def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dedup_latest with recency = (ts,) and tiebreak on remaining cols;
-    # restrict the projection so the library tiebreak (event_id desc)
-    # matches the oracle's deterministic order exactly.
+    # dedup_latest_agg (max_by over the ordering struct) rather than the
+    # window form (swapped round 5): recency (ts, event_id) is a TOTAL
+    # order (event_id is unique), so the aggregate provably picks the
+    # oracle window's survivor while the exchange carries one map-side
+    # candidate per key per partition instead of every row. The window
+    # twin stays available as G.dedup_latest (parity pinned in
+    # tests/test_gold.py).
     ev = T(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    out = G.dedup_latest(
+    out = G.dedup_latest_agg(
         ev, keys=("user_id", "event_type"), recency_cols=("ts", "event_id")
     )
     return out.select("event_id", "user_id", "event_type", "value")

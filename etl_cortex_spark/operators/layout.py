@@ -96,6 +96,52 @@ def write_zordered(
     )
 
 
+def rewrite_multi_file(
+    src_file: str,
+    dst_dir: str,
+    *,
+    n_files: int = 8,
+) -> int:
+    """Rewrite one single-row-group parquet file as a directory of
+    ``n_files`` equal row-slices (each its own file/row group), row
+    order preserved across the sorted file names.
+
+    Why this exists: a parquet row group is the atomic scan-split unit
+    for every engine — a 600k-row table written as ONE row group
+    (pyarrow's default for small tables) serializes the whole scan to
+    one task in Spark, no matter how many cores the session has, and
+    caps DuckDB at intra-row-group morsel parallelism. Real ingest at
+    scale never produces this shape (files carry many row groups and
+    tables carry many files); this rewrite restores the layout any
+    production table would have, so scans parallelize in BOTH engines.
+    Driver-side pyarrow (the tables this targets are the small-SF bench
+    inputs); the distributed twin of the same operation is
+    ``compact_parquet`` below. ``version='2.6'`` preserves
+    nanosecond-timestamp columns bit-for-bit. Returns rows written.
+    """
+    import math
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(src_file)
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir)
+    per = max(1, math.ceil(table.num_rows / n_files))
+    for i in range(n_files):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(
+            chunk,
+            os.path.join(dst_dir, f"part-{i:05d}.parquet"),
+            row_group_size=per,
+            version="2.6",
+        )
+    return table.num_rows
+
+
 def compact_parquet(
     spark,
     src_path: str,

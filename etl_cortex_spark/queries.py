@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_cortex_spark.sources.tables import load_table
@@ -46,9 +46,19 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Flagship: the events medallion (SURVEY §7 step 1).
 # bronze (raw parquet) → silver (typed/derived: JSON prop extraction D9,
 # title-cased event_type A8-style) → gold (dedup keep-latest per
-# (user_id, event_type): A13 window; count/value summary per type: A15).
-# One lazy plan end-to-end; the only shuffles are the dedup window and
-# the final aggregate, both hash-partitioned on their keys.
+# (user_id, event_type): A13 as a max_by AGGREGATE; count/value summary
+# per type: A15). One lazy plan end-to-end.
+#
+# The dedup is gold.dedup_latest_agg's strategy, not a window (swapped
+# round 5): max_by over the ordering struct (ts, event_id) picks the
+# SAME survivor as row_number() ... ORDER BY ts DESC, event_id DESC
+# because event_id makes the order total — but the partial (map-side)
+# aggregate means the (user_id, event_type) exchange carries at most
+# one candidate per key per input partition instead of every event
+# row, and no per-partition sort is needed. At 100 TB with heavy
+# duplication, shuffle bytes are the dominant cost — this is the
+# shuffle-lean shape. The oracle keeps the window formulation, which
+# also pins the survivor-equality claim every round.
 # ---------------------------------------------------------------------------
 
 
@@ -88,18 +98,25 @@ def flagship_events_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("event_type"),
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
     )
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    gold = silver.groupBy("user_id", "event_type").agg(
+        F.max_by(
+            F.struct("value", "prop_k"), F.struct("ts", "event_id")
+        ).alias("__m")
     )
-    gold = silver.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Final ORDER BY: the output has one row per event type (a bounded
+    # domain), so a single-partition local sort gives the same total
+    # order as a global orderBy without the range exchange and its
+    # separate sampling job. At any scale the post-agg row count is
+    # |event_type| — coalesce(1) here is safe by construction.
     return (
         gold.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("qtd"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("prop_k"), 2).alias("avg_k"),
+            F.round(F.sum("__m.value"), 2).alias("total_value"),
+            F.round(F.avg("__m.prop_k"), 2).alias("avg_k"),
         )
-        .orderBy(F.desc("qtd"), "event_type")
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("qtd"), "event_type")
     )
 
 

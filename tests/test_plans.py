@@ -97,13 +97,16 @@ def test_minhash_band_join_carries_no_payload(spark):
             assert "__shingles" not in header
 
 
-def test_dedup_window_partitions_on_keys(spark):
+def test_dedup_agg_partitions_on_keys(spark):
+    """a13 runs the max_by-aggregate dedup (round 5): partial_max_by on
+    the map side, ONE hash exchange on the dedup keys, no Window."""
+    import re
+
     plan = plan_of(QUERIES["a13_dedup_keep_latest"](spark, SF))
-    assert "Window" in plan
-    # exactly one exchange: the window's hash partitioning on the keys
-    # (final orderBy may add a range exchange — allow 2)
+    assert "max_by" in plan
+    assert "partial_max_by" in plan  # map-side combine before the exchange
     body = plan.split("== Physical Plan ==")[1]
-    assert body.count("Exchange") <= 2
+    assert len(re.findall(r"\(\d+\) Exchange", body)) <= 1
 
 
 def test_events_scan_prunes_props(spark):
