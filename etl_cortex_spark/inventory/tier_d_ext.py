@@ -776,7 +776,7 @@ def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ed.crossJoin(
         F.broadcast(ed.agg(F.avg("w").alias("avg_w")))
     ).filter(F.col("w") > F.col("avg_w"))
-    return triangle_count(cut).orderBy("node")
+    return triangle_count(cut, order_by_degree=True).orderBy("node")
 
 
 def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16) -> str:

@@ -132,49 +132,136 @@ def pagerank_unrolled_sql(
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, pr FROM p{iters}"
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Per-node triangle participation counts via the join-based
-    enumeration every distributed engine uses (no per-node adjacency
-    materialization):
-
-    1. canonicalize to undirected edges with ``a < b`` (dedup both
-       directions, drop self-loops);
-    2. wedge join: E(a,b) ⋈ E(b,c) enumerates each candidate path
-       with ``a < b < c``;
-    3. closure join against E(a,c) keeps actual triangles — each
-       triangle found exactly once.
-
-    Scale: the wedge join is the hot spot and its size is Σ deg(v)²
-    under this id-ordering; for skewed real graphs swap step 1's order
-    for degree-ordering ((deg, id) ascending), which bounds wedges by
-    O(m·arboricity) — the enumerated triangle SET is identical either
-    way, which is exactly what the oracle hash-check proves. Returns
-    (node, n_triangles), nodes in ≥1 triangle only.
-    """
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (a, b) with ``a < b``: both directions
+    deduped, self-loops dropped."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    und = (
+    return (
         edges.filter(F.col(src) != F.col(dst))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
     )
-    e1 = und.alias("e1")
-    e2 = und.alias("e2")
-    e3 = und.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-            "left_semi",
+
+
+def oriented_edges(
+    und: DataFrame, *, by_degree: bool = False
+) -> DataFrame:
+    """Orient each undirected edge (a, b) from the smaller to the
+    larger endpoint under a TOTAL order, returning (u, v, rv) where
+    ``rv`` is v's rank tuple encoded so wedges can compare endpoints:
+
+    - id-ordering: u < v by node id; ``rv`` is (0, v).
+    - degree-ordering (``by_degree=True``): u precedes v under
+      (degree, id) ascending; ``rv`` is (deg(v), v). One extra
+      degree aggregation + two broadcast-or-shuffle joins, paid once.
+
+    Degree-ordering is the skew bound: every triangle is charged to
+    its LOWEST-degree vertex, so the wedge join size drops from
+    Σ deg(v)² to O(m·arboricity) (Schank/Wagner forward algorithm;
+    cf. Suri & Vassilvitskii, WWW'11) — on a star graph the hub
+    generates C(n,2) wedges under id-ordering and 0 under
+    degree-ordering. The enumerated triangle set is identical either
+    way (any total order names each triangle exactly once).
+    """
+    if not by_degree:
+        return und.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.lit(0).cast("long").alias("rv_deg"),
+            F.col("b").alias("rv_id"),
+        )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    with_deg = (
+        und.join(da, und["a"] == F.col("da.node"))
+        .join(db, und["b"] == F.col("db.node"))
+        .select(
+            "a", "b", F.col("da.deg").alias("dega"), F.col("db.deg").alias("degb")
+        )
+    )
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    return with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("rv_deg"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("rv_id"),
+    )
+
+
+def triangle_wedges(oriented: DataFrame) -> DataFrame:
+    """Candidate wedges (x, y, z): both (x,y) and (x,z) are oriented
+    out-edges of x and y precedes z in the orientation's total order.
+    Exposed separately so tests can measure the wedge-join size — the
+    hot spot whose bound the orientation choice controls."""
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    return (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .filter(
+            (F.col("e1.rv_deg") < F.col("e2.rv_deg"))
+            | (
+                (F.col("e1.rv_deg") == F.col("e2.rv_deg"))
+                & (F.col("e1.rv_id") < F.col("e2.rv_id"))
+            )
         )
         .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    order_by_degree: bool = False,
+) -> DataFrame:
+    """Per-node triangle participation counts via the join-based
+    enumeration every distributed engine uses (no per-node adjacency
+    materialization):
+
+    1. canonicalize to undirected edges (dedup both directions, drop
+       self-loops) and ORIENT them under a total order — node id by
+       default, (degree, id) with ``order_by_degree=True``;
+    2. wedge join: the two out-edges (x,y), (x,z) of each node x with
+       y ≺ z enumerate each candidate exactly once;
+    3. closure join against the oriented edge (y,z) keeps actual
+       triangles.
+
+    Scale: the wedge join is the hot spot — Σ deg(v)² under
+    id-ordering, O(m·arboricity) under degree-ordering
+    (``order_by_degree=True``), which is the variant a power-law
+    graph needs: a single hub of degree d contributes C(d, 2) wedges
+    under id-ordering and 0 under degree-ordering. The enumerated
+    triangle SET is identical either way (pinned by pytest on a
+    star+clique fixture and by the oracle hash-check). The corner
+    explosion reads the triangle frame ONCE (explode over the corner
+    array — a union of three selects would re-execute the wedge join
+    per branch, since Spark does not share subplans across union
+    arms). Returns (node, n_triangles), nodes in ≥1 triangle only.
+    """
+    und = _canonical_edges(edges, src, dst)
+    e = oriented_edges(und, by_degree=order_by_degree)
+    e3 = e.alias("e3")
+    tri = (
+        triangle_wedges(e)
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z")),
+            "left_semi",
         )
     )
     per_node = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -101,3 +101,50 @@ def test_triangle_count_known_graphs(spark):
         (r["node"], r["n_triangles"]) for r in triangle_count(loops).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_triangle_degree_ordering_same_set_fewer_wedges(spark):
+    """Star + clique fixture: the hub (lowest id, highest degree) is
+    the id-ordering worst case — it fans out C(deg, 2) wedges that can
+    never close. Degree-ordering charges every edge to its
+    lowest-degree endpoint, so the star contributes ZERO wedges, while
+    the enumerated triangle set (and therefore every per-node count)
+    is identical under both orientations."""
+    from etl_cortex_spark.operators.graph import (
+        _canonical_edges,
+        oriented_edges,
+        triangle_count,
+        triangle_wedges,
+    )
+
+    # hub 0 — 20 leaves (no triangles), K4 on 100..103 (4 triangles),
+    # plus one triangle touching the hub via two leaves (1, 2)
+    star = [(0, i) for i in range(1, 21)]
+    k4 = [(a, b) for a in (100, 101, 102, 103) for b in (100, 101, 102, 103) if a < b]
+    extra = [(1, 2)]  # closes triangle (0, 1, 2)
+    edges = spark.createDataFrame(star + k4 + extra, "src long, dst long")
+
+    by_id = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_count(edges, order_by_degree=False).collect()
+    }
+    by_deg = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_count(edges, order_by_degree=True).collect()
+    }
+    assert by_id == by_deg
+    assert by_deg == {
+        (0, 1), (1, 1), (2, 1),
+        (100, 3), (101, 3), (102, 3), (103, 3),
+    }
+
+    und = _canonical_edges(edges, "src", "dst")
+    w_id = triangle_wedges(oriented_edges(und, by_degree=False)).count()
+    w_deg = triangle_wedges(oriented_edges(und, by_degree=True)).count()
+    # id-ordering: hub 0 alone fans out C(20, 2) = 190 wedges (all 20
+    # star edges orient AWAY from id 0); degree-ordering: every star
+    # edge points INTO the hub -> 0 star wedges; only the K4
+    # (arboricity-bounded) and the (0,1,2) triangle's wedges remain.
+    assert w_id >= 190
+    assert w_deg <= 10
+    assert w_deg < w_id / 19
