@@ -269,6 +269,85 @@ def d03c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_brp_topk(emb, qv, k=5)
 
 
+def _ivfpq_oracle(m: int = 4, k: int = 8, d_sub: int = 16, topk: int = 10) -> str:
+    """DuckDB replay of the composed IVF×PQ serving path: candidates =
+    the query's sign-LSH cell (same literal hyperplanes as
+    ``_bucket_sql``), per-candidate PQ code per subspace (same argmin
+    as ``tier_d_ext._pq_oracle``), ADC distance = sum over subspaces of
+    the squared distance from the query's subvector to the CHOSEN
+    codeword — exactly the lookup the Spark side does via its literal
+    LUT. One generator emits both halves' constants, so the engines
+    can only diverge if the algorithm itself does."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "      FROM embeddings)",
+        "cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,"
+        f"              v AS cv FROM e ORDER BY vec_id LIMIT {k})",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        "cand AS (SELECT vec_id, v FROM e, q WHERE vec_id <> 0 "
+        f"AND ({_bucket_sql('v')}) = ({_bucket_sql('qv')}))",
+    ]
+    for j in range(m):
+        lo, hi = j * d_sub + 1, (j + 1) * d_sub
+        parts.append(
+            f"s{j} AS (SELECT cand.vec_id, cb.cidx, "
+            f"round(list_sum(list_transform(cand.v[{lo}:{hi}], "
+            f"(x, i) -> (x - cb.cv[{lo}:{hi}][i]) * (x - cb.cv[{lo}:{hi}][i]))), 6) AS d "
+            f"FROM cand, cb)"
+        )
+        parts.append(
+            f"c{j} AS (SELECT vec_id, cidx FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn "
+            f"FROM s{j}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"t{j} AS (SELECT c{j}.vec_id, "
+            f"list_sum(list_transform(q.qv[{lo}:{hi}], "
+            f"(x, i) -> (x - cb.cv[{lo}:{hi}][i]) * (x - cb.cv[{lo}:{hi}][i]))) AS t "
+            f"FROM c{j} JOIN cb USING (cidx), q)"
+        )
+    frm = " JOIN ".join(["t0"] + [f"t{j} USING (vec_id)" for j in range(1, m)])
+    adc = " + ".join(f"t{j}.t" for j in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, round({adc}, 6) AS adc_dist FROM {frm} "
+        f"ORDER BY adc_dist, vec_id LIMIT {topk}"
+    )
+
+
+@query("d03_ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def d03d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-vector serving path (pq.write_ivfpq_index +
+    pq.ivfpq_adc_topk): build the IVF×PQ index — sign-LSH cell as the
+    partition key, PQ codes (m=4 × k=8 deterministic codebooks) as the
+    only payload — then answer the query by pruning to ONE cell
+    directory and ADC-scoring its codes against the per-query LUT.
+    Partition pruning + recall are pinned in tests/test_pq.py and
+    tests/test_plans.py; this entry pins the VALUES end-to-end against
+    the SQL replay. Index path carries the pid so concurrent harness
+    runs never collide (round-4 advice on d08d)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from etl_cortex_spark.operators.pq import (
+        deterministic_codebooks,
+        ivfpq_adc_topk,
+        write_ivfpq_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    books = deterministic_codebooks(emb, m=4, k=8)
+    qv = _query_vec(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}_{os.getpid()}"
+    )
+    write_ivfpq_index(emb.filter(F.col("vec_id") != 0), path, books)
+    return ivfpq_adc_topk(spark, path, books, qv, topk=10)
+
+
 # --- D4: text analysis --------------------------------------------------------
 
 

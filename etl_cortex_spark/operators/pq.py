@@ -129,6 +129,23 @@ def _argmin_code(sub: Column, codebook: list[list[float]]) -> Column:
     return F.array_min(pairs)["idx"]
 
 
+def pq_codes_expr(
+    codebooks: list[list[list[float]]], vec_col: str = "embedding"
+) -> Column:
+    """The ``array<int>`` PQ-code expression for one vector column —
+    one argmin projection per subspace against codeword literals.
+    Shared by ``pq_encode`` and ``write_ivfpq_index`` so the stored
+    and ad-hoc codes can never disagree."""
+    d_sub = len(codebooks[0][0])
+    v = as_double(F.col(vec_col))
+    return F.array(
+        *[
+            _argmin_code(_sub(v, j, d_sub), codebooks[j])
+            for j in range(len(codebooks))
+        ]
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -138,15 +155,9 @@ def pq_encode(
     """(id, codes array<int>) — one argmin projection per subspace,
     ties to the lowest code (6-decimal rounding so the tie rule, not
     libm ULP, decides). Pure codegen; no shuffle, no Python."""
-    d_sub = len(codebooks[0][0])
-    v = as_double(F.col(vec_col))
-    codes = F.array(
-        *[
-            _argmin_code(_sub(v, j, d_sub), codebooks[j])
-            for j in range(len(codebooks))
-        ]
+    return df.select(
+        F.col(id_col), pq_codes_expr(codebooks, vec_col).alias("codes")
     )
-    return df.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -185,3 +196,63 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(topk)
     )
+
+
+# --- IVF × PQ: the composed billion-vector serving path -----------------------
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 7,
+) -> None:
+    """Materialize the composed index: sign-LSH cell as the PARTITION
+    key (the IVF half, `similarity.write_ivf_index`) and PQ codes as
+    the PAYLOAD (this module) — the layout of every large-scale vector
+    store (IVFADC, Jégou et al. 2011): a query prunes to its cell's
+    directory, then scores m-byte codes instead of d-float vectors.
+    The stored rows are (id, codes) only — the float vectors never
+    enter the index, which is the entire storage win (d·4 bytes → m).
+
+    Cell assignment and codes come from the same shared expressions as
+    the standalone paths (`lsh_bucket`, `pq_codes_expr`), so index and
+    query can never disagree on either half."""
+    from etl_cortex_spark.operators.similarity import hyperplanes, lsh_bucket
+
+    dim = len(codebooks) * len(codebooks[0][0])
+    planes = hyperplanes(dim, n_planes, seed)
+    out = df.select(
+        F.col(id_col),
+        pq_codes_expr(codebooks, vec_col).alias("codes"),
+        lsh_bucket(as_double(F.col(vec_col)), planes).alias("__bucket"),
+    )
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+
+def ivfpq_adc_topk(
+    spark,
+    path: str,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k against a ``write_ivfpq_index`` table: prune to the
+    query's cell (partition pruning — only that directory is listed
+    and scanned, asserted in tests/test_plans.py), then ADC-score the
+    surviving codes via the per-query lookup table. The scan touches
+    m int codes per row and never a float vector; top-k is
+    TakeOrderedAndProject. Recall < 1 by design (single-probe IVF);
+    the recall pytest pins it against the exact `cosine_topk` scan."""
+    from etl_cortex_spark.operators.similarity import hyperplanes, query_bucket
+
+    planes = hyperplanes(len(query), n_planes, seed)
+    qbucket = query_bucket(query, planes)
+    codes_df = spark.read.parquet(path).filter(F.col("__bucket") == qbucket)
+    return pq_adc_topk(codes_df, codebooks, query, topk=topk, id_col=id_col)

@@ -113,3 +113,66 @@ def test_dim_mismatch_raises(spark, emb):
         PQ.pq_adc_topk(PQ.pq_encode(emb, books), books, [0.0] * 8)
     with pytest.raises(ValueError, match="not divisible"):
         PQ.deterministic_codebooks(emb, m=7, k=4)
+
+
+def test_ivfpq_prunes_partitions_and_recalls(spark, emb, tmp_path):
+    """The composed serving path: (1) the query scans exactly ONE cell
+    directory of the index (partition pruning, the IVF half), (2) the
+    pruned ADC result equals ADC over that cell's ad-hoc codes (stored
+    codes = expression codes), (3) the retrieved set is genuinely near
+    under EXACT L2 (the PQ half approximates but must not garbage).
+    n_planes=3 → 8 cells so each cell holds enough of the tiny test
+    corpus to fill a top-10."""
+    from tests.test_plans import _scan_metric
+
+    books = PQ.train_codebooks(emb, M, K, iters=2)
+    q_row = emb.orderBy("vec_id").first()
+    q = [float(x) for x in q_row["embedding"]]
+    base = emb.filter(F.col("vec_id") != q_row["vec_id"])
+
+    path = str(tmp_path / "ivfpq")
+    PQ.write_ivfpq_index(base, path, books, n_planes=3)
+    top = PQ.ivfpq_adc_topk(spark, path, books, q, topk=10, n_planes=3)
+
+    plan = top._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "__bucket" in plan.split("PartitionFilters:")[1].split("\n")[0]
+    got = [(r["vec_id"], r["adc_dist"]) for r in top.collect()]
+    assert _scan_metric(top, "numPartitions") == 1
+
+    # stored codes == expression codes: rebuild the cell ad hoc
+    from etl_cortex_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+        query_bucket,
+    )
+
+    planes = hyperplanes(len(q), 3)
+    cell = base.filter(
+        lsh_bucket(as_double(F.col("embedding")), planes)
+        == query_bucket(q, planes)
+    )
+    adhoc = [
+        (r["vec_id"], r["adc_dist"])
+        for r in PQ.pq_adc_topk(PQ.pq_encode(cell, books), books, q, topk=10).collect()
+    ]
+    assert got == adhoc
+
+    # nearness under exact L2: retrieved mean well under corpus mean
+    v = as_double(F.col("embedding"))
+    lit = F.array(*[F.lit(x) for x in q])
+    l2 = F.aggregate(
+        F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact_d = {
+        r["vec_id"]: r["d"] for r in base.select("vec_id", l2.alias("d")).collect()
+    }
+    avg_all = sum(exact_d.values()) / len(exact_d)
+    ids = [i for i, _ in got]
+    avg_got = sum(exact_d[i] for i in ids) / len(ids)
+    assert avg_got < avg_all
