@@ -837,7 +837,10 @@ def d08d(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_upsert_table,
     )
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid in the path (round-4 advice): two concurrent harness runs
+    # over the same sf_dir must not delete each other's in-flight
+    # upsert table/checkpoint
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_upsert", h)
     # fresh run each call: the checkpoint identifies the source batches
     shutil.rmtree(base, ignore_errors=True)

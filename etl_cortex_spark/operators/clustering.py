@@ -44,7 +44,10 @@ def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str):
     (dist, idx) structs, array_min = lexicographic min → deterministic
     argmin with the lowest cluster index on ties. Distances are
     rounded to 6 decimals before the argmin so the tie rule (not libm
-    ULP) decides near-equidistant points."""
+    ULP) decides near-equidistant points. A NULL vector assigns to a
+    NULL cluster explicitly — struct comparison against NULL distances
+    would otherwise pick an arbitrary-looking (if deterministic)
+    cluster for rows that carry no vector at all."""
     v = as_double(F.col(vec_col))
     pairs = F.array(
         *[
@@ -56,20 +59,30 @@ def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str):
         ]
     )
     best = F.array_min(pairs)
-    return best["idx"].alias("cluster"), best["dist"].alias("sq_dist")
+    return (
+        F.when(v.isNotNull(), best["idx"]).alias("cluster"),
+        F.when(v.isNotNull(), best["dist"]).alias("sq_dist"),
+    )
 
 
 def initial_centroids(
     df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:
-    """Deterministic seed: the k lowest-id vectors (no runtime RNG, so
-    every engine and every run agrees)."""
+    """Deterministic seed: the k lowest-id NON-NULL vectors (no runtime
+    RNG, so every engine and every run agrees; NULL embeddings are
+    skipped — a stray NULL row must degrade to "not a seed", never
+    abort the fit)."""
     rows = (
-        df.select(id_col, as_double(F.col(vec_col)).alias("v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, as_double(F.col(vec_col)).alias("v"))
         .orderBy(id_col)
         .limit(k)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"initial_centroids: no non-NULL {vec_col!r} vectors to seed from"
+        )
     return [[float(x) for x in r.v] for r in rows]
 
 

@@ -53,13 +53,15 @@ def deterministic_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
-    """codebooks[j][c] = subvector j of the c-th lowest-id vector —
-    deterministic across engines/runs (same rule as
-    ``clustering.initial_centroids``), which is what makes the encode
-    step oracle-checkable. Real deployments replace this with
-    ``train_codebooks``."""
+    """codebooks[j][c] = subvector j of the c-th lowest-id NON-NULL
+    vector — deterministic across engines/runs (same rule as
+    ``clustering.initial_centroids``, including the NULL skip: a stray
+    NULL embedding must not abort codebook construction), which is
+    what makes the encode step oracle-checkable. Real deployments
+    replace this with ``train_codebooks``."""
     rows = (
-        df.select(id_col, as_double(F.col(vec_col)).alias("v"))
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, as_double(F.col(vec_col)).alias("v"))
         .orderBy(id_col)
         .limit(k)
         .collect()

@@ -102,22 +102,35 @@ def foreach_batch_upsert(
     merges the delta into the keyed target, keep-latest per key by
     ``order_cols``.
 
-    Exactly-once story: ``foreachBatch`` hands over ``(df, batch_id)``
-    and replays the same batch_id after a crash; the guard file makes
-    the merge idempotent (a replayed batch is skipped). At 100 TB the
-    target is a lakehouse table and the body is one ``MERGE INTO`` —
-    the rewrite-and-swap here is the plain-parquet stand-in with the
-    same semantics, swapped atomically so concurrent readers never see
-    a half-written table.
+    Exactly-once story (round-4 advice closed both crash windows the
+    old delete-then-rename swap had):
+
+    - each merged state is written to an immutable VERSION directory
+      (``v<batch_id>``); the ``CURRENT`` pointer file is flipped to it
+      with one atomic ``os.replace`` — a reader resolving the pointer
+      always lands on a complete table, at every crash point;
+    - ``foreachBatch`` replays the same batch_id after a crash; the
+      guard file skips fully applied batches, and a replay that finds
+      ``CURRENT`` already pointing at its own version (crash between
+      pointer flip and guard write) just re-writes the guard — no
+      re-merge against itself;
+    - a replay that crashed BEFORE the flip re-merges against the
+      previous version — the keep-latest merge is idempotent, so the
+      result is identical;
+    - the previous version is retained one generation (a reader that
+      resolved ``CURRENT`` just before a flip may still be scanning
+      it); older versions are garbage-collected.
+
+    At 100 TB the target is a lakehouse table and the body is one
+    ``MERGE INTO`` — version directories + an atomically swapped
+    pointer is exactly the commit protocol those formats implement
+    (Delta's _delta_log, Iceberg's metadata pointer), stood up here on
+    plain parquet.
 
     Returns the started query; callers drive it with availableNow +
     awaitTermination for bounded replays.
     """
     import os
-    import shutil
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     spark = stream.sparkSession
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -125,28 +138,9 @@ def foreach_batch_upsert(
     os.makedirs(guard_dir, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        guard = os.path.join(guard_dir, str(batch_id))
-        if os.path.exists(guard):  # replayed batch → already merged
-            return
-        live = os.path.join(table_dir, "live")
-        staging = os.path.join(table_dir, "staging")
-        if os.path.isdir(live):
-            merged = spark.read.parquet(live).unionByName(batch_df)
-        else:
-            merged = batch_df
-        w = Window.partitionBy(*key_cols).orderBy(
-            *[F.desc(c) for c in order_cols]
+        apply_upsert_batch(
+            spark, batch_df, batch_id, table_dir, guard_dir, key_cols, order_cols
         )
-        latest = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        latest.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(live):
-            shutil.rmtree(live)
-        os.replace(staging, live)
-        open(guard, "w").close()
 
     return (
         stream.writeStream.foreachBatch(upsert)
@@ -156,7 +150,84 @@ def foreach_batch_upsert(
     )
 
 
-def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def apply_upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    guard_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """One idempotent merge commit (the ``foreachBatch`` body, exposed
+    so crash-window tests can replay it directly against synthetic
+    pointer/guard states). See ``foreach_batch_upsert`` for the
+    protocol."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    guard = os.path.join(guard_dir, str(batch_id))
+    if os.path.exists(guard):  # replayed batch → already merged
+        return
+    vname = f"v{batch_id:020d}"
+    vdir = os.path.join(table_dir, vname)
+    pointer = os.path.join(table_dir, "CURRENT")
+    prev = _resolve_current(table_dir)
+    if prev is not None and os.path.basename(prev) == vname:
+        # crash landed between the pointer flip and the guard write:
+        # the merge is already live — just re-arm the guard
+        open(guard, "w").close()
+        return
+    if prev is not None:
+        merged = spark.read.parquet(prev).unionByName(batch_df)
+    else:
+        merged = batch_df
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    latest.write.mode("overwrite").parquet(vdir)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(vname)
+    os.replace(tmp, pointer)  # the one atomic commit point
+    open(guard, "w").close()
+    # GC: keep current + one predecessor generation (an in-flight
+    # reader that resolved CURRENT just before the flip may still be
+    # scanning the predecessor)
+    keep = {vname, os.path.basename(prev) if prev else ""}
+    for d in os.listdir(table_dir):
+        p = os.path.join(table_dir, d)
+        if d.startswith("v") and d not in keep and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _resolve_current(table_dir: str) -> str | None:
+    """The directory the ``CURRENT`` pointer names, or the legacy
+    ``live`` directory, or None before the first commit."""
     import os
 
-    return spark.read.parquet(os.path.join(table_dir, "live"))
+    pointer = os.path.join(table_dir, "CURRENT")
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            name = f.read().strip()
+        p = os.path.join(table_dir, name)
+        if os.path.isdir(p):
+            return p
+    legacy = os.path.join(table_dir, "live")
+    return legacy if os.path.isdir(legacy) else None
+
+
+def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the committed upsert table: resolve the ``CURRENT`` pointer
+    (atomic with respect to in-flight swaps), falling back to the
+    legacy ``live`` layout."""
+    import os
+
+    p = _resolve_current(table_dir)
+    return spark.read.parquet(p if p else os.path.join(table_dir, "live"))

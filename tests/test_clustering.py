@@ -195,3 +195,45 @@ def test_semantic_dedup_all_null_still_raises(spark):
     )
     with _pytest.raises(ValueError, match="cannot infer vector dim"):
         CL.semantic_dedup(nulled, threshold=0.99, n_planes=4, seed=7)
+
+
+def test_kmeans_null_first_vector_does_not_abort(spark):
+    """Round-4 advice: a NULL embedding holding the LOWEST id must not
+    abort the fit — the seed skips it, the NULL row comes back with a
+    NULL cluster, and every real row is assigned normally."""
+    rows = [(0, None)] + [
+        (i, [float(i % 3), float((i * 7) % 5), 1.0, 0.5]) for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+
+    seeds = CL.initial_centroids(df, k=3)
+    assert len(seeds) == 3 and all(len(c) == 4 for c in seeds)
+    # seeds are ids 1, 2, 3 — the NULL id-0 row was skipped
+    assert seeds[0] == [1.0, 2.0, 1.0, 0.5]
+
+    out = CL.kmeans_fit_predict(df, k=3, iters=2).collect()
+    by_id = {r["vec_id"]: r["cluster"] for r in out}
+    assert by_id[0] is None
+    assert all(by_id[i] is not None for i in range(1, 30))
+
+
+def test_kmeans_all_null_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], schema="vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="no non-NULL"):
+        CL.initial_centroids(df, k=2)
+
+
+def test_pq_codebooks_null_first_vector_does_not_abort(spark):
+    from etl_cortex_spark.operators import pq as PQ
+
+    rows = [(0, None)] + [
+        (i, [float(i), 1.0, float(i % 2), 0.0]) for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    books = PQ.deterministic_codebooks(df, m=2, k=4)
+    assert len(books) == 2 and len(books[0]) == 4
+    assert books[0][0] == [1.0, 1.0]  # id 1, not the NULL id 0

@@ -161,3 +161,62 @@ def test_foreach_batch_upsert_across_batches_and_replay(spark, tmp_path):
         for r in read_upsert_table(spark, table_dir).collect()
     }
     assert got2 == got
+
+
+def test_upsert_crash_windows_recover(spark, tmp_path):
+    """The two crash windows round-4 advice flagged in the old
+    delete-then-rename swap, replayed directly against the commit
+    protocol: (A) crash between the pointer flip and the guard write —
+    a replay must NOT re-merge the batch into itself; (B) crash before
+    the flip — a replay re-merges against the previous version and
+    converges to the same table. In every state the CURRENT pointer
+    resolves to a complete version directory (reader atomicity), and
+    the predecessor generation survives GC."""
+    import os
+
+    from etl_cortex_spark.streaming.ingest import (
+        _resolve_current,
+        apply_upsert_batch,
+        read_upsert_table,
+    )
+
+    table_dir = str(tmp_path / "table")
+    guard_dir = str(tmp_path / "guards")
+    os.makedirs(table_dir)
+    os.makedirs(guard_dir)
+
+    df0 = spark.createDataFrame(
+        [(7, 1, 10.0), (8, 2, 20.0)], "user_id long, seq long, value double"
+    )
+    df1 = spark.createDataFrame(
+        [(7, 3, 30.0), (9, 4, 40.0)], "user_id long, seq long, value double"
+    )
+    ku, ko = ["user_id"], ["seq"]
+    apply_upsert_batch(spark, df0, 0, table_dir, guard_dir, ku, ko)
+    apply_upsert_batch(spark, df1, 1, table_dir, guard_dir, ku, ko)
+    expected = {7: (3, 30.0), 8: (2, 20.0), 9: (4, 40.0)}
+
+    def table():
+        return {
+            r["user_id"]: (r["seq"], r["value"])
+            for r in read_upsert_table(spark, table_dir).collect()
+        }
+
+    assert table() == expected
+    # predecessor generation retained for in-flight readers
+    assert os.path.isdir(os.path.join(table_dir, "v" + "0" * 20))
+
+    # window A: guard lost after the flip — replay must be a no-op
+    os.remove(os.path.join(guard_dir, "1"))
+    apply_upsert_batch(spark, df1, 1, table_dir, guard_dir, ku, ko)
+    assert table() == expected
+    assert os.path.exists(os.path.join(guard_dir, "1"))
+
+    # window B: crash BEFORE the flip — pointer still names v0, the
+    # v1 directory may exist half-written; replay re-merges and commits
+    os.remove(os.path.join(guard_dir, "1"))
+    with open(os.path.join(table_dir, "CURRENT"), "w") as f:
+        f.write("v" + "0" * 20)
+    apply_upsert_batch(spark, df1, 1, table_dir, guard_dir, ku, ko)
+    assert table() == expected
+    assert _resolve_current(table_dir).endswith("1")
