@@ -33,6 +33,7 @@ from bench import (  # noqa: E402
     HEADLINE,
     RUNS,
     cache_dimensions,
+    relayout,
     run_one,
     warm_up,
 )
@@ -116,7 +117,9 @@ def main() -> None:
     # scale.
     result = {}
     for label, sf_dir, extra_conf in (
-        ("sf0.1", SRC_DIR, BENCH_CONF),
+        # the sf0.1 leg reads the SAME multi-file relayout bench.py
+        # measures (round 5) — both engines, same files, same as bench
+        ("sf0.1", relayout(SRC_DIR), BENCH_CONF),
         ("sf1", SF1_DIR, None),
     ):
         spark = get_spark(
