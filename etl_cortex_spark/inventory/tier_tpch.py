@@ -936,3 +936,230 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", F.desc("o_year"))
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost,
+             sum(l_quantity) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+    ), nat AS (
+      SELECT ps.* FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    ), v AS (
+      SELECT ps_partkey,
+             sum(CAST(round(ps_supplycost * ps_availqty * 100) AS BIGINT)) AS cents
+      FROM nat GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, cents / 100.0 AS value
+    FROM v
+    WHERE cents > (SELECT 2 * avg(cents) FROM v)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape (important stock identification): per-part inventory
+    value for one nation's suppliers, kept when above twice the
+    GLOBAL mean part value (scale-invariant, unlike stock q11's
+    SF-dependent fraction) — the classic aggregate-vs-global-scalar HAVING. The
+    schema has no partsupp (TESTDATA.md), so the catalog derives from
+    lineitem exactly like q2: supplycost := min(price/qty), availqty :=
+    sum(qty) per (part, supplier).
+
+    Scale shape: one (part, supp) partial-agg shuffle builds the
+    catalog; the nation cut is a broadcast semi-chain applied BEFORE
+    the per-part rollup (same ordering Catalyst can't derive without
+    CBO); the global total is a 1-row broadcast join, never a
+    collect; final order on the already-tiny survivor set."""
+    li = T(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+    nation_supps = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    nat = ps.join(
+        F.broadcast(nation_supps),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    # Fixed-point money arithmetic: each (part, supplier) value is
+    # rounded to integer CENTS per element (both engines round the
+    # bit-identical product, so the element is engine-exact), and the
+    # per-part sum is an exact BIGINT — order-independent, so the
+    # threshold comparison and the 2-decimal output can never drift by
+    # a ULP the way a double sum's last bit does. This is what real
+    # engines' DECIMAL types do, stood up on the double schema.
+    cents = F.round(
+        F.col("ps_supplycost") * F.col("ps_availqty") * 100, 0
+    ).cast("bigint")
+    v = nat.groupBy("ps_partkey").agg(F.sum(cents).alias("__cents"))
+    total = v.agg((F.avg("__cents") * 2).alias("__threshold"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("__cents") > F.col("__threshold"))
+        .select("ps_partkey", (F.col("__cents") / 100.0).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16_parts_supplier_relationship",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) bucket with a NOT-IN supplier
+    exclusion — an anti join, never a nested loop. The complaint-comment
+    exclusion of stock q16 maps to the s_acctbal < 0 supplier slice
+    (the schema carries no s_comment); the supply catalog is the
+    distinct (part, supplier) projection of lineitem.
+
+    Scale shape: lineitem collapses to the distinct catalog FIRST (one
+    payload-free shuffle), then a broadcast anti join against the tiny
+    excluded-supplier list, a broadcast join against the filtered part
+    slice, and one count-distinct agg keyed by the output buckets —
+    everything after the first distinct is broadcast-sized. All-integer
+    comparisons: hash-exact on any engine."""
+    ps = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    parts = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        ps.join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    WITH agg AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS availqty,
+             sum(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS window_qty
+      FROM lineitem GROUP BY 1, 2
+    ), excess AS (
+      SELECT DISTINCT agg.l_suppkey
+      FROM agg
+      JOIN part ON p_partkey = agg.l_partkey
+      WHERE p_name LIKE 'red%'
+        AND window_qty > 0
+        AND availqty > 0.5 * window_qty
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s_name
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape (potential part promotion): suppliers in one nation
+    holding excess stock of the 'red%' parts — stock q20's doubly
+    nested IN/scalar-subquery tower, decorrelated into ONE conditional
+    aggregate: availqty (all-time qty) and the shipment-window qty come
+    from the same (part, supplier) rollup, so the whole correlated
+    comparison is a filter on one aggregate's columns. Quantities are
+    integer-valued doubles — sums and the 0.5× comparison are exact on
+    both engines.
+
+    Scale shape: one partial-agg shuffle over lineitem (the two sums
+    share it via CASE), broadcast join to the filtered part slice,
+    distinct supplier list stays broadcast-sized, and the final
+    supplier⋈nation chain is all-broadcast with a semi join against
+    the excess list."""
+    li = T(spark, sf_dir, "lineitem")
+    in_window = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    agg = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("availqty"),
+        F.sum(F.when(in_window, F.col("l_quantity")).otherwise(0.0)).alias(
+            "window_qty"
+        ),
+    )
+    red_parts = T(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    excess = (
+        agg.join(
+            F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(
+            (F.col("window_qty") > 0)
+            & (F.col("availqty") > 0.5 * F.col("window_qty"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(excess),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
