@@ -42,11 +42,16 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # Entries fixed/changed since their last green record → re-verify ASAP,
 # mapped to the round the fix landed. The boost expires by itself once a
 # CORRECTNESS file from that round (or later) records the entry again.
-# Round 4: the two stream joins were green in r02, broken by the events
-# parquet ns→µs drift, and repaired this round (streaming/events.py).
+# Round 5: flagship/a13 swapped to the max_by-aggregate dedup, d36 runs
+# degree-ordered orientation, d24 assignment got the NULL-vector
+# contract, and the foreachBatch upsert moved to the version-pointer
+# commit protocol.
 _REVERIFY_NOW: dict[str, int] = {
-    "stream_static_join": 4,
-    "stream_stream_join": 4,
+    "flagship_events_medallion": 5,
+    "a13_dedup_keep_latest": 5,
+    "d36_triangle_count": 5,
+    "d24_centroid_assign": 5,
+    "stream_foreach_batch_upsert": 5,
 }
 
 
