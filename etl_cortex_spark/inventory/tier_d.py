@@ -455,6 +455,41 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(assets)
 
 
+@query(
+    "d05_wav_decode_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i,
+             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS sample
+      FROM documents, range(0, 2400) t(i)
+      WHERE i < 800 + (doc_id % 5) * 400
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           count(*) AS n_samples,
+           count(*) / 16000.0 AS duration_s,
+           sqrt(sum(sample * sample) / count(*)) AS rms,
+           CAST(max(abs(sample)) AS INT) AS peak
+    FROM s GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def d05w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, cross-checked: the Spark side builds genuine
+    RIFF/WAVE PCM16 containers (samples from an integer closed form)
+    and DECODES THE BYTES — header magics, fmt chunk, numpy PCM frame
+    decode — inside ``mapInPandas``; the oracle never sees the bytes
+    and regenerates every sample from the closed form in SQL. A match
+    therefore proves the container round-trip, not just the stats.
+    ``rms`` is emitted unrounded (every step is bit-identical across
+    engines: exact integer sums in double range, correctly-rounded
+    sqrt). The only remaining decode stub is compressed codecs
+    (``decode_image``), which genuinely need external libraries."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_wav_assets(docs)
+    return MM.decode_wav_features(assets).orderBy("asset_id")
+
+
 # --- D6-D8: streaming ---------------------------------------------------------
 
 

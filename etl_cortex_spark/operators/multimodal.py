@@ -216,3 +216,123 @@ def plan_audio_chunks(
         (end_sample * bytes_per_sample).alias("byte_end"),
         (end_sample - start_sample).alias("chunk_samples"),
     )
+
+
+# --- real PCM WAV decode (stdlib-only codec) ----------------------------------
+
+WAV_RATE = 16_000
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return 800 + (doc_id % 5) * 400
+
+
+def _wav_sample(doc_id, i):
+    """Closed-form PCM16 sample — integer LCG, NO transcendentals, so
+    the DuckDB oracle can regenerate every sample bit-exactly (a sine
+    generator would hang the cross-check on libm ULP differences)."""
+    return (doc_id * 7919 + i * 104729) % 65536 - 32768
+
+
+def synthesize_wav_assets(docs: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE PCM16-mono payloads, one per document, samples
+    from the closed-form generator above — ``wave.open`` parses them
+    (pinned in tests). Unlike ``synthesize_assets``' opaque bytes,
+    these exercise an actual decoder end-to-end with no codec library:
+    PCM WAV is a stdlib-parseable container."""
+    out_schema = "asset_id bigint, payload binary"
+    rate = WAV_RATE  # bind the VALUE: the closure must not reference
+    # this module (workers in a vanilla session can't import it — the
+    # same rule every other mapInPandas body here follows)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 800 + (d % 5) * 400  # keep in sync with _wav_n_samples
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((d * 7919 + i * 104729) % 65536 - 32768).astype(
+                    "<i2"
+                ).tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                )
+                payloads.append(hdr + pcm)
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_wav_features(assets: DataFrame) -> DataFrame:
+    """REAL audio decode via ``mapInPandas`` — no stub: parse the RIFF
+    container (magics validated, fmt chunk unpacked), decode the PCM16
+    frames with numpy, and emit per-asset audio features. ``rms`` is
+    emitted UNROUNDED: every arithmetic step (integer sums of squares
+    exact in double, correctly-rounded sqrt) is bit-identical across
+    engines, so the oracle matches on the raw double while a rounding
+    step could flip its last decimal. Compressed codecs (mp3/aac/...)
+    still need an external library — that, and only that, remains the
+    documented NotImplementedError contract (``decode_image``)."""
+    out_schema = (
+        "asset_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+        "duration_s double, rms double, peak int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "sample_rate", "n_channels", "n_samples",
+                "duration_s", "rms", "peak",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError(f"asset {aid}: not a RIFF/WAVE payload")
+                if buf[12:16] != b"fmt ":
+                    raise ValueError(f"asset {aid}: missing fmt chunk")
+                (fmt_len, audio_fmt, n_ch, rate, _br, _ba, bits) = struct.unpack(
+                    "<IHHIIHH", buf[16:36]
+                )
+                if audio_fmt != 1 or bits != 16:
+                    raise ValueError(f"asset {aid}: only PCM16 is supported")
+                data_off = 20 + fmt_len
+                if buf[data_off : data_off + 4] != b"data":
+                    raise ValueError(f"asset {aid}: missing data chunk")
+                (data_len,) = struct.unpack(
+                    "<I", buf[data_off + 4 : data_off + 8]
+                )
+                pcm = np.frombuffer(
+                    buf, dtype="<i2", count=data_len // 2, offset=data_off + 8
+                ).astype(np.int64)
+                n = len(pcm) // n_ch
+                rows["asset_id"].append(aid)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(n_ch)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / rate)
+                rows["rms"].append(
+                    float(np.sqrt(float((pcm * pcm).sum()) / max(len(pcm), 1)))
+                )
+                rows["peak"].append(int(np.abs(pcm).max()) if n else 0)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
