@@ -445,6 +445,62 @@ def d04d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.kgram_fingerprint("text", k=5).alias("fingerprint"))
 
 
+def _ngram_counts_sql(n: int) -> str:
+    """list of per-distinct-gram occurrence counts for word n-grams."""
+    grams = (
+        f"CASE WHEN len({_WORDS}) >= {n} THEN "
+        f"list_transform(range(1, len({_WORDS}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({_WORDS}, i, i + {n - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+    return grams
+
+
+@query(
+    "d04_repetition_signals",
+    oracle=rf"""
+    WITH g AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                         x -> trim(x)), x -> x <> '') AS L,
+             {_ngram_counts_sql(2)} AS G2,
+             {_ngram_counts_sql(3)} AS G3,
+             {_ngram_counts_sql(5)} AS G5
+      FROM documents
+    ), c AS (
+      SELECT doc_id, L, G2, G3, G5,
+             list_transform(list_distinct(G2), gg -> len(list_filter(G2, x -> x = gg))) AS C2,
+             list_transform(list_distinct(G3), gg -> len(list_filter(G3, x -> x = gg))) AS C3,
+             list_transform(list_distinct(G5), gg -> len(list_filter(G5, x -> x = gg))) AS C5
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN len(L) > 0
+                THEN 1.0 - len(list_distinct(L)) / len(L) ELSE 0.0 END AS dup_line_frac,
+           COALESCE(list_max(C2) / greatest(len(G2), 1), 0.0) AS top2_frac,
+           COALESCE(list_max(C3) / greatest(len(G3), 1), 0.0) AS top3_frac,
+           COALESCE(list_sum(list_filter(C5, x -> x >= 2)), 0) / greatest(len(G5), 1) AS dup5_frac
+    FROM c ORDER BY doc_id
+    """,
+)
+def d04g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textops repetition signals (Gopher §A1.1 family): duplicate-line
+    fraction, top-bigram/-trigram occurrence fraction, duplicate-5-gram
+    fraction. Every signal is an exact integer quotient, so the raw
+    doubles hash-match across engines unrounded. Per-row column
+    expressions only — quadratic in each doc's distinct grams,
+    embarrassingly parallel, zero shuffles before the ORDER BY (the
+    same shuffle-free contract as the d04 family plan test)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.dup_line_frac("text").alias("dup_line_frac"),
+        TX.top_ngram_frac("text", 2).alias("top2_frac"),
+        TX.top_ngram_frac("text", 3).alias("top3_frac"),
+        TX.dup_ngram_frac("text", 5).alias("dup5_frac"),
+    ).orderBy("doc_id")
+
+
 # --- D5: multimodal -----------------------------------------------------------
 
 

@@ -232,3 +232,63 @@ def trigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text"):
             F.count(F.lit(1)).alias("n_trigrams"),
         )
     )
+
+
+# --- repetition signals (Gopher §A1.1-style filters) --------------------------
+
+
+def lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def dup_line_frac(col: Column | str) -> Column:
+    """Fraction of lines that duplicate an earlier line
+    (1 − |distinct| / |lines|; 0 for line-less docs) — the Gopher
+    duplicate-line filter signal. Exact integer quotient: engines
+    can't drift."""
+    ls = lines(col)
+    return F.when(F.size(ls) > 0, 1.0 - F.size(F.array_distinct(ls)) / F.size(ls)).otherwise(0.0)
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Word n-grams as strings; empty array when the doc has < n
+    words (guarded — an unguarded descending ``sequence`` would fan
+    out garbage grams)."""
+    w = words(col)
+    k = F.size(w)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_frac(col: Column | str, n: int) -> Column:
+    """Occurrence fraction of the most frequent word n-gram (Gopher's
+    top-n-gram repetition signal, as a count fraction — integer
+    quotient, engine-exact). Per-row compute only: quadratic in the
+    doc's distinct grams, embarrassingly parallel, no shuffle."""
+    g = word_ngrams(col, n)
+    cnts = F.transform(
+        F.array_distinct(g), lambda gg: F.size(F.filter(g, lambda x: x == gg))
+    )
+    return F.coalesce(F.array_max(cnts) / F.greatest(F.size(g), F.lit(1)), F.lit(0.0))
+
+
+def dup_ngram_frac(col: Column | str, n: int) -> Column:
+    """Fraction of n-gram occurrences belonging to grams that appear
+    more than once (Gopher's duplicate-n-gram signal for n=5..10)."""
+    g = word_ngrams(col, n)
+    cnts = F.transform(
+        F.array_distinct(g), lambda gg: F.size(F.filter(g, lambda x: x == gg))
+    )
+    dup = F.aggregate(
+        F.filter(cnts, lambda c: c >= 2), F.lit(0), lambda acc, x: acc + x
+    )
+    return dup / F.greatest(F.size(g), F.lit(1))

@@ -493,3 +493,28 @@ def test_trigram_lm_flags_gibberish(spark):
     gib = scores.pop(999_999)
     mean = sum(scores.values()) / len(scores)
     assert gib < mean - 1.0, f"gibberish {gib} not below corpus mean {mean}"
+
+
+def test_repetition_signals_fixture(spark):
+    """Gopher repetition family on a hand-computable fixture."""
+    from etl_cortex_spark.operators import textops as TX
+
+    fix = spark.createDataFrame(
+        [(1, "a b a b a b\nx\nx\ny"), (2, "single"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in fix.select(
+            "doc_id",
+            TX.dup_line_frac("text").alias("dl"),
+            TX.top_ngram_frac("text", 2).alias("t2"),
+            TX.dup_ngram_frac("text", 5).alias("d5"),
+        ).collect()
+    }
+    # 4 lines, 3 distinct; bigrams: 'a b' x3 of 8
+    assert rows[1]["dl"] == 0.25
+    assert rows[1]["t2"] == 3 / 8
+    # doc with < n words: all signals defined, zero
+    assert rows[2]["t2"] == 0.0 and rows[2]["d5"] == 0.0
+    assert rows[3]["dl"] == 0.0 and rows[3]["t2"] == 0.0
