@@ -1380,3 +1380,43 @@ def c63(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "c64_ordered_listagg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses,
+           median(l_quantity) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def c64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation + exact interpolated percentiles:
+    LISTAGG(DISTINCT ... ORDER BY ...) — deterministic by
+    construction (sorted, deduplicated) where a bare collect would be
+    partition-ordered — expressed as array_sort(collect_set) so the
+    agg stays a single-exchange partial combine; plus exact median and
+    quartiles (continuous interpolation, the c61 disc entry's
+    complement). Prices round at 4dp to absorb the one multiply where
+    engine interpolation formulas may differ in the last ulp."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.median("l_quantity").alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias(
+                "p25_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias(
+                "p75_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -382,3 +382,193 @@ def d38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- D51: duplicated-span removal ---------------------------------------------
+
+
+@query(
+    "d51_span_dedup",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' subscribe to our daily newsletter for more updates today now'
+                  ELSE text END AS text
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      FROM seeded
+    ), gi AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM w
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+      FROM gi
+    ), dup AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+      ) WHERE nd >= 2
+    ), starts AS (
+      SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ), covered AS (
+      SELECT DISTINCT s.doc_id, s.pos + t.i AS idx
+      FROM starts s, range(0, 5) t(i)
+    ), wr AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w
+    ), kept AS (
+      SELECT wr.doc_id, wr.i - 1 AS idx, ws[wr.i] AS word
+      FROM wr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c WHERE c.doc_id = wr.doc_id AND c.idx = wr.i - 1
+      )
+    ), agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS text2, count(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(a.text2, '') AS text,
+           len(w.ws) AS n_words,
+           len(w.ws) - coalesce(a.nk, 0) AS n_removed
+    FROM w LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def d51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D51: duplicated-span removal (n-gram-granularity substring
+    dedup, Lee et al. 2022's boilerplate cut) on a self-seeded corpus:
+    every 10th doc gets the same 11-word footer sentence appended, so
+    its 5-grams are duplicated across ~10% of the corpus and the
+    operator must excise exactly the footer span from every seeded doc
+    (plus any organically repeated 5-gram spans) while untouched docs
+    pass through verbatim. The oracle replays the whole pipeline
+    row-wise in SQL — gram explosion, distinct-doc counts, covered
+    positions, ordered reassembly."""
+    docs = T(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe to our daily newsletter for more updates today now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return LP.span_dedup(seeded, n=5, min_docs=2).orderBy("doc_id")
+
+
+# --- D52: training-mixture planning + deterministic sampling ------------------
+
+
+@query(
+    "d52_mixture_sample",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), plan AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                              WHEN 'src2' THEN 2 ELSE 0 END AS BIGINT) AS parts,
+             least(CAST(256 AS BIGINT),
+                   (1500 * CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                                       WHEN 'src2' THEN 2 ELSE 0 END * 256)
+                   // (10 * greatest(n_tokens, 1))) AS rate_256
+      FROM tok
+    ), s AS (
+      SELECT d.source, count(*) AS n_docs_sampled,
+             CAST(sum(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens_sampled
+      FROM documents d JOIN plan p USING (source)
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <
+            CASE WHEN p.rate_256 >= 256 THEN 'zz'
+                 ELSE printf('%02x', p.rate_256) END
+      GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.parts, p.rate_256,
+           (p.n_tokens * p.rate_256) // 256 AS est_tokens,
+           s.n_docs_sampled, s.n_tokens_sampled
+    FROM plan p JOIN s USING (source)
+    WHERE p.rate_256 > 0
+    ORDER BY p.source
+    """,
+)
+def d52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D52: static training-mixture recipe (DoReMi/Pile-style): weight
+    three sources 5:3:2 toward a 1500-token budget, derive each
+    domain's deterministic keep-rate with pure BIGINT arithmetic, and
+    sample by md5-byte threshold. The readout joins the PLAN (each
+    domain's token inventory and computed rate) with the ACTUAL
+    sampled doc/token counts — both integer-exact, so the whole
+    mixture pipeline hash-matches the SQL replay."""
+    docs = T(spark, sf_dir, "documents")
+    plan = LP.plan_mixture(
+        docs, "source", {"src0": 5, "src1": 3, "src2": 2}, token_budget=1500
+    )
+    sampled = LP.apply_mixture(docs, plan, "source", "doc_id")
+    actual = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_sampled"),
+        F.sum(TX.n_tokens("text")).alias("n_tokens_sampled"),
+    )
+    return (
+        plan.filter(F.col("rate_256") > 0)
+        .join(actual, "source")
+        .select(
+            "source", "n_docs", "n_tokens", "parts", "rate_256",
+            "est_tokens", "n_docs_sampled", "n_tokens_sampled",
+        )
+        .orderBy("source")
+    )
+
+
+# --- D53: markup stripping (crawl text extraction) ----------------------------
+
+
+@query(
+    "d53_markup_strip",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body class="doc"><h1>Doc &quot;' || CAST(doc_id AS VARCHAR)
+             || '&quot; &amp; notes</h1><p>' || replace(text, chr(10), '<br/>')
+             || '</p><hr/><footer>&copy; corp &nbsp;&#39;26</footer></body></html>'
+             AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(html, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+             '[ \t\n\r]+', ' ', 'g')) AS text
+    FROM h ORDER BY doc_id
+    """,
+)
+def d53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D53: markup-strip text extraction — the crawl-cleaning step
+    before any quality gate. Both engines wrap the corpus in the SAME
+    deterministic HTML (tags, attributes, entities, a &copy; outside
+    the fixed entity table that must survive literally), then the
+    Spark side extracts with ``textops.strip_markup`` while the oracle
+    replays the documented tag→entity→collapse order in SQL. A match
+    proves tag removal, single-pass entity decode, and whitespace
+    collapse all agree byte-for-byte."""
+    docs = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body class="doc"><h1>Doc &quot;'),
+        F.col("doc_id").cast("string"),
+        F.lit("&quot; &amp; notes</h1><p>"),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("<br/>")),
+        F.lit("</p><hr/><footer>&copy; corp &nbsp;&#39;26</footer></body></html>"),
+    )
+    return (
+        docs.select("doc_id", TX.strip_markup(html).alias("text"))
+        .orderBy("doc_id")
+    )

@@ -317,3 +317,146 @@ def chunk_documents(
         )
         .filter(F.col("chunk_words") > 0)
     )
+
+
+# --- D51: duplicated-span removal ---------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every word span covered by an n-gram that appears in
+    ``min_docs``+ DISTINCT documents — the n-gram-granularity
+    approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate sentences repeated across pages are cut out of every
+    document that carries them, while each document's unique prose
+    survives. Complements ``line_dedup`` (which needs the duplicate to
+    be a whole line) — spans are position-free.
+
+    Scale shape: documents explode to (id, start, xxhash64(gram)) —
+    the gram STRING never leaves the scan stage; duplicated grams are
+    found with one hash-keyed count-distinct-docs aggregate; flagged
+    start positions come back via a semi join (the duplicate set is
+    the small side — AQE broadcasts it) and collapse to one int array
+    per document. The rebuild is a per-row HOF filter: keep word ``i``
+    iff no flagged start ``p`` satisfies ``p <= i < p+n``. Payload
+    (the text) rides only the final id-keyed join, never the gram
+    shuffle.
+
+    Returns (id, text rebuilt from kept words, n_words, n_removed).
+    Output text is whitespace-normalized (single spaces) — span dedup
+    operates on, and returns, the tokenized form.
+    """
+    from etl_cortex_spark.operators.textops import word_ngrams, words
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.xxhash64("gram").alias("__h"))
+    dup = (
+        grams.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    starts = (
+        grams.join(dup, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+    out = df.join(starts, id_col, "left")
+    ws = words(F.col(text_col))
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        ws, lambda w, i: ~F.exists(st, lambda p: (p <= i) & (i < p + F.lit(n)))
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size(ws).cast("bigint").alias("n_words"),
+        (F.size(ws) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+# --- D52: training-mixture planning + sampling --------------------------------
+
+
+def plan_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Static training-mixture plan (the DoReMi/Pile-style recipe
+    step): given integer mixture ``weights`` (parts, e.g. web=5
+    code=3 wiki=2) and a global ``token_budget``, compute each
+    domain's deterministic keep-rate so the sampled corpus lands on
+    the budget in the requested proportions.
+
+    rate_256 = min(256, floor(budget * parts * 256 / (total_parts *
+    domain_tokens))) — pure BIGINT arithmetic, so the plan is
+    bit-identical in any engine (the 1/256 quantization matches
+    ``stratified_sample``'s md5-byte threshold). Domains without a
+    weight get rate 0. One partial-agg shuffle on the domain key; the
+    plan is k rows of driver-broadcastable model state.
+
+    Returns (domain, n_docs, n_tokens, parts, rate_256, est_tokens).
+    """
+    from etl_cortex_spark.operators.textops import n_tokens
+
+    total_parts = sum(weights.values())
+    parts = None
+    for dom, p in sorted(weights.items()):
+        cond = F.col(domain_col) == dom
+        parts = F.when(cond, p) if parts is None else parts.when(cond, p)
+    parts = parts.otherwise(F.lit(0)) if parts is not None else F.lit(0)
+    tok = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens(text_col)).alias("n_tokens"),
+        F.first(parts.cast("bigint")).alias("parts"),
+    )
+    rate = F.least(
+        F.lit(256).cast("bigint"),
+        F.expr(
+            f"({token_budget} * parts * 256) div "
+            f"({total_parts} * greatest(n_tokens, 1))"
+        ),
+    )
+    return tok.select(
+        F.col(domain_col),
+        "n_docs",
+        "n_tokens",
+        "parts",
+        rate.alias("rate_256"),
+    ).withColumn("est_tokens", F.expr("(n_tokens * rate_256) div 256"))
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    domain_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Apply a ``plan_mixture`` plan: keep a row iff the first md5
+    byte of its unique key lands under its domain's rate_256
+    threshold. The plan is broadcast (k rows); the filter is the same
+    engine-portable hex-string compare as ``stratified_sample`` —
+    content-hash, so the sampled set is identical at any partitioning
+    and reproducible in SQL. rate_256 >= 256 keeps everything (the
+    'zz' sentinel sorts above every hex bucket)."""
+    thresh = F.when(F.col("rate_256") >= 256, F.lit("zz")).otherwise(
+        F.format_string("%02x", F.col("rate_256").cast("int"))
+    )
+    bucket = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 2)
+    joined = df.join(
+        F.broadcast(plan.select(domain_col, "rate_256")), domain_col, "inner"
+    )
+    return joined.filter(bucket < thresh).drop("rate_256")

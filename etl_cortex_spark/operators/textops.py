@@ -292,3 +292,34 @@ def dup_ngram_frac(col: Column | str, n: int) -> Column:
         F.filter(cnts, lambda c: c >= 2), F.lit(0), lambda acc, x: acc + x
     )
     return dup / F.greatest(F.size(g), F.lit(1))
+
+
+# --- D53: markup stripping (crawl text extraction) ----------------------------
+
+#: Fixed entity table, applied in THIS order on every engine (&amp;
+#: must come last so '&amp;lt;' decodes to the literal '&lt;' — the
+#: single-pass contract; a second decode pass is deliberately not
+#: applied). The tag regex is in the Java∩RE2 subset, and whitespace
+#: is the explicit class [ \t\n\r] (Java's \s adds \x0B/\f, RE2's
+#: doesn't — never use bare \s in a cross-engine pattern).
+MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Extract text from markup — the crawl-corpus cleaning step
+    before any quality/dedup stage: drop tags (replaced by a space so
+    '<td>a</td><td>b</td>' keeps its word boundary), decode the fixed
+    entity set, collapse runs of whitespace, trim. Pure codegen
+    projection — no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, rep in MARKUP_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, "[ \t\n\r]+", " "))

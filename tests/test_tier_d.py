@@ -518,3 +518,112 @@ def test_repetition_signals_fixture(spark):
     # doc with < n words: all signals defined, zero
     assert rows[2]["t2"] == 0.0 and rows[2]["d5"] == 0.0
     assert rows[3]["dl"] == 0.0 and rows[3]["t2"] == 0.0
+
+
+def test_span_dedup_removes_shared_span_only(spark):
+    """Two docs share a 6-word sentence (=> two duplicated 5-grams
+    covering exactly those 6 words); a third doc is unique. The shared
+    span must vanish from BOTH carriers, unique prose must survive,
+    and counts must be exact."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    shared = "the quick brown fox jumps high"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} epsilon zeta eta theta iota"),
+        (3, "totally unique words nobody else repeats anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in LP.span_dedup(df, n=5, min_docs=2).collect()
+    }
+    assert out[1]["text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["text"] == "epsilon zeta eta theta iota"
+    assert out[2]["n_removed"] == 6
+    assert out[3]["text"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+    assert out[3]["n_words"] == 9
+
+
+def test_span_dedup_full_doc_removal_yields_empty_text(spark):
+    """A doc that IS the duplicated span collapses to '' (not a
+    dropped row) — the left-join reassembly contract."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    rows = [
+        (1, "one two three four five"),
+        (2, "one two three four five"),
+        (3, "padding text that is unrelated and stays intact here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in LP.span_dedup(df, n=5, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 5
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 5
+    assert out[3]["n_removed"] == 0
+
+
+def test_span_dedup_within_doc_repeat_not_flagged_across(spark):
+    """min_docs=2 counts DISTINCT documents: a span repeated twice
+    inside ONE doc is not corpus-duplicated and must survive."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    rows = [
+        (1, "aa bb cc dd ee aa bb cc dd ee"),
+        (2, "vv ww xx yy zz qq rr ss tt uu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in LP.span_dedup(df, n=5, min_docs=2).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 0
+
+
+def test_plan_mixture_rates_and_apply(spark):
+    """Hand-checked BIGINT rate math + the cap and zero-weight rules,
+    and apply_mixture's determinism under repartitioning."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    rows = [(i, "w " * 10, ["web", "code", "other"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # per-domain tokens: 100 docs x 10 tokens = 1000
+    plan = LP.plan_mixture(df, "source", {"web": 3, "code": 1}, token_budget=2000)
+    p = {r["source"]: r for r in plan.collect()}
+    # web: min(256, 2000*3*256 // (4*1000)) = min(256, 384) = 256 (keep all)
+    assert p["web"]["rate_256"] == 256 and p["web"]["n_tokens"] == 1000
+    # code: 2000*1*256 // (4*1000) = 128 (~half)
+    assert p["code"]["rate_256"] == 128
+    assert p["code"]["est_tokens"] == 500
+    assert p["other"]["rate_256"] == 0
+    sampled = LP.apply_mixture(df, plan, "source", "doc_id")
+    got = {r["source"]: r["n"] for r in
+           sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["web"] == 100          # rate 256 keeps everything
+    assert "other" not in got         # rate 0 drops the domain
+    assert 30 <= got["code"] <= 70    # ~half by md5 byte
+    again = LP.apply_mixture(df.repartition(7), plan, "source", "doc_id")
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in sampled.collect()
+    )
+
+
+def test_strip_markup_cases(spark):
+    """Tag removal, word boundaries, single-pass entity decode,
+    whitespace collapse, and plain-text passthrough."""
+    from etl_cortex_spark.operators.textops import strip_markup
+
+    rows = [
+        (1, "<td>a</td><td>b</td>"),
+        (2, "x &amp;lt; y &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b"),
+        (3, "no markup   at\tall\n just   spaces"),
+        (4, '<a href="http://e.com?q=1&amp;r=2">link</a> tail'),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["s"] for r in df.select("i", strip_markup("t").alias("s")).collect()}
+    assert got[1] == "a b"
+    # &amp;lt; decodes ONCE to the literal '&lt;' (no double pass), and
+    # an entity-ENCODED tag becomes visible text (tags were already gone)
+    assert got[2] == "x &lt; y <tag> \"q\" 's' a b"
+    assert got[3] == "no markup at all just spaces"
+    assert got[4] == "link tail"
