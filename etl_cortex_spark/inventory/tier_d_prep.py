@@ -572,3 +572,120 @@ def d53(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", TX.strip_markup(html).alias("text"))
         .orderBy("doc_id")
     )
+
+
+# --- D54: URL canonicalization ------------------------------------------------
+
+
+@query(
+    "d54_url_normalize",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN '  not a url ' || CAST(doc_id AS VARCHAR) || '  '
+                  ELSE 'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.COM:80/Path/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                       || '?id=' || CAST(doc_id AS VARCHAR)
+                       || '&utm_source=feed&ref=rss&q=Key'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '#frag' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END
+             END AS url
+      FROM documents
+    ), n AS (
+      SELECT doc_id, trim(url) AS t,
+             regexp_extract(trim(url),
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS sh_raw
+      FROM u
+    ), parts AS (
+      SELECT doc_id, t, sh_raw,
+             regexp_replace(substr(t, length(sh_raw) + 1), '#.*$', '') AS tail
+      FROM n
+    ), pq AS (
+      SELECT doc_id, t, sh_raw,
+             regexp_extract(tail, '^([^?]*)', 1) AS path,
+             regexp_extract(tail, '\?(.*)$', 1) AS qry,
+             lower(sh_raw) AS sh
+      FROM parts
+    ), fixed AS (
+      SELECT doc_id, t, sh_raw, path,
+             array_to_string(
+               list_filter(string_split(qry, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&') AS qry2,
+             CASE WHEN sh LIKE 'http://%' AND sh LIKE '%:80'
+                    THEN substr(sh, 1, length(sh) - 3)
+                  WHEN sh LIKE 'https://%' AND sh LIKE '%:443'
+                    THEN substr(sh, 1, length(sh) - 4)
+                  ELSE sh END AS sh2
+      FROM pq
+    )
+    SELECT doc_id,
+           CASE WHEN sh_raw = '' THEN t
+                ELSE sh2 || regexp_replace(path, '/+$', '')
+                     || CASE WHEN qry2 <> '' THEN '?' || qry2 ELSE '' END
+           END AS url
+    FROM fixed ORDER BY doc_id
+    """,
+)
+def d54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D54: URL canonicalization — the crawl-dedup key: both engines
+    synthesize the SAME messy URLs (uppercase scheme/host, default
+    port, trailing slash, tracking params, fragments, and every 11th
+    row a non-URL that must pass through trimmed), then the Spark side
+    normalizes with ``textops.norm_url`` while the oracle replays the
+    documented chain step-for-step. Path/query case is preserved —
+    only scheme+host fold."""
+    docs = T(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("  not a url "), d, F.lit("  ")),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://Example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80/Path/"),
+            d,
+            F.when(F.col("doc_id") % 3 == 0, "/").otherwise(""),
+            F.lit("?id="),
+            d,
+            F.lit("&utm_source=feed&ref=rss&q=Key"),
+            F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("#frag"), d)).otherwise(""),
+        )
+    )
+    return docs.select("doc_id", TX.norm_url(url).alias("url")).orderBy("doc_id")
+
+
+# --- D55: BPE pair-count step -------------------------------------------------
+
+
+@query(
+    "d55_bpe_pair_counts",
+    oracle=r"""
+    WITH v AS (
+      SELECT w, count(*) AS wf FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents) GROUP BY w HAVING length(w) >= 2
+    ), p AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, wf
+      FROM (SELECT w, wf, unnest(range(1, length(w))) AS i FROM v)
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS total
+    FROM p GROUP BY pair
+    ORDER BY total DESC, pair LIMIT 20
+    """,
+)
+def d55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D55: the count step of one BPE merge iteration (Sennrich
+    et al.) — corpus word frequencies, adjacent character pairs
+    weighted by word frequency, top-20 merge candidates with a
+    lexicographic tiebreak. Two keyed partial-agg shuffles carrying
+    (short-string, count) pairs; the vocabulary (distinct words) is
+    the small side from the first agg onward, which is what makes the
+    iterated algorithm tractable at corpus scale."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.bpe_pair_counts(docs, "text", top_k=20)

@@ -323,3 +323,89 @@ def strip_markup(col: Column | str) -> Column:
     for ent, rep in MARKUP_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, "[ \t\n\r]+", " "))
+
+
+# --- D54: URL canonicalization (crawl dedup key) ------------------------------
+
+#: Tracking parameters dropped during canonicalization. The pattern is
+#: Java∩RE2 (no lookaround); matched against each single k=v pair.
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def norm_url(col: Column | str) -> Column:
+    """Canonicalize a URL the way crawl pipelines key their dedup:
+    lowercase scheme+host (path/query case is significant and kept),
+    strip the fragment, drop tracking parameters (``utm_*``, fbclid,
+    gclid, ref), strip default ports (:80 http / :443 https), strip
+    trailing path slashes. Strings without a ``scheme://`` pass
+    through trimmed. Pure codegen projection; every regex is in the
+    Java∩RE2 subset and NO replacement uses backreferences (Java spells
+    them ``$1``, RE2 ``\\1`` — the one unportable corner, avoided by
+    CASE+substr instead)."""
+    t = F.trim(F.col(col) if isinstance(col, str) else col)
+    sh_raw = F.regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.substring(t, F.length(sh_raw) + 1, F.lit(1 << 30))
+    tail = F.regexp_replace(tail, "#.*$", "")
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    qry = F.regexp_extract(tail, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qry, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qry2 = F.array_join(params, "&")
+    sh = F.lower(sh_raw)
+    sh = (
+        F.when(
+            sh.startswith("http://") & sh.endswith(":80"),
+            F.substring(sh, 1, F.length(sh) - 3),
+        )
+        .when(
+            sh.startswith("https://") & sh.endswith(":443"),
+            F.substring(sh, 1, F.length(sh) - 4),
+        )
+        .otherwise(sh)
+    )
+    path2 = F.regexp_replace(path, "/+$", "")
+    rebuilt = F.concat(
+        sh, path2, F.when(qry2 != "", F.concat(F.lit("?"), qry2)).otherwise(F.lit(""))
+    )
+    return F.when(sh_raw == "", t).otherwise(rebuilt)
+
+
+# --- D55: BPE pair-count step (tokenizer training primitive) ------------------
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """The count step of one BPE merge iteration (Sennrich et al.):
+    corpus word frequencies, then every adjacent character pair
+    weighted by its word's frequency; the top pair is the next merge
+    rule. Returns the ``top_k`` (pair, total) rows ordered by count
+    desc with a lexicographic tiebreak — the head of the merge table.
+
+    Scale shape: words explode → word-frequency partial agg (the
+    vocabulary is the small side from here on) → per DISTINCT word a
+    position explode with ``pair = substr(word, i, 2)`` → one
+    pair-keyed partial agg → TakeOrdered(top_k). Two keyed shuffles,
+    both carrying (short-string, count) pairs only; no Python.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    vocab = (
+        df.select(F.explode(words(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+        .filter(F.length("__w") >= 2)
+    )
+    pairs = vocab.select(
+        "__wf",
+        F.explode(F.sequence(F.lit(1), F.length("__w") - 1)).alias("__i"),
+        F.col("__w"),
+    ).select(F.substring(F.col("__w"), F.col("__i"), 2).alias("pair"), "__wf")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__wf").alias("total"))
+        .orderBy(F.desc("total"), "pair")
+        .limit(top_k)
+    )

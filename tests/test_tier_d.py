@@ -627,3 +627,41 @@ def test_strip_markup_cases(spark):
     assert got[2] == "x &lt; y <tag> \"q\" 's' a b"
     assert got[3] == "no markup at all just spaces"
     assert got[4] == "link tail"
+
+
+def test_norm_url_cases(spark):
+    """Scheme+host fold, path case kept, default-port strip, tracking
+    params dropped (order of survivors kept), fragment gone, trailing
+    slash gone, schemeless passthrough (trimmed)."""
+    from etl_cortex_spark.operators.textops import norm_url
+
+    rows = [
+        (1, "HTTP://WWW.Ex.COM:80/A/B/?utm_source=x&q=1&fbclid=z#top"),
+        (2, "https://Ex.com:443/CaseKept?ref=rss"),
+        (3, "https://ex.com:8443/keep:port"),
+        (4, "  plain text  "),
+        (5, "ftp://Files.EX.com/Pub/"),
+        (6, "http://ex.com/?utm_medium=a&utm_term=b"),
+    ]
+    df = spark.createDataFrame(rows, "i long, u string")
+    got = {r["i"]: r["n"] for r in df.select("i", norm_url("u").alias("n")).collect()}
+    assert got[1] == "http://www.ex.com/A/B?q=1"
+    assert got[2] == "https://ex.com/CaseKept"
+    assert got[3] == "https://ex.com:8443/keep:port"
+    assert got[4] == "plain text"
+    assert got[5] == "ftp://files.ex.com/Pub"
+    assert got[6] == "http://ex.com"
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """'aaab' x2 + 'ab' x1: pairs aa(2x2=4)... hand-check the weighted
+    count and the tiebreak ordering."""
+    from etl_cortex_spark.operators.textops import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab x")], "i long, text string"
+    )
+    # words: aaab (wf 2), ab (wf 1); 'x' dropped (length < 2)
+    # aaab pairs: aa, aa, ab -> aa: 2*2=4, ab: 2*1=2 ; ab pairs: ab -> +1
+    got = [(r["pair"], r["total"]) for r in bpe_pair_counts(df, "text").collect()]
+    assert got == [("aa", 4), ("ab", 3)]
