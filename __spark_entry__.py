@@ -52,6 +52,15 @@ _REVERIFY_NOW: dict[str, int] = {
     "d36_triangle_count": 5,
     "d24_centroid_assign": 5,
     "stream_foreach_batch_upsert": 5,
+    # second round-5 session: exact_dedup became a min-struct aggregate
+    # (keep= payload narrowing), and q1/q5/c10/d04 final ORDER BY
+    # became single-partition local sorts over bounded domains.
+    "d01_exact_dedup": 5,
+    "c17_tpch_q1": 5,
+    "tpch_q5_local_supplier_volume": 5,
+    "c10_join_inner_agg": 5,
+    "d04_token_stats": 5,
+    "d10_training_prep_pipeline": 5,
 }
 
 

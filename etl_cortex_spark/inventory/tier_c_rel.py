@@ -38,7 +38,9 @@ def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        .orderBy("c_mktsegment")
+        # |segment| rows: local sort == global order, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("c_mktsegment")
     )
 
 
@@ -258,7 +260,10 @@ def c17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # 4 flag×status rows: local sort == global order, no range
+        # exchange (its boundary sampling is a separate job per run)
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -1419,4 +1424,94 @@ def c64(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("l_returnflag")
+    )
+
+
+_C65_SQL_BODY = """
+    WITH RECURSIVE walk(node, depth, root_child) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth, CAST(1 AS BIGINT) AS root_child
+      UNION ALL
+      SELECT d.doc_id, w.depth + 1,
+             CASE WHEN w.node = 1 THEN d.doc_id ELSE w.root_child END
+      FROM {docs} d JOIN walk w ON CAST(FLOOR(d.doc_id / 2) AS BIGINT) = w.node
+      WHERE d.doc_id BETWEEN 2 AND 63
+    )
+    SELECT node, depth, root_child
+    FROM walk ORDER BY node
+"""
+
+
+@query(
+    "c65_recursive_cte",
+    oracle=_C65_SQL_BODY.format(docs="documents"),
+)
+def c65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive CTE): walk the implicit
+    binary tree parent(n)=n div 2 over doc_ids 1..63 from the root,
+    emitting each node's depth and which child-of-root subtree it
+    belongs to — the org-hierarchy/BOM-explosion query shape that
+    plain joins can't express without pre-knowing the depth. The SAME
+    SQL text runs on both engines (the point of the entry: surface
+    parity, not dialect translation). Iteration count is the tree
+    DEPTH (6 here), not the node count — each step is one join+filter
+    over the frontier, the same frontier-expansion shape as
+    ``graph.connected_components``. The parent expression is an
+    explicit FLOOR: CAST(int/2 AS BIGINT) truncates in Spark but
+    rounds half-to-even in DuckDB — the kind of silent dialect split
+    this oracle suite exists to catch."""
+    docs = T(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("c65_documents")
+    return spark.sql(_C65_SQL_BODY.format(docs="c65_documents"))
+
+
+#: IGNORE NULLS placement is the ONE dialect split in this entry:
+#: Spark parses it after the call parens, DuckDB inside them —
+#: semantics verified identical on a shared fixture. {ln} / {ld} are
+#: the per-engine function spellings.
+_C66_SQL_BODY = """
+    SELECT event_id, user_id,
+           {ln} OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+           {ld} OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_obs
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM {events}
+    )
+"""
+
+
+@query(
+    "c66_window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id, locf_value, next_obs FROM (
+    """
+    + _C66_SQL_BODY.format(
+        ln="last_value(v IGNORE NULLS)",
+        ld="lead(v IGNORE NULLS)",
+        events="(SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)",
+    )
+    + ") ORDER BY event_id",
+)
+def c66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window frames — the gap-bridging semantics
+    (last-observation-carried-forward and next-observation lookahead
+    over a sparsely observed column) that a bare last_value/lead can't
+    give: every third event's value is NULLed and the window must skip
+    over the holes. Same semantics on both engines (placement of
+    IGNORE NULLS is the one dialect split, documented above); the
+    unique (ts, event_id) order key makes the result total-order
+    deterministic. One user-keyed exchange serves both windows."""
+    ev = T(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("c66_events")
+    return spark.sql(
+        "SELECT event_id, user_id, locf_value, next_obs FROM ("
+        + _C66_SQL_BODY.format(
+            ln="last_value(v) IGNORE NULLS",
+            ld="lead(v) IGNORE NULLS",
+            events="c66_events",
+        )
+        + ") ORDER BY event_id"
     )

@@ -48,7 +48,7 @@ def _shingles_sql(k: int) -> str:
 )
 def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    return DD.exact_dedup(docs).select("doc_id", "lang", "n_copies")
+    return DD.exact_dedup(docs, keep=["lang"]).select("doc_id", "lang", "n_copies")
 
 
 # --- D2: near-dup dedup -------------------------------------------------------
@@ -378,7 +378,9 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nb"), 4).alias("avg_bpe_tokens"),
             F.round(F.avg("nc"), 4).alias("avg_chars"),
         )
-        .orderBy("lang")
+        # |lang| rows: local sort == global order, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 

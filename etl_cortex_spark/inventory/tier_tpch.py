@@ -135,7 +135,10 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.desc("revenue"), "n_name")
+        # |nation| rows: single-partition local sort == global order,
+        # without the range exchange and its separate sampling job
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("revenue"), "n_name")
     )
 
 

@@ -48,20 +48,39 @@ def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _H31), rng.randrange(0, _H31)) for _ in range(n)]
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: list[str] | None = None,
+) -> DataFrame:
     """D1: exact dedup on a sha256 digest; survivor = min id per digest.
 
-    Adds ``n_copies`` so downstream can weight by multiplicity. The
-    digest shuffle carries ~50 bytes/row regardless of document size.
+    Adds ``n_copies`` so downstream can weight by multiplicity.
+
+    ONE aggregate — ``min(struct(id, ...)) + count`` — not a window:
+    partial combine means each map partition ships at most one
+    candidate row and a count per digest, so a boilerplate digest with
+    a million copies (the exact workload dedup exists for) costs 32
+    partial rows in the shuffle instead of a million rows landing on a
+    single window task. Survivor choice is deterministic because the
+    id leads the struct ordering.
+
+    ``keep`` narrows the carried columns (id is always kept): pass the
+    columns the caller actually needs and the digest shuffle becomes
+    payload-free (~50 bytes/row) — hashing never needs the text after
+    the scan. Default keeps every column, the prep-pipeline posture.
     """
     digest = F.sha2(F.col(text_col).cast("binary"), 256).alias("__digest")
-    w = Window.partitionBy("__digest").orderBy(F.asc(id_col))
+    cols = list(df.columns) if keep is None else (
+        [id_col] + [c for c in keep if c != id_col]
+    )
+    rest = [c for c in cols if c != id_col]
+    packed = df.select(digest, F.struct(id_col, *rest).alias("__row"))
     return (
-        df.select("*", digest)
-        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("__digest")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__digest")
+        packed.groupBy("__digest")
+        .agg(F.min("__row").alias("__row"), F.count(F.lit(1)).alias("n_copies"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols], "n_copies")
     )
 
 
