@@ -48,9 +48,17 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-03-15").cast("date")
     )
+    # Build side matters: segment-cut customers ⋈ date-cut orders is
+    # the SMALL side (|BUILDING| × date selectivity); without CBO
+    # stats Catalyst picks BuildRight and broadcast-builds the
+    # HALF-OF-LINEITEM filtered fact instead — a serialized driver
+    # hash build that only gets worse with scale. Broadcast the
+    # dimension-ish side explicitly and STREAM lineitem.
+    co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -121,13 +129,24 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     li = T(spark, sf_dir, "lineitem")
+    # Stream the fact: ASIA-customers ⋈ year-of-orders is the SMALL
+    # side (|region cut| × |date cut|) — broadcast it and probe
+    # lineitem. Left to its size guesses, Catalyst instead
+    # broadcast-builds the UNFILTERED lineitem (BuildRight on the
+    # o=l join), a driver-serialized build of the whole fact that
+    # inverts at scale. Build-side choice is the builder's job here,
+    # like the region cut above.
+    co = F.broadcast(
+        cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+            "o_orderkey", "c_nationkey"
+        )
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(co, li.l_orderkey == co.o_orderkey)
         .join(
             supp,
             (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            & (co.c_nationkey == supp.s_nationkey),
         )
         .groupBy("n_name")
         .agg(
