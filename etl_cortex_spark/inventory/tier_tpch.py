@@ -48,17 +48,20 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-03-15").cast("date")
     )
-    # Build side matters: segment-cut customers ⋈ date-cut orders is
-    # the SMALL side (|BUILDING| × date selectivity); without CBO
-    # stats Catalyst picks BuildRight and broadcast-builds the
-    # HALF-OF-LINEITEM filtered fact instead — a serialized driver
-    # hash build that only gets worse with scale. Broadcast the
-    # dimension-ish side explicitly and STREAM lineitem.
+    # Build side matters: left to its static size guesses Catalyst
+    # broadcast-builds the HALF-OF-LINEITEM filtered fact — a
+    # serialized driver hash build that inverts at scale. The cut
+    # customers⋈orders product is the smaller side, but it is still
+    # orders-shaped (grows with the data), so it must not be
+    # BROADCAST either: shuffle_hash builds it partition-wise —
+    # per-task memory is |cut product|/shuffle-partitions at any
+    # scale, lineitem streams through a keyed shuffle, and no sort
+    # is paid on either side (measured fastest of the three forms).
     co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
         "o_orderkey", "o_orderdate"
     )
     return (
-        li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+        li.join(co.hint("shuffle_hash"), li.l_orderkey == co.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -129,20 +132,18 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     li = T(spark, sf_dir, "lineitem")
-    # Stream the fact: ASIA-customers ⋈ year-of-orders is the SMALL
-    # side (|region cut| × |date cut|) — broadcast it and probe
-    # lineitem. Left to its size guesses, Catalyst instead
-    # broadcast-builds the UNFILTERED lineitem (BuildRight on the
-    # o=l join), a driver-serialized build of the whole fact that
-    # inverts at scale. Build-side choice is the builder's job here,
-    # like the region cut above.
-    co = F.broadcast(
-        cust.join(orders, cust.c_custkey == orders.o_custkey).select(
-            "o_orderkey", "c_nationkey"
-        )
+    # Stream the fact: ASIA-customers ⋈ year-of-orders is the smaller
+    # side, but it is orders-shaped (grows with the data) so it is
+    # neither left to Catalyst (whose static guesses broadcast-build
+    # the UNFILTERED lineitem here) nor broadcast by hint (a driver
+    # build that dies at 100 TB). shuffle_hash builds it
+    # partition-wise: per-task memory is |cut product|/partitions at
+    # any scale, lineitem streams, no sort on either side.
+    co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "o_orderkey", "c_nationkey"
     )
     return (
-        li.join(co, li.l_orderkey == co.o_orderkey)
+        li.join(co.hint("shuffle_hash"), li.l_orderkey == co.o_orderkey)
         .join(
             supp,
             (li.l_suppkey == supp.s_suppkey)
