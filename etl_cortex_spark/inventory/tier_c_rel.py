@@ -1515,3 +1515,24 @@ def c66(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ") ORDER BY event_id"
     )
+
+
+_C67_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM {li} GROUP BY ALL ORDER BY ALL
+"""
+
+
+@query("c67_group_by_all", oracle=_C67_SQL.format(li="lineitem"))
+def c67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics surface
+    DuckDB introduced and Spark 4 adopted: grouping keys inferred from
+    the non-aggregate select items, ordering over every output column.
+    The SAME SQL text runs on both engines; the resolved plan is the
+    ordinary partial-combine hash aggregate (ALL is sugar, not a new
+    operator — proven by the oracle match)."""
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("c67_lineitem")
+    return spark.sql(_C67_SQL.format(li="c67_lineitem"))

@@ -833,3 +833,73 @@ def d37(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col("codes")[j].alias(f"code{j}") for j in range(4)],
     ).orderBy("vec_id")
+
+
+# --- D56: hybrid lexical+vector retrieval (RRF) -------------------------------
+
+
+@query(
+    "d56_hybrid_rrf",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents WHERE doc_id <> 0),
+    dl AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, dl,
+             unnest(list_filter(ws, t -> list_contains(['table','join','fast'], t))) AS term
+      FROM dl
+    ),
+    tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+    lex AS (
+      SELECT doc_id,
+             round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 3) AS bm25
+      FROM tfc JOIN dfc USING (term) CROSS JOIN stats
+      GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM lex
+    ),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             round(list_dot_product(v, qv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+               AS cosine
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id <> 0), q
+      ORDER BY cosine DESC, doc_id LIMIT 50
+    ),
+    vecr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+      FROM cos
+    ),
+    f AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+      FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank,
+           coalesce(1.0 / (60 + lex_rank), 0.0)
+           + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def d56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D56: hybrid retrieval, the RAG serving combiner — the BM25
+    lexical pool (d19's query terms) and the exact-cosine vector pool
+    (d03's query embedding) fused by Reciprocal Rank Fusion. The
+    fused score is pure integer→IEEE-division arithmetic over each
+    pool's deterministic (rounded score, id) ranks, so the whole
+    two-modality pipeline hash-matches the SQL replay; doc 0 (the
+    query document) is excluded from both pools."""
+    from etl_cortex_spark.inventory.tier_d import _query_vec
+    from etl_cortex_spark.operators.search import hybrid_topk_rrf
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    return hybrid_topk_rrf(docs, emb, _BM25_TERMS, qv, k=10, pool=50)

@@ -185,3 +185,59 @@ def tfidf_knn(
         .filter(F.col("rank") <= k)
         .orderBy(id_col, "rank")
     )
+
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    *,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval — BM25 lexical pool + exact-cosine vector pool
+    fused by Reciprocal Rank Fusion (Cormack et al. 2009), the
+    standard RAG-serving combiner:
+
+        rrf(d) = Σ_pools 1 / (rrf_k + rank_pool(d))
+
+    Ranks come from each pool's deterministic total order (rounded
+    score desc, id asc), so the fusion is pure integer→IEEE-division
+    arithmetic — bit-identical in any engine, no libm in the fused
+    score. A document missing from a pool contributes 0 (classic RRF).
+
+    Scale shape: each pool is an existing top-k operator
+    (TakeOrderedAndProject); the rank windows run over POOL rows (a
+    driver-bounded constant, ≤ ~100 in any serving config), so the
+    single-partition window is a k-row sort, not a data-sized one;
+    the fusion join is pool×pool. The expensive parts — BM25's
+    inverted-index aggs and the cosine scan — keep their own
+    documented distributions.
+    """
+    from pyspark.sql import Window
+
+    from etl_cortex_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(docs, terms, k=pool, id_col=id_col)
+    wl = Window.orderBy(F.desc("bm25"), F.col(id_col))
+    lexr = lex.select(F.col(id_col), F.row_number().over(wl).alias("lex_rank"))
+
+    vec = cosine_topk(emb, query_vec, k=pool, id_col=vec_id_col)
+    wv = Window.orderBy(F.desc("cosine"), F.col(vec_id_col))
+    vecr = vec.select(
+        F.col(vec_id_col).alias(id_col), F.row_number().over(wv).alias("vec_rank")
+    )
+
+    fused = lexr.join(vecr, id_col, "full_outer")
+    rrf = F.coalesce(1.0 / (rrf_k + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (rrf_k + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(id_col, "lex_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(k)
+    )

@@ -309,3 +309,27 @@ def test_dedup_latest_agg_shuffles_reduced_candidates(spark):
     assert "partial_max_by" in plan[ex:], "no map-side combine before shuffle"
     for sort_line in re.findall(r"Sort \[[^\]]*\]", plan):
         assert "ts#" not in sort_line, f"recency column in sort: {sort_line}"
+
+
+def test_q3_q5_stream_lineitem_hash_build_cut_side(spark):
+    """q3/q5 must NOT broadcast- or hash-build the lineitem side of
+    the orders⋈lineitem join: the cut customers⋈orders product is the
+    build side (shuffle_hash, partition-wise) and lineitem streams.
+    Pins the round-5 side-choice fix — static size estimates used to
+    broadcast-build the (even unfiltered) fact."""
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume"):
+        plan = (
+            QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ShuffledHashJoin" in plan, f"{name}: shuffle_hash hint not honored"
+        # lineitem must never sit under a BroadcastExchange: the first
+        # scan below each broadcast must be some other relation
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" in ln and "Reused" not in ln:
+                for l2 in lines[i + 1:]:
+                    if "FileScan" in l2 or "InMemoryTableScan" in l2:
+                        assert "lineitem" not in l2, f"{name}: lineitem broadcast-built"
+                        break
+                    if l2.strip() == "":
+                        break

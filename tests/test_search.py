@@ -127,3 +127,37 @@ def test_merge_upsert_rejects_missing_columns(spark):
     source = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError, match="missing merge columns"):
         merge_upsert(target, source, ["k"])
+
+
+def test_hybrid_rrf_fusion_properties(spark):
+    """RRF hand-check on a tiny corpus: a doc ranked in BOTH pools
+    must outscore a doc holding the same rank in only one; exact
+    contributions 1/(60+rank) sum as documented."""
+    from etl_cortex_spark.operators.search import hybrid_topk_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table join fast table"),       # strong lexical
+            (2, "table join"),                  # medium lexical
+            (3, "nothing relevant here"),       # no lexical hit
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # cosine 1.0 with query -> vec rank 1
+            (2, [0.0, 1.0]),   # orthogonal -> rank 3
+            (3, [0.7, 0.7]),   # rank 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_topk_rrf(docs, emb, ("table", "join", "fast"), [1.0, 0.0], k=3).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # doc 1: lex rank 1 + vec rank 1
+    assert rows[1]["lex_rank"] == 1 and rows[1]["vec_rank"] == 1
+    assert abs(rows[1]["rrf"] - (1 / 61 + 1 / 61)) < 1e-15
+    # doc 3 is vector-only: one contribution
+    assert rows[3]["lex_rank"] is None
+    assert abs(rows[3]["rrf"] - 1 / 62) < 1e-15
+    # both-pool doc leads the fused order
+    assert out[0]["doc_id"] == 1
