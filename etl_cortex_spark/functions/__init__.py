@@ -28,15 +28,20 @@ from etl_cortex_spark.operators.similarity import (  # noqa: F401
 from etl_cortex_spark.operators.textops import (  # noqa: F401
     BPE_TOKEN_RE,
     STOPWORDS,
+    bpe_apply_merges,
+    bpe_encode_word,
+    bpe_symbol_count,
     distinct_ratio,
     kgram_fingerprint,
     lang_id,
     n_bpe_tokens,
     n_tokens,
+    norm_url,
     punct_ratio,
     quality_score,
     shingles,
     stopword_ratio,
+    strip_markup,
     words,
 )
 
@@ -65,4 +70,9 @@ __all__ = [
     "shingles",
     "stopword_ratio",
     "words",
+    "strip_markup",
+    "norm_url",
+    "bpe_encode_word",
+    "bpe_apply_merges",
+    "bpe_symbol_count",
 ]

@@ -954,3 +954,22 @@ def d08d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("latest_ts"),
         F.col("value").alias("latest_value"),
     )
+
+
+@query("d02_incremental_lsh_probe")  # rows-only: xxhash64 banding is engine-specific
+def d02g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup maintenance: a NEW ingest batch (mutated
+    copies of every 20th doc, plus fresh never-seen docs) probed
+    against the EXISTING corpus index — bipartite LSH, no
+    corpus-wide re-pairing. Mutants must pair with their sources;
+    the fresh docs must not. Recall vs the exact baseline and the
+    bipartite (no new×new) contract are pinned in pytest."""
+    docs = T(spark, sf_dir, "documents")
+    existing = docs.select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    )
+    return DD.minhash_lsh_probe(existing, new, threshold=0.5).orderBy(
+        "new_id", "existing_id"
+    )

@@ -689,3 +689,83 @@ def d55(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterated algorithm tractable at corpus scale."""
     docs = T(spark, sf_dir, "documents")
     return TX.bpe_pair_counts(docs, "text", top_k=20)
+
+
+# --- D57: BPE merge application (tokenizer encode) ----------------------------
+
+#: Ordered merge table for the d57 entry: two chains prove that later
+#: rules consume earlier rules' outputs ('t','a' -> 'ta' then
+#: 'ta','b' -> 'tab'; 'f','a' -> 'fa' then 'fa','s' -> 'fas').
+_D57_MERGES: list[tuple[str, str]] = [
+    ("t", "a"),
+    ("ta", "b"),
+    ("s", "c"),
+    ("f", "a"),
+    ("fa", "s"),
+]
+
+
+def _d57_oracle() -> str:
+    sep = "chr(31)"
+    enc = (
+        f"{sep} || array_to_string(list_transform(range(1, length(w) + 1), "
+        f"i -> substr(w, CAST(i AS INT), 1)), {sep} || {sep}) || {sep}"
+    )
+    s = "s0"
+    for a, b in _D57_MERGES:
+        pat = f"{sep} || '{a}' || {sep} || {sep} || '{b}' || {sep}"
+        rep = f"{sep} || '{a}{b}' || {sep}"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH v AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+    ), e AS (
+      SELECT w, cnt, length(w) AS chars, {enc} AS s0 FROM v
+    ), m AS (
+      SELECT cnt, chars,
+             len(string_split({s}, {sep} || {sep})) AS syms
+      FROM e
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_words,
+           CAST(sum(cnt * chars) AS BIGINT) AS total_chars,
+           CAST(sum(cnt * syms) AS BIGINT) AS total_symbols,
+           CAST(sum(CASE WHEN syms < chars THEN cnt ELSE 0 END) AS BIGINT)
+             AS words_with_merges
+    FROM m
+    """
+
+
+@query("d57_bpe_encode_stats", oracle=_d57_oracle())
+def d57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D57: BPE merge APPLICATION — the encode half of the tokenizer
+    loop (d55 counts the pairs, this applies the learned merge table).
+    Encoding represents each word as boundary-separated symbols so one
+    greedy left-to-right pass per rule is a literal replace() — no
+    regex, no backrefs, identical semantics in every engine — and the
+    merge table chains (t,a→ta then ta,b→tab). Scale shape: the
+    per-word encode runs once per DISTINCT word (the vocabulary agg
+    from d55 makes that the small side), weighted back by word counts
+    in one final single-row aggregate."""
+    docs = T(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = TX.bpe_apply_merges(TX.bpe_encode_word("w"), _D57_MERGES)
+    per_word = vocab.select(
+        "cnt",
+        F.length("w").cast("bigint").alias("chars"),
+        TX.bpe_symbol_count(enc).alias("syms"),
+    )
+    return per_word.agg(
+        F.sum("cnt").alias("total_words"),
+        F.sum(F.col("cnt") * F.col("chars")).alias("total_chars"),
+        F.sum(F.col("cnt") * F.col("syms")).alias("total_symbols"),
+        F.sum(F.when(F.col("syms") < F.col("chars"), F.col("cnt")).otherwise(0)).alias(
+            "words_with_merges"
+        ),
+    )

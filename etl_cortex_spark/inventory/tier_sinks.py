@@ -159,3 +159,39 @@ def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("xml")
         .load(path)
     )
+
+
+@query(
+    "sink_parquet_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey <= 2500
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey > 2500 AND o_orderkey <= 5000
+    """,
+)
+def sink_parquet_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet table: an early batch written
+    WITHOUT a column, a later batch WITH it, both appended to one
+    table directory; `mergeSchema` reads the union schema and
+    back-fills NULL for the early files — the additive-column
+    migration every long-lived ingest eventually performs. The oracle
+    is the source expression with the NULL back-fill made explicit,
+    so a hash match proves the merged read is exactly the losslessly
+    widened table. At scale mergeSchema's footer sweep is the cost —
+    production pins the merged schema in a catalog; the read path
+    here proves the engine semantics."""
+    import shutil
+
+    path = _out_dir("evo", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    src = T(spark, sf_dir, "orders")
+    v1 = src.filter(F.col("o_orderkey") <= 2500).select("o_orderkey", "o_custkey")
+    v2 = src.filter(
+        (F.col("o_orderkey") > 2500) & (F.col("o_orderkey") <= 5000)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -191,6 +191,110 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_probe(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup check: probe NEW documents against an
+    EXISTING corpus index — the maintenance path a production dedup
+    runs per ingest batch, instead of re-pairing the whole corpus.
+
+    Bipartite by construction: candidates are (new × existing) bucket
+    collisions only — new×new and existing×existing never pair (batch-
+    internal dedup is a separate `minhash_lsh_pairs` call). At scale
+    the existing side's banded buckets are the persisted index (write
+    them bucket-partitioned exactly like `write_ivf_index`); the new
+    batch is orders of magnitude smaller, so its banded rows broadcast
+    or shuffle cheaply, and verification joins shingles back for
+    O(candidates) payload bytes, same as the self-join form.
+
+    Returns (new_id, existing_id, jaccard ≥ threshold).
+    """
+    ex_base, ex_banded = _shingles_and_bands(
+        existing, text_col, id_col, k, num_hashes, bands
+    )
+    new_base, new_banded = _shingles_and_bands(
+        new, text_col, id_col, k, num_hashes, bands
+    )
+    cand = (
+        new_banded.alias("l")
+        .join(
+            ex_banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(F.col("l.__id").alias("new_id"), F.col("r.__id").alias("existing_id"))
+        .dropDuplicates(["new_id", "existing_id"])
+    )
+    pairs = (
+        cand.join(
+            new_base.select(F.col("__id"), F.col("__shingles")).alias("sa"),
+            F.col("new_id") == F.col("sa.__id"),
+        )
+        .join(
+            ex_base.select(F.col("__id"), F.col("__shingles")).alias("sb"),
+            F.col("existing_id") == F.col("sb.__id"),
+        )
+        .select(
+            "new_id",
+            "existing_id",
+            F.col("sa.__shingles").alias("sh_a"),
+            F.col("sb.__shingles").alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "existing_id", "jaccard")
+    )
+
+
+def _shingles_and_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+):
+    """(base, banded) frames shared by the self-join and probe forms:
+    base = (id, shingles) persisted-on-demand; banded = (id, band,
+    bucket) — the ~24-byte index rows."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+    )
+    sig = base.withColumn("__h", base_hashes(F.col("__shingles"))).withColumn(
+        "__sig", minhash_signature(F.col("__h"), num_hashes)
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("__id", F.explode(band_cols).alias("bb")).select(
+        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return base, banded
+
+
 def minhash_lsh_pairs_ml(
     df: DataFrame,
     text_col: str = "text",

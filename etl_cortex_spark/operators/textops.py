@@ -409,3 +409,54 @@ def bpe_pair_counts(
         .orderBy(F.desc("total"), "pair")
         .limit(top_k)
     )
+
+
+# --- D57: BPE merge application (tokenizer encode) ----------------------------
+
+#: Symbol-boundary separator for the BPE encode representation: every
+#: symbol is enclosed as \x1f<sym>\x1f, so adjacent symbols meet as
+#: \x1f\x1f and a merge rule (a, b) is the LITERAL string replacement
+#:   \x1f a \x1f\x1f b \x1f  ->  \x1f ab \x1f
+#: replace() is left-to-right and non-overlapping in every engine —
+#: exactly the greedy per-rule merge pass — and the enclosing
+#: separators make a boundary-crossing false match impossible. No
+#: regex, no backreferences, no HOF fold state.
+BPE_SEP = "\x1f"
+
+
+def bpe_encode_word(col: Column | str) -> Column:
+    """A word as its boundary-separated character symbols:
+    'ab' -> '\\x1fa\\x1f\\x1fb\\x1f'."""
+    w = F.col(col) if isinstance(col, str) else col
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+    )
+    return F.concat(
+        F.lit(BPE_SEP), F.array_join(chars, BPE_SEP + BPE_SEP), F.lit(BPE_SEP)
+    )
+
+
+def bpe_apply_merges(col: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """Apply an ordered BPE merge table to an ENCODED word (see
+    ``bpe_encode_word``): one full greedy left-to-right pass per rule,
+    in priority order — the documented deterministic contract (true
+    BPE re-scans for the best-ranked pair after every single merge;
+    the per-rule-pass form is the classic fast approximation and is
+    exactly replayable as a replace() chain in any engine). Later
+    rules may consume earlier rules' outputs (e.g. ('ta','b') after
+    ('t','a')), so multi-level merges chain."""
+    s = F.col(col) if isinstance(col, str) else col
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+        )
+    return s
+
+
+def bpe_symbol_count(col: Column | str) -> Column:
+    """Symbol count of an encoded word: segments between the
+    double-separator joints."""
+    s = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(s, BPE_SEP + BPE_SEP)).cast("bigint")

@@ -665,3 +665,68 @@ def test_bpe_pair_counts_hand_computed(spark):
     # aaab pairs: aa, aa, ab -> aa: 2*2=4, ab: 2*1=2 ; ab pairs: ab -> +1
     got = [(r["pair"], r["total"]) for r in bpe_pair_counts(df, "text").collect()]
     assert got == [("aa", 4), ("ab", 3)]
+
+
+def test_bpe_apply_merges_hand_computed(spark):
+    """Greedy left-to-right per-rule semantics, chained rules, and the
+    aaa-overlap case, checked against hand-derived encodings."""
+    from etl_cortex_spark.operators.textops import (
+        BPE_SEP,
+        bpe_apply_merges,
+        bpe_encode_word,
+        bpe_symbol_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "table"), (2, "aaa"), (3, "fast"), (4, "x")],
+        "i long, w string",
+    )
+    merges = [("t", "a"), ("ta", "b"), ("a", "a"), ("f", "a"), ("fa", "s")]
+    enc = bpe_apply_merges(bpe_encode_word("w"), merges)
+    out = {
+        r["i"]: (r["s"], r["n"])
+        for r in df.select(
+            "i", enc.alias("s"), bpe_symbol_count(enc).alias("n")
+        ).collect()
+    }
+    def toks(s):
+        return [t for t in s.split(BPE_SEP) if t]
+    # table: t+a -> ta, ta+b -> tab => [tab, l, e]
+    assert toks(out[1][0]) == ["tab", "l", "e"] and out[1][1] == 3
+    # aaa with (a,a): left-to-right non-overlap => [aa, a]
+    assert toks(out[2][0]) == ["aa", "a"] and out[2][1] == 2
+    # fast: f+a -> fa, fa+s -> fas => [fas, t]
+    assert toks(out[3][0]) == ["fas", "t"] and out[3][1] == 2
+    # single char untouched
+    assert toks(out[4][0]) == ["x"] and out[4][1] == 1
+
+
+def test_minhash_probe_bipartite_recall_and_no_self_pairs(spark):
+    """The incremental probe must (a) find every mutated copy's
+    source (recall at one-word mutation), (b) never emit new×new or
+    existing×existing pairs, and (c) not pair the genuinely fresh
+    docs with anything."""
+    from etl_cortex_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") % 10 == 0)
+    existing = docs.select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    )
+    fresh = spark.createDataFrame(
+        [(30_000_000 + i, f"completely novel content block {i} zz qq vv ww rr")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    new = mutants.unionByName(fresh)
+    got = DD.minhash_lsh_probe(existing, new, threshold=0.5).collect()
+    pairs = {(r["new_id"], r["existing_id"]) for r in got}
+    # every pair is bipartite: new ids on the left, existing on the right
+    assert all(n >= 10_000_000 and e < 10_000_000 for n, e in pairs)
+    # every mutant found its source (one-word prefix => jaccard ~0.8+)
+    src_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    found = {e for n, e in pairs if n < 20_000_000 and n - 10_000_000 == e}
+    assert found == src_ids, f"missed sources: {src_ids - found}"
+    # fresh docs pair with nothing
+    assert not any(n >= 30_000_000 for n, _ in pairs)
