@@ -1536,3 +1536,61 @@ def c67(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("c67_lineitem")
     return spark.sql(_C67_SQL.format(li="c67_lineitem"))
+
+
+@query(
+    "c68_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS k
+      FROM orders WHERE o_orderkey <= 2000
+    ), r AS (
+      SELECT CASE WHEN s % 2 = 0 THEN NULL ELSE CAST(s AS VARCHAR) END AS k,
+             s AS tag
+      FROM (SELECT unnest([0, 1, 2]) AS s)
+      UNION ALL
+      SELECT o_orderstatus, -1 FROM (SELECT DISTINCT o_orderstatus FROM orders)
+    )
+    SELECT coalesce(l.k, '<NULL>') AS key_shown,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_key_pairs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY coalesce(l.k, '<NULL>')
+    ORDER BY key_shown
+    """,
+)
+def c68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics CDC merges
+    and dimension lookups with optional keys need, and a different
+    join-key code path from c11-c13 (NULL becomes a real hash key).
+    Scale note in-plan: all NULL keys co-locate in ONE hash
+    partition, so a NULL-heavy column is a built-in skew hazard —
+    production splits the NULL slice off first (the salting pattern
+    from operators/skew.py applies)."""
+    orders = T(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    nums = spark.createDataFrame([(0,), (1,), (2,)], "s int").select(
+        F.when(F.col("s") % 2 == 0, None).otherwise(F.col("s").cast("string")).alias("k"),
+        F.col("s").cast("bigint").alias("tag"),
+    )
+    statuses = orders.select(F.col("o_orderstatus").alias("k")).distinct().select(
+        "k", F.lit(-1).cast("bigint").alias("tag")
+    )
+    right = nums.unionByName(statuses)
+    joined = left.join(right, left.k.eqNullSafe(right.k))
+    return (
+        joined.groupBy(F.coalesce(left.k, F.lit("<NULL>")).alias("key_shown"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(left.k.isNull().cast("bigint")).alias("null_key_pairs"),
+        )
+        .orderBy("key_shown")
+    )

@@ -132,31 +132,8 @@ def minhash_lsh_pairs(
     Spark evicts it LRU; pass False for fire-and-forget one-shot use
     on corpora you'd rather re-read than spill.
     """
-    from pyspark import StorageLevel
-
-    rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
-    )
-    if persist:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = base.withColumn("__h", base_hashes(F.col("__shingles"))).withColumn(
-        "__sig", minhash_signature(F.col("__h"), num_hashes)
-    )
-
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)])
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("__id", F.explode(band_cols).alias("bb")).select(
-        "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    base, banded = _shingles_and_bands(
+        df, text_col, id_col, k, num_hashes, bands, persist=persist
     )
 
     cand = (
@@ -264,14 +241,20 @@ def _shingles_and_bands(
     k: int,
     num_hashes: int,
     bands: int,
+    persist: bool = False,
 ):
     """(base, banded) frames shared by the self-join and probe forms:
-    base = (id, shingles) persisted-on-demand; banded = (id, band,
-    bucket) — the ~24-byte index rows."""
+    base = (id, shingles), persisted when requested (multiple plan
+    branches read it); banded = (id, band, bucket) — the ~24-byte
+    index rows."""
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sig = base.withColumn("__h", base_hashes(F.col("__shingles"))).withColumn(
         "__sig", minhash_signature(F.col("__h"), num_hashes)
     )
