@@ -1594,3 +1594,42 @@ def c68(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_shown")
     )
+
+
+@query(
+    "c69_variant_semistructured",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+           CAST(NULL AS BIGINT) AS missing,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                OVER () AS BIGINT) AS k_total
+    FROM events WHERE event_id % 50 = 0
+    ORDER BY event_id
+    """,
+)
+def c69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4's open-format semi-structured type, the
+    Snowflake/Delta VARIANT shape): `parse_json` once into a binary
+    variant, then typed `variant_get` extractions — the schema-on-read
+    path that beats per-access string re-parsing when one ingest
+    feeds many extractions; `try_variant_get` on a missing path is
+    NULL, not an error. The oracle replays with DuckDB's JSON
+    extraction; matching typed values proves the variant round-trip.
+    Column pruning/pushdown still applies to the source scan — the
+    variant column prunes like any other."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    out = ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_long"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'long')").alias(
+            "missing"
+        ),
+    )
+    from pyspark.sql import Window
+
+    return out.withColumn(
+        "k_total", F.sum("k_long").over(Window.partitionBy())
+    ).orderBy("event_id")

@@ -195,3 +195,79 @@ def sink_parquet_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2.write.mode("append").parquet(path)
     back = spark.read.option("mergeSchema", True).parquet(path)
     return back.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "pyds_synthetic_docs_scan",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 500)) AS doc_id),
+    v AS (SELECT ['key','agg','row','scan','slow','fast','table','value',
+                  'part','hash','merge','batch','spark','line','sort','window'] AS vocab,
+                 ['en','es','fr'] AS langs)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, 5 + doc_id % 10),
+                            j -> vocab[CAST((doc_id * 31 + j * 7) % 16 AS INT) + 1]),
+             ' ') AS text,
+           langs[CAST(doc_id % 3 AS INT) + 1] AS lang
+    FROM ids, v ORDER BY doc_id
+    """,
+)
+def pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource end-to-end: a custom V2 source
+    (`sources/pyds.py`) planned as 8 InputPartitions, each executor
+    materializing only its own id-range — the contract a paginated-API
+    or shard-ranged custom source implements. The content is a closed
+    form of doc_id, so the oracle REGENERATES every row in SQL: a hash
+    match proves schema declaration, option passing, partition
+    planning, and per-partition iteration all round-trip. (Classes are
+    defined inside a factory → cloudpickle ships them by value;
+    vanilla-session executors never import this package.)"""
+    from etl_cortex_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 500)
+        .option("splits", 8)
+        .load()
+    )
+    return df.orderBy("doc_id")
+
+
+@query(
+    "pyds_stream_synthetic_docs",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 200)) AS doc_id),
+    v AS (SELECT ['key','agg','row','scan','slow','fast','table','value',
+                  'part','hash','merge','batch','spark','line','sort','window'] AS vocab,
+                 ['en','es','fr'] AS langs)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, 5 + doc_id % 10),
+                            j -> vocab[CAST((doc_id * 31 + j * 7) % 16 AS INT) + 1]),
+             ' ') AS text,
+           langs[CAST(doc_id % 3 AS INT) + 1] AS lang
+    FROM ids, v ORDER BY doc_id
+    """,
+)
+def pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python DataSource end-to-end (Spark 4
+    `SimpleDataSourceStreamReader`): offset-tracked micro-batches of
+    the closed-form corpus driven through a memory sink; the oracle
+    regenerates the drained prefix in SQL. This bounded run drains in
+    one micro-batch (availableNow snapshots the prefetched offset);
+    the multi-batch offset walk and the deterministic
+    `readBetweenOffsets` replay — the exactly-once contract — are
+    exercised in pytest with a processing-time trigger."""
+    from etl_cortex_spark.sources.pyds import register_stream
+    from etl_cortex_spark.streaming.events import run_to_memory
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("n", 200)
+        .option("batch", 200)
+        .load()
+    )
+    return run_to_memory(stream, "append").orderBy("doc_id")

@@ -52,3 +52,76 @@ def test_ignore_corrupt_files_keeps_good_rows(spark, tmp_path):
         assert rows == [1, 2, 3]
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_python_datasource_partition_parallelism_and_determinism(spark):
+    """The custom Python source must plan the requested number of
+    input partitions (each executor gets an id-range slice) and
+    produce the identical row set at any split count."""
+    from etl_cortex_spark.sources.pyds import register, synthetic_doc
+
+    register(spark)
+
+    def load(splits):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n", 60)
+            .option("splits", splits)
+            .load()
+        )
+
+    df8 = load(8)
+    assert df8.rdd.getNumPartitions() == 8
+    rows8 = sorted(tuple(r) for r in df8.collect())
+    rows3 = sorted(tuple(r) for r in load(3).collect())
+    assert rows8 == rows3 and len(rows8) == 60
+    # spot-check the closed form against the library helper
+    assert rows8[7] == synthetic_doc(7)
+
+
+def test_python_stream_source_multibatch_offsets_and_replay(spark):
+    """The streaming source must drain n rows across MULTIPLE
+    micro-batches (offset walk), and readBetweenOffsets must replay
+    any committed range byte-identically (the exactly-once recovery
+    contract)."""
+    import tempfile
+    import time
+
+    from etl_cortex_spark.sources.pyds import (
+        make_synthetic_docs_stream_source,
+        register_stream,
+        synthetic_doc,
+    )
+
+    register_stream(spark)
+    ckpt = tempfile.mkdtemp(prefix="pyds_stream_ck_")
+    stream = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("n", 100)
+        .option("batch", 30)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pyds_multibatch")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("pyds_multibatch").count() >= 100:
+                break
+            time.sleep(0.5)
+        got = sorted(tuple(r) for r in spark.table("pyds_multibatch").collect())
+    finally:
+        q.stop()
+    assert len(got) == 100, f"drained {len(got)} rows"
+    assert got == [synthetic_doc(i) for i in range(100)]
+    assert len(q.recentProgress) >= 2, "expected a multi-batch offset walk"
+    # replay determinism: the recovery path re-reads a committed range
+    reader = make_synthetic_docs_stream_source()(options={"n": 100, "batch": 30}).simpleStreamReader(None)
+    replay = list(reader.readBetweenOffsets({"pos": 30}, {"pos": 60}))
+    assert replay == [synthetic_doc(i) for i in range(30, 60)]
