@@ -35,6 +35,10 @@ TABLES = (
 ).split()
 
 #: the headline set — one per execution shape, heaviest representative.
+#: Round-5 additions: d51 (corpus-wide gram shuffle + HOF rebuild — the
+#: substring-dedup shape) and d56 (two retrieval pools + rank fusion —
+#: the RAG-serving shape); earlier rounds' 12 names are unchanged so
+#: per-query round-over-round comparisons stay valid.
 HEADLINE = [
     "flagship_events_medallion",
     "c17_tpch_q1",
@@ -48,6 +52,8 @@ HEADLINE = [
     "d02_minhash_lsh_pairs",
     "d03_cosine_topk",
     "d04_token_stats",
+    "d51_span_dedup",
+    "d56_hybrid_rrf",
 ]
 
 
