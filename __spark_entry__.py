@@ -57,6 +57,7 @@ _REVERIFY_NOW: dict[str, int] = {
     # became single-partition local sorts over bounded domains.
     "d01_exact_dedup": 5,
     "c17_tpch_q1": 5,
+    "tpch_q3_shipping_priority": 5,
     "tpch_q5_local_supplier_volume": 5,
     "c10_join_inner_agg": 5,
     "d04_token_stats": 5,
