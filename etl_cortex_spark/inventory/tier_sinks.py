@@ -184,7 +184,10 @@ def sink_parquet_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     here proves the engine semantics."""
     import shutil
 
-    path = _out_dir("evo", sf_dir)
+    # pid in the path (the round-4 d08d rule): this entry APPENDS after
+    # an rmtree, so two concurrent harness runs sharing a dir would
+    # double the rows rather than just race the overwrite
+    path = _out_dir(f"evo_{os.getpid()}", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     src = T(spark, sf_dir, "orders")
     v1 = src.filter(F.col("o_orderkey") <= 2500).select("o_orderkey", "o_custkey")
