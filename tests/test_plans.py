@@ -333,3 +333,31 @@ def test_q3_q5_stream_lineitem_hash_build_cut_side(spark):
                         break
                     if l2.strip() == "":
                         break
+
+
+def test_span_dedup_gram_shuffle_is_payload_free(spark):
+    """d51's corpus-wide gram exchanges must carry hashes and
+    positions only — the document text never rides a gram-keyed
+    shuffle (it re-enters via the final id-keyed join)."""
+    import re
+
+    from etl_cortex_spark.operators.llmprep import span_dedup
+    from etl_cortex_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = (
+        span_dedup(docs, n=5, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "doc_id" in keys and "__h" not in keys:
+            continue  # the final id-keyed reassembly join may carry text
+        assert "text" not in keys
+    # no gram STRING column in any exchange either: the only wide
+    # payload allowed through a shuffle is the final doc join
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning(__h" in ln:
+            assert "gram" not in ln and "text" not in ln
