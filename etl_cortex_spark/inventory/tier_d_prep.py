@@ -401,10 +401,10 @@ def d38(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
       FROM seeded
     ), gi AS (
-      SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM w
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM w
     ), grams AS (
       SELECT doc_id, i - 1 AS pos,
-             array_to_string(list_slice(ws, i, i + 4), ' ') AS gram
+             array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
       FROM gi
     ), dup AS (
       SELECT gram FROM (
@@ -414,7 +414,7 @@ def d38(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
     ), covered AS (
       SELECT DISTINCT s.doc_id, s.pos + t.i AS idx
-      FROM starts s, range(0, 5) t(i)
+      FROM starts s, range(0, 8) t(i)
     ), wr AS (
       SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w
     ), kept AS (
@@ -458,10 +458,16 @@ def d51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    # no trailing orderBy: the harness compare is order-insensitive and
-    # a global sort of the full corpus would add a range exchange + its
-    # boundary-sampling job to every run
-    return LP.span_dedup(seeded, n=5, min_docs=2)
+    # n=8, not the operator's n=5 default: the synthetic corpus draws
+    # from a 16-word vocabulary, so at sf1 nearly every 5-gram is
+    # organically corpus-duplicated (16^5 sequences vs millions of
+    # instances) and the dup set degenerates to the whole corpus;
+    # 8-grams are sparse at every SF while the 11-word footer still
+    # yields 4 duplicated spans per seeded doc. Real deployments use
+    # n=50 (Lee et al.) for the same reason. No trailing orderBy: the
+    # harness compare is order-insensitive and a global sort of the
+    # full corpus would add a range exchange + sampling job per run.
+    return LP.span_dedup(seeded, n=8, min_docs=2)
 
 
 # --- D52: training-mixture planning + deterministic sampling ------------------
