@@ -1633,3 +1633,25 @@ def c69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "k_total", F.sum("k_long").over(Window.partitionBy())
     ).orderBy("event_id")
+
+
+_C70_SQL = """
+    SELECT l_orderkey,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           disc_price * (1 + l_tax) AS charge,
+           charge - disc_price AS tax_paid
+    FROM {li} WHERE l_orderkey <= 200 ORDER BY l_orderkey, disc_price
+"""
+
+
+@query("c70_lateral_column_alias", oracle=_C70_SQL.format(li="lineitem"))
+def c70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases — referencing an alias defined earlier in
+    the SAME select list (disc_price → charge → tax_paid), the
+    expression-pipeline ergonomics DuckDB pioneered and Spark 3.4+
+    adopted. Same SQL text both engines; Catalyst inlines the chain
+    into one projection (no extra operator), and the unrounded doubles
+    are IEEE-identical so no rounding is needed anywhere."""
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("c70_lineitem")
+    return spark.sql(_C70_SQL.format(li="c70_lineitem"))
