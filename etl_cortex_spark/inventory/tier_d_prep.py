@@ -778,3 +778,80 @@ def d57(spark: SparkSession, sf_dir: str) -> DataFrame:
             "words_with_merges"
         ),
     )
+
+
+# --- D62: split-leakage audit -------------------------------------------------
+
+_LEAK = "every model answers this exact benchmark question about spark tables"
+
+
+@query(
+    "d62_split_leakage",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' {_LEAK}'
+                  ELSE text END AS text
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 AS bucket
+        FROM seeded
+      )
+    ), grams AS (
+      SELECT doc_id, len({{sh}}) AS n_grams, unnest({{sh}}) AS gram
+      FROM assigned WHERE split = 'train'
+    ), bench AS (
+      SELECT DISTINCT unnest({{sh}}) AS gram
+      FROM assigned WHERE split = 'test'
+    ), matched AS (
+      SELECT g.doc_id, g.n_grams, count(*) AS n_matched
+      FROM grams g JOIN bench b ON g.gram = b.gram
+      GROUP BY g.doc_id, g.n_grams
+    )
+    SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(n_matched / greatest(n_grams, 1), 6) AS overlap
+    FROM matched WHERE round(n_matched / greatest(n_grams, 1), 6) >= 0.05
+    ORDER BY doc_id
+    """.format(sh=_shingles_sql(8)),
+)
+def d62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D62: split-leakage audit — the md5 train/valid/test split (d38)
+    composed with the decontamination probe (d12): seed a shared
+    'benchmark' sentence into every 17th doc so some land in train AND
+    test, then flag train documents whose 8-gram shingles overlap the
+    test split. This is the audit a training pipeline runs BEFORE
+    shipping a split: deterministic assignment alone does not prevent
+    content leakage (near-identical docs land in different splits by
+    hash). Scale shape inherited from d12: train is never self-joined;
+    the test gram set broadcasts as the semi-probe side."""
+    docs = T(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" " + _LEAK))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = seeded.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"),
+    )
+    train = assigned.filter(F.col("split") == "train").select("doc_id", "text")
+    test = assigned.filter(F.col("split") == "test").select("text")
+    return LP.contamination_check(
+        train, test, k=8, min_overlap=0.05
+    ).orderBy("doc_id")
