@@ -31,7 +31,10 @@ from etl_cortex_spark.operators.textops import (  # noqa: F401
     bpe_apply_merges,
     bpe_encode_word,
     bpe_symbol_count,
+    classifier_feat_sum,
+    classifier_score,
     distinct_ratio,
+    hashed_feature_weight,
     kgram_fingerprint,
     lang_id,
     n_bpe_tokens,
@@ -69,6 +72,9 @@ __all__ = [
     "quality_score",
     "shingles",
     "stopword_ratio",
+    "classifier_feat_sum",
+    "classifier_score",
+    "hashed_feature_weight",
     "words",
     "strip_markup",
     "norm_url",

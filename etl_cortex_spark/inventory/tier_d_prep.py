@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_cortex_spark.inventory.tier_d import _shingles_sql
+from etl_cortex_spark.inventory.tier_d import _WORDS, _shingles_sql
 from etl_cortex_spark.operators import llmprep as LP
 from etl_cortex_spark.operators import textops as TX
 from etl_cortex_spark.queries import T, query
@@ -855,3 +855,53 @@ def d62(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LP.contamination_check(
         train, test, k=8, min_overlap=0.05
     ).orderBy("doc_id")
+
+
+# --- D63: hashed-feature linear quality classifier ---------------------------
+
+#: the per-token integer weight, as portable SQL (strpos == Spark instr)
+_W_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(lower(t)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(lower(t)), 2, 1)) - 1) - 128)"
+)
+
+
+@query(
+    "d63_quality_classifier",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform({_WORDS}, t -> {_W_SQL})), 0)
+                  AS BIGINT) AS feat_sum
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, feat_sum,
+           feat_sum / (128.0 * greatest(n_tokens, 1)) AS score,
+           feat_sum / (128.0 * greatest(n_tokens, 1)) > 0 AS keep
+    FROM scored
+    """,
+)
+def d63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D63: model-based quality filtering — a fastText/VW-style linear
+    classifier over hashing-trick bag-of-words features
+    (``textops.hashed_feature_weight``: weight = centered first md5
+    byte of the lowercased token, a stand-in for trained weights that
+    keeps the model replayable in SQL). The dot product folds over the
+    token array per row (integer sum → associative-exact, so the
+    distributed result is order-independent); score = mean weight, and
+    ``keep`` is the score>0 gate a pipeline would filter on.
+
+    100 TB design: scoring is a pure projection — no explode, no
+    shuffle, no Python; every document is scored where it is read. A
+    trained model swaps in as a broadcast token→weight map without
+    changing the plan shape."""
+    docs = T(spark, sf_dir, "documents")
+    score = TX.classifier_score("text")
+    return docs.select(
+        "doc_id",
+        TX.n_tokens("text").alias("n_tokens"),
+        TX.classifier_feat_sum("text").alias("feat_sum"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )

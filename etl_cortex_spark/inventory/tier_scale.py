@@ -262,3 +262,58 @@ def scale_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id", "event_type"], recency_cols=["ts", "event_id"]
     )
     return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@query(
+    "scale_cms_frequency",
+    oracle="""
+    SELECT l_suppkey AS suppkey, count(*) AS exact_cnt,
+           true AS overestimate_ok, true AS within_eps
+    FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10
+    GROUP BY l_suppkey ORDER BY suppkey
+    """,
+)
+def scale_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (`operators/sketch.py`):
+    build a (width=5437, depth=5) sketch over ``l_suppkey`` — an
+    eps=5e-4, delta=1e-2 configuration — then point-query ten probe
+    keys and check both CMS guarantees against the exact counts
+    computed in the same plan: estimates never undercount, and
+    overcount by at most eps*N. Like the HLL rollup, raw estimates are
+    hash-function-specific, so the oracle-checkable contract is the
+    epsilon pattern: exact counts as values, the two bounds as pinned
+    flags.
+
+    100 TB design: the sketch is a ≤ depth*width-row DataFrame built
+    with one partial-combined groupBy (the shuffle carries sketch-sized
+    data), merges by union+re-agg without re-scanning base data, and
+    broadcasts to probes — frequency rollups and heavy-hitter screens
+    at any scale without a per-key exact aggregation."""
+    from etl_cortex_spark.operators.sketch import cms_build, cms_estimate, cms_params
+
+    eps, delta = 5e-4, 1e-2
+    width, depth = cms_params(eps, delta)
+    li = T(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_suppkey", width, depth)
+
+    probes = li.filter(F.col("l_suppkey").between(1, 10))
+    exact = probes.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    est = cms_estimate(
+        sketch, probes.select(F.col("l_suppkey").alias("suppkey")), "suppkey", width, depth
+    )
+    n_total = li.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        exact.join(est, "suppkey")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "suppkey",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("overestimate_ok"),
+            (F.col("est") <= F.col("exact_cnt") + F.lit(eps) * F.col("__n")).alias(
+                "within_eps"
+            ),
+        )
+        .orderBy("suppkey")
+    )

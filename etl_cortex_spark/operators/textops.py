@@ -460,3 +460,54 @@ def bpe_symbol_count(col: Column | str) -> Column:
     double-separator joints."""
     s = F.col(col) if isinstance(col, str) else col
     return F.size(F.split(s, BPE_SEP + BPE_SEP)).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText-style scoring).
+# ---------------------------------------------------------------------------
+
+#: fixed hex alphabet for the portable hex-digit → int conversion
+#: (`instr` here == `strpos` in DuckDB/Postgres — no base-conversion
+#: builtin needed on either engine).
+HEX_ALPHABET = "0123456789abcdef"
+
+
+def _hex_val(c: Column) -> Column:
+    """0..15 from one lowercase hex character via position in the
+    fixed alphabet — the only hex→int conversion that is portable
+    verbatim across engines (Spark `instr`, DuckDB `strpos`)."""
+    return F.call_function("instr", F.lit(HEX_ALPHABET), c) - 1
+
+
+def hashed_feature_weight(tok: Column) -> Column:
+    """Deterministic per-token weight in [-128, 127]: the first md5
+    byte of the lowercased token, centered. This is the hashing-trick
+    feature map of a fastText/VW-style linear model — in production
+    the weight table comes out of training; here the weights are a
+    pure function of the token hash so the SAME model is replayable
+    in any engine (the oracle re-derives every weight in SQL).
+    Integer weights keep the feature sum associative-exact, so the
+    distributed sum is order-independent."""
+    h = F.md5(F.lower(tok).cast("binary"))
+    v1 = _hex_val(F.substring(h, 1, 1))
+    v2 = _hex_val(F.substring(h, 2, 1))
+    return (v1 * 16 + v2 - 128).cast("long")
+
+
+def classifier_feat_sum(col: Column | str) -> Column:
+    """Integer feature sum of the hashed bag-of-words — the linear
+    model's dot product, folded over the token array per row (no
+    explode, no shuffle: scoring stays a pure projection)."""
+    w = words(col)
+    return F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, t: acc + hashed_feature_weight(t)
+    )
+
+
+def classifier_score(col: Column | str) -> Column:
+    """Mean feature weight in [-1, 1]: feat_sum / (128 * n_tokens).
+    One IEEE division of two exact integers — bit-identical in any
+    engine. Empty documents score 0.0."""
+    w = words(col)
+    n = F.greatest(F.size(w), F.lit(1))
+    return classifier_feat_sum(col) / (128.0 * n)
