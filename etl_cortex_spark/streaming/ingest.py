@@ -95,6 +95,7 @@ def foreach_batch_upsert(
     checkpoint_dir: str,
     key_cols: list[str],
     order_cols: list[str],
+    keep_versions: int = 2,
 ):
     """Streaming upsert sink via ``foreachBatch`` — the canonical
     production pattern for sinks Structured Streaming has no native
@@ -117,9 +118,15 @@ def foreach_batch_upsert(
     - a replay that crashed BEFORE the flip re-merges against the
       previous version — the keep-latest merge is idempotent, so the
       result is identical;
-    - the previous version is retained one generation (a reader that
-      resolved ``CURRENT`` just before a flip may still be scanning
-      it); older versions are garbage-collected.
+    - the newest ``keep_versions`` version directories are retained
+      (default 2: current + one predecessor, so a reader that resolved
+      ``CURRENT`` just before a flip can finish scanning it); older
+      versions are garbage-collected. Raising ``keep_versions`` turns
+      the retained history into a time-travel window —
+      ``read_upsert_table(..., version=batch_id)`` reads any retained
+      snapshot, ``list_versions`` enumerates them (the Delta
+      ``VERSION AS OF`` / Iceberg snapshot-id contract on plain
+      parquet).
 
     At 100 TB the target is a lakehouse table and the body is one
     ``MERGE INTO`` — version directories + an atomically swapped
@@ -139,7 +146,14 @@ def foreach_batch_upsert(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         apply_upsert_batch(
-            spark, batch_df, batch_id, table_dir, guard_dir, key_cols, order_cols
+            spark,
+            batch_df,
+            batch_id,
+            table_dir,
+            guard_dir,
+            key_cols,
+            order_cols,
+            keep_versions=keep_versions,
         )
 
     return (
@@ -158,11 +172,13 @@ def apply_upsert_batch(
     guard_dir: str,
     key_cols: list[str],
     order_cols: list[str],
+    keep_versions: int = 2,
 ) -> None:
     """One idempotent merge commit (the ``foreachBatch`` body, exposed
     so crash-window tests can replay it directly against synthetic
     pointer/guard states). See ``foreach_batch_upsert`` for the
-    protocol."""
+    protocol. ``keep_versions`` newest snapshots survive GC (min 2:
+    current + the in-flight-reader generation)."""
     import os
     import shutil
 
@@ -197,13 +213,20 @@ def apply_upsert_batch(
         f.write(vname)
     os.replace(tmp, pointer)  # the one atomic commit point
     open(guard, "w").close()
-    # GC: keep current + one predecessor generation (an in-flight
-    # reader that resolved CURRENT just before the flip may still be
-    # scanning the predecessor)
-    keep = {vname, os.path.basename(prev) if prev else ""}
-    for d in os.listdir(table_dir):
+    # GC: retain the newest keep_versions snapshots (zero-padded names
+    # sort numerically), never fewer than current + one predecessor —
+    # an in-flight reader that resolved CURRENT just before the flip
+    # may still be scanning the predecessor.
+    versions = sorted(
+        (d for d in os.listdir(table_dir) if d.startswith("v")), reverse=True
+    )
+    keep = set(versions[: max(keep_versions, 2)])
+    keep.add(vname)
+    if prev is not None:
+        keep.add(os.path.basename(prev))
+    for d in versions:
         p = os.path.join(table_dir, d)
-        if d.startswith("v") and d not in keep and os.path.isdir(p):
+        if d not in keep and os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
 
 
@@ -223,11 +246,38 @@ def _resolve_current(table_dir: str) -> str | None:
     return legacy if os.path.isdir(legacy) else None
 
 
-def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the committed upsert table: resolve the ``CURRENT`` pointer
-    (atomic with respect to in-flight swaps), falling back to the
-    legacy ``live`` layout."""
+def list_versions(table_dir: str) -> list[int]:
+    """Batch ids of the retained snapshots, oldest first — the
+    time-travel window ``read_upsert_table(version=...)`` accepts."""
     import os
 
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit() and os.path.isdir(os.path.join(table_dir, d))
+    )
+
+
+def read_upsert_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed upsert table: resolve the ``CURRENT`` pointer
+    (atomic with respect to in-flight swaps), falling back to the
+    legacy ``live`` layout. ``version=batch_id`` time-travels to that
+    retained snapshot (Delta ``VERSION AS OF``); a GC'd or unknown
+    version raises with the retained window so callers can recover."""
+    import os
+
+    if version is not None:
+        vdir = os.path.join(table_dir, f"v{version:020d}")
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"version {version} not retained in {table_dir}; "
+                f"retained: {list_versions(table_dir)} "
+                "(raise keep_versions to widen the time-travel window)"
+            )
+        return spark.read.parquet(vdir)
     p = _resolve_current(table_dir)
     return spark.read.parquet(p if p else os.path.join(table_dir, "live"))

@@ -220,3 +220,55 @@ def test_upsert_crash_windows_recover(spark, tmp_path):
     apply_upsert_batch(spark, df1, 1, table_dir, guard_dir, ku, ko)
     assert table() == expected
     assert _resolve_current(table_dir).endswith("1")
+
+
+def test_upsert_time_travel_and_gc_window(spark, tmp_path):
+    """keep_versions widens the retained-snapshot window into time
+    travel: every retained batch id is readable as the exact table that
+    was CURRENT after that commit; shrinking keep_versions GC's the
+    oldest snapshots and reading one raises with the retained window."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_cortex_spark.streaming.ingest import (
+        apply_upsert_batch,
+        list_versions,
+        read_upsert_table,
+    )
+
+    table_dir = str(tmp_path / "table")
+    guard_dir = str(tmp_path / "guards")
+    os.makedirs(table_dir)
+    os.makedirs(guard_dir)
+    ku, ko = ["user_id"], ["seq"]
+
+    batches = [
+        spark.createDataFrame([(7, 1, 10.0)], "user_id long, seq long, value double"),
+        spark.createDataFrame([(7, 2, 20.0), (8, 3, 30.0)], "user_id long, seq long, value double"),
+        spark.createDataFrame([(8, 4, 40.0)], "user_id long, seq long, value double"),
+    ]
+    for i, b in enumerate(batches):
+        apply_upsert_batch(
+            spark, b, i, table_dir, guard_dir, ku, ko, keep_versions=10
+        )
+    assert list_versions(table_dir) == [0, 1, 2]
+
+    def snap(version=None):
+        return {
+            r["user_id"]: r["value"]
+            for r in read_upsert_table(spark, table_dir, version=version).collect()
+        }
+
+    assert snap(0) == {7: 10.0}
+    assert snap(1) == {7: 20.0, 8: 30.0}
+    assert snap(2) == {7: 20.0, 8: 40.0}
+    assert snap() == snap(2)  # CURRENT == newest snapshot
+
+    # next commit with the default window GC's everything but the
+    # newest two generations
+    b3 = spark.createDataFrame([(9, 5, 50.0)], "user_id long, seq long, value double")
+    apply_upsert_batch(spark, b3, 3, table_dir, guard_dir, ku, ko, keep_versions=2)
+    assert list_versions(table_dir) == [2, 3]
+    with _pytest.raises(FileNotFoundError, match="retained: \\[2, 3\\]"):
+        read_upsert_table(spark, table_dir, version=0)
