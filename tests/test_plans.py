@@ -361,3 +361,21 @@ def test_span_dedup_gram_shuffle_is_payload_free(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning(__h" in ln:
             assert "gram" not in ln and "text" not in ln
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """d63 scoring is a pure projection — zero Exchange anywhere: every
+    document is scored where it is read, at any corpus size."""
+    import re
+
+    plan = plan_of(QUERIES["d63_quality_classifier"](spark, SF))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+
+
+def test_cms_sketch_estimate_joins_broadcast(spark):
+    """The CMS probe joins the (≤ depth*width-row) sketch by broadcast —
+    no shuffle of the probe stream against the sketch — and the whole
+    entry never falls back to a cartesian plan."""
+    plan = plan_of(QUERIES["scale_cms_frequency"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
