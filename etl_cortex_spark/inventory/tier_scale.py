@@ -317,3 +317,58 @@ def scale_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+@query(
+    "scale_heavy_hitters_two_scan",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN l_orderkey % 10 < 3 THEN l_partkey % 7
+                  ELSE l_partkey END AS key
+      FROM lineitem
+    ), tot AS (SELECT count(*) AS n FROM keyed)
+    SELECT key, count(*) AS cnt
+    FROM keyed GROUP BY key
+    HAVING count(*) > 0.005 * (SELECT n FROM tot)
+    ORDER BY key
+    """,
+)
+def scale_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (> 0.5% of the stream) in two scans with
+    bounded memory — the production alternative to a full per-key
+    aggregation when the key domain is huge and only the hot tail
+    matters:
+
+    1. candidate pass: ``df.stat.freqItems`` (Karp/Misra-Gries-style
+       streaming summary, JVM-side, fixed 1/support counters per
+       partition + driver merge) returns a SUPERSET of every key above
+       the support threshold — possible false positives, guaranteed no
+       false negatives;
+    2. verify pass: exact counts for candidate keys only — the
+       aggregation shuffle carries just the candidate rows, and the
+       exact ``> s*N`` filter removes the false positives.
+
+    The result is therefore exactly the HAVING-filtered aggregate the
+    oracle computes, while at 100 TB the first scan never shuffles and
+    the second shuffles a candidate-bounded slice. Skew is synthesized
+    (30% of rows fold onto ``l_partkey % 7``) so seven hot keys stand
+    out of a ~200k-key domain.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.col("l_partkey") % 7)
+        .otherwise(F.col("l_partkey"))
+        .alias("key")
+    )
+    support = 0.005
+    # candidate superset: tiny driver-side model state (≤ 1/support keys)
+    cands = list(li.stat.freqItems(["key"], support).collect()[0][0])
+    n_total = li.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        li.filter(F.col("key").isin(cands))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") > F.lit(support) * F.col("__n"))
+        .select("key", "cnt")
+        .orderBy("key")
+    )
