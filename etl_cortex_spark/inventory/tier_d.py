@@ -973,3 +973,71 @@ def d02g(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_probe(existing, new, threshold=0.5).orderBy(
         "new_id", "existing_id"
     )
+
+
+@query(
+    "stream_cms_sketch",
+    oracle="""
+    SELECT user_id, count(*) AS exact_cnt,
+           true AS overestimate_ok, true AS within_eps
+    FROM events WHERE user_id BETWEEN 0 AND 9
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def d08e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 state-side pattern: an always-on Count-Min frequency monitor
+    maintained by ``foreachBatch`` (`streaming/ingest.foreach_batch_cms`)
+    — each micro-batch's sketch merges into the stored ≤ depth·width-row
+    state under the same versioned commit protocol as the upsert sink.
+    CMS merge is associative+commutative, so the drained sketch equals
+    the one-batch build (pinned in pytest), and the batch entry's
+    epsilon contract transfers verbatim: per probe key the estimate
+    never undercounts and lands within eps·N — flags the oracle pins
+    true against exact counts it computes itself."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.sketch import cms_estimate, cms_params
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_cms,
+        read_upsert_table,
+    )
+
+    eps, delta = 5e-4, 1e-2
+    width, depth = cms_params(eps, delta)
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_cms", h)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select("user_id")
+    q = foreach_batch_cms(
+        ev,
+        table_dir=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        key_col="user_id",
+        width=width,
+        depth=depth,
+    )
+    q.awaitTermination()
+    sketch = read_upsert_table(spark, os.path.join(base, "table"))
+
+    events = T(spark, sf_dir, "events")
+    probes = events.filter(F.col("user_id").between(0, 9))
+    exact = probes.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(sketch, probes.select("user_id"), "user_id", width, depth)
+    n_total = events.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("overestimate_ok"),
+            (F.col("est") <= F.col("exact_cnt") + F.lit(eps) * F.col("__n")).alias(
+                "within_eps"
+            ),
+        )
+        .orderBy("user_id")
+    )

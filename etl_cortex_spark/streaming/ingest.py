@@ -174,16 +174,50 @@ def apply_upsert_batch(
     order_cols: list[str],
     keep_versions: int = 2,
 ) -> None:
-    """One idempotent merge commit (the ``foreachBatch`` body, exposed
-    so crash-window tests can replay it directly against synthetic
-    pointer/guard states). See ``foreach_batch_upsert`` for the
-    protocol. ``keep_versions`` newest snapshots survive GC (min 2:
-    current + the in-flight-reader generation)."""
-    import os
-    import shutil
-
+    """One idempotent keep-latest merge commit (the ``foreachBatch``
+    body, exposed so crash-window tests can replay it directly against
+    synthetic pointer/guard states). See ``foreach_batch_upsert`` for
+    the protocol. ``keep_versions`` newest snapshots survive GC (min
+    2: current + the in-flight-reader generation)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
+        merged = prev.unionByName(batch) if prev is not None else batch
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    apply_merge_commit(
+        spark, batch_df, batch_id, table_dir, guard_dir, merge, keep_versions
+    )
+
+
+def apply_merge_commit(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    guard_dir: str,
+    merge_fn,
+    keep_versions: int = 2,
+) -> None:
+    """The versioned-commit protocol with a pluggable merge:
+    ``merge_fn(prev_df_or_None, batch_df) -> merged_df`` produces the
+    next table state from the previous snapshot and the delta. The
+    protocol (guard-file idempotence, immutable version dirs, atomic
+    CURRENT flip, retained-window GC) is merge-agnostic — keep-latest
+    upserts (``apply_upsert_batch``) and mergeable-sketch maintenance
+    (``foreach_batch_cms``) share it. The only contract on
+    ``merge_fn`` is idempotence under replay-from-previous-state,
+    which any deterministic function of (prev, batch) satisfies."""
+    import os
+    import shutil
 
     guard = os.path.join(guard_dir, str(batch_id))
     if os.path.exists(guard):  # replayed batch → already merged
@@ -197,17 +231,10 @@ def apply_upsert_batch(
         # the merge is already live — just re-arm the guard
         open(guard, "w").close()
         return
-    if prev is not None:
-        merged = spark.read.parquet(prev).unionByName(batch_df)
-    else:
-        merged = batch_df
-    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
-    latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    merged = merge_fn(
+        spark.read.parquet(prev) if prev is not None else None, batch_df
     )
-    latest.write.mode("overwrite").parquet(vdir)
+    merged.write.mode("overwrite").parquet(vdir)
     tmp = pointer + ".tmp"
     with open(tmp, "w") as f:
         f.write(vname)
@@ -281,3 +308,51 @@ def read_upsert_table(
         return spark.read.parquet(vdir)
     p = _resolve_current(table_dir)
     return spark.read.parquet(p if p else os.path.join(table_dir, "live"))
+
+
+def foreach_batch_cms(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    width: int,
+    depth: int,
+    keep_versions: int = 2,
+):
+    """Streaming Count-Min maintenance: every micro-batch's sketch is
+    merged (counters add) into the stored sketch table under the same
+    versioned commit protocol as the upsert sink — so the maintained
+    sketch is exactly-once under crash-replay, and because CMS merge is
+    associative and commutative, the drained result equals the sketch
+    built over the whole input in one batch (pinned in pytest and by
+    the ``stream_cms_sketch`` epsilon oracle).
+
+    This is the always-on frequency monitor of a 100 TB ingest: the
+    stored state is ≤ depth·width rows regardless of stream volume,
+    each micro-batch contributes one partial-combined aggregation, and
+    readers estimate with a broadcast join against the snapshot —
+    time-travel over ``keep_versions`` gives sketch-as-of history."""
+    import os
+
+    from etl_cortex_spark.operators.sketch import cms_build, cms_merge
+
+    spark = stream.sparkSession
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    guard_dir = os.path.join(checkpoint_dir, "applied_batches")
+    os.makedirs(guard_dir, exist_ok=True)
+
+    def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
+        sk = cms_build(batch, key_col, width, depth)
+        return sk if prev is None else cms_merge(prev, sk)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        apply_merge_commit(
+            spark, batch_df, batch_id, table_dir, guard_dir, merge, keep_versions
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -76,3 +76,55 @@ def test_sketch_size_is_bounded(spark):
     }
     assert set(per_row) == set(range(depth))
     assert all(v == 600 for v in per_row.values())
+
+
+def test_streamed_sketch_equals_batch_build_and_replay_is_noop(spark, tmp_path):
+    """foreach_batch_cms over micro-batches must produce EXACTLY the
+    sketch cms_build produces over the whole input at once (merge is
+    associative+commutative), and re-draining with the same checkpoint
+    must not change it (guard-file idempotence)."""
+    import os
+
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_cms,
+        read_upsert_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = spark.createDataFrame([(k % 7,) for k in range(40)], "k bigint")
+    b = spark.createDataFrame([(k % 11,) for k in range(60)], "k bigint")
+    a.coalesce(1).write.parquet(str(src / "a.parquet"))
+    b.coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    width, depth = 32, 4
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_cms(stream, table_dir, ckpt, "k", width, depth)
+    q.awaitTermination()
+    guards = os.listdir(os.path.join(ckpt, "applied_batches"))
+    assert len(guards) >= 2, "expected one commit per micro-batch"
+
+    streamed = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in read_upsert_table(spark, table_dir).collect()
+    }
+    batch = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_build(a.unionByName(b), "k", width, depth).collect()
+    }
+    assert streamed == batch
+
+    q2 = foreach_batch_cms(stream, table_dir, ckpt, "k", width, depth)
+    q2.awaitTermination()
+    streamed2 = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in read_upsert_table(spark, table_dir).collect()
+    }
+    assert streamed2 == streamed
