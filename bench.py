@@ -36,9 +36,11 @@ TABLES = (
 
 #: the headline set — one per execution shape, heaviest representative.
 #: Round-5 additions: d51 (corpus-wide gram shuffle + HOF rebuild — the
-#: substring-dedup shape) and d56 (two retrieval pools + rank fusion —
-#: the RAG-serving shape); earlier rounds' 12 names are unchanged so
-#: per-query round-over-round comparisons stay valid.
+#: substring-dedup shape), d56 (two retrieval pools + rank fusion — the
+#: RAG-serving shape), and d63 (hashed-feature linear scoring — the
+#: shuffle-free model-inference projection shape); earlier rounds'
+#: 12 names are unchanged so per-query round-over-round comparisons
+#: stay valid.
 HEADLINE = [
     "flagship_events_medallion",
     "c17_tpch_q1",
@@ -54,6 +56,7 @@ HEADLINE = [
     "d04_token_stats",
     "d51_span_dedup",
     "d56_hybrid_rrf",
+    "d63_quality_classifier",
 ]
 
 
