@@ -128,3 +128,21 @@ def test_streamed_sketch_equals_batch_build_and_replay_is_noop(spark, tmp_path):
         for r in read_upsert_table(spark, table_dir).collect()
     }
     assert streamed2 == streamed
+
+
+def test_cms_is_partition_invariant(spark):
+    """Counter addition is associative+commutative, so the sketch must
+    be identical under any partitioning of the input — the property
+    that makes per-partition partial aggregation (and the streaming
+    merge) exact."""
+    df = _freqs(spark, [(k, (k % 9) + 1) for k in range(60)])
+    width, depth = 16, 5
+    a = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_build(df.repartition(3), "k", width, depth).collect()
+    }
+    b = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_build(df.repartition(29), "k", width, depth).collect()
+    }
+    assert a == b
