@@ -33,6 +33,7 @@ from etl_cortex_spark.operators.textops import (  # noqa: F401
     bpe_symbol_count,
     classifier_feat_sum,
     classifier_score,
+    classifier_score_weighted,
     distinct_ratio,
     hashed_feature_weight,
     kgram_fingerprint,
@@ -74,6 +75,7 @@ __all__ = [
     "stopword_ratio",
     "classifier_feat_sum",
     "classifier_score",
+    "classifier_score_weighted",
     "hashed_feature_weight",
     "words",
     "strip_markup",

@@ -905,3 +905,44 @@ def d63(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score > 0).alias("keep"),
     )
+
+
+# --- D63b: the trained-weights form ------------------------------------------
+
+#: demo "trained" vocabulary: dyadic weights (exact in binary floating
+#: point), so the fold order can never perturb the sum — the oracle's
+#: list_sum and Spark's left fold agree bit-for-bit by construction.
+_TRAINED_W = {
+    "the": 0.5,
+    "and": 0.25,
+    "of": 0.25,
+    "data": 1.0,
+    "spam": -2.0,
+    "click": -1.5,
+}
+
+_W_CASE = "CASE lower(t) " + " ".join(
+    f"WHEN '{tok}' THEN {wt}" for tok, wt in sorted(_TRAINED_W.items())
+) + " ELSE 0.0 END"
+
+
+@query(
+    "d63_classifier_trained",
+    oracle=rf"""
+    SELECT doc_id,
+           coalesce(list_sum(list_transform({_WORDS}, t -> {_W_CASE})), 0.0)
+             / greatest(len({_WORDS}), 1) AS score,
+           coalesce(list_sum(list_transform({_WORDS}, t -> {_W_CASE})), 0.0)
+             / greatest(len({_WORDS}), 1) > 0 AS keep
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def d63b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D63b: the trained-weights classifier form the d63 docstring
+    promises — a token→weight map (fastText's output artifact) applied
+    as a literal-map lookup inside the same shuffle-free projection.
+    Weights are dyadic rationals so the per-document sum is exact in
+    any fold order; the oracle replays the model as a CASE ladder."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    score = TX.classifier_score_weighted("text", _TRAINED_W)
+    return docs.select("doc_id", score.alias("score"), (score > 0).alias("keep"))

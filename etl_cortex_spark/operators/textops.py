@@ -511,3 +511,25 @@ def classifier_score(col: Column | str) -> Column:
     w = words(col)
     n = F.greatest(F.size(w), F.lit(1))
     return classifier_feat_sum(col) / (128.0 * n)
+
+
+def classifier_score_weighted(
+    col: Column | str, weights: dict[str, float], bias: float = 0.0
+) -> Column:
+    """The trained-model form of ``classifier_score``: a token→weight
+    map (what fastText training emits) applied as a literal map lookup
+    — unknown tokens weigh 0. Same plan shape as the hashed form: a
+    pure projection, the weight table rides the plan as a literal (at
+    real vocabulary sizes, a broadcast join against an exploded token
+    frame — same zero-shuffle scoring, different small-side plumbing).
+    Score = (bias + Σ w(token)) / max(n_tokens, 1)."""
+    w = words(col)
+    wmap = F.create_map(
+        *[x for tok, wt in sorted(weights.items()) for x in (F.lit(tok), F.lit(float(wt)))]
+    )
+    s = F.aggregate(
+        w,
+        F.lit(float(bias)),
+        lambda acc, t: acc + F.coalesce(wmap[F.lower(t)], F.lit(0.0)),
+    )
+    return s / F.greatest(F.size(w), F.lit(1))
