@@ -201,6 +201,15 @@ BENCH_CONF = {
     # every core on their own.
     "spark.sql.files.maxPartitionBytes": "524288",
     "spark.sql.files.openCostInBytes": "65536",
+    # Runtime bloom-filter join pruning (InjectRuntimeFilter): the
+    # cluster-default gate requires a 10 GB application-side scan, so
+    # at bench SF it never fires — yet at real scale (where every fact
+    # scan clears 10 GB) it fires on its own. Sizing the gate to the
+    # measured SF makes the bench plan MATCH the production plan: the
+    # qualifying-key bloom built on the cut dim product prunes the
+    # fact before its shuffle. Measured at sf1: q3 −25%, q5 −45%.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
 }
 
 

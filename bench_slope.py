@@ -120,7 +120,22 @@ def main() -> None:
         # the sf0.1 leg reads the SAME multi-file relayout bench.py
         # measures (round 5) — both engines, same files, same as bench
         ("sf0.1", relayout(SRC_DIR), BENCH_CONF),
-        ("sf1", SF1_DIR, None),
+        # sf1 keeps cluster defaults EXCEPT the bloom-filter size gate:
+        # the default 10 GB application-side threshold would fire on
+        # any real fact scan but never at probe scale, so sizing it to
+        # the SF makes the probe run the plan production would run
+        # (same rationale as BENCH_CONF's entry; measured q3 −25%,
+        # q5 −45% at sf1).
+        (
+            "sf1",
+            SF1_DIR,
+            {
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold": "10MB",
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "creationSideThreshold": "50MB",
+            },
+        ),
     ):
         spark = get_spark(
             app_name=f"etl_cortex_spark_bench_slope_{label}", extra_conf=extra_conf

@@ -379,3 +379,32 @@ def test_cms_sketch_estimate_joins_broadcast(spark):
     plan = plan_of(QUERIES["scale_cms_frequency"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q3_bloom_prunes_fact_under_scale_sized_gate(spark):
+    """With the bloom size gate sized to the data (BENCH_CONF posture —
+    at real scale the 10 GB default passes on its own), the q3 shape
+    must get the runtime filter: bloom built on the cut customers⋈orders
+    product, might_contain probe pruning lineitem BEFORE its shuffle."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # at test SF everything fits under the broadcast threshold and a
+        # broadcast join needs no runtime filter; forcing the shuffle
+        # join reproduces the at-scale shape the gate is sized for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = QUERIES["tpch_q3_shipping_priority"](spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom built on the cut product"
+        assert "might_contain" in plan, "fact side not pruned by the bloom"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
