@@ -14,6 +14,7 @@ from etl_cortex_spark.inventory import (  # noqa: F401
     tier_d,
     tier_d_ext,
     tier_d_prep,
+    tier_d_sel,
     tier_scale,
     tier_sinks,
     tier_tpch,

@@ -1,0 +1,152 @@
+"""Tier D inventory, data-selection extensions (D67-D69): DSIR
+importance selection, per-domain cap sampling, and the iterative BPE
+merge-table trainer.
+
+These are the selection/curation stages of a training-data pipeline
+the earlier tiers don't cover: d67 picks WHICH raw documents resemble
+a target corpus (Xie et al., NeurIPS 2023), d68 enforces the
+"≤ N pages per site" crawl rule, d69 closes the tokenizer loop that
+d55 (pair counts) and d57 (merge application) opened — training the
+merge table itself.
+
+Oracle notes: d67's bucket hashing is the strpos+md5 hex trick
+(portable verbatim); its per-bucket weights are exact integers, so
+the distributed document sums hash-match bit-for-bit. d68 orders by
+md5 of the key's decimal string — identical text both engines. d69's
+oracle UNROLLS the training loop: each iteration is a CTE trio
+(pair explosion → argmax with the same (count desc, lhs, rhs)
+tiebreak → literal replace), chained n_merges deep; the separator
+representation makes the merge a plain replace() in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators import llmprep as LP
+from etl_cortex_spark.operators import textops as TX
+from etl_cortex_spark.queries import T, query
+
+# --- D67: DSIR importance selection ------------------------------------------
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en')::INT AS t,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), btoks AS (
+  SELECT doc_id, t,
+         ((strpos('0123456789abcdef', substring(md5(lower(tok)), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(md5(lower(tok)), 2, 1)) - 1) % 64 AS b
+  FROM toks
+), dist AS (
+  SELECT b, count(*) AS raw_cnt, sum(t) AS tgt_cnt FROM btoks GROUP BY b
+), tot AS (
+  SELECT sum(raw_cnt) AS rt, sum(tgt_cnt) AS tt FROM dist
+), scored AS (
+  SELECT doc_id,
+         CAST(sum((tgt_cnt + 1) * (rt + 64) - (raw_cnt + 1) * (tt + 64)) AS BIGINT)
+           AS dsir_score
+  FROM btoks JOIN dist USING (b) CROSS JOIN tot GROUP BY doc_id
+)
+SELECT doc_id, dsir_score FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 50
+"""
+
+
+@query("d67_dsir_select", _DSIR_SQL)
+def d67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: rank raw documents by hashed-unigram
+    importance toward the lang='en' target slice, keep the top 50.
+    Pass 1 = one 64-row bucket aggregate (collected model state, the
+    k-means-centroid pattern); pass 2 = shuffle-free literal-map fold;
+    top-50 = TakeOrderedAndProject. Weights are the exact-integer
+    smoothed cross-difference, so both engines hash-match bit-for-bit
+    (operators/llmprep.py:dsir_select)."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=64, top_m=50
+    )
+
+
+# --- D68: per-domain cap sampling --------------------------------------------
+
+_CAP_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5
+"""
+
+
+@query("d68_domain_cap_sample", _CAP_SQL)
+def d68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-corpus domain cap: at most 5 docs per source, chosen by
+    content-hash order (a deterministic uniform draw, identical at any
+    partitioning). rank ≤ cap plans as WindowGroupLimit, so the
+    per-source exchange is pruned map-side before the shuffle
+    (operators/llmprep.py:domain_cap_sample)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return LP.domain_cap_sample(docs, "source", "doc_id", cap=5)
+
+
+# --- D69: iterative BPE merge-table training ---------------------------------
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """The training loop unrolled as chained CTEs: per iteration a
+    pair explosion over the current symbol arrays, the deterministic
+    argmax, and the literal-replace merge feeding the next iteration."""
+    sep, sep2 = TX.BPE_SEP, TX.BPE_SEP * 2
+    parts = [
+        f"""
+w1 AS (
+  SELECT tok AS w, count(*) AS f
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY tok HAVING length(tok) >= 2
+),
+v1 AS (
+  SELECT '{sep}' || list_aggregate(
+           list_transform(generate_series(1, length(w)), i -> w[i]),
+           'string_agg', '{sep2}') || '{sep}' AS e, f
+  FROM w1
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT string_split(substring(e, 2, length(e) - 2), '{sep2}') AS syms, f
+         FROM v{i}),
+x{i} AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS j, syms, f
+         FROM s{i} WHERE len(syms) >= 2),
+p{i} AS (SELECT syms[j] AS lhs, syms[j + 1] AS rhs, CAST(sum(f) AS BIGINT) AS pair_count
+         FROM x{i} GROUP BY 1, 2),
+m{i} AS (SELECT {i} AS step, lhs, rhs, pair_count FROM p{i}
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"""
+        )
+        if i < n_merges:
+            parts.append(
+                f""",
+v{i + 1} AS (SELECT replace(e, '{sep}' || lhs || '{sep2}' || rhs || '{sep}',
+                            '{sep}' || lhs || rhs || '{sep}') AS e, f
+             FROM v{i} CROSS JOIN m{i})"""
+            )
+    final = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n_merges + 1))
+    return "WITH " + "".join(parts) + " " + final
+
+
+@query("d69_bpe_train_merges", _bpe_train_oracle(4))
+def d69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 4-rule BPE merge table on the corpus (Sennrich et al.):
+    one corpus pass builds the weighted vocabulary, then each
+    iteration is vocabulary-only — pair-keyed partial agg, 1-row
+    argmax collect (driver model state), literal-replace merge. The
+    oracle replays the exact loop as unrolled CTEs
+    (operators/textops.py:bpe_train)."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.bpe_train(docs, "text", n_merges=4)

@@ -525,3 +525,138 @@ def apply_mixture(
         F.broadcast(plan.select(domain_col, "rate_256")), domain_col, "inner"
     )
     return joined.filter(bucket < thresh).drop("rate_256")
+
+
+# --- D67: DSIR importance selection ------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score every raw document by how much its hashed n-gram feature
+# distribution looks like a TARGET corpus rather than the RAW corpus,
+# then keep the top-scoring documents. The production form ranks by
+# Σ log(p_target(b)/p_raw(b)) over the document's token buckets; here
+# the per-bucket weight is the exact-integer surrogate
+#
+#   w(b) = (tgt(b)+1)·(RAW_TOT+B) − (raw(b)+1)·(TGT_TOT+B)
+#
+# (the cross-multiplied, add-one-smoothed numerator of
+# p̂_target(b) − p̂_raw(b): positive iff the smoothed target
+# probability exceeds the smoothed raw probability). Integer weights
+# make the distributed document sum associative-exact — bit-identical
+# under any partitioning and replayable in SQL — where the log-ratio
+# would pit libm implementations against each other. At real scale
+# the same two-pass shape holds with dyadically-quantized log-ratio
+# weights (the d63b trick: multiples of 2^-20 sum order-free).
+#
+# Scale shape: pass 1 is ONE partial-combined aggregate keyed on the
+# bucket id (≤ n_buckets rows out — the feature distribution is the
+# model state, collected driver-side exactly like k-means centroids);
+# pass 2 is a SHUFFLE-FREE projection — the bucket→weight table rides
+# the plan as a literal map and the per-document score folds over the
+# token array (no explode, no join). Selecting top-m is
+# TakeOrderedAndProject. Nothing in either pass scales with corpus
+# size except the two linear scans.
+
+
+def dsir_bucket_weights(
+    df: DataFrame,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 64,
+) -> dict[int, int]:
+    """Pass 1: the smoothed per-bucket importance weights, one
+    aggregate over the exploded token stream. Returns all n_buckets
+    weights (unseen buckets get the (0+1)-smoothed weight)."""
+    from etl_cortex_spark.operators.textops import md5_bucket, words
+
+    dist = (
+        df.select(
+            is_target.cast("int").alias("__t"),
+            F.explode(words(text_col)).alias("__tok"),
+        )
+        .select("__t", md5_bucket(F.col("__tok"), n_buckets).alias("__b"))
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("raw_cnt"),
+            F.sum("__t").alias("tgt_cnt"),
+        )
+        .collect()
+    )
+    raw = {r["__b"]: r["raw_cnt"] for r in dist}
+    tgt = {r["__b"]: r["tgt_cnt"] for r in dist}
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    return {
+        b: (tgt.get(b, 0) + 1) * (rt + n_buckets)
+        - (raw.get(b, 0) + 1) * (tt + n_buckets)
+        for b in range(n_buckets)
+    }
+
+
+def dsir_score(
+    text_col: Column | str, weights: dict[int, int], n_buckets: int = 64
+) -> Column:
+    """Pass 2 scoring column: Σ w(bucket(token)) folded over the token
+    array — a pure projection (the weight table is a literal map)."""
+    from etl_cortex_spark.operators.textops import md5_bucket, words
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    wmap = F.create_map(
+        *[x for b, w in sorted(weights.items()) for x in (F.lit(b), F.lit(int(w)))]
+    )
+    return F.aggregate(
+        words(c),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + wmap[md5_bucket(t, n_buckets)],
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 64,
+    top_m: int = 50,
+) -> DataFrame:
+    """DSIR end-to-end: fit the bucket weights on the corpus, score
+    every document shuffle-free, keep the top_m by (score desc, id) —
+    a total order, so the selected set is deterministic."""
+    w = dsir_bucket_weights(df, text_col, is_target, n_buckets)
+    return (
+        df.select(
+            F.col(id_col),
+            dsir_score(text_col, w, n_buckets).alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), id_col)
+        .limit(top_m)
+    )
+
+
+# --- D68: per-domain cap sampling --------------------------------------------
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, chosen by content-hash
+    order (md5(key), key) — the crawl-corpus "≤ N pages per site"
+    rule. Hash order makes the survivor set a deterministic uniform
+    draw, identical at any partitioning and replayable in SQL, unlike
+    head-N-in-arrival-order. One window over the domain key; rank ≤
+    cap is a running TOP-K so Spark plans it as WindowGroupLimit —
+    partial per-partition pruning BEFORE the domain shuffle, so the
+    exchange carries at most cap·n_input_partitions rows per domain,
+    not the domain's full row count. (A pathological mega-domain is
+    therefore bounded by the partition count, not by its size — the
+    skew note d68's docstring carries.)"""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(domain_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -10,7 +10,7 @@ parallel, no shuffle until the final (small) aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation
@@ -462,6 +462,80 @@ def bpe_symbol_count(col: Column | str) -> Column:
     return F.size(F.split(s, BPE_SEP + BPE_SEP)).cast("bigint")
 
 
+def bpe_symbols(col: Column | str) -> Column:
+    """The symbol array of an encoded word: strip the outer
+    boundary separators, split on the double-separator joints."""
+    s = F.col(col) if isinstance(col, str) else col
+    inner = F.substring(s, 2, F.length(s) - 2)
+    return F.split(inner, BPE_SEP + BPE_SEP)
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 4
+) -> DataFrame:
+    """Iterative BPE merge-table training (Sennrich et al. 2016) —
+    d55 counts one iteration's pairs, this runs the LOOP: count
+    symbol pairs over the (weighted, distinct-word) vocabulary, take
+    the most frequent pair, merge it everywhere, repeat. Returns the
+    learned merge table: (step, lhs, rhs, pair_count), step 1-based,
+    ties broken (count desc, lhs asc, rhs asc) so the table is
+    deterministic and SQL-replayable.
+
+    Scale shape (the reason BPE training is feasible at corpus scale
+    at all): ONE pass over the corpus builds the word-frequency
+    vocabulary — from then on every iteration touches only the
+    vocabulary, never the corpus. Per iteration: a position explode
+    over the symbol arrays + one pair-keyed partial-combined
+    aggregate, then a 1-row TakeOrdered collect (the argmax is
+    driver-side model state, exactly like k-means centroids), then
+    the merge is a literal replace() projection on the vocabulary.
+    The vocabulary frame is cached; each iteration adds one
+    projection to its lineage (truncate with localCheckpoint every
+    ~20 merges when training real vocabularies)."""
+    vocab = (
+        df.select(F.explode(words(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+        .filter(F.length("__w") >= 2)
+        .select(bpe_encode_word("__w").alias("__e"), "__wf")
+    )
+    vocab = vocab.persist()
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = bpe_symbols("__e")
+        pairs = vocab.filter(F.size(syms) >= 2).select(
+            "__wf",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("lhs"),
+                        F.element_at(syms, i + 1).alias("rhs"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        top = (
+            pairs.groupBy("__p.lhs", "__p.rhs")
+            .agg(F.sum("__wf").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append((step, r["lhs"], r["rhs"], r["pair_count"]))
+        vocab = vocab.select(
+            bpe_apply_merges("__e", [(r["lhs"], r["rhs"])]).alias("__e"),
+            "__wf",
+        )
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed-feature linear quality classifier (fastText-style scoring).
 # ---------------------------------------------------------------------------
@@ -533,3 +607,16 @@ def classifier_score_weighted(
         lambda acc, t: acc + F.coalesce(wmap[F.lower(t)], F.lit(0.0)),
     )
     return s / F.greatest(F.size(w), F.lit(1))
+
+
+def md5_bucket(tok: Column, n_buckets: int) -> Column:
+    """Hash a token into 0..n_buckets-1 via the first md5 byte — the
+    engine-portable hashing-trick bucket (same hex→int trick as
+    ``hashed_feature_weight``; DuckDB replays it with strpos+md5).
+    n_buckets must divide 256 so the bucket is the full byte mod n."""
+    if 256 % n_buckets:
+        raise ValueError(f"n_buckets must divide 256, got {n_buckets}")
+    h = F.md5(F.lower(tok).cast("binary"))
+    v1 = _hex_val(F.substring(h, 1, 1))
+    v2 = _hex_val(F.substring(h, 2, 1))
+    return ((v1 * 16 + v2) % n_buckets).cast("int")
