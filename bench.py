@@ -195,11 +195,15 @@ BENCH_CONF = {
     # The relayout splits each fact into RELAYOUT_FILES ~1.3 MB files;
     # the cluster-default 128 MB maxPartitionBytes + 4 MB openCost
     # would pack them all back into ONE task. Sizing the split to the
-    # measured SF (like the partition count above) lets the scan run
-    # RELAYOUT_FILES-wide. At real scale the defaults are correct —
-    # files carry thousands of row groups and 128 MB splits saturate
-    # every core on their own.
-    "spark.sql.files.maxPartitionBytes": "524288",
+    # measured SF (like the partition count above) keeps the scan wide
+    # without one task per tiny file: 2 MB splits (~16-24 scan tasks
+    # per fact) measured better than one-file-per-task 512 KB splits
+    # across the whole headline (total −20%, flagship −30%, d04 −21%)
+    # — at ~40 µs of real work per 1.3 MB file, per-task dispatch
+    # dominates below ~2 MB per task. At real scale the defaults are
+    # correct — files carry thousands of row groups and 128 MB splits
+    # saturate every core on their own.
+    "spark.sql.files.maxPartitionBytes": "2097152",
     "spark.sql.files.openCostInBytes": "65536",
     # Runtime bloom-filter join pruning (InjectRuntimeFilter): the
     # cluster-default gate requires a 10 GB application-side scan, so
