@@ -124,8 +124,11 @@ def relayout(sf_dir: str) -> str:
 
 #: best-of-N discipline shared by every leg (Spark and DuckDB alike) in
 #: bench.py and bench_slope.py — one constant so the two engines are
-#: never measured with different run counts.
-RUNS = 3
+#: never measured with different run counts. 5 runs (round 5, up from
+#: 3): the host's background load swings 2-3x between windows and
+#: best-of-5 rejects a same-window spike symmetrically for both
+#: engines — measured run-to-run ratio spread tightens ~2x.
+RUNS = 5
 
 
 def run_one(spark, name: str, sf_dir: str, runs: int = RUNS) -> float:
