@@ -401,6 +401,39 @@ def d08_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_attribution(spark, sf_dir, window_minutes=10)
 
 
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.user_id, c.click_id, c.cts, p.purchase_id,
+                 epoch_us(p.pts - c.cts) AS gap_us
+          FROM c LEFT JOIN p ON c.user_id = p.user_id
+           AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 10 MINUTE),
+    m AS (SELECT least((SELECT date_trunc('milliseconds', max(cts)) FROM c),
+                       (SELECT date_trunc('milliseconds', max(pts)) FROM p))
+                 - INTERVAL 60 MINUTE AS wm)
+    SELECT user_id, click_id, purchase_id, gap_us
+    FROM j CROSS JOIN m
+    WHERE purchase_id IS NOT NULL
+       OR cts + INTERVAL 10 MINUTE < wm
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def d08_ss_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_stream_attribution_outer — stream-stream LEFT
+    OUTER interval join: unconverted clicks surface as NULL-purchase
+    rows only once the GLOBAL watermark (min over both inputs' max
+    event time, ms-truncated, minus delay) closes their join state —
+    the closure cut the oracle applies to its unmatched rows; matched
+    rows equal the inner join exactly."""
+    from etl_cortex_spark.streaming.events import stream_stream_attribution_outer
+
+    return stream_stream_attribution_outer(spark, sf_dir, window_minutes=10)
+
+
 # --- D27: weighted PageRank over the nation trade graph -----------------------
 
 _TRADE_EDGES_SQL = """

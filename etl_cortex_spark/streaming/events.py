@@ -387,3 +387,68 @@ def stream_stream_attribution(
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     ), "append")
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+def stream_stream_attribution_outer(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+) -> DataFrame:
+    """D8 extension: stream-stream LEFT OUTER interval join — the
+    attribution join that also reports UNCONVERTED clicks (NULL
+    purchase columns). The outer semantics are the interesting
+    streaming part: an unmatched click can only be emitted once its
+    join state is provably closed — when the purchase-side watermark
+    has passed click_ts + window, no future purchase can satisfy the
+    time bound — so NULL rows surface with watermark latency, not
+    immediately (the fundamental outer-join-on-streams tradeoff).
+
+    Clicks inside the final watermark tail stay in state when a
+    bounded run drains, so the batch twin is the LEFT interval join
+    with exactly that closure cut on the unmatched rows: emitted-NULL
+    iff click_ts + window < global watermark, where the GLOBAL
+    watermark is min over BOTH inputs of (that side's max event time,
+    ms-truncated) − delay — Spark advances a multi-input watermark by
+    its slowest input, so the purchase side's lag holds back click
+    eviction too. Matched rows are identical to the inner join and
+    carry no cut.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval {window_minutes} minutes
+            """
+        ),
+        "leftOuter",
+    )
+    out = run_to_memory(
+        joined.select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        ),
+        "append",
+    )
+    return out.orderBy("user_id", "click_id", "purchase_id")
