@@ -208,15 +208,14 @@ BENCH_CONF = {
     # saturate every core on their own.
     "spark.sql.files.maxPartitionBytes": "2097152",
     "spark.sql.files.openCostInBytes": "65536",
-    # Runtime bloom-filter join pruning (InjectRuntimeFilter): the
-    # cluster-default gate requires a 10 GB application-side scan, so
-    # at bench SF it never fires — yet at real scale (where every fact
-    # scan clears 10 GB) it fires on its own. Sizing the gate to the
-    # measured SF makes the bench plan MATCH the production plan: the
-    # qualifying-key bloom built on the cut dim product prunes the
-    # fact before its shuffle. Measured at sf1: q3 −25%, q5 −45%.
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10MB",
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+    # Runtime bloom-filter join pruning (InjectRuntimeFilter) is left
+    # at the engine-default gate HERE: at sf0.1 the bloom's extra
+    # build stage costs more than pruning a ~1 MB shuffle saves
+    # (measured q3 +35%, flagship +17% with a forced 10 MB gate).
+    # bench_slope's sf1 leg sizes the gate down (10 MB) because there
+    # the same filter is a measured win (q3 −25%, q5 −45%) — the
+    # crossover is exactly the build-cost-vs-bytes-pruned tradeoff the
+    # default 10 GB threshold encodes for real scans.
 }
 
 
