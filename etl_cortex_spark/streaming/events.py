@@ -333,22 +333,38 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tier", "event_type")
 
 
-def stream_stream_attribution(
-    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 10,
+    how: str = "inner",
 ) -> DataFrame:
-    """D8 extension: stream-stream interval join — click→purchase
-    attribution. Two streams (derived from the same source; Spark
-    reads it once per side), both watermarked, inner-joined on user
-    with a time-bound condition: each purchase is attributed to every
-    click by the same user in the preceding ``window_minutes``.
+    """The shared click→purchase interval-join core: ``clicks`` must
+    carry (user_id, click_id, click_ts) and ``purchases``
+    (p_user_id, purchase_id, purchase_ts), both already watermarked.
+    Emits (user_id, click_id, purchase_id, gap_us); under
+    ``how="leftOuter"`` an unconverted click appears as a NULL row
+    once the global watermark closes its state."""
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval {window_minutes} minutes
+            """
+        ),
+        how,
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
 
-    The time bound + watermarks let Spark evict join state (a click
-    older than watermark + window can never match again) — the thing
-    that makes a stream-stream join runnable forever; an unbounded
-    condition would grow state monotonically. Bounded replay makes
-    the result exactly the batch interval join, so it is fully
-    oracle-checkable.
-    """
+
+def _attribution_sides(spark, sf_dir):
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -369,23 +385,29 @@ def stream_stream_attribution(
         )
         .withWatermark("purchase_ts", "1 hour")
     )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            f"""
-            user_id = p_user_id AND
-            purchase_ts >= click_ts AND
-            purchase_ts <= click_ts + interval {window_minutes} minutes
-            """
-        ),
-        "inner",
+    return clicks, purchases
+
+
+def stream_stream_attribution(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+) -> DataFrame:
+    """D8 extension: stream-stream interval join — click→purchase
+    attribution. Two streams (derived from the same source; Spark
+    reads it once per side), both watermarked, inner-joined on user
+    with a time-bound condition: each purchase is attributed to every
+    click by the same user in the preceding ``window_minutes``.
+
+    The time bound + watermarks let Spark evict join state (a click
+    older than watermark + window can never match again) — the thing
+    that makes a stream-stream join runnable forever; an unbounded
+    condition would grow state monotonically. Bounded replay makes
+    the result exactly the batch interval join, so it is fully
+    oracle-checkable.
+    """
+    clicks, purchases = _attribution_sides(spark, sf_dir)
+    out = run_to_memory(
+        attribution_join(clicks, purchases, window_minutes, "inner"), "append"
     )
-    out = run_to_memory(joined.select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
-    ), "append")
     return out.orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -409,46 +431,11 @@ def stream_stream_attribution_outer(
     ms-truncated) − delay — Spark advances a multi-input watermark by
     its slowest input, so the purchase side's lag holds back click
     eviction too. Matched rows are identical to the inner join and
-    carry no cut.
+    carry no cut. (The micro-batch emission rule itself is pinned by
+    tests/test_streaming_latedata.py on a controlled staggered feed.)
     """
-    clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            f"""
-            user_id = p_user_id AND
-            purchase_ts >= click_ts AND
-            purchase_ts <= click_ts + interval {window_minutes} minutes
-            """
-        ),
-        "leftOuter",
-    )
+    clicks, purchases = _attribution_sides(spark, sf_dir)
     out = run_to_memory(
-        joined.select(
-            "user_id",
-            "click_id",
-            "purchase_id",
-            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
-        ),
-        "append",
+        attribution_join(clicks, purchases, window_minutes, "leftOuter"), "append"
     )
     return out.orderBy("user_id", "click_id", "purchase_id")

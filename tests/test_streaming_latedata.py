@@ -272,3 +272,94 @@ def test_upsert_time_travel_and_gc_window(spark, tmp_path):
     assert list_versions(table_dir) == [2, 3]
     with _pytest.raises(FileNotFoundError, match="retained: \\[2, 3\\]"):
         read_upsert_table(spark, table_dir, version=0)
+
+
+def test_outer_interval_join_emits_null_only_after_state_closes(spark, tmp_path):
+    """The left-outer emission rule on a controlled staggered feed:
+    an unconverted click surfaces as a NULL row only once the GLOBAL
+    watermark (min over both inputs) passes click_ts + window; clicks
+    still inside the tail stay withheld when the bounded run drains."""
+    from etl_cortex_spark.streaming.events import attribution_join
+
+    src = tmp_path / "ssjoin"
+    src.mkdir()
+
+    def _write_ev(fname, rows):
+        uids, eids, types, tss = zip(*rows)
+        table = pa.table(
+            {
+                "user_id": pa.array(uids, pa.int64()),
+                "event_id": pa.array(eids, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "ts": pa.array(tss, pa.timestamp("us")),
+            }
+        )
+        pq.write_table(table, str(src / fname))
+        time.sleep(1.1)
+
+    # batch 1: user 1 converts (purchase 5 min after click);
+    #          user 2 clicks and never converts.
+    _write_ev(
+        "f1.parquet",
+        [
+            (1, 10, "click", T0),
+            (1, 20, "purchase", T0 + dt.timedelta(minutes=5)),
+            (2, 11, "click", T0),
+        ],
+    )
+    # batch 2: BOTH sides advance 2h, so the global watermark moves to
+    # T0+1h — past user 2's click_ts + 10 min window → its NULL row
+    # must emit. The advancing click (user 99) is itself inside the
+    # final tail → withheld; the advancing purchase (user 98) matches
+    # no click → dropped by the left join.
+    _write_ev(
+        "f2.parquet",
+        [
+            (99, 12, "click", T0 + dt.timedelta(hours=2)),
+            (98, 21, "purchase", T0 + dt.timedelta(hours=2)),
+        ],
+    )
+
+    schema = spark.read.parquet(str(src)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = attribution_join(clicks, purchases, 10, "leftOuter")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_outer_latedata")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["click_id"]: (r["purchase_id"], r["gap_us"])
+        for r in spark.table("ss_outer_latedata").collect()
+    }
+    assert rows == {
+        10: (20, 5 * 60 * 1_000_000),  # converted pair, exact gap
+        11: (None, None),  # closed unconverted click -> NULL row
+        # click 12 (tail) withheld; purchase 21 (unmatched right) dropped
+    }
