@@ -62,6 +62,9 @@ _REVERIFY_NOW: dict[str, int] = {
     "c10_join_inner_agg": 5,
     "d04_token_stats": 5,
     "d10_training_prep_pipeline": 5,
+    # fourth round-5 session: the attribution join was refactored onto
+    # the shared attribution_join core (inner semantics unchanged).
+    "stream_stream_join": 5,
 }
 
 
