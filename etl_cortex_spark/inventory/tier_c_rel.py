@@ -1655,3 +1655,84 @@ def c70(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("c70_lineitem")
     return spark.sql(_C70_SQL.format(li="c70_lineitem"))
+
+
+_C71_PIPE_SQL = """
+    FROM c71_lineitem
+    |> WHERE l_quantity >= 10
+    |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+    |> AGGREGATE round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(disc_price), 2) AS revenue,
+                 count(*) AS n_items
+       GROUP BY l_returnflag, l_linestatus
+    |> WHERE n_items > 50
+    |> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "c71_pipe_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) > 50
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def c71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0's `|>` operators, the
+    GoogleSQL-pipeline form): scan |> WHERE |> EXTEND (lateral
+    computed column) |> AGGREGATE ... GROUP BY |> WHERE-on-aggregate
+    (pipe HAVING) |> ORDER BY. Sugar only — Catalyst plans the
+    identical filter→project→partial-agg→sort as the classic form the
+    oracle runs, which is the point being pinned."""
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("c71_lineitem")
+    return spark.sql(_C71_PIPE_SQL)
+
+
+_C72_SCRIPT = """
+    BEGIN
+      DECLARE i INT DEFAULT 1;
+      DECLARE total BIGINT DEFAULT 0;
+      WHILE i <= 3 DO
+        SET total = total + (
+          SELECT count(*) FROM c72_orders
+          WHERE o_orderkey % 3 = i - 1 AND o_totalprice > i * 50000
+        );
+        SET i = i + 1;
+      END WHILE;
+      SELECT total AS scripted_total;
+    END
+"""
+
+
+@query(
+    "c72_sql_scripting",
+    oracle="""
+    SELECT CAST(
+        (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice > 50000)
+      + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1 AND o_totalprice > 100000)
+      + (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2 AND o_totalprice > 150000)
+      AS BIGINT) AS scripted_total
+    """,
+)
+def c72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 `BEGIN..END` compound statements,
+    SQL/PSM): DECLARE'd session variables, a WHILE loop whose
+    condition and SET re-evaluate per iteration, scalar subqueries
+    against real tables inside the loop body, final SELECT as the
+    script result. The loop is driver-side control flow — each
+    iteration's subquery is still a full distributed plan — so the
+    oracle is the closed-form unrolled sum. Scripting ships disabled;
+    the builder flips `spark.sql.scripting.enabled` for its session
+    (runtime-settable, no restart)."""
+    orders = T(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("c72_orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(_C72_SCRIPT)
