@@ -499,7 +499,7 @@ def bpe_train(
         .filter(F.length("__w") >= 2)
         .select(bpe_encode_word("__w").alias("__e"), "__wf")
     )
-    vocab = vocab.persist()
+    base = vocab = vocab.persist()
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -531,6 +531,7 @@ def bpe_train(
             bpe_apply_merges("__e", [(r["lhs"], r["rhs"])]).alias("__e"),
             "__wf",
         )
+    base.unpersist()  # the merge table is driver state; drop the cached vocab
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count bigint"
     )
