@@ -74,3 +74,29 @@ def test_grouped_geomean_null_parity_on_nonpositive_groups(spark):
     }
     assert abs(udf_side["a"] - 4.0) < 1e-12 and abs(expr_side["a"] - 4.0) < 1e-12
     assert udf_side["b"] is None and expr_side["b"] is None
+
+
+def test_map_in_arrow_matches_builtin_twin(spark):
+    """mapInArrow surface: the RecordBatch kernel's (n_tokens,
+    n_chars) must equal the builtin projection d04 runs in
+    production, and the plan must be the Arrow map node (never
+    row-pickling BatchEvalPython)."""
+    from etl_cortex_spark.functions.pandas_udfs import token_stats_arrow
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_chars)
+        for r in token_stats_arrow(docs).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.n_chars)
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+        ).collect()
+    }
+    assert got == want
+    plan = token_stats_arrow(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
