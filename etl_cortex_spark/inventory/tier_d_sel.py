@@ -1,6 +1,6 @@
-"""Tier D inventory, data-selection extensions (D67-D69): DSIR
-importance selection, per-domain cap sampling, and the iterative BPE
-merge-table trainer.
+"""Tier D inventory, data-selection extensions (D67-D69, D71): DSIR
+importance selection, per-domain cap sampling, the iterative BPE
+merge-table trainer, and distributed perceptron training.
 
 These are the selection/curation stages of a training-data pipeline
 the earlier tiers don't cover: d67 picks WHICH raw documents resemble
@@ -150,3 +150,62 @@ def d69(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textops.py:bpe_train)."""
     docs = T(spark, sf_dir, "documents")
     return TX.bpe_train(docs, "text", n_merges=4)
+
+
+# --- D71: distributed perceptron training ------------------------------------
+
+_PERC_FEATS_SQL = """
+feats AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, doc_id AS rid,
+         ((strpos('0123456789abcdef', substring(md5(lower(tok)), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(md5(lower(tok)), 2, 1)) - 1) % 64 AS b,
+         count(*) AS x
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2, 3
+),
+w0 AS (SELECT unnest(generate_series(0, 63)) AS b, CAST(0 AS BIGINT) AS w)
+"""
+
+
+def _perceptron_oracle(n_iters: int) -> str:
+    """The training loop unrolled: per iteration score (feats ⋈ w),
+    cut the misclassified set (y·s ≤ 0), integer gradient, weight
+    update — each a CTE, bit-exact against the distributed run."""
+    parts = ["WITH " + _PERC_FEATS_SQL]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f""",
+s{k} AS (SELECT f.y, f.rid, sum(w.w * f.x) AS s
+         FROM feats f JOIN w{k - 1} w USING (b) GROUP BY 1, 2),
+m{k} AS (SELECT rid FROM s{k} WHERE y * s <= 0),
+g{k} AS (SELECT f.b, sum(f.y * f.x) AS g FROM feats f JOIN m{k} USING (rid) GROUP BY 1),
+w{k} AS (SELECT w.b, CAST(w.w + COALESCE(g.g, 0) AS BIGINT) AS w
+         FROM w{k - 1} w LEFT JOIN g{k} g USING (b))"""
+        )
+    parts.append(
+        f" SELECT b AS bucket, w AS weight FROM w{n_iters} ORDER BY bucket"
+    )
+    return "".join(parts)
+
+
+@query("d71_perceptron_weights", _perceptron_oracle(3))
+def d71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer perceptron training (3 full-batch epochs,
+    64 hashed buckets, label = lang='en' as ±1): d63b applies a
+    trained linear model, this TRAINS one. Integer features and ±1
+    labels make every update exact arithmetic — no learning-rate
+    float, no sigmoid — so the oracle unrolls the whole loop as CTEs
+    and matches bit-for-bit. Per epoch: one broadcast-weight scoring
+    agg + one ≤64-row gradient agg collected as driver model state
+    (operators/llmprep.py:perceptron_train)."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.perceptron_weights_df(
+        docs,
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(-1),
+        n_buckets=64,
+        n_iters=3,
+    )

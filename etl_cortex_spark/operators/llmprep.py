@@ -660,3 +660,94 @@ def domain_cap_sample(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+# --- D71: distributed perceptron training ------------------------------------
+#
+# d63b APPLIES a trained linear model; this trains one, end-to-end on
+# the cluster, with every update exactly replayable in SQL. The trick
+# is the classic integer perceptron (Rosenblatt): features are hashed
+# bucket COUNTS (integers), labels are ±1, and the full-batch update
+#
+#   w ← w + Σ_{misclassified d} y_d · x_d
+#
+# is pure integer arithmetic — no learning-rate float, no sigmoid, no
+# libm — so N training iterations unroll into N chained SQL CTEs that
+# agree bit-for-bit with the distributed run.
+#
+# Scale shape (per iteration): scoring joins the exploded token-bucket
+# frame against the ≤ n_buckets-row weight table (broadcast) and
+# partial-aggregates per doc; the gradient is one more partial agg
+# keyed on the bucket id (≤ n_buckets rows out, collected driver-side
+# — the weight vector is model state, exactly like k-means centroids
+# and the DSIR distribution). Nothing scales with corpus size except
+# the per-iteration linear scans; at real scale you'd cache the
+# (doc, bucket, count) frame once and reuse it every iteration.
+
+
+def perceptron_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    n_buckets: int = 64,
+    n_iters: int = 3,
+) -> dict[int, int]:
+    """Full-batch integer perceptron over hashed bag-of-words buckets.
+    ``label`` must evaluate to ±1. Returns the trained weight vector
+    {bucket: weight} after ``n_iters`` updates (zero-initialized, so
+    iteration 1 treats every document as misclassified: y·0 ≤ 0)."""
+    from etl_cortex_spark.operators.textops import md5_bucket, words
+
+    feats = (
+        df.select(
+            label.cast("long").alias("__y"),
+            F.col(text_col).alias("__t"),
+            F.col(id_col).alias("__rid"),
+        )
+        .select(
+            "__y", "__rid", F.explode(words("__t")).alias("__tok")
+        )
+        .select("__y", "__rid", md5_bucket(F.col("__tok"), n_buckets).alias("__b"))
+        .groupBy("__y", "__rid", "__b")
+        .agg(F.count(F.lit(1)).alias("__x"))
+    )
+    feats = feats.persist()
+    try:
+        w = {b: 0 for b in range(n_buckets)}
+        for _ in range(n_iters):
+            wmap = F.create_map(
+                *[x for b, v in sorted(w.items()) for x in (F.lit(b), F.lit(int(v)))]
+            )
+            scored = feats.groupBy("__y", "__rid").agg(
+                F.sum(wmap[F.col("__b")] * F.col("__x")).alias("__s")
+            )
+            miss = scored.filter(F.col("__y") * F.col("__s") <= 0).select("__rid", "__y")
+            grad = (
+                feats.join(F.broadcast(miss.drop("__y")), "__rid")
+                .groupBy("__b")
+                .agg(F.sum(F.col("__y") * F.col("__x")).alias("__g"))
+                .collect()
+            )
+            for r in grad:
+                w[r["__b"]] += r["__g"]
+    finally:
+        feats.unpersist()
+    return w
+
+
+def perceptron_weights_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    n_buckets: int = 64,
+    n_iters: int = 3,
+) -> DataFrame:
+    """The trained weight vector as a DataFrame (bucket, weight) —
+    the oracle-checkable surface of ``perceptron_train``; zero
+    weights are kept so the row count is always n_buckets."""
+    w = perceptron_train(df, id_col, text_col, label, n_buckets, n_iters)
+    return df.sparkSession.createDataFrame(
+        sorted((int(b), int(v)) for b, v in w.items()), "bucket int, weight bigint"
+    )

@@ -197,3 +197,36 @@ def test_bpe_train_multi_level_merges_chain(spark):
     texts = ["aaaa aaaa aaaa"]
     assert got == [(s, l, r) for s, l, r, _ in _ref_bpe_train(texts, 2)]
     assert got[1][1] in ("aa",)  # second rule consumes the first's output
+
+
+# --- perceptron trainer -------------------------------------------------------
+
+
+def test_perceptron_learns_separable_corpus(spark):
+    # positive docs speak only 'good nice', negative only 'bad ugly':
+    # after training, every doc must score on its own side.
+    rows = [(i, "good nice good", "en") for i in range(20)]
+    rows += [(100 + i, "bad ugly bad", "de") for i in range(20)]
+    df = _docs(spark, rows)
+    w = LP.perceptron_train(
+        df, "doc_id", "text", F.when(F.col("lang") == "en", 1).otherwise(-1), 64, 3
+    )
+    def score(text):
+        s = 0
+        import hashlib
+        for tok in text.split():
+            b = int(hashlib.md5(tok.lower().encode()).hexdigest()[:2], 16) % 64
+            s += w[b]
+        return s
+    assert score("good nice good") > 0
+    assert score("bad ugly bad") < 0
+
+
+def test_perceptron_weights_partition_invariant(spark):
+    rows = [(i, f"w{i % 9} w{(i * 2) % 9} w{(i * 5) % 9}", "en" if i % 3 else "fr")
+            for i in range(60)]
+    df = _docs(spark, rows)
+    lab = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    a = LP.perceptron_train(df.repartition(1), "doc_id", "text", lab, 64, 3)
+    b = LP.perceptron_train(df.repartition(13, "doc_id"), "doc_id", "text", lab, 64, 3)
+    assert a == b
