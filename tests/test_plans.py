@@ -408,3 +408,62 @@ def test_q3_bloom_prunes_fact_under_scale_sized_gate(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsir_scoring_is_exchange_free(spark):
+    """d67's pass-2 contract: after the 64-row distribution fit, the
+    per-document scoring + top-m must be a single TakeOrderedAndProject
+    over the scan — no Exchange anywhere (the weight table rides the
+    plan as a literal map)."""
+    df = QUERIES["d67_dsir_select"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_pipe_sql_plans_identical_to_classic_form(spark):
+    """c71's claim: the |> pipeline is pure sugar — Catalyst must
+    produce the same physical node sequence as the classic
+    WHERE/GROUP BY/HAVING/ORDER BY form."""
+    import re
+
+    from etl_cortex_spark.sources.tables import load_table
+
+    load_table(spark, SF, "lineitem").createOrReplaceTempView("c71_lineitem")
+    pipe = spark.sql("""
+        FROM c71_lineitem
+        |> WHERE l_quantity >= 10
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(disc_price), 2) AS revenue,
+                     count(*) AS n_items
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 50
+        |> ORDER BY l_returnflag, l_linestatus
+    """)
+    classic = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM c71_lineitem
+        WHERE l_quantity >= 10
+        GROUP BY l_returnflag, l_linestatus
+        HAVING count(*) > 50
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+    def nodes(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            m.group(1)
+            for m in re.finditer(r"^[\s+:*()\d-]*([A-Za-z]+)", s, re.M)
+            # EXTEND materializes its computed column as a pipelined
+            # Project where the classic form inlines it into the
+            # aggregate — same stage, zero cost; every node that can
+            # move data (Exchange/HashAggregate/Sort/Filter/Scan) must
+            # match exactly.
+            if m.group(1) != "Project"
+        ]
+
+    assert nodes(pipe) == nodes(classic)
