@@ -467,3 +467,45 @@ def test_pipe_sql_plans_identical_to_classic_form(spark):
         ]
 
     assert nodes(pipe) == nodes(classic)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine-side answer to hot keys (complement of the manual
+    salting in operators/skew.py): with AQE's skew-join on, a join
+    whose shuffle has one dominant key must re-plan at runtime into a
+    split-and-replicate read — SortMergeJoin(skew=true) over an
+    'AQEShuffleRead skewed' — instead of one straggler task. Size
+    gates are scaled to the test data the same way the bloom test
+    scales its gate: at real scale the 256 MB defaults fire on their
+    own."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200000  # every left row matches once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "hot partition was not split"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
