@@ -209,3 +209,56 @@ def d71(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=64,
         n_iters=3,
     )
+
+
+# --- D72: star-rewrite connected components ----------------------------------
+
+_CC_STAR_SQL = """
+WITH RECURSIVE e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 3
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 20)
+  WHERE a.doc_id % 20 >= 15
+),
+u AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b, id_a FROM e),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.s, walk.label FROM u JOIN walk ON walk.node = u.d
+)
+SELECT node, min(label) AS label FROM walk GROUP BY node ORDER BY node
+"""
+
+
+@query("d72_cc_star", _CC_STAR_SQL)
+def d72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    edge rewrite (Kiveris et al. SOCC'14) over a seeded chain+star
+    graph on the document ids — the diameter-INDEPENDENT sibling of
+    the min-label propagation the near-dedup path uses (O(log n)
+    alternating rounds vs one round per diameter hop; the 200-chain
+    pytest shows propagation provably cannot finish in the same
+    budget). The oracle replays reachability with a recursive CTE and
+    takes each node's reachable minimum
+    (operators/dedup.py:connected_components_star)."""
+    from etl_cortex_spark.operators.dedup import connected_components_star
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    a, b = docs.alias("a"), docs.alias("b")
+    chain = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 10 < 3)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    star = (
+        a.join(
+            b,
+            F.col("b.doc_id") == F.col("a.doc_id") - (F.col("a.doc_id") % 20),
+        )
+        .filter(F.col("a.doc_id") % 20 >= 15)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return connected_components_star(docs, chain.unionAll(star)).orderBy("node")

@@ -577,6 +577,105 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    edge rewriting (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14) — the diameter-INDEPENDENT
+    sibling of ``connected_components``. Same contract: (node, label),
+    label = component minimum, singletons label themselves.
+
+    Why a second algorithm: min-label propagation needs one round per
+    hop of graph diameter — a 10⁶-long chain (pathological but real in
+    near-dup graphs built from sliding shingles) needs 10⁶ shuffles.
+    The star rewrite contracts paths by pointer-doubling instead:
+
+      large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+                  re-wires its LARGER neighbors v > u to (v, m);
+      small-star: u re-wires its smaller-or-equal neighbors (and
+                  itself) to (v, m).
+
+    Each phase is one symmetric-neighbor groupBy (partial-combined
+    min) + one join — the same shuffle cost per round as label
+    propagation — but the number of rounds is O(log n) in practice
+    (O(log² n) proven), regardless of diameter. The fixpoint is a
+    forest of stars rooted at each component's minimum, read out
+    directly as the label. The equivalence pytest runs both
+    algorithms on chain/star/random fixtures; the scale pytest runs a
+    200-chain where label propagation with the same round budget
+    provably cannot finish.
+    """
+    node_col = nodes.columns[0]
+    und = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame):
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("sh"),
+        ).first()
+        return (r["n"], r["sa"], r["sb"], r["sh"])
+
+    edges = und
+    sig = _sig(edges)
+    converged = False
+    for _ in range(max_iter):
+        changed = False
+        for phase in ("large", "small"):
+            nbrs = edges.select(
+                F.col("a").alias("u"), F.col("b").alias("v")
+            ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            mins = nbrs.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            joined = nbrs.join(mins, "u")
+            if phase == "large":
+                out = joined.filter(F.col("v") > F.col("u")).select("v", "m")
+            else:
+                out = joined.filter(F.col("v") < F.col("u")).select("v", "m").unionAll(
+                    mins.select(F.col("u").alias("v"), "m")
+                )
+            edges = (
+                out.filter(F.col("v") != F.col("m"))
+                .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+            new_sig = _sig(edges)
+            if new_sig != sig:
+                changed = True
+            sig = new_sig
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in max_iter={max_iter} "
+            f"alternating rounds — raise max_iter (O(log n) rounds expected)."
+        )
+    # fixpoint edges are (component_min, node) stars
+    from_edges = edges.groupBy(F.col("b").alias("node")).agg(
+        F.min("a").alias("__lbl")
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(from_edges, "node", "left")
+        .select("node", F.coalesce("__lbl", "node").alias("label"))
+    )
+
+
 def near_dedup(
     df: DataFrame,
     text_col: str = "text",
