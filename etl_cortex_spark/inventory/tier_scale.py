@@ -372,3 +372,58 @@ def scale_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "cnt")
         .orderBy("key")
     )
+
+
+@query(
+    "scale_file_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+                          AND TIMESTAMP '1995-05-31 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scale_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping from plain parquet (the Delta/Iceberg
+    data-skipping effect without a table format): orders are laid out
+    range-sorted on o_orderdate (repartitionByRange + local sort keeps
+    per-file ranges disjoint — the ingest-time discipline
+    `layout.compact_parquet(sort_cols=...)` encodes), a per-file
+    (lo, hi) stats table is derived with one input_file_name()
+    aggregate, and the 3-month query reads ONLY the overlapping files
+    — at 100 TB a narrow range touches a constant number of files
+    regardless of table size. The oracle is the plain full-scan
+    filter, so the hash match proves pruning loses nothing; the
+    pruned-file-count plan proof lives in tests/test_layout.py
+    (operators/layout.py:skipping_scan)."""
+    import os
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import skipping_scan
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_cortex_spark_skip_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    (
+        T(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    lo, hi = "1995-03-01 00:00:00", "1995-05-31 00:00:00"
+    return (
+        skipping_scan(spark, path, "o_orderdate", lo, hi)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -179,3 +179,58 @@ def compact_parquet(
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+# --- zone-map file skipping ---------------------------------------------------
+
+
+def file_stats(spark, path: str, key_col: str):
+    """Per-file zone map over a parquet directory: (file, lo, hi,
+    n_rows) for ``key_col`` — the stats table Delta/Iceberg keep in
+    their metadata, derived here from plain parquet with one
+    input_file_name() aggregate. At real scale the stats table has one
+    row per file (thousands, not billions) and is itself cheap to
+    persist and broadcast."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def skipping_scan(spark, path: str, key_col: str, lo, hi, stats=None):
+    """Zone-map pruned range scan: read ONLY the files whose
+    [lo, hi] key range overlaps the query range, then apply the exact
+    predicate to the survivors. With a range-sorted layout
+    (``compact_parquet(sort_cols=[key])`` keeps per-file ranges
+    disjoint) a narrow range touches one or two files regardless of
+    table size — the Delta data-skipping effect from plain ops.
+
+    The matched file list is driver-side state bounded by the FILE
+    count (the same class as collected centroids/codebooks — never
+    row-scaled); an empty match returns an empty frame with the
+    table's schema instead of a read error."""
+    from pyspark.sql import functions as F
+
+    if stats is None:
+        stats = file_stats(spark, path, key_col)
+    files = [
+        r["file"]
+        for r in stats.filter(
+            (F.col("hi") >= F.lit(lo)) & (F.col("lo") <= F.lit(hi))
+        ).collect()
+    ]
+    full = spark.read.parquet(path)
+    if not files:
+        return full.limit(0)
+    return (
+        spark.read.schema(full.schema)
+        .parquet(*files)
+        .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
+    )

@@ -115,3 +115,65 @@ def test_compaction_with_sort_keeps_ranges_tight(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_file_skipping_prunes_to_overlapping_files(spark, tmp_path):
+    """Zone-map skipping: over a range-sorted 8-file layout, a narrow
+    key range must read only the overlapping file(s) — proven from the
+    executed scan's numFiles metric — and return exactly the rows the
+    full-scan filter returns. A range outside the domain reads nothing
+    and yields an empty frame with the table's schema."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import file_stats, skipping_scan
+
+    path = str(tmp_path / "skip")
+    df = spark.range(0, 80000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(path)
+
+    stats = file_stats(spark, path, "k").collect()
+    assert len(stats) == 8
+    # range-sorted layout → per-file ranges are disjoint
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(7))
+
+    pruned = skipping_scan(spark, path, "k", 20000, 20500)
+    rows = sorted((r["k"], r["v"]) for r in pruned.collect())
+    want = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.parquet(path).filter("k between 20000 and 20500").collect()
+    )
+    assert rows == want and len(rows) == 501
+
+    n_files = _scan_files(pruned)
+    n_overlap = sum(1 for lo, hi in spans if hi >= 20000 and lo <= 20500)
+    assert n_files == n_overlap < 8
+
+    empty = skipping_scan(spark, path, "k", 10**9, 2 * 10**9)
+    assert empty.count() == 0
+    assert empty.schema == spark.read.parquet(path).schema
+
+
+def _scan_files(df) -> int:
+    """numFiles from the executed plan's parquet scan leaf."""
+    df.write.format("noop").mode("overwrite").save()
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "Scan" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    return kv._2().value()
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.executedPlan())
+        if "QueryStage" in name:
+            stack.append(node.plan())
+    raise AssertionError("no scan with numFiles found")
