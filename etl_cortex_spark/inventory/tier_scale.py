@@ -427,3 +427,78 @@ def scale_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scale_sample_quantile_rollup",
+    oracle="""
+    WITH sk_n AS (
+      SELECT c_nationkey, c_acctbal, md5(CAST(c_custkey AS VARCHAR)) AS pri, c_custkey,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+             ) AS rk
+      FROM customer
+    ),
+    sk_r0 AS (
+      SELECT n.n_regionkey, s.c_acctbal, s.pri, s.c_custkey,
+             row_number() OVER (
+               PARTITION BY n.n_regionkey ORDER BY s.pri, s.c_custkey
+             ) AS rk2
+      FROM sk_n s JOIN nation n ON s.c_nationkey = n.n_nationkey
+      WHERE s.rk <= 64
+    ),
+    med AS (
+      SELECT n_regionkey,
+             (list_sort(list(c_acctbal)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1]
+               AS p50_acctbal,
+             count(*) AS sample_size
+      FROM sk_r0 WHERE rk2 <= 64 GROUP BY n_regionkey
+    ),
+    cnt AS (
+      SELECT n.n_regionkey, count(*) AS n_customers
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT m.n_regionkey, m.p50_acctbal, m.sample_size, c.n_customers
+    FROM med m JOIN cnt c USING (n_regionkey)
+    ORDER BY n_regionkey
+    """,
+)
+def scale_sample_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (the third sketch family, next to
+    the HLL distinct rollup and the CMS frequency sketch): per-nation
+    bottom-64 content-hash samples merged up to region — re-ranking
+    the union on the same global priorities gives EXACTLY the sketch
+    a direct region-level build would (KMV mergeability), so rollups
+    never re-scan the fact data. The median read from the merged
+    sample is an actual data point (discrete quantile, bit-portable);
+    determinism makes the oracle exact where GK/t-digest would need an
+    epsilon gate (operators/sketch.py:bottomk_build/merge/quantile)."""
+    from etl_cortex_spark.operators.sketch import (
+        bottomk_build,
+        bottomk_merge,
+        bottomk_quantile,
+    )
+
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    sk_nation = bottomk_build(cust, ["c_nationkey"], "c_acctbal", "c_custkey", 64)
+    sk_region = bottomk_merge(
+        sk_nation.join(
+            F.broadcast(nat), sk_nation["c_nationkey"] == nat["n_nationkey"]
+        ).select("n_regionkey", "__pri", "__key", "c_acctbal"),
+        ["n_regionkey"],
+        64,
+    )
+    med = bottomk_quantile(sk_region, ["n_regionkey"], "c_acctbal", 0.5)
+    counts = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        med.withColumnRenamed("p50_c_acctbal", "p50_acctbal")
+        .join(counts, "n_regionkey")
+        .orderBy("n_regionkey")
+    )

@@ -85,3 +85,77 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .withColumnRenamed("__k", key_col)
     )
+
+
+# --- bottom-k uniform sample sketch (KMV-style) -------------------------------
+#
+# The quantile member of the mergeable-sketch family (next to the HLL
+# distinct rollup and the Count-Min frequency sketch): per group, keep
+# the k rows with the SMALLEST content-hash priority. Because the
+# priority is a pure function of each row's unique key (md5 of its
+# decimal string), the sample is a deterministic uniform draw — and
+# bottom-k of a union of bottom-k sketches equals bottom-k of the
+# union, so merging sketches up a hierarchy (nation → region) gives
+# EXACTLY the sketch a direct build would give (pinned by pytest).
+# Quantile estimates read the sample like any order statistic, with
+# O(1/sqrt(k)) rank error; unlike GK/t-digest the whole construction
+# is replayable verbatim in SQL, so the oracle is exact, not epsilon.
+
+
+def bottomk_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group bottom-k sample: (group..., __pri, __key, value).
+    rank ≤ k over (priority, key) plans as WindowGroupLimit — the
+    per-group exchange carries at most k·n_partitions rows."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col(key_col).cast("string").cast("binary"))
+    w = Window.partitionBy(*group_cols).orderBy(pri, F.col(key_col))
+    return (
+        df.withColumn("__pri", pri)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(*group_cols, "__pri", F.col(key_col).alias("__key"), value_col)
+    )
+
+
+def bottomk_merge(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Merge sketches into coarser groups (e.g. nation sketches →
+    region): re-rank the union on the SAME (priority, key) order and
+    keep the bottom k — identical to building directly at the coarse
+    level, because priorities are global content hashes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("__pri", "__key")
+    return (
+        sketch.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def bottomk_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: float,
+) -> DataFrame:
+    """Discrete quantile from each group's sample: the element at
+    1-based position floor((m-1)·p)+1 of the sorted sample values —
+    an actual data point (no interpolation), so the emitted double is
+    bit-identical in any engine."""
+    vals = F.array_sort(F.collect_list(value_col))
+    idx = F.floor((F.size(vals) - 1) * F.lit(p)).cast("int") + 1
+    return sketch.groupBy(*group_cols).agg(
+        F.element_at(vals, idx).alias(f"p{int(p * 100)}_{value_col}"),
+        F.count(F.lit(1)).alias("sample_size"),
+    )

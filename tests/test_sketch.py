@@ -146,3 +146,49 @@ def test_cms_is_partition_invariant(spark):
         for r in cms_build(df.repartition(29), "k", width, depth).collect()
     }
     assert a == b
+
+
+# --- bottom-k sample sketch ---------------------------------------------------
+
+
+def test_bottomk_merge_equals_direct_build(spark):
+    """KMV mergeability: bottom-k of the union of per-subgroup
+    bottom-k sketches must equal bottom-k built directly on the
+    coarser grouping — priorities are global content hashes."""
+    from etl_cortex_spark.operators.sketch import bottomk_build, bottomk_merge
+
+    rows = [(i, i % 7, i % 3, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k bigint, fine int, coarse int, v double")
+    fine = bottomk_build(df, ["fine", "coarse"], "v", "k", 32)
+    merged = bottomk_merge(fine.select("coarse", "__pri", "__key", "v"), ["coarse"], 32)
+    direct = bottomk_build(df, ["coarse"], "v", "k", 32)
+    a = sorted((r["coarse"], r["__key"]) for r in merged.collect())
+    b = sorted((r["coarse"], r["__key"]) for r in direct.collect())
+    assert a == b and len(a) == 3 * 32
+
+
+def test_bottomk_quantile_rank_error_bounded(spark):
+    """The sample median must land within ~2/sqrt(k) rank error of the
+    exact median (uniform-sample order-statistic bound, generous)."""
+    from etl_cortex_spark.operators.sketch import bottomk_build, bottomk_quantile
+
+    n, k = 5000, 128
+    rows = [(i, 0, float(i)) for i in range(n)]  # values 0..n-1, exact median known
+    df = spark.createDataFrame(rows, "k bigint, g int, v double")
+    sk = bottomk_build(df, ["g"], "v", "k", k)
+    est = bottomk_quantile(sk, ["g"], "v", 0.5).first()
+    rank = est[f"p50_v"] / (n - 1)  # value == its own rank here
+    assert abs(rank - 0.5) < 2 / (k ** 0.5), rank
+
+
+def test_bottomk_build_plans_as_window_group_limit(spark):
+    from etl_cortex_spark.operators.sketch import bottomk_build
+
+    df = spark.createDataFrame([(i, i % 3, 1.0) for i in range(100)], "k bigint, g int, v double")
+    plan = (
+        bottomk_build(df, ["g"], "v", "k", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
