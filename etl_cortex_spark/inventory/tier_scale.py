@@ -502,3 +502,66 @@ def scale_sample_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "n_regionkey")
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "scale_incremental_join",
+    oracle="""
+    WITH old_o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    delta AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND o_orderkey % 50 = 0
+    ),
+    final_l AS (
+      SELECT * FROM old_o WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+      UNION ALL
+      SELECT * FROM delta
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, c.c_name, c.c_nationkey
+    FROM final_l f JOIN customer c ON f.o_custkey = c.c_custkey
+    ORDER BY f.o_orderkey
+    """,
+)
+def scale_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (Δ-propagation IVM, the join
+    sibling of b22's aggregate maintenance): a stored orders⋈customer
+    view is folded with an upsert delta (new 1997+ orders plus price
+    corrections on every 50th old order) as
+    (view ∖ Δkeys) ∪ (Δ ⋈ customer) — O(|view| + |Δ|⋈R), never
+    re-scanning the full left history. The oracle recomputes the join
+    from scratch on the post-upsert table: the hash match proves the
+    delta rule is exact, not approximate
+    (operators/gold.py:incremental_join_merge)."""
+    from etl_cortex_spark.operators.gold import incremental_join_merge
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    old_o = orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    view = old_o.join(cust, old_o["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_nationkey"
+    )
+    delta = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .drop("o_orderdate")
+        .unionByName(
+            old_o.filter(F.col("o_orderkey") % 50 == 0).select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            )
+        )
+    )
+    right = cust.withColumnRenamed("c_custkey", "o_custkey")
+    maintained = incremental_join_merge(
+        view, delta, right, ["o_orderkey"], "o_custkey"
+    )
+    return maintained.orderBy("o_orderkey")

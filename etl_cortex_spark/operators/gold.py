@@ -240,6 +240,40 @@ def incremental_agg_merge(
     )
 
 
+def incremental_join_merge(
+    view: DataFrame,
+    delta_left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    join_key: str,
+) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view
+    (the Δ-propagation rule: for upserted left rows,
+    J' = (J ∖ π_keys(ΔL)) ∪ (ΔL ⋈ R)) — the join sibling of
+    ``incremental_agg_merge``. ``view`` is the stored L ⋈ R;
+    ``delta_left`` carries new/changed L rows identified by
+    ``left_keys``; ``right`` is the (dimension) side the delta must be
+    re-joined against.
+
+    Cost is O(|view| + |Δ| ⋈ R) — the anti join's shuffle carries the
+    view keyed on the row identity and the delta's key set broadcasts;
+    the re-join touches only delta rows. Never re-scans the full left
+    side, which at 100 TB is the entire point: folding an hourly
+    upsert batch into a wide joined view without re-running the
+    multi-hour join. Equality with a full recompute is the oracle's
+    claim (join distributes over union when old keyed rows are
+    removed first), not an approximation.
+    """
+    left_keys = list(left_keys)
+    refreshed = delta_left.join(right, join_key)
+    kept = view.join(
+        F.broadcast(delta_left.select(*left_keys).distinct()),
+        left_keys,
+        "left_anti",
+    )
+    return kept.unionByName(refreshed.select(*view.columns))
+
+
 def cdc_diff(
     old: DataFrame,
     new: DataFrame,
