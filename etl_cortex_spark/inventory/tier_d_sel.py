@@ -1,6 +1,7 @@
-"""Tier D inventory, data-selection extensions (D67-D69, D71): DSIR
-importance selection, per-domain cap sampling, the iterative BPE
-merge-table trainer, and distributed perceptron training.
+"""Tier D inventory, data-selection extensions (D67-D69, D71-D72):
+DSIR importance selection, per-domain cap sampling, the iterative BPE
+merge-table trainer, distributed perceptron training, and star-rewrite
+connected components.
 
 These are the selection/curation stages of a training-data pipeline
 the earlier tiers don't cover: d67 picks WHICH raw documents resemble

@@ -1,5 +1,5 @@
-"""Data-selection operators (D67-D69): DSIR importance selection,
-per-domain cap sampling, iterative BPE trainer.
+"""Data-selection operators (D67-D69, D71): DSIR importance selection,
+per-domain cap sampling, iterative BPE trainer, perceptron training.
 
 The BPE trainer is checked against an independent pure-Python
 reference implementation of the same per-rule-pass contract — not
