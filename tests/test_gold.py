@@ -149,3 +149,35 @@ def test_dedup_latest_agg_matches_window_variant_with_nulls(spark):
     assert {x[0] for x in a} == {1, 2, 3, 4}
     assert (1, 20, "b") in a and (2, 5, "d") in a
     assert (3, None, "f") in a and (4, 7, "h") in a
+
+
+def test_incremental_join_merge_upsert_contract(spark):
+    """The Δ-propagation rule row by row: a delta key replaces its old
+    view row (re-joined against the current right side), untouched
+    keys survive byte-identical, brand-new keys appear, and a delta
+    row whose join key misses the right side contributes nothing
+    (inner-join view semantics are preserved)."""
+    view = spark.createDataFrame(
+        [(1, 10, 100.0, "alice"), (2, 20, 200.0, "bob")],
+        "k bigint, fk bigint, v double, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "alice"), (20, "bob"), (30, "carol")], "fk bigint, name string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, 30, 111.0),   # update: re-points row 1 at carol
+            (3, 20, 300.0),   # insert: new key joining bob
+            (4, 99, 400.0),   # insert with dangling fk -> must vanish
+        ],
+        "k bigint, fk bigint, v double",
+    )
+    out = sorted(
+        tuple(r)
+        for r in G.incremental_join_merge(view, delta, right, ["k"], "fk").collect()
+    )
+    assert out == [
+        (1, 30, 111.0, "carol"),
+        (2, 20, 200.0, "bob"),
+        (3, 20, 300.0, "bob"),
+    ]
