@@ -936,3 +936,39 @@ def d56(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qv = _query_vec(spark, sf_dir)
     return hybrid_topk_rrf(docs, emb, _BM25_TERMS, qv, k=10, pool=50)
+
+
+def _lpa_oracle() -> str:
+    from etl_cortex_spark.operators.graph import lpa_unrolled_sql
+
+    return lpa_unrolled_sql(
+        _TRADE_EDGES_SQL, "SELECT n_nationkey AS node FROM nation", iters=3
+    )
+
+
+@query("d76_label_propagation", _lpa_oracle())
+def d76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.label_propagation — deterministic synchronous weighted
+    LPA communities (3 rounds, smallest-label tiebreak) over the same
+    nation trade graph d27 ranks: per round one edge⋈label join + a
+    (node, label) weight agg + a max_by argmax, labels a DataFrame
+    throughout. The oracle unrolls the identical rounds from the same
+    generator (graph.lpa_unrolled_sql)."""
+    from etl_cortex_spark.operators.graph import label_propagation
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    edges = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    return label_propagation(nodes, edges, iters=3).orderBy("node")

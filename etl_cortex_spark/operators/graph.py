@@ -266,3 +266,89 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+# --- deterministic label propagation (community detection) --------------------
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous weighted Label Propagation (Raghavan et al. 2007,
+    the deterministic synchronous variant): every node starts labeled
+    with its own id; each round every node adopts the label with the
+    largest total incident edge weight among its neighbors' CURRENT
+    labels, ties broken by the smallest label; isolated nodes keep
+    theirs. A FIXED iteration count and the total tiebreak make the
+    run bit-deterministic — the classic asynchronous LPA is not — so
+    the oracle unrolls the identical rounds as CTEs
+    (``lpa_unrolled_sql``).
+
+    Scale shape per round: one join of the (undirected) edge list
+    against the label vector + a (node, label) partial-combined
+    weight agg + a per-node argmax via max_by — two keyed shuffles,
+    both carrying (id, label, weight) only; labels stay a DataFrame
+    end-to-end (billions of nodes fine), lineage truncated per round.
+    """
+    und = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .localCheckpoint()
+    )
+    node_col = nodes.columns[0]
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("u"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        best = votes.groupBy("u").agg(
+            F.max_by("label", F.struct(F.col("wt"), -F.col("label"))).alias(
+                "__new"
+            )
+        )
+        labels = (
+            labels.join(best, labels["node"] == best["u"], "left")
+            .select("node", F.coalesce("__new", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+def lpa_unrolled_sql(edges_sql: str, nodes_sql: str, *, iters: int = 3) -> str:
+    """The identical LPA rounds as a DuckDB WITH-chain (oracle twin).
+    ``edges_sql`` must yield (src, dst, w); ``nodes_sql`` (node)."""
+    parts = [
+        f"ed AS ({edges_sql})",
+        f"nodes AS ({nodes_sql})",
+        "und AS (SELECT src, dst, w FROM ed UNION ALL SELECT dst, src, w FROM ed)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"v{i} AS (SELECT und.src AS u, l.label, sum(und.w) AS wt "
+            f"FROM und JOIN l{i} l ON und.dst = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT u, label FROM ("
+            f"SELECT u, label, row_number() OVER "
+            f"(PARTITION BY u ORDER BY wt DESC, label) AS rk FROM v{i}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT l.node, COALESCE(b.label, l.label) AS label "
+            f"FROM l{i} l LEFT JOIN b{i} b ON l.node = b.u)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node, label FROM l{iters} ORDER BY node"
+    )

@@ -148,3 +148,39 @@ def test_triangle_degree_ordering_same_set_fewer_wedges(spark):
     assert w_id >= 190
     assert w_deg <= 10
     assert w_deg < w_id / 19
+
+
+def test_label_propagation_separates_two_communities(spark):
+    """Two triangles bridged by nothing: every node must end labeled
+    with its own triangle's minimum; isolated node keeps its label."""
+    from etl_cortex_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 1), (10, 11, 1), (11, 12, 1), (10, 12, 1)],
+        "src bigint, dst bigint, w bigint",
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 10, 11, 12, 99)], "id bigint")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_label_propagation_weight_beats_count(spark):
+    """A node pulled by one heavy edge and two light ones must adopt
+    the HEAVY neighbor's label — votes are weight sums, not neighbor
+    counts. (Node 3: edge w=10 to label-0 side, edges w=1+1 to nodes
+    4,5 which start labeled 4 and 5 — distinct labels, so even their
+    sum can't beat 10.)"""
+    from etl_cortex_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 3, 10), (4, 3, 1), (5, 3, 1)], "src bigint, dst bigint, w bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 3, 4, 5)], "id bigint")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=1).collect()
+    }
+    assert got[3] == 0
