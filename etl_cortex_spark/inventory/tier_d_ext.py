@@ -972,3 +972,92 @@ def d76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = n.select(F.col("n_nationkey").alias("node"))
     return label_propagation(nodes, edges, iters=3).orderBy("node")
+
+
+# --- D77: market-basket co-occurrence ----------------------------------------
+
+
+@query(
+    "d77_market_basket",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS pair_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    po AS (SELECT l_partkey, count(*) AS n_orders_part FROM li GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    top AS (
+      SELECT part_a, part_b, pair_orders FROM pairs
+      ORDER BY pair_orders DESC, part_a, part_b LIMIT 20
+    )
+    SELECT t.part_a, t.part_b, t.pair_orders,
+           pa.n_orders_part AS a_orders, pb.n_orders_part AS b_orders,
+           n.n_orders,
+           t.pair_orders * n.n_orders
+             / (CAST(pa.n_orders_part AS DOUBLE) * pb.n_orders_part) AS lift
+    FROM top t
+    JOIN po pa ON pa.l_partkey = t.part_a
+    JOIN po pb ON pb.l_partkey = t.part_b
+    CROSS JOIN n
+    ORDER BY t.pair_orders DESC, t.part_a, t.part_b
+    """,
+)
+def d77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-rule
+    primitive (and the co-click/co-view signal a retrieval pipeline
+    mines): distinct (order, part) pairs self-joined per order with
+    part_a < part_b, one pair-keyed partial agg, top-20 frontier, and
+    the per-part/order totals joined AFTER the limit so only 20 rows
+    fetch statistics. Pair fan-out is Σ(basket choose 2) — bounded
+    here by TPC-H's ≤7-line orders; real carts get a max-basket-size
+    prune first (the standard practice). lift = pair·N/(a·b) is one
+    IEEE expression over exact integers, emitted unrounded —
+    bit-identical in any engine."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    top = pairs.orderBy(F.desc("pair_orders"), "part_a", "part_b").limit(20)
+    po = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders_part"))
+    n = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    pa = po.withColumnRenamed("l_partkey", "part_a").withColumnRenamed(
+        "n_orders_part", "a_orders"
+    )
+    pb = po.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
+        "n_orders_part", "b_orders"
+    )
+    return (
+        top.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            "a_orders",
+            "b_orders",
+            "n_orders",
+            (
+                F.col("pair_orders")
+                * F.col("n_orders")
+                / (F.col("a_orders").cast("double") * F.col("b_orders"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_orders"), "part_a", "part_b")
+    )
