@@ -876,3 +876,41 @@ def b27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("report_day").cast("timestamp").alias("report_day"), "wau")
         .orderBy("report_day")
     )
+
+
+# --- B28: time-weighted average over irregular samples ------------------------
+
+
+@query(
+    "b28_twap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    d AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      - ts) AS dur
+      FROM e
+    )
+    SELECT user_id,
+           round(sum(value * dur) / sum(dur), 2) AS twap,
+           CAST(sum(dur) AS BIGINT) AS total_us,
+           count(*) AS n_intervals
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def b28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries.twap — time-weighted average of each user's value
+    stream over IRREGULAR sample spacing (the TWAP integral a
+    sensor/price pipeline needs; a plain avg() overweights bursts).
+    Weights are exact integer microsecond forward intervals from one
+    lead() window; the aggregate reuses the window's user
+    partitioning, so the whole query is a single exchange. The
+    event_id tiebreak makes the interval assignment total-order
+    deterministic (operators/timeseries.py:twap)."""
+    from etl_cortex_spark.operators.timeseries import twap
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    return twap(ev, "user_id", "ts", "value", "event_id").orderBy("user_id")

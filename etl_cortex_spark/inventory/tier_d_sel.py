@@ -263,3 +263,37 @@ def d72(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     return connected_components_star(docs, chain.unionAll(star)).orderBy("node")
+
+
+# --- D78: group-statistic imputation -----------------------------------------
+
+_IMPUTE_SQL_BODY = """
+WITH s AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+  FROM {events}
+),
+m AS (
+  SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med
+  FROM s WHERE v IS NOT NULL GROUP BY event_type
+)
+SELECT s.event_id, s.event_type,
+       COALESCE(s.v, m.med) AS value_imputed,
+       CAST(s.v IS NULL AS INT) AS was_imputed
+FROM s JOIN m ON s.event_type = m.event_type
+ORDER BY s.event_id
+"""
+
+
+@query("d78_group_impute", _IMPUTE_SQL_BODY.format(events="events"))
+def d78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-statistic imputation (the feature-prep step before any
+    model training): values NULLed on a deterministic seed are filled
+    with their event_type's median. percentile_disc makes the fill an
+    ACTUAL data point (c61's cross-engine guarantee — no
+    interpolation, no rounding anywhere); the k-row median frame
+    broadcasts back onto the fact scan, so imputation costs one small
+    agg + a broadcast join. Identical SQL text runs on both engines."""
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.createOrReplaceTempView("d78_events")
+    return spark.sql(_IMPUTE_SQL_BODY.format(events="d78_events"))

@@ -158,3 +158,39 @@ def interpolate_gaps(
         .otherwise(next_v)
     )
     return dense.withColumn("val_interp", F.round(interp, 4))
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples (the TWAP/VWAP
+    family): each observation is weighted by the microseconds until
+    the key's next observation (the standard step-function/LOCF
+    integral; the last observation has no forward interval and drops
+    out). Emits per key: twap (rounded 2), total_us (exact BIGINT —
+    the denominator is pure integer arithmetic), n_intervals.
+
+    One window shuffle keyed on ``key_col`` and the final aggregate
+    reuses the same partitioning — the plan Spark produces is a
+    single exchange. ``order_tiebreak`` (a unique column) makes the
+    lead() order total, so the weights are deterministic under ties.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    # NTZ-safe: unix_micros wants TIMESTAMP; under the engine's fixed
+    # UTC session the NTZ cast is an identity relabel, not a shift
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = F.lead(us).over(w) - us
+    d = df.select(
+        key_col, F.col(value_col).alias("__v"), dur.alias("__dur")
+    ).filter(F.col("__dur").isNotNull())
+    return d.groupBy(key_col).agg(
+        F.round(F.sum(F.col("__v") * F.col("__dur")) / F.sum("__dur"), 2).alias(
+            "twap"
+        ),
+        F.sum("__dur").alias("total_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
