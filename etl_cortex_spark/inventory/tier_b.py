@@ -914,3 +914,38 @@ def b28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
     return twap(ev, "user_id", "ts", "value", "event_id").orderBy("user_id")
+
+
+# --- B29: equi-depth histogram ------------------------------------------------
+
+_EQUIDEPTH_SQL = """
+WITH q AS (
+  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS q2,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
+  FROM {li}
+)
+SELECT CASE WHEN l_extendedprice <= q1 THEN 0
+            WHEN l_extendedprice <= q2 THEN 1
+            WHEN l_extendedprice <= q3 THEN 2
+            ELSE 3 END AS bucket,
+       count(*) AS n,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM {li} CROSS JOIN q
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("b29_equidepth_histogram", _EQUIDEPTH_SQL.format(li="lineitem"))
+def b29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram — the optimizer-stats /
+    data-profiling complement of b12's equi-width bins: boundaries are
+    percentile_disc quartiles (ACTUAL data points, c61's cross-engine
+    guarantee), so bucket assignment, counts, and per-bucket min/max
+    are all exact with no rounding anywhere. The 1-row quartile frame
+    broadcasts onto the scan; the bucket agg partial-combines — two
+    scans, one exchange. Identical SQL text runs on both engines."""
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    li.createOrReplaceTempView("b29_lineitem")
+    return spark.sql(_EQUIDEPTH_SQL.format(li="b29_lineitem"))
