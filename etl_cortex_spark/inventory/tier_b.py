@@ -949,3 +949,47 @@ def b29(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
     li.createOrReplaceTempView("b29_lineitem")
     return spark.sql(_EQUIDEPTH_SQL.format(li="b29_lineitem"))
+
+
+# --- B30: MAD-based robust anomaly detection ----------------------------------
+
+_MAD_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+  FROM {ev} GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT) AS med
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS ad
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT v.event_type, CAST(v.day AS TIMESTAMP) AS day, v.n, v.med, v.ad, t.mad
+FROM dev v JOIN mad t ON v.event_type = t.event_type
+WHERE v.ad > 2.0 * 1.4826 * t.mad
+ORDER BY v.event_type, day
+"""
+
+
+@query("b30_anomaly_mad", _MAD_SQL.format(ev="events"))
+def b30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust anomaly detection — the outlier-resistant
+    sibling of b20's z-score (a single spike inflates a standard
+    deviation and hides itself; the median absolute deviation does
+    not budge). Both statistics are percentile_disc — actual data
+    points over integer counts, so every number in the pipeline is
+    exact and the 1.4826 normal-consistency scaling is the only
+    floating multiply, identical in any engine. Two k-row grouped
+    medians broadcast back onto the daily frame; identical SQL text
+    runs on both engines."""
+    ev = T(spark, sf_dir, "events").select("event_type", "ts")
+    ev.createOrReplaceTempView("b30_events")
+    return spark.sql(_MAD_SQL.format(ev="b30_events"))

@@ -297,3 +297,53 @@ def d78(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
     ev.createOrReplaceTempView("d78_events")
     return spark.sql(_IMPUTE_SQL_BODY.format(events="d78_events"))
+
+
+# --- D5d: image tiling plan ---------------------------------------------------
+
+
+@query(
+    "d79_image_tile_plan",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CAST(640 + (doc_id % 5) * 320 AS BIGINT) AS width,
+             CAST(480 + (doc_id % 3) * 360 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    gx AS (
+      SELECT asset_id, width, height,
+             unnest(range(0, greatest(CAST(ceil(width / 512.0) AS BIGINT), 1))) AS tile_x
+      FROM assets
+    ),
+    g AS (
+      SELECT asset_id, width, height, tile_x,
+             unnest(range(0, greatest(CAST(ceil(height / 512.0) AS BIGINT), 1))) AS tile_y
+      FROM gx
+    )
+    SELECT asset_id,
+           CAST(tile_x AS INT) AS tile_x,
+           CAST(tile_y AS INT) AS tile_y,
+           tile_x * 512 AS x0,
+           tile_y * 512 AS y0,
+           least(tile_x * 512 + 512, width) - tile_x * 512 AS tw,
+           least(tile_y * 512 + 512, height) - tile_y * 512 AS th
+    FROM g
+    ORDER BY asset_id, tile_x, tile_y
+    """,
+)
+def d79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal.plan_image_tiles — the ViT-patch / deep-zoom tiling
+    manifest (D5d, third decode-plan next to frame sampling and audio
+    chunking): 512px grid with truncated edge tiles over synthesized
+    per-asset dimensions; two sequence explodes of exact integer
+    arithmetic, fully SQL-replayable."""
+    from etl_cortex_spark.operators.multimodal import plan_image_tiles
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (640 + (F.col("doc_id") % 5) * 320).cast("long").alias("width"),
+        (480 + (F.col("doc_id") % 3) * 360).cast("long").alias("height"),
+    )
+    return plan_image_tiles(assets, tile=512).orderBy("asset_id", "tile_x", "tile_y")

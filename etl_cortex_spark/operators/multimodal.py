@@ -336,3 +336,38 @@ def decode_wav_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+def plan_image_tiles(
+    assets: DataFrame,
+    *,
+    tile: int = 512,
+) -> DataFrame:
+    """Image tiling PLAN (the ViT-style patch grid / deep-zoom
+    manifest): given per-asset (width, height) metadata, emit every
+    ``tile``×``tile`` tile's (tile_x, tile_y, x0, y0, tw, th), edge
+    tiles truncated — the third member of the decode-plan family next
+    to frame sampling (D5b) and audio chunking (D5c). Two sequence
+    explodes of pure column arithmetic; at scale the plan joins back
+    to the binary table so each executor crops only its own assets'
+    tiles.
+    """
+    nx = F.ceil(F.col("width") / tile).cast("int")
+    ny = F.ceil(F.col("height") / tile).cast("int")
+    tx = F.explode(F.sequence(F.lit(0), F.greatest(nx - 1, F.lit(0)))).alias("tile_x")
+    out = assets.select("asset_id", "width", "height", tx, ny.alias("__ny"))
+    ty = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.col("__ny") - 1, F.lit(0)))
+    ).alias("tile_y")
+    out = out.select("asset_id", "width", "height", "tile_x", ty)
+    x0 = F.col("tile_x").cast("long") * tile
+    y0 = F.col("tile_y").cast("long") * tile
+    return out.select(
+        "asset_id",
+        F.col("tile_x").cast("int").alias("tile_x"),
+        F.col("tile_y").cast("int").alias("tile_y"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (F.least(x0 + tile, F.col("width")) - x0).alias("tw"),
+        (F.least(y0 + tile, F.col("height")) - y0).alias("th"),
+    )
