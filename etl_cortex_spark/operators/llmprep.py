@@ -722,9 +722,12 @@ def perceptron_train(
             scored = feats.groupBy("__y", "__rid").agg(
                 F.sum(wmap[F.col("__b")] * F.col("__x")).alias("__s")
             )
-            miss = scored.filter(F.col("__y") * F.col("__s") <= 0).select("__rid", "__y")
+            miss = scored.filter(F.col("__y") * F.col("__s") <= 0).select("__rid")
+            # no broadcast hint: epoch 1 misclassifies EVERYTHING (y·0 ≤ 0),
+            # so the miss set is corpus-sized before it shrinks — a keyed
+            # join lets AQE pick broadcast only once it actually fits
             grad = (
-                feats.join(F.broadcast(miss.drop("__y")), "__rid")
+                feats.join(miss, "__rid")
                 .groupBy("__b")
                 .agg(F.sum(F.col("__y") * F.col("__x")).alias("__g"))
                 .collect()
