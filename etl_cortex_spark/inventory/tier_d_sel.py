@@ -1,7 +1,8 @@
-"""Tier D inventory, data-selection extensions (D67-D69, D71-D72):
-DSIR importance selection, per-domain cap sampling, the iterative BPE
-merge-table trainer, distributed perceptron training, and star-rewrite
-connected components.
+"""Tier D inventory, data-selection and training extensions (D67-D69,
+D71-D72, D78-D79): DSIR importance selection, per-domain cap sampling,
+the iterative BPE merge-table trainer, distributed perceptron training,
+star-rewrite connected components, group-statistic imputation, and the
+image-tiling decode plan.
 
 These are the selection/curation stages of a training-data pipeline
 the earlier tiers don't cover: d67 picks WHICH raw documents resemble
