@@ -993,3 +993,53 @@ def b30(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").select("event_type", "ts")
     ev.createOrReplaceTempView("b30_events")
     return spark.sql(_MAD_SQL.format(ev="b30_events"))
+
+
+# --- B31: conversion-latency distribution -------------------------------------
+
+_CONV_LATENCY_SQL = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM {ev} WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM {ev} WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT c.user_id, c.click_id, min({gapus}) AS gap_us
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 60 MINUTE
+  GROUP BY c.user_id, c.click_id
+)
+SELECT count(*) AS n_conversions,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us) AS BIGINT) AS p50_us,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us) AS BIGINT) AS p90_us,
+       CAST(min(gap_us) AS BIGINT) AS min_us,
+       CAST(max(gap_us) AS BIGINT) AS max_us
+FROM conv
+"""
+
+
+@query(
+    "b31_conversion_latency",
+    _CONV_LATENCY_SQL.format(ev="events", gapus="epoch_us(p.pts - c.cts)"),
+)
+def b31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — the product question behind
+    the attribution join (d8c answers WHICH purchases convert, this
+    answers HOW FAST): each click's time-to-FIRST-purchase within the
+    hour, summarized as exact discrete percentiles. Every number is
+    integer microseconds (min-gap agg, percentile_disc data points),
+    so the whole report is bit-exact cross-engine. The interval join
+    carries (user, ts) pairs only; the latency summary is one global
+    aggregate. Same SQL text on both engines except one spelling:
+    microsecond extraction is unix_micros subtraction in Spark,
+    epoch_us of the interval in DuckDB."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    ev.createOrReplaceTempView("b31_events")
+    return spark.sql(
+        _CONV_LATENCY_SQL.format(
+            ev="b31_events", gapus="unix_micros(p.pts) - unix_micros(c.cts)"
+        )
+    )
