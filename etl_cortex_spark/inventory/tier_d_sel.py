@@ -348,3 +348,40 @@ def d79(spark: SparkSession, sf_dir: str) -> DataFrame:
         (480 + (F.col("doc_id") % 3) * 360).cast("long").alias("height"),
     )
     return plan_image_tiles(assets, tile=512).orderBy("asset_id", "tile_x", "tile_y")
+
+
+# --- D80: corpus concentration audit -----------------------------------------
+
+_CONC_SQL = """
+WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS cnt FROM {docs} GROUP BY source),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, source) AS i FROM c),
+t AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sumsq,
+             CAST(max(cnt) AS BIGINT) AS mx
+      FROM c),
+g AS (SELECT CAST(sum(cnt * (2 * i - (SELECT n FROM t) - 1)) AS BIGINT) AS gnum
+      FROM r)
+SELECT t.n AS n_sources,
+       g.gnum / (CAST(t.n AS DOUBLE) * t.tot) AS gini,
+       t.sumsq / (CAST(t.tot AS DOUBLE) * t.tot) AS hhi,
+       t.mx / CAST(t.tot AS DOUBLE) AS top1_share
+FROM t CROSS JOIN g
+"""
+
+
+@query("d80_source_concentration", _CONC_SQL.format(docs="documents"))
+def d80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit — the "is my corpus dominated by a
+    few domains?" question every curation pass asks before mixing:
+    Gini coefficient, Herfindahl-Hirschman index, and top-1 share of
+    the per-source CHARACTER-mass distribution (the byte-budget view —
+    doc counts alone hide a source of few huge documents). Every statistic is a SINGLE
+    IEEE division of exact integers (the Gini numerator is the
+    classic Σ cnt_i·(2i−n−1) over the sorted counts — integer; HHI is
+    Σcnt²/tot²), so the report is bit-exact cross-engine with no
+    rounding. The per-source count table is k rows; the rank window
+    orders k rows, never documents. Identical SQL text runs on both
+    engines."""
+    docs = T(spark, sf_dir, "documents").select("source", "n_chars")
+    docs.createOrReplaceTempView("d80_documents")
+    return spark.sql(_CONC_SQL.format(docs="d80_documents"))
