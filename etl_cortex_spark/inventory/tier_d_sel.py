@@ -385,3 +385,45 @@ def d80(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select("source", "n_chars")
     docs.createOrReplaceTempView("d80_documents")
     return spark.sql(_CONC_SQL.format(docs="d80_documents"))
+
+
+# --- D81: exact-quota stratified split ---------------------------------------
+
+_EXACT_SPLIT_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM {docs}
+),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN rk * 10 <= n THEN 'val'
+              WHEN rk * 5 <= n THEN 'test'
+              ELSE 'train' END AS split
+  FROM r
+)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM s GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@query("d81_exact_stratified_split", _EXACT_SPLIT_SQL.format(docs="documents"))
+def d81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified split — the complement of d38's
+    proportional hash split: exactly ⌊n/10⌋ validation and the next
+    ⌊n/5⌋−⌊n/10⌋ test docs PER LANGUAGE, membership decided by
+    content-hash rank so the assignment is deterministic and
+    partition-invariant (hash thresholds alone can't hit exact
+    quotas; quota splits alone aren't reproducible without the hash
+    order). The quota tests are pure integer comparisons
+    (rk·10 ≤ n), no division anywhere; rank ≤ quota rides the same
+    per-stratum window as the count. Identical SQL text runs on both
+    engines."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.createOrReplaceTempView("d81_documents")
+    return spark.sql(_EXACT_SPLIT_SQL.format(docs="d81_documents"))
