@@ -65,6 +65,19 @@ _REVERIFY_NOW: dict[str, int] = {
     # fourth round-5 session: the attribution join was refactored onto
     # the shared attribution_join core (inner semantics unchanged).
     "stream_stream_join": 5,
+    # Round 6: c19's only record (r01) predates its epsilon oracle —
+    # the oracle-paired form has never been officially recorded
+    # (VERDICT r5 "What's missing" #3).
+    "c19_approx_count_distinct": 6,
+    # Round-6 fixes: c69 swapped its global window for agg+broadcast
+    # crossJoin; d67 now excludes zero-token docs from ranking and
+    # guards the integer weights against BIGINT overflow; d79 filters
+    # degenerate (≤0-dim) assets; scale_incremental_join dropped the
+    # forced broadcast hint on the delta key set (AQE decides).
+    "c69_variant_semistructured": 6,
+    "d67_dsir_select": 6,
+    "d79_image_tile_plan": 6,
+    "scale_incremental_join": 6,
 }
 
 

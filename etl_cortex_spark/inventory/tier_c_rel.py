@@ -1628,11 +1628,11 @@ def c69(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing"
         ),
     )
-    from pyspark.sql import Window
-
-    return out.withColumn(
-        "k_total", F.sum("k_long").over(Window.partitionBy())
-    ).orderBy("event_id")
+    # Grand total as a 1-row aggregate broadcast back onto every row —
+    # NOT sum().over(Window.partitionBy()), which would move the whole
+    # filtered scan into a single partition (the search.py:73 pattern).
+    total = out.agg(F.sum("k_long").alias("k_total"))
+    return out.crossJoin(F.broadcast(total)).orderBy("event_id")
 
 
 _C70_SQL = """

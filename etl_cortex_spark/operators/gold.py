@@ -266,8 +266,13 @@ def incremental_join_merge(
     """
     left_keys = list(left_keys)
     refreshed = delta_left.join(right, join_key)
+    # No broadcast hint on the delta key set: a typical hourly delta
+    # broadcasts fine, but a backfill delta's distinct keys can exceed
+    # driver/broadcast limits, and a forced hint overrides AQE's
+    # size-based choice — failing the job instead of degrading to a
+    # shuffle join. AQE broadcasts it when it is actually small.
     kept = view.join(
-        F.broadcast(delta_left.select(*left_keys).distinct()),
+        delta_left.select(*left_keys).distinct(),
         left_keys,
         "left_anti",
     )

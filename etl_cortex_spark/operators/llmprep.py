@@ -570,7 +570,9 @@ def dsir_bucket_weights(
 
     dist = (
         df.select(
-            is_target.cast("int").alias("__t"),
+            # NULL is_target (e.g. NULL lang) counts as not-target, so
+            # tgt_cnt can never come back None from an all-NULL bucket.
+            F.coalesce(is_target.cast("int"), F.lit(0)).alias("__t"),
             F.explode(words(text_col)).alias("__tok"),
         )
         .select("__t", md5_bucket(F.col("__tok"), n_buckets).alias("__b"))
@@ -582,13 +584,27 @@ def dsir_bucket_weights(
         .collect()
     )
     raw = {r["__b"]: r["raw_cnt"] for r in dist}
-    tgt = {r["__b"]: r["tgt_cnt"] for r in dist}
+    tgt = {r["__b"]: r["tgt_cnt"] or 0 for r in dist}
     rt, tt = sum(raw.values()), sum(tgt.values())
-    return {
+    weights = {
         b: (tgt.get(b, 0) + 1) * (rt + n_buckets)
         - (raw.get(b, 0) + 1) * (tt + n_buckets)
         for b in range(n_buckets)
     }
+    # The per-document score folds these BIGINT weights over the token
+    # array; guard the exact-integer formulation against silent int64
+    # overflow (|w| ≈ corpus_tokens², so ~1e10 tokens/side overflows).
+    # Bound: max |w| · 2^20 tokens/doc must fit in int64. Beyond that,
+    # use the dyadically-quantized log-ratio weights (d63b pattern).
+    max_w = max(abs(w) for w in weights.values()) if weights else 0
+    if max_w > (2**63 - 1) >> 20:
+        raise ValueError(
+            "dsir_bucket_weights: corpus too large for exact-integer "
+            f"weights (max |w|={max_w} would overflow BIGINT when folded "
+            "over documents up to 2^20 tokens); use quantized log-ratio "
+            "weights for corpora beyond ~1e9 tokens per side"
+        )
+    return weights
 
 
 def dsir_score(
@@ -619,10 +635,16 @@ def dsir_select(
 ) -> DataFrame:
     """DSIR end-to-end: fit the bucket weights on the corpus, score
     every document shuffle-free, keep the top_m by (score desc, id) —
-    a total order, so the selected set is deterministic."""
+    a total order, so the selected set is deterministic. Zero-token
+    documents are excluded from ranking — they carry no evidence
+    either way (and the SQL oracle's exploded-token CTE never sees
+    them, so both sides rank the same candidate set)."""
+    from etl_cortex_spark.operators.textops import words
+
     w = dsir_bucket_weights(df, text_col, is_target, n_buckets)
     return (
-        df.select(
+        df.filter(F.size(words(text_col)) > 0)
+        .select(
             F.col(id_col),
             dsir_score(text_col, w, n_buckets).alias("dsir_score"),
         )

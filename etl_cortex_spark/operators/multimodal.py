@@ -355,6 +355,10 @@ def plan_image_tiles(
     nx = F.ceil(F.col("width") / tile).cast("int")
     ny = F.ceil(F.col("height") / tile).cast("int")
     tx = F.explode(F.sequence(F.lit(0), F.greatest(nx - 1, F.lit(0)))).alias("tile_x")
+    # Degenerate assets (width or height ≤ 0) emit ZERO tiles, not one
+    # zero-size crop rect — greatest(n-1, 0) would otherwise floor the
+    # grid at one column/row for them.
+    assets = assets.filter((F.col("width") > 0) & (F.col("height") > 0))
     out = assets.select("asset_id", "width", "height", tx, ny.alias("__ny"))
     ty = F.explode(
         F.sequence(F.lit(0), F.greatest(F.col("__ny") - 1, F.lit(0)))
