@@ -956,6 +956,48 @@ def d08d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d02_prefix_probe_pairs",
+    oracle=f"""
+    WITH newb AS (
+      SELECT doc_id + 20000000 AS doc_id, 'mutated ' || text AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    ne AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM newb),
+    ex AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents)
+    SELECT ne.doc_id AS new_id, ex.doc_id AS existing_id,
+           round(len(list_intersect(ne.sh, ex.sh)) /
+                 greatest(len(ne.sh) + len(ex.sh) - len(list_intersect(ne.sh, ex.sh)), 1), 6)
+             AS jaccard
+    FROM ne, ex
+    WHERE round(len(list_intersect(ne.sh, ex.sh)) /
+                greatest(len(ne.sh) + len(ex.sh) - len(list_intersect(ne.sh, ex.sh)), 1), 6)
+          >= 0.5
+    ORDER BY new_id, existing_id
+    """,
+)
+def d02pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d02 probe with a DETERMINISTIC verified core (round-5
+    verdict #5): prefix-filter candidate generation
+    (dedup.prefix_filter_probe, the AllPairs/PPJoin bound) has
+    guaranteed 100% recall for pairs ≥ threshold, so — unlike the
+    banded-LSH probe, whose candidate set is engine-specific and
+    probabilistically lossy (measured: 7 of 277 pairs missed at
+    sf0.1) — the output equals the exact bipartite pair set and the
+    DuckDB string-gram twin is a full-strength oracle. Same ingest
+    shape as d02_incremental_lsh_probe: a new batch of mutated copies
+    of every 20th doc probed against the whole existing corpus."""
+    docs = T(spark, sf_dir, "documents")
+    existing = docs.select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    )
+    return DD.prefix_filter_probe(existing, new, threshold=0.5).orderBy(
+        "new_id", "existing_id"
+    )
+
+
 @query("d02_incremental_lsh_probe")  # rows-only: xxhash64 banding is engine-specific
 def d02g(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup maintenance: a NEW ingest batch (mutated

@@ -234,6 +234,92 @@ def minhash_lsh_probe(
     )
 
 
+def prefix_filter_probe(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup probe with GUARANTEED recall: prefix-filter
+    candidate generation (AllPairs / PPJoin family, Bayardo et al.,
+    WWW 2007) instead of MinHash banding. Deterministic and exact, so
+    unlike the LSH probe it is oracle-checkable: output = every
+    (new, existing) pair with shingle-Jaccard ≥ ``threshold``, no
+    probabilistic misses.
+
+    The filter: order each new doc's shingle set S by a fixed global
+    token order and keep only its PREFIX of ``|S| - ceil(t·|S|) + 1``
+    tokens. If a pair (a ∈ new, b ∈ existing) shares no token of a's
+    prefix, then their intersection fits inside a's non-prefix tail,
+    so |a∩b| ≤ ceil(t·|Sa|) − 1 < t·|Sa| ≤ t·|a∪b| — i.e. j < t.
+    Single-sided prefixing against a FULL inverted index of the
+    existing side is therefore a lossless candidate generator for
+    pairs ≥ t.
+
+    Scale shape: the existing side's posting list (shingle → doc) is
+    the persisted index — written once, shingle-partitioned, exactly
+    like the banded LSH index; the new batch explodes only ~(1−t)·|S|+1
+    prefix tokens per doc, so the candidate join's probe side is a
+    fraction of the batch's shingle volume. Exact verification joins
+    shingles back for O(candidates) payload bytes, same as the LSH
+    form. Trade-off vs LSH: more candidates per probe (a prefix token
+    can be common), perfect recall — the right tool when the dedup
+    decision must be reproducible (compliance / training-data
+    provenance), with the banded probe as the cheaper lossy sibling.
+
+    Returns (new_id, existing_id, jaccard ≥ threshold).
+    """
+    ex_base = existing.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+    )
+    new_base = new.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+    )
+    # Global token order = lexicographic (any fixed total order works
+    # for correctness; df-ascending orders would shrink candidate
+    # counts but need a corpus stats pass).
+    sorted_sh = F.array_sort("__shingles")
+    n = F.size("__shingles")
+    prefix_len = n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1
+    inv_index = ex_base.select(
+        F.col("__id").alias("existing_id"), F.explode("__shingles").alias("__tok")
+    )
+    probe = new_base.select(
+        F.col("__id").alias("new_id"),
+        F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("__tok"),
+    )
+    cand = (
+        probe.join(inv_index, "__tok")
+        .select("new_id", "existing_id")
+        .dropDuplicates(["new_id", "existing_id"])
+    )
+    pairs = (
+        cand.join(
+            new_base.select(F.col("__id"), F.col("__shingles")).alias("sa"),
+            F.col("new_id") == F.col("sa.__id"),
+        )
+        .join(
+            ex_base.select(F.col("__id"), F.col("__shingles")).alias("sb"),
+            F.col("existing_id") == F.col("sb.__id"),
+        )
+        .select(
+            "new_id",
+            "existing_id",
+            F.col("sa.__shingles").alias("sh_a"),
+            F.col("sb.__shingles").alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "existing_id", "jaccard")
+    )
+
+
 def _shingles_and_bands(
     df: DataFrame,
     text_col: str,

@@ -730,3 +730,52 @@ def test_minhash_probe_bipartite_recall_and_no_self_pairs(spark):
     assert found == src_ids, f"missed sources: {src_ids - found}"
     # fresh docs pair with nothing
     assert not any(n >= 30_000_000 for n, _ in pairs)
+
+
+def test_prefix_filter_probe_exact_vs_bruteforce(spark):
+    """prefix_filter_probe's AllPairs bound guarantees recall 1.0:
+    its output must EQUAL the brute-force exact bipartite pair set
+    (every (new, existing) with shingle-Jaccard >= t), including
+    short-doc edge cases where the prefix is the whole set."""
+    from etl_cortex_spark.operators import dedup as DD
+    from etl_cortex_spark.operators.textops import shingles
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") % 10 == 0)
+    existing = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(900_001, "tiny doc"), (900_002, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+    )
+    new = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(10_900_001, "tiny doc"),            # j=1 with 900_001
+             (10_900_002, "alpha beta gamma"),    # prefix-boundary case
+             (10_900_003, "zz qq vv novel")],     # pairs with nothing
+            "doc_id long, text string",
+        )
+    )
+    got = {
+        (r["new_id"], r["existing_id"], r["jaccard"])
+        for r in DD.prefix_filter_probe(existing, new, threshold=0.5).collect()
+    }
+    # brute force: full cross join + exact jaccard
+    a = new.select(F.col("doc_id").alias("new_id"), shingles("text").alias("sa"))
+    b = existing.select(
+        F.col("doc_id").alias("existing_id"), shingles("text").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    want = {
+        (r["new_id"], r["existing_id"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want
+    assert (10_900_001, 900_001, 1.0) in got
+    assert not any(n == 10_900_003 for n, _, _ in got)
