@@ -548,6 +548,45 @@ def d05w(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_wav_features(assets).orderBy("asset_id")
 
 
+@query(
+    "d05_image_decode_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             15 + (doc_id % 4) * 8 AS w,
+             12 + (doc_id % 3) * 4 AS h,
+             i % (15 + (doc_id % 4) * 8) AS x,
+             i // (15 + (doc_id % 4) * 8) AS y
+      FROM documents, range(0, 800) t(i)
+      WHERE i < (15 + (doc_id % 4) * 8) * (12 + (doc_id % 3) * 4)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           count(*) AS n_pixels,
+           CAST(sum((doc_id * 23 + x * 3 + y * 19) % 256) AS DOUBLE) / count(*) AS mean_r,
+           CAST(sum((doc_id * 17 + x * 5 + y * 11) % 256) AS DOUBLE) / count(*) AS mean_g,
+           CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS DOUBLE) / count(*) AS mean_b,
+           CAST((doc_id * 23) % 256 + (doc_id * 17) % 256 + (doc_id * 31) % 256
+                AS INT) AS topleft_lum
+    FROM p GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def d05i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, cross-checked — the image leg of the d05-WAV
+    proof (round-5 verdict stretch #8): the Spark side builds genuine
+    24-bpp BMP containers (closed-form integer pixels) and DECODES THE
+    BYTES — magic, both headers, 4-byte row padding, bottom-up row
+    order, BGR interleave — inside ``mapInPandas``; the oracle never
+    sees the bytes and regenerates every pixel from the closed form.
+    ``topleft_lum`` reads pixel (0,0) in image coordinates, i.e. the
+    LAST stored row, so orientation handling is part of the proof.
+    Means are exact-integer-sum / count, emitted unrounded."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_bmp_assets(docs)
+    return MM.decode_bmp_features(assets).orderBy("asset_id")
+
+
 # --- D6-D8: streaming ---------------------------------------------------------
 
 

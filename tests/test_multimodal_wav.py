@@ -55,3 +55,67 @@ def test_wav_decode_rejects_corrupt_payload(spark):
     )
     with pytest.raises(Exception, match="RIFF|WAVE"):
         MM.decode_wav_features(bad).collect()
+
+
+# --- BMP twin (round 6): real 24-bpp decode, no codec library ---------------
+
+
+def test_bmp_payload_structure_and_closed_form(spark):
+    """The synthesized BMPs are structurally valid: BM magic, correct
+    file/pixel offsets, bottom-up 24-bpp header, 4-byte-padded rows,
+    and pixel (0,0) (image coords → LAST stored row) matches the
+    closed form."""
+    import struct
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    for r in MM.synthesize_bmp_assets(docs).collect():
+        d = int(r["asset_id"])
+        w, h = MM._bmp_dims(d)
+        buf = bytes(r["payload"])
+        assert buf[:2] == b"BM"
+        size, _, _, off = struct.unpack("<IHHI", buf[2:14])
+        assert size == len(buf) and off == 54
+        hdr, bw, bh, planes, bpp = struct.unpack("<IiiHH", buf[14:30])
+        assert (hdr, bw, bh, planes, bpp) == (40, w, h, 1, 24)
+        stride = (w * 3 + 3) // 4 * 4
+        assert stride != w * 3, "widths must exercise row padding"
+        assert len(buf) == off + h * stride
+        # stored row h-1 = image row 0; first 3 bytes are B,G,R of (0,0)
+        p = off + (h - 1) * stride
+        assert buf[p] == (d * 31) % 256       # b(0,0)
+        assert buf[p + 1] == (d * 17) % 256   # g(0,0)
+        assert buf[p + 2] == (d * 23) % 256   # r(0,0)
+
+
+def test_bmp_decode_orientation_sensitive(spark):
+    """topleft_lum must read the LAST stored row (bottom-up format): a
+    payload with its stored rows flipped decodes to a DIFFERENT
+    topleft_lum whenever the closed form differs across rows."""
+    import struct
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") == 1)
+    [r] = MM.synthesize_bmp_assets(docs).collect()
+    buf = bytes(r["payload"])
+    off = 54
+    w, h = MM._bmp_dims(1)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = [buf[off + i * stride : off + (i + 1) * stride] for i in range(h)]
+    flipped = buf[:off] + b"".join(reversed(rows))
+    both = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, bytearray(flipped))],
+        "asset_id long, payload binary",
+    )
+    got = {x["asset_id"]: x for x in MM.decode_bmp_features(both).collect()}
+    assert got[1]["topleft_lum"] == (31 % 256) + (17 % 256) + (23 % 256)
+    assert got[1]["topleft_lum"] != got[2]["topleft_lum"]
+    # means are orientation-invariant — same bytes, same sums
+    assert got[1]["mean_r"] == got[2]["mean_r"]
+
+
+def test_bmp_decode_rejects_corrupt_payload(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"XX" + b"\x00" * 64))],
+        "asset_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="BMP"):
+        MM.decode_bmp_features(bad).collect()
