@@ -946,3 +946,110 @@ def d63b(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
     score = TX.classifier_score_weighted("text", _TRAINED_W)
     return docs.select("doc_id", score.alias("score"), (score > 0).alias("keep"))
+
+
+# --- D82-D84 (round 6): packing / preference pairs / fertility ----------------
+
+
+@query(
+    "d82_concat_chunk_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT source, doc_id, n_tokens, start_offset,
+           start_offset // 512 AS seq_first,
+           (start_offset + n_tokens - 1) // 512 AS seq_last,
+           (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_seqs
+    FROM p ORDER BY source, doc_id
+    """,
+)
+def d82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (llmprep.concat_chunk_packing):
+    per-source token streams cut into 512-token training sequences,
+    documents splitting at boundaries — the zero-waste production
+    packer, closed-form from one running-sum window PARTITIONED BY the
+    shard (d13's next-fit bins are the stateful alternative; this one
+    is fully SQL-replayable). n_seqs audits fragmentation."""
+    docs = T(spark, sf_dir, "documents").select(
+        "source", "doc_id", TX.n_tokens("text").alias("n_tokens")
+    )
+    return LP.concat_chunk_packing(docs, ctx=512).orderBy("source", "doc_id")
+
+
+_QUALITY_SQL = f"""round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct({_WORDS})) / greatest(len({_WORDS}), 1))
+               + 0.3 * (len(list_filter({_WORDS},
+                            x -> list_contains(['the','a','and','of','to','in','is'], lower(x))))
+                        / greatest(len({_WORDS}), 1)), 6)"""
+
+
+@query(
+    "d83_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id, {_QUALITY_SQL} AS s
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, s,
+             row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id) AS r_top,
+             row_number() OVER (PARTITION BY source ORDER BY s ASC, doc_id) AS r_bot
+      FROM scored
+    )
+    SELECT t.source, t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           t.s - b.s AS margin
+    FROM ranked t JOIN ranked b ON t.source = b.source
+    WHERE t.r_top <= 2 AND b.r_bot <= 2 AND t.s > b.s
+    ORDER BY t.source, chosen_id, rejected_id
+    """,
+)
+def d83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (llmprep.preference_pairs):
+    per source group, the top-2 docs by quality score pair with the
+    bottom-2 (strictly ordered only) — the data-prep step that turns
+    scored candidates into (chosen, rejected) training pairs. Both
+    rank windows are running top-k (WindowGroupLimit prunes map-side);
+    the self-join carries ≤ k rows per group per side. Margin is the
+    raw IEEE difference of the deterministic 6dp scores."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.preference_pairs(
+        docs, "source", "doc_id", TX.quality_score("text"), k=2
+    ).orderBy("source", "chosen_id", "rejected_id")
+
+
+@query(
+    "d84_tokenizer_fertility",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len({_WORDS}) AS BIGINT) AS nw,
+             CAST(length(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS nb,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS total_words,
+           CAST(sum(nb) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(nb) AS BIGINT) / greatest(CAST(sum(nw) AS BIGINT), 1) AS fertility,
+           CAST(sum(nc) AS BIGINT) / greatest(CAST(sum(nb) AS BIGINT), 1) AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def d84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (llmprep.tokenizer_fertility): subword
+    tokens per whitespace word and chars per token, by language — the
+    standard does-the-vocabulary-serve-this-language check. Exact
+    integer sums, one unrounded IEEE division each; |langs| output
+    rows, map-side combinable."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.tokenizer_fertility(docs).orderBy("lang")

@@ -776,3 +776,170 @@ def perceptron_weights_df(
     return df.sparkSession.createDataFrame(
         sorted((int(b), int(v)) for b, v in w.items()), "bucket int, weight bigint"
     )
+
+
+# --- D82: concat-and-chunk sequence packing -----------------------------------
+
+
+def concat_chunk_packing(
+    df: DataFrame,
+    ctx: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style sequence packing: within each shard, documents are
+    concatenated in a deterministic total order and the token stream
+    is cut into fixed ``ctx``-token training sequences, documents
+    SPLITTING across sequence boundaries (the standard pretraining
+    packer — unlike ``pack_sequences``' next-fit bins, nothing is
+    wasted and no document placement depends on bin state).
+
+    The whole mapping is closed-form from the running token sum, so it
+    is a pure window projection: per doc,
+    ``start = sum(tokens) over (shard, order) - tokens``,
+    ``seq_first = start // ctx``, ``seq_last = (start+tokens-1) // ctx``.
+    Zero-token documents occupy no span and are excluded (they have no
+    sequence membership).
+
+    Scale shape: ONE running-sum window PARTITIONED BY the shard — the
+    per-shard packing a production pipeline runs anyway (sequences
+    never cross file-shard boundaries, so shards pack in parallel and
+    re-packing one ingest shard never renumbers another). No global
+    window, no iteration, no state.
+
+    Returns (shard, id, n_tokens, start_offset, seq_first, seq_last,
+    n_seqs) — ``n_seqs`` is how many training sequences the document
+    touches (fragmentation audit: avg(n_seqs) near 1 means few splits).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.col(token_col).cast("long")
+    start = F.sum(token_col).over(w) - t
+    seq_first = F.floor(start / ctx).cast("long")
+    seq_last = F.floor((start + t - 1) / ctx).cast("long")
+    return (
+        df.filter(t > 0)
+        .select(
+            shard_col,
+            id_col,
+            t.alias(token_col),
+            start.alias("start_offset"),
+            seq_first.alias("seq_first"),
+            seq_last.alias("seq_last"),
+            (seq_last - seq_first + 1).alias("n_seqs"),
+        )
+    )
+
+
+# --- D83: preference-pair construction (DPO/RLHF data prep) -------------------
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score: Column,
+    k: int = 2,
+) -> DataFrame:
+    """Construct (chosen, rejected) preference pairs per group — the
+    DPO/RLHF data-prep step: within each group (prompt id in a real
+    dataset; any grouping key here), the top-``k`` items by score pair
+    with the bottom-``k``, keeping only strictly-ordered pairs.
+
+    Deterministic: both ranks tiebreak on the id, so the pair set is
+    a pure function of the data. Margin is emitted as the raw double
+    difference of the (already deterministic) scores — IEEE subtraction
+    of identical doubles is bit-identical across engines.
+
+    Scale shape: two rank windows PARTITIONED BY the group (running
+    top-k, so Spark plans WindowGroupLimit — per-partition pruning
+    before the shuffle), then a self-join on the group key where BOTH
+    sides carry ≤ k rows per group — the join output is ≤ k² rows per
+    group regardless of group size.
+    """
+    from pyspark.sql import Window
+
+    scored = df.select(group_col, F.col(id_col), score.alias("__score"))
+    w_top = Window.partitionBy(group_col).orderBy(
+        F.desc("__score"), F.col(id_col)
+    )
+    w_bot = Window.partitionBy(group_col).orderBy(
+        F.asc("__score"), F.col(id_col)
+    )
+    top = (
+        scored.withColumn("__r", F.row_number().over(w_top))
+        .filter(F.col("__r") <= k)
+        .select(
+            group_col,
+            F.col(id_col).alias("chosen_id"),
+            F.col("__score").alias("chosen_score"),
+        )
+    )
+    bot = (
+        scored.withColumn("__r", F.row_number().over(w_bot))
+        .filter(F.col("__r") <= k)
+        .select(
+            group_col,
+            F.col(id_col).alias("rejected_id"),
+            F.col("__score").alias("rejected_score"),
+        )
+    )
+    return (
+        top.join(bot, group_col)
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            group_col,
+            "chosen_id",
+            "rejected_id",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )
+
+
+# --- D84: tokenizer fertility audit -------------------------------------------
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility — the standard tokenizer-quality
+    audit (fertility = subword tokens per whitespace word; high
+    fertility for a language means the vocabulary under-serves it and
+    its effective context shrinks). Also emits chars-per-token, the
+    compression view of the same question.
+
+    Exact integer sums aggregated map-side, one IEEE division each at
+    the end — bit-identical across engines, emitted unrounded. One
+    scan, one tiny shuffle (|groups| rows), no windows.
+    """
+    from etl_cortex_spark.operators.textops import n_bpe_tokens, n_tokens
+
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens(text_col)).alias("total_words"),
+            F.sum(n_bpe_tokens(text_col)).alias("total_bpe_tokens"),
+            F.sum(F.length(text_col).cast("long")).alias("total_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_words",
+            "total_bpe_tokens",
+            (F.col("total_bpe_tokens") / F.greatest("total_words", F.lit(1))).alias(
+                "fertility"
+            ),
+            (F.col("total_chars") / F.greatest("total_bpe_tokens", F.lit(1))).alias(
+                "chars_per_token"
+            ),
+        )
+    )

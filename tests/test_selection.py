@@ -230,3 +230,84 @@ def test_perceptron_weights_partition_invariant(spark):
     a = LP.perceptron_train(df.repartition(1), "doc_id", "text", lab, 64, 3)
     b = LP.perceptron_train(df.repartition(13, "doc_id"), "doc_id", "text", lab, 64, 3)
     assert a == b
+
+
+# --- D82-D84 (round 6) --------------------------------------------------------
+
+
+def test_concat_chunk_packing_covers_stream_exactly(spark):
+    """Per shard: offsets are contiguous (each doc starts where the
+    previous ended), every token is covered exactly once, and the
+    seq_first/seq_last arithmetic matches the offsets."""
+    rows = [
+        (1, "a", 5), (2, "a", 512), (3, "a", 1), (4, "a", 0), (5, "a", 1000),
+        (6, "b", 512), (7, "b", 512),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {
+        r["doc_id"]: r
+        for r in LP.concat_chunk_packing(df, ctx=512).collect()
+    }
+    assert 4 not in out  # zero-token doc occupies no span
+    # shard a: 5 -> [0,5), 512 -> [5,517), 1 -> [517,518), 1000 -> [518,1518)
+    assert out[1]["start_offset"] == 0 and out[1]["seq_first"] == 0
+    assert out[1]["seq_last"] == 0 and out[1]["n_seqs"] == 1
+    assert out[2]["start_offset"] == 5
+    assert (out[2]["seq_first"], out[2]["seq_last"]) == (0, 1)  # splits at 512
+    assert out[3]["start_offset"] == 517 and out[3]["n_seqs"] == 1
+    assert out[5]["start_offset"] == 518
+    assert (out[5]["seq_first"], out[5]["seq_last"]) == (1, 2)
+    # shard b packs independently from offset 0
+    assert out[6]["start_offset"] == 0 and out[6]["n_seqs"] == 1
+    assert out[7]["start_offset"] == 512
+    assert (out[7]["seq_first"], out[7]["seq_last"]) == (1, 1)
+    # exact-fit doc 6 ends on the boundary: seq_last = (0+512-1)//512 = 0
+    assert out[6]["seq_last"] == 0
+
+
+def test_concat_chunk_packing_partition_invariant(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.col("id") % 37 + 1).alias("n_tokens"),
+    )
+    a = sorted(
+        map(tuple, LP.concat_chunk_packing(
+            docs.repartition(1), ctx=64, shard_col="lang").collect())
+    )
+    b = sorted(
+        map(tuple, LP.concat_chunk_packing(
+            docs.repartition(13, "doc_id"), ctx=64, shard_col="lang").collect())
+    )
+    assert a == b
+
+
+def test_preference_pairs_bounds_and_order(spark):
+    rows = [
+        ("g1", 1, 0.9), ("g1", 2, 0.8), ("g1", 3, 0.2), ("g1", 4, 0.1),
+        ("g1", 5, 0.5),
+        ("g2", 6, 0.5), ("g2", 7, 0.5),   # all-equal group -> no pairs
+        ("g3", 8, 1.0),                   # singleton -> no pairs
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, s double")
+    out = LP.preference_pairs(df, "grp", "id", F.col("s"), k=2).collect()
+    pairs = {(r["grp"], r["chosen_id"], r["rejected_id"]) for r in out}
+    # top-2 of g1 = {1,2}, bottom-2 = {3,4}; all 4 combos strictly ordered
+    assert pairs == {("g1", 1, 3), ("g1", 1, 4), ("g1", 2, 3), ("g1", 2, 4)}
+    for r in out:
+        assert r["margin"] > 0
+
+
+def test_tokenizer_fertility_exact_small_case(spark):
+    df = spark.createDataFrame(
+        [("en", "the cat sat"), ("en", "dogs bark"), ("xx", "a-b c")],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r for r in LP.tokenizer_fertility(df).collect()}
+    # en: words 3+2=5, bpe tokens 3+2=5, chars 11+9=20
+    assert out["en"]["total_words"] == 5 and out["en"]["total_bpe_tokens"] == 5
+    assert out["en"]["fertility"] == 1.0
+    assert out["en"]["chars_per_token"] == 20 / 5
+    # xx: words 2 ("a-b", "c"), bpe tokens 4 (a, -, b, c)
+    assert out["xx"]["total_words"] == 2 and out["xx"]["total_bpe_tokens"] == 4
+    assert out["xx"]["fertility"] == 2.0
