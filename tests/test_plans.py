@@ -509,3 +509,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_concat_chunk_packing_window_is_partitioned(spark):
+    """d82's scale contract: the running-sum window is PARTITIONED BY
+    the shard — no partition-less (global) Window node anywhere in the
+    optimized plan (a global running sum would serialize the corpus
+    through one task)."""
+    import re
+
+    df = QUERIES["d82_concat_chunk_packing"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [
+        line.lstrip(" :+-")
+        for line in plan.splitlines()
+        if line.lstrip(" :+-").startswith("Window ")
+    ]
+    assert windows, "expected a Window node"
+    for w in windows:
+        # partitioned: Window [exprs], [partSpec], [orderSpec] — two
+        # '], [' separators; a global window omits the partition list
+        assert len(re.findall(r"\], \[", w)) == 2, f"global window: {w[:90]}"
+
+
+def test_preference_pairs_rank_windows_prune_map_side(spark):
+    """d83's rank filters (row_number <= k over score) must plan as
+    WindowGroupLimit — per-partition top-k pruning BEFORE the group
+    shuffle, so a mega-group contributes k rows per input partition,
+    not its full size."""
+    df = QUERIES["d83_preference_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
