@@ -1736,3 +1736,111 @@ def c72(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.createOrReplaceTempView("c72_orders")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     return spark.sql(_C72_SCRIPT)
+
+
+@query(
+    "c73_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def c73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables + EXECUTE IMMEDIATE (Spark 4 dynamic SQL):
+    DECLARE/SET VAR hold the cutoff date and price floor, and the
+    query text is executed dynamically with `USING` parameter binding
+    — the stored-procedure-style surface (and the safe alternative to
+    string-splicing user input into SQL). The oracle is the same
+    query with the parameters inlined: binding must not change the
+    plan or the result."""
+    orders = T(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("c73_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE c73_cutoff TIMESTAMP "
+        "DEFAULT TIMESTAMP '1990-01-01 00:00:00'"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE c73_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR c73_cutoff = TIMESTAMP '1996-01-01 00:00:00'")
+    spark.sql("SET VAR c73_floor = 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM c73_orders
+           WHERE o_orderdate >= ? AND o_totalprice > ?
+           GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        USING c73_cutoff, c73_floor
+        """
+    )
+
+
+@query(
+    "c74_parameterized_sql",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def c74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized spark.sql (named-marker binding, Spark 3.4+/4):
+    `:lo`/`:hi`/`:qty` markers bound through the `args` dict — the
+    API-level injection-safe query surface (the Python twin of c73's
+    SQL-level EXECUTE IMMEDIATE ... USING). Markers bind as literals
+    in the analyzed plan, so pushdown still reaches the scan; the
+    oracle inlines the same constants."""
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("c74_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM c74_lineitem
+        WHERE l_discount BETWEEN :lo AND :hi AND l_quantity < :qty
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        args={"lo": 0.05, "hi": 0.07, "qty": 24},
+    )
+
+
+@query(
+    "c75_collated_comparison",
+    oracle="""
+    SELECT lower(o_orderpriority) AS prio_ci,
+           count(*) AS n,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders
+    GROUP BY lower(o_orderpriority)
+    ORDER BY prio_ci
+    """,
+)
+def c75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4's COLLATE UTF8_LCASE): grouping on a
+    case-insensitive collated expression — comparison/grouping
+    semantics move into the TYPE instead of wrapping every reference
+    in lower(). The oracle replays with explicit lower() (DuckDB has
+    no session collations); emitting lower() of the group key
+    normalizes the representative row so both engines agree on the
+    output string, not just the grouping."""
+    orders = T(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("c75_orders")
+    return spark.sql(
+        """
+        SELECT lower(prio_ci) AS prio_ci, n, n_status FROM (
+          SELECT o_orderpriority COLLATE UTF8_LCASE AS prio_ci,
+                 count(*) AS n,
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+          FROM c75_orders
+          GROUP BY o_orderpriority COLLATE UTF8_LCASE
+        ) ORDER BY prio_ci
+        """
+    )
