@@ -1053,3 +1053,70 @@ def d84(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, map-side combinable."""
     docs = T(spark, sf_dir, "documents")
     return LP.tokenizer_fertility(docs).orderBy("lang")
+
+
+@query(
+    "d85_curriculum_order",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, doc_id, CAST(len({_WORDS}) AS BIGINT) AS diff
+      FROM documents
+    ),
+    idx AS (
+      SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS i
+      FROM (SELECT DISTINCT lang FROM s)
+    ),
+    n AS (SELECT count(*) AS ns FROM idx),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY diff, doc_id) AS rk
+      FROM s
+    )
+    SELECT r.doc_id, r.lang,
+           CAST(rk AS INT) AS rank_in_stratum,
+           CAST((rk - 1) * ns + i AS BIGINT) AS position
+    FROM r JOIN idx USING (lang) CROSS JOIN n
+    ORDER BY position
+    """,
+)
+def d85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (llmprep.curriculum_order): documents
+    ranked easiest-first (token count, doc_id tiebreak) within each
+    language, strata interleaved round-robin — the reproducible
+    data-ordering half of curriculum learning. One rank window
+    PARTITIONED BY the stratum; stratum index/count come from a
+    |langs|-row broadcast. Positions are unique by arithmetic — no
+    global sort to assign them."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.curriculum_order(
+        docs, "lang", TX.n_tokens("text"), "doc_id"
+    ).orderBy("position")
+
+
+@query(
+    "d86_temperature_mix_plan",
+    oracle="""
+    WITH m AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(sqrt(mass)) AS tot FROM m)
+    SELECT source, mass,
+           round(sqrt(mass) / tot, 6) AS t2_share,
+           CAST(floor(round(sqrt(mass) / tot, 6) * 100000) AS BIGINT)
+             AS target_count
+    FROM m, t ORDER BY source
+    """,
+)
+def d86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture plan (llmprep.temperature_mix_plan,
+    T=2): per-source target counts ∝ sqrt(corpus share) for a
+    100k-unit draw — the standard head-heavy-corpus rebalancing rule.
+    sqrt is the one libm-safe transcendental (IEEE correctly
+    rounded); shares round at 6dp so the |sources|-term sum's
+    last-ULP order sensitivity can't surface. |sources|-row agg + a
+    1-row broadcast total."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.temperature_mix_plan(
+        docs, "source", F.col("n_chars"), budget=100_000
+    ).orderBy("source")

@@ -943,3 +943,106 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+# --- D85: curriculum ordering --------------------------------------------------
+
+
+def curriculum_order(
+    df: DataFrame,
+    stratum_col: str,
+    difficulty: Column,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic curriculum training order: rank documents easiest-
+    first WITHIN each stratum, then interleave the strata round-robin —
+    position = (rank−1)·n_strata + stratum_index. Every training step
+    sees the next-easiest doc of the next stratum, so difficulty ramps
+    while the mix stays balanced batch-by-batch (the reproducible
+    data-ordering half of curriculum learning: same corpus → same
+    order, any engine, any partitioning).
+
+    Scale shape: ONE rank window PARTITIONED BY the stratum (never
+    global); the stratum index and count come from a |strata|-row
+    aggregate broadcast back onto the rows. Positions are unique
+    across the corpus by construction (rank × index arithmetic), no
+    global sort needed to ASSIGN them — only the consumer's writer
+    orders by position, and that is a sort on a dense integer key.
+    """
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(stratum_col), F.col(id_col), difficulty.alias("__diff")
+    )
+    strata = (
+        s.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            stratum_col,
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.lit(0)).orderBy(stratum_col)
+                )
+                - 1
+            ).alias("__idx"),
+        )
+        .crossJoin(
+            F.broadcast(
+                s.select(stratum_col)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("__n_strata"))
+            )
+        )
+    )
+    w = Window.partitionBy(stratum_col).orderBy("__diff", id_col)
+    ranked = s.withColumn("__rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(strata), stratum_col)
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.col("__rank").alias("rank_in_stratum"),
+            (
+                (F.col("__rank") - 1).cast("long") * F.col("__n_strata")
+                + F.col("__idx")
+            ).alias("position"),
+        )
+    )
+
+
+# --- D86: temperature-scaled mixture planning ----------------------------------
+
+
+def temperature_mix_plan(
+    df: DataFrame,
+    source_col: str,
+    weight: Column,
+    budget: int,
+) -> DataFrame:
+    """Temperature-scaled sampling plan (the multilingual/multi-source
+    rebalancing rule, T=2): a source's target share ∝ sqrt(its corpus
+    share), which up-weights small sources without letting any one
+    dominate — the standard mitigation for head-heavy corpora. Emits
+    per source the raw mass, the T=2 share, and the integer target
+    count for a ``budget``-unit draw (floor; the remainder is the
+    caller's rounding policy).
+
+    Determinism: sqrt is IEEE-correctly-rounded (the ONE libm-safe
+    transcendental), shares are rounded at 6dp so the |sources|-term
+    double sum's last-ULP order sensitivity can't surface. Everything
+    is one |sources|-row aggregate + a 1-row broadcast total —
+    nothing scales with the corpus but the first scan.
+    """
+    mass = df.groupBy(source_col).agg(F.sum(weight).alias("mass"))
+    total = mass.agg(F.sum(F.sqrt("mass")).alias("__tot"))
+    return (
+        mass.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.col("mass").cast("long").alias("mass"),
+            F.round(F.sqrt("mass") / F.col("__tot"), 6).alias("t2_share"),
+            F.floor(
+                F.round(F.sqrt("mass") / F.col("__tot"), 6) * budget
+            ).cast("long").alias("target_count"),
+        )
+    )

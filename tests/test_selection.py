@@ -311,3 +311,44 @@ def test_tokenizer_fertility_exact_small_case(spark):
     # xx: words 2 ("a-b", "c"), bpe tokens 4 (a, -, b, c)
     assert out["xx"]["total_words"] == 2 and out["xx"]["total_bpe_tokens"] == 4
     assert out["xx"]["fertility"] == 2.0
+
+
+def test_curriculum_order_interleaves_strata(spark):
+    rows = [
+        (1, "short", "en"), (2, "a bit longer text", "en"),
+        (3, "x", "fr"), (4, "deux mots la", "fr"),
+    ]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in LP.curriculum_order(
+        df, "lang", F.size(F.split("text", r"\s+")), "doc_id").collect()}
+    # en idx 0, fr idx 1; rank 1 easiest
+    assert out[1]["position"] == 0   # en rank1
+    assert out[3]["position"] == 1   # fr rank1
+    assert out[2]["position"] == 2   # en rank2
+    assert out[4]["position"] == 3   # fr rank2
+    # positions are unique and dense
+    assert sorted(r["position"] for r in out.values()) == [0, 1, 2, 3]
+
+
+def test_curriculum_order_partition_invariant(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.repeat(F.lit("x "), (F.col("id") % 17).cast("int"))).alias("text"),
+        F.concat(F.lit("l"), (F.col("id") % 4).cast("string")).alias("lang"),
+    )
+    d = F.size(F.split("text", r"\s+"))
+    a = sorted(map(tuple, LP.curriculum_order(docs.repartition(1), "lang", d, "doc_id").collect()))
+    b = sorted(map(tuple, LP.curriculum_order(docs.repartition(7, "doc_id"), "lang", d, "doc_id").collect()))
+    assert a == b
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    rows = [("big", 1, 9000), ("big", 2, 7000), ("small", 3, 1000)]
+    df = spark.createDataFrame(rows, "source string, id long, n long")
+    out = {r["source"]: r for r in LP.temperature_mix_plan(
+        df, "source", F.col("n"), budget=1000).collect()}
+    # raw shares: big 16/17, small 1/17; T=2 shares: 4/5, 1/5
+    assert out["big"]["mass"] == 16000 and out["small"]["mass"] == 1000
+    assert abs(out["small"]["t2_share"] - 0.2) < 1e-9
+    assert out["small"]["t2_share"] > 1000 / 17000  # upweighted
+    assert out["big"]["target_count"] + out["small"]["target_count"] <= 1000
