@@ -78,6 +78,10 @@ _REVERIFY_NOW: dict[str, int] = {
     "d67_dsir_select": 6,
     "d79_image_tile_plan": 6,
     "scale_incremental_join": 6,
+    # bm25_topk's posting frame became a persisted inverted index
+    # (plan-only change; both consumers re-verified at sf0.01).
+    "d19_bm25_topk": 6,
+    "d56_hybrid_rrf": 6,
 }
 
 

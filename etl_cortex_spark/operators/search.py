@@ -56,7 +56,17 @@ def bm25_topk(
         F.size(w).alias("dl"),
         F.explode(F.filter(w, lambda t: F.array_contains(terms_lit, t))).alias("term"),
     )
-    tf = hits.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The posting frame is read TWICE (document-frequency build + the
+    # scoring join); persisting it is the inverted-index materialization
+    # every real search system does — without it each consumer
+    # re-tokenizes the whole corpus (the dedup.py:115 pattern).
+    from pyspark import StorageLevel
+
+    tf = (
+        hits.groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     stats = docs.select(
         F.count(F.lit(1)).alias("n_docs"),
