@@ -1844,3 +1844,68 @@ def c75(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) ORDER BY prio_ci
         """
     )
+
+
+@query(
+    "c76_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 40 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def c76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML (Spark 4's built-in XML support, formerly the
+    spark-xml package): each order is serialized with `to_xml` and
+    parsed back with `from_xml` under a typed schema — the d05-WAV
+    proof shape for the XML ingest surface. The oracle never sees the
+    XML: it selects the original columns, so a match proves the
+    serialize→parse round-trip is lossless, including doubles (Java's
+    shortest-round-trip decimal rendering parses back bit-exact)."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    xml = orders.select(
+        F.expr(
+            "to_xml(struct(o_orderkey, o_totalprice, o_orderpriority))"
+        ).alias("xml")
+    )
+    parsed = xml.select(
+        F.expr(
+            "from_xml(xml, 'o_orderkey BIGINT, o_totalprice DOUBLE, "
+            "o_orderpriority STRING')"
+        ).alias("p")
+    )
+    return parsed.select("p.o_orderkey", "p.o_totalprice", "p.o_orderpriority").orderBy(
+        "o_orderkey"
+    )
+
+
+@query(
+    "c77_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 24.0, 0.0) AS ratio,
+           CAST(NULL AS BIGINT) AS overflowed,
+           list_extract(string_split(l_returnflag, ' '), 99) AS elem99
+    FROM lineitem WHERE l_orderkey % 100 = 0 AND l_orderkey > 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def c77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic (`try_*` functions): division
+    by zero, BIGINT overflow, and out-of-range element access all
+    yield NULL instead of failing the job — the semantics a pipeline
+    needs to survive dirty data under ANSI SQL (Spark 4's default).
+    The oracle replays with DuckDB's native NULL-safe forms
+    (NULLIF-guarded division; list_extract is out-of-range-NULL by
+    design; the guaranteed overflow is a typed NULL literal)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 100 == 0) & (F.col("l_orderkey") > 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_extendedprice, l_quantity - 24.0)").alias("ratio"),
+        # every kept orderkey is positive, so MAX + key always overflows
+        F.expr("try_add(9223372036854775807, l_orderkey)").alias("overflowed"),
+        F.expr("try_element_at(split(l_returnflag, ' '), 99)").alias("elem99"),
+    ).orderBy("l_orderkey", "l_linenumber")
