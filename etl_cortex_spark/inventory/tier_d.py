@@ -1122,3 +1122,96 @@ def d08e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "d87_incremental_exact_dedup",
+    oracle="""
+    WITH newb AS (
+      SELECT doc_id + 30000000 AS doc_id, text
+      FROM documents WHERE doc_id % 30 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, 'fresh ' || text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 40000000, 'fresh ' || text
+      FROM documents WHERE doc_id % 40 = 0
+    ),
+    seen AS (SELECT DISTINCT sha256(text) AS digest FROM documents),
+    batch_first AS (
+      SELECT sha256(text) AS digest, min(doc_id) AS doc_id
+      FROM newb GROUP BY sha256(text)
+    )
+    SELECT doc_id, digest FROM batch_first
+    WHERE digest NOT IN (SELECT digest FROM seen)
+    ORDER BY doc_id
+    """,
+)
+def d87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup (dedup.incremental_exact_dedup) — the
+    per-batch maintenance path of D1, completing the probe family
+    (exact here, LSH in d59, prefix-filter in D59b): verbatim copies
+    of every 30th doc must be dropped against the existing digest
+    index, 'fresh '-prefixed copies of every 20th doc survive, and the
+    %40 slice seeds IN-batch duplicates of those (same fresh text, two
+    new ids) where only the min id survives. The existing side reduces
+    to distinct digests — the persisted dedup index at scale."""
+    docs = T(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 30 == 0)
+        .select((F.col("doc_id") + 30_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 40_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return DD.incremental_exact_dedup(docs, new).orderBy("doc_id")
+
+
+@query(
+    "d88_distinctive_terms",
+    oracle=f"""
+    WITH gt AS (
+      SELECT source, unnest({_WORDS}) AS term
+      FROM documents
+    ),
+    cnts AS (SELECT source, term, count(*) AS cnt FROM gt GROUP BY source, term),
+    g_tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS g_tot FROM cnts GROUP BY source),
+    t_tot AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS t_tot FROM cnts GROUP BY term),
+    c_tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS c_tot FROM cnts),
+    lifted AS (
+      SELECT c.source, c.term, c.cnt,
+             (c.cnt / g_tot.g_tot) / (t_tot.t_tot / c_tot.c_tot) AS lift
+      FROM cnts c JOIN g_tot USING (source) JOIN t_tot USING (term) CROSS JOIN c_tot
+      WHERE c.cnt >= 5
+    ),
+    ranked AS (
+      SELECT source, term, cnt, lift,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY lift DESC, term)
+                  AS INT) AS rank
+      FROM lifted
+    )
+    SELECT source, term, cnt, lift, rank FROM ranked WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+)
+def d88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (textops.distinctive_terms) —
+    the log-free core of c-TF-IDF: lift = in-group term share over
+    corpus term share, top-5 per source. Counts are exact integers;
+    lift is a quotient of two IEEE divisions emitted UNROUNDED (a
+    round() would be the one cross-engine divergence). Corpus totals
+    derive FROM the group counts — one scan; the top-k rank window is
+    per-source (WindowGroupLimit)."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.distinctive_terms(docs, "source", "text", k=5, min_count=5).orderBy(
+        "source", "rank"
+    )

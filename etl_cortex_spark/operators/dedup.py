@@ -818,3 +818,38 @@ def near_dedup(
     return df.join(
         survivors, df[id_col] == survivors["node"], "left_semi"
     )
+
+
+def incremental_exact_dedup(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW ingest batch against an EXISTING corpus —
+    the per-batch maintenance path of D1, the exact-hash sibling of the
+    LSH/prefix probes: a new document survives iff its content digest
+    appears neither in the existing corpus nor earlier (by id) within
+    its own batch.
+
+    Scale shape: the existing side reduces to DISTINCT digests — at
+    production scale that digest set IS the persisted dedup index
+    (bucketed by digest, appended per batch), so the anti join is
+    digest-keyed and payload-free; the in-batch tiebreak is the same
+    min-struct aggregate as ``exact_dedup`` (map-side combinable, one
+    candidate per digest per partition). Nothing rescans existing
+    payloads.
+
+    Returns the surviving new rows (id, digest) ordered by id.
+    """
+    digest = F.sha2(F.col(text_col).cast("binary"), 256)
+    seen = existing.select(digest.alias("__digest")).distinct()
+    packed = new.select(digest.alias("__digest"), F.col(id_col))
+    batch_first = (
+        packed.groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        batch_first.join(seen, "__digest", "left_anti")
+        .select(id_col, F.col("__digest").alias("digest"))
+    )

@@ -621,3 +621,62 @@ def md5_bucket(tok: Column, n_buckets: int) -> Column:
     v1 = _hex_val(F.substring(h, 1, 1))
     v2 = _hex_val(F.substring(h, 2, 1))
     return ((v1 * 16 + v2) % n_buckets).cast("int")
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-group distinctive vocabulary by LIFT — the corpus-audit /
+    topic-labeling step (the log-free core of c-TF-IDF): for each
+    (group, term), lift = (term share within the group) / (term share
+    in the whole corpus); the top-k lifted terms characterize what a
+    group talks about that the rest of the corpus does not.
+
+    Deterministic and oracle-exact: counts are exact integers and lift
+    is a quotient of two IEEE divisions of exact integers — no log, no
+    libm variance (ln-based c-TF-IDF would pit Math.log ULPs against
+    the oracle's), and the double is emitted UNROUNDED (identical
+    inputs → identical doubles → identical strings; a round() here is
+    the one op whose last decimal can differ across engines).
+    ``min_count`` drops rare-term noise.
+
+    Scale shape: one explode→(group, term) count (map-side combined),
+    corpus term totals derived FROM the group counts (an aggregate of
+    the aggregate — never a second scan), broadcast-joined back; the
+    final top-k is a rank window over (group) — WindowGroupLimit
+    prunes per-partition.
+    """
+    from pyspark.sql import Window
+
+    gt = (
+        docs.select(F.col(group_col), F.explode(words(text_col)).alias("__t"))
+        .groupBy(group_col, "__t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    group_tot = gt.groupBy(group_col).agg(F.sum("cnt").alias("g_tot"))
+    term_tot = gt.groupBy("__t").agg(F.sum("cnt").alias("t_tot"))
+    corpus_tot = gt.agg(F.sum("cnt").alias("c_tot"))
+    lift = (F.col("cnt") / F.col("g_tot")) / (F.col("t_tot") / F.col("c_tot"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("lift"), F.asc("__t")
+    )
+    return (
+        gt.filter(F.col("cnt") >= min_count)
+        .join(F.broadcast(group_tot), group_col)
+        .join(term_tot, "__t")
+        .crossJoin(F.broadcast(corpus_tot))
+        .withColumn("lift", lift)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            F.col("__t").alias("term"),
+            "cnt",
+            "lift",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
