@@ -1909,3 +1909,42 @@ def c77(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_add(9223372036854775807, l_orderkey)").alias("overflowed"),
         F.expr("try_element_at(split(l_returnflag, ' '), 99)").alias("elem99"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "c78_window_exclude_current",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(event_id) OVER w AS BIGINT) AS peer_sum,
+           CAST(count(*) OVER w AS BIGINT) AS peer_cnt
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def c78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames with EXCLUDE CURRENT ROW — the peer-comparison
+    frame (how do my neighbors look, not counting me) that DuckDB/
+    Postgres support natively and Spark lacks. The Spark rewrite is
+    the standard identity: aggregate over the FULL frame minus the
+    current row's contribution — exact for sums/counts of integers
+    (no fp re-association), and the oracle runs DuckDB's NATIVE
+    EXCLUDE so the rewrite is proven equivalent, not self-checked.
+    Per-user frames only (partitioned window, scale-safe)."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, 2)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum("event_id").over(w) - F.col("event_id")).alias("peer_sum"),
+        (F.count(F.lit(1)).over(w) - 1).alias("peer_cnt"),
+    ).orderBy("user_id", "event_id")

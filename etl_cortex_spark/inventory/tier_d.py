@@ -1215,3 +1215,40 @@ def d88(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.distinctive_terms(docs, "source", "text", k=5, min_count=5).orderBy(
         "source", "rank"
     )
+
+
+@query(
+    "d89_winnowing_fingerprints",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, greatest(len({_WORDS}) - 1, 2)),
+                              i -> array_to_string(array_slice({_WORDS}, i, i + 2), ' ')),
+               g -> substr(md5(g), 1, 16)) AS hashes
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hashes) - 2, 2)),
+               i -> list_min(array_slice(hashes, i, i + 3)))) AS fps
+      FROM h
+    )
+    SELECT DISTINCT doc_id, unnest(fps) AS fingerprint
+    FROM sel ORDER BY doc_id, fingerprint
+    """,
+)
+def d89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textops.winnowing_fingerprints — the
+    MOSS algorithm, Schleimer et al. SIGMOD 2003): window-minimum
+    selection over the k-gram hash sequence guarantees any shared run
+    of >= window+k-1 grams shares a fingerprint at ~2/(window+1)
+    density — the bounded signature set for plagiarism/overlap
+    detection. Pure HOFs per document (zero shuffles before the
+    dedup); md5-prefix hashing so the oracle selects the IDENTICAL
+    fingerprints."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return TX.winnowing_fingerprints(docs, k=3, window=4).orderBy(
+        "doc_id", "fingerprint"
+    )

@@ -680,3 +680,44 @@ def distinctive_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> Column | DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS algorithm): hash every word k-gram, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    MINIMUM hash, emit the distinct selected hashes per document.
+    Guarantees: any match of length ≥ window+k-1 grams shares a
+    fingerprint, and the density is ~2/(window+1) — the bounded-size
+    signature set plagiarism/overlap detection needs, far smaller than
+    the full gram set.
+
+    All HOFs over the per-document gram array — zero shuffles before
+    the caller's aggregation; the hash is md5-prefix (engine-portable,
+    so the DuckDB oracle selects the very same fingerprints).
+    Documents shorter than one window still emit the minimum of what
+    they have (the standard boundary rule).
+
+    Returns (id, fingerprint) exploded rows.
+    """
+    w = words(text_col)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    m = F.size(hashes)
+    starts = F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1)))
+    selected = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, window)))
+    )
+    return docs.select(
+        F.col(id_col), F.explode(selected).alias("fingerprint")
+    ).dropDuplicates([id_col, "fingerprint"])
