@@ -82,6 +82,10 @@ _REVERIFY_NOW: dict[str, int] = {
     # (plan-only change; both consumers re-verified at sf0.01).
     "d19_bm25_topk": 6,
     "d56_hybrid_rrf": 6,
+    # b26's three ntile windows were data-sized global windows (the
+    # c69 class, found by the round-6 repo-wide plan audit); swapped
+    # to skew.global_ntile — hash-identical at all 3 SFs.
+    "b26_rfm_segments": 6,
 }
 
 

@@ -814,14 +814,23 @@ def b26(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases",
         )
     )
-    from pyspark.sql import Window as W
+    # Round-6 fix: the windowed ntile(4) OVER (ORDER BY ...) funnels
+    # EVERY user through one task, three times — the c69-class
+    # data-sized global window. global_ntile (skew.py) is the
+    # two-phase distributed rank with identical SQL-ntile semantics.
+    from etl_cortex_spark.operators.skew import global_ntile
 
-    r = F.ntile(4).over(W.orderBy("recency_days", "user_id"))
-    f = F.ntile(4).over(W.orderBy(F.desc("frequency"), "user_id"))
-    m = F.ntile(4).over(W.orderBy(F.desc("n_purchases"), "user_id"))
-    scored = per_user.select(
+    scored = global_ntile(
+        per_user, 4, [F.col("recency_days"), F.col("user_id")], "r_quartile"
+    )
+    scored = global_ntile(
+        scored, 4, [F.desc("frequency"), F.col("user_id")], "f_quartile"
+    )
+    scored = global_ntile(
+        scored, 4, [F.desc("n_purchases"), F.col("user_id")], "m_quartile"
+    ).select(
         "user_id", "recency_days", "frequency", "n_purchases",
-        r.alias("r_quartile"), f.alias("f_quartile"), m.alias("m_quartile"),
+        "r_quartile", "f_quartile", "m_quartile",
     )
     seg = (
         F.when((F.col("r_quartile") == 1) & (F.col("f_quartile") == 1), "champion")

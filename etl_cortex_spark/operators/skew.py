@@ -100,3 +100,90 @@ def salted_broadcast_left(
     )
     joined = l.join(r, on + ["__salt"], how)
     return joined.drop("__salt")
+
+
+def global_rank(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    rank_col: str = "global_rank",
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based rank under a global TOTAL order — withOUT a
+    partition-less window (the third thing AQE can't fix: a global
+    ntile/rank funnels the whole frame through ONE task; this is the
+    classic two-phase distributed rank instead):
+
+    1. ``repartitionByRange`` on the order expressions → partitions
+       are non-overlapping key ranges, PERSISTED so the pid→count
+       census and the rank job see the identical placement.
+    2. A |partitions|-row census gives each partition its global
+       offset (bounded driver state, the k-means pattern).
+    3. global rank = offset[pid] + row_number within the partition —
+       a PARTITIONED window, so every task ranks only its own range.
+
+    The order must be TOTAL (include a unique tiebreak column) for
+    the result to be deterministic. Returns (ranked df, total rows).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    n_partitions = (
+        n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    parted = (
+        df.repartitionByRange(n_partitions, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    if not offsets:
+        return parted.withColumn(rank_col, F.lit(None).cast("long")).drop(
+            "__pid"
+        ), 0
+    omap = F.create_map(
+        *[
+            x
+            for pid, off in sorted(offsets.items())
+            for x in (F.lit(pid), F.lit(off))
+        ]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_exprs)
+    ranked = parted.withColumn(
+        rank_col,
+        (omap[F.col("__pid")] + F.row_number().over(w)).cast("long"),
+    ).drop("__pid")
+    return ranked, acc
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_exprs: Sequence[Column],
+    out_col: str = "ntile",
+) -> DataFrame:
+    """SQL ``ntile(b) OVER (ORDER BY ...)`` semantics at scale: the
+    first ``n mod b`` buckets take ``n div b + 1`` rows, the rest
+    ``n div b`` — computed from the two-phase ``global_rank`` and the
+    exact total, so no data-sized single partition exists anywhere.
+    Order must be total (tiebreak column included) to match the
+    windowed ntile bit-for-bit."""
+    ranked, n = global_rank(df, order_exprs, rank_col="__r")
+    q, rem = divmod(n, n_buckets) if n else (0, 0)
+    r = F.col("__r")
+    if q == 0:
+        bucket = r  # n < b: one row per bucket
+    else:
+        big = rem * (q + 1)
+        bucket = F.when(r <= big, F.ceil(r / (q + 1))).otherwise(
+            rem + F.ceil((r - big) / q)
+        )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__r")

@@ -540,3 +540,48 @@ def test_preference_pairs_rank_windows_prune_map_side(spark):
     df = QUERIES["d83_preference_pairs"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_no_data_sized_global_window_anywhere_in_registry(spark):
+    """Repo-wide scale audit (the c69/b26 class): every registry
+    entry's optimized plan is scanned for GLOBAL Window nodes (empty
+    partition spec). The allowlist carries the entries whose global
+    window runs over a provably BOUNDED input (top-k pools, the
+    funnel-step constant, |strata|/|sources| rows) with the expected
+    node count — anything else funnels data-sized input through one
+    task and fails here. Detector: a Window node prints
+    ``Window [exprs], [partSpec], [orderSpec]``; with an empty
+    partition spec the middle group is omitted, leaving the order
+    spec (ASC/DESC markers) as the second of two groups. A
+    partition-WITHOUT-order window also prints two groups but its
+    second group has no sort direction — not global.
+    Streaming/sink/datasource entries execute work in their builders
+    and are covered by their own pytest files, so they're skipped."""
+    import re
+
+    BOUNDED_GLOBAL = {
+        "b18_funnel_steps": 1,        # |funnel steps| rows
+        "d23_vocab_coverage": 1,      # top-k bounded (limit before window)
+        "d56_hybrid_rrf": 2,          # retrieval pools (<= pool rows)
+        "d85_curriculum_order": 1,    # |strata| rows
+        "d80_source_concentration": 1,  # |sources| rows
+    }
+    SKIP = ("stream_", "sink_", "pyds_")
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name.startswith(SKIP):
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        n = 0
+        for line in plan.splitlines():
+            s = line.lstrip(" :+-")
+            if not s.startswith("Window "):
+                continue
+            groups = re.split(r"\], \[", s)
+            if len(groups) <= 1 or (
+                len(groups) == 2 and re.search(r" (ASC|DESC)", groups[1])
+            ):
+                n += 1
+        if n > BOUNDED_GLOBAL.get(name, 0):
+            bad[name] = n
+    assert not bad, f"data-sized global windows: {bad}"

@@ -72,3 +72,73 @@ def test_salted_join_left_outer(spark, skewed):
         .count()
     )
     assert plain == salted == 1000
+
+# --- round 6: distributed global rank / ntile --------------------------------
+
+
+def _ntile_ref(spark, df, b, order_cols):
+    from pyspark.sql import Window
+
+    return {
+        r["k"]: r["nt"]
+        for r in df.select(
+            F.col("k"), F.ntile(b).over(Window.orderBy(*order_cols)).alias("nt")
+        ).collect()
+    }
+
+
+def test_global_ntile_matches_windowed_ntile(spark):
+    """global_ntile must equal SQL ntile bit-for-bit, including the
+    uneven case (n % b != 0) where the first n%b buckets are larger."""
+    from etl_cortex_spark.operators.skew import global_ntile
+
+    for n in (7, 8, 101):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 37 % 11).alias("v")
+        )
+        order = [F.desc("v"), F.col("k")]
+        want = _ntile_ref(spark, df, 4, order)
+        got = {
+            r["k"]: r["q"]
+            for r in global_ntile(df, 4, order, "q").collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_global_rank_is_total_and_partition_invariant(spark):
+    from etl_cortex_spark.operators.skew import global_rank
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 13 % 7).alias("v")
+    )
+    order = [F.col("v"), F.col("k")]
+    ranked, n = global_rank(df.repartition(9), order, "r")
+    rows = ranked.collect()
+    assert n == 200
+    assert sorted(r["r"] for r in rows) == list(range(1, 201))
+    ranked2, _ = global_rank(df.repartition(1), order, "r")
+    assert {(r["k"], r["r"]) for r in rows} == {
+        (r["k"], r["r"]) for r in ranked2.collect()
+    }
+
+
+def test_global_ntile_plan_has_no_global_window(spark):
+    """The whole point: every Window node in the plan must carry a
+    partition spec (the __pid partition), never an empty one."""
+    from etl_cortex_spark.operators.skew import global_ntile
+
+    df = spark.range(50).select(F.col("id").alias("k"))
+    plan = (
+        global_ntile(df, 4, [F.col("k")], "q")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-")
+        if s.startswith("Window "):
+            import re
+
+            groups = re.split(r"\], \[", s)
+            # 3 groups = [exprs], [partition], [order] — partitioned
+            assert len(groups) == 3, f"global window in plan: {s[:90]}"
