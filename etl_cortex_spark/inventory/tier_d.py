@@ -1252,3 +1252,44 @@ def d89(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnowing_fingerprints(docs, k=3, window=4).orderBy(
         "doc_id", "fingerprint"
     )
+
+
+_D92_SUMS = ", ".join(f"sum(qv[{i}])" for i in range(1, 65))
+
+
+@query(
+    "d92_embedding_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    s AS (SELECT count(*) AS n, [{_D92_SUMS}] AS sv FROM q),
+    d AS (
+      SELECT vec_id, s.n AS n,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(s.n * qv[i] - s.sv[i] AS DOUBLE)
+                    * CAST(s.n * qv[i] - s.sv[i] AS DOUBLE))) AS d2
+      FROM q, s
+    )
+    SELECT vec_id, round(sqrt(d2) / (1000.0 * n), 6) AS dist
+    FROM d ORDER BY d2 DESC, vec_id LIMIT 20
+    """,
+)
+def d92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D92: embedding outlier audit (similarity.quantized_centroid_
+    outliers) — top-20 vectors farthest from the corpus centroid, the
+    hygiene pass that catches corrupt encodes before they poison an
+    ANN index or a semantic-dedup pass. The centroid moments are
+    integer-quantized so they are exact and summation-ORDER-FREE
+    (a double avg() differs between Spark's partial aggregates and
+    any single-threaded oracle in the last ULP — a cut on that noise
+    is unreproducible); the distance uses the exact residual n·q−S,
+    never dividing until the final display value. One moment-agg pass
+    → 1-row broadcast → column-side distance → TakeOrdered: the
+    vectors are never shuffled at any scale."""
+    return SIM.quantized_centroid_outliers(
+        T(spark, sf_dir, "embeddings"), dim=64, scale=1000, topk=20
+    )

@@ -1120,3 +1120,75 @@ def d86(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LP.temperature_mix_plan(
         docs, "source", F.col("n_chars"), budget=100_000
     ).orderBy("source")
+
+
+@query(
+    "d91_bloom_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(5)} AS sh FROM documents
+    ),
+    bsets AS (
+      SELECT list(DISTINCT substr(md5(gram), 1, 4)) AS s0,
+             list(DISTINCT substr(md5(gram), 9, 4)) AS s1,
+             list(DISTINCT substr(md5(gram), 17, 4)) AS s2
+      FROM (SELECT unnest({_shingles_sql(5)}) AS gram
+            FROM documents WHERE doc_id % 97 = 0)
+    ),
+    probed AS (
+      SELECT doc_id, len(sh) AS n_grams,
+             len(list_filter(sh, g ->
+               list_contains(b.s0, substr(md5(g), 1, 4)) AND
+               list_contains(b.s1, substr(md5(g), 9, 4)) AND
+               list_contains(b.s2, substr(md5(g), 17, 4)))) AS n_candidates
+      FROM sh, bsets b
+    )
+    SELECT doc_id, n_grams, n_candidates,
+           round(n_candidates / greatest(n_grams, 1), 6) AS bloom_overlap
+    FROM probed
+    WHERE n_candidates / greatest(n_grams, 1) >= 0.5
+    ORDER BY doc_id
+    """,
+)
+def d91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D91: Bloom-filter decontamination — the sketch-state variant of
+    D12's exact gram join. D12 broadcasts the benchmark's DISTINCT
+    gram-hash set, which grows with the benchmark; here the benchmark
+    grams are folded into a k=3 partitioned Bloom filter
+    (operators/sketch.bloom_build: three md5-window banks, each
+    bounded at 65536 4-hex-char entries ≈ ≤1.5 MB) so the broadcast
+    stays CONSTANT-size no matter how many eval sets are unioned in,
+    and the probe is a pure column expression over each doc's shingle
+    array — membership testing with NO join and NO explode: the only
+    shuffles in the whole plan are the filter-build aggregate (3·65536
+    strings max, map-side combined) and the final orderBy. Zero false
+    negatives by construction (a built-in gram always finds its three
+    banks set), so the flagged set provably covers D12's exact flagged
+    set — pinned as a superset property in tests/test_sketch.py. The
+    oracle replays the identical md5-window arithmetic in DuckDB, so
+    the hash match proves the filter semantics, not just the plumbing."""
+    from etl_cortex_spark.operators import sketch as SK
+    from etl_cortex_spark.operators.textops import shingles
+
+    docs = T(spark, sf_dir, "documents")
+    bench_grams = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.explode(shingles(F.col("text"), 5)).alias("gram")
+    )
+    filt = SK.bloom_build(bench_grams, "gram")
+    probed = (
+        docs.select("doc_id", shingles(F.col("text"), 5).alias("sh"))
+        .crossJoin(F.broadcast(filt))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_grams"),
+            F.size(F.filter("sh", SK.bloom_might_contain)).alias("n_candidates"),
+        )
+    )
+    return (
+        probed.withColumn(
+            "bloom_overlap",
+            F.round(F.col("n_candidates") / F.greatest("n_grams", F.lit(1)), 6),
+        )
+        .filter(F.col("n_candidates") / F.greatest("n_grams", F.lit(1)) >= 0.5)
+        .orderBy("doc_id")
+    )

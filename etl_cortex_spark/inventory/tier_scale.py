@@ -565,3 +565,148 @@ def scale_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         view, delta, right, ["o_orderkey"], "o_custkey"
     )
     return maintained.orderBy("o_orderkey")
+
+
+@query(
+    "scale_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the ingest-time discipline that makes
+    the biggest recurring join in a warehouse SHUFFLE-FREE: lineitem
+    and orders are written once as Spark bucketed tables (8 buckets,
+    hash(l_orderkey/o_orderkey), sortBy within buckets), so every
+    subsequent join on the order key is a ZERO-EXCHANGE merge of
+    pre-matched bucket files. At 100 TB the fact-fact orderkey join is
+    THE shuffle bill (both sides big → no broadcast; salting fixes
+    skew, not volume) and bucketing is the standing answer: pay one
+    layout write at ingest, then every downstream join/agg on that key
+    reads co-located buckets. The plan contract (SortMergeJoin with
+    zero Exchange nodes) is pinned in tests/test_plans.py; the oracle
+    is the naive join, so the hash match proves the layout changes
+    nothing but the plan. Two honest caveats: the within-bucket Sort
+    nodes remain — Spark 3+ only trusts sortBy order behind
+    spark.sql.legacy.bucketedTableScan.outputOrdering since multi-file
+    buckets can't guarantee it — but they are LOCAL sorts of
+    pre-clustered rows, no network; and the `merge` hint only rules
+    out broadcast at toy SF — at production SF the optimizer picks
+    SMJ on its own."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    def ensure_bucketed(df: DataFrame, name: str, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # the catalog is per-session (in-memory) but the warehouse dir
+        # persists — clear a dead session's leftover location first
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        # repartition on the bucket key with n_partitions == n_buckets:
+        # every bucket's rows land in exactly one write task → exactly
+        # one file per bucket, which is the condition under which the
+        # scan reports its sortBy order and the merge join needs no
+        # Sort either (multi-file buckets would force a re-sort).
+        (
+            df.repartition(8, key)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(os.path.normpath(sf_dir)).lower())
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    ensure_bucketed(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        lt,
+        "l_orderkey",
+    )
+    ensure_bucketed(
+        T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot,
+        "o_orderkey",
+    )
+    li, o = spark.table(lt), spark.table(ot)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "scale_dynamic_partition_pruning",
+    oracle="""
+    WITH dim(d_year, d_tag) AS (
+      VALUES (1995, 'archive'), (1996, 'focus'), (1997, 'archive'),
+             (1998, 'focus'), (1999, 'archive'), (2000, 'archive'),
+             (2001, 'archive')
+    )
+    SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders o JOIN dim d ON year(CAST(o_orderdate AS TIMESTAMP)) = d.d_year
+    WHERE d.d_tag = 'focus'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — partition pruning when the pruning
+    predicate only exists on the OTHER side of a join: orders are laid
+    out hive-partitioned by year (the ingest-time discipline for any
+    date-keyed 100 TB fact), the filter selects dim rows tagged
+    'focus', and Catalyst turns the broadcast dim's key set into a
+    runtime PartitionFilter on the fact scan (`dynamicpruning#` in the
+    plan, pinned in tests/test_plans.py) — the fact table reads 2 of 7
+    year directories without the query ever naming a year literal. At
+    100 TB this is the difference between scanning 2 years and
+    scanning all of them whenever the date restriction arrives via a
+    dim join (fiscal calendars, campaign tables, late-binding
+    filters). The oracle replays the join with the year derived
+    inline, so the hash match proves pruning loses nothing."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"etl_cortex_spark_dpp_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    (
+        T(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "focus" if y in (1996, 1998) else "archive") for y in range(1995, 2002)],
+        "d_year int, d_tag string",
+    )
+    return (
+        fact.join(dim, fact.o_year == dim.d_year)
+        .filter(F.col("d_tag") == "focus")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_year")
+    )

@@ -252,3 +252,73 @@ def quantize_embedding(vec: Column, bits: int = 8) -> Column:
 def dequantize_embedding(q: Column, scale: Column) -> Column:
     """Inverse of ``quantize_embedding``: ``array<double>`` ≈ original."""
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def quantized_centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    topk: int = 20,
+) -> DataFrame:
+    """Embedding-space outlier audit: the top-k vectors farthest from
+    the corpus centroid — the standard pre-index hygiene pass (corrupt
+    encodes, all-zero rows, wrong-modality strays) before ANN indexing
+    or semantic dedup.
+
+    The float-sum trap, and why the centroid is computed in INTEGER
+    space: a double centroid `avg(x_i)` is summation-order-dependent
+    (Spark's partial aggregates vs any single-threaded engine differ in
+    the last ULP), and an outlier CUT on a noisy threshold is not
+    reproducible. Instead each component is quantized once —
+    ``q = floor(x*scale + 0.5)`` is a single deterministic rounding of
+    the exact float32→double value — and the per-dimension SUMS of q
+    are exact BIGINTs (order-free). The squared distance then uses the
+    exact integer residual ``n·q_i − S_i`` (distance to the mean
+    without ever dividing): cast to double, squared, summed in index
+    order — every operation identical on any engine, so the ranking is
+    bit-reproducible. Overflow headroom: |n·q| ≤ n·scale·max|x|; at
+    1e9 vectors and |x|≤10 that is 1e13 — exact in a double and far
+    inside BIGINT.
+
+    Plan shape: one agg pass (dim per-component sums + count, map-side
+    combined) → 1-row broadcast → column-side distance → TakeOrdered
+    top-k. The vectors are never shuffled.
+
+    Returns (id_col, dist) with dist = sqrt(Σ residual²)/(scale·n) —
+    the actual Euclidean distance to the centroid, rounded at 6dp.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.transform(
+            as_double(vec_col), lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+        ).alias("__q"),
+    )
+    sums = q.agg(
+        F.array(*[F.sum(F.col("__q")[i]) for i in range(dim)]).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    resid2 = F.aggregate(
+        F.zip_with(
+            "__q",
+            "__s",
+            lambda qi, si: ((F.col("__n") * qi - si).cast("double"))
+            * ((F.col("__n") * qi - si).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(sums))
+        .select(
+            id_col,
+            F.round(
+                F.sqrt(resid2) / (F.lit(float(scale)) * F.col("__n")), 6
+            ).alias("dist"),
+            resid2.alias("__d2"),
+        )
+        .orderBy(F.desc("__d2"), id_col)
+        .limit(topk)
+        .select(id_col, "dist")
+    )

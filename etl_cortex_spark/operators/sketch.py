@@ -159,3 +159,56 @@ def bottomk_quantile(
         F.element_at(vals, idx).alias(f"p{int(p * 100)}_{value_col}"),
         F.count(F.lit(1)).alias("sample_size"),
     )
+
+
+# --- Bloom filter (set membership, the fourth sketch family) ------------------
+#
+# CMS answers "how often", HLL answers "how many distinct", bottom-k
+# answers "what quantile" — the Bloom filter answers "is this key in
+# the set" with zero false NEGATIVES, which is exactly the contract
+# eval-set decontamination needs (a missed benchmark gram is a leak; a
+# false positive merely over-filters). PySpark exposes no queryable
+# Bloom aggregate (`bloom_filter_agg` exists in Catalyst for runtime
+# join filters but its binary is opaque to SQL), so — like the CMS
+# above — the filter is stood up from first principles in a way that
+# is PORTABLE across engines: the k=3 hash functions are disjoint
+# 4-hex-char windows of md5 (offsets 1/9/17), giving three independent
+# 16-bit banks (a "partitioned" Bloom filter, one bank per hash). The
+# built state is one row of three string arrays, each bounded by
+# min(|keys|, 65536) 4-char entries — ≤ ~1.5 MB per bank no matter
+# how large the keyed corpus is, so it broadcasts at any scale and the
+# probe is a pure column expression: membership WITHOUT a join or a
+# shuffle of the probe side. False-positive rate per probe is
+# ∏(|bank_i|/65536) ≤ (n/65536)³ — at n=5k grams that is ~4.5e-4.
+
+BLOOM_OFFSETS = (1, 9, 17)
+BLOOM_HEX_WIDTH = 4
+
+
+def bloom_hashes(col) -> list:
+    """The k md5-window hash values of a key, as hex strings (portable:
+    DuckDB's substr(md5(x), o, 4) produces the identical value)."""
+    h = F.md5(F.col(col).cast("binary") if isinstance(col, str) else col.cast("binary"))
+    return [F.substring(h, o, BLOOM_HEX_WIDTH) for o in BLOOM_OFFSETS]
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Aggregate a key set into the one-row filter (__bloom_0..2 string
+    arrays). collect_set is map-side partial — duplicate keys collapse
+    per input partition, so the shuffle carries at most 3·65536 short
+    strings regardless of input size; no pre-distinct needed."""
+    hs = bloom_hashes(F.col(key_col))
+    return keys.agg(
+        *[F.collect_set(h).alias(f"__bloom_{i}") for i, h in enumerate(hs)]
+    )
+
+
+def bloom_might_contain(key_col) -> "F.Column":
+    """Membership predicate against the __bloom_* columns of a joined
+    (broadcast) filter row. True ⇔ every bank contains the key's
+    window — never false for a key that was built in."""
+    hs = bloom_hashes(key_col)
+    pred = F.lit(True)
+    for i, h in enumerate(hs):
+        pred = pred & F.array_contains(F.col(f"__bloom_{i}"), h)
+    return pred

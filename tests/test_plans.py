@@ -585,3 +585,39 @@ def test_no_data_sized_global_window_anywhere_in_registry(spark):
         if n > BOUNDED_GLOBAL.get(name, 0):
             bad[name] = n
     assert not bad, f"data-sized global windows: {bad}"
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """scale_bucketed_join's contract: once both sides are bucketed on
+    the join key with equal bucket counts, the merge join has ZERO
+    Exchange nodes — the fact-fact shuffle is paid once at ingest, not
+    per query. (The within-bucket Sorts remain: Spark 3+ only trusts
+    sortBy order behind a legacy flag.)"""
+    QUERIES["scale_bucketed_join"](spark, SF)  # creates the tables
+    li = spark.table("bkt_lineitem_sf0_001")
+    o = spark.table("bkt_orders_sf0_001")
+    plan = plan_of(li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_dynamic_partition_pruning_reaches_scan(spark):
+    """scale_dynamic_partition_pruning's contract: the dim-side filter
+    becomes a runtime PartitionFilter on the fact scan — the plan must
+    carry a dynamicpruning expression inside the scan's
+    PartitionFilters, not just a post-scan join filter."""
+    plan = plan_of(QUERIES["scale_dynamic_partition_pruning"](spark, SF))
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "dynamicpruning" in pf, pf
+
+
+def test_embedding_outliers_take_ordered_no_vector_shuffle(spark):
+    """d92's contract: top-k via TakeOrderedAndProject (never a global
+    sort of the vectors), and the only Exchange is the 1-row moment
+    aggregate — the embedding column itself is never shuffled."""
+    plan = plan_of(QUERIES["d92_embedding_outliers"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # exactly the single-partition exchange pair of the moment agg
+    # (partial → Exchange SinglePartition → final); no hash shuffle
+    assert "Exchange hashpartitioning" not in plan

@@ -192,3 +192,74 @@ def test_bottomk_build_plans_as_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# --- Bloom filter (set membership, operators/sketch.bloom_*) ------------------
+
+
+def test_bloom_never_false_negative(spark):
+    """Every key that was built into the filter must probe positive —
+    the decontamination contract (a missed benchmark gram is a leak)."""
+    from etl_cortex_spark.operators import sketch as SK
+
+    keys = spark.range(0, 500).select(
+        F.concat(F.lit("gram-"), F.col("id")).alias("k")
+    )
+    filt = SK.bloom_build(keys, "k")
+    probed = keys.crossJoin(F.broadcast(filt)).select(
+        SK.bloom_might_contain(F.col("k")).alias("hit")
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_false_positive_rate_is_small(spark):
+    """Disjoint probe keys may collide, but with 500 built keys the
+    per-bank hit rate is 500/65536, so the k=3 conjunction should pass
+    ~(500/65536)^3 ≈ 4e-7 of probes — assert well under 1%."""
+    from etl_cortex_spark.operators import sketch as SK
+
+    built = spark.range(0, 500).select(
+        F.concat(F.lit("gram-"), F.col("id")).alias("k")
+    )
+    probes = spark.range(0, 2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    filt = SK.bloom_build(built, "k")
+    fp = (
+        probes.crossJoin(F.broadcast(filt))
+        .filter(SK.bloom_might_contain(F.col("k")))
+        .count()
+    )
+    assert fp <= 20, f"false-positive count {fp} out of 2000 probes"
+
+
+def test_bloom_state_is_bounded(spark):
+    """Bank arrays never exceed min(|keys|, 65536) entries of 4 hex
+    chars — the constant-size-broadcast claim."""
+    from etl_cortex_spark.operators import sketch as SK
+
+    keys = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    row = SK.bloom_build(keys, "k").collect()[0]
+    for i in range(3):
+        bank = row[f"__bloom_{i}"]
+        assert len(bank) <= 3000
+        assert all(len(x) == 4 for x in bank)
+
+
+def test_bloom_decontaminate_covers_exact_flagged_set(spark):
+    """d91's Bloom candidate count dominates d12's exact match count
+    per doc (no false negatives ⇒ candidates ⊇ matches), so the
+    flagged set is a superset of the exact flagged set — and the
+    benchmark slice itself is flagged at bloom_overlap 1.0."""
+    from etl_cortex_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"] for r in QUERIES["d12_contamination_check"](spark, sf).collect()}
+    bloom_rows = QUERIES["d91_bloom_decontaminate"](spark, sf).collect()
+    bloom = {r["doc_id"] for r in bloom_rows}
+    assert exact <= bloom, f"exact-flagged docs missing from bloom: {sorted(exact - bloom)[:5]}"
+    bench_full = {r["doc_id"] for r in bloom_rows if r["doc_id"] % 97 == 0}
+    for r in bloom_rows:
+        if r["doc_id"] % 97 == 0:
+            assert r["bloom_overlap"] == 1.0
+    assert bench_full, "benchmark slice not flagged at all"
