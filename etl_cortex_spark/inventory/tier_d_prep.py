@@ -1154,19 +1154,21 @@ def d91(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D91: Bloom-filter decontamination — the sketch-state variant of
     D12's exact gram join. D12 broadcasts the benchmark's DISTINCT
     gram-hash set, which grows with the benchmark; here the benchmark
-    grams are folded into a k=3 partitioned Bloom filter
-    (operators/sketch.bloom_build: three md5-window banks, each
-    bounded at 65536 4-hex-char entries ≈ ≤1.5 MB) so the broadcast
-    stays CONSTANT-size no matter how many eval sets are unioned in,
-    and the probe is a pure column expression over each doc's shingle
-    array — membership testing with NO join and NO explode: the only
-    shuffles in the whole plan are the filter-build aggregate (3·65536
-    strings max, map-side combined) and the final orderBy. Zero false
+    grams are folded into a k=3 partitioned Bloom BITSET
+    (operators/sketch.bloom_build: three 65536-bit md5-window banks,
+    ~192 KB total) so the broadcast stays CONSTANT-size no matter how
+    many eval sets are unioned in, and the probe is a pure column
+    expression over each doc's shingle array — one md5 + three O(1)
+    element_at lookups per gram, NO join and NO explode: the only
+    shuffles in the whole plan are the filter-build aggregate (≤
+    3·65536 ints, map-side combined) and the final orderBy. Zero false
     negatives by construction (a built-in gram always finds its three
-    banks set), so the flagged set provably covers D12's exact flagged
+    bits set), so the flagged set provably covers D12's exact flagged
     set — pinned as a superset property in tests/test_sketch.py. The
-    oracle replays the identical md5-window arithmetic in DuckDB, so
-    the hash match proves the filter semantics, not just the plumbing."""
+    oracle replays the identical md5-window membership in DuckDB
+    (hex-window-in-set ⇔ bit-at-position: the window↔position map is
+    a bijection), so the hash match proves the filter semantics, not
+    just the plumbing."""
     from etl_cortex_spark.operators import sketch as SK
     from etl_cortex_spark.operators.textops import shingles
 
@@ -1181,7 +1183,7 @@ def d91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("sh").alias("n_grams"),
-            F.size(F.filter("sh", SK.bloom_might_contain)).alias("n_candidates"),
+            SK.bloom_member_count("sh").alias("n_candidates"),
         )
     )
     return (

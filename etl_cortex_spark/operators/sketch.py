@@ -172,43 +172,97 @@ def bottomk_quantile(
 # join filters but its binary is opaque to SQL), so — like the CMS
 # above — the filter is stood up from first principles in a way that
 # is PORTABLE across engines: the k=3 hash functions are disjoint
-# 4-hex-char windows of md5 (offsets 1/9/17), giving three independent
-# 16-bit banks (a "partitioned" Bloom filter, one bank per hash). The
-# built state is one row of three string arrays, each bounded by
-# min(|keys|, 65536) 4-char entries — ≤ ~1.5 MB per bank no matter
-# how large the keyed corpus is, so it broadcasts at any scale and the
-# probe is a pure column expression: membership WITHOUT a join or a
-# shuffle of the probe side. False-positive rate per probe is
-# ∏(|bank_i|/65536) ≤ (n/65536)³ — at n=5k grams that is ~4.5e-4.
+# 4-hex-char windows of md5 (offsets 1/9/17) read as 16-bit ints,
+# giving three independent banks (a "partitioned" Bloom filter, one
+# bank per hash). The built state is one row of three 65536-element
+# BOOLEAN arrays — a real bitset, ~192 KB total at ANY key count, so
+# it broadcasts at any scale — and a probe is three O(1) element_at
+# lookups on one md5: membership WITHOUT a join or a shuffle of the
+# probe side (an array-of-present-values representation was measured
+# 2-3× slower at sf0.1 — array_contains is a linear scan per gram).
+# The build aggregates collect_set(position) (map-side partial, shuffle
+# carries ≤ 3·65536 ints however large the key set), then run-length-
+# encodes the sorted positions into the bitmap: O(|set| + 65536), not
+# the O(|set|·65536) of probing every index. False-positive rate per
+# probe is ∏(popcount_i/65536) ≤ (n/65536)³ — ~4.5e-4 at n=5k keys.
 
 BLOOM_OFFSETS = (1, 9, 17)
 BLOOM_HEX_WIDTH = 4
+BLOOM_BANK_SIZE = 1 << (4 * BLOOM_HEX_WIDTH)
 
 
-def bloom_hashes(col) -> list:
-    """The k md5-window hash values of a key, as hex strings (portable:
-    DuckDB's substr(md5(x), o, 4) produces the identical value)."""
-    h = F.md5(F.col(col).cast("binary") if isinstance(col, str) else col.cast("binary"))
-    return [F.substring(h, o, BLOOM_HEX_WIDTH) for o in BLOOM_OFFSETS]
+def _md5_hex(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def bloom_positions(md5_col) -> list:
+    """The k bank positions of a key's md5 hex — 4-hex-char windows as
+    ints. Portable: DuckDB's substr(md5(x), o, 4) names the same bit."""
+    return [
+        F.conv(F.substring(md5_col, o, BLOOM_HEX_WIDTH), 16, 10).cast("int")
+        for o in BLOOM_OFFSETS
+    ]
+
+
+def _bitset(sorted_positions) -> "F.Column":
+    """Sorted distinct int positions → 65536-element boolean array.
+    Run-length: emit repeat('0', gap)+'1' per position, pad the tail,
+    split to chars — O(|set| + bank size)."""
+    sp = sorted_positions
+    idx = F.sequence(F.lit(0), F.size(sp) - 1)
+    parts = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.repeat(
+                F.lit("0"),
+                F.element_at(sp, i + 1)
+                - F.when(i == 0, F.lit(-1)).otherwise(F.element_at(sp, i))
+                - 1,
+            ),
+            F.lit("1"),
+        ),
+    )
+    body = F.when(F.size(sp) == 0, F.lit("")).otherwise(F.concat_ws("", parts))
+    padded = F.concat(body, F.repeat(F.lit("0"), F.lit(BLOOM_BANK_SIZE) - F.length(body)))
+    return F.transform(
+        F.slice(F.split(padded, ""), 1, BLOOM_BANK_SIZE), lambda c: c == F.lit("1")
+    )
 
 
 def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
-    """Aggregate a key set into the one-row filter (__bloom_0..2 string
-    arrays). collect_set is map-side partial — duplicate keys collapse
-    per input partition, so the shuffle carries at most 3·65536 short
-    strings regardless of input size; no pre-distinct needed."""
-    hs = bloom_hashes(F.col(key_col))
-    return keys.agg(
-        *[F.collect_set(h).alias(f"__bloom_{i}") for i, h in enumerate(hs)]
+    """Aggregate a key set into the one-row filter (__bloom_0..2
+    boolean bitsets). collect_set is map-side partial — duplicate keys
+    collapse per input partition — and the bitset encode runs once on
+    the single aggregated row."""
+    ps = bloom_positions(_md5_hex(key_col))
+    agg = keys.agg(
+        *[F.array_sort(F.collect_set(p)).alias(f"__set_{i}") for i, p in enumerate(ps)]
     )
+    return agg.select(
+        *[_bitset(F.col(f"__set_{i}")).alias(f"__bloom_{i}") for i in range(len(ps))]
+    )
+
+
+def _member_of_banks(positions) -> "F.Column":
+    pred = F.lit(True)
+    for i, p in enumerate(positions):
+        pred = pred & F.element_at(F.col(f"__bloom_{i}"), p + 1)
+    return pred
 
 
 def bloom_might_contain(key_col) -> "F.Column":
     """Membership predicate against the __bloom_* columns of a joined
-    (broadcast) filter row. True ⇔ every bank contains the key's
-    window — never false for a key that was built in."""
-    hs = bloom_hashes(key_col)
-    pred = F.lit(True)
-    for i, h in enumerate(hs):
-        pred = pred & F.array_contains(F.col(f"__bloom_{i}"), h)
-    return pred
+    (broadcast) filter row. True ⇔ every bank has the key's bit set —
+    never false for a key that was built in. Three O(1) lookups."""
+    return _member_of_banks(bloom_positions(_md5_hex(key_col)))
+
+
+def bloom_member_count(arr_col) -> "F.Column":
+    """How many elements of a string-array column probe positive —
+    the per-document decontamination counter. Hashes each element
+    ONCE (transform to md5 first, then derive the three windows), so
+    the per-element cost is one md5 + three O(1) lookups."""
+    arr = F.col(arr_col) if isinstance(arr_col, str) else arr_col
+    hashed = F.transform(arr, lambda g: F.md5(g.cast("binary")))
+    return F.size(F.filter(hashed, lambda h: _member_of_banks(bloom_positions(h))))

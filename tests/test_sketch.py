@@ -234,16 +234,17 @@ def test_bloom_false_positive_rate_is_small(spark):
 
 
 def test_bloom_state_is_bounded(spark):
-    """Bank arrays never exceed min(|keys|, 65536) entries of 4 hex
-    chars — the constant-size-broadcast claim."""
+    """Each bank is EXACTLY a 65536-slot boolean bitset with at most
+    |keys| bits set — the constant-size-broadcast claim."""
     from etl_cortex_spark.operators import sketch as SK
 
     keys = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
     row = SK.bloom_build(keys, "k").collect()[0]
     for i in range(3):
         bank = row[f"__bloom_{i}"]
-        assert len(bank) <= 3000
-        assert all(len(x) == 4 for x in bank)
+        assert len(bank) == SK.BLOOM_BANK_SIZE
+        assert all(isinstance(x, bool) for x in bank[:10])
+        assert 0 < sum(bank) <= 3000
 
 
 def test_bloom_decontaminate_covers_exact_flagged_set(spark):
