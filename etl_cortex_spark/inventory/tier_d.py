@@ -1293,3 +1293,92 @@ def d92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_centroid_outliers(
         T(spark, sf_dir, "embeddings"), dim=64, scale=1000, topk=20
     )
+
+
+@query(
+    "stream_bloom_membership",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+    banks AS (
+      SELECT list(DISTINCT substr(md5(k), 1, 4)) AS s0,
+             list(DISTINCT substr(md5(k), 9, 4)) AS s1,
+             list(DISTINCT substr(md5(k), 17, 4)) AS s2
+      FROM keys
+    ),
+    probes AS (
+      SELECT CAST(user_id AS VARCHAR) AS probe_key, true AS present
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id BETWEEN 0 AND 9)
+      UNION ALL
+      SELECT CAST(x AS VARCHAR), false FROM range(9000001, 9000011) t(x)
+    )
+    SELECT probe_key, present,
+           (list_contains(b.s0, substr(md5(probe_key), 1, 4)) AND
+            list_contains(b.s1, substr(md5(probe_key), 9, 4)) AND
+            list_contains(b.s2, substr(md5(probe_key), 17, 4))) AS might_contain
+    FROM probes, banks b
+    ORDER BY probe_key
+    """,
+)
+def d08f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 state-side pattern, membership member: an always-on Bloom
+    seen-set maintained by ``foreachBatch``
+    (`streaming/ingest.foreach_batch_bloom`) — each micro-batch's keys
+    OR into the stored 3·65536-bit bitset under the same versioned
+    commit protocol as the upsert/CMS sinks. OR is associative,
+    commutative AND idempotent, so the drained filter equals the
+    one-batch build (pinned in pytest) and crash-replay cannot even
+    double-count. Probes: every streamed user id must test positive
+    (zero false negatives — the hard guarantee), and ten never-seen
+    ids get whatever the deterministic md5 arithmetic says — the
+    oracle replays the membership bit-for-bit on BOTH probe classes,
+    so false-positive behavior is verified too, not just assumed
+    rare. This is the seen-set of a 100 TB ingest (first-seen
+    detection, dedup gating, decontamination): constant state, O(1)
+    probes, no join."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.sketch import bloom_might_contain
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_bloom,
+        read_upsert_table,
+    )
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_bloomstream", h)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    q = foreach_batch_bloom(
+        ev,
+        table_dir=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        key_col="uid",
+    )
+    q.awaitTermination()
+    filt = read_upsert_table(spark, os.path.join(base, "table"))
+
+    events = T(spark, sf_dir, "events")
+    present = (
+        events.filter(F.col("user_id").between(0, 9))
+        .select(F.col("user_id").cast("string").alias("probe_key"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    absent = spark.range(9_000_001, 9_000_011).select(
+        F.col("id").cast("string").alias("probe_key"), F.lit(False).alias("present")
+    )
+    return (
+        present.unionByName(absent)
+        .crossJoin(F.broadcast(filt))
+        .select(
+            "probe_key",
+            "present",
+            bloom_might_contain(F.col("probe_key")).alias("might_contain"),
+        )
+        .orderBy("probe_key")
+    )

@@ -266,3 +266,21 @@ def bloom_member_count(arr_col) -> "F.Column":
     arr = F.col(arr_col) if isinstance(arr_col, str) else arr_col
     hashed = F.transform(arr, lambda g: F.md5(g.cast("binary")))
     return F.size(F.filter(hashed, lambda h: _member_of_banks(bloom_positions(h))))
+
+
+def bloom_merge(prev: DataFrame, sk: DataFrame) -> DataFrame:
+    """Element-wise OR of two filters' banks (both 1-row). Bitwise OR
+    is associative + commutative + idempotent, so filters built per
+    partition / micro-batch / day merge to exactly the filter of the
+    union of their key sets — the same mergeability that makes the
+    CMS and HLL rollups work, at a constant 3·65536-bit state."""
+    n = len([c for c in prev.columns if c.startswith("__bloom_")])
+    other = sk.select(*[F.col(f"__bloom_{i}").alias(f"__o_{i}") for i in range(n)])
+    return prev.crossJoin(F.broadcast(other)).select(
+        *[
+            F.zip_with(f"__bloom_{i}", f"__o_{i}", lambda x, y: x | y).alias(
+                f"__bloom_{i}"
+            )
+            for i in range(n)
+        ]
+    )

@@ -356,3 +356,51 @@ def foreach_batch_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_bloom(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    keep_versions: int = 2,
+):
+    """Streaming Bloom-filter maintenance: every micro-batch's keys are
+    folded into the stored membership bitset under the same versioned
+    commit protocol as the upsert and CMS sinks — exactly-once under
+    crash-replay, and because bitwise OR is associative, commutative
+    and idempotent, the drained filter equals the one built over the
+    whole input in one batch (pinned in pytest and replayed exactly by
+    the ``stream_bloom_membership`` oracle).
+
+    This is the always-on seen-set of a 100 TB ingest (have we EVER
+    seen this key — dedup gates, eval-set decontamination, first-seen
+    detection): stored state is a constant 3·65536-bit bitset at any
+    stream volume, each micro-batch contributes one partial-combined
+    aggregation, and probes are O(1) lookups against the broadcast
+    snapshot. No false negatives ever; false positives bounded by the
+    bank fill rate."""
+    import os
+
+    from etl_cortex_spark.operators.sketch import bloom_build, bloom_merge
+
+    spark = stream.sparkSession
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    guard_dir = os.path.join(checkpoint_dir, "applied_batches")
+    os.makedirs(guard_dir, exist_ok=True)
+
+    def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
+        sk = bloom_build(batch, key_col)
+        return sk if prev is None else bloom_merge(prev, sk)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        apply_merge_commit(
+            spark, batch_df, batch_id, table_dir, guard_dir, merge, keep_versions
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+        .trigger(availableNow=True)
+        .start()
+    )

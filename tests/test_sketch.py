@@ -264,3 +264,48 @@ def test_bloom_decontaminate_covers_exact_flagged_set(spark):
         if r["doc_id"] % 97 == 0:
             assert r["bloom_overlap"] == 1.0
     assert bench_full, "benchmark slice not flagged at all"
+
+
+def test_streamed_bloom_equals_batch_build_and_replay_is_noop(spark, tmp_path):
+    """foreach_batch_bloom over micro-batches must produce EXACTLY the
+    bitset bloom_build produces over the whole input at once (OR is
+    associative+commutative+idempotent), and re-draining with the same
+    checkpoint must not change it (guard-file idempotence)."""
+    import os
+
+    from etl_cortex_spark.operators import sketch as SK
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_bloom,
+        read_upsert_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(40)], "k string")
+    b = spark.createDataFrame([(f"k{i % 11}",) for i in range(60)], "k string")
+    a.coalesce(1).write.parquet(str(src / "a.parquet"))
+    b.coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_bloom(stream, table_dir, ckpt, "k")
+    q.awaitTermination()
+    guards = os.listdir(os.path.join(ckpt, "applied_batches"))
+    assert len(guards) >= 2, "expected one commit per micro-batch"
+
+    streamed = read_upsert_table(spark, table_dir).collect()[0]
+    batch = SK.bloom_build(a.unionByName(b), "k").collect()[0]
+    for i in range(3):
+        assert list(streamed[f"__bloom_{i}"]) == list(batch[f"__bloom_{i}"])
+
+    q2 = foreach_batch_bloom(stream, table_dir, ckpt, "k")
+    q2.awaitTermination()
+    streamed2 = read_upsert_table(spark, table_dir).collect()[0]
+    for i in range(3):
+        assert list(streamed2[f"__bloom_{i}"]) == list(streamed[f"__bloom_{i}"])
