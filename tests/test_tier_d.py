@@ -779,3 +779,26 @@ def test_prefix_filter_probe_exact_vs_bruteforce(spark):
     assert got == want
     assert (10_900_001, 900_001, 1.0) in got
     assert not any(n == 10_900_003 for n, _, _ in got)
+
+
+def test_embedding_outliers_partition_invariant_and_sane(spark):
+    """d92's exactness claim, pinned directly: the integer-quantized
+    moments are summation-order-free, so the top-k outlier RANKING must
+    be identical under any partitioning of the vectors — the property a
+    double avg() centroid would not have. Sanity: a hand-planted
+    far-away vector must rank first."""
+    from etl_cortex_spark.operators.similarity import quantized_centroid_outliers
+
+    base = [(i, [float((i * 7 + j) % 13) / 13.0 for j in range(8)]) for i in range(300)]
+    far = (999, [50.0] * 8)
+    df = spark.createDataFrame(base + [far], "vec_id bigint, embedding array<float>")
+    a = [
+        (r["vec_id"], r["dist"])
+        for r in quantized_centroid_outliers(df.repartition(2), dim=8, topk=5).collect()
+    ]
+    b = [
+        (r["vec_id"], r["dist"])
+        for r in quantized_centroid_outliers(df.repartition(17), dim=8, topk=5).collect()
+    ]
+    assert a == b
+    assert a[0][0] == 999
