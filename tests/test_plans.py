@@ -621,3 +621,15 @@ def test_embedding_outliers_take_ordered_no_vector_shuffle(spark):
     # exactly the single-partition exchange pair of the moment agg
     # (partial → Exchange SinglePartition → final); no hash shuffle
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bloom_decontaminate_probe_has_no_hash_shuffle(spark):
+    """d91's contract: the only Exchanges are the filter-build's
+    single-partition aggregate and the final sort's range exchange —
+    the document/shingle side is NEVER hash-shuffled (membership is a
+    broadcast + column expression, not a join), and nothing drops to
+    Python evaluation."""
+    plan = plan_of(QUERIES["d91_bloom_decontaminate"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
