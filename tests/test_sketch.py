@@ -309,3 +309,24 @@ def test_streamed_bloom_equals_batch_build_and_replay_is_noop(spark, tmp_path):
     streamed2 = read_upsert_table(spark, table_dir).collect()[0]
     for i in range(3):
         assert list(streamed2[f"__bloom_{i}"]) == list(streamed[f"__bloom_{i}"])
+
+
+def test_bloom_of_empty_key_set_rejects_everything(spark):
+    """An empty build set must yield an all-zeros bitset (the
+    run-length encoder's empty-set branch), and every probe must then
+    test negative — no benchmark grams means nothing is flagged."""
+    from etl_cortex_spark.operators import sketch as SK
+
+    empty = spark.createDataFrame([], "k string")
+    filt = SK.bloom_build(empty, "k")
+    row = filt.collect()[0]
+    for i in range(3):
+        assert len(row[f"__bloom_{i}"]) == SK.BLOOM_BANK_SIZE
+        assert not any(row[f"__bloom_{i}"])
+    probes = spark.range(0, 50).select(F.col("id").cast("string").alias("k"))
+    hits = (
+        probes.crossJoin(F.broadcast(filt))
+        .filter(SK.bloom_might_contain(F.col("k")))
+        .count()
+    )
+    assert hits == 0
