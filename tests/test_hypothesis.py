@@ -150,3 +150,28 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         .collect()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=12, max_size=20),  # shared run
+    st.lists(st.sampled_from("qrstuvwx"), min_size=0, max_size=8),  # prefix A
+    st.lists(st.sampled_from("ijklmnop"), min_size=0, max_size=8),  # prefix B
+)
+def test_winnowing_shared_run_guarantees_shared_fingerprint(spark, shared, pre_a, pre_b):
+    """The MOSS guarantee (Schleimer 2003): two documents sharing a
+    run of ≥ window+k-1 = 6 word grams (i.e. ≥ k+window+k-2 = 8
+    words; the generated shared run has ≥ 12) must share at least one
+    selected fingerprint, whatever surrounds the run. Hypothesis
+    varies the shared run and each document's distinct prefix — the
+    disjoint alphabets guarantee no accidental grams bridge them."""
+    from etl_cortex_spark.operators.textops import winnowing_fingerprints
+
+    doc_a = " ".join(pre_a + shared)
+    doc_b = " ".join(pre_b + shared)
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], "doc_id bigint, text string")
+    rows = winnowing_fingerprints(df, k=3, window=4).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fingerprint"])
+    assert fps[0] & fps[1], (doc_a, doc_b)
