@@ -1146,7 +1146,7 @@ def d86(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_grams, n_candidates,
            round(n_candidates / greatest(n_grams, 1), 6) AS bloom_overlap
     FROM probed
-    WHERE n_candidates / greatest(n_grams, 1) >= 0.5
+    WHERE round(n_candidates / greatest(n_grams, 1), 6) >= 0.5
     ORDER BY doc_id
     """,
 )
@@ -1191,6 +1191,6 @@ def d91(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_overlap",
             F.round(F.col("n_candidates") / F.greatest("n_grams", F.lit(1)), 6),
         )
-        .filter(F.col("n_candidates") / F.greatest("n_grams", F.lit(1)) >= 0.5)
+        .filter(F.col("bloom_overlap") >= 0.5)
         .orderBy("doc_id")
     )

@@ -567,6 +567,19 @@ def scale_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.orderBy("o_orderkey")
 
 
+def bucketed_table_names(sf_dir: str) -> tuple[str, str]:
+    """(lineitem, orders) bucketed-table names for a dataset. Keyed on
+    the FULL path hash (two datasets sharing a basename must not alias
+    to one cached layout) plus the pid (a concurrent process must not
+    be able to name — and therefore rmtree or overwrite — a table a
+    live sibling is scanning); the d08-family state-path convention."""
+    import hashlib
+    import os
+
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    return f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+
+
 @query(
     "scale_bucketed_join",
     oracle="""
@@ -601,7 +614,6 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out broadcast at toy SF — at production SF the optimizer picks
     SMJ on its own."""
     import os
-    import re
     import shutil
     from urllib.parse import urlparse
 
@@ -609,7 +621,10 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if spark.catalog.tableExists(name):
             return
         # the catalog is per-session (in-memory) but the warehouse dir
-        # persists — clear a dead session's leftover location first
+        # persists — clear THIS name's leftover location first. The
+        # pid in the table name (below) makes this safe: no live
+        # concurrent process can own the same name, so the rmtree can
+        # only ever remove a dead session's debris.
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         # repartition on the bucket key with n_partitions == n_buckets:
@@ -626,8 +641,7 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .saveAsTable(name)
         )
 
-    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(os.path.normpath(sf_dir)).lower())
-    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    lt, ot = bucketed_table_names(sf_dir)
     ensure_bucketed(
         T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
         lt,
@@ -687,21 +701,27 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
     mechanism, not the toy-scale timing, is the contract. The oracle
     replays the join with the year derived inline, so the hash match
     proves pruning loses nothing."""
+    import hashlib
     import os
     import tempfile
 
+    # full-path hash + pid (the d08-family convention): no aliasing
+    # between same-basename datasets, no cross-process collisions —
+    # and the _SUCCESS check means repeat calls in one process (result
+    # drive, plan test, bench) reuse the layout instead of rewriting it
     path = os.path.join(
         tempfile.gettempdir(),
         f"etl_cortex_spark_dpp_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
-    (
-        T(spark, sf_dir, "orders")
-        .withColumn("o_year", F.year("o_orderdate").cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("o_year")
-        .parquet(path)
-    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            T(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(
         [(y, "focus" if y in (1996, 1998) else "archive") for y in range(1995, 2002)],

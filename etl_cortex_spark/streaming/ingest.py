@@ -310,6 +310,39 @@ def read_upsert_table(
     return spark.read.parquet(p if p else os.path.join(table_dir, "live"))
 
 
+def _foreach_batch_merge(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    merge_fn,
+    keep_versions: int = 2,
+):
+    """Shared scaffolding for every merge-maintained streaming sink
+    (CMS frequency sketch, Bloom seen-set, any future mergeable
+    state): wire ``merge_fn(prev_or_None, batch) -> merged`` into
+    ``apply_merge_commit`` behind a checkpointed availableNow
+    foreachBatch. One place owns the checkpoint layout, guard-dir
+    wiring, and trigger choice, so the sinks cannot diverge."""
+    import os
+
+    spark = stream.sparkSession
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    guard_dir = os.path.join(checkpoint_dir, "applied_batches")
+    os.makedirs(guard_dir, exist_ok=True)
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        apply_merge_commit(
+            spark, batch_df, batch_id, table_dir, guard_dir, merge_fn, keep_versions
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_cms(
     stream: DataFrame,
     table_dir: str,
@@ -332,30 +365,13 @@ def foreach_batch_cms(
     each micro-batch contributes one partial-combined aggregation, and
     readers estimate with a broadcast join against the snapshot —
     time-travel over ``keep_versions`` gives sketch-as-of history."""
-    import os
-
     from etl_cortex_spark.operators.sketch import cms_build, cms_merge
-
-    spark = stream.sparkSession
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    guard_dir = os.path.join(checkpoint_dir, "applied_batches")
-    os.makedirs(guard_dir, exist_ok=True)
 
     def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
         sk = cms_build(batch, key_col, width, depth)
         return sk if prev is None else cms_merge(prev, sk)
 
-    def body(batch_df: DataFrame, batch_id: int) -> None:
-        apply_merge_commit(
-            spark, batch_df, batch_id, table_dir, guard_dir, merge, keep_versions
-        )
-
-    return (
-        stream.writeStream.foreachBatch(body)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _foreach_batch_merge(stream, table_dir, checkpoint_dir, merge, keep_versions)
 
 
 def foreach_batch_bloom(
@@ -380,27 +396,10 @@ def foreach_batch_bloom(
     aggregation, and probes are O(1) lookups against the broadcast
     snapshot. No false negatives ever; false positives bounded by the
     bank fill rate."""
-    import os
-
     from etl_cortex_spark.operators.sketch import bloom_build, bloom_merge
-
-    spark = stream.sparkSession
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    guard_dir = os.path.join(checkpoint_dir, "applied_batches")
-    os.makedirs(guard_dir, exist_ok=True)
 
     def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
         sk = bloom_build(batch, key_col)
         return sk if prev is None else bloom_merge(prev, sk)
 
-    def body(batch_df: DataFrame, batch_id: int) -> None:
-        apply_merge_commit(
-            spark, batch_df, batch_id, table_dir, guard_dir, merge, keep_versions
-        )
-
-    return (
-        stream.writeStream.foreachBatch(body)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _foreach_batch_merge(stream, table_dir, checkpoint_dir, merge, keep_versions)

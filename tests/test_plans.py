@@ -593,9 +593,11 @@ def test_bucketed_join_is_exchange_free(spark):
     Exchange nodes — the fact-fact shuffle is paid once at ingest, not
     per query. (The within-bucket Sorts remain: Spark 3+ only trusts
     sortBy order behind a legacy flag.)"""
+    from etl_cortex_spark.inventory.tier_scale import bucketed_table_names
+
     QUERIES["scale_bucketed_join"](spark, SF)  # creates the tables
-    li = spark.table("bkt_lineitem_sf0_001")
-    o = spark.table("bkt_orders_sf0_001")
+    lt, ot = bucketed_table_names(SF)
+    li, o = spark.table(lt), spark.table(ot)
     plan = plan_of(li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey))
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
