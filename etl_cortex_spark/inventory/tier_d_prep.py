@@ -1194,3 +1194,42 @@ def d91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bloom_overlap") >= 0.5)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "d96_contrastive_negatives",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n, CAST(floor(count(*) / 5) AS BIGINT) AS stride
+           FROM documents),
+    anchors AS (SELECT doc_id AS anchor_id, r FROM ranked WHERE doc_id % 25 = 0),
+    pos AS (
+      SELECT anchor_id, CAST(i AS INT) AS neg_idx,
+             ((r - 1 + i * stride) % n) + 1 AS p
+      FROM anchors, nn, range(1, 5) t(i)
+    )
+    SELECT p.anchor_id, p.neg_idx, rk.doc_id AS neg_id
+    FROM pos p JOIN ranked rk ON rk.r = p.p
+    ORDER BY anchor_id, neg_idx
+    """,
+)
+def d96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D96: deterministic global negative sampling
+    (llmprep.sampled_negatives) — k=4 uniform corpus negatives per
+    anchor (every 25th doc) for contrastive / embedding-model training
+    data, with NO n² pair space and NO RNG: positions are pure
+    arithmetic over the D90 two-phase content-hash rank, so the draw
+    is bit-reproducible on any engine and any partitioning, and the
+    oracle replays it exactly with a windowed row_number. The corpus
+    is ranked once and never shuffled again — the |anchors|·k position
+    rows broadcast against the rank table for the gather."""
+    from etl_cortex_spark.operators.llmprep import sampled_negatives
+
+    docs = T(spark, sf_dir, "documents")
+    return sampled_negatives(docs, F.col("doc_id") % 25 == 0, k=4).orderBy(
+        "anchor_id", "neg_idx"
+    )

@@ -1046,3 +1046,62 @@ def temperature_mix_plan(
             ).cast("long").alias("target_count"),
         )
     )
+
+
+def sampled_negatives(
+    docs: DataFrame,
+    anchor_pred: Column,
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Deterministic global negative sampling — the contrastive-
+    training companion of the positive-pair builders (d83 preference
+    pairs, d03/d28 nearest-neighbor mining): for every anchor, k
+    corpus documents drawn uniformly WITHOUT building any n² pair
+    space and without RNG.
+
+    Construction: every document gets an exact 1-based rank under the
+    content-hash total order (md5(id), id) via ``skew.global_rank`` —
+    the D90 two-phase distributed rank, so no partition-less window
+    ever exists — and anchor a's negatives sit at ranks
+    ``((rank(a) − 1 + i·stride) mod n) + 1`` for i = 1..k with
+    ``stride = n div (k+1)``. Because i·stride < n and ≥ 1, the k
+    positions are distinct and never the anchor itself; because rank
+    and stride are pure functions of the data, the draw is
+    reproducible on any engine and any partitioning.
+
+    Plan shape: the rank table is built once (range-exchange +
+    partitioned window, persisted); the |anchors|·k position rows
+    BROADCAST against it, so the corpus-sized side is never shuffled
+    for the gather. Returns (anchor_id, neg_idx, neg_id).
+    """
+    from etl_cortex_spark.operators.skew import global_rank
+
+    ranked, n = global_rank(
+        docs.select(id_col),
+        [F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)],
+        rank_col="__r",
+    )
+    stride = n // (k + 1)
+    if stride == 0:
+        raise ValueError(f"need at least k+1={k + 1} documents, got {n}")
+    anchors = ranked.filter(anchor_pred).select(
+        F.col(id_col).alias("anchor_id"), F.col("__r").alias("__ar")
+    )
+    pos = (
+        anchors.select(
+            "anchor_id",
+            "__ar",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_idx"),
+        )
+        .withColumn(
+            "__p",
+            ((F.col("__ar") - 1 + F.col("neg_idx") * F.lit(stride)) % F.lit(n)) + 1,
+        )
+        .drop("__ar")
+    )
+    gathered = F.broadcast(pos).join(
+        ranked.select(F.col(id_col).alias("neg_id"), F.col("__r").alias("__p")),
+        "__p",
+    )
+    return gathered.select("anchor_id", "neg_idx", "neg_id")

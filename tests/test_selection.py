@@ -352,3 +352,31 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert abs(out["small"]["t2_share"] - 0.2) < 1e-9
     assert out["small"]["t2_share"] > 1000 / 17000  # upweighted
     assert out["big"]["target_count"] + out["small"]["target_count"] <= 1000
+
+
+def test_sampled_negatives_distinct_nonself_and_partition_invariant(spark):
+    """d96 invariants: every anchor gets exactly k DISTINCT negatives,
+    never itself, and the draw is identical under any input
+    partitioning (rank + stride are pure functions of the data)."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.llmprep import sampled_negatives
+
+    docs = spark.createDataFrame([(i,) for i in range(173)], "doc_id bigint")
+    pred = F.col("doc_id") % 10 == 0
+    a = sorted(
+        (r["anchor_id"], r["neg_idx"], r["neg_id"])
+        for r in sampled_negatives(docs.repartition(3), pred, k=4).collect()
+    )
+    b = sorted(
+        (r["anchor_id"], r["neg_idx"], r["neg_id"])
+        for r in sampled_negatives(docs.repartition(19), pred, k=4).collect()
+    )
+    assert a == b
+    by_anchor = {}
+    for aid, _, nid in a:
+        by_anchor.setdefault(aid, []).append(nid)
+    assert len(by_anchor) == 18  # anchors 0,10,...,170
+    for aid, negs in by_anchor.items():
+        assert len(negs) == 4 and len(set(negs)) == 4
+        assert aid not in negs
