@@ -637,28 +637,35 @@ def test_bloom_decontaminate_probe_has_no_hash_shuffle(spark):
     assert "EvalPython" not in plan
 
 
-def test_no_row_at_a_time_python_udf_anywhere_in_registry(spark):
-    """Repo-wide hot-path audit, the Python-eval twin of the global-
-    window walk: NO registry entry may plan a row-at-a-time
-    BatchEvalPython node. Arrow-batched escape hatches are sanctioned
-    and stay allowed — ArrowEvalPython (scalar pandas UDFs),
-    MapInPandas / FlatMapGroupsInPandas (multimodal decode, packing,
-    xlsx fan-out), and BatchEvalPythonUDTF (the declared UDTF surface,
-    d33). Anything else dropping to per-row Python silently turns a
-    codegen'd column pipeline into a serialization loop — this pins
-    the VERDICT-verified 'no row UDFs' claim at the plan level for
-    every current and future entry."""
+def test_no_row_python_udf_or_cartesian_anywhere_in_registry(spark):
+    """Repo-wide hot-path audit, the physical-plan twin of the global-
+    window walk — one pass over every entry's sparkPlan pins two
+    registry-wide claims:
+
+    - NO row-at-a-time BatchEvalPython node. Arrow-batched escape
+      hatches are sanctioned and stay allowed — ArrowEvalPython
+      (scalar pandas UDFs), MapInPandas / FlatMapGroupsInPandas
+      (multimodal decode, packing, xlsx fan-out), and
+      BatchEvalPythonUDTF (the declared UDTF surface, d33). Anything
+      else dropping to per-row Python silently turns a codegen'd
+      column pipeline into a serialization loop.
+    - NO CartesianProduct node. The sanctioned cross joins all have a
+      broadcastable side (1-row totals, dim×dim) and plan as
+      BroadcastNestedLoopJoin; a CartesianProduct means two
+      non-broadcast sides met without an equi-key — the O(n·m)
+      shuffle-everything shape that cannot survive any scale-up."""
     SKIP = ("stream_", "sink_", "pyds_")
     bad = {}
     for name, fn in QUERIES.items():
         if name.startswith(SKIP):
             continue
         plan = fn(spark, SF)._jdf.queryExecution().sparkPlan().toString()
-        n = sum(
+        n_py = sum(
             1
             for line in plan.splitlines()
             if "BatchEvalPython" in line and "BatchEvalPythonUDTF" not in line
         )
-        if n:
-            bad[name] = n
-    assert not bad, f"row-at-a-time Python UDF nodes: {bad}"
+        n_cart = plan.count("CartesianProduct")
+        if n_py or n_cart:
+            bad[name] = {"row_python": n_py, "cartesian": n_cart}
+    assert not bad, f"hot-path violations: {bad}"
