@@ -42,50 +42,16 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # Entries fixed/changed since their last green record → re-verify ASAP,
 # mapped to the round the fix landed. The boost expires by itself once a
 # CORRECTNESS file from that round (or later) records the entry again.
-# Round 5: flagship/a13 swapped to the max_by-aggregate dedup, d36 runs
-# degree-ordered orientation, d24 assignment got the NULL-vector
-# contract, and the foreachBatch upsert moved to the version-pointer
-# commit protocol.
+# The round-5/6 backlog was fully consumed by CORRECTNESS_r06 (r6
+# verdict #2), so the dict was emptied and re-seeded with round-7
+# changes only — the rotation below is otherwise purely
+# least-recently-verified.
 _REVERIFY_NOW: dict[str, int] = {
-    "flagship_events_medallion": 5,
-    "a13_dedup_keep_latest": 5,
-    "d36_triangle_count": 5,
-    "d24_centroid_assign": 5,
-    "stream_foreach_batch_upsert": 5,
-    # second round-5 session: exact_dedup became a min-struct aggregate
-    # (keep= payload narrowing), and q1/q5/c10/d04 final ORDER BY
-    # became single-partition local sorts over bounded domains.
-    "d01_exact_dedup": 5,
-    "c17_tpch_q1": 5,
-    "tpch_q3_shipping_priority": 5,
-    "tpch_q5_local_supplier_volume": 5,
-    "c10_join_inner_agg": 5,
-    "d04_token_stats": 5,
-    "d10_training_prep_pipeline": 5,
-    # fourth round-5 session: the attribution join was refactored onto
-    # the shared attribution_join core (inner semantics unchanged).
-    "stream_stream_join": 5,
-    # Round 6: c19's only record (r01) predates its epsilon oracle —
-    # the oracle-paired form has never been officially recorded
-    # (VERDICT r5 "What's missing" #3).
-    "c19_approx_count_distinct": 6,
-    # Round-6 fixes: c69 swapped its global window for agg+broadcast
-    # crossJoin; d67 now excludes zero-token docs from ranking and
-    # guards the integer weights against BIGINT overflow; d79 filters
-    # degenerate (≤0-dim) assets; scale_incremental_join dropped the
-    # forced broadcast hint on the delta key set (AQE decides).
-    "c69_variant_semistructured": 6,
-    "d67_dsir_select": 6,
-    "d79_image_tile_plan": 6,
-    "scale_incremental_join": 6,
-    # bm25_topk's posting frame became a persisted inverted index
-    # (plan-only change; both consumers re-verified at sf0.01).
-    "d19_bm25_topk": 6,
-    "d56_hybrid_rrf": 6,
-    # b26's three ntile windows were data-sized global windows (the
-    # c69 class, found by the round-6 repo-wide plan audit); swapped
-    # to skew.global_ntile — hash-identical at all 3 SFs.
-    "b26_rfm_segments": 6,
+    # Round 7: d85 swapped its second corpus scan for window exprs over
+    # the |strata|-row frame (round-6 ADVICE); d87 now drops NULL-text
+    # batch rows before digesting (oracle-parity guard).
+    "d85_curriculum_order": 7,
+    "d87_incremental_exact_dedup": 7,
 }
 
 

@@ -329,12 +329,22 @@ def global_window_violations(spark, names: list[str], sf_dir: str) -> dict[str, 
             )
         except Exception:
             continue
-        n = sum(
-            1
-            for line in plan.splitlines()
-            if line.lstrip(" :+-").startswith("Window ")
-            and len(re.findall(r"\], \[", line)) <= 1
-        )
+        # Same detector as tests/test_plans.py (round-6 ADVICE): a
+        # Window node prints ``Window [exprs], [partSpec], [orderSpec]``;
+        # with an empty partition spec the middle group is omitted, so
+        # GLOBAL means one group, or two with a sort-direction marker
+        # in the second (a partitioned-but-unordered window also has
+        # two groups but no ASC/DESC — not global).
+        n = 0
+        for line in plan.splitlines():
+            s = line.lstrip(" :+-")
+            if not s.startswith("Window "):
+                continue
+            groups = re.split(r"\], \[", s)
+            if len(groups) <= 1 or (
+                len(groups) == 2 and re.search(r" (ASC|DESC)", groups[1])
+            ):
+                n += 1
         if n > BOUNDED_GLOBAL_WINDOWS.get(name, 0):
             out[name] = n
     return out

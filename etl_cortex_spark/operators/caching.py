@@ -1,0 +1,48 @@
+"""Bounded tracking for long-lived DataFrame persists.
+
+Spark's CacheManager keys cached frames by logical plan and never
+releases them on its own — a helper that persists an intermediate
+(``skew.global_rank``'s range-partitioned frame, ``search.bm25_topk``'s
+posting frame) therefore leaks one CacheManager entry per invocation,
+and a full registry drive (~265 queries) or a long notebook session
+accumulates them unboundedly (round-6 ADVICE).
+
+``track(df)`` registers a freshly persisted frame in a module-level
+FIFO; once the FIFO exceeds ``CACHE_CAP`` entries the oldest is
+unpersisted with ``blocking=False``.  This is SAFE, not just
+convenient: every tracked persist in this repo is deterministic under
+recomputation (parquet scans are stable, ``repartitionByRange``
+samples with a deterministic per-partition seed, and the consumers
+require a TOTAL order), so an evicted frame that some still-lazy plan
+re-reads is merely recomputed — identical bytes, extra time, never a
+correctness change.
+
+``release_all()`` drops everything immediately — call it between
+benchmark iterations or at session teardown when even the bounded tail
+is unwanted.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+
+#: max persisted helper frames kept alive at once, oldest evicted first.
+CACHE_CAP = 8
+
+_TRACKED: deque[DataFrame] = deque()
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register a persisted frame; evict the oldest past ``CACHE_CAP``."""
+    _TRACKED.append(df)
+    while len(_TRACKED) > CACHE_CAP:
+        _TRACKED.popleft().unpersist(blocking=False)
+    return df
+
+
+def release_all() -> None:
+    """Unpersist every tracked frame now (non-blocking)."""
+    while _TRACKED:
+        _TRACKED.popleft().unpersist(blocking=False)

@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.caching import track
+
 from etl_cortex_spark.operators.textops import shingles
 
 # 2^61-1 (Mersenne prime) — modulus for the universal hash family.
@@ -340,7 +342,7 @@ def _shingles_and_bands(
     if persist:
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = track(base.persist(StorageLevel.MEMORY_AND_DISK))
     sig = base.withColumn("__h", base_hashes(F.col("__shingles"))).withColumn(
         "__sig", minhash_signature(F.col("__h"), num_hashes)
     )
@@ -453,7 +455,7 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     if persist:
-        s = s.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+        s = track(s.persist(StorageLevel.MEMORY_AND_DISK))  # both join sides read it
     a, b = s.alias("a"), s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
     union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
@@ -527,7 +529,7 @@ def simhash_candidates(
     vmask = (1 << band_bits) - 1
     sh = df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col)).alias("__sim"))
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+        sh = track(sh.persist(StorageLevel.MEMORY_AND_DISK))  # both join sides read it
     band_keys = F.array(
         *[
             F.struct(
@@ -578,7 +580,7 @@ def embedding_near_dup_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
     if persist:
-        v = v.persist(StorageLevel.MEMORY_AND_DISK)  # both join sides read it
+        v = track(v.persist(StorageLevel.MEMORY_AND_DISK))  # both join sides read it
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
@@ -840,11 +842,23 @@ def incremental_exact_dedup(
     candidate per digest per partition). Nothing rescans existing
     payloads.
 
+    NULL-text rows are dropped from the batch up front (round-6
+    ADVICE): ``sha2(NULL)`` digests to NULL, which a left_anti join
+    would pass through (NULL never matches) while the SQL oracle's
+    ``digest NOT IN (...)`` drops it — filtering first keeps both
+    engines agreeing and keeps the dedup index NULL-free.
+
     Returns the surviving new rows (id, digest) ordered by id.
     """
     digest = F.sha2(F.col(text_col).cast("binary"), 256)
-    seen = existing.select(digest.alias("__digest")).distinct()
-    packed = new.select(digest.alias("__digest"), F.col(id_col))
+    seen = (
+        existing.where(F.col(text_col).isNotNull())
+        .select(digest.alias("__digest"))
+        .distinct()
+    )
+    packed = new.where(F.col(text_col).isNotNull()).select(
+        digest.alias("__digest"), F.col(id_col)
+    )
     batch_first = (
         packed.groupBy("__digest")
         .agg(F.min(id_col).alias(id_col))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.caching import track
+
 
 def pagerank(
     edges: DataFrame,
@@ -55,7 +57,7 @@ def pagerank(
         (F.col(weight) / F.col("__ow")).alias("__frac"),
     )
     if persist:
-        frac = frac.persist(StorageLevel.MEMORY_AND_DISK)
+        frac = track(frac.persist(StorageLevel.MEMORY_AND_DISK))
     srcs = frac.select(F.col("__src").alias(node_col)).distinct()
     n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
 

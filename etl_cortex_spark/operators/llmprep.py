@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.caching import track
+
 # --- D10: PII redaction -------------------------------------------------------
 
 #: Redaction patterns, deliberately written in the regex subset that
@@ -384,7 +386,7 @@ def span_dedup(
     # probe side of the semi join, and through it the rebuild); without
     # the cache the word explode + window re-runs per branch. ~24
     # bytes/row, spills before it OOMs.
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = track(grams.persist(StorageLevel.MEMORY_AND_DISK))
     dup = (
         grams.select(id_col, "__h")
         .distinct()
@@ -974,24 +976,24 @@ def curriculum_order(
     s = df.select(
         F.col(stratum_col), F.col(id_col), difficulty.alias("__diff")
     )
+    # One |strata|-row frame supplies BOTH the stratum index and the
+    # stratum count (round-6 ADVICE: the old form re-scanned the corpus
+    # for the count). Same window spec for both expressions → one
+    # Window node over |strata| rows (CollapseWindow merges them).
+    w_strata = Window.partitionBy(F.lit(0)).orderBy(stratum_col)
     strata = (
-        s.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        s.select(stratum_col)
+        .distinct()
         .select(
             stratum_col,
-            (
-                F.row_number().over(
-                    Window.partitionBy(F.lit(0)).orderBy(stratum_col)
+            (F.row_number().over(w_strata) - 1).alias("__idx"),
+            F.count(F.lit(1))
+            .over(
+                w_strata.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
                 )
-                - 1
-            ).alias("__idx"),
-        )
-        .crossJoin(
-            F.broadcast(
-                s.select(stratum_col)
-                .distinct()
-                .agg(F.count(F.lit(1)).alias("__n_strata"))
             )
+            .alias("__n_strata"),
         )
     )
     w = Window.partitionBy(stratum_col).orderBy("__diff", id_col)
@@ -1053,6 +1055,7 @@ def sampled_negatives(
     anchor_pred: Column,
     id_col: str = "doc_id",
     k: int = 4,
+    broadcast_positions: bool = True,
 ) -> DataFrame:
     """Deterministic global negative sampling — the contrastive-
     training companion of the positive-pair builders (d83 preference
@@ -1071,9 +1074,17 @@ def sampled_negatives(
     reproducible on any engine and any partitioning.
 
     Plan shape: the rank table is built once (range-exchange +
-    partitioned window, persisted); the |anchors|·k position rows
-    BROADCAST against it, so the corpus-sized side is never shuffled
-    for the gather. Returns (anchor_id, neg_idx, neg_id).
+    partitioned window, persisted); with ``broadcast_positions=True``
+    (the default) the |anchors|·k position rows BROADCAST against it,
+    so the corpus-sized side is never shuffled for the gather. That
+    shape requires |anchors|·k to fit the broadcast budget — the
+    position frame grows LINEARLY with the anchor set, so a predicate
+    selecting a fixed fraction of the corpus outgrows it at exactly
+    the scales this operator targets (round-6 ADVICE). Pass
+    ``broadcast_positions=False`` for data-sized anchor sets: both
+    sides then SHUFFLE_HASH-join on ``__p`` — one exchange of each
+    side, still no sort and no n² pair space.
+    Returns (anchor_id, neg_idx, neg_id).
     """
     from etl_cortex_spark.operators.skew import global_rank
 
@@ -1100,8 +1111,11 @@ def sampled_negatives(
         )
         .drop("__ar")
     )
-    gathered = F.broadcast(pos).join(
-        ranked.select(F.col(id_col).alias("neg_id"), F.col("__r").alias("__p")),
-        "__p",
+    rank_table = ranked.select(
+        F.col(id_col).alias("neg_id"), F.col("__r").alias("__p")
     )
+    if broadcast_positions:
+        gathered = F.broadcast(pos).join(rank_table, "__p")
+    else:
+        gathered = pos.hint("SHUFFLE_HASH").join(rank_table, "__p")
     return gathered.select("anchor_id", "neg_idx", "neg_id")

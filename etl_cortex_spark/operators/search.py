@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.caching import track
 from etl_cortex_spark.operators.textops import words
 
 
@@ -59,10 +60,11 @@ def bm25_topk(
     # The posting frame is read TWICE (document-frequency build + the
     # scoring join); persisting it is the inverted-index materialization
     # every real search system does — without it each consumer
-    # re-tokenizes the whole corpus (the dedup.py:115 pattern).
+    # re-tokenizes the whole corpus (the dedup.py:115 pattern). Tracked
+    # so repeat invocations can't accumulate CacheManager entries.
     from pyspark import StorageLevel
 
-    tf = (
+    tf = track(
         hits.groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -167,7 +169,7 @@ def tfidf_knn(
         )
     )
     if persist:
-        w = w.persist(StorageLevel.MEMORY_AND_DISK)
+        w = track(w.persist(StorageLevel.MEMORY_AND_DISK))
     norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
     joinable = w.filter(
         (F.col("df") >= 2) & (F.col("df") <= F.greatest(F.lit(2.0), max_df_frac * F.col("n")))

@@ -130,7 +130,15 @@ def global_rank(
     n_partitions = (
         n_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
-    parted = (
+    from etl_cortex_spark.operators.caching import track
+
+    # Tracked persist (round-6 ADVICE): the FIFO in operators.caching
+    # evicts the oldest helper cache past its cap, so a long session /
+    # full registry drive can't accumulate unbounded CacheManager
+    # entries. Eviction is correctness-safe here: repartitionByRange
+    # samples deterministically, so a recompute reproduces the exact
+    # placement the census measured.
+    parted = track(
         df.repartitionByRange(n_partitions, *order_exprs)
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
