@@ -142,6 +142,69 @@ def rewrite_multi_file(
     return table.num_rows
 
 
+def bucketed_fact(
+    spark,
+    sf_dir: str,
+    table: str,
+    key: str,
+    cols: list[str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """The ingest-time bucketed layout of a fact table, built once and
+    shared by every query that joins or aggregates on ``key`` — the
+    D93 (`scale_bucketed_join`) discipline promoted to a reusable
+    loader: pay ONE hash-layout write when the data lands, then every
+    downstream join on the key is exchange-free on this side (the scan
+    reports ``HashPartitioning(key, n_buckets)``, so EnsureRequirements
+    shuffles only the OTHER, usually far smaller, side) and every
+    groupBy led by the key needs no exchange either. At 100 TB the big
+    fact's per-query shuffle is THE cost a warehouse removes with
+    exactly this layout.
+
+    ``repartition(n_buckets, key)`` before the write puts each bucket's
+    rows in one task → exactly one file per bucket. The table name is
+    keyed on (abs path, table, cols, buckets) so layouts for different
+    datasets/column sets never alias, plus the pid so concurrent
+    processes cannot rmtree each other's live tables (the
+    `bucketed_table_names` convention, tier_scale.py).
+
+    Falls back to the plain parquet load on ANY failure (read-only
+    warehouse dir, catalog quirks): callers get identical ROWS either
+    way — only the plan shape differs — so correctness never depends
+    on the layout write succeeding.
+    """
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from etl_cortex_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, table).select(*cols)
+    sig = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{','.join(cols)}|{n_buckets}".encode()
+    ).hexdigest()[:8]
+    name = f"bktf_{table}_{sig}_{os.getpid()}"
+    try:
+        if not spark.catalog.tableExists(name):
+            # the catalog is per-session (in-memory) but the warehouse
+            # dir persists — clear this name's leftover location first;
+            # the pid suffix guarantees no live sibling owns it.
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            (
+                base.repartition(n_buckets, key)
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        return spark.table(name)
+    except Exception:
+        return base
+
+
 def compact_parquet(
     spark,
     src_path: str,
