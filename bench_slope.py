@@ -156,6 +156,14 @@ def main() -> None:
             "duckdb": du,
             "ratio_vs_duckdb": round(paired_sp / paired_du, 2) if paired_du else None,
         }
+        # drop this session's tracked persists BEFORE stopping it —
+        # frames left in the module-level FIFO would otherwise be
+        # evicted later, inside the next leg's session, against a dead
+        # SparkContext (the eviction itself is also dead-context-safe
+        # since round 8, but releasing here keeps the FIFO clean).
+        from etl_cortex_spark.operators.caching import release_all
+
+        release_all()
         spark.stop()
     r01, r1 = result["sf0.1"]["ratio_vs_duckdb"], result["sf1"]["ratio_vs_duckdb"]
     result["slope_note"] = (

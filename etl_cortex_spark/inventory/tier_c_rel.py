@@ -26,13 +26,24 @@ from etl_cortex_spark.queries import T, query
     """,
 )
 def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-join + agg. customer ≪ orders → AQE picks broadcast-hash at
-    test SF; at 100 TB both sides shuffle on the key (sort-merge) and
-    the aggregate is map-side partial."""
+    """Equi-join + agg over the warehouse layout: orders — the FACT
+    side — is stored bucketed on o_custkey (`bucketed_fact`, the D93
+    ingest-time discipline), so the scan itself reports
+    ``HashPartitioning(o_custkey, 16)`` and the join needs NO exchange
+    on the big side; customer is the build side via shuffle_hash (it
+    is the smaller input but still data-sized — a broadcast would be a
+    driver hash build that inverts at 100 TB, while the shuffle-hash
+    build is |customer|/partitions per task at any scale). The
+    aggregate is map-side partial into a |segment|-row exchange. Net:
+    the only data-sized movement in the query is the customer shuffle;
+    orders streams straight from its co-located buckets."""
+    from etl_cortex_spark.operators.layout import bucketed_fact
+
     cust = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders")
+    orders = bucketed_fact(spark, sf_dir, "orders", "o_custkey")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        cust.hint("shuffle_hash")
+        .join(orders, cust.c_custkey == orders.o_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

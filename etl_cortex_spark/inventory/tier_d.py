@@ -1037,23 +1037,55 @@ def d02pp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d02_incremental_lsh_probe")  # rows-only: xxhash64 banding is engine-specific
+@query(
+    "d02_incremental_lsh_probe",
+    oracle=f"""
+    WITH newb AS (
+      SELECT doc_id + 20000000 AS doc_id, 'mutated ' || text AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    ne AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM newb),
+    ex AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents)
+    SELECT ne.doc_id AS new_id, ex.doc_id AS existing_id,
+           round(len(list_intersect(ne.sh, ex.sh)) /
+                 greatest(len(ne.sh) + len(ex.sh) - len(list_intersect(ne.sh, ex.sh)), 1), 6)
+             AS jaccard
+    FROM ne, ex
+    WHERE round(len(list_intersect(ne.sh, ex.sh)) /
+                greatest(len(ne.sh) + len(ex.sh) - len(list_intersect(ne.sh, ex.sh)), 1), 6)
+          >= 0.5
+    ORDER BY new_id, existing_id
+    """,
+)
 def d02g(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup maintenance: a NEW ingest batch (mutated
     copies of every 20th doc, plus fresh never-seen docs) probed
     against the EXISTING corpus index — bipartite LSH, no
     corpus-wide re-pairing. Mutants must pair with their sources;
-    the fresh docs must not. Recall vs the exact baseline and the
-    bipartite (no new×new) contract are pinned in pytest."""
+    the fresh docs must not.
+
+    Oracle-paired since round 8 (r7 verdict #5): candidates still come
+    from engine-side banded buckets (xxhash64 — not SQL-replayable),
+    but every candidate is verified with the EXACT shingle jaccard, so
+    the only gap vs the exact bipartite pair set is banding recall.
+    Run recall-first (bands = num_hashes, i.e. one minhash per band):
+    a pair at jaccard j collides in some band with prob 1-(1-j)^32, so
+    a true ≥0.5 pair is missed with prob ≤ 2.4e-10 — the output IS the
+    exact set, and the DuckDB string-gram twin (same SQL as
+    d02_prefix_probe_pairs) is a full-strength oracle. The price of
+    r=1 banding is more candidates to verify (the recall/verify-cost
+    dial every production LSH exposes); candidate count stays bucketed
+    — never all-pairs — and the bipartite (no new×new) contract and
+    recall-vs-exact are additionally pinned in pytest."""
     docs = T(spark, sf_dir, "documents")
     existing = docs.select("doc_id", "text")
     new = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.concat(F.lit("mutated "), F.col("text")).alias("text"),
     )
-    return DD.minhash_lsh_probe(existing, new, threshold=0.5).orderBy(
-        "new_id", "existing_id"
-    )
+    return DD.minhash_lsh_probe(
+        existing, new, threshold=0.5, num_hashes=32, bands=32
+    ).orderBy("new_id", "existing_id")
 
 
 @query(

@@ -237,20 +237,95 @@ def d24a(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster").orderBy("vec_id")
 
 
-@query("d24_kmeans_sizes")  # rows-only: 3-iteration Lloyd's (iterative, not SQL)
+def _kmeans_oracle_sql(iters: int = 3, k: int = 8, q: int = 6) -> str:
+    """The d69/d71 unrolled-CTE technique applied to Lloyd's: a fixed
+    ``iters``-round k-means replayed as a chain of assignment/update
+    CTEs. Cross-engine exactness comes from the quantized arithmetic
+    contract shared with ``clustering.kmeans_fit_predict(quantize=q)``:
+    coordinates rounded to q decimals, every centroid update an exact
+    INTEGER sum (order-free) followed by the identical two IEEE
+    divisions ``(s / n) / 10^q``, distances rounded to q decimals
+    before the (dist, idx) argmin, and the final WCSS summed as scaled
+    integers so no float accumulation order can drift."""
+    scale = f"{10**q}.0"
+    # assignment of every vector against centroid CTE c{i}
+    assign = (
+        "SELECT vec_id, cluster, v FROM (\n"
+        "      SELECT e.vec_id, c.idx AS cluster, e.v,\n"
+        "             row_number() OVER (PARTITION BY e.vec_id ORDER BY\n"
+        "               round(list_sum(list_transform(e.v,\n"
+        "                 (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))), {q}),\n"
+        "               c.idx) AS rn\n"
+        "      FROM e, c{i} c) WHERE rn = 1"
+    )
+    parts = [
+        f"WITH e AS (SELECT vec_id, list_transform(embedding,"
+        f" x -> round(CAST(x AS DOUBLE), {q})) AS v FROM embeddings),",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v AS cv"
+        f" FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {k})),",
+    ]
+    for i in range(iters):
+        parts.append(f"a{i} AS ({assign.format(i=i, q=q)}),")
+        parts.append(
+            f"m{i + 1} AS (\n"
+            f"  SELECT cluster, u.pos AS pos,\n"
+            f"         (CAST(sum(CAST(round(u.x * {scale}) AS BIGINT)) AS DOUBLE)"
+            f" / count(*)) / {scale} AS m\n"
+            f"  FROM (SELECT cluster,"
+            f" unnest(list_transform(v, (x, i) -> {{'pos': i, 'x': x}})) AS u"
+            f" FROM a{i})\n"
+            f"  GROUP BY cluster, u.pos\n"
+            f"),"
+        )
+        parts.append(
+            f"c{i + 1} AS (\n"
+            f"  SELECT c.idx, coalesce(u.cv, c.cv) AS cv FROM c{i} c LEFT JOIN\n"
+            f"    (SELECT cluster AS idx, list(m ORDER BY pos) AS cv"
+            f" FROM m{i + 1} GROUP BY cluster) u USING (idx)\n"
+            f"),"
+        )
+    parts.append(
+        f"af AS (\n"
+        f"  SELECT vec_id, cluster,\n"
+        f"         round(list_sum(list_transform(v,"
+        f" (x, i) -> (x - cv[i]) * (x - cv[i]))), {q}) AS dist{q}\n"
+        f"  FROM (SELECT a.vec_id, a.cluster, a.v, c.cv FROM"
+        f" ({assign.format(i=iters, q=q)}) a JOIN c{iters} c ON a.cluster = c.idx)\n"
+        f")\n"
+        f"SELECT CAST(cluster AS INT) AS cluster, count(*) AS n,\n"
+        f"       round(CAST(sum(CAST(round(dist{q} * {scale}) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}, 2) AS wcss\n"
+        f"FROM af GROUP BY cluster ORDER BY cluster"
+    )
+    return "\n".join(parts)
+
+
+@query("d24_kmeans_sizes", oracle=_kmeans_oracle_sql(iters=3, k=_CENTROID_K, q=6))
 def d24b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clustering.kmeans_fit_predict — full Lloyd's (k=8, 3
     iterations): per-cluster sizes + within-cluster sum of squares.
-    Iterative centroid refinement isn't single-statement SQL, so the
-    driver check is rows-only; the pytest suite pins determinism,
-    non-increasing inertia, and separable-cluster recovery."""
+    Oracle-paired since round 8 (r7 verdict #4): the fit runs
+    ``quantize=6`` (integer-sum centroid updates — exact in any
+    aggregation order, so the model is bit-identical across engines)
+    and the DuckDB twin unrolls the same 3 iterations as CTEs
+    (`_kmeans_oracle_sql`); WCSS is summed as scaled integers on both
+    sides for order-free totals. The pytest suite additionally pins
+    determinism, non-increasing inertia, and separable-cluster
+    recovery."""
     from etl_cortex_spark.operators import clustering as CL
 
     emb = T(spark, sf_dir, "embeddings")
-    out = CL.kmeans_fit_predict(emb, k=_CENTROID_K, iters=3)
+    out = CL.kmeans_fit_predict(emb, k=_CENTROID_K, iters=3, quantize=6)
     return (
         out.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("sq_dist"), 2).alias("wcss"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("sq_dist") * 1000000.0).cast("long"))
+                / F.lit(1000000.0),
+                2,
+            ).alias("wcss"),
+        )
         .orderBy("cluster")
     )
 

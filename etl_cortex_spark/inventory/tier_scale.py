@@ -567,17 +567,23 @@ def scale_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.orderBy("o_orderkey")
 
 
-def bucketed_table_names(sf_dir: str) -> tuple[str, str]:
-    """(lineitem, orders) bucketed-table names for a dataset. Keyed on
-    the FULL path hash (two datasets sharing a basename must not alias
-    to one cached layout) plus the pid (a concurrent process must not
-    be able to name — and therefore rmtree or overwrite — a table a
-    live sibling is scanning); the d08-family state-path convention."""
-    import hashlib
-    import os
+#: the two projections scale_bucketed_join stores (shared with its
+#: plan-pin test via `bucketed_table_names`).
+_BKT_LI_COLS = ["l_orderkey", "l_extendedprice", "l_discount"]
+_BKT_O_COLS = ["o_orderkey", "o_orderpriority"]
 
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    return f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+
+def bucketed_table_names(sf_dir: str) -> tuple[str, str]:
+    """(lineitem, orders) bucketed-table names for scale_bucketed_join's
+    layouts — now just the `layout.bucketed_fact_name` convention
+    (path+table+key+cols+buckets hash, pid-suffixed so a concurrent
+    process can't rmtree or overwrite a live sibling's table)."""
+    from etl_cortex_spark.operators.layout import bucketed_fact_name
+
+    return (
+        bucketed_fact_name(sf_dir, "lineitem", "l_orderkey", _BKT_LI_COLS, 8),
+        bucketed_fact_name(sf_dir, "orders", "o_orderkey", _BKT_O_COLS, 8),
+    )
 
 
 @query(
@@ -612,47 +618,12 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets can't guarantee it — but they are LOCAL sorts of
     pre-clustered rows, no network; and the `merge` hint only rules
     out broadcast at toy SF — at production SF the optimizer picks
-    SMJ on its own."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    SMJ on its own. The layout write is `layout.bucketed_fact` — the
+    same loader tpch.q3/q5 and c10 adopt for their fact sides."""
+    from etl_cortex_spark.operators.layout import bucketed_fact
 
-    def ensure_bucketed(df: DataFrame, name: str, key: str) -> None:
-        if spark.catalog.tableExists(name):
-            return
-        # the catalog is per-session (in-memory) but the warehouse dir
-        # persists — clear THIS name's leftover location first. The
-        # pid in the table name (below) makes this safe: no live
-        # concurrent process can own the same name, so the rmtree can
-        # only ever remove a dead session's debris.
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-        # repartition on the bucket key with n_partitions == n_buckets:
-        # every bucket's rows land in exactly one write task → exactly
-        # one file per bucket, which is the condition under which the
-        # scan reports its sortBy order and the merge join needs no
-        # Sort either (multi-file buckets would force a re-sort).
-        (
-            df.repartition(8, key)
-            .write.mode("overwrite")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .format("parquet")
-            .saveAsTable(name)
-        )
-
-    lt, ot = bucketed_table_names(sf_dir)
-    ensure_bucketed(
-        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-        lt,
-        "l_orderkey",
-    )
-    ensure_bucketed(
-        T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-        ot,
-        "o_orderkey",
-    )
-    li, o = spark.table(lt), spark.table(ot)
+    li = bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey", _BKT_LI_COLS, 8)
+    o = bucketed_fact(spark, sf_dir, "orders", "o_orderkey", _BKT_O_COLS, 8)
     return (
         li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")

@@ -20,7 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.layout import bucketed_fact
 from etl_cortex_spark.queries import T, query
+
+
+def _lineitem_by_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem in its warehouse layout: bucketed on l_orderkey (full
+    row, 16 buckets) — the ingest-time discipline that deletes the fact
+    side's exchange from EVERY orderkey join below (q3, q5). One hash
+    write when the data lands; after it the scan itself reports
+    ``HashPartitioning(l_orderkey, 16)`` so only the orders-shaped
+    probe side shuffles. Identical rows to the plain scan (falls back
+    to it if the warehouse isn't writable), so oracles are unaffected."""
+    return bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
 
 
 @query(
@@ -45,7 +57,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("date")
     )
-    li = T(spark, sf_dir, "lineitem").filter(
+    li = _lineitem_by_orderkey(spark, sf_dir).filter(
         F.col("l_shipdate") > F.lit("1997-03-15").cast("date")
     )
     # Build side matters: left to its static size guesses Catalyst
@@ -55,8 +67,11 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders-shaped (grows with the data), so it must not be
     # BROADCAST either: shuffle_hash builds it partition-wise —
     # per-task memory is |cut product|/shuffle-partitions at any
-    # scale, lineitem streams through a keyed shuffle, and no sort
-    # is paid on either side (measured fastest of the three forms).
+    # scale, and no sort is paid on either side. With the bucketed
+    # lineitem layout the fact side doesn't even shuffle: the scan's
+    # HashPartitioning(l_orderkey) feeds the join AND the downstream
+    # (l_orderkey, o_orderdate) aggregate exchange-free — the only
+    # exchange left in the query is the small co build.
     co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
         "o_orderkey", "o_orderdate"
     )
@@ -131,14 +146,16 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
-    li = T(spark, sf_dir, "lineitem")
+    li = _lineitem_by_orderkey(spark, sf_dir)
     # Stream the fact: ASIA-customers ⋈ year-of-orders is the smaller
     # side, but it is orders-shaped (grows with the data) so it is
     # neither left to Catalyst (whose static guesses broadcast-build
     # the UNFILTERED lineitem here) nor broadcast by hint (a driver
     # build that dies at 100 TB). shuffle_hash builds it
     # partition-wise: per-task memory is |cut product|/partitions at
-    # any scale, lineitem streams, no sort on either side.
+    # any scale, lineitem streams — and with the bucketed layout it
+    # streams STRAIGHT FROM THE SCAN: HashPartitioning(l_orderkey, 16)
+    # satisfies the join's distribution, so the fact never shuffles.
     co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
         "o_orderkey", "c_nationkey"
     )

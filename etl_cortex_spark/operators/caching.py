@@ -34,15 +34,29 @@ CACHE_CAP = 8
 _TRACKED: deque[DataFrame] = deque()
 
 
+def _drop(df: DataFrame) -> None:
+    """Unpersist one evicted frame, tolerating a DEAD SparkContext: the
+    FIFO is module-level and outlives sessions, so after a
+    ``spark.stop()`` + new session (bench_slope's two legs, notebook
+    restarts) the oldest entries belong to a stopped context whose
+    ``unpersist`` raises from a null driver endpoint. Such a frame's
+    cache died with its session — dropping the reference IS the
+    release."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
+
+
 def track(df: DataFrame) -> DataFrame:
     """Register a persisted frame; evict the oldest past ``CACHE_CAP``."""
     _TRACKED.append(df)
     while len(_TRACKED) > CACHE_CAP:
-        _TRACKED.popleft().unpersist(blocking=False)
+        _drop(_TRACKED.popleft())
     return df
 
 
 def release_all() -> None:
     """Unpersist every tracked frame now (non-blocking)."""
     while _TRACKED:
-        _TRACKED.popleft().unpersist(blocking=False)
+        _drop(_TRACKED.popleft())

@@ -106,27 +106,65 @@ def kmeans_fit_predict(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means; returns (id, cluster, sq_dist) for the final
     model. Each iteration collects only the k×dim centroid model (the
     sanctioned driver-side state); data-side work is one scan + one
-    (cluster, position) partial-agg shuffle."""
-    centroids = initial_centroids(df, k, id_col, vec_col)
+    (cluster, position) partial-agg shuffle.
+
+    ``quantize=q`` makes the whole fit CROSS-ENGINE DETERMINISTIC (the
+    d92 integer-moment discipline, added round 8 so d24_kmeans_sizes
+    can carry a full DuckDB oracle): input coordinates are rounded to
+    q decimals, and each centroid update sums SCALED INTEGERS (exact
+    in any order — no float partial-agg order dependence) before two
+    IEEE divisions, (s / n) / 10^q, replayed with the identical
+    expression shape in SQL. Distances then depend only on these
+    bit-identical inputs. Default None keeps the plain float-avg path
+    (one aggregate expression, marginally cheaper)."""
     base = df.select(id_col, as_double(F.col(vec_col)).alias("__v"))
+    if quantize is not None:
+        scale = float(10**quantize)
+        base = df.select(
+            id_col,
+            F.transform(as_double(F.col(vec_col)), lambda x: F.round(x, quantize)).alias(
+                "__v"
+            ),
+        )
+    centroids = initial_centroids(base, k, id_col, "__v")
 
     for _ in range(iters):
         cluster, _dist = _assign(base, centroids, "__v")
         assigned = base.select(id_col, "__v", cluster)
-        new_rows = (
-            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
-            .collect()
-        )
-        updated = {r.cluster: [float(x) for x in r.c] for r in new_rows}
+        if quantize is None:
+            new_rows = (
+                assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+                .collect()
+            )
+            updated = {r.cluster: [float(x) for x in r.c] for r in new_rows}
+        else:
+            sums = (
+                assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            acc: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                if r.cluster is not None:
+                    acc.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
+            updated = {
+                c: [(s / n) / scale for _, (s, n) in sorted(d.items())]
+                for c, d in acc.items()
+            }
         # empty clusters keep their previous centroid
         centroids = [updated.get(j, centroids[j]) for j in range(k)]
 

@@ -142,12 +142,36 @@ def rewrite_multi_file(
     return table.num_rows
 
 
+def bucketed_fact_name(
+    sf_dir: str,
+    table: str,
+    key: str,
+    cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> str:
+    """The catalog name a `bucketed_fact` layout lives under. Keyed on
+    (abs path, table, KEY, cols, buckets) — the key is part of the
+    identity because the same table bucketed on two different keys is
+    two different layouts (orders-by-orderkey for lineitem joins,
+    orders-by-custkey for customer joins: the secondary-projection
+    pattern) — plus the pid so concurrent processes cannot rmtree or
+    overwrite a table a live sibling is scanning (the tier_scale.py
+    `bucketed_table_names` convention, now shared through here)."""
+    import hashlib
+    import os
+
+    sig = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{key}|{','.join(cols or ['*'])}|{n_buckets}".encode()
+    ).hexdigest()[:8]
+    return f"bktf_{table}_{sig}_{os.getpid()}"
+
+
 def bucketed_fact(
     spark,
     sf_dir: str,
     table: str,
     key: str,
-    cols: list[str],
+    cols: list[str] | None = None,
     n_buckets: int = 16,
 ) -> DataFrame:
     """The ingest-time bucketed layout of a fact table, built once and
@@ -159,32 +183,31 @@ def bucketed_fact(
     shuffles only the OTHER, usually far smaller, side) and every
     groupBy led by the key needs no exchange either. At 100 TB the big
     fact's per-query shuffle is THE cost a warehouse removes with
-    exactly this layout.
+    exactly this layout. Callers: tpch.q3/q5 (lineitem on l_orderkey),
+    c10 (orders on o_custkey), scale_bucketed_join (both sides).
 
-    ``repartition(n_buckets, key)`` before the write puts each bucket's
-    rows in one task → exactly one file per bucket. The table name is
-    keyed on (abs path, table, cols, buckets) so layouts for different
-    datasets/column sets never alias, plus the pid so concurrent
-    processes cannot rmtree each other's live tables (the
-    `bucketed_table_names` convention, tier_scale.py).
+    ``cols=None`` stores the FULL row (what ingest does — any future
+    query on the key shares the one layout; scans still column-prune),
+    a list stores that projection. ``repartition(n_buckets, key)``
+    before the write puts each bucket's rows in one task → exactly one
+    file per bucket, the condition for the scan to report its sortBy
+    order.
 
     Falls back to the plain parquet load on ANY failure (read-only
     warehouse dir, catalog quirks): callers get identical ROWS either
     way — only the plan shape differs — so correctness never depends
     on the layout write succeeding.
     """
-    import hashlib
     import os
     import shutil
     from urllib.parse import urlparse
 
     from etl_cortex_spark.sources.tables import load_table
 
-    base = load_table(spark, sf_dir, table).select(*cols)
-    sig = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{table}|{','.join(cols)}|{n_buckets}".encode()
-    ).hexdigest()[:8]
-    name = f"bktf_{table}_{sig}_{os.getpid()}"
+    base = load_table(spark, sf_dir, table)
+    if cols is not None:
+        base = base.select(*cols)
+    name = bucketed_fact_name(sf_dir, table, key, cols, n_buckets)
     try:
         if not spark.catalog.tableExists(name):
             # the catalog is per-session (in-memory) but the warehouse

@@ -462,6 +462,220 @@ def decode_bmp_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=out_schema)
 
 
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form per-asset dimensions (distinct from the BMP set so
+    the two image entries never share byte layouts)."""
+    return 17 + (doc_id % 4) * 8, 9 + (doc_id % 3) * 5
+
+
+def synthesize_png_assets(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads, one per document — the COMPRESSED-container
+    leg of the d05 proof family (round-7 verdict #6): WAV proved audio,
+    BMP proved uncompressed images, and PNG is the codec stdlib zlib
+    fully covers, because PNG's only compression is DEFLATE. Each
+    payload is a genuine non-interlaced 8-bit RGB (color type 2) PNG:
+    signature, IHDR, IDAT (zlib stream of filtered scanlines — split
+    into TWO IDAT chunks so decoders must concatenate), IEND, every
+    chunk carrying its real CRC-32. Row ``y`` is written with filter
+    type ``(doc_id + y) % 5``, so all five PNG filters (None/Sub/Up/
+    Average/Paeth) appear in every asset taller than 4 rows and the
+    decoder cannot skip unfiltering. Pixels come from integer closed
+    forms in image coordinates (shared with the oracle, which never
+    sees the bytes):
+
+        r(x,y) = (id*23 + x*3  + y*19) % 256
+        g(x,y) = (id*17 + x*5  + y*11) % 256
+        b(x,y) = (id*31 + x*7  + y*13) % 256
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def _paeth(a, b, c):
+        import numpy as np
+
+        p = a.astype(np.int64) + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 17 + (d % 4) * 8, 9 + (d % 3) * 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                rgb = np.stack(
+                    [
+                        (d * 23 + x * 3 + y * 19) % 256,
+                        (d * 17 + x * 5 + y * 11) % 256,
+                        (d * 31 + x * 7 + y * 13) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)  # (h, w, 3) top-down RGB
+                raw = rgb.reshape(h, w * 3).astype(np.int64)
+                # encode filters from RAW neighbors (vectorizable; only
+                # DECODING is sequential) — left is the same channel 3
+                # bytes back, up is the previous raw row.
+                left = np.zeros_like(raw)
+                left[:, 3:] = raw[:, :-3]
+                up = np.zeros_like(raw)
+                up[1:] = raw[:-1]
+                upleft = np.zeros_like(raw)
+                upleft[1:, 3:] = raw[:-1, :-3]
+                filtered = np.empty((h, w * 3 + 1), dtype=np.uint8)
+                for yy in range(h):
+                    ft = (d + yy) % 5
+                    if ft == 0:
+                        out = raw[yy]
+                    elif ft == 1:
+                        out = raw[yy] - left[yy]
+                    elif ft == 2:
+                        out = raw[yy] - up[yy]
+                    elif ft == 3:
+                        out = raw[yy] - (left[yy] + up[yy]) // 2
+                    else:
+                        out = raw[yy] - _paeth(left[yy], up[yy], upleft[yy])
+                    filtered[yy, 0] = ft
+                    filtered[yy, 1:] = (out % 256).astype(np.uint8)
+                z = zlib.compress(filtered.tobytes(), 6)
+                half = max(1, len(z) // 2)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", z[:half])
+                    + chunk(b"IDAT", z[half:])
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_png_features(assets: DataFrame) -> DataFrame:
+    """REAL compressed-image decode via ``mapInPandas`` — stdlib only:
+    walk the chunk stream (verifying every CRC-32), parse IHDR,
+    concatenate the IDAT payloads, ``zlib.decompress`` the DEFLATE
+    stream, and reconstruct each scanline through the five PNG filters
+    (None/Sub/Up/Average/Paeth — Sub/Average/Paeth are inherently
+    sequential along the row, done byte-wise exactly as the spec
+    defines; rows here are ≤ 41 px so the Python inner loop is bounded
+    per asset, and a production build swaps this kernel for Pillow
+    without touching the Spark plumbing). Feature schema matches the
+    BMP twin; ``topleft_lum`` reads pixel (0,0), which in PNG is the
+    FIRST stored row — the opposite orientation proof from bottom-up
+    BMP. With this, the only remaining decode stubs are the codecs
+    that genuinely need external libraries (jpeg/mp3/video)."""
+    out_schema = (
+        "asset_id bigint, width int, height int, n_pixels bigint, "
+        "mean_r double, mean_g double, mean_b double, topleft_lum int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "topleft_lum",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError(f"asset {aid}: not a PNG payload")
+                pos, idat, ihdr = 8, b"", None
+                while pos < len(buf):
+                    (n,) = struct.unpack(">I", buf[pos : pos + 4])
+                    ctype = buf[pos + 4 : pos + 8]
+                    data = buf[pos + 8 : pos + 8 + n]
+                    (crc,) = struct.unpack(">I", buf[pos + 8 + n : pos + 12 + n])
+                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"asset {aid}: bad CRC in {ctype!r}")
+                    if ctype == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif ctype == b"IDAT":
+                        idat += data
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + n
+                if ihdr is None:
+                    raise ValueError(f"asset {aid}: missing IHDR")
+                w, h, depth, ctype_i, comp, filt, inter = ihdr
+                if (depth, ctype_i, comp, filt, inter) != (8, 2, 0, 0, 0):
+                    raise ValueError(
+                        f"asset {aid}: only 8-bit RGB non-interlaced supported"
+                    )
+                stride = w * 3
+                flat = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+                lines = flat.reshape(h, stride + 1)
+                recon = np.zeros((h, stride), dtype=np.int64)
+                for yy in range(h):
+                    ft = int(lines[yy, 0])
+                    f_row = lines[yy, 1:].astype(np.int64)
+                    prev = recon[yy - 1] if yy else np.zeros(stride, dtype=np.int64)
+                    if ft == 0:
+                        recon[yy] = f_row
+                    elif ft == 2:
+                        recon[yy] = (f_row + prev) % 256
+                    else:  # Sub / Average / Paeth: sequential in x
+                        r_row = recon[yy]
+                        for i in range(stride):
+                            a = r_row[i - 3] if i >= 3 else 0
+                            b = prev[i]
+                            c = prev[i - 3] if i >= 3 else 0
+                            if ft == 1:
+                                pred = a
+                            elif ft == 3:
+                                pred = (a + b) // 2
+                            elif ft == 4:
+                                pred = paeth(int(a), int(b), int(c))
+                            else:
+                                raise ValueError(
+                                    f"asset {aid}: unknown filter {ft}"
+                                )
+                            r_row[i] = (f_row[i] + pred) % 256
+                r = recon[:, 0::3]
+                g = recon[:, 1::3]
+                b_ = recon[:, 2::3]
+                n = w * h
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(n)
+                rows["mean_r"].append(float(r.sum()) / n)
+                rows["mean_g"].append(float(g.sum()) / n)
+                rows["mean_b"].append(float(b_.sum()) / n)
+                rows["topleft_lum"].append(int(r[0, 0] + g[0, 0] + b_[0, 0]))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
 def plan_image_tiles(
     assets: DataFrame,
     *,

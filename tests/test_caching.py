@@ -1,0 +1,127 @@
+"""Direct coverage for operators/caching.py (the round-7 FIFO) and
+`layout.bucketed_fact`'s fallback path — the round-7 verdict asked for
+both: the eviction order, `release_all`, and the docstring's central
+safety claim (an evicted frame that a still-lazy plan references is
+merely recomputed — identical rows, never an error) are pinned here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+from etl_cortex_spark.operators import caching
+from etl_cortex_spark.operators.caching import CACHE_CAP, release_all, track
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _clean_tracker():
+    """Each test starts and ends with an empty FIFO so module state
+    can't leak between tests (or into the shared session's other
+    suites)."""
+    release_all()
+    yield
+    release_all()
+
+
+def _frames(spark, n):
+    # distinct literals → distinct logical plans → distinct CacheManager
+    # entries (identical plans would alias to one cache entry).
+    return [
+        spark.range(5).select((F.col("id") + i).alias("v")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        for i in range(n)
+    ]
+
+
+def test_track_evicts_oldest_past_cap(spark):
+    dfs = _frames(spark, CACHE_CAP + 3)
+    for df in dfs:
+        track(df)
+    # FIFO: the first 3 are evicted, the newest CACHE_CAP survive
+    for df in dfs[:3]:
+        assert df.storageLevel == StorageLevel.NONE, "oldest not evicted"
+    for df in dfs[3:]:
+        assert df.storageLevel != StorageLevel.NONE, "live entry evicted"
+    assert len(caching._TRACKED) == CACHE_CAP
+
+
+def test_release_all_unpersists_everything(spark):
+    dfs = _frames(spark, 4)
+    for df in dfs:
+        track(df)
+    release_all()
+    assert not caching._TRACKED
+    for df in dfs:
+        assert df.storageLevel == StorageLevel.NONE
+
+
+def test_evicted_frame_recomputes_identically(spark):
+    """The safety claim behind CACHE_CAP: every tracked persist in the
+    repo is deterministic under recomputation, so a consumer built on
+    a frame that was evicted mid-flight recomputes the identical rows.
+    Build a consumer on a tracked aggregate, read it once while the
+    persist is live, evict the persist by flooding the FIFO, read the
+    SAME lazy consumer again — rows must match exactly."""
+    base = track(
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    consumer = base.filter(F.col("n") > 0).orderBy("o_orderpriority")
+    before = [tuple(r) for r in consumer.collect()]
+    assert before, "fixture query returned nothing"
+
+    for df in _frames(spark, CACHE_CAP):  # flood → base evicted
+        track(df)
+    assert base.storageLevel == StorageLevel.NONE
+
+    after = [tuple(r) for r in consumer.collect()]
+    assert after == before
+
+
+def test_eviction_survives_dead_context_frames(spark):
+    """The FIFO outlives SparkSessions (bench_slope runs two legs in
+    one process): evicting a frame whose context was stopped raises
+    from the JVM — track() must swallow that and keep going, because
+    a dead session's cache died with it. Simulated with a stand-in
+    whose unpersist always raises."""
+
+    class DeadFrame:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("SparkContext stopped")
+
+    caching._TRACKED.append(DeadFrame())
+    live = _frames(spark, CACHE_CAP)
+    for df in live:
+        track(df)  # evicts the dead frame first — must not raise
+    assert all(df.storageLevel != StorageLevel.NONE for df in live)
+    release_all()
+
+
+def test_bucketed_fact_falls_back_to_plain_scan(spark, monkeypatch):
+    """`bucketed_fact`'s contract: on ANY layout failure the caller
+    gets the identical ROWS from the plain parquet scan — correctness
+    never depends on the warehouse write succeeding. Failure is
+    injected at the catalog probe (the first step of the layout path)."""
+    from pyspark.sql.catalog import Catalog
+
+    from etl_cortex_spark.operators.layout import bucketed_fact
+    from etl_cortex_spark.sources.tables import load_table
+
+    def boom(self, name):
+        raise RuntimeError("catalog unavailable")
+
+    monkeypatch.setattr(Catalog, "tableExists", boom)
+    got = bucketed_fact(spark, SF, "orders", "o_custkey")
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Bucketed: true" not in plan  # really the fallback path
+    want = load_table(spark, SF, "orders")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -32,9 +32,7 @@ EXPECTED_NO_ORACLE = {
     "d02_minhash_lsh_ml_pairs",
     "d13_pack_sequences",  # stateful next-fit packing, not SQL-expressible
     "d02_simhash_candidates",
-    "d02_incremental_lsh_probe",  # bipartite LSH probe, engine-specific hashing
     "d03_ann_brp_topk",
-    "d24_kmeans_sizes",  # iterative Lloyd's, not single-statement SQL
 }
 
 

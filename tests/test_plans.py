@@ -45,10 +45,54 @@ def test_column_pruning_reaches_scan(spark):
 def test_small_dims_broadcast(spark):
     """Joins against nation/region must be broadcast-hash, not
     sort-merge: shuffling a 100 TB fact table against a 25-row
-    dimension is the canonical scale failure."""
-    plan = plan_of(QUERIES["c10_join_inner_agg"](spark, SF))
+    dimension is the canonical scale failure. q5 carries both dims
+    (region→nation→customer/supplier): every one must broadcast, and
+    no join in the query may fall to a sort-merge of fact rows."""
+    plan = plan_of(QUERIES["tpch_q5_local_supplier_volume"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _physical_body(plan: str) -> str:
+    return plan.split("== Physical Plan ==")[1].split("===== Subqueries")[0]
+
+
+def _n_shuffle_exchanges(plan: str) -> int:
+    """Count real (hash/range/single-partition) Exchange nodes in a
+    formatted plan's node details — BroadcastExchange deliberately
+    excluded (broadcasts are the CHEAP movement; these pins bound the
+    data-sized shuffles)."""
+    import re as _re
+
+    return len(_re.findall(r"\(\d+\) Exchange\b", _physical_body(plan)))
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        # q3: the only shuffle is the customers⋈orders probe build —
+        # bucketed lineitem feeds the join AND the (l_orderkey,
+        # o_orderdate) aggregate exchange-free; top-10 is TakeOrdered.
+        ("tpch_q3_shipping_priority", 1),
+        # q5: the co probe build + the |nation|-row final agg.
+        ("tpch_q5_local_supplier_volume", 2),
+        # c10: the customer build + the |segment|-row final agg —
+        # orders (the fact) streams from its buckets unshuffled.
+        ("c10_join_inner_agg", 2),
+    ],
+)
+def test_bucketed_fact_queries_never_shuffle_the_fact(spark, name, max_exchanges):
+    """The round-8 warehouse-layout contract: q3/q5/c10 read their fact
+    side through `layout.bucketed_fact`, so the fact table NEVER
+    appears under an Exchange — the plan must show a bucketed scan and
+    at most the small-side/final-agg shuffles counted above. If the
+    layout write silently fell back to plain parquet, 'Bucketed: true'
+    disappears and this fails — the pin covers both the plan shape and
+    the loader actually working."""
+    plan = plan_of(QUERIES[name](spark, SF))
+    assert "Bucketed: true" in plan, f"{name}: fact scan is not bucketed"
+    n = _n_shuffle_exchanges(plan)
+    assert n <= max_exchanges, f"{name}: {n} shuffle exchanges\n{plan}"
 
 
 def test_flagship_stays_in_codegen(spark):
