@@ -47,11 +47,18 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # changes only — the rotation below is otherwise purely
 # least-recently-verified.
 _REVERIFY_NOW: dict[str, int] = {
-    # Round 7: d85 swapped its second corpus scan for window exprs over
-    # the |strata|-row frame (round-6 ADVICE); d87 now drops NULL-text
-    # batch rows before digesting (oracle-parity guard).
-    "d85_curriculum_order": 7,
-    "d87_incremental_exact_dedup": 7,
+    # Round 8 plan changes never driver-recorded (r8 verdict #3, a
+    # repeat assignment): q3/q5/c10/scale_bucketed_join moved to the
+    # shared `layout.bucketed_fact` warehouse layout in r8, and
+    # d02_incremental_lsh_probe gained its full-strength oracle in r8;
+    # all five carry pre-change official records only. Round 9 also
+    # narrows the bucketed layouts to per-query column projections
+    # (same rows, new layout signature), so the boost covers both.
+    "tpch_q3_shipping_priority": 9,
+    "tpch_q5_local_supplier_volume": 9,
+    "c10_join_inner_agg": 9,
+    "scale_bucketed_join": 9,
+    "d02_incremental_lsh_probe": 9,
 }
 
 

@@ -16,6 +16,20 @@ from etl_cortex_spark.queries import T, query
 
 # --- Joins -------------------------------------------------------------------
 
+#: the orders projection c10 reads (2 of its columns) — the bucketed
+#: layout stores only these (round-9: per-process layouts carry the
+#: caller's column union, not full rows — see layout.bucketed_fact).
+_C10_ORDERS_COLS = ["o_custkey", "o_totalprice"]
+
+
+def _orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders in its warehouse layout: bucketed on o_custkey — the
+    fact side of every customer-key join (c10 here; bench.py builds
+    this in its explicit ingest phase)."""
+    from etl_cortex_spark.operators.layout import bucketed_fact
+
+    return bucketed_fact(spark, sf_dir, "orders", "o_custkey", _C10_ORDERS_COLS)
+
 
 @query(
     "c10_join_inner_agg",
@@ -37,10 +51,8 @@ def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is map-side partial into a |segment|-row exchange. Net:
     the only data-sized movement in the query is the customer shuffle;
     orders streams straight from its co-located buckets."""
-    from etl_cortex_spark.operators.layout import bucketed_fact
-
     cust = T(spark, sf_dir, "customer")
-    orders = bucketed_fact(spark, sf_dir, "orders", "o_custkey")
+    orders = _orders_by_custkey(spark, sf_dir)
     return (
         cust.hint("shuffle_hash")
         .join(orders, cust.c_custkey == orders.o_custkey, "inner")

@@ -24,15 +24,28 @@ from etl_cortex_spark.operators.layout import bucketed_fact
 from etl_cortex_spark.queries import T, query
 
 
+#: the one lineitem projection q3 and q5 SHARE (union of both queries'
+#: columns — 5 of 16), so the two entries reuse a single layout write
+#: instead of two full-row copies (round-8 verdict #3 / round-9 GC).
+_LI_BKT_COLS = [
+    "l_orderkey",
+    "l_suppkey",
+    "l_extendedprice",
+    "l_discount",
+    "l_shipdate",
+]
+
+
 def _lineitem_by_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem in its warehouse layout: bucketed on l_orderkey (full
-    row, 16 buckets) — the ingest-time discipline that deletes the fact
-    side's exchange from EVERY orderkey join below (q3, q5). One hash
-    write when the data lands; after it the scan itself reports
-    ``HashPartitioning(l_orderkey, 16)`` so only the orders-shaped
-    probe side shuffles. Identical rows to the plain scan (falls back
-    to it if the warehouse isn't writable), so oracles are unaffected."""
-    return bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
+    """lineitem in its warehouse layout: bucketed on l_orderkey (the
+    q3+q5 column union, 16 buckets) — the ingest-time discipline that
+    deletes the fact side's exchange from EVERY orderkey join below
+    (q3, q5). One hash write when the data lands; after it the scan
+    itself reports ``HashPartitioning(l_orderkey, 16)`` so only the
+    orders-shaped probe side shuffles. Identical rows to the plain
+    scan (falls back to it if the warehouse isn't writable), so
+    oracles are unaffected."""
+    return bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey", _LI_BKT_COLS)
 
 
 @query(

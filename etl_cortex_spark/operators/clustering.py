@@ -39,12 +39,17 @@ def _sq_dist(vec, centroid_lit):
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str):
+def _assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str, precision: int = 6
+):
     """Nearest-centroid assignment as a pure projection: an array of
     (dist, idx) structs, array_min = lexicographic min → deterministic
     argmin with the lowest cluster index on ties. Distances are
-    rounded to 6 decimals before the argmin so the tie rule (not libm
-    ULP) decides near-equidistant points. A NULL vector assigns to a
+    rounded to ``precision`` decimals before the argmin so the tie
+    rule (not libm ULP) decides near-equidistant points — the SAME
+    precision the quantized fit and its SQL oracle round at (round-8
+    ADVICE: a hardcoded 6 here silently broke the cross-engine
+    contract for any quantize != 6). A NULL vector assigns to a
     NULL cluster explicitly — struct comparison against NULL distances
     would otherwise pick an arbitrary-looking (if deterministic)
     cluster for rows that carry no vector at all."""
@@ -52,7 +57,9 @@ def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str):
     pairs = F.array(
         *[
             F.struct(
-                F.round(_sq_dist(v, F.array(*[F.lit(x) for x in c])), 6).alias("dist"),
+                F.round(
+                    _sq_dist(v, F.array(*[F.lit(x) for x in c])), precision
+                ).alias("dist"),
                 F.lit(j).alias("idx"),
             )
             for j, c in enumerate(centroids)
@@ -123,8 +130,10 @@ def kmeans_fit_predict(
     bit-identical inputs. Default None keeps the plain float-avg path
     (one aggregate expression, marginally cheaper)."""
     base = df.select(id_col, as_double(F.col(vec_col)).alias("__v"))
+    precision = 6
     if quantize is not None:
         scale = float(10**quantize)
+        precision = quantize  # distances round where the inputs do
         base = df.select(
             id_col,
             F.transform(as_double(F.col(vec_col)), lambda x: F.round(x, quantize)).alias(
@@ -134,7 +143,7 @@ def kmeans_fit_predict(
     centroids = initial_centroids(base, k, id_col, "__v")
 
     for _ in range(iters):
-        cluster, _dist = _assign(base, centroids, "__v")
+        cluster, _dist = _assign(base, centroids, "__v", precision)
         assigned = base.select(id_col, "__v", cluster)
         if quantize is None:
             new_rows = (
@@ -168,7 +177,7 @@ def kmeans_fit_predict(
         # empty clusters keep their previous centroid
         centroids = [updated.get(j, centroids[j]) for j in range(k)]
 
-    cluster, dist = _assign(base, centroids, "__v")
+    cluster, dist = _assign(base, centroids, "__v", precision)
     return base.select(id_col, cluster, dist)
 
 

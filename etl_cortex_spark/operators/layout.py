@@ -166,6 +166,44 @@ def bucketed_fact_name(
     return f"bktf_{table}_{sig}_{os.getpid()}"
 
 
+def sweep_dead_pid_layouts(wh: str) -> list[str]:
+    """Garbage-collect warehouse layout dirs owned by DEAD processes
+    (round-8 verdict #3: the pid suffix protects live siblings from
+    rmtree races, but nothing ever reclaimed a dead pid's tables, so
+    every pytest/bench/driver process left permanent full-table debris
+    — 1 GB accumulated by round 8). Matches only the pid-suffixed
+    conventions (``bktf_<table>_<8-hex-sig>_<pid>`` from
+    ``bucketed_fact_name`` and the older ``bkt_<table>_<8-hex-sig>_
+    <pid>``); stable-named dirs are never touched. ``os.kill(pid, 0)``
+    probes liveness — ``PermissionError`` means ALIVE (another user's
+    process), so only ``ProcessLookupError`` deletes. Returns the
+    removed names (test hook)."""
+    import os
+    import re
+    import shutil
+
+    removed: list[str] = []
+    try:
+        entries = os.listdir(wh)
+    except OSError:
+        return removed
+    for d in entries:
+        m = re.match(r"^bktf?_\w+_[0-9a-f]{8}_(\d+)$", d)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+            removed.append(d)
+        except (PermissionError, OSError):
+            pass  # alive (other user) / unprobeable: never delete
+    return removed
+
+
 def bucketed_fact(
     spark,
     sf_dir: str,
@@ -186,9 +224,13 @@ def bucketed_fact(
     exactly this layout. Callers: tpch.q3/q5 (lineitem on l_orderkey),
     c10 (orders on o_custkey), scale_bucketed_join (both sides).
 
-    ``cols=None`` stores the FULL row (what ingest does — any future
-    query on the key shares the one layout; scans still column-prune),
-    a list stores that projection. ``repartition(n_buckets, key)``
+    ``cols`` stores that projection; ``cols=None`` stores the FULL row
+    (scans still column-prune). A real multi-tenant warehouse would
+    ingest full rows ONCE and share the layout, but the pid-suffixed
+    name makes layouts per-process here, so callers pass the union of
+    the columns their query family actually reads (round-8 verdict:
+    full-row copies per process were pure debris — q3/q5 read 5 of
+    lineitem's 16 columns). ``repartition(n_buckets, key)``
     before the write puts each bucket's rows in one task → exactly one
     file per bucket, the condition for the scan to report its sortBy
     order.
@@ -212,8 +254,11 @@ def bucketed_fact(
         if not spark.catalog.tableExists(name):
             # the catalog is per-session (in-memory) but the warehouse
             # dir persists — clear this name's leftover location first;
-            # the pid suffix guarantees no live sibling owns it.
+            # the pid suffix guarantees no live sibling owns it. Every
+            # layout write also sweeps dead siblings' debris, so the
+            # warehouse stays bounded by the LIVE process count.
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            sweep_dead_pid_layouts(wh)
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
             (
                 base.repartition(n_buckets, key)

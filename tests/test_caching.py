@@ -125,3 +125,35 @@ def test_bucketed_fact_falls_back_to_plain_scan(spark, monkeypatch):
     assert "Bucketed: true" not in plan  # really the fallback path
     want = load_table(spark, SF, "orders")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sweep_dead_pid_layouts(tmp_path):
+    """The round-9 warehouse GC contract: layout dirs whose embedded
+    pid is DEAD are reclaimed; the caller's own pid, live pids, legacy
+    stable names, and non-layout dirs are never touched — so the
+    warehouse stays bounded by the live process count instead of
+    growing one full-table copy per process forever (round-8 verdict
+    #3: 1 GB of debris by round 8)."""
+    import os
+    import subprocess
+
+    from etl_cortex_spark.operators.layout import sweep_dead_pid_layouts
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid  # reaped → os.kill(pid, 0) raises ProcessLookupError
+    keep = [
+        f"bktf_orders_0fd96e3c_{os.getpid()}",  # own pid
+        "bktf_orders_0fd96e3c_1",  # pid 1: always alive
+        "bkt_lineitem_sf0_001",  # legacy stable name (no hex sig)
+        "some_other_table",  # not a layout dir at all
+    ]
+    dead = [f"bktf_lineitem_d0893a45_{dead_pid}", f"bkt_orders_a1e8d12c_{dead_pid}"]
+    for d in keep + dead:
+        (tmp_path / d / "part").mkdir(parents=True)
+    removed = sweep_dead_pid_layouts(str(tmp_path))
+    assert sorted(removed) == sorted(dead)
+    assert sorted(os.listdir(tmp_path)) == sorted(keep)
+    # idempotent + tolerant of a missing dir
+    assert sweep_dead_pid_layouts(str(tmp_path)) == []
+    assert sweep_dead_pid_layouts(str(tmp_path / "nope")) == []
