@@ -53,12 +53,17 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder contract — not available in this container.
-
-    A production build plugs Pillow/libvips here; everything around it
-    (schema, batching, partitioning) is already real.
+    """Real decoder contract for codecs that genuinely need an external
+    library — by round 9 that is ONLY jpeg/mp3/video: PCM-WAV
+    (``decode_wav_features``), 24-bpp BMP (``decode_bmp_features``)
+    and DEFLATE-compressed PNG (``decode_png_features``) are decoded
+    for real with the stdlib. A production build plugs Pillow/libvips/
+    ffmpeg here; everything around it (schema, batching, partitioning)
+    is already real.
     """
-    raise NotImplementedError("image codecs are not available in this environment")
+    raise NotImplementedError(
+        "jpeg/mp3/video codecs are not available in this environment"
+    )
 
 
 def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
@@ -464,7 +469,11 @@ def decode_bmp_features(assets: DataFrame) -> DataFrame:
 
 def _png_dims(doc_id: int) -> tuple[int, int]:
     """Closed-form per-asset dimensions (distinct from the BMP set so
-    the two image entries never share byte layouts)."""
+    the two image entries never share byte layouts). Driver-side
+    reference for tests and the d05 oracle; the executor closure in
+    ``synthesize_png_assets`` inlines the same formula (it must ship
+    by value) and ``test_png_payload_structure`` pins the two
+    together."""
     return 17 + (doc_id % 4) * 8, 9 + (doc_id % 3) * 5
 
 
@@ -515,6 +524,11 @@ def synthesize_png_assets(docs: DataFrame) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
+                # inlined _png_dims: this closure ships to executors by
+                # VALUE (cloudpickle) — naming the module-level helper
+                # here would make workers import etl_cortex_spark, which
+                # vanilla sessions can't (the DataSource-factory gotcha).
+                # test_png_payload_structure pins this to _png_dims.
                 w, h = 17 + (d % 4) * 8, 9 + (d % 3) * 5
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]

@@ -119,3 +119,84 @@ def test_bmp_decode_rejects_corrupt_payload(spark):
     )
     with pytest.raises(Exception, match="BMP"):
         MM.decode_bmp_features(bad).collect()
+
+# --- PNG twin (round 9: registers the round-8 decoder) ----------------------
+
+
+def test_png_payload_structure_and_filter_coverage(spark):
+    """The synthesized PNGs are structurally valid (signature, IHDR
+    geometry from _png_dims, two IDAT chunks, valid CRCs end-to-end)
+    and every asset taller than 4 rows carries ALL FIVE filter types,
+    so the decoder cannot pass while skipping any unfilter path."""
+    import struct
+    import zlib
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    rows = MM.synthesize_png_assets(docs).collect()
+    assert rows
+    for r in rows:
+        d = int(r["asset_id"])
+        w, h = MM._png_dims(d)
+        buf = bytes(r["payload"])
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, chunks, idat = 8, [], b""
+        while pos < len(buf):
+            (n,) = struct.unpack(">I", buf[pos : pos + 4])
+            ctype = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + n]
+            (crc,) = struct.unpack(">I", buf[pos + 8 + n : pos + 12 + n])
+            assert zlib.crc32(ctype + data) & 0xFFFFFFFF == crc
+            chunks.append(ctype)
+            if ctype == b"IHDR":
+                assert struct.unpack(">IIBBBBB", data) == (w, h, 8, 2, 0, 0, 0)
+            elif ctype == b"IDAT":
+                idat += data
+            pos += 12 + n
+        assert chunks == [b"IHDR", b"IDAT", b"IDAT", b"IEND"]
+        lines = zlib.decompress(idat)
+        assert len(lines) == h * (w * 3 + 1)
+        filters = {lines[y * (w * 3 + 1)] for y in range(h)}
+        assert filters == {0, 1, 2, 3, 4}, f"asset {d}: filters {filters}"
+
+
+def test_png_decode_roundtrip_and_orientation(spark):
+    """decode(synthesize) reproduces the closed form exactly —
+    including topleft_lum from the FIRST stored row (PNG is top-down:
+    the opposite orientation proof from bottom-up BMP)."""
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    assets = MM.synthesize_png_assets(docs)
+    for r in MM.decode_png_features(assets).collect():
+        d = int(r["asset_id"])
+        w, h = MM._png_dims(d)
+        n = w * h
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, n)
+        sums = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                sums[0] += (d * 23 + x * 3 + y * 19) % 256
+                sums[1] += (d * 17 + x * 5 + y * 11) % 256
+                sums[2] += (d * 31 + x * 7 + y * 13) % 256
+        assert r["mean_r"] == sums[0] / n
+        assert r["mean_g"] == sums[1] / n
+        assert r["mean_b"] == sums[2] / n
+        assert r["topleft_lum"] == (d * 23) % 256 + (d * 17) % 256 + (d * 31) % 256
+
+
+def test_png_decode_rejects_corrupt_payloads(spark):
+    """Loud failure on a non-PNG payload AND on a bit-flip inside a
+    chunk (the CRC walk must catch in-stream corruption, not just a
+    bad magic)."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") == 1)
+    [r] = MM.synthesize_png_assets(docs).collect()
+    buf = bytearray(bytes(r["payload"]))
+    buf[40] ^= 0xFF  # flip a byte inside IHDR/IDAT territory
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"XX" + b"\x00" * 64)), (2, buf)],
+        "asset_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="PNG|CRC"):
+        MM.decode_png_features(bad.filter(F.col("asset_id") == 1)).collect()
+    with _pytest.raises(Exception, match="CRC"):
+        MM.decode_png_features(bad.filter(F.col("asset_id") == 2)).collect()
