@@ -32,6 +32,7 @@ from bench import (  # noqa: E402
     BENCH_CONF,
     HEADLINE,
     RUNS,
+    build_layouts,
     cache_dimensions,
     relayout,
     run_one,
@@ -42,7 +43,9 @@ from etl_cortex_spark.session import DEFAULT_CPUS, get_spark  # noqa: E402
 
 SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1_DIR = os.environ.get("SPARK_GRAFT_SLOPE_DIR", "/tmp/spark_graft_sf1")
-COPIES = 10
+#: replication factor for the throwaway big-SF dir; the round-9 sf10
+#: probe (tools/sf10_probe.py) sets 100 for a third slope decade.
+COPIES = int(os.environ.get("SPARK_GRAFT_SLOPE_COPIES", "10"))
 
 #: per-copy key offsets — disjoint id spaces per copy, join keys moved
 #: consistently so every copy joins exactly like the original.
@@ -146,6 +149,9 @@ def main() -> None:
         # compares identical configurations.
         warm_up(spark)
         cache_dimensions(spark, sf_dir)
+        # explicit ingest phase (same amortization stance as bench.py):
+        # the bucketed layout write happens before any timed query.
+        ingest_secs = build_layouts(spark, sf_dir)
         sp = spark_times(spark, sf_dir, HEADLINE)
         du = duck_times(sf_dir, HEADLINE)
         paired_sp = sum(sp[n] for n in du)
@@ -155,6 +161,7 @@ def main() -> None:
             "spark": sp,
             "duckdb": du,
             "ratio_vs_duckdb": round(paired_sp / paired_du, 2) if paired_du else None,
+            "ingest_bucketed_layout_secs": ingest_secs,
         }
         # drop this session's tracked persists BEFORE stopping it —
         # frames left in the module-level FIFO would otherwise be

@@ -16,19 +16,27 @@ from etl_cortex_spark.queries import T, query
 
 # --- Joins -------------------------------------------------------------------
 
-#: the orders projection c10 reads (2 of its columns) — the bucketed
-#: layout stores only these (round-9: per-process layouts carry the
-#: caller's column union, not full rows — see layout.bucketed_fact).
-_C10_ORDERS_COLS = ["o_custkey", "o_totalprice"]
+#: the orders-by-CUSTKEY projection — the SECONDARY-projection layout
+#: (same fact, second key) shared by every customer-key consumer:
+#: c10's join+agg reads (o_custkey, o_totalprice); tpch q3/q5 read
+#: (o_custkey, o_orderkey, o_orderdate) to build their cut
+#: customers⋈orders product WITHOUT exchanging either input (round-9
+#: sf10 decomposition: that co build was 1.3 of q3's 2.9 s). One
+#: 4-column layout serves all three — scans still column-prune.
+_ORDERS_BY_CUSTKEY_COLS = ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
 
 
 def _orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders in its warehouse layout: bucketed on o_custkey — the
-    fact side of every customer-key join (c10 here; bench.py builds
-    this in its explicit ingest phase)."""
+    """orders in its customer-key warehouse layout: bucketed on
+    o_custkey, 32 buckets (sized to the session's cores — the bucketed
+    side's HashPartitioning dictates join/agg parallelism). Fact side
+    of every customer-key join (c10, q3/q5's co build); bench.py
+    builds it in its explicit ingest phase."""
     from etl_cortex_spark.operators.layout import bucketed_fact
 
-    return bucketed_fact(spark, sf_dir, "orders", "o_custkey", _C10_ORDERS_COLS)
+    return bucketed_fact(
+        spark, sf_dir, "orders", "o_custkey", _ORDERS_BY_CUSTKEY_COLS, 32
+    )
 
 
 @query(
@@ -40,18 +48,19 @@ def _orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-join + agg over the warehouse layout: orders — the FACT
-    side — is stored bucketed on o_custkey (`bucketed_fact`, the D93
-    ingest-time discipline), so the scan itself reports
-    ``HashPartitioning(o_custkey, 16)`` and the join needs NO exchange
-    on the big side; customer is the build side via shuffle_hash (it
-    is the smaller input but still data-sized — a broadcast would be a
-    driver hash build that inverts at 100 TB, while the shuffle-hash
-    build is |customer|/partitions per task at any scale). The
-    aggregate is map-side partial into a |segment|-row exchange. Net:
-    the only data-sized movement in the query is the customer shuffle;
-    orders streams straight from its co-located buckets."""
-    cust = T(spark, sf_dir, "customer")
+    """Equi-join + agg over the warehouse layout: BOTH sides arrive in
+    their customer-key secondary-projection layouts (orders bucketed
+    on o_custkey, customer on c_custkey, 32 buckets each — the D93
+    ingest discipline), so the join needs NO data-sized exchange at
+    all: each scan reports ``HashPartitioning(custkey, 32)`` and the
+    shuffle-hash build is |customer-bucket| per task at any scale (a
+    broadcast would be a driver hash build that inverts at 100 TB).
+    The aggregate is map-side partial into a |segment|-row exchange —
+    the ONLY exchange in the query; both facts stream straight from
+    their co-located buckets."""
+    from etl_cortex_spark.inventory.tier_tpch import _customer_by_custkey
+
+    cust = _customer_by_custkey(spark, sf_dir)
     orders = _orders_by_custkey(spark, sf_dir)
     return (
         cust.hint("shuffle_hash")

@@ -261,12 +261,54 @@ def d03b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, qv, k=5, n_planes=6, seed=7)
 
 
-@query("d03_ann_brp_topk")  # rows-only: MLlib hashing is engine-specific
+@query(
+    "d03_ann_brp_topk",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(5 AS INT) AS k,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id <> 0
+    """,
+)
 def d03c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via MLlib BucketedRandomProjectionLSH."""
+    """ANN top-k via MLlib BucketedRandomProjectionLSH, under an
+    EPSILON-RECALL oracle (round-8 verdict #6 — closes the d03 family):
+    MLlib's hashing is engine-specific, so instead of asserting WHICH
+    ids come back, the entry asserts the property that makes an ANN
+    index fit for service — recall@5 against the EXACT euclidean top-5
+    (BRP's own metric, computed by a plain column-expression scan) of
+    at least 4/5. ``recall_ok`` is emitted from the measured overlap,
+    so a hashing regression (recall < 0.8) flips it to false and the
+    driver's hash compare fails; ``n_candidates`` is data-derived on
+    both sides so the audit provably saw the corpus. The seeded BRP
+    model (seed=7, 3 tables) is deterministic, and the measured recall
+    at sf0.001/0.01/0.1 is 5/5 — the 4/5 bound leaves one-tie margin.
+    The raw top-k rows stay available via ``similarity.ann_brp_topk``
+    and the oracle-paired ``d03_ann_lsh_topk`` twin. Driver-side state
+    is k-bounded (two 5-row collects + a count)."""
     qv = _query_vec(spark, sf_dir)
     emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return SIM.ann_brp_topk(emb, qv, k=5)
+    ann_ids = {
+        r["vec_id"] for r in SIM.ann_brp_topk(emb, qv, k=5).select("vec_id").collect()
+    }
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    v = SIM.as_double(F.col("embedding"))
+    d2 = F.aggregate(
+        F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.select(F.col("vec_id"), F.round(d2, 6).alias("__d2"))
+        .orderBy("__d2", "vec_id")
+        .limit(5)
+        .collect()
+    )
+    hits = len(ann_ids & {r["vec_id"] for r in exact})
+    n = emb.count()
+    return spark.createDataFrame(
+        [(n, 5, hits >= 4)], "n_candidates bigint, k int, recall_ok boolean"
+    )
 
 
 def _ivfpq_oracle(m: int = 4, k: int = 8, d_sub: int = 16, topk: int = 10) -> str:

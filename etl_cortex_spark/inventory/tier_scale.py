@@ -638,6 +638,69 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_bucketed_incremental",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+      WHERE l_orderkey % 19 = 3
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(li.l_extendedprice * (1 - li.l_discount)), 2) AS revenue
+    FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def scale_bucketed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D93 composed with incremental maintenance — the lakehouse WRITE
+    path (round-8 verdict #5): a delta batch of late-arriving lineitem
+    rows (the l_orderkey % 19 = 3 slice — new line items for EXISTING
+    orders, the CDC shape) is appended BUCKET-ALIGNED to the lineitem
+    layout (`layout.bucketed_fact_with_delta`: same bucketBy/sortBy
+    spec, so each bucket gains one delta file holding exactly its
+    keys' new rows), and the downstream orderkey join over the
+    maintained table runs with ZERO data-sized Exchange — the multi-
+    file bucketed scan still reports HashPartitioning, pinned in
+    tests/test_plans.py. At 100 TB this is what nightly/streaming
+    ingest must look like: a delta-sized aligned write per batch
+    instead of a table-sized re-shuffle, and no per-query fact shuffle
+    afterwards either. The oracle replays base ∪ delta as plain SQL,
+    so the hash match proves the append changed exactly the intended
+    rows and nothing else."""
+    from etl_cortex_spark.operators.layout import (
+        bucketed_fact,
+        bucketed_fact_with_delta,
+    )
+
+    li = bucketed_fact_with_delta(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        lambda b: b.filter(F.col("l_orderkey") % 19 == 3),
+        _BKT_LI_COLS,
+        8,
+    )
+    o = bucketed_fact(spark, sf_dir, "orders", "o_orderkey", _BKT_O_COLS, 8)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        # |priority| rows: local sort == global order, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+@query(
     "scale_dynamic_partition_pruning",
     oracle="""
     WITH dim(d_year, d_tag) AS (

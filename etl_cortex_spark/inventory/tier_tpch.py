@@ -36,16 +36,40 @@ _LI_BKT_COLS = [
 ]
 
 
+#: customer in its warehouse layout (q3 needs c_mktsegment, q5 needs
+#: c_nationkey, c10 needs c_mktsegment — one 3-column layout serves all)
+_CUST_BKT_COLS = ["c_custkey", "c_mktsegment", "c_nationkey"]
+
+
+def _customer_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer bucketed on c_custkey, 32 buckets — the OTHER half of
+    the secondary-projection pattern with `tier_c_rel._orders_by_
+    custkey`: with BOTH sides of the customer-key join laid out on the
+    same key and bucket count, the cut customers⋈orders product
+    (q3/q5's co build) runs with ZERO data-sized exchange — the
+    round-9 sf10 decomposition measured that co build at 1.3 s of
+    q3's 2.9 s when both sides shuffled. At 100 TB customer is a
+    data-sized table (1/10 of orders), so this layout is the honest
+    answer — not a broadcast, which inverts at scale."""
+    return bucketed_fact(
+        spark, sf_dir, "customer", "c_custkey", _CUST_BKT_COLS, 32
+    )
+
+
 def _lineitem_by_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem in its warehouse layout: bucketed on l_orderkey (the
-    q3+q5 column union, 16 buckets) — the ingest-time discipline that
+    q3+q5 column union, 32 buckets — bucket count sized to the
+    session's cores, the local model of sizing buckets to cluster
+    parallelism: the bucketed side's HashPartitioning DICTATES the
+    join/agg parallelism, and 16 buckets left half of local[32] idle
+    in the dominant stage at sf10) — the ingest-time discipline that
     deletes the fact side's exchange from EVERY orderkey join below
     (q3, q5). One hash write when the data lands; after it the scan
-    itself reports ``HashPartitioning(l_orderkey, 16)`` so only the
+    itself reports ``HashPartitioning(l_orderkey, 32)`` so only the
     orders-shaped probe side shuffles. Identical rows to the plain
     scan (falls back to it if the warehouse isn't writable), so
     oracles are unaffected."""
-    return bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey", _LI_BKT_COLS)
+    return bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey", _LI_BKT_COLS, 32)
 
 
 @query(
@@ -66,8 +90,12 @@ def _lineitem_by_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = T(spark, sf_dir, "orders").filter(
+    from etl_cortex_spark.inventory.tier_c_rel import _orders_by_custkey
+
+    cust = _customer_by_custkey(spark, sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _orders_by_custkey(spark, sf_dir).filter(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("date")
     )
     li = _lineitem_by_orderkey(spark, sf_dir).filter(
@@ -85,18 +113,37 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HashPartitioning(l_orderkey) feeds the join AND the downstream
     # (l_orderkey, o_orderdate) aggregate exchange-free — the only
     # exchange left in the query is the small co build.
-    co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
-        "o_orderkey", "o_orderdate"
+    # The inner cut-customer ⋈ orders join runs over the SECONDARY
+    # projection layouts (both sides bucketed on the customer key, 32
+    # buckets): ZERO exchange — the scans' HashPartitioning satisfies
+    # the join on both sides, and shuffle_hash builds the cut customer
+    # partition-wise with no sort (round-9 sf10 decomposition: with
+    # both sides shuffling, this co build alone was 1.3 of q3's
+    # 2.9 s). The only data-sized movement left in q3 is co's re-key
+    # to o_orderkey for the lineitem join — the |cut product| rows.
+    co = cust.hint("shuffle_hash").join(
+        orders, cust.c_custkey == orders.o_custkey
+    ).select("o_orderkey", "o_orderdate")
+    # EAGER AGGREGATION (round-9 sf10 decomposition): revenue per order
+    # is independent of the co join (the join key is the grouping key,
+    # and o_orderdate is functionally dependent on it), so the sum is
+    # pushed BELOW the join — the bucketed scan feeds groupBy(
+    # l_orderkey) exchange-free, the join then probes ~4x fewer rows
+    # (one per order instead of one per line item), and no post-join
+    # aggregate exists at all. Rounding happens after the join on the
+    # identical per-order total (a ≤7-term sum of 4-decimal products —
+    # exact in double, so the round is drift-free). At 100 TB this is
+    # the difference between joining line items and joining orders.
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
     )
     return (
-        li.join(co.hint("shuffle_hash"), li.l_orderkey == co.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        li_rev.join(co.hint("shuffle_hash"), li_rev.l_orderkey == co.o_orderkey)
+        .select(
+            "l_orderkey",
+            F.round("__rev", 2).alias("revenue"),
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         )
-        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("timestamp"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -139,7 +186,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name")
     )
     cust = (
-        T(spark, sf_dir, "customer")
+        _customer_by_custkey(spark, sf_dir)
         .join(
             F.broadcast(asia_nations),
             F.col("c_nationkey") == F.col("n_nationkey"),
@@ -155,7 +202,9 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    orders = T(spark, sf_dir, "orders").filter(
+    from etl_cortex_spark.inventory.tier_c_rel import _orders_by_custkey
+
+    orders = _orders_by_custkey(spark, sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
@@ -169,9 +218,10 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any scale, lineitem streams — and with the bucketed layout it
     # streams STRAIGHT FROM THE SCAN: HashPartitioning(l_orderkey, 16)
     # satisfies the join's distribution, so the fact never shuffles.
-    co = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
-        "o_orderkey", "c_nationkey"
-    )
+    # same partition-wise build pin as q3's inner join (round 9)
+    co = cust.hint("shuffle_hash").join(
+        orders, cust.c_custkey == orders.o_custkey
+    ).select("o_orderkey", "c_nationkey")
     return (
         li.join(co.hint("shuffle_hash"), li.l_orderkey == co.o_orderkey)
         .join(

@@ -249,6 +249,11 @@ def bucketed_fact(
     base = load_table(spark, sf_dir, table)
     if cols is not None:
         base = base.select(*cols)
+    if os.environ.get("SPARK_GRAFT_NO_BUCKET"):
+        # measurement/ops escape hatch: serve the plain scan (identical
+        # rows) — the paired bucketed-vs-plain A/B in BASELINE.md flips
+        # this within one session so both legs share a JVM and window.
+        return base
     name = bucketed_fact_name(sf_dir, table, key, cols, n_buckets)
     try:
         if not spark.catalog.tableExists(name):
@@ -271,6 +276,80 @@ def bucketed_fact(
         return spark.table(name)
     except Exception:
         return base
+
+
+def bucketed_fact_with_delta(
+    spark,
+    sf_dir: str,
+    table: str,
+    key: str,
+    delta_of,
+    cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Incremental maintenance of a ``bucketed_fact`` layout — the
+    lakehouse WRITE path at 100 TB (round-8 verdict #5): the initial
+    layout write is followed by a bucket-ALIGNED append of a delta
+    batch (``mode("append")`` with the identical bucketBy/sortBy spec,
+    so each bucket gains a second file containing exactly its keys'
+    new rows), after which every join/agg on the key over the
+    maintained table is STILL exchange-free — the scan keeps reporting
+    ``HashPartitioning(key, n_buckets)`` across multiple files per
+    bucket. This is the warehouse answer to streaming/CDC ingest: pay
+    a delta-sized aligned write per batch, never a table-sized
+    re-shuffle, and never re-shuffle queries either. (Multi-file
+    buckets DO forfeit the reported sortBy order — the within-bucket
+    Sort is re-done locally, no network; the Exchange is what the
+    layout deletes, same contract as ``bucketed_fact``.)
+
+    ``delta_of(base)`` derives the delta frame FROM the base scan so a
+    SQL oracle can replay base ∪ delta exactly. Both writes happen in
+    one catalog-miss branch, so repeat calls in a session (bench
+    best-of-N, plan tests) reuse the maintained table instead of
+    appending again. Falls back to ``base ∪ delta`` as plain frames on
+    ANY failure — identical rows, only the plan shape differs.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from etl_cortex_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, table)
+    if cols is not None:
+        base = base.select(*cols)
+    if os.environ.get("SPARK_GRAFT_NO_BUCKET"):
+        return base.unionByName(delta_of(base))
+    # "incr" folded into the sig input keeps this maintained table's
+    # namespace disjoint from the append-free `bucketed_fact` layout of
+    # the same (table, key, cols) — and the name still matches the
+    # dead-pid sweep pattern.
+    name = bucketed_fact_name(sf_dir, f"{table}incr", key, cols, n_buckets)
+    try:
+        if not spark.catalog.tableExists(name):
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            sweep_dead_pid_layouts(wh)
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            (
+                base.repartition(n_buckets, key)
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+            (
+                delta_of(base)
+                .repartition(n_buckets, key)
+                .write.mode("append")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        return spark.table(name)
+    except Exception:
+        return base.unionByName(delta_of(base))
 
 
 def compact_parquet(

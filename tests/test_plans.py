@@ -76,9 +76,9 @@ def _n_shuffle_exchanges(plan: str) -> int:
         ("tpch_q3_shipping_priority", 1),
         # q5: the co probe build + the |nation|-row final agg.
         ("tpch_q5_local_supplier_volume", 2),
-        # c10: the customer build + the |segment|-row final agg —
-        # orders (the fact) streams from its buckets unshuffled.
-        ("c10_join_inner_agg", 2),
+        # c10: ONLY the |segment|-row final agg — both sides stream
+        # from their custkey buckets unshuffled (round 9).
+        ("c10_join_inner_agg", 1),
     ],
 )
 def test_bucketed_fact_queries_never_shuffle_the_fact(spark, name, max_exchanges):
@@ -645,6 +645,45 @@ def test_bucketed_join_is_exchange_free(spark):
     plan = plan_of(li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey))
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_incremental_join_is_exchange_free_after_append(spark):
+    """scale_bucketed_incremental's contract (round-9): AFTER the
+    bucket-aligned delta append, the maintained table's scan still
+    reports its bucketing, so the orderkey merge join stays a
+    zero-data-sized-Exchange plan — the incremental write bought a
+    second file per bucket, not a per-query re-shuffle. The full query
+    keeps exactly one Exchange (the |priority|-row final agg)."""
+    plan = plan_of(QUERIES["scale_bucketed_incremental"](spark, SF))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") >= 2, plan  # both sides bucketed
+    assert _n_shuffle_exchanges(plan) <= 1, plan
+
+
+def test_bucketed_incremental_append_is_delta_sized(spark):
+    """The maintained table holds base ∪ delta with the delta rows in
+    SECOND files within their buckets: per-bucket file count goes to 2
+    (where the delta slice is non-empty), and total rows equal
+    base + delta exactly — the append wrote the batch, not a rebuilt
+    table."""
+    import os
+    from urllib.parse import urlparse
+
+    from etl_cortex_spark.inventory.tier_scale import _BKT_LI_COLS
+    from etl_cortex_spark.operators.layout import bucketed_fact_name
+    from etl_cortex_spark.sources.tables import load_table
+
+    QUERIES["scale_bucketed_incremental"](spark, SF)  # builds + appends
+    name = bucketed_fact_name(SF, "lineitemincr", "l_orderkey", _BKT_LI_COLS, 8)
+    base = load_table(spark, SF, "lineitem")
+    n_base = base.count()
+    n_delta = base.filter(F.col("l_orderkey") % 19 == 3).count()
+    assert n_delta > 0  # the slice must actually exercise the append
+    assert spark.table(name).count() == n_base + n_delta
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    files = [f for f in os.listdir(os.path.join(wh, name)) if f.endswith(".parquet")]
+    # 8 base files (one per bucket) + the delta's per-bucket files
+    assert len(files) > 8, files
 
 
 def test_dynamic_partition_pruning_reaches_scan(spark):
