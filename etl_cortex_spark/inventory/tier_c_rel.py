@@ -28,14 +28,17 @@ _ORDERS_BY_CUSTKEY_COLS = ["o_custkey", "o_orderkey", "o_orderdate", "o_totalpri
 
 def _orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders in its customer-key warehouse layout: bucketed on
-    o_custkey, 32 buckets (sized to the session's cores — the bucketed
-    side's HashPartitioning dictates join/agg parallelism). Fact side
+    o_custkey, bucket count from `layout.fact_buckets` (data-sized;
+    the bucketed side's HashPartitioning dictates join/agg
+    parallelism, so the count must scale with bytes AND match the
+    customer layout's). Fact side
     of every customer-key join (c10, q3/q5's co build); bench.py
     builds it in its explicit ingest phase."""
-    from etl_cortex_spark.operators.layout import bucketed_fact
+    from etl_cortex_spark.operators.layout import bucketed_fact, fact_buckets
 
     return bucketed_fact(
-        spark, sf_dir, "orders", "o_custkey", _ORDERS_BY_CUSTKEY_COLS, 32
+        spark, sf_dir, "orders", "o_custkey", _ORDERS_BY_CUSTKEY_COLS,
+        fact_buckets(sf_dir),
     )
 
 
@@ -50,9 +53,10 @@ def _orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join + agg over the warehouse layout: BOTH sides arrive in
     their customer-key secondary-projection layouts (orders bucketed
-    on o_custkey, customer on c_custkey, 32 buckets each — the D93
-    ingest discipline), so the join needs NO data-sized exchange at
-    all: each scan reports ``HashPartitioning(custkey, 32)`` and the
+    on o_custkey, customer on c_custkey, equal data-sized counts via
+    `layout.fact_buckets` — the D93 ingest discipline), so the join
+    needs NO data-sized exchange at all: each scan reports
+    ``HashPartitioning(custkey, n)`` and the
     shuffle-hash build is |customer-bucket| per task at any scale (a
     broadcast would be a driver hash build that inverts at 100 TB).
     The aggregate is map-side partial into a |segment|-row exchange —

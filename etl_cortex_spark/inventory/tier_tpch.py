@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_cortex_spark.operators.layout import bucketed_fact
+from etl_cortex_spark.operators.layout import bucketed_fact, fact_buckets
 from etl_cortex_spark.queries import T, query
 
 
@@ -42,9 +42,10 @@ _CUST_BKT_COLS = ["c_custkey", "c_mktsegment", "c_nationkey"]
 
 
 def _customer_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer bucketed on c_custkey, 32 buckets — the OTHER half of
+    """customer bucketed on c_custkey — the OTHER half of
     the secondary-projection pattern with `tier_c_rel._orders_by_
-    custkey`: with BOTH sides of the customer-key join laid out on the
+    custkey` (both sized by `layout.fact_buckets`, so the counts are
+    EQUAL): with BOTH sides of the customer-key join laid out on the
     same key and bucket count, the cut customers⋈orders product
     (q3/q5's co build) runs with ZERO data-sized exchange — the
     round-9 sf10 decomposition measured that co build at 1.3 s of
@@ -52,24 +53,28 @@ def _customer_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized table (1/10 of orders), so this layout is the honest
     answer — not a broadcast, which inverts at scale."""
     return bucketed_fact(
-        spark, sf_dir, "customer", "c_custkey", _CUST_BKT_COLS, 32
+        spark, sf_dir, "customer", "c_custkey", _CUST_BKT_COLS, fact_buckets(sf_dir)
     )
 
 
 def _lineitem_by_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem in its warehouse layout: bucketed on l_orderkey (the
-    q3+q5 column union, 32 buckets — bucket count sized to the
-    session's cores, the local model of sizing buckets to cluster
-    parallelism: the bucketed side's HashPartitioning DICTATES the
-    join/agg parallelism, and 16 buckets left half of local[32] idle
-    in the dominant stage at sf10) — the ingest-time discipline that
+    q3+q5 column union, DATA-SIZED bucket count via
+    `layout.fact_buckets` — the bucketed side's HashPartitioning
+    DICTATES join/agg parallelism, so buckets scale with bytes: 8 at
+    sf0.1, 32 at sf10, thousands at 100 TB; measured both failure
+    modes in round 9, 16 buckets idling half of local[32] at sf10 AND
+    32 near-empty tasks costing 2.2x at sf0.1) — the ingest-time
+    discipline that
     deletes the fact side's exchange from EVERY orderkey join below
     (q3, q5). One hash write when the data lands; after it the scan
-    itself reports ``HashPartitioning(l_orderkey, 32)`` so only the
+    itself reports ``HashPartitioning(l_orderkey, n)`` so only the
     orders-shaped probe side shuffles. Identical rows to the plain
     scan (falls back to it if the warehouse isn't writable), so
     oracles are unaffected."""
-    return bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey", _LI_BKT_COLS, 32)
+    return bucketed_fact(
+        spark, sf_dir, "lineitem", "l_orderkey", _LI_BKT_COLS, fact_buckets(sf_dir)
+    )
 
 
 @query(
@@ -114,8 +119,9 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (l_orderkey, o_orderdate) aggregate exchange-free — the only
     # exchange left in the query is the small co build.
     # The inner cut-customer ⋈ orders join runs over the SECONDARY
-    # projection layouts (both sides bucketed on the customer key, 32
-    # buckets): ZERO exchange — the scans' HashPartitioning satisfies
+    # projection layouts (both sides bucketed on the customer key,
+    # equal data-sized counts): ZERO exchange — the scans'
+    # HashPartitioning satisfies
     # the join on both sides, and shuffle_hash builds the cut customer
     # partition-wise with no sort (round-9 sf10 decomposition: with
     # both sides shuffling, this co build alone was 1.3 of q3's

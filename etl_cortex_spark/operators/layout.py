@@ -142,6 +142,42 @@ def rewrite_multi_file(
     return table.num_rows
 
 
+def fact_buckets(
+    sf_dir: str, per_bucket_mb: int = 12, lo: int = 4, hi: int = 32
+) -> int:
+    """DATA-SIZED bucket count for a directory's warehouse layouts —
+    the sizing rule every real warehouse applies (buckets proportional
+    to table bytes, capped by cluster parallelism): one bucket per
+    ~``per_bucket_mb`` of the biggest fact (lineitem), rounded up in
+    powers of two, clamped to [lo, hi=cores]. ALL fact layouts of one
+    directory share the count — equal counts are what make
+    bucket-bucket joins exchange-free — so it is derived once from the
+    anchor table, not per table. Measured (round 9, BASELINE.md): at
+    sf0.1 a 32-bucket layout was 2.2x SLOWER than 8 on q3 (32
+    near-empty tasks through every stage), while at sf10 32 buckets
+    beat 16 by keeping all of local[32] busy — both ends of the same
+    rule. At 100 TB the same formula lands in the thousands."""
+    import math
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return lo
+    n = lo
+    while n < hi and nbytes > n * per_bucket_mb * 1024 * 1024:
+        n *= 2
+    return n
+
+
 def bucketed_fact_name(
     sf_dir: str,
     table: str,
