@@ -228,6 +228,13 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = cust.hint("shuffle_hash").join(
         orders, cust.c_custkey == orders.o_custkey
     ).select("o_orderkey", "c_nationkey")
+    # (Round-9 A/B, rejected: pre-filtering the fact through a
+    # broadcast ASIA-supplier semi join before the orderkey join
+    # measured SLOWER at sf10 — 1.80 s vs 1.43 s — because a
+    # broadcast-semi probe costs the same one hash lookup per row as
+    # the shuffle-hash probe it was meant to relieve, so it only adds
+    # probes. The join order below keeps total per-row work minimal:
+    # one SHJ probe per line item, one broadcast probe per survivor.)
     return (
         li.join(co.hint("shuffle_hash"), li.l_orderkey == co.o_orderkey)
         .join(
