@@ -59,6 +59,11 @@ _REVERIFY_NOW: dict[str, int] = {
     "c10_join_inner_agg": 9,
     "scale_bucketed_join": 9,
     "d02_incremental_lsh_probe": 9,
+    # Round 9: d13's bucket key moved crc32 → md5-prefix AND it gained
+    # the recursive-CTE oracle; d03's BRP entry now returns the
+    # epsilon-recall audit row instead of raw top-k.
+    "d13_pack_sequences": 9,
+    "d03_ann_brp_topk": 9,
 }
 
 

@@ -175,12 +175,47 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LP.contamination_check(docs, bench, k=5, min_overlap=0.5)
 
 
-@query("d13_pack_sequences")  # rows-only: stateful next-fit packing
+@query(
+    "d13_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 32 AS BIGINT) AS bucket
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM d
+    ),
+    rec AS (
+      SELECT bucket, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.fill > 0 AND r.fill + o.n_tokens > 2048
+                  THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.fill > 0 AND r.fill + o.n_tokens > 2048
+                  THEN o.n_tokens ELSE r.fill + o.n_tokens END
+      FROM rec r JOIN ordered o ON o.bucket = r.bucket AND o.rn = r.rn + 1
+    )
+    SELECT bucket * 10000000 + bin AS bin_id, doc_id, n_tokens, fill AS bin_fill
+    FROM rec ORDER BY bin_id, doc_id
+    """,
+)
 def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13: pack documents into 2048-token next-fit bins over 32
     deterministic hash buckets (applyInPandas; invariants — budget
     respected, every doc packed once, repartition-invariant — pinned
-    in tests/test_tier_d.py)."""
+    in tests/test_tier_d.py). FULL oracle since round 9: the bucket
+    key moved from crc32 to the d11 md5-prefix convention (DuckDB has
+    no crc32), and the per-bucket next-fit loop — inherently
+    sequential state — is replayed exactly by a RECURSIVE CTE walking
+    each bucket's id-ordered rows (recursion depth = max rows per
+    bucket, ~|docs|/32; the `fill > 0` guard reproduces the packer's
+    oversized-doc singleton-bin rule bit-for-bit)."""
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", TX.n_tokens("text").alias("n_tokens")
     )

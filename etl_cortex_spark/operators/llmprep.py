@@ -171,7 +171,9 @@ def pack_sequences(
     shape: documents are hash-bucketed by id into ``n_buckets``
     independent groups, each group is packed next-fit in ascending id
     order, and bin ids are namespaced per bucket. The contract is
-    DETERMINISTIC by construction — bucket = crc32(id) % n_buckets and
+    DETERMINISTIC by construction — bucket = md5-prefix(id) %
+    n_buckets (the d11 engine-portable convention, so a SQL oracle can
+    replay the bucketing; round 9 — was crc32, which DuckDB lacks) and
     in-bucket order is total — so the output is stable under any input
     partitioning (pinned in pytest). At scale each bucket packs in
     parallel; cross-bucket waste is bounded by one underfull bin per
@@ -217,7 +219,14 @@ def pack_sequences(
     bucketed = df.select(
         F.col(id_col).cast("bigint").alias(id_col),
         F.col(token_col).cast("bigint").alias(token_col),
-        F.pmod(F.crc32(F.col(id_col).cast("string").cast("binary")), F.lit(n_buckets))
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_buckets),
+        )
         .cast("int")
         .alias("__bucket"),
     )

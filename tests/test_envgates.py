@@ -12,7 +12,7 @@ from etl_cortex_spark.inventory.tier_d import _tws_available
 from etl_cortex_spark.queries import ORACLE, QUERIES
 
 BASE_QUERIES = 267
-BASE_ORACLE = 260
+BASE_ORACLE = 261
 
 
 def test_registry_count_matches_env_gates():

@@ -30,8 +30,9 @@ EXPECTED_NO_ORACLE = {
     "d02_minhash_lsh_pairs",
     "d02_near_dedup_minhash",  # LSH pairing → engine-specific recall
     "d02_minhash_lsh_ml_pairs",
-    "d13_pack_sequences",  # stateful next-fit packing, not SQL-expressible
     "d02_simhash_candidates",
+    # d13_pack_sequences moved OUT of this set in round 9: the next-fit
+    # loop is replayed exactly by a DuckDB recursive CTE (md5 buckets).
     # d03_ann_brp_topk moved OUT of this set in round 9: it now carries
     # an epsilon-recall oracle (the hashing stays engine-side; the
     # oracle pins the recall@k contract against the exact top-k).
