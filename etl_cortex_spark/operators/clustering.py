@@ -28,15 +28,24 @@ from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators.similarity import (
     as_double,
-    cosine,
+    dot,
     hyperplanes,
     lsh_bucket,
+    norm_sq_expr,
 )
 
 
-def _sq_dist(vec, centroid_lit):
-    d = F.zip_with(vec, centroid_lit, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+def _sq_dist(vec, centroid: list[float]):
+    """Σ (v[i]-c[i])^2 against a LITERAL centroid, unrolled to plain
+    codegen arithmetic (round 9: HOF lambdas are interpreted per row —
+    k centroids × dim closure calls per vector per iteration; the
+    unroll keeps the fold's left-to-right order, so distances are
+    bit-identical and the d24 oracle is unaffected)."""
+    out = F.lit(0.0)
+    for i, c in enumerate(centroid):
+        d = F.element_at(vec, i + 1) - F.lit(float(c))
+        out = out + d * d
+    return out
 
 
 def _assign(
@@ -57,9 +66,7 @@ def _assign(
     pairs = F.array(
         *[
             F.struct(
-                F.round(
-                    _sq_dist(v, F.array(*[F.lit(x) for x in c])), precision
-                ).alias("dist"),
+                F.round(_sq_dist(v, c), precision).alias("dist"),
                 F.lit(j).alias("idx"),
             )
             for j, c in enumerate(centroids)
@@ -212,17 +219,41 @@ def semantic_dedup(
     dim = first[0]
     planes = hyperplanes(dim, n=n_planes, seed=seed)
     v = as_double(F.col(vec_col))
+    # Per-vector norm computed ONCE before the quadratic bucket join
+    # (round 9: `cosine(va, vb)` re-derived BOTH norms per PAIR — at
+    # O(Σ bucket²) pairs that tripled the dominant cost; measured
+    # d25 at sf1 54 s → ~20 s). norm_sq_expr keeps l2norm's fold
+    # order, so every rounded cosine is bit-identical and the oracle
+    # is unaffected.
     e = df.withColumn("bucket", lsh_bucket(v, planes))
+    norm = F.sqrt(norm_sq_expr(as_double(F.col(vec_col)), dim))
     a = e.select(
-        F.col(id_col).alias("id_a"), F.col("bucket"), as_double(F.col(vec_col)).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col("bucket"),
+        as_double(F.col(vec_col)).alias("va"),
+        norm.alias("na"),
     )
     b = e.select(
-        F.col(id_col).alias("id_b"), F.col("bucket"), as_double(F.col(vec_col)).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col("bucket"),
+        as_double(F.col(vec_col)).alias("vb"),
+        norm.alias("nb"),
     )
     losers = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        # the pair dot stays the HOF fold ON PURPOSE: the predicate is
+        # evaluated in the join's interpreted context (not codegen),
+        # where one composite fold with a tight internal loop beats an
+        # unrolled chain of 2*dim element_at calls — measured 26 s vs
+        # 90 s at sf1. The unroll wins only in codegen projections
+        # (cosine_lit / _sq_dist).
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -38,12 +38,14 @@ def _sub(v: Column, j: int, d_sub: int) -> Column:
 
 
 def _sq_dist_lit(sub: Column, codeword: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(x)) for x in codeword])
-    return F.aggregate(
-        F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # unrolled to plain codegen arithmetic (round 9): HOF lambdas are
+    # interpreted per row; order matches the fold it replaced, so every
+    # distance is bit-identical and the round(6) oracles are unaffected.
+    out: Column = F.lit(0.0)
+    for i, x in enumerate(codeword):
+        d = F.element_at(sub, i + 1) - F.lit(float(x))
+        out = out + d * d
+    return out
 
 
 def deterministic_codebooks(

@@ -45,6 +45,54 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+# --- literal-vector fast path --------------------------------------------------
+#
+# Higher-order-function lambdas (zip_with/aggregate) are evaluated
+# INTERPRETED per row — they sit outside whole-stage codegen, so every
+# scored vector pays a per-element closure call. When one operand is a
+# LITERAL (the query vector, an LSH hyperplane, a centroid), the fold
+# unrolls into `dim` plain multiply-adds that codegen compiles like any
+# arithmetic (round 9; measured d03 sf1 0.24 s -> 0.15 s). The unroll
+# keeps the HOF's exact left-to-right order — ((0+t1)+t2)+... — so
+# every value is BIT-IDENTICAL to the fold it replaces and all round(6)
+# oracles are unaffected. Scope caveat, also measured: the unroll wins
+# ONLY in codegen projection contexts. In interpreted contexts (a join
+# predicate evaluating pairwise dots) a chain of 2*dim element_at
+# calls is ~3.5x SLOWER than the HOF's one tight internal loop — so
+# pairwise column-column dots (semantic_dedup) deliberately keep the
+# fold form and hoist the norms instead.
+
+
+def dot_lit(v: Column, q: list[float]) -> Column:
+    """dot(v, literal q), unrolled (codegen path; order == HOF fold)."""
+    out: Column = F.lit(0.0)
+    for i, x in enumerate(q):
+        out = out + F.element_at(v, i + 1) * F.lit(float(x))
+    return out
+
+
+def norm_sq_expr(v: Column, dim: int) -> Column:
+    """Σ v[i]^2 over a known dim, unrolled (order == l2norm's fold)."""
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        e = F.element_at(v, i + 1)
+        out = out + e * e
+    return out
+
+
+def cosine_lit(v: Column, q: list[float]) -> Column:
+    """cosine(v, literal q) on the codegen path. The query norm is a
+    driver-side constant: Python floats ARE IEEE doubles and the fold
+    order matches l2norm's, so the constant is bit-identical to the
+    HOF value it replaces."""
+    import math
+
+    qn = 0.0
+    for x in q:
+        qn += float(x) * float(x)
+    return dot_lit(v, q) / (F.sqrt(norm_sq_expr(v, len(q))) * F.lit(math.sqrt(qn)))
+
+
 def hyperplanes(dim: int, n: int = 8, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (literals, no runtime
     RNG) for sign-LSH. Gaussian via random.Random for portability."""
@@ -56,8 +104,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit j set iff dot(vec, plane_j) > 0."""
     out = F.lit(0)
     for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        out = out + F.when(dot(vec, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = out + F.when(dot_lit(vec, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("int")
 
 
@@ -81,10 +128,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
     Deterministic total order: (cosine desc, id asc)."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     v = as_double(F.col(vec_col))
     return (
-        df.select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        df.select(F.col(id_col), F.round(cosine_lit(v, query_vec), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -150,13 +196,12 @@ def lsh_topk(
     ranked by exact cosine. Recall < 1 by design; the planes being
     literals makes the result deterministic and oracle-checkable."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     qbucket = query_bucket(query_vec, planes)
     v = as_double(F.col(vec_col))
     return (
         df.withColumn("__bucket", lsh_bucket(v, planes))
         .filter(F.col("__bucket") == qbucket)
-        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(cosine_lit(v, query_vec), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -217,12 +262,11 @@ def lsh_topk_ivf(
     """
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qbucket = query_bucket(query_vec, planes)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     v = as_double(F.col(vec_col))
     return (
         spark.read.parquet(path)
         .filter(F.col("__bucket") == qbucket)
-        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .select(F.col(id_col), F.round(cosine_lit(v, query_vec), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
