@@ -149,37 +149,45 @@ def kmeans_fit_predict(
         )
     centroids = initial_centroids(base, k, id_col, "__v")
 
+    dim = len(centroids[0])
     for _ in range(iters):
         cluster, _dist = _assign(base, centroids, "__v", precision)
         assigned = base.select(id_col, "__v", cluster)
+        # Centroid update as ONE narrow k-row aggregate over dim
+        # unrolled per-dimension columns (round 9: the posexplode form
+        # inflated the scan's shuffle output dim-fold — 64x the rows —
+        # for the same k*dim cells; the unrolled projection is codegen
+        # and the partial agg compresses to k rows per task). The
+        # quantized path's cells are INTEGER sums — exact in any
+        # aggregation order — so the d24 oracle is unaffected; the
+        # float path's per-dim avg is the same Spark avg aggregate it
+        # always was (no oracle depends on its accumulation order).
         if quantize is None:
-            new_rows = (
-                assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
-                .groupBy("cluster", "pos")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
-                .collect()
-            )
-            updated = {r.cluster: [float(x) for x in r.c] for r in new_rows}
-        else:
-            sums = (
-                assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
-                .groupBy("cluster", "pos")
-                .agg(
-                    F.sum(F.round(F.col("x") * scale).cast("long")).alias("s"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
-            )
-            acc: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in sums:
-                if r.cluster is not None:
-                    acc.setdefault(r.cluster, {})[r.pos] = (r.s, r.n)
+            new_rows = assigned.groupBy("cluster").agg(
+                *[
+                    F.avg(F.element_at("__v", i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            ).collect()
             updated = {
-                c: [(s / n) / scale for _, (s, n) in sorted(d.items())]
-                for c, d in acc.items()
+                r["cluster"]: [float(r[f"m{i}"]) for i in range(dim)]
+                for r in new_rows
+                if r["cluster"] is not None
+            }
+        else:
+            sums = assigned.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.round(F.element_at("__v", i + 1) * scale).cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            ).collect()
+            updated = {
+                r["cluster"]: [(r[f"s{i}"] / r["n"]) / scale for i in range(dim)]
+                for r in sums
+                if r["cluster"] is not None
             }
         # empty clusters keep their previous centroid
         centroids = [updated.get(j, centroids[j]) for j in range(k)]
