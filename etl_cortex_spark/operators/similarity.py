@@ -148,7 +148,9 @@ def ann_brp_topk(
     """The MLlib path for ANN (SURVEY D3: ``BucketedRandomProjectionLSH``):
     Euclidean-LSH bucketing + ``approxNearestNeighbors`` for the top-k,
     re-scored with exact cosine for a comparable output contract
-    (vec_id, cosine). Engine-specific hashing → rows-only check; the
+    (vec_id, cosine). The hashing is engine-specific; since round 9 the
+    d03_ann_brp_topk registry entry wraps this in an EPSILON-RECALL
+    oracle (recall@5 vs the exact euclidean top-5 ≥ 4/5), and the
     pytest suite pins rank-consistency against the brute-force baseline.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
