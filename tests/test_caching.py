@@ -157,3 +157,37 @@ def test_sweep_dead_pid_layouts(tmp_path):
     # idempotent + tolerant of a missing dir
     assert sweep_dead_pid_layouts(str(tmp_path)) == []
     assert sweep_dead_pid_layouts(str(tmp_path / "nope")) == []
+
+
+def test_fact_buckets_sizing(tmp_path):
+    """The data-sized bucket rule (round 9): powers of two, clamped to
+    [lo, hi], derived from the anchor fact's bytes, and identical for
+    every loader of one directory (equal counts are what keep
+    bucket-bucket joins exchange-free). A missing anchor degrades to
+    the lower clamp, never an error."""
+    import os
+
+    from etl_cortex_spark.operators.layout import fact_buckets
+
+    mb = 1024 * 1024
+    # single-file anchor
+    p = tmp_path / "lineitem.parquet"
+    p.write_bytes(b"\0" * (30 * mb))
+    assert fact_buckets(str(tmp_path), per_bucket_mb=12) == 4  # 30MB <= 4*12
+    p.write_bytes(b"\0" * (100 * mb))
+    assert fact_buckets(str(tmp_path), per_bucket_mb=12) == 16
+    # clamps
+    assert fact_buckets(str(tmp_path), per_bucket_mb=1) == 32  # hi
+    p.write_bytes(b"\0")
+    assert fact_buckets(str(tmp_path)) == 4  # lo
+    # directory anchor (the bench relayout shape): bytes are summed
+    os.remove(p)
+    d = tmp_path / "lineitem.parquet"
+    d.mkdir()
+    for i in range(5):
+        (d / f"part-{i}.parquet").write_bytes(b"\0" * (20 * mb))
+    assert fact_buckets(str(tmp_path), per_bucket_mb=12) == 16  # 100MB total
+    # no anchor at all -> lower clamp
+    assert fact_buckets(str(tmp_path / "nope")) == 4
+    # real SF dirs ride the same rule
+    assert fact_buckets("/root/testdata/sf0.001") == 4
