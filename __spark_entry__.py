@@ -47,23 +47,22 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # changes only — the rotation below is otherwise purely
 # least-recently-verified.
 _REVERIFY_NOW: dict[str, int] = {
-    # Round 8 plan changes never driver-recorded (r8 verdict #3, a
-    # repeat assignment): q3/q5/c10/scale_bucketed_join moved to the
-    # shared `layout.bucketed_fact` warehouse layout in r8, and
-    # d02_incremental_lsh_probe gained its full-strength oracle in r8;
-    # all five carry pre-change official records only. Round 9 also
-    # narrows the bucketed layouts to per-query column projections
-    # (same rows, new layout signature), so the boost covers both.
-    "tpch_q3_shipping_priority": 9,
-    "tpch_q5_local_supplier_volume": 9,
-    "c10_join_inner_agg": 9,
-    "scale_bucketed_join": 9,
-    "d02_incremental_lsh_probe": 9,
-    # Round 9: d13's bucket key moved crc32 → md5-prefix AND it gained
-    # the recursive-CTE oracle; d03's BRP entry now returns the
-    # epsilon-recall audit row instead of raw top-k.
-    "d13_pack_sequences": 9,
-    "d03_ann_brp_topk": 9,
+    # Round 10 (r9 verdict #6): every entry whose plan the round-9
+    # literal-vector unroll touched now carries the round-10 dim-
+    # mismatch guard (similarity.dot_lit/norm_sq_expr wrap the unroll
+    # in a size check — same values on well-formed input, NULL-degrade
+    # on ragged) → re-certify all of them officially, plus the entries
+    # the round-9 sample never re-recorded after the unroll.
+    "d03_cosine_topk": 10,
+    "d03_ann_lsh_topk": 10,
+    "d03_ann_ivfpq_topk": 10,
+    "d03_ann_brp_topk": 10,
+    "d16_embedding_quantize_int8": 10,
+    "d24_centroid_assign": 10,
+    "d24_kmeans_sizes": 10,
+    "d25_semantic_dedup": 10,
+    "d37_pq_encode": 10,
+    "d92_embedding_outliers": 10,
 }
 
 

@@ -417,38 +417,72 @@ def main() -> None:
     lfl_ratio = round(lfl_spark / lfl_duck, 2) if lfl_duck else None
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "duckdb_queries": duck,
-                "ratio_vs_duckdb": ratio,
-                "ratio_like_for_like_r4_common": lfl_ratio,
-                "ratio_per_query": ratio_per_query,
-                "job_floor_ms": job_floor_ms(spark),
-                "ingest": {
-                    "bucketed_layout_secs": ingest_secs,
-                    "note": "one-time warehouse layout write (q3/q5/c10/"
-                    "scale_bucketed_join fact buckets), charged to ingest "
-                    "not to queries; DuckDB scans raw parquet — the layout "
-                    "changes Spark's plan shape, not either engine's rows",
-                },
-                "data_sized_global_windows": window_violations,
-                "relayout": {
-                    "applied": sf_dir != SF_DIR,
-                    "n_files": RELAYOUT_FILES,
-                    "tables": sorted(FACT_RELAYOUT),
-                    "note": "facts rewritten multi-file/multi-row-group; "
-                    "both engines read the same rewritten files",
-                },
-            }
+    # Two-layer record (round-9 verdict #2: the r9 JSON line overflowed
+    # the driver's 2000-char tail-capture window and the official
+    # record lost its headline). The PRINTED line is the compact
+    # contract subset — sized well under the window, with nothing
+    # printed after it — and the full detail (per-query ratios, the
+    # ingest/relayout methodology notes) goes to bench_result.json on
+    # disk. ratio_per_query is recomputable from queries/duckdb_queries.
+    detail = {
+        "metric": "headline_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "duckdb_queries": duck,
+        "ratio_vs_duckdb": ratio,
+        "ratio_like_for_like_r4_common": lfl_ratio,
+        "ratio_per_query": ratio_per_query,
+        "job_floor_ms": job_floor_ms(spark),
+        "ingest": {
+            "bucketed_layout_secs": ingest_secs,
+            "note": "one-time warehouse layout write (q3/q5/c10/"
+            "scale_bucketed_join fact buckets), charged to ingest "
+            "not to queries; DuckDB scans raw parquet — the layout "
+            "changes Spark's plan shape, not either engine's rows",
+        },
+        "data_sized_global_windows": window_violations,
+        "relayout": {
+            "applied": sf_dir != SF_DIR,
+            "n_files": RELAYOUT_FILES,
+            "tables": sorted(FACT_RELAYOUT),
+            "note": "facts rewritten multi-file/multi-row-group; "
+            "both engines read the same rewritten files",
+        },
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the contract
+    compact = {
+        k: detail[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "sf",
+            "duckdb_queries",
+            "ratio_vs_duckdb",
+            "ratio_like_for_like_r4_common",
         )
-    )
+    }
+    compact["job_floor_ms"] = detail["job_floor_ms"]
+    compact["ingest_secs"] = ingest_secs
+    if window_violations:
+        compact["data_sized_global_windows"] = window_violations
+    compact["detail"] = "bench_result.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:  # never overflow: duckdb per-query lives in the detail file
+        compact.pop("duckdb_queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

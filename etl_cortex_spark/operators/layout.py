@@ -213,7 +213,13 @@ def sweep_dead_pid_layouts(wh: str) -> list[str]:
     <pid>``); stable-named dirs are never touched. ``os.kill(pid, 0)``
     probes liveness — ``PermissionError`` means ALIVE (another user's
     process), so only ``ProcessLookupError`` deletes. Returns the
-    removed names (test hook)."""
+    removed names (test hook).
+
+    Host-locality contract (round-9 ADVICE): the pid probe only sees
+    THIS host's processes, so on a shared warehouse (cluster/NFS) a
+    live remote sibling's layout would look dead. The layout callers
+    below therefore gate the sweep on ``master.startswith("local")``;
+    direct callers on a shared dir must not sweep."""
     import os
     import re
     import shutil
@@ -297,9 +303,13 @@ def bucketed_fact(
             # dir persists — clear this name's leftover location first;
             # the pid suffix guarantees no live sibling owns it. Every
             # layout write also sweeps dead siblings' debris, so the
-            # warehouse stays bounded by the LIVE process count.
+            # warehouse stays bounded by the LIVE process count — but
+            # ONLY under a local master: on a cluster the warehouse may
+            # be shared and a remote sibling's pid is invisible to this
+            # host's liveness probe (sweep docstring).
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            sweep_dead_pid_layouts(wh)
+            if spark.sparkContext.master.startswith("local"):
+                sweep_dead_pid_layouts(wh)
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
             (
                 base.repartition(n_buckets, key)
@@ -364,25 +374,41 @@ def bucketed_fact_with_delta(
     try:
         if not spark.catalog.tableExists(name):
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            sweep_dead_pid_layouts(wh)
+            if spark.sparkContext.master.startswith("local"):
+                sweep_dead_pid_layouts(wh)
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-            (
-                base.repartition(n_buckets, key)
-                .write.mode("overwrite")
-                .bucketBy(n_buckets, key)
-                .sortBy(key)
-                .format("parquet")
-                .saveAsTable(name)
-            )
-            (
-                delta_of(base)
-                .repartition(n_buckets, key)
-                .write.mode("append")
-                .bucketBy(n_buckets, key)
-                .sortBy(key)
-                .format("parquet")
-                .saveAsTable(name)
-            )
+            try:
+                (
+                    base.repartition(n_buckets, key)
+                    .write.mode("overwrite")
+                    .bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+                (
+                    delta_of(base)
+                    .repartition(n_buckets, key)
+                    .write.mode("append")
+                    .bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+            except Exception:
+                # The two writes are not atomic (round-9 ADVICE): if the
+                # delta append dies after the base saveAsTable succeeded,
+                # the name is now REGISTERED with base-only rows and every
+                # later call in this session would tableExists-hit it and
+                # silently miss the delta. Drop the partial table (catalog
+                # + files) before falling back, so the next call rebuilds
+                # from scratch instead of serving a half-maintained layout.
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                except Exception:
+                    pass
+                shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+                raise
         return spark.table(name)
     except Exception:
         return base.unionByName(delta_of(base))

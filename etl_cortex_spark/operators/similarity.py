@@ -64,29 +64,48 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def dot_lit(v: Column, q: list[float]) -> Column:
-    """dot(v, literal q), unrolled (codegen path; order == HOF fold)."""
+    """dot(v, literal q), unrolled (codegen path; order == HOF fold).
+
+    Guarded on ``size(v) == len(q)`` (round-9 ADVICE): the bare unroll
+    silently truncated LONGER vectors to len(q) and threw
+    INVALID_ARRAY_INDEX (ANSI ``element_at`` OOB) on SHORTER ones —
+    both diverging from the zip_with fold's NULL-degrade. CaseWhen
+    evaluates its value branch lazily, so mismatched rows yield NULL
+    (the fold's exact behavior: zip_with pads with NULL → NULL sum)
+    without ever touching an OOB index, and the size check itself is
+    O(1) on the codegen path. Matched rows get the identical unrolled
+    expression — all round(6) oracle values are unaffected."""
     out: Column = F.lit(0.0)
     for i, x in enumerate(q):
         out = out + F.element_at(v, i + 1) * F.lit(float(x))
-    return out
+    return F.when(F.size(v) == F.lit(len(q)), out)
 
 
 def norm_sq_expr(v: Column, dim: int) -> Column:
-    """Σ v[i]^2 over a known dim, unrolled (order == l2norm's fold)."""
+    """Σ v[i]^2 over a known dim, unrolled (order == l2norm's fold);
+    NULL on dim mismatch (same guard + rationale as ``dot_lit``)."""
     out: Column = F.lit(0.0)
     for i in range(dim):
         e = F.element_at(v, i + 1)
         out = out + e * e
-    return out
+    return F.when(F.size(v) == F.lit(dim), out)
 
 
 def cosine_lit(v: Column, q: list[float]) -> Column:
     """cosine(v, literal q) on the codegen path. The query norm is a
     driver-side constant: Python floats ARE IEEE doubles and the fold
     order matches l2norm's, so the constant is bit-identical to the
-    HOF value it replaces."""
-    import math
+    HOF value it replaces.
 
+    ``SPARK_GRAFT_NO_UNROLL`` serves the HOF-fold formulation instead
+    (identical values: both sides are left-to-right IEEE folds) — the
+    measurement escape hatch for the unroll-vs-fold interleaved A/B,
+    same pattern as ``SPARK_GRAFT_NO_BUCKET`` in layout.py."""
+    import math
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_UNROLL"):
+        return cosine(v, F.array(*[F.lit(float(x)) for x in q]))
     qn = 0.0
     for x in q:
         qn += float(x) * float(x)

@@ -177,3 +177,47 @@ def _scan_files(df) -> int:
         if "QueryStage" in name:
             stack.append(node.plan())
     raise AssertionError("no scan with numFiles found")
+
+
+def test_delta_append_failure_never_leaves_partial_table(spark):
+    """bucketed_fact_with_delta's two writes are not atomic (round-9
+    ADVICE): if the delta append dies after the base saveAsTable
+    succeeded, the name must NOT stay registered base-only — the
+    failing call drops the partial table and serves the plain
+    base ∪ delta fallback, and the NEXT call rebuilds the full
+    maintained layout from scratch."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        bucketed_fact_name,
+        bucketed_fact_with_delta,
+    )
+    from etl_cortex_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_orderkey", "l_quantity"]
+    name = bucketed_fact_name(sf, "lineitemincr", "l_orderkey", cols, 4)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    calls = {"n": 0}
+
+    def flaky_delta(b):
+        calls["n"] += 1
+        if calls["n"] == 1:  # fails exactly once — AFTER the base write
+            raise RuntimeError("simulated delta-batch failure")
+        return b.filter(F.col("l_orderkey") % 19 == 3)
+
+    out = bucketed_fact_with_delta(
+        spark, sf, "lineitem", "l_orderkey", flaky_delta, cols, 4
+    )
+    base = load_table(spark, sf, "lineitem").select(*cols)
+    expected = base.count() + base.filter(F.col("l_orderkey") % 19 == 3).count()
+    assert out.count() == expected  # fallback serves the right rows...
+    assert not spark.catalog.tableExists(name)  # ...and no partial table
+
+    out2 = bucketed_fact_with_delta(
+        spark, sf, "lineitem", "l_orderkey", flaky_delta, cols, 4
+    )
+    assert spark.catalog.tableExists(name)  # rebuilt clean on retry
+    assert out2.count() == expected
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -802,3 +802,45 @@ def test_embedding_outliers_partition_invariant_and_sane(spark):
     ]
     assert a == b
     assert a[0][0] == 999
+
+
+def test_literal_unroll_null_degrades_on_ragged_vectors(spark):
+    """The codegen unroll (dot_lit/norm_sq_expr/cosine_lit) must keep
+    the zip_with fold's dim-mismatch semantics (round-9 ADVICE): a
+    vector LONGER than the query must NOT silently truncate-and-score,
+    and a SHORTER one must NOT throw ANSI INVALID_ARRAY_INDEX — both
+    degrade to NULL, exactly like the HOF path. Well-formed vectors
+    are bit-identical to the fold."""
+    q = [1.0, 2.0, 3.0]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),          # exact dim
+            (2, [1.0, 2.0, 3.0, 4.0]),     # longer: would truncate
+            (3, [1.0, 2.0]),               # shorter: would throw under ANSI
+            (4, None),                     # NULL vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    v = SIM.as_double(F.col("embedding"))
+    rows = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            SIM.dot_lit(v, q).alias("dot"),
+            SIM.cosine_lit(v, q).alias("cos"),
+            SIM.dot(v, F.array(*[F.lit(x) for x in q])).alias("dot_hof"),
+        ).collect()
+    }
+    assert rows[1].dot == rows[1].dot_hof == 14.0
+    assert abs(rows[1].cos - 1.0) < 1e-12
+    for bad in (2, 3, 4):
+        assert rows[bad].dot is None and rows[bad].cos is None
+    # lsh_bucket over the same ragged frame must not raise either —
+    # mismatched rows land in bucket 0 (NULL > 0 is never true),
+    # matching the fold behavior.
+    planes = SIM.hyperplanes(3, n=4)
+    buckets = {
+        r.vec_id: r.b
+        for r in df.select("vec_id", SIM.lsh_bucket(v, planes).alias("b")).collect()
+    }
+    assert buckets[2] == buckets[3] == buckets[4] == 0

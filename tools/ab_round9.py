@@ -57,7 +57,13 @@ def _rows_equal(a: list[tuple], b: list[tuple]) -> bool:
         return False
     for ra, rb in zip(a, b):
         for va, vb in zip(ra, rb):
-            if isinstance(va, float) or isinstance(vb, float):
+            if va is None or vb is None:
+                # nullable aggregate columns: both-NULL is equal, a
+                # NULL/float pair is a rows-differ verdict — not a
+                # TypeError out of abs() (round-9 ADVICE)
+                if not (va is None and vb is None):
+                    return False
+            elif isinstance(va, float) or isinstance(vb, float):
                 if abs(va - vb) > 0.011:
                     return False
             elif va != vb:
