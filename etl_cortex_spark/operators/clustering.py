@@ -36,16 +36,20 @@ from etl_cortex_spark.operators.similarity import (
 
 
 def _sq_dist(vec, centroid: list[float]):
-    """Σ (v[i]-c[i])^2 against a LITERAL centroid, unrolled to plain
-    codegen arithmetic (round 9: HOF lambdas are interpreted per row —
-    k centroids × dim closure calls per vector per iteration; the
-    unroll keeps the fold's left-to-right order, so distances are
-    bit-identical and the d24 oracle is unaffected)."""
-    out = F.lit(0.0)
-    for i, c in enumerate(centroid):
-        d = F.element_at(vec, i + 1) - F.lit(float(c))
-        out = out + d * d
-    return out
+    """Σ (v[i]-c[i])^2 against a LITERAL centroid, as the zip_with/
+    aggregate fold over a literal array. Round 9 unrolled this to an
+    element_at chain on a single slope-window measurement; the
+    round-10 interleaved A/B (similarity.py block comment) refuted
+    that — at 64 dims the fold's one tight loop beats the giant
+    unrolled expression at every SF, and k centroids multiply the
+    expression size here. Same left-to-right order as the unroll it
+    replaces → distances bit-identical, d24 oracle unaffected."""
+    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
 
 
 def _assign(

@@ -38,14 +38,20 @@ def _sub(v: Column, j: int, d_sub: int) -> Column:
 
 
 def _sq_dist_lit(sub: Column, codeword: list[float]) -> Column:
-    # unrolled to plain codegen arithmetic (round 9): HOF lambdas are
-    # interpreted per row; order matches the fold it replaced, so every
-    # distance is bit-identical and the round(6) oracles are unaffected.
-    out: Column = F.lit(0.0)
-    for i, x in enumerate(codeword):
-        d = F.element_at(sub, i + 1) - F.lit(float(x))
-        out = out + d * d
-    return out
+    # zip_with/aggregate fold against the literal codeword (round 10:
+    # the interleaved A/B refuted round 9's element_at unroll even in
+    # this small-subspace regime — encode evaluates m×k of these per
+    # row, so the combined tree is huge either way, and the fold
+    # measured d37_pq_encode 1.14 s → 0.25 s at sf0.1; see
+    # BASELINE.md round-10). Same left-to-right order as the unroll
+    # it replaces → distances bit-identical, round(6) oracles
+    # unaffected.
+    carr = F.array(*[F.lit(float(x)) for x in codeword])
+    return F.aggregate(
+        F.zip_with(sub, carr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
 
 
 def deterministic_codebooks(

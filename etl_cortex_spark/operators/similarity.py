@@ -45,71 +45,81 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
-# --- literal-vector fast path --------------------------------------------------
+# --- literal-vector path: the FOLD, by measurement ----------------------------
 #
-# Higher-order-function lambdas (zip_with/aggregate) are evaluated
-# INTERPRETED per row — they sit outside whole-stage codegen, so every
-# scored vector pays a per-element closure call. When one operand is a
-# LITERAL (the query vector, an LSH hyperplane, a centroid), the fold
-# unrolls into `dim` plain multiply-adds that codegen compiles like any
-# arithmetic (round 9; measured d03 sf1 0.24 s -> 0.15 s). The unroll
-# keeps the HOF's exact left-to-right order — ((0+t1)+t2)+... — so
-# every value is BIT-IDENTICAL to the fold it replaces and all round(6)
-# oracles are unaffected. Scope caveat, also measured: the unroll wins
-# ONLY in codegen projection contexts. In interpreted contexts (a join
-# predicate evaluating pairwise dots) a chain of 2*dim element_at
-# calls is ~3.5x SLOWER than the HOF's one tight internal loop — so
-# pairwise column-column dots (semantic_dedup) deliberately keep the
-# fold form and hoist the norms instead.
+# Round-9 adopted an element_at UNROLL for literal operands (query
+# vectors, hyperplanes, centroids) on the theory that HOF lambdas are
+# interpreted per row while unrolled arithmetic rides whole-stage
+# codegen, backed by one slope-window measurement (d03 sf1 0.24 s ->
+# 0.15 s). The round-10 interleaved three-way A/B (tools/ab_round10.py,
+# fold vs guarded-unroll vs unguarded-unroll alternating in ONE JVM)
+# REFUTED it: the zip_with/aggregate fold wins at BOTH scale factors —
+# sf0.1: fold 0.066 s, unguarded unroll 0.132 s, size-guarded unroll
+# 0.184 s; sf1: fold 0.082 s, unroll 0.121 s, guarded 0.717 s. The
+# round-9 number was host-window drift (the same drift BASELINE.md
+# documents at ~1.5x between windows). Mechanically: a 64-dim cosine
+# unrolls to a ~190-node expression whose generated code exceeds the
+# JIT-friendly method size, while the fold is one tight loop the JVM
+# optimizes well — and wrapping the big tree in the dim-guard CaseWhen
+# (needed for ragged-input NULL-degrade) makes it 6x worse again.
+# So dot_lit/norm_sq_expr/cosine_lit below are FOLDS over a literal
+# array: same left-to-right ((0+t1)+t2)+... order, bit-identical
+# values, natural NULL-degrade on dim mismatch (zip_with pads the
+# short side with NULL -> NULL sum), no guard needed. The historical
+# unroll stays behind ``SPARK_GRAFT_UNROLL=1`` so the A/B is
+# re-runnable; it is never the default.
 
 
-def dot_lit(v: Column, q: list[float]) -> Column:
-    """dot(v, literal q), unrolled (codegen path; order == HOF fold).
+def _lit_array(q: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
 
-    Guarded on ``size(v) == len(q)`` (round-9 ADVICE): the bare unroll
-    silently truncated LONGER vectors to len(q) and threw
-    INVALID_ARRAY_INDEX (ANSI ``element_at`` OOB) on SHORTER ones —
-    both diverging from the zip_with fold's NULL-degrade. CaseWhen
-    evaluates its value branch lazily, so mismatched rows yield NULL
-    (the fold's exact behavior: zip_with pads with NULL → NULL sum)
-    without ever touching an OOB index, and the size check itself is
-    O(1) on the codegen path. Matched rows get the identical unrolled
-    expression — all round(6) oracle values are unaffected."""
+
+def _unrolled_dot(v: Column, q: list[float]) -> Column:
+    """The round-9 unroll, kept ONLY for the SPARK_GRAFT_UNROLL A/B
+    leg (see the block comment above — measured SLOWER than the fold
+    at every SF). Size-guarded so ragged vectors NULL-degrade instead
+    of truncating (longer) or throwing ANSI INVALID_ARRAY_INDEX
+    (shorter); CaseWhen evaluates the branch lazily."""
     out: Column = F.lit(0.0)
     for i, x in enumerate(q):
         out = out + F.element_at(v, i + 1) * F.lit(float(x))
     return F.when(F.size(v) == F.lit(len(q)), out)
 
 
+def dot_lit(v: Column, q: list[float]) -> Column:
+    """dot(v, literal q): the zip_with/aggregate fold over a literal
+    array — measured fastest (round-10 A/B, block comment above), and
+    NULL on dim mismatch by construction (zip_with pads the short
+    side with NULL)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_UNROLL"):  # A/B leg only
+        return _unrolled_dot(v, q)
+    return dot(v, _lit_array(q))
+
+
 def norm_sq_expr(v: Column, dim: int) -> Column:
-    """Σ v[i]^2 over a known dim, unrolled (order == l2norm's fold);
-    NULL on dim mismatch (same guard + rationale as ``dot_lit``)."""
-    out: Column = F.lit(0.0)
-    for i in range(dim):
-        e = F.element_at(v, i + 1)
-        out = out + e * e
-    return F.when(F.size(v) == F.lit(dim), out)
+    """Σ v[i]^2 as the aggregate fold (order == l2norm's). ``dim`` is
+    kept for signature stability and the unroll leg; the fold itself
+    runs over the vector's actual length — callers pair it with a
+    ``dot`` whose NULL-degrade already voids ragged rows."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_UNROLL"):  # A/B leg only
+        out: Column = F.lit(0.0)
+        for i in range(dim):
+            e = F.element_at(v, i + 1)
+            out = out + e * e
+        return F.when(F.size(v) == F.lit(dim), out)
+    return F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x)
 
 
 def cosine_lit(v: Column, q: list[float]) -> Column:
-    """cosine(v, literal q) on the codegen path. The query norm is a
-    driver-side constant: Python floats ARE IEEE doubles and the fold
-    order matches l2norm's, so the constant is bit-identical to the
-    HOF value it replaces.
-
-    ``SPARK_GRAFT_NO_UNROLL`` serves the HOF-fold formulation instead
-    (identical values: both sides are left-to-right IEEE folds) — the
-    measurement escape hatch for the unroll-vs-fold interleaved A/B,
-    same pattern as ``SPARK_GRAFT_NO_BUCKET`` in layout.py."""
-    import math
-    import os
-
-    if os.environ.get("SPARK_GRAFT_NO_UNROLL"):
-        return cosine(v, F.array(*[F.lit(float(x)) for x in q]))
-    qn = 0.0
-    for x in q:
-        qn += float(x) * float(x)
-    return dot_lit(v, q) / (F.sqrt(norm_sq_expr(v, len(q))) * F.lit(math.sqrt(qn)))
+    """cosine(v, literal q) — the HOF fold over a literal array (the
+    measured-fastest form at every SF; round-10 A/B). Left-to-right
+    IEEE folds on both engines → bit-identical round(6) values; dim
+    mismatch → NULL dot → NULL cosine (the zip_with degrade)."""
+    return cosine(v, _lit_array(q))
 
 
 def hyperplanes(dim: int, n: int = 8, seed: int = 7) -> list[list[float]]:

@@ -9,11 +9,18 @@ window showed the unroll WINNING (0.24 → 0.15 s), so the open
 question is whether the sf0.1 regression is window drift or a real
 constant (plan/codegen) cost that only toy scale exposes.
 
-Legs differ ONLY through ``SPARK_GRAFT_NO_UNROLL`` (similarity.py's
-measurement escape hatch); values are bit-identical (both are
-left-to-right IEEE folds), asserted per pair. ALL runs are reported,
-not just best-of: a one-time codegen cost shows up as run[0] >>
-run[1:] on the unroll leg only.
+Legs differ ONLY through ``SPARK_GRAFT_UNROLL`` (similarity.py's
+measurement escape hatch; as of round 10 the FOLD is the default and
+the unroll is the opt-in leg — this A/B is why); values are
+bit-identical (both are left-to-right IEEE folds), asserted per pair.
+ALL runs are reported, not just best-of: a one-time codegen cost
+shows up as run[0] >> run[1:] on the unroll leg only.
+
+VERDICT (run 2026-08-15, this tool + the three-way variant): fold
+wins everywhere — sf0.1 fold 0.066 s vs unroll 0.132 s (0.184 s with
+the dim guard); sf1 fold 0.082 s vs 0.121 s (0.717 s guarded). The
+round-9 "unroll wins at sf1" was window drift. Full numbers in
+BASELINE.md.
 
 Prints one JSON line; the committed summary lives in BASELINE.md.
 """
@@ -46,14 +53,14 @@ def _timed(spark, sf_dir: str) -> tuple[float, list[tuple]]:
 def ab_unroll(spark, sf_dir: str) -> dict:
     unrolled, fold = [], []
     for _ in range(RUNS):
-        os.environ.pop("SPARK_GRAFT_NO_UNROLL", None)
+        os.environ["SPARK_GRAFT_UNROLL"] = "1"
         ta, ha = _timed(spark, sf_dir)
-        os.environ["SPARK_GRAFT_NO_UNROLL"] = "1"
+        os.environ.pop("SPARK_GRAFT_UNROLL", None)
         tb, hb = _timed(spark, sf_dir)
         assert _rows_equal(ha, hb), "d03: unrolled and fold rows differ"
         unrolled.append(ta)
         fold.append(tb)
-    os.environ.pop("SPARK_GRAFT_NO_UNROLL", None)
+    os.environ.pop("SPARK_GRAFT_UNROLL", None)
     return {
         "unrolled_best": round(min(unrolled), 4),
         "fold_best": round(min(fold), 4),
