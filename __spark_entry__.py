@@ -63,6 +63,11 @@ _REVERIFY_NOW: dict[str, int] = {
     "d25_semantic_dedup": 10,
     "d37_pq_encode": 10,
     "d92_embedding_outliers": 10,
+    # Round 10: prefix probe gained the length filter + persisted
+    # shingle frames + the df_ordered knob (identical output, new
+    # plan) AND joined the bench headline — needs an r10 record.
+    "d02_prefix_probe_pairs": 10,
+    "d25_semantic_dedup_recall_audit": 10,
 }
 
 

@@ -40,7 +40,13 @@ TABLES = (
 #: RAG-serving shape), and d63 (hashed-feature linear scoring — the
 #: shuffle-free model-inference projection shape); earlier rounds'
 #: 12 names are unchanged so per-query round-over-round comparisons
-#: stay valid.
+#: stay valid. Round 10 adds d02_prefix_probe_pairs (r9 verdict #4):
+#: the exact, FULL-ORACLE member of the near-dup family, so the
+#: heaviest LLM-dedup number is hash-verified per round — the banded
+#: LSH entry stays too for continuity. Note its oracle is the
+#: brute-force O(batch×corpus) verify (SQL cannot express the prefix
+#: filter), so its per-query ratio credits Spark's ALGORITHM, not the
+#: engine — read the like-for-like set for engine-vs-engine drift.
 HEADLINE = [
     "flagship_events_medallion",
     "c17_tpch_q1",
@@ -52,6 +58,7 @@ HEADLINE = [
     "a13_dedup_keep_latest",
     "d01_exact_dedup",
     "d02_minhash_lsh_pairs",
+    "d02_prefix_probe_pairs",
     "d03_cosine_topk",
     "d04_token_stats",
     "d51_span_dedup",

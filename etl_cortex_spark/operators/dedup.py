@@ -243,6 +243,7 @@ def prefix_filter_probe(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    df_ordered: bool = False,
 ) -> DataFrame:
     """Incremental near-dup probe with GUARANTEED recall: prefix-filter
     candidate generation (AllPairs / PPJoin family, Bayardo et al.,
@@ -271,29 +272,93 @@ def prefix_filter_probe(
     decision must be reproducible (compliance / training-data
     provenance), with the banded probe as the cheaper lossy sibling.
 
+    ``df_ordered`` switches the global token order to document-
+    frequency-ascending — the AllPairs optimization (prefix keeps each
+    doc's RAREST tokens, so a prefix hit is nearly always a real
+    near-dup). Correctness is order-independent (the prefix lemma
+    holds for ANY fixed total order; (df, tok) is one — df comes from
+    the existing corpus alone, so it is fixed before the batch
+    probes). Measured round 10 (sf0.1, interleaved, identical output
+    asserted): this corpus's vocabulary is UNIFORM-random, so dfs are
+    flat and the order buys little (45k → 34k candidates after the
+    length filter) while its stats pass + rank window cost ~0.4 s —
+    lexicographic wins locally (0.64 s vs 1.05 s best), hence the
+    False default. On a real Zipfian corpus common-trigram postings
+    dominate the lexicographic candidate set and df-ordering is the
+    standard choice; at index scale its stats pass amortizes into the
+    index build (computed once when the posting list is written). The
+    standard length filter (t·|Sa| ≤ |Sb| ≤ |Sa|/t, necessary for
+    j ≥ t) prunes candidates before the verify join on BOTH paths;
+    the df path's rank window partitions by new_id — batch-sized by
+    contract, never corpus-sized.
+
     Returns (new_id, existing_id, jaccard ≥ threshold).
     """
-    ex_base = existing.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+    t = float(threshold)
+    from pyspark import StorageLevel
+
+    # Both shingle frames feed TWO plan branches each (index/probe +
+    # verification) — persist so the tokenize pass runs once per side,
+    # the same materialization `minhash_lsh_pairs` does (measured
+    # ~0.3 s/pass at sf0.1; at scale this is the index build).
+    ex_base = track(
+        existing.select(
+            F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    new_base = new.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+    new_base = track(
+        new.select(
+            F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Global token order = lexicographic (any fixed total order works
-    # for correctness; df-ascending orders would shrink candidate
-    # counts but need a corpus stats pass).
-    sorted_sh = F.array_sort("__shingles")
-    n = F.size("__shingles")
-    prefix_len = n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1
     inv_index = ex_base.select(
-        F.col("__id").alias("existing_id"), F.explode("__shingles").alias("__tok")
+        F.col("__id").alias("existing_id"),
+        F.size("__shingles").alias("__ex_n"),
+        F.explode("__shingles").alias("__tok"),
     )
-    probe = new_base.select(
-        F.col("__id").alias("new_id"),
-        F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("__tok"),
-    )
+    if df_ordered:
+        from pyspark.sql import Window
+
+        # df per token is one agg over the posting list; the result is
+        # token-count-sized (≪ posting rows) and BROADCAST so the
+        # batch-side order join never shuffles the batch.
+        tok_df = inv_index.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        exploded = (
+            new_base.select(
+                F.col("__id").alias("new_id"),
+                F.size("__shingles").alias("__new_n"),
+                F.explode("__shingles").alias("__tok"),
+            )
+            # tokens absent from the corpus keep df NULL → fill 0:
+            # they sort first (rarest possible) and generate no
+            # candidates — still a valid position in the total order.
+            .join(F.broadcast(tok_df), "__tok", "left")
+            .na.fill({"__df": 0})
+        )
+        w = Window.partitionBy("new_id").orderBy("__df", "__tok")
+        prefix_len = (
+            F.col("__new_n") - F.ceil(F.col("__new_n") * F.lit(t)).cast("int") + 1
+        )
+        probe = (
+            exploded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= prefix_len)
+            .select("new_id", "__new_n", "__tok")
+        )
+    else:
+        sorted_sh = F.array_sort("__shingles")
+        n = F.size("__shingles")
+        prefix_len = n - F.ceil(n * F.lit(t)).cast("int") + 1
+        probe = new_base.select(
+            F.col("__id").alias("new_id"),
+            F.size("__shingles").alias("__new_n"),
+            F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("__tok"),
+        )
     cand = (
         probe.join(inv_index, "__tok")
+        .filter(
+            (F.col("__ex_n") >= F.col("__new_n") * F.lit(t))
+            & (F.col("__ex_n") <= F.col("__new_n") / F.lit(t))
+        )
         .select("new_id", "existing_id")
         .dropDuplicates(["new_id", "existing_id"])
     )
