@@ -68,6 +68,10 @@ _REVERIFY_NOW: dict[str, int] = {
     # plan) AND joined the bench headline — needs an r10 record.
     "d02_prefix_probe_pairs": 10,
     "d25_semantic_dedup_recall_audit": 10,
+    # Round 10: bm25_topk restructured to one corpus scan (base+tf
+    # persists) — same math, new plan shape.
+    "d19_bm25_topk": 10,
+    "d56_hybrid_rrf": 10,
 }
 
 

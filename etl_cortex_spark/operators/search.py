@@ -52,27 +52,38 @@ def bm25_topk(
     """
     terms_lit = F.array(*[F.lit(t) for t in terms])
     w = words(text_col)
-    hits = docs.select(
-        F.col(id_col),
-        F.size(w).alias("dl"),
-        F.explode(F.filter(w, lambda t: F.array_contains(terms_lit, t))).alias("term"),
-    )
-    # The posting frame is read TWICE (document-frequency build + the
-    # scoring join); persisting it is the inverted-index materialization
-    # every real search system does — without it each consumer
-    # re-tokenizes the whole corpus (the dedup.py:115 pattern). Tracked
-    # so repeat invocations can't accumulate CacheManager entries.
+    # ONE corpus scan+tokenize feeds everything (round 10; before,
+    # the corpus-stats agg re-scanned and re-tokenized the whole
+    # corpus a second time): base = (id, dl, matching-terms array) is
+    # the persisted frame — one row per doc, hits arrays are tiny
+    # (query terms only) — and stats, tf, and the scoring join all
+    # derive from it. Persisting base rather than the tf posting frame
+    # is the same inverted-index materialization (each consumer reads
+    # the cache instead of re-tokenizing; the dedup.py:115 pattern);
+    # the explode+count from cache per consumer is cheap because the
+    # hits arrays are already term-filtered. Tracked so repeat
+    # invocations can't accumulate CacheManager entries.
     from pyspark import StorageLevel
 
+    base = track(
+        docs.select(
+            F.col(id_col),
+            F.size(w).alias("dl"),
+            F.filter(w, lambda t: F.array_contains(terms_lit, t)).alias("__hits"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # tf is itself read twice (df build + scoring join) — persist the
+    # aggregated posting too, so the explode+count shuffle runs once.
     tf = track(
-        hits.groupBy(id_col, "dl", "term")
+        base.select(F.col(id_col), "dl", F.explode("__hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    stats = docs.select(
+    stats = base.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(w)).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
