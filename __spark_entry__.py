@@ -72,6 +72,11 @@ _REVERIFY_NOW: dict[str, int] = {
     # persists) — same math, new plan shape.
     "d19_bm25_topk": 10,
     "d56_hybrid_rrf": 10,
+    # Round 10: minhash signature moved from per-row HOF folds to the
+    # explode + codegen-min-agg form (identical signatures, new plan).
+    "d02_lsh_recall_audit": 10,
+    "d02_incremental_lsh_probe": 10,
+    "d02_near_dedup_survivors": 10,
 }
 
 

@@ -415,6 +415,18 @@ def main() -> None:
     paired_spark = sum(timings[n] for n in duck)
     paired_duck = sum(duck.values())
     ratio = round(paired_spark / paired_duck, 2) if paired_duck else None
+    # Queries whose ORACLE deliberately replays a WORSE algorithm
+    # (SQL can't express the candidate filter, so the oracle is the
+    # brute-force verify): their per-query ratio credits the
+    # algorithm, not the engine, and including them makes the
+    # aggregate flatter-than-real. Reported three ways so none can
+    # mislead: all-paired (standard), engine-only (sans these), and
+    # the fixed like-for-like set below.
+    ALGO_ASYM = {"d02_prefix_probe_pairs"}
+    eng = [n for n in duck if n not in ALGO_ASYM]
+    eng_spark = sum(timings[n] for n in eng)
+    eng_duck = sum(duck[n] for n in eng)
+    ratio_engine = round(eng_spark / eng_duck, 2) if eng_duck else None
     ratio_per_query = {
         n: round(timings[n] / duck[n], 2) for n in duck if duck[n] > 0
     }
@@ -439,6 +451,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "duckdb_queries": duck,
         "ratio_vs_duckdb": ratio,
+        "ratio_vs_duckdb_engine_only": ratio_engine,
         "ratio_like_for_like_r4_common": lfl_ratio,
         "ratio_per_query": ratio_per_query,
         "job_floor_ms": job_floor_ms(spark),
@@ -476,6 +489,7 @@ def main() -> None:
             "sf",
             "duckdb_queries",
             "ratio_vs_duckdb",
+            "ratio_vs_duckdb_engine_only",
             "ratio_like_for_like_r4_common",
         )
     }
