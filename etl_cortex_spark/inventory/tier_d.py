@@ -728,6 +728,52 @@ def d05p(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_png_features(assets).orderBy("asset_id")
 
 
+@query(
+    "d05_jpeg_decode_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             16 + (doc_id % 3) * 8 AS w,
+             8 + (doc_id % 4) * 8 AS h,
+             i % ((16 + (doc_id % 3) * 8) // 8) AS bx,
+             i // ((16 + (doc_id % 3) * 8) // 8) AS by
+      FROM documents, range(0, 16) t(i)
+      WHERE i < ((16 + (doc_id % 3) * 8) // 8) * ((8 + (doc_id % 4) * 8) // 8)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+           CAST(sum(128 + ((doc_id * 7 + bx * 5 + by * 3) % 160 - 80)) AS DOUBLE)
+             / count(*) AS mean_lum,
+           CAST(128 + ((doc_id * 7) % 160 - 80) AS INT) AS topleft_lum
+    FROM b GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def d05j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded image decode, cross-checked — the Huffman+DCT
+    leg of the d05 proof family (round-9 verdict #7, retiring jpeg
+    from the NotImplementedError contract): the Spark side builds
+    genuine single-component baseline sequential JPEGs (T.81 segment
+    grammar: DQT/SOF0/two DHTs/SOS, canonical-Huffman entropy scan
+    with byte stuffing) and DECODES THE BYTES inside ``mapInPandas``
+    with a general baseline decoder — DHT-driven canonical Huffman,
+    the full AC run-length loop, dezigzag, dequantize, complete 2-D
+    IDCT. The assets are DC-only by design so every decoded pixel is
+    the exact integer ``128 + qDC`` (q[0]=8 makes dequant/IDCT cancel
+    to the stored coefficient) and this oracle regenerates every
+    block value from the shared closed form without trigonometry —
+    the pixel mean over equal 64-px blocks equals the block-value
+    mean, and the two engines' divisions agree bit-for-bit because
+    the operands differ by an exact power of two. Dimensions come
+    from ``multimodal._jpeg_dims`` (MCU-aligned multiples of 8,
+    distinct from the BMP/PNG sets); ``topleft_lum`` is block (0,0)'s
+    value. Means are exact-integer-sum / count, emitted unrounded."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_jpeg_assets(docs)
+    return MM.decode_jpeg_features(assets).orderBy("asset_id")
+
+
 # --- D6-D8: streaming ---------------------------------------------------------
 
 

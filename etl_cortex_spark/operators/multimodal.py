@@ -9,12 +9,16 @@ are synthesized deterministically from the documents table so the
 plumbing (schema, batching, partitioning, UDF signatures) is exercised
 end-to-end without media libraries.
 
-The decode step is STUBBED: the container has no image/audio codecs,
-so ``decode_image`` raises NotImplementedError by contract, and
-``extract_features`` runs the real ``mapInPandas`` pipeline with a
-deterministic fake decoder. The Spark-side shape — Arrow batches in,
-Arrow batches out, fixed output schema, no driver collection — is
-exactly what a real decoder would use; only the numpy kernel changes.
+Four decode legs are REAL, stdlib-only: PCM-WAV (RIFF parse), 24-bpp
+BMP, DEFLATE-compressed PNG (CRC walk + inflate + all five filters),
+and baseline-sequential grayscale JPEG (canonical Huffman from DHT +
+dezigzag + dequant + full 2-D IDCT, round 10). The residual stub is
+``decode_image``'s NotImplementedError contract for codecs that
+genuinely need an external library (color/subsampled/progressive
+JPEG, mp3, video); ``extract_features`` runs the real ``mapInPandas``
+pipeline with a deterministic fake decoder for those. The Spark-side
+shape — Arrow batches in, Arrow batches out, fixed output schema, no
+driver collection — is identical either way; only the kernel changes.
 """
 
 from __future__ import annotations
@@ -54,15 +58,17 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
-    library — by round 9 that is ONLY jpeg/mp3/video: PCM-WAV
-    (``decode_wav_features``), 24-bpp BMP (``decode_bmp_features``)
-    and DEFLATE-compressed PNG (``decode_png_features``) are decoded
-    for real with the stdlib. A production build plugs Pillow/libvips/
+    library — by round 10 that is color/subsampled/progressive JPEG,
+    mp3, and video: PCM-WAV (``decode_wav_features``), 24-bpp BMP
+    (``decode_bmp_features``), DEFLATE-compressed PNG
+    (``decode_png_features``) and baseline-sequential grayscale JPEG
+    (``decode_jpeg_features`` — Huffman + full IDCT) are decoded for
+    real with the stdlib. A production build plugs Pillow/libvips/
     ffmpeg here; everything around it (schema, batching, partitioning)
     is already real.
     """
     raise NotImplementedError(
-        "jpeg/mp3/video codecs are not available in this environment"
+        "color-jpeg/mp3/video codecs are not available in this environment"
     )
 
 
@@ -727,3 +733,360 @@ def plan_image_tiles(
         (F.least(x0 + tile, F.col("width")) - x0).alias("tw"),
         (F.least(y0 + tile, F.col("height")) - y0).alias("th"),
     )
+
+
+# --- D5f: REAL entropy-coded image decode (baseline JPEG, round 10) -----------
+
+
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form per-asset dimensions for the JPEG leg (distinct
+    from the BMP and PNG sets so no two image entries share byte
+    layouts). Multiples of 8 BY DESIGN: baseline JPEG pads partial
+    MCUs, and keeping every asset MCU-aligned keeps the closed-form
+    oracle exact without a crop step. Driver-side reference for tests
+    and the d05 oracle; the executor closures inline the same formula
+    (they ship by value) and ``test_jpeg_payload_structure`` pins the
+    two together."""
+    return 16 + (doc_id % 3) * 8, 8 + (doc_id % 4) * 8
+
+
+#: zigzag index -> row-major position, shared by encoder and decoder
+#: (ITU T.81 Figure A.6).
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG payloads, one per document — the ENTROPY-
+    CODED container leg of the d05 proof family (round-9 verdict #7):
+    WAV proved audio, BMP proved uncompressed images, PNG proved
+    DEFLATE, and JPEG is the Huffman+DCT codec, written here stdlib-
+    only. Each payload is a genuine single-component (grayscale)
+    baseline sequential JPEG per ITU T.81: SOI, DQT (64 zigzag-order
+    entries, q[0]=8), SOF0 (8-bit, 1 component, 1×1 sampling), two
+    DHT segments (canonical Huffman: a 9-symbol DC-size table at code
+    length 4 and a single-symbol AC table whose 1-bit code is EOB —
+    custom tables are legal JPEG and keep the file self-describing),
+    SOS, the entropy-coded scan (DC diffs as size-category + amplitude
+    bits, every block closed by EOB, 0xFF bytes stuffed with 0x00,
+    final byte 1-padded), EOI.
+
+    The payloads are DC-ONLY by design: a block whose AC coefficients
+    are all zero decodes to a uniform 8×8 block of exactly
+    ``128 + F00/8`` — and with q[0]=8 the dequantized F00 is 8·qDC, so
+    every decoded pixel is the exact integer ``128 + qDC`` and the
+    oracle needs no trigonometry. The DECODER still runs the full
+    general baseline path (Huffman table construction from DHT, the
+    AC run-length loop, dezigzag, dequantize, complete 2-D IDCT over
+    all 64 coefficients); DC-only is a property of these assets, not
+    of the decoder. Block DC closed form (shared with the oracle,
+    which never sees the bytes):
+
+        qDC(bx, by) = (id*7 + bx*5 + by*3) % 160 - 80
+        pixel(block bx,by) = 128 + qDC   ∈ [48, 207] — never clamped
+
+    DC diffs therefore span [-159, 159] → size categories ≤ 8, inside
+    the 9-symbol DC table. No external JPEG decoder exists in this
+    container to cross-validate against; conformance rests on the
+    encoder following T.81's segment grammar exactly (pinned
+    structurally in tests) and the independent decoder below agreeing
+    with the closed form."""
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def encode_one(d: int) -> bytes:
+            # inlined _jpeg_dims (closures ship by value — the
+            # vanilla-session gotcha, same as the PNG leg)
+            w, h = 16 + (d % 3) * 8, 8 + (d % 4) * 8
+            nbx, nby = w // 8, h // 8
+            q = bytes([8] + [16] * 63)
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+            out += (
+                b"\xff\xc0"
+                + struct.pack(">HBHHB", 11, 8, h, w, 1)
+                + bytes([1, 0x11, 0])
+            )
+            bits_dc = bytearray(16)
+            bits_dc[3] = 9  # nine 4-bit codes: sizes 0..8
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + 9)
+                + b"\x00"
+                + bytes(bits_dc)
+                + bytes(range(9))
+            )
+            bits_ac = bytearray(16)
+            bits_ac[0] = 1  # one 1-bit code: EOB (run/size 0x00)
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + 1)
+                + b"\x10"
+                + bytes(bits_ac)
+                + bytes([0x00])
+            )
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+            data = bytearray()
+            bitbuf = nbits = 0
+
+            def put(code: int, ln: int) -> None:
+                nonlocal bitbuf, nbits
+                bitbuf = (bitbuf << ln) | code
+                nbits += ln
+                while nbits >= 8:
+                    byte = (bitbuf >> (nbits - 8)) & 0xFF
+                    data.append(byte)
+                    if byte == 0xFF:
+                        data.append(0x00)  # byte stuffing
+                    nbits -= 8
+                    bitbuf &= (1 << nbits) - 1
+
+            prev = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    dc = (d * 7 + bx * 5 + by * 3) % 160 - 80
+                    diff = dc - prev
+                    prev = dc
+                    s = diff.bit_length()
+                    put(s, 4)  # canonical code of symbol s IS s at length 4
+                    if s:
+                        amp = diff if diff > 0 else diff + (1 << s) - 1
+                        put(amp & ((1 << s) - 1), s)
+                    put(0, 1)  # EOB
+            if nbits:
+                pad = 8 - nbits
+                byte = ((bitbuf << pad) | ((1 << pad) - 1)) & 0xFF
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+            out += data + b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_jpeg_features(assets: DataFrame) -> DataFrame:
+    """REAL entropy-coded image decode via ``mapInPandas`` — stdlib +
+    numpy only, a general BASELINE SEQUENTIAL grayscale JPEG decoder
+    (ITU T.81): marker walk (APPn/COM skipped), DQT (8-bit tables),
+    DHT → canonical Huffman decoder built from the (bits, values)
+    lists exactly as Annex C defines, SOF0 (8-bit, 1 component, 1×1
+    sampling), SOS, then per MCU: Huffman DC size + amplitude bits
+    with the Annex F EXTEND sign rule, the full AC run-length loop
+    (EOB, ZRL 0xF0, run/size), dezigzag, dequantize, and a complete
+    2-D IDCT (separable orthonormal basis-matrix product, numpy),
+    +128 level shift, clamp. Not supported (raise, by contract):
+    multi-component scans, chroma subsampling, progressive mode, and
+    restart intervals — the color path needs exactly this kernel
+    applied per component plus YCbCr conversion, and a production
+    build swaps in libjpeg via Pillow without touching the Spark
+    plumbing. Per-asset work is bounded (the inner loops are per 8×8
+    block); the plumbing is the same Arrow-batched shape as the
+    WAV/BMP/PNG legs. Output: (asset_id, width, height, n_pixels,
+    mean_lum, topleft_lum) with mean_lum = exact integer pixel sum /
+    count, emitted unrounded."""
+    out_schema = (
+        "asset_id bigint, width int, height int, n_pixels bigint, "
+        "mean_lum double, topleft_lum int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        zigzag = (
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        )
+        # orthonormal IDCT basis: M[u, x] = C(u)/2 * cos((2x+1)u*pi/16);
+        # block = M.T @ F @ M  (the /4 of T.81's IDCT is absorbed)
+        M = np.array(
+            [
+                [
+                    ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                    / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+
+        def build_huff(bits: list[int], vals: list[int]) -> dict:
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    k += 1
+                    code += 1
+                code <<= 1
+            return table
+
+        def decode_one(aid, buf: bytes):
+            if buf[:2] != b"\xff\xd8":
+                raise ValueError(f"asset {aid}: not a JPEG (no SOI)")
+            pos, qt, huff, sof = 2, {}, {}, None
+            while pos < len(buf):
+                if buf[pos] != 0xFF:
+                    raise ValueError(f"asset {aid}: expected marker at {pos}")
+                m = buf[pos + 1]
+                pos += 2
+                if m == 0xD9:
+                    raise ValueError(f"asset {aid}: EOI before SOS")
+                (ln,) = struct.unpack(">H", buf[pos : pos + 2])
+                seg = buf[pos + 2 : pos + ln]
+                pos += ln
+                if 0xE0 <= m <= 0xEF or m == 0xFE:
+                    continue  # APPn / COM
+                if m == 0xDB:
+                    i = 0
+                    while i < len(seg):
+                        pq, tq = seg[i] >> 4, seg[i] & 0xF
+                        if pq != 0:
+                            raise ValueError(f"asset {aid}: 16-bit DQT unsupported")
+                        qt[tq] = np.frombuffer(
+                            seg[i + 1 : i + 65], dtype=np.uint8
+                        ).astype(np.int64)
+                        i += 65
+                elif m == 0xC4:
+                    i = 0
+                    while i < len(seg):
+                        tc, th = seg[i] >> 4, seg[i] & 0xF
+                        bits = list(seg[i + 1 : i + 17])
+                        nv = sum(bits)
+                        huff[(tc, th)] = build_huff(
+                            bits, list(seg[i + 17 : i + 17 + nv])
+                        )
+                        i += 17 + nv
+                elif m == 0xC0:
+                    prec = seg[0]
+                    h, w = struct.unpack(">HH", seg[1:5])
+                    nc = seg[5]
+                    if prec != 8 or nc != 1:
+                        raise ValueError(
+                            f"asset {aid}: only 8-bit single-component "
+                            f"baseline supported (got prec={prec}, nc={nc})"
+                        )
+                    if seg[7] != 0x11:
+                        raise ValueError(f"asset {aid}: subsampling unsupported")
+                    sof = (w, h, seg[8])
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                    raise ValueError(f"asset {aid}: non-baseline SOF{m & 0xF}")
+                elif m == 0xDD:
+                    raise ValueError(f"asset {aid}: restart intervals unsupported")
+                elif m == 0xDA:
+                    if sof is None:
+                        raise ValueError(f"asset {aid}: SOS before SOF0")
+                    w, h, tq0 = sof
+                    tbl = seg[2]
+                    dc_t, ac_t = huff[(0, tbl >> 4)], huff[(1, tbl & 0xF)]
+                    q = qt[tq0]
+                    # un-stuff entropy bytes up to the next real marker
+                    data = bytearray()
+                    p = pos
+                    while p + 1 < len(buf):
+                        if buf[p] == 0xFF:
+                            if buf[p + 1] == 0x00:
+                                data.append(0xFF)
+                                p += 2
+                                continue
+                            break
+                        data.append(buf[p])
+                        p += 1
+                    bitpos = 0
+
+                    def getbit() -> int:
+                        nonlocal bitpos
+                        byte = data[bitpos >> 3]
+                        bit = (byte >> (7 - (bitpos & 7))) & 1
+                        bitpos += 1
+                        return bit
+
+                    def read_huff(tab: dict) -> int:
+                        code = ln2 = 0
+                        while ln2 <= 16:
+                            code = (code << 1) | getbit()
+                            ln2 += 1
+                            sym = tab.get((ln2, code))
+                            if sym is not None:
+                                return sym
+                        raise ValueError(f"asset {aid}: invalid Huffman code")
+
+                    def receive_extend(s: int) -> int:
+                        v = 0
+                        for _ in range(s):
+                            v = (v << 1) | getbit()
+                        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+                    nbx, nby = w // 8, h // 8
+                    px = np.zeros((h, w), dtype=np.int64)
+                    prev = 0
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            s = read_huff(dc_t)
+                            prev += receive_extend(s) if s else 0
+                            czz = np.zeros(64, dtype=np.int64)
+                            czz[0] = prev
+                            k = 1
+                            while k < 64:
+                                rs = read_huff(ac_t)
+                                if rs == 0x00:
+                                    break  # EOB
+                                if rs == 0xF0:
+                                    k += 16  # ZRL
+                                    continue
+                                k += rs >> 4
+                                czz[k] = receive_extend(rs & 0xF)
+                                k += 1
+                            Fm = np.zeros(64, dtype=np.float64)
+                            Fm[list(zigzag)] = czz * q
+                            block = M.T @ Fm.reshape(8, 8) @ M
+                            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                                np.rint(block).astype(np.int64) + 128, 0, 255
+                            )
+                    return w, h, px
+                else:
+                    raise ValueError(f"asset {aid}: unexpected marker 0x{m:02x}")
+            raise ValueError(f"asset {aid}: no SOS segment")
+
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "asset_id", "width", "height", "n_pixels",
+                    "mean_lum", "topleft_lum",
+                )
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_one(aid, bytes(payload))
+                n = w * h
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(n)
+                rows["mean_lum"].append(float(px.sum()) / n)
+                rows["topleft_lum"].append(int(px[0, 0]))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
