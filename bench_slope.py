@@ -152,8 +152,14 @@ def main() -> None:
         # explicit ingest phase (same amortization stance as bench.py):
         # the bucketed layout write happens before any timed query.
         ingest_secs = build_layouts(spark, sf_dir)
-        sp = spark_times(spark, sf_dir, HEADLINE)
-        du = duck_times(sf_dir, HEADLINE)
+        # d02_prefix_probe_pairs is excluded from the SLOPE legs: its
+        # oracle is deliberately the brute-force O(batch×corpus)
+        # verify (bench.py ALGO_ASYM), which at sf1 measures DuckDB's
+        # quadratic blow-up, not any slope signal — the ratio-vs-scale
+        # story must compare same-algorithm work.
+        slope_names = [n for n in HEADLINE if n != "d02_prefix_probe_pairs"]
+        sp = spark_times(spark, sf_dir, slope_names)
+        du = duck_times(sf_dir, slope_names)
         paired_sp = sum(sp[n] for n in du)
         paired_du = sum(du.values())
         result[label] = {
