@@ -29,11 +29,13 @@ from bench import build_layouts, cache_dimensions, warm_up  # noqa: E402
 from etl_cortex_spark.queries import QUERIES  # noqa: E402
 from etl_cortex_spark.session import get_spark  # noqa: E402
 
-NAMES = [
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "c10_join_inner_agg",
-]
+#: default: the three bucketed-layout queries; override with
+#: SPARK_GRAFT_PROBE_NAMES=a,b,c to take a third-decade record of any
+#: other headline (round 10 used this for the replanned d03/d02/d19).
+NAMES = os.environ.get(
+    "SPARK_GRAFT_PROBE_NAMES",
+    "tpch_q3_shipping_priority,tpch_q5_local_supplier_volume,c10_join_inner_agg",
+).split(",")
 RUNS = 3
 
 
