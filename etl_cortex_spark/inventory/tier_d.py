@@ -159,6 +159,60 @@ def d02b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d02_group_rep_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, 'mutated ' || text FROM documents WHERE doc_id % 10 = 0
+    ),
+    reps AS (
+      SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS n_copies
+      FROM base GROUP BY text
+    ),
+    d AS (SELECT doc_id, n_copies, {_shingles_sql(3)} AS sh FROM reps)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+             AS jaccard,
+           a.n_copies AS n_copies_a, b.n_copies AS n_copies_b
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND round(len(list_intersect(a.sh, b.sh)) /
+                greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+          >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def d02gr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.group_rep_near_pairs — the production composition for
+    verbatim-heavy corpora (round 10): exact-dup collapse to min-id
+    representatives (carrying n_copies), then the EXACT AllPairs
+    prefix-filter pair set among representatives. Self-seeded corpus:
+    every 10th doc + a VERBATIM copy (+1e7 ids, collapsed by the
+    exact pass) + a mutated copy (+2e7 ids, caught by the near-dup
+    pass). Guaranteed recall makes the whole pipeline a full oracle —
+    the DuckDB twin replays the text-group collapse and brute-forces
+    the rep pairs. Motivation measured at sf10 (BASELINE.md): the raw
+    pair-list contract is Ω(group²) per duplicate group; collapsing
+    first keeps the quadratic-risk stage on the distinct-text corpus."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    verbatim = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("mutated "), F.col("text")).alias("text"),
+    )
+    base = docs.unionByName(verbatim).unionByName(mutated)
+    return DD.group_rep_near_pairs(base, threshold=0.5).orderBy("id_a", "id_b")
+
+
 @query("d02_minhash_lsh_ml_pairs")  # rows-only: MLlib hashing is engine-specific
 def d02ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib MinHashLSH variant of d02 — same self-seeded mutated

@@ -387,6 +387,65 @@ def prefix_filter_probe(
     )
 
 
+def group_rep_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs AMONG EXACT-DUPLICATE-GROUP REPRESENTATIVES —
+    the production composition for corpora with heavy verbatim
+    duplication (round 10, motivated by a measured blow-up: the raw
+    pair-list contract is Ω(group²) in duplicate-group size, and the
+    sf10 probe corpus — ~200-member verbatim groups — made
+    `minhash_lsh_pairs` spend 110 s emitting ~10M pairs that all say
+    the same thing). Pipeline: `exact_dedup` collapses verbatim
+    copies to their min-id representative carrying ``n_copies``, then
+    the AllPairs prefix filter (`prefix_filter_probe` applied
+    self-bipartite) yields the EXACT pair set with Jaccard ≥
+    ``threshold`` among representatives — guaranteed recall, so the
+    whole operator is full-oracle-checkable, unlike banded LSH.
+
+    Returns (id_a, id_b, jaccard, n_copies_a, n_copies_b) with
+    id_a < id_b: the multiplicities let downstream weight a
+    rep-level near-dup edge by the group sizes it stands for —
+    exactly the information the 10M expanded pairs carried, at
+    1/(group_a·group_b) the rows.
+
+    Scale shape: the exact collapse is one digest-keyed aggregate
+    (shuffle carries (digest, id) + counts, never the text twice);
+    the quadratic-risk pairing then runs on the COLLAPSED corpus,
+    whose size is the number of distinct texts. At 100 TB with
+    real-web duplication factors (5-50×) that is the difference
+    between an infeasible verify join and a routine one."""
+    reps = exact_dedup(df, text_col=text_col, id_col=id_col, keep=[text_col])
+    pairs = prefix_filter_probe(
+        reps, reps, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+    ).filter(F.col("new_id") < F.col("existing_id"))
+    counts = reps.select(F.col(id_col), F.col("n_copies"))
+    return (
+        pairs.select(
+            F.col("new_id").alias("id_a"),
+            F.col("existing_id").alias("id_b"),
+            "jaccard",
+        )
+        .join(
+            counts.select(
+                F.col(id_col).alias("id_a"), F.col("n_copies").alias("n_copies_a")
+            ),
+            "id_a",
+        )
+        .join(
+            counts.select(
+                F.col(id_col).alias("id_b"), F.col("n_copies").alias("n_copies_b")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "jaccard", "n_copies_a", "n_copies_b")
+    )
+
+
 def _shingles_and_bands(
     df: DataFrame,
     text_col: str,

@@ -844,3 +844,26 @@ def test_literal_unroll_null_degrades_on_ragged_vectors(spark):
         for r in df.select("vec_id", SIM.lsh_bucket(v, planes).alias("b")).collect()
     }
     assert buckets[2] == buckets[3] == buckets[4] == 0
+
+
+def test_group_rep_near_pairs_collapses_then_pairs(spark):
+    """group_rep_near_pairs: verbatim copies collapse to the min-id
+    representative with the right multiplicity, near-dup edges appear
+    once per REP pair (not per expanded pair), and the edge carries
+    both group sizes."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # verbatim of 1
+            (3, "alpha beta gamma delta epsilon zeta"),   # verbatim of 1
+            (4, "mutated alpha beta gamma delta epsilon zeta"),  # near-dup
+            (5, "completely different text about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = DD.group_rep_near_pairs(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    [e] = rows
+    assert (e.id_a, e.id_b) == (1, 4)
+    assert e.n_copies_a == 3 and e.n_copies_b == 1
+    assert e.jaccard >= 0.5
