@@ -311,11 +311,20 @@ def prefix_filter_probe(
             F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__shingles")
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # The candidate join runs on xxhash64(token), not the trigram
+    # string (round 10): prefix SELECTION stays in string space (the
+    # lemma's total order is untouched), only the join KEY is hashed —
+    # a shared string token always shares its hash, so recall is
+    # preserved exactly, and a 64-bit collision can only ADD a
+    # candidate that verification discards. Measured a WASH at sf0.1
+    # (interleaved: 0.69 vs 0.68 s — the join is tiny there); kept for
+    # the posting-list shuffle at scale, where fixed 8-byte keys vs
+    # ~20-char strings is the d51 xxhash-gram-key argument verbatim.
     inv_index = ex_base.select(
         F.col("__id").alias("existing_id"),
         F.size("__shingles").alias("__ex_n"),
-        F.explode("__shingles").alias("__tok"),
-    )
+        F.explode("__shingles").alias("__tok_s"),
+    ).select("existing_id", "__ex_n", F.xxhash64("__tok_s").alias("__tok"))
     if df_ordered:
         from pyspark.sql import Window
 
@@ -327,8 +336,9 @@ def prefix_filter_probe(
             new_base.select(
                 F.col("__id").alias("new_id"),
                 F.size("__shingles").alias("__new_n"),
-                F.explode("__shingles").alias("__tok"),
+                F.explode("__shingles").alias("__tok_s"),
             )
+            .select("new_id", "__new_n", F.xxhash64("__tok_s").alias("__tok"))
             # tokens absent from the corpus keep df NULL → fill 0:
             # they sort first (rarest possible) and generate no
             # candidates — still a valid position in the total order.
@@ -351,8 +361,8 @@ def prefix_filter_probe(
         probe = new_base.select(
             F.col("__id").alias("new_id"),
             F.size("__shingles").alias("__new_n"),
-            F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("__tok"),
-        )
+            F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("__tok_s"),
+        ).select("new_id", "__new_n", F.xxhash64("__tok_s").alias("__tok"))
     cand = (
         probe.join(inv_index, "__tok")
         .filter(
