@@ -81,9 +81,17 @@ def _sf_from_dir(sf_dir: str) -> float:
 #: symmetric. Dimensions are copied untouched (they are cached /
 #: page-cached anyway).
 FACT_RELAYOUT = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
-#: one scan split per core: measured better than 8 for Spark (q1 −50%,
-#: q5 −22%) and neutral-to-mixed for DuckDB at sf0.1.
-RELAYOUT_FILES = 32
+#: Half a scan split per core (round 10): a same-session A/B of 16 vs
+#: 32 files over 12 headline queries measured 16 consistently faster
+#: on the Spark side (totals −7/−8% on the two query sets; q1/d01/
+#: a13/d56/c26/d02pp all better, d51/d02 slightly worse) and neutral
+#: for DuckDB — per-task dispatch + file-open overhead outweighs the
+#: extra scan parallelism once every multi-stage query keeps the
+#: other 16 cores busy downstream. Round 6 had already shown the
+#: opposite EXTREME (minPartitionNum=1 → ~3 fat tasks) loses 2×, so
+#: 16 is the measured middle. Both engines read the same files —
+#: the comparison stays symmetric.
+RELAYOUT_FILES = 16
 
 
 def relayout(sf_dir: str) -> str:
