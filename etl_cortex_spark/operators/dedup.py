@@ -275,10 +275,13 @@ def prefix_filter_probe(
     ``df_ordered`` switches the global token order to document-
     frequency-ascending — the AllPairs optimization (prefix keeps each
     doc's RAREST tokens, so a prefix hit is nearly always a real
-    near-dup). Correctness is order-independent (the prefix lemma
-    holds for ANY fixed total order; (df, tok) is one — df comes from
-    the existing corpus alone, so it is fixed before the batch
-    probes). Measured round 10 (sf0.1, interleaved, identical output
+    near-dup). Correctness is order-independent — stronger: with a
+    FULL index (one-sided prefixing), the counting argument above
+    needs no global order at all, only that each doc keeps SOME
+    ``prefix_len``-subset and the rest is its tail; so the df path's
+    rank ties (possible across hash collisions now that the join key
+    is hashed) are harmless, and df-ascending is purely a
+    candidate-count heuristic. Measured round 10 (sf0.1, interleaved, identical output
     asserted): this corpus's vocabulary is UNIFORM-random, so dfs are
     flat and the order buys little (45k → 34k candidates after the
     length filter) while its stats pass + rank window cost ~0.4 s —
