@@ -1268,3 +1268,29 @@ def d96(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled_negatives(docs, F.col("doc_id") % 25 == 0, k=4).orderBy(
         "anchor_id", "neg_idx"
     )
+
+
+@query(
+    "d97_shuffle_shards",
+    oracle="""
+    SELECT doc_id,
+           CAST(floor(CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) * 8 / 4294967296) AS INT) AS shard,
+           md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    """,
+)
+def d97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D97: seeded deterministic shuffle + hash-range sharding
+    (llmprep.shuffle_to_shards) — the curation→training-files step:
+    break curation-order correlations with a reproducible
+    pseudo-random order (md5(seed:id), replayable in any engine) and
+    assign each doc to one of 8 shards by the key's leading 32 bits —
+    a pure projection, no global row_number, no data-sized window, no
+    total sort; the within-shard training order IS the key order and
+    the writer pays exactly one range exchange. The explicit floor()
+    in the bucket scale is the cross-engine cast rule (Spark
+    truncates, DuckDB rounds). Shard balance and
+    partitioning-invariance are pinned in pytest."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return LP.shuffle_to_shards(docs, n_shards=8, seed=7)

@@ -1128,3 +1128,60 @@ def sampled_negatives(
     else:
         gathered = pos.hint("SHUFFLE_HASH").join(rank_table, "__p")
     return gathered.select("anchor_id", "neg_idx", "neg_id")
+
+
+# --- D97: seeded deterministic shuffle + sharding ------------------------------
+
+
+def shuffle_to_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global shuffle + shard assignment — the
+    step every pretraining run performs between curation and writing
+    training files: break curation-order correlations (source runs,
+    crawl order, dedup survivor clustering) with a REPRODUCIBLE
+    pseudo-random order, and split the stream into ``n_shards``
+    equal-ish files.
+
+    Design for scale: the shuffle key is ``md5(seed || ':' || id)``
+    (hex — chosen over xxhash64 because DuckDB replays md5, so the
+    order is cross-engine verifiable), the shard is the key's leading
+    8 hex digits scaled to ``n_shards`` — a HASH-RANGE split, so
+    assignment is a pure projection (no global row_number, no
+    data-sized window, no total sort) and shard sizes concentrate
+    tightly around n/n_shards by hash uniformity. Within a shard the
+    training order IS the key order; the writer materializes it with
+    ``repartitionByRange(shard) + sortWithinPartitions(key)`` — the
+    same one range-exchange any sorted write pays, never a single
+    global sort partition. Determinism: same (corpus, seed, n_shards)
+    → identical (shard, position) for every doc on any engine, any
+    partitioning, any cluster size.
+
+    Returns (id, shard int, shuffle_key string) plus the input's
+    remaining columns; callers write with
+    ``.repartitionByRange("shard", "shuffle_key")
+    .sortWithinPartitions("shard", "shuffle_key")``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    # leading 8 hex digits -> [0, 16^8); scale to [0, n_shards). The
+    # explicit floor() matters cross-engine: a bare double->int CAST
+    # truncates in Spark but rounds in DuckDB (the verify-skill r5
+    # gotcha) — floor() agrees everywhere, and v*n/2^32 is exact in a
+    # double (power-of-two divisor), so the floor is deterministic.
+    bucket = F.floor(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        * n_shards
+        / F.lit(4294967296)
+    ).cast("int")
+    others = [c for c in df.columns if c != id_col]
+    return df.select(
+        F.col(id_col),
+        bucket.alias("shard"),
+        key.alias("shuffle_key"),
+        *others,
+    )

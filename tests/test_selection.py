@@ -380,3 +380,30 @@ def test_sampled_negatives_distinct_nonself_and_partition_invariant(spark):
     for aid, negs in by_anchor.items():
         assert len(negs) == 4 and len(set(negs)) == 4
         assert aid not in negs
+
+
+def test_shuffle_to_shards_deterministic_balanced_complete(spark):
+    """shuffle_to_shards: every doc appears exactly once (complete,
+    disjoint), shard sizes concentrate around n/n_shards, the
+    assignment is identical under repartitioning (pure projection),
+    and a different seed produces a different order."""
+    from etl_cortex_spark.operators.llmprep import shuffle_to_shards
+    from etl_cortex_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    n = docs.count()
+    out = shuffle_to_shards(docs, n_shards=4, seed=7)
+    rows = out.collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    sizes = {}
+    for r in rows:
+        assert 0 <= r.shard < 4
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+    assert all(abs(v - n / 4) < n / 4 * 0.5 for v in sizes.values()), sizes
+    again = sorted(map(tuple, shuffle_to_shards(
+        docs.repartition(7), n_shards=4, seed=7).collect()))
+    assert sorted(map(tuple, rows)) == again  # partitioning-invariant
+    other = {r.doc_id: r.shuffle_key
+             for r in shuffle_to_shards(docs, n_shards=4, seed=8).collect()}
+    mine = {r.doc_id: r.shuffle_key for r in rows}
+    assert mine != other  # the seed actually changes the order
