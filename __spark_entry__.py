@@ -47,36 +47,17 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # changes only — the rotation below is otherwise purely
 # least-recently-verified.
 _REVERIFY_NOW: dict[str, int] = {
-    # Round 10 (r9 verdict #6): every entry whose plan the round-9
-    # literal-vector unroll touched now carries the round-10 dim-
-    # mismatch guard (similarity.dot_lit/norm_sq_expr wrap the unroll
-    # in a size check — same values on well-formed input, NULL-degrade
-    # on ragged) → re-certify all of them officially, plus the entries
-    # the round-9 sample never re-recorded after the unroll.
-    "d03_cosine_topk": 10,
-    "d03_ann_lsh_topk": 10,
-    "d03_ann_ivfpq_topk": 10,
-    "d03_ann_brp_topk": 10,
-    "d16_embedding_quantize_int8": 10,
-    "d24_centroid_assign": 10,
-    "d24_kmeans_sizes": 10,
-    "d25_semantic_dedup": 10,
-    "d37_pq_encode": 10,
-    "d92_embedding_outliers": 10,
-    # Round 10: prefix probe gained the length filter + persisted
-    # shingle frames + the df_ordered knob (identical output, new
-    # plan) AND joined the bench headline — needs an r10 record.
-    "d02_prefix_probe_pairs": 10,
-    "d25_semantic_dedup_recall_audit": 10,
-    # Round 10: bm25_topk restructured to one corpus scan (base+tf
-    # persists) — same math, new plan shape.
-    "d19_bm25_topk": 10,
-    "d56_hybrid_rrf": 10,
-    # Round 10: minhash signature moved from per-row HOF folds to the
-    # explode + codegen-min-agg form (identical signatures, new plan).
-    "d02_lsh_recall_audit": 10,
-    "d02_incremental_lsh_probe": 10,
-    "d02_near_dedup_survivors": 10,
+    # (The round-10 backlog — the 17 fold-reversal / plan-change
+    # entries — was fully consumed by CORRECTNESS_r10: every seeded
+    # name has an r10 record, so the boosts expired and were removed.
+    # Round-10 verdict #4: keep this dict MINIMAL so the rotation's
+    # least-recently-verified tail — the 41-entry r5 cohort — gets the
+    # round's remaining sample slots.)
+    #
+    # Round 11: group_rep_near_pairs persists its reps aggregate
+    # before the 4-way fan-out (round-10 ADVICE) — identical output,
+    # new plan shape.
+    "d02_group_rep_pairs": 11,
 }
 
 

@@ -160,15 +160,13 @@ def run_one(spark, name: str, sf_dir: str, runs: int = RUNS) -> float:
     return best
 
 
-def duckdb_timings(names: list[str], sf_dir: str, runs: int = RUNS) -> dict[str, float]:
-    """Best-of-N DuckDB wall clock for each query's paired oracle SQL on
-    the same parquet, same thread count — measured HERE, in the same
-    process window, because the host's wall clock swings 2-3× between
-    windows: the ratio is the trackable number, absolutes are not."""
+def duck_connect(sf_dir: str):
+    """A warm DuckDB connection with the bench views registered, or
+    None when duckdb is unavailable — same thread count as Spark."""
     try:
         import duckdb
     except ImportError:
-        return {}
+        return None
     con = duckdb.connect()
     con.execute(f"SET threads = {int(DEFAULT_CPUS) if DEFAULT_CPUS.isdigit() else 32}")
     for t in TABLES:
@@ -177,6 +175,41 @@ def duckdb_timings(names: list[str], sf_dir: str, runs: int = RUNS) -> dict[str,
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def run_interleaved(
+    spark, con, name: str, sf_dir: str, runs: int = RUNS
+) -> tuple[float, float | None]:
+    """One query's Spark AND DuckDB legs, ALTERNATING repetition by
+    repetition in one process window (round-10 verdict #1: the
+    official record must carry the same evidentiary standard as
+    tools/ab_round10.py). Sequential blocks let a host-load spike land
+    on one engine only — three rounds produced false verdicts that
+    way; interleaving makes any drift hit both legs symmetrically, so
+    best-of-N picks each engine's clean run from the SAME window.
+    Returns (spark_best, duck_best-or-None)."""
+    sql = ORACLE.get(name) if con is not None else None
+    best_s = float("inf")
+    best_d = float("inf")
+    for _ in range(runs):
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best_s = min(best_s, time.perf_counter() - t0)
+        if sql is not None:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best_d = min(best_d, time.perf_counter() - t0)
+    return best_s, (best_d if sql is not None else None)
+
+
+def duckdb_timings(names: list[str], sf_dir: str, runs: int = RUNS) -> dict[str, float]:
+    """Best-of-N DuckDB wall clock per paired oracle (kept for tools/
+    one-off probes; the official bench path is ``run_interleaved``)."""
+    con = duck_connect(sf_dir)
+    if con is None:
+        return {}
     out: dict[str, float] = {}
     for name in names:
         sql = ORACLE.get(name)
@@ -413,13 +446,28 @@ def main() -> None:
     cache_dimensions(spark, sf_dir)
     ingest_secs = build_layouts(spark, sf_dir)
 
+    # Interleaved official window (round-10 verdict #1): per query the
+    # Spark and DuckDB legs alternate repetition by repetition — the
+    # discipline tools/ab_round10.py proved is the only window-proof
+    # measurement on this host. One DuckDB warm-up pass per query is
+    # paid before its timed reps (symmetric with Spark's session-level
+    # warm_up above — the first DuckDB execution of a view pays the
+    # parquet metadata read the Spark side paid during warm-up/cache).
+    con = duck_connect(sf_dir)
     timings: dict[str, float] = {}
+    duck: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        timings[name] = round(run_one(spark, name, sf_dir), 4)
-
-    duck = duckdb_timings([n for n in HEADLINE if n in timings], sf_dir)
+        if con is not None and name in ORACLE:
+            try:
+                con.execute(ORACLE[name]).fetchall()  # duck warm-up leg
+            except Exception:
+                pass
+        s, d = run_interleaved(spark, con, name, sf_dir)
+        timings[name] = round(s, 4)
+        if d is not None:
+            duck[name] = round(d, 4)
     paired_spark = sum(timings[n] for n in duck)
     paired_duck = sum(duck.values())
     ratio = round(paired_spark / paired_duck, 2) if paired_duck else None
@@ -455,6 +503,7 @@ def main() -> None:
         "metric": "headline_wall_clock_total",
         "value": total,
         "unit": "sec",
+        "method": f"interleaved per-query Spark/DuckDB legs, best-of-{RUNS}, one window",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "duckdb_queries": duck,
@@ -503,6 +552,7 @@ def main() -> None:
     }
     compact["job_floor_ms"] = detail["job_floor_ms"]
     compact["ingest_secs"] = ingest_secs
+    compact["method"] = f"interleaved_best_of_{RUNS}"
     if window_violations:
         compact["data_sized_global_windows"] = window_violations
     compact["detail"] = "bench_result.json"

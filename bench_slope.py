@@ -35,6 +35,7 @@ from bench import (  # noqa: E402
     build_layouts,
     cache_dimensions,
     relayout,
+    run_interleaved,
     run_one,
     warm_up,
 )
@@ -158,8 +159,33 @@ def main() -> None:
         # quadratic blow-up, not any slope signal — the ratio-vs-scale
         # story must compare same-algorithm work.
         slope_names = [n for n in HEADLINE if n != "d02_prefix_probe_pairs"]
-        sp = spark_times(spark, sf_dir, slope_names)
-        du = duck_times(sf_dir, slope_names)
+        # Interleaved legs (round-10 verdict #1, same discipline as
+        # bench.py): Spark and DuckDB alternate repetition by
+        # repetition so host-load drift hits both engines — the slope
+        # ratios carry the same evidentiary standard as the official
+        # window. One DuckDB warm-up execution per query first
+        # (symmetric with warm_up/cache_dimensions on the Spark side).
+        con = duckdb.connect()
+        con.execute(
+            f"SET threads = {int(DEFAULT_CPUS) if DEFAULT_CPUS.isdigit() else 32}"
+        )
+        for t in FIXED + list(OFFSETS):
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+        sp, du = {}, {}
+        for name in slope_names:
+            if name not in QUERIES:
+                continue
+            if name in ORACLE:
+                try:
+                    con.execute(ORACLE[name]).fetchall()  # duck warm-up leg
+                except Exception:
+                    pass
+            s, d = run_interleaved(spark, con, name, sf_dir)
+            sp[name] = round(s, 4)
+            if d is not None:
+                du[name] = round(d, 4)
         paired_sp = sum(sp[n] for n in du)
         paired_du = sum(du.values())
         result[label] = {
@@ -178,6 +204,7 @@ def main() -> None:
 
         release_all()
         spark.stop()
+    result["method"] = f"interleaved per-query Spark/DuckDB legs, best-of-{RUNS}"
     r01, r1 = result["sf0.1"]["ratio_vs_duckdb"], result["sf1"]["ratio_vs_duckdb"]
     result["slope_note"] = (
         f"10x data moved the ratio {r01}x -> {r1}x: the sf0.1 gap is "

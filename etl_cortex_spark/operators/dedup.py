@@ -298,6 +298,15 @@ def prefix_filter_probe(
     Returns (new_id, existing_id, jaccard ≥ threshold).
     """
     t = float(threshold)
+    # t must be strictly positive: the length filter's upper bound is
+    # |Sb| ≤ |Sa|/t, and at t=0 the division yields NULL (non-ANSI) —
+    # the predicate would silently drop EVERY candidate, violating the
+    # guaranteed-recall contract (round-10 ADVICE). t=0 is also
+    # meaningless here (it asks for ALL pairs — use a cross join).
+    if not 0.0 < t <= 1.0:
+        raise ValueError(
+            f"prefix_filter_probe: threshold must be in (0, 1], got {threshold!r}"
+        )
     from pyspark import StorageLevel
 
     # Both shingle frames feed TWO plan branches each (index/probe +
@@ -332,8 +341,13 @@ def prefix_filter_probe(
         from pyspark.sql import Window
 
         # df per token is one agg over the posting list; the result is
-        # token-count-sized (≪ posting rows) and BROADCAST so the
-        # batch-side order join never shuffles the batch.
+        # token-count-sized (≪ posting rows). NO explicit broadcast
+        # hint (round-10 ADVICE): the frame is DISTINCT-VOCABULARY-
+        # sized — unbounded in the corpus, not in the batch — so a
+        # forced broadcast could blow the driver at index scale. AQE
+        # broadcasts it whenever it measures small; otherwise the
+        # order join shuffles the batch's exploded tokens, which is
+        # the correct fallback at vocabulary scale.
         tok_df = inv_index.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
         exploded = (
             new_base.select(
@@ -345,7 +359,7 @@ def prefix_filter_probe(
             # tokens absent from the corpus keep df NULL → fill 0:
             # they sort first (rarest possible) and generate no
             # candidates — still a valid position in the total order.
-            .join(F.broadcast(tok_df), "__tok", "left")
+            .join(tok_df, "__tok", "left")
             .na.fill({"__df": 0})
         )
         w = Window.partitionBy("new_id").orderBy("__df", "__tok")
@@ -431,8 +445,19 @@ def group_rep_near_pairs(
     the quadratic-risk pairing then runs on the COLLAPSED corpus,
     whose size is the number of distinct texts. At 100 TB with
     real-web duplication factors (5-50×) that is the difference
-    between an infeasible verify join and a routine one."""
-    reps = exact_dedup(df, text_col=text_col, id_col=id_col, keep=[text_col])
+    between an infeasible verify join and a routine one.
+
+    ``reps`` is persisted before fan-out (round-10 ADVICE): four plan
+    branches consume it (both prefix_filter_probe sides + two
+    n_copies joins) and without the cache the digest group-by would
+    recompute up to 4×."""
+    from pyspark import StorageLevel
+
+    reps = track(
+        exact_dedup(df, text_col=text_col, id_col=id_col, keep=[text_col]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     pairs = prefix_filter_probe(
         reps, reps, text_col=text_col, id_col=id_col, k=k, threshold=threshold
     ).filter(F.col("new_id") < F.col("existing_id"))
@@ -456,6 +481,59 @@ def group_rep_near_pairs(
             "id_b",
         )
         .select("id_a", "id_b", "jaccard", "n_copies_a", "n_copies_b")
+    )
+
+
+def group_rep_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The PRODUCTION-DEFAULT near-dedup survivor set for verbatim-
+    heavy corpora (round-10 verdict #6 — promotes the measured 80×
+    sf10 win of the group-collapse posture to a certified end-to-end
+    pipeline): exact-dup collapse to min-id representatives → EXACT
+    AllPairs prefix-filter pairs among representatives
+    (guaranteed recall, so the whole pipeline is full-oracle-
+    checkable) → connected components → one min-id survivor per
+    cluster, carrying ``n_docs`` = the TOTAL number of original
+    documents the survivor stands for (Σ of its cluster's exact-group
+    sizes — the weight a mixture sampler needs downstream).
+
+    Equivalent to ``near_dedup`` with exact pairing, but the
+    quadratic-risk pairing stage runs on the COLLAPSED corpus — the
+    composition `group_rep_near_pairs` documents, completed through
+    the clustering. ``reps`` is computed ONCE and persisted (three
+    consumers: both prefix-probe sides + the weight join), unlike
+    composing exact_dedup + group_rep_near_pairs by hand, which would
+    recompute the digest aggregate.
+
+    Returns (id_col, n_docs), one row per surviving cluster."""
+    from pyspark import StorageLevel
+
+    reps = track(
+        exact_dedup(df, text_col=text_col, id_col=id_col, keep=[text_col]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    pairs = (
+        prefix_filter_probe(
+            reps, reps, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+        )
+        .filter(F.col("new_id") < F.col("existing_id"))
+        .select(F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b"))
+    )
+    labels = connected_components(reps.select(id_col), pairs, max_iter=max_iter)
+    return (
+        labels.join(
+            reps.select(F.col(id_col).alias("node"), "n_copies"), "node"
+        )
+        .groupBy("label")
+        .agg(F.sum("n_copies").alias("n_docs"))
+        .select(F.col("label").alias(id_col), "n_docs")
     )
 
 

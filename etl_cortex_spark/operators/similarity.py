@@ -118,7 +118,24 @@ def cosine_lit(v: Column, q: list[float]) -> Column:
     """cosine(v, literal q) — the HOF fold over a literal array (the
     measured-fastest form at every SF; round-10 A/B). Left-to-right
     IEEE folds on both engines → bit-identical round(6) values; dim
-    mismatch → NULL dot → NULL cosine (the zip_with degrade)."""
+    mismatch → NULL dot → NULL cosine (the zip_with degrade).
+
+    The ``SPARK_GRAFT_UNROLL`` gate composes the historical unroll leg
+    (round-10 ADVICE: without it, d03_cosine_topk — the exact query
+    tools/ab_round10.py measures — ran the fold on BOTH legs and a
+    re-run would report a wash instead of reproducing the recorded
+    A/B). Values are bit-identical to the fold: ||q|| is the same
+    left-to-right IEEE sum evaluated driver-side (Python floats ARE
+    doubles), and the unrolled Σv[i]² keeps the fold's order."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_UNROLL"):  # A/B leg only
+        qn_sq = 0.0
+        for x in q:
+            qn_sq += float(x) * float(x)
+        return _unrolled_dot(v, q) / (
+            F.sqrt(norm_sq_expr(v, len(q))) * F.lit(qn_sq**0.5)
+        )
     return cosine(v, _lit_array(q))
 
 

@@ -781,6 +781,21 @@ def test_prefix_filter_probe_exact_vs_bruteforce(spark):
     assert not any(n == 10_900_003 for n, _, _ in got)
 
 
+def test_prefix_filter_probe_rejects_degenerate_threshold(spark):
+    """t=0 would make the length filter's |Sb| <= |Sa|/t divide by
+    zero (NULL under non-ANSI -> silently drops EVERY candidate,
+    violating the guaranteed-recall contract) — it must raise instead
+    (round-10 ADVICE). Same for t>1 and t<0."""
+    import pytest
+
+    from etl_cortex_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad_t in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            DD.prefix_filter_probe(docs, docs, threshold=bad_t)
+
+
 def test_embedding_outliers_partition_invariant_and_sane(spark):
     """d92's exactness claim, pinned directly: the integer-quantized
     moments are summation-order-free, so the top-k outlier RANKING must
@@ -867,3 +882,25 @@ def test_group_rep_near_pairs_collapses_then_pairs(spark):
     assert (e.id_a, e.id_b) == (1, 4)
     assert e.n_copies_a == 3 and e.n_copies_b == 1
     assert e.jaccard >= 0.5
+
+
+def test_group_rep_survivors_weights_clusters(spark):
+    """group_rep_survivors (round 11): the end-to-end composition must
+    emit ONE min-id survivor per near-dup cluster of exact-group reps,
+    with n_docs = the total ORIGINAL documents it stands for (sum of
+    the cluster's exact-group sizes), and singletons survive with
+    their own group size."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # verbatim of 1
+            (3, "alpha beta gamma delta epsilon zeta"),  # verbatim of 1
+            (4, "mutated alpha beta gamma delta epsilon zeta"),  # near-dup of the group
+            (5, "completely different text about spark engines here"),
+            (6, "completely different text about spark engines here"),  # verbatim of 5
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_docs for r in DD.group_rep_survivors(df, threshold=0.5).collect()}
+    # cluster {1,2,3,4} survives as 1 (4 docs); cluster {5,6} as 5 (2 docs)
+    assert got == {1: 4, 5: 2}
