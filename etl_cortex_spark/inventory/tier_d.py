@@ -1382,15 +1382,26 @@ def d02pp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1) — the output equals the exact bipartite pair set and the
     DuckDB string-gram twin is a full-strength oracle. Same ingest
     shape as d02_incremental_lsh_probe: a new batch of mutated copies
-    of every 20th doc probed against the whole existing corpus."""
+    of every 20th doc probed against the whole existing corpus.
+
+    Trailing sort (round 11, interleaved A/B at sf0.1): the output is
+    batch-bounded tiny (~280 rows), so `repartition(1) +
+    sortWithinPartitions` replaces the global orderBy — one hash
+    exchange of the final rows instead of a range exchange plus its
+    sampling job, while upstream stages keep full parallelism
+    (best 0.45 s vs 0.80 s, every rep faster). NOT `coalesce(1)`:
+    with no shuffle boundary it would absorb the verify join into a
+    single task (measured 1.28 s — worse than the orderBy)."""
     docs = T(spark, sf_dir, "documents")
     existing = docs.select("doc_id", "text")
     new = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.concat(F.lit("mutated "), F.col("text")).alias("text"),
     )
-    return DD.prefix_filter_probe(existing, new, threshold=0.5).orderBy(
-        "new_id", "existing_id"
+    return (
+        DD.prefix_filter_probe(existing, new, threshold=0.5)
+        .repartition(1)
+        .sortWithinPartitions("new_id", "existing_id")
     )
 
 

@@ -49,7 +49,31 @@ def _drop(df: DataFrame) -> None:
 
 
 def track(df: DataFrame) -> DataFrame:
-    """Register a persisted frame; evict the oldest past ``CACHE_CAP``."""
+    """Register a persisted frame; evict the oldest past ``CACHE_CAP``.
+
+    Deduplicated by SEMANTIC plan (round 11): Spark's CacheManager
+    keeps ONE entry per logical plan, so when the same helper is
+    rebuilt (a bench's best-of-N reps, a notebook cell re-run) its
+    ``persist()`` is a no-op against the existing hot entry — but a
+    second FIFO registration would later ``unpersist`` that SHARED
+    entry when it ages out, silently killing the cache the newer
+    builds rely on (measured: d02_prefix_probe_pairs reps degraded
+    0.9 s → 1.5 s once evictions began re-dropping the live shingle
+    frames). A re-tracked plan now refreshes its recency instead of
+    double-registering, so eviction only ever drops genuinely
+    distinct, least-recently-tracked plans."""
+    try:
+        incoming = df._jdf.queryExecution().analyzed()
+        for existing in _TRACKED:
+            try:
+                if existing._jdf.queryExecution().analyzed().sameResult(incoming):
+                    _TRACKED.remove(existing)
+                    _TRACKED.append(existing)  # refresh recency, keep ONE entry
+                    return df
+            except Exception:
+                continue  # dead-context frame: not a match, leave for eviction
+    except Exception:
+        pass
     _TRACKED.append(df)
     while len(_TRACKED) > CACHE_CAP:
         _drop(_TRACKED.popleft())

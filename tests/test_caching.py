@@ -191,3 +191,36 @@ def test_fact_buckets_sizing(tmp_path):
     assert fact_buckets(str(tmp_path / "nope")) == 4
     # real SF dirs ride the same rule
     assert fact_buckets("/root/testdata/sf0.001") == 4
+
+
+def test_track_dedupes_same_plan_and_keeps_cache_hot(spark):
+    """Round 11: re-tracking a semantically identical plan must NOT
+    add a second FIFO entry — CacheManager holds ONE entry per plan,
+    so a duplicate registration aging out would unpersist the shared
+    entry the newer builds still rely on (the measured d02pp
+    0.9 s -> 1.5 s rep degradation)."""
+    def build():
+        return spark.range(7).select((F.col("id") * 3).alias("w")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    first = track(build())
+    first.count()  # materialize the shared cache entry
+    assert len(caching._TRACKED) == 1
+    for _ in range(CACHE_CAP + 2):  # re-runs of the same helper
+        track(build())
+    assert len(caching._TRACKED) == 1, "duplicate plan double-registered"
+    # the shared entry is still cached: no eviction ever touched it
+    assert first.storageLevel != StorageLevel.NONE
+    # and re-tracking refreshed recency: CAP-1 distinct newcomers must
+    # not evict it, the CAP-th must (it is then the oldest)
+    newcomers = _frames(spark, CACHE_CAP - 1)
+    for df in newcomers:
+        track(df)
+    assert first.storageLevel != StorageLevel.NONE
+    track(
+        spark.range(11).select((F.col("id") - 99).alias("z")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    assert first.storageLevel == StorageLevel.NONE
