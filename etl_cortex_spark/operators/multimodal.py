@@ -58,17 +58,19 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
-    library — by round 10 that is color/subsampled/progressive JPEG,
-    mp3, and video: PCM-WAV (``decode_wav_features``), 24-bpp BMP
+    library — by round 11 that is progressive JPEG, mp3, and video:
+    PCM-WAV (``decode_wav_features``), 24-bpp BMP
     (``decode_bmp_features``), DEFLATE-compressed PNG
-    (``decode_png_features``) and baseline-sequential grayscale JPEG
-    (``decode_jpeg_features`` — Huffman + full IDCT) are decoded for
-    real with the stdlib. A production build plugs Pillow/libvips/
-    ffmpeg here; everything around it (schema, batching, partitioning)
-    is already real.
+    (``decode_png_features``), baseline-sequential grayscale JPEG
+    (``decode_jpeg_features`` — Huffman + full IDCT) and baseline
+    COLOR 4:2:0 YCbCr JPEG (``decode_color_jpeg_features`` —
+    interleaved MCUs, chroma upsampling, JFIF color conversion) are
+    decoded for real with the stdlib. A production build plugs
+    Pillow/libvips/ffmpeg here; everything around it (schema,
+    batching, partitioning) is already real.
     """
     raise NotImplementedError(
-        "color-jpeg/mp3/video codecs are not available in this environment"
+        "progressive-jpeg/mp3/video codecs are not available in this environment"
     )
 
 
@@ -1087,6 +1089,414 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
                 rows["n_pixels"].append(n)
                 rows["mean_lum"].append(float(px.sum()) / n)
                 rows["topleft_lum"].append(int(px[0, 0]))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5g: REAL COLOR image decode (baseline 4:2:0 YCbCr JPEG, round 11) --------
+
+
+def _color_jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form dimensions for the COLOR JPEG leg — multiples of 16
+    BY DESIGN: a 4:2:0 MCU covers 16×16 luma pixels (four Y blocks +
+    one Cb + one Cr), and MCU alignment keeps the closed-form oracle
+    exact without a crop step. Distinct from every other asset
+    family's dims."""
+    return 16 + (doc_id % 3) * 16, 16 + (doc_id % 2) * 16
+
+
+def synthesize_color_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """REAL baseline-sequential COLOR JPEG payloads (ITU T.81 +
+    JFIF-convention YCbCr), one per document — round-10 verdict #7,
+    retiring "color" from the NotImplementedError contract. Each
+    payload is a genuine 3-component 4:2:0 file: SOI; one DQT segment
+    carrying BOTH 8-bit tables (luma id 0, chroma id 1, q[0]=8 each);
+    SOF0 with component 1 sampling 2×2/tq 0 and components 2-3
+    sampling 1×1/tq 1 (the standard 4:2:0 layout); FOUR DHT segments
+    (DC/AC × luma/chroma ids — the chroma tables are structurally
+    identical canonical tables under their own ids, so the decoder's
+    per-component table SELECTION is genuinely exercised); SOS mapping
+    Y→(DC0,AC0), Cb/Cr→(DC1,AC1); the interleaved entropy scan (per
+    MCU: Y00 Y01 Y10 Y11 Cb Cr, each component with its OWN DC
+    predictor, 0xFF bytes stuffed, final byte 1-padded); EOI.
+
+    All three components are DC-only (the decoder still runs the full
+    general path) with q[0]=8 so each decoded plane is exactly
+    ``128 + qDC`` per block. Closed forms shared with the oracle:
+
+        Y  qDC(bx, by) = (id*7  + bx*5 + by*3) % 160 - 80   (8×8 luma blocks)
+        Cb qDC(mx, my) = (id*11 + mx*5 + my*3) % 120 - 60   (16×16 MCUs)
+        Cr qDC(mx, my) = (id*13 + mx*3 + my*7) % 120 - 60
+
+    DC diffs span ±159 (Y) / ±119 (chroma) → size categories ≤ 8,
+    inside the 9-symbol DC tables."""
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def encode_one(d: int) -> bytes:
+            w, h = 16 + (d % 3) * 16, 16 + (d % 2) * 16  # inlined _color_jpeg_dims
+            nmx, nmy = w // 16, h // 16
+            q = bytes([8] + [16] * 63)
+            out = bytearray(b"\xff\xd8")
+            # one DQT segment, two tables (Pq=0, Tq=0 and 1)
+            out += b"\xff\xdb" + struct.pack(">H", 2 + 65 + 65)
+            out += b"\x00" + q + b"\x01" + q
+            # SOF0: 3 components, Y 2x2 tq0; Cb,Cr 1x1 tq1
+            out += (
+                b"\xff\xc0"
+                + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+            )
+            bits_dc = bytearray(16)
+            bits_dc[3] = 9  # nine 4-bit codes: sizes 0..8
+            bits_ac = bytearray(16)
+            bits_ac[0] = 1  # one 1-bit code: EOB
+            for tc_th in (0x00, 0x01):  # DC tables, luma + chroma ids
+                out += (
+                    b"\xff\xc4"
+                    + struct.pack(">H", 2 + 1 + 16 + 9)
+                    + bytes([tc_th])
+                    + bytes(bits_dc)
+                    + bytes(range(9))
+                )
+            for tc_th in (0x10, 0x11):  # AC tables, luma + chroma ids
+                out += (
+                    b"\xff\xc4"
+                    + struct.pack(">H", 2 + 1 + 16 + 1)
+                    + bytes([tc_th])
+                    + bytes(bits_ac)
+                    + bytes([0x00])
+                )
+            out += (
+                b"\xff\xda"
+                + struct.pack(">HB", 6 + 2 * 3, 3)
+                + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+            )
+            data = bytearray()
+            bitbuf = nbits = 0
+
+            def put(code: int, ln: int) -> None:
+                nonlocal bitbuf, nbits
+                bitbuf = (bitbuf << ln) | code
+                nbits += ln
+                while nbits >= 8:
+                    byte = (bitbuf >> (nbits - 8)) & 0xFF
+                    data.append(byte)
+                    if byte == 0xFF:
+                        data.append(0x00)  # byte stuffing
+                    nbits -= 8
+                    bitbuf &= (1 << nbits) - 1
+
+            def put_dc(diff: int) -> None:
+                s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+                put(s, 4)  # canonical code of symbol s IS s at length 4
+                if s:
+                    amp = diff if diff > 0 else diff + (1 << s) - 1
+                    put(amp & ((1 << s) - 1), s)
+                put(0, 1)  # EOB closes the (DC-only) block
+
+            prev = {"y": 0, "cb": 0, "cr": 0}
+            for my in range(nmy):
+                for mx in range(nmx):
+                    for vy in range(2):  # four Y blocks, raster order
+                        for vx in range(2):
+                            bx, by = 2 * mx + vx, 2 * my + vy
+                            dc = (d * 7 + bx * 5 + by * 3) % 160 - 80
+                            put_dc(dc - prev["y"])
+                            prev["y"] = dc
+                    cb = (d * 11 + mx * 5 + my * 3) % 120 - 60
+                    put_dc(cb - prev["cb"])
+                    prev["cb"] = cb
+                    cr = (d * 13 + mx * 3 + my * 7) % 120 - 60
+                    put_dc(cr - prev["cr"])
+                    prev["cr"] = cr
+            if nbits:
+                pad = 8 - nbits
+                byte = ((bitbuf << pad) | ((1 << pad) - 1)) & 0xFF
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+            out += data + b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_color_jpeg_features(assets: DataFrame) -> DataFrame:
+    """REAL color image decode via ``mapInPandas`` — stdlib + numpy
+    only, a general baseline-sequential MULTI-COMPONENT JPEG decoder
+    (ITU T.81): everything the grayscale leg does (DHT-driven
+    canonical Huffman, Annex-F EXTEND, full AC run-length loop,
+    dezigzag, per-table dequantize, complete 2-D IDCT) plus the
+    interleaved-MCU scan — per-component sampling factors from SOF0
+    (up to 2×2), per-component quant/Huffman table selection from
+    DQT/SOF0/SOS, one DC predictor per component, per-component
+    planes assembled at their native subsampled resolution, nearest-
+    neighbor chroma upsampling to full resolution, and the JFIF
+    YCbCr→RGB conversion (R = Y + 1.402·(Cr−128), G = Y −
+    0.344136·(Cb−128) − 0.714136·(Cr−128), B = Y + 1.772·(Cb−128)),
+    rounded with floor(x + 0.5) — NOT banker's rint — so the oracle
+    can replay the identical IEEE expression in SQL, then clamped to
+    [0, 255]. Grayscale (nc=1) payloads also decode (the conversion
+    is skipped; chroma features NULL) — one kernel, both layouts.
+    Not supported (raise, by contract): progressive mode, restart
+    intervals, 16-bit quant tables, sampling factors beyond 2.
+
+    Output: (asset_id, width, height, n_pixels, mean_y, mean_cb,
+    mean_cr, mean_r, topleft_r, topleft_g, topleft_b); means are
+    exact-integer-sum / count over the FULL-RESOLUTION planes,
+    emitted unrounded."""
+    out_schema = (
+        "asset_id bigint, width int, height int, n_pixels bigint, "
+        "mean_y double, mean_cb double, mean_cr double, mean_r double, "
+        "topleft_r int, topleft_g int, topleft_b int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        zigzag = (
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        )
+        M = np.array(
+            [
+                [
+                    ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                    / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+
+        def build_huff(bits: list[int], vals: list[int]) -> dict:
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    k += 1
+                    code += 1
+                code <<= 1
+            return table
+
+        def decode_one(aid, buf: bytes):
+            if buf[:2] != b"\xff\xd8":
+                raise ValueError(f"asset {aid}: not a JPEG (no SOI)")
+            pos, qt, huff, sof = 2, {}, {}, None
+            while pos < len(buf):
+                if buf[pos] != 0xFF:
+                    raise ValueError(f"asset {aid}: expected marker at {pos}")
+                m = buf[pos + 1]
+                pos += 2
+                if m == 0xD9:
+                    raise ValueError(f"asset {aid}: EOI before SOS")
+                (ln,) = struct.unpack(">H", buf[pos : pos + 2])
+                seg = buf[pos + 2 : pos + ln]
+                pos += ln
+                if 0xE0 <= m <= 0xEF or m == 0xFE:
+                    continue  # APPn / COM
+                if m == 0xDB:
+                    i = 0
+                    while i < len(seg):
+                        pq, tq = seg[i] >> 4, seg[i] & 0xF
+                        if pq != 0:
+                            raise ValueError(f"asset {aid}: 16-bit DQT unsupported")
+                        qt[tq] = np.frombuffer(
+                            seg[i + 1 : i + 65], dtype=np.uint8
+                        ).astype(np.int64)
+                        i += 65
+                elif m == 0xC4:
+                    i = 0
+                    while i < len(seg):
+                        tc, th = seg[i] >> 4, seg[i] & 0xF
+                        bits = list(seg[i + 1 : i + 17])
+                        nv = sum(bits)
+                        huff[(tc, th)] = build_huff(
+                            bits, list(seg[i + 17 : i + 17 + nv])
+                        )
+                        i += 17 + nv
+                elif m == 0xC0:
+                    prec = seg[0]
+                    h, w = struct.unpack(">HH", seg[1:5])
+                    nc = seg[5]
+                    if prec != 8 or nc not in (1, 3):
+                        raise ValueError(
+                            f"asset {aid}: only 8-bit 1- or 3-component "
+                            f"baseline supported (got prec={prec}, nc={nc})"
+                        )
+                    comps = []
+                    for c in range(nc):
+                        cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                        hi, vi = samp >> 4, samp & 0xF
+                        if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                            raise ValueError(
+                                f"asset {aid}: sampling {hi}x{vi} unsupported"
+                            )
+                        comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+                    sof = (w, h, comps)
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                    raise ValueError(f"asset {aid}: non-baseline SOF{m & 0xF}")
+                elif m == 0xDD:
+                    raise ValueError(f"asset {aid}: restart intervals unsupported")
+                elif m == 0xDA:
+                    if sof is None:
+                        raise ValueError(f"asset {aid}: SOS before SOF0")
+                    w, h, comps = sof
+                    ns = seg[0]
+                    if ns != len(comps):
+                        raise ValueError(f"asset {aid}: partial scan unsupported")
+                    by_id = {c["id"]: c for c in comps}
+                    for c in range(ns):
+                        cid, tbl = seg[1 + 2 * c : 3 + 2 * c]
+                        by_id[cid]["dc"] = huff[(0, tbl >> 4)]
+                        by_id[cid]["ac"] = huff[(1, tbl & 0xF)]
+                    data = bytearray()
+                    p = pos
+                    while p + 1 < len(buf):
+                        if buf[p] == 0xFF:
+                            if buf[p + 1] == 0x00:
+                                data.append(0xFF)
+                                p += 2
+                                continue
+                            break
+                        data.append(buf[p])
+                        p += 1
+                    bitpos = 0
+
+                    def getbit() -> int:
+                        nonlocal bitpos
+                        byte = data[bitpos >> 3]
+                        bit = (byte >> (7 - (bitpos & 7))) & 1
+                        bitpos += 1
+                        return bit
+
+                    def read_huff(tab: dict) -> int:
+                        code = ln2 = 0
+                        while ln2 <= 16:
+                            code = (code << 1) | getbit()
+                            ln2 += 1
+                            sym = tab.get((ln2, code))
+                            if sym is not None:
+                                return sym
+                        raise ValueError(f"asset {aid}: invalid Huffman code")
+
+                    def receive_extend(s: int) -> int:
+                        v = 0
+                        for _ in range(s):
+                            v = (v << 1) | getbit()
+                        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+                    def read_block(comp) -> np.ndarray:
+                        s = read_huff(comp["dc"])
+                        comp["pred"] += receive_extend(s) if s else 0
+                        czz = np.zeros(64, dtype=np.int64)
+                        czz[0] = comp["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(comp["ac"])
+                            if rs == 0x00:
+                                break  # EOB
+                            if rs == 0xF0:
+                                k += 16  # ZRL
+                                continue
+                            k += rs >> 4
+                            czz[k] = receive_extend(rs & 0xF)
+                            k += 1
+                        Fm = np.zeros(64, dtype=np.float64)
+                        Fm[list(zigzag)] = czz * qt[comp["tq"]]
+                        block = M.T @ Fm.reshape(8, 8) @ M
+                        return np.clip(
+                            np.floor(block + 0.5).astype(np.int64) + 128, 0, 255
+                        )
+
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    nmx = -(-w // (8 * hmax))
+                    nmy = -(-h // (8 * vmax))
+                    for c in comps:
+                        c["plane"] = np.zeros(
+                            (nmy * c["v"] * 8, nmx * c["h"] * 8), dtype=np.int64
+                        )
+                        c["pred"] = 0
+                    for my in range(nmy):
+                        for mx in range(nmx):
+                            for c in comps:
+                                for vy in range(c["v"]):
+                                    for vx in range(c["h"]):
+                                        blk = read_block(c)
+                                        y0 = (my * c["v"] + vy) * 8
+                                        x0 = (mx * c["h"] + vx) * 8
+                                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    # upsample each plane to full resolution (nearest) + crop
+                    full = []
+                    for c in comps:
+                        ry, rx = vmax // c["v"], hmax // c["h"]
+                        pl = c["plane"].repeat(ry, axis=0).repeat(rx, axis=1)
+                        full.append(pl[:h, :w])
+                    return w, h, full
+
+                else:
+                    raise ValueError(f"asset {aid}: unexpected marker 0x{m:02x}")
+            raise ValueError(f"asset {aid}: no SOS segment")
+
+        def convert(yp, cbp, crp):
+            cbd = cbp.astype(np.float64) - 128.0
+            crd = crp.astype(np.float64) - 128.0
+            yv = yp.astype(np.float64)
+            r = np.clip(np.floor(yv + 1.402 * crd + 0.5), 0, 255).astype(np.int64)
+            g = np.clip(
+                np.floor(yv - 0.344136 * cbd - 0.714136 * crd + 0.5), 0, 255
+            ).astype(np.int64)
+            b = np.clip(np.floor(yv + 1.772 * cbd + 0.5), 0, 255).astype(np.int64)
+            return r, g, b
+
+        for pdf in it:
+            cols = (
+                "asset_id", "width", "height", "n_pixels", "mean_y", "mean_cb",
+                "mean_cr", "mean_r", "topleft_r", "topleft_g", "topleft_b",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, planes = decode_one(aid, bytes(payload))
+                n = w * h
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(n)
+                rows["mean_y"].append(float(planes[0].sum()) / n)
+                if len(planes) == 3:
+                    r, g, b = convert(*planes)
+                    rows["mean_cb"].append(float(planes[1].sum()) / n)
+                    rows["mean_cr"].append(float(planes[2].sum()) / n)
+                    rows["mean_r"].append(float(r.sum()) / n)
+                    rows["topleft_r"].append(int(r[0, 0]))
+                    rows["topleft_g"].append(int(g[0, 0]))
+                    rows["topleft_b"].append(int(b[0, 0]))
+                else:
+                    for k in ("mean_cb", "mean_cr", "mean_r",
+                              "topleft_r", "topleft_g", "topleft_b"):
+                        rows[k].append(None)
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)

@@ -333,3 +333,190 @@ def test_jpeg_decode_rejects_corrupt_and_unsupported(spark):
     df = spark.createDataFrame([(2, bytearray(bytes(prog)))], "asset_id long, payload binary")
     with _pytest.raises(Exception, match="baseline|SOF"):
         MM.decode_jpeg_features(df).collect()
+
+
+def test_color_jpeg_payload_structure(spark):
+    """The synthesized COLOR JPEGs follow T.81: SOI, one DQT carrying
+    both 8-bit tables, SOF0 with 3 components (Y 2x2/tq0, Cb,Cr
+    1x1/tq1 — the 4:2:0 layout), FOUR DHT segments (DC/AC x luma/
+    chroma), SOS mapping Y->(0,0) and chroma->(1,1), stuffed entropy
+    data, EOI. Dimensions are MCU-aligned multiples of 16."""
+    import struct
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 12)
+    rows = MM.synthesize_color_jpeg_assets(docs).collect()
+    assert rows
+    for r in rows:
+        d = int(r["asset_id"])
+        w, h = MM._color_jpeg_dims(d)
+        assert w % 16 == 0 and h % 16 == 0
+        buf = bytes(r["payload"])
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        pos, seen = 2, []
+        while pos < len(buf) - 2:
+            assert buf[pos] == 0xFF, f"asset {d}: expected marker at {pos}"
+            m = buf[pos + 1]
+            (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            seg = buf[pos + 4 : pos + 2 + ln]
+            seen.append(m)
+            if m == 0xDB:
+                assert ln == 2 + 65 + 65
+                assert seg[0] == 0x00 and seg[1] == 8      # luma table, q[0]=8
+                assert seg[65] == 0x01 and seg[66] == 8    # chroma table
+            elif m == 0xC0:
+                prec, hh, ww, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                assert (prec, hh, ww, nc) == (8, h, w, 3)
+                assert seg[6:9] == bytes([1, 0x22, 0])     # Y: 2x2, tq 0
+                assert seg[9:12] == bytes([2, 0x11, 1])    # Cb: 1x1, tq 1
+                assert seg[12:15] == bytes([3, 0x11, 1])   # Cr: 1x1, tq 1
+            elif m == 0xC4:
+                tc, th = seg[0] >> 4, seg[0] & 0xF
+                nvals = sum(seg[1:17])
+                assert (tc, nvals) in ((0, 9), (1, 1)) and th in (0, 1)
+            elif m == 0xDA:
+                assert seg[0] == 3
+                assert seg[1:7] == bytes([1, 0x00, 2, 0x11, 3, 0x11])
+            pos += 2 + ln
+            if m == 0xDA:
+                p = pos
+                while p < len(buf) - 2:
+                    if buf[p] == 0xFF:
+                        assert buf[p + 1] == 0x00, f"asset {d}: bare 0xFF at {p}"
+                        p += 2
+                    else:
+                        p += 1
+                break
+        assert seen == [0xDB, 0xC0, 0xC4, 0xC4, 0xC4, 0xC4, 0xDA]
+
+
+def test_color_jpeg_decode_roundtrip_closed_form(spark):
+    """decode(synthesize) reproduces every closed form: per-plane
+    means, and the block-uniform RGB conversion at (0,0)."""
+    import math
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 12)
+    assets = MM.synthesize_color_jpeg_assets(docs)
+    for r in MM.decode_color_jpeg_features(assets).collect():
+        d = int(r["asset_id"])
+        w, h = MM._color_jpeg_dims(d)
+        nbx, nby, nmx, nmy = w // 8, h // 8, w // 16, h // 16
+        ys = [128 + ((d * 7 + bx * 5 + by * 3) % 160 - 80)
+              for by in range(nby) for bx in range(nbx)]
+        cbs = [128 + ((d * 11 + mx * 5 + my * 3) % 120 - 60)
+               for my in range(nmy) for mx in range(nmx)]
+        crs = [128 + ((d * 13 + mx * 3 + my * 7) % 120 - 60)
+               for my in range(nmy) for mx in range(nmx)]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["mean_y"] == sum(ys) / len(ys)
+        assert r["mean_cb"] == sum(cbs) / len(cbs)
+        assert r["mean_cr"] == sum(crs) / len(crs)
+        yv = 128 + ((d * 7) % 160 - 80)
+        cbd = (d * 11) % 120 - 60
+        crd = (d * 13) % 120 - 60
+        assert r["topleft_r"] == min(max(math.floor(yv + 1.402 * crd + 0.5), 0), 255)
+        assert r["topleft_g"] == min(
+            max(math.floor(yv - 0.344136 * cbd - 0.714136 * crd + 0.5), 0), 255
+        )
+        assert r["topleft_b"] == min(max(math.floor(yv + 1.772 * cbd + 0.5), 0), 255)
+
+
+def test_color_jpeg_decoder_general_ac_and_upsampling(spark):
+    """The color decoder must run the REAL path on every component:
+    hand-build a one-MCU 4:2:0 file whose Cb block carries a nonzero
+    AC coefficient — the decoded chroma is NON-uniform, exercises the
+    AC loop + dezigzag + IDCT on a chroma component, the x2 nearest
+    upsample, and the conversion — and must match an independent
+    numpy reference exactly."""
+    import math
+    import struct
+
+    import numpy as np
+
+    q = bytes([8] + [16] * 63)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 132) + b"\x00" + q + b"\x01" + q
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    bits_dc = bytearray(16); bits_dc[3] = 9
+    for th in (0x00, 0x01):
+        out += (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 9)
+                + bytes([th]) + bytes(bits_dc) + bytes(range(9)))
+    bits_ac = bytearray(16); bits_ac[0] = 1; bits_ac[1] = 1
+    for th in (0x10, 0x11):
+        out += (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 2)
+                + bytes([th]) + bytes(bits_ac) + bytes([0x00, 0x01]))
+    out += (b"\xff\xda" + struct.pack(">HB", 12, 3)
+            + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    # scan: 4x Y (DC size0 "0000" + EOB "0"), Cb (DC "0000" + AC 0x01
+    # "10" + amp "1" + EOB "0"), Cr ("0000"+"0") = 33 bits, 1-padded
+    bits = "00000" * 4 + "0000" + "10" + "1" + "0" + "00000"
+    bits += "1" * (-len(bits) % 8)
+    out += bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    out += b"\xff\xd9"
+
+    df = spark.createDataFrame(
+        [(3, bytearray(bytes(out)))], "asset_id long, payload binary"
+    )
+    [r] = MM.decode_color_jpeg_features(df).collect()
+    M = np.array([
+        [((1 / math.sqrt(2)) if u == 0 else 1.0) / 2.0
+         * math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+        for u in range(8)
+    ])
+    Fm = np.zeros((8, 8)); Fm[0, 1] = 16.0  # zigzag 1 -> (0,1), quant 16
+    cb_blk = np.clip(np.floor(M.T @ Fm @ M + 0.5).astype(int) + 128, 0, 255)
+    assert cb_blk.min() != cb_blk.max()  # chroma AC path exercised
+    cb_full = cb_blk.repeat(2, axis=0).repeat(2, axis=1)  # x2 upsample
+    yv = np.full((16, 16), 128.0)
+    cbd = cb_full.astype(float) - 128.0
+    rr = np.clip(np.floor(yv + 1.402 * 0.0 + 0.5), 0, 255)
+    bb = np.clip(np.floor(yv + 1.772 * cbd + 0.5), 0, 255)
+    gg = np.clip(np.floor(yv - 0.344136 * cbd - 0.714136 * 0.0 + 0.5), 0, 255)
+    assert r["mean_y"] == 128.0
+    assert r["mean_cb"] == float(cb_full.sum()) / 256
+    assert r["mean_cr"] == 128.0
+    assert r["mean_r"] == float(rr.sum()) / 256
+    assert r["topleft_r"] == int(rr[0, 0])
+    assert r["topleft_g"] == int(gg[0, 0])
+    assert r["topleft_b"] == int(bb[0, 0])
+
+
+def test_color_jpeg_decode_rejects_and_grayscale_passthrough(spark):
+    """Unsupported shapes raise loudly (progressive SOF2, 3x1
+    sampling); a single-component payload decodes through the SAME
+    kernel with NULL chroma/RGB features."""
+    import struct
+
+    import pytest as _pytest
+
+    prog = bytearray(b"\xff\xd8")
+    prog += (b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+             + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    prog += b"\xff\xd9"
+    df = spark.createDataFrame(
+        [(2, bytearray(bytes(prog)))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="baseline|SOF"):
+        MM.decode_color_jpeg_features(df).collect()
+
+    wide = bytearray(b"\xff\xd8")
+    wide += (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 48, 3)
+             + bytes([1, 0x31, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    wide += b"\xff\xd9"
+    df = spark.createDataFrame(
+        [(4, bytearray(bytes(wide)))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="sampling"):
+        MM.decode_color_jpeg_features(df).collect()
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 4)
+    gray = MM.synthesize_jpeg_assets(docs)
+    for r in MM.decode_color_jpeg_features(gray).collect():
+        d = int(r["asset_id"])
+        w, h = MM._jpeg_dims(d)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_cb"] is None and r["topleft_r"] is None
+        assert r["mean_y"] is not None
