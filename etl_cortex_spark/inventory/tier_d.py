@@ -484,6 +484,50 @@ def d03b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d03_ann_batch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id >= 5),
+         j AS (
+           SELECT q.query_id, e.vec_id,
+                  round(list_dot_product(v, qv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                    AS cosine
+           FROM q JOIN e ON ({_bucket_sql("v")}) = ({_bucket_sql("qv")})
+         )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM j
+    ) WHERE rn <= 5
+    """,
+)
+def d03batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN serving (round 11 — the shape an embedding service
+    actually runs): exact-cosine top-5 PER QUERY for a whole batch of
+    query vectors (vec_id < 5) against the corpus (vec_id ≥ 5), in ONE
+    corpus scan — `similarity.lsh_topk_batch` broadcasts the bucketed
+    query batch and hash-joins on the sign-LSH bucket id, so each
+    corpus row is scored only against the queries sharing its cell;
+    a query-partitioned row_number keeps k. The hyperplanes are the
+    same deterministic literals as d03_ann_lsh_topk, so the DuckDB
+    twin replays the identical bucketing + ranking — a full-strength
+    oracle. Scale shape: zero corpus shuffle (broadcast join + window
+    partitioned by the batch-sized query id); against a
+    `write_ivf_index` layout the bucket equality becomes per-query
+    partition pruning."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return SIM.lsh_topk_batch(corpus, queries, k=5, n_planes=6, seed=7)
+
+
+@query(
     "d03_ann_brp_topk",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_candidates,

@@ -414,3 +414,58 @@ def quantized_centroid_outliers(
         .limit(topk)
         .select(id_col, "dist")
     )
+
+
+def lsh_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """BATCH ANN serving: exact-cosine top-k per query for a WHOLE
+    BATCH of query vectors, candidates pruned to each query's sign-LSH
+    bucket — the shape an embedding service actually runs (one request
+    carries hundreds of queries; per-query full scans would be
+    hundreds of scans). One corpus scan, zero corpus shuffle: the
+    bucketed query batch is broadcast and hash-joined on the bucket
+    id, so each corpus row is tested against only the queries sharing
+    its cell (expected fan-out |batch|/2^n_planes per row); exact
+    cosine then ranks candidates and a query-partitioned row_number
+    keeps k. The window partitions by query id — batch-sized, never
+    corpus-sized (each partition holds one bucket's candidates,
+    ~|corpus|/2^n_planes rows; at 100 TB the same join against a
+    `write_ivf_index` table turns the bucket equality into partition
+    pruning per query).
+
+    The hyperplanes are deterministic literals (``hyperplanes(dim,
+    n_planes, seed)``) shared with `lsh_topk` — index and batch can
+    never disagree on the bucketing. Returns (query_id, id_col,
+    cosine) with the (cosine desc, id asc) total order per query.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    cv = as_double(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col), cv.alias("__cv"), lsh_bucket(cv, planes).alias("__bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col), cv.alias("__qv"), lsh_bucket(cv, planes).alias("__bucket")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        c.join(F.broadcast(q), "__bucket")
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine")
+    )

@@ -77,6 +77,30 @@ def test_ann_results_subset_of_brute_force_ranking(spark):
     assert ranks == sorted(ranks)
 
 
+def test_batch_ann_matches_per_query_path(spark):
+    """lsh_topk_batch (round 11): the one-scan broadcast-join batch
+    form must return, for EVERY query in the batch, exactly what the
+    single-query lsh_topk path returns — same hyperplanes, same
+    bucketing, same (cosine desc, id) order."""
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter("vec_id >= 5")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = SIM.lsh_topk_batch(corpus, queries, k=5, n_planes=6, seed=7).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(got) <= set(range(5)) and len(got) > 0
+    for qid in got:
+        qv = [float(x) for x in emb.filter(f"vec_id = {qid}").first().embedding]
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in SIM.lsh_topk(corpus, qv, k=5, n_planes=6, seed=7).collect()
+        ]
+        assert got[qid] == single, f"query {qid}: batch != single"
+
+
 def test_exact_dedup_removes_planted_duplicates(spark):
     docs = load_table(spark, SF, "documents").limit(20).select("doc_id", "text", "lang")
     dup = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text", "lang")
