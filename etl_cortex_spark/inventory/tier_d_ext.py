@@ -593,6 +593,45 @@ def d08_ss_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_attribution_outer(spark, sf_dir, window_minutes=10)
 
 
+@query(
+    "stream_stream_full_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+                 CAST(ts AS TIMESTAMP) AS pts
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT coalesce(c.user_id, p.p_user_id) AS user_id,
+                 c.click_id, c.cts, p.purchase_id, p.pts,
+                 epoch_us(p.pts - c.cts) AS gap_us
+          FROM c FULL JOIN p ON c.user_id = p.p_user_id
+           AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 10 MINUTE),
+    m AS (SELECT least((SELECT date_trunc('milliseconds', max(cts)) FROM c),
+                       (SELECT date_trunc('milliseconds', max(pts)) FROM p))
+                 - INTERVAL 60 MINUTE AS wm)
+    SELECT user_id, click_id, purchase_id, gap_us
+    FROM j CROSS JOIN m
+    WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+       OR (purchase_id IS NULL AND cts + INTERVAL 10 MINUTE < wm)
+       OR (click_id IS NULL AND pts < wm)
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def d08_ss_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_stream_attribution_full — stream-stream FULL
+    OUTER interval join (round 11, completing the D28/D70 join
+    family): unconverted clicks AND orphan purchases emit NULL rows.
+    The oracle applies the ASYMMETRIC closure cuts the watermark
+    semantics imply — unmatched clicks need wm past click_ts + window
+    (a later purchase could still match), unmatched purchases only wm
+    past purchase_ts (the join condition forbids later clicks) — on
+    top of the batch FULL interval join; matched rows equal the inner
+    join exactly."""
+    from etl_cortex_spark.streaming.events import stream_stream_attribution_full
+
+    return stream_stream_attribution_full(spark, sf_dir, window_minutes=10)
+
+
 # --- D27: weighted PageRank over the nation trade graph -----------------------
 
 _TRADE_EDGES_SQL = """

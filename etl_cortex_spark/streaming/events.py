@@ -439,3 +439,40 @@ def stream_stream_attribution_outer(
         attribution_join(clicks, purchases, window_minutes, "leftOuter"), "append"
     )
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+def stream_stream_attribution_full(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+) -> DataFrame:
+    """D8 extension (round 11): stream-stream FULL OUTER interval join
+    — both unconverted clicks AND orphan purchases (no preceding click
+    in the window) surface as NULL rows. Closure is ASYMMETRIC, and
+    that is the instructive part: an unmatched click needs the global
+    watermark past ``click_ts + window`` (a future purchase inside the
+    window could still match), while an unmatched purchase only needs
+    it past ``purchase_ts`` — the condition ``purchase_ts >= click_ts``
+    means no click arriving after the purchase's event time can ever
+    match it, so its state closes a full window earlier. The batch
+    twin applies exactly these two cuts to the FULL interval join's
+    unmatched rows; matched rows equal the inner join. user_id is
+    coalesced across sides (a NULL-click row carries only the
+    purchase side's key)."""
+    clicks, purchases = _attribution_sides(spark, sf_dir)
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval {window_minutes} minutes
+            """
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    out = run_to_memory(joined, "append")
+    return out.orderBy("user_id", "click_id", "purchase_id")
