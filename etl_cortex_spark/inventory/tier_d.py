@@ -1070,6 +1070,53 @@ def d05cj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_color_jpeg_features(assets).orderBy("asset_id")
 
 
+@query(
+    "d05_avi_container_features",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             160 + (doc_id % 4) * 80 AS w,
+             120 + (doc_id % 3) * 60 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 30000 END AS rate,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1001 END AS scale,
+             10 + doc_id % 16 AS n
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST(sum(64 + ((doc_id * 31 + i * 17) % 128)) AS BIGINT)
+               AS movi_bytes
+      FROM a, range(0, 26) t(i) WHERE i < n GROUP BY doc_id
+    )
+    SELECT a.doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(n AS INT) AS n_frames,
+           CAST(rate AS DOUBLE) / scale AS fps,
+           CAST(n * scale AS DOUBLE) / rate AS duration_s,
+           f.movi_bytes,
+           CAST(a.doc_id % 256 AS INT) AS first_frame_byte
+    FROM a JOIN f ON a.doc_id = f.doc_id
+    ORDER BY asset_id
+    """,
+)
+def d05avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parse (round 11): the Spark side builds
+    genuine minimal RIFF-AVI files (hdrl/avih + vids strh/strf +
+    movi with one 00dc chunk per frame, odd sizes padded per RIFF)
+    and PARSES THE BYTES back with a general RIFF walker — magic and
+    size validation, padded tree walk, header/stream extraction, and
+    a full movi walk that must agree with BOTH header frame counts or
+    raise (the truncated-upload check a real video corpus needs).
+    This moves video from "stub" to the honest production split: all
+    container metadata a sharding/sampling pipeline uses is parsed
+    for real; only the codec decode of the (deterministic fake) frame
+    payloads remains the documented stub. fps and duration_s are
+    exact integer-operand divisions — bit-identical across engines;
+    movi_bytes replays the frame-size closed form with a range join."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_avi_assets(docs)
+    return MM.parse_avi_features(assets).orderBy("asset_id")
+
+
 # --- D6-D8: streaming ---------------------------------------------------------
 
 

@@ -1500,3 +1500,181 @@ def decode_color_jpeg_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5h: REAL video CONTAINER parse (RIFF AVI, round 11) ----------------------
+
+
+def synthesize_avi_assets(docs: DataFrame) -> DataFrame:
+    """REAL RIFF-AVI container payloads, one per document — the VIDEO
+    half of the proof family moves from "stub" to "container parsed
+    for real, codec decode stubbed" (the honest production split: a
+    100 TB video pipeline shards, samples, and budgets on CONTAINER
+    metadata — dimensions, fps, frame count, per-frame byte offsets —
+    long before any codec touches pixels). Each payload is a genuine
+    minimal AVI per the RIFF grammar: ``RIFF('AVI ')`` containing
+    ``LIST('hdrl')`` with a 56-byte ``avih`` MainAVIHeader and one
+    ``LIST('strl')`` ('vids' ``strh`` with scale/rate/length + 40-byte
+    BITMAPINFOHEADER ``strf``), then ``LIST('movi')`` with one
+    ``00dc`` chunk per frame (deterministic fake pixel bytes — the
+    codec boundary), odd-sized chunks pad to even exactly as RIFF
+    requires (the synthesized sizes are deliberately odd half the
+    time so the walker's padding handling is genuinely exercised).
+
+    Closed forms shared with the oracle:
+        width  = 160 + (id % 4) * 80;  height = 120 + (id % 3) * 60
+        (rate, scale) = (24, 1) if id even else (30000, 1001)  # 29.97 NTSC
+        n_frames = 10 + id % 16
+        frame i size = 64 + ((id*31 + i*17) % 128) bytes,
+        frame i first byte = (id + i) % 256
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        def encode_one(d: int) -> bytes:
+            w, h = 160 + (d % 4) * 80, 120 + (d % 3) * 60
+            rate, scale = (24, 1) if d % 2 == 0 else (30000, 1001)
+            n = 10 + d % 16
+            avih = struct.pack(
+                "<14I",
+                int(1_000_000 * scale // rate), 0, 0, 0x10, n, 0, 1, 0, w, h,
+                0, 0, 0, 0,
+            )
+            strh = (
+                b"vids" + b"DIB " + struct.pack("<I2H8I", 0, 0, 0, 0, scale, rate,
+                                                0, n, 0, 0, 0)
+                + struct.pack("<4h", 0, 0, w, h)
+            )
+            strf = struct.pack("<I2i2H6I", 40, w, h, 1, 24, 0, w * h * 3, 0, 0, 0, 0)
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+            frames = b"".join(
+                chunk(
+                    b"00dc",
+                    bytes(
+                        ((d + i) % 256 if j == 0 else (d * 3 + i * 7 + j) % 256)
+                        for j in range(64 + ((d * 31 + i * 17) % 128))
+                    ),
+                )
+                for i in range(n)
+            )
+            movi = lst(b"movi", frames)
+            riff_body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def parse_avi_features(assets: DataFrame) -> DataFrame:
+    """REAL video-container parse via ``mapInPandas`` — a general RIFF
+    walker (stdlib struct only): verifies the RIFF/'AVI ' magic, walks
+    the chunk tree honoring the even-byte padding rule, reads the
+    ``avih`` MainAVIHeader (width/height/total frames), the 'vids'
+    ``strh`` (scale/rate/length), and walks every ``00dc``/``00db``
+    chunk in ``LIST('movi')`` counting frames and payload bytes —
+    raising loudly when header claims and the movi walk disagree
+    (truncated uploads, the #1 real-world video-corpus defect). The
+    codec boundary is explicit: frame PAYLOADS are opaque (decode
+    stays behind ``decode_image``'s documented stub); everything a
+    sharding/sampling/budgeting pipeline needs is parsed from bytes.
+    Output: (asset_id, width, height, n_frames, fps, duration_s,
+    movi_bytes, first_frame_byte); fps = rate/scale and duration_s =
+    n_frames·scale/rate as exact integer-operand double divisions —
+    bit-identical on any engine."""
+    out_schema = (
+        "asset_id bigint, width int, height int, n_frames int, fps double, "
+        "duration_s double, movi_bytes bigint, first_frame_byte int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def parse_one(aid, buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                raise ValueError(f"asset {aid}: not a RIFF AVI")
+            (riff_sz,) = struct.unpack("<I", buf[4:8])
+            if riff_sz != len(buf) - 8:
+                raise ValueError(f"asset {aid}: RIFF size mismatch")
+            avih = strh = None
+            movi_frames = 0
+            movi_bytes = 0
+            first_byte = None
+
+            def walk(pos: int, end: int) -> None:
+                nonlocal avih, strh, movi_frames, movi_bytes, first_byte
+                while pos + 8 <= end:
+                    fourcc = buf[pos : pos + 4]
+                    (sz,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    body_start = pos + 8
+                    body_end = body_start + sz
+                    if body_end > end:
+                        raise ValueError(f"asset {aid}: chunk overruns parent")
+                    if fourcc == b"LIST":
+                        walk(body_start + 4, body_end)  # skip the list kind
+                    elif fourcc == b"avih":
+                        vals = struct.unpack("<14I", buf[body_start : body_start + 56])
+                        avih = {"n": vals[4], "w": vals[8], "h": vals[9]}
+                    elif fourcc == b"strh":
+                        if buf[body_start : body_start + 4] == b"vids":
+                            vals = struct.unpack(
+                                "<I2H8I", buf[body_start + 8 : body_start + 48]
+                            )
+                            strh = {"scale": vals[4], "rate": vals[5], "len": vals[7]}
+                    elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                        movi_frames += 1
+                        movi_bytes += sz
+                        if first_byte is None and sz:
+                            first_byte = buf[body_start]
+                    pos = body_end + (sz & 1)  # RIFF even-byte padding
+
+            walk(12, 8 + riff_sz)
+            if avih is None or strh is None:
+                raise ValueError(f"asset {aid}: missing avih/strh header")
+            if not (avih["n"] == strh["len"] == movi_frames):
+                raise ValueError(
+                    f"asset {aid}: frame-count mismatch (avih {avih['n']}, "
+                    f"strh {strh['len']}, movi walk {movi_frames})"
+                )
+            fps = float(strh["rate"]) / strh["scale"]
+            duration = float(movi_frames * strh["scale"]) / strh["rate"]
+            return (
+                avih["w"], avih["h"], movi_frames, fps, duration,
+                movi_bytes, first_byte,
+            )
+
+        for pdf in it:
+            cols = (
+                "asset_id", "width", "height", "n_frames", "fps",
+                "duration_s", "movi_bytes", "first_frame_byte",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, n, fps, dur, mb, fb = parse_one(aid, bytes(payload))
+                for k, v in zip(cols, (aid, w, h, n, fps, dur, mb, fb)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)

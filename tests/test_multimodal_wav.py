@@ -520,3 +520,71 @@ def test_color_jpeg_decode_rejects_and_grayscale_passthrough(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["mean_cb"] is None and r["topleft_r"] is None
         assert r["mean_y"] is not None
+
+
+def test_avi_container_structure_and_padding(spark):
+    """Synthesized AVIs follow the RIFF grammar (magic, exact RIFF
+    size, hdrl/movi lists) and — by construction — include ODD-sized
+    frame chunks, so the walker's even-byte padding rule is genuinely
+    exercised; the parse must agree with the closed forms."""
+    import struct
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 16)
+    rows = MM.synthesize_avi_assets(docs).collect()
+    assert rows
+    saw_odd = False
+    for r in rows:
+        d = int(r["asset_id"])
+        buf = bytes(r["payload"])
+        assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+        (sz,) = struct.unpack("<I", buf[4:8])
+        assert sz == len(buf) - 8
+        n = 10 + d % 16
+        sizes = [64 + ((d * 31 + i * 17) % 128) for i in range(n)]
+        saw_odd = saw_odd or any(s % 2 for s in sizes)
+    assert saw_odd, "no odd frame sizes — padding rule untested"
+    feats = {int(r["asset_id"]): r for r in MM.parse_avi_features(
+        MM.synthesize_avi_assets(docs)).collect()}
+    for d, r in feats.items():
+        rate, scale = (24, 1) if d % 2 == 0 else (30000, 1001)
+        n = 10 + d % 16
+        assert (r["width"], r["height"]) == (160 + (d % 4) * 80, 120 + (d % 3) * 60)
+        assert r["n_frames"] == n
+        assert r["fps"] == rate / scale
+        assert r["duration_s"] == (n * scale) / rate
+        assert r["movi_bytes"] == sum(64 + ((d * 31 + i * 17) % 128) for i in range(n))
+        assert r["first_frame_byte"] == d % 256
+
+
+def test_avi_parse_rejects_corrupt_and_truncated(spark):
+    """Loud failure on non-AVI bytes and on header/movi frame-count
+    disagreement (the truncated-upload defect)."""
+    import struct
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFX" + b"\x00" * 64))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="RIFF AVI"):
+        MM.parse_avi_features(bad).collect()
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") == 3)
+    [r] = MM.synthesize_avi_assets(docs).collect()
+    buf = bytearray(bytes(r["payload"]))
+    # drop the last movi frame chunk: rewrite the RIFF/LIST sizes so the
+    # container stays well-formed but header counts disagree
+    last_dc = buf.rfind(b"00dc")
+    (frame_sz,) = struct.unpack("<I", buf[last_dc + 4 : last_dc + 8])
+    cut = frame_sz + 8 + (frame_sz & 1)
+    truncated = buf[:last_dc]
+    (riff_sz,) = struct.unpack("<I", buf[4:8])
+    struct.pack_into("<I", truncated, 4, riff_sz - cut)
+    movi_list = truncated.rfind(b"LIST")
+    (movi_sz,) = struct.unpack("<I", truncated[movi_list + 4 : movi_list + 8])
+    struct.pack_into("<I", truncated, movi_list + 4, movi_sz - cut)
+    df = spark.createDataFrame(
+        [(3, bytearray(bytes(truncated)))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="frame-count mismatch"):
+        MM.parse_avi_features(df).collect()
