@@ -1117,6 +1117,54 @@ def d05avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.parse_avi_features(assets).orderBy("asset_id")
 
 
+@query(
+    "d05_mp3_frame_walk",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr,
+             20 + doc_id % 30 AS n
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, sr, n,
+             list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                          1 + ((doc_id * 7 + i * 13) % 14)) AS kbps,
+             (doc_id + i) % 2 AS pad
+      FROM a, range(0, 50) t(i) WHERE i < n
+    )
+    SELECT doc_id AS asset_id,
+           CAST(max(n) AS INT) AS n_frames,
+           CAST(max(sr) AS INT) AS samplerate,
+           CAST(max(n) * 1152 AS DOUBLE) / max(sr) AS duration_s,
+           CAST(sum((144000 * kbps) // sr + pad) AS BIGINT) AS total_bytes,
+           CAST(sum(kbps) AS DOUBLE) / count(*) AS avg_bitrate_kbps,
+           CAST(sum(pad) AS INT) AS n_padded
+    FROM f GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def d05mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-header walk (round 11, the audio twin of the AVI
+    container split): the Spark side builds genuine MPEG-1 Layer III
+    frame sequences — a real ID3v2.4 tag with a SYNCSAFE size, then
+    VBR frames whose 4-byte headers carry per-frame bitrate indices,
+    the asset's sample-rate index, and padding bits, each followed by
+    exactly the payload length the header declares — and walks the
+    bytes back header by header: sync/version/layer validation,
+    free/reserved index rejection, ID3 skip, length-driven
+    advancement that desynchronizes loudly on any truncation. Sample
+    decode stays the documented stub; duration, VBR average bitrate,
+    and the padding census — what an audio corpus pipeline budgets
+    on — are computed from the real headers. duration_s and
+    avg_bitrate_kbps are exact integer-operand divisions; total_bytes
+    replays the frame-length formula (144000·kbps // rate + pad) with
+    a range join and the same 14-entry bitrate table."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_mp3_assets(docs)
+    return MM.parse_mp3_features(assets).orderBy("asset_id")
+
+
 # --- D6-D8: streaming ---------------------------------------------------------
 
 

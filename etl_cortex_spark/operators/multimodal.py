@@ -58,19 +58,22 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
-    library — by round 11 that is progressive JPEG, mp3, and video:
-    PCM-WAV (``decode_wav_features``), 24-bpp BMP
-    (``decode_bmp_features``), DEFLATE-compressed PNG
+    library — by round 11 that is progressive JPEG, MP3 SAMPLE decode,
+    and video CODEC decode only: PCM-WAV (``decode_wav_features``),
+    24-bpp BMP (``decode_bmp_features``), DEFLATE-compressed PNG
     (``decode_png_features``), baseline-sequential grayscale JPEG
-    (``decode_jpeg_features`` — Huffman + full IDCT) and baseline
-    COLOR 4:2:0 YCbCr JPEG (``decode_color_jpeg_features`` —
-    interleaved MCUs, chroma upsampling, JFIF color conversion) are
-    decoded for real with the stdlib. A production build plugs
+    (``decode_jpeg_features`` — Huffman + full IDCT), baseline COLOR
+    4:2:0 YCbCr JPEG (``decode_color_jpeg_features`` — interleaved
+    MCUs, chroma upsampling, JFIF color conversion), RIFF-AVI
+    container metadata (``parse_avi_features``) and MPEG-1 Layer III
+    frame-header walks (``parse_mp3_features`` — ID3v2 skip, VBR
+    census) are all real stdlib parsing. A production build plugs
     Pillow/libvips/ffmpeg here; everything around it (schema,
     batching, partitioning) is already real.
     """
     raise NotImplementedError(
-        "progressive-jpeg/mp3/video codecs are not available in this environment"
+        "progressive-jpeg, mp3-sample, and video-codec decoders are not "
+        "available in this environment"
     )
 
 
@@ -1674,6 +1677,165 @@ def parse_avi_features(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 w, h, n, fps, dur, mb, fb = parse_one(aid, bytes(payload))
                 for k, v in zip(cols, (aid, w, h, n, fps, dur, mb, fb)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5i: REAL MP3 frame-header walk (round 11) --------------------------------
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1..14 (0 = free, 15 = bad).
+_MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+#: MPEG-1 sample rates by 2-bit index (3 = reserved).
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def synthesize_mp3_assets(docs: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer III frame sequences, one per document — the
+    AUDIO twin of the AVI split: an audio corpus pipeline computes
+    duration, bitrate histograms, and chunk offsets from FRAME HEADERS
+    without ever running a DCT, so the header walk is real and only
+    the sample decode stays behind the documented stub. Each payload
+    is a genuine ID3v2.4 tag (10-byte header with a SYNCSAFE size —
+    the classic parsing trap — plus that many junk bytes) followed by
+    ``n_frames`` valid frames: 4-byte header (0xFFFB sync/MPEG-1/
+    Layer-III/no-CRC, a VBR bitrate index, the asset's sample-rate
+    index, a padding bit) and ``144000·kbps/rate // 1 + pad − 4``
+    deterministic filler bytes, exactly the length the header
+    declares. Closed forms shared with the oracle:
+
+        samplerate idx = id % 3  (44100 / 48000 / 32000)
+        n_frames       = 20 + id % 30
+        frame i: bitrate idx = 1 + ((id*7 + i*13) % 14)   # VBR
+                 padding     = (id + i) % 2
+                 size        = 144000·kbps // rate + padding
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        bitrates = _MP3_BITRATES
+        rates = _MP3_RATES
+
+        def encode_one(d: int) -> bytes:
+            sr_idx = d % 3
+            sr = rates[sr_idx]
+            n = 20 + d % 30
+            tag_body = 37 + d % 64
+            out = bytearray(b"ID3\x04\x00\x00")
+            # syncsafe 28-bit size: 7 bits per byte, high bit clear
+            out += bytes(
+                [(tag_body >> 21) & 0x7F, (tag_body >> 14) & 0x7F,
+                 (tag_body >> 7) & 0x7F, tag_body & 0x7F]
+            )
+            out += bytes((d + j) % 128 for j in range(tag_body))
+            for i in range(n):
+                br_idx = 1 + ((d * 7 + i * 13) % 14)
+                pad = (d + i) % 2
+                kbps = bitrates[br_idx - 1]
+                size = 144000 * kbps // sr + pad
+                hdr = bytes(
+                    [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                     0xC0]
+                )
+                out += hdr + bytes(
+                    (d * 5 + i * 11 + j) % 256 for j in range(size - 4)
+                )
+            return bytes(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def parse_mp3_features(assets: DataFrame) -> DataFrame:
+    """REAL MP3 frame-header walk via ``mapInPandas`` (stdlib only): an
+    optional ID3v2 tag is skipped by its SYNCSAFE size, then every
+    frame header is validated (11-bit sync, MPEG-1, Layer III;
+    bitrate index 0/15 and sample-rate index 3 raise — they are
+    free/reserved) and the walk advances by the length the header
+    declares (144000·kbps // rate + padding), so a single corrupt or
+    truncated frame desynchronizes loudly instead of mis-counting.
+    The sample payloads are never decoded (the documented codec
+    stub); everything a corpus pipeline budgets on — duration,
+    VBR average bitrate, padding census — comes from the headers.
+    Output: (asset_id, n_frames, samplerate, duration_s,
+    total_bytes, avg_bitrate_kbps, n_padded); duration_s =
+    n_frames·1152/samplerate and avg_bitrate are exact integer-
+    operand divisions, bit-identical across engines."""
+    out_schema = (
+        "asset_id bigint, n_frames int, samplerate int, duration_s double, "
+        "total_bytes bigint, avg_bitrate_kbps double, n_padded int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        bitrates = _MP3_BITRATES
+        rates = _MP3_RATES
+
+        def parse_one(aid, buf: bytes):
+            pos = 0
+            if buf[:3] == b"ID3":
+                if len(buf) < 10 or any(b & 0x80 for b in buf[6:10]):
+                    raise ValueError(f"asset {aid}: bad ID3v2 syncsafe size")
+                pos = 10 + (
+                    (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+                )
+            n = total = kbps_sum = padded = 0
+            sr = None
+            while pos < len(buf):
+                if pos + 4 > len(buf):
+                    raise ValueError(f"asset {aid}: truncated header at {pos}")
+                b0, b1, b2 = buf[pos], buf[pos + 1], buf[pos + 2]
+                if b0 != 0xFF or (b1 & 0xFE) != 0xFA:
+                    raise ValueError(
+                        f"asset {aid}: lost frame sync at {pos} "
+                        f"(0x{b0:02x}{b1:02x})"
+                    )
+                if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+                    raise ValueError(f"asset {aid}: not MPEG-1 Layer III at {pos}")
+                br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+                if br_idx in (0, 15):
+                    raise ValueError(f"asset {aid}: free/bad bitrate index at {pos}")
+                if sr_idx == 3:
+                    raise ValueError(f"asset {aid}: reserved sample rate at {pos}")
+                if sr is None:
+                    sr = rates[sr_idx]
+                elif sr != rates[sr_idx]:
+                    raise ValueError(f"asset {aid}: sample rate changed mid-stream")
+                kbps = bitrates[br_idx - 1]
+                size = 144000 * kbps // sr + pad
+                if pos + size > len(buf):
+                    raise ValueError(f"asset {aid}: truncated frame at {pos}")
+                n += 1
+                total += size
+                kbps_sum += kbps
+                padded += pad
+                pos += size
+            if n == 0 or sr is None:
+                raise ValueError(f"asset {aid}: no MPEG frames")
+            return (
+                n, sr, float(n * 1152) / sr, total, float(kbps_sum) / n, padded
+            )
+
+        for pdf in it:
+            cols = (
+                "asset_id", "n_frames", "samplerate", "duration_s",
+                "total_bytes", "avg_bitrate_kbps", "n_padded",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n, sr, dur, total, avg, padded = parse_one(aid, bytes(payload))
+                for k, v in zip(cols, (aid, n, sr, dur, total, avg, padded)):
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 

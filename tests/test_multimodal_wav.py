@@ -588,3 +588,59 @@ def test_avi_parse_rejects_corrupt_and_truncated(spark):
     )
     with _pytest.raises(Exception, match="frame-count mismatch"):
         MM.parse_avi_features(df).collect()
+
+
+def test_mp3_walk_closed_form_and_id3_skip(spark):
+    """Synthesized MP3s start with a genuine ID3v2.4 tag (syncsafe
+    size) and the walk must agree with every closed form."""
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 16)
+    rows = MM.synthesize_mp3_assets(docs).collect()
+    assert rows
+    for r in rows:
+        buf = bytes(r["payload"])
+        assert buf[:3] == b"ID3" and not any(b & 0x80 for b in buf[6:10])
+    feats = {int(r["asset_id"]): r for r in MM.parse_mp3_features(
+        MM.synthesize_mp3_assets(docs)).collect()}
+    brs = MM._MP3_BITRATES
+    for d, r in feats.items():
+        sr = MM._MP3_RATES[d % 3]
+        n = 20 + d % 30
+        kbps = [brs[((d * 7 + i * 13) % 14)] for i in range(n)]
+        pads = [(d + i) % 2 for i in range(n)]
+        assert r["n_frames"] == n and r["samplerate"] == sr
+        assert r["duration_s"] == (n * 1152) / sr
+        assert r["total_bytes"] == sum(
+            144000 * k // sr + p for k, p in zip(kbps, pads)
+        )
+        assert r["avg_bitrate_kbps"] == sum(kbps) / n
+        assert r["n_padded"] == sum(pads)
+
+
+def test_mp3_walk_rejects_desync_and_truncation(spark):
+    """A corrupt byte mid-stream or a cut tail must raise (lost sync /
+    truncated frame), never silently under-count."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") == 5)
+    [r] = MM.synthesize_mp3_assets(docs).collect()
+    buf = bytes(r["payload"])
+
+    cut = spark.createDataFrame(
+        [(5, bytearray(buf[:-7]))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="truncated"):
+        MM.parse_mp3_features(cut).collect()
+
+    # corrupt the SECOND frame's sync byte: first frame ends after the
+    # ID3 tag + frame-0 length, computable from the closed forms
+    d = 5
+    sr = MM._MP3_RATES[d % 3]
+    tag_end = 10 + (37 + d % 64)
+    f0 = 144000 * MM._MP3_BITRATES[(d * 7) % 14] // sr + (d % 2)
+    bad = bytearray(buf)
+    bad[tag_end + f0] = 0x00
+    df = spark.createDataFrame(
+        [(5, bytearray(bytes(bad)))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="sync"):
+        MM.parse_mp3_features(df).collect()
