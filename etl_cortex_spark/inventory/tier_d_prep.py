@@ -1294,3 +1294,56 @@ def d97(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-invariance are pinned in pytest."""
     docs = T(spark, sf_dir, "documents").select("doc_id")
     return LP.shuffle_to_shards(docs, n_shards=8, seed=7)
+
+
+@query(
+    "d12_semantic_contamination",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id AS bench_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    train AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id % 50 <> 0
+      UNION ALL
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    j AS (
+      SELECT bench_id,
+             round(list_dot_product(cv, bv) /
+                   (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))), 6)
+               AS c
+      FROM train, bench
+    )
+    SELECT bench_id, max(c) AS max_cosine,
+           max(c) >= 0.99 AS contaminated
+    FROM j GROUP BY bench_id ORDER BY bench_id
+    """,
+)
+def d12sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmprep.semantic_contamination — the PARAPHRASE-leakage member
+    of the decontamination family (round 11; d12 pins verbatim k-gram
+    overlap, d91 the Bloom exact path): max cosine per benchmark
+    vector against the whole training corpus, flagged at 0.99.
+    Self-seeded ground truth: every 100th embedding is planted into
+    the training side as a verbatim copy (+1e6 ids), so exactly the
+    even-hundred benchmark items hit max_cosine 1.0 → contaminated,
+    while the odd-fifties stay below threshold — both engines derive
+    the flag from the data. Scale shape: benchmark broadcast, one
+    corpus scan, zero corpus-row shuffle (the max is a partial agg
+    whose shuffle is benchmark-sized); deliberately exact rather than
+    bucket-pruned — decontamination needs recall 1.0 at the chosen
+    threshold."""
+    emb = T(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    organic = emb.filter(F.col("vec_id") % 50 != 0).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    train = organic.unionByName(planted)
+    return LP.semantic_contamination(train, bench, threshold=0.99).orderBy("bench_id")

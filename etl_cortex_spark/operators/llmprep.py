@@ -1185,3 +1185,58 @@ def shuffle_to_shards(
         key.alias("shuffle_key"),
         *others,
     )
+
+
+def semantic_contamination(
+    train: "DataFrame",
+    benchmark: "DataFrame",
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+) -> "DataFrame":
+    """SEMANTIC benchmark decontamination (round 11) — the third
+    member of the decontamination family: `contamination_check` pins
+    verbatim k-gram overlap, `bloom_decontaminate` scales the exact
+    path to a constant-size broadcast filter, and this one catches
+    what neither can — PARAPHRASED leakage, where a benchmark item was
+    reworded before landing in the training corpus (the SemDeDup/
+    Dolma-style audit). For every benchmark vector: the maximum cosine
+    against the WHOLE training corpus, and a contamination flag at
+    ``threshold``.
+
+    Scale shape: the benchmark is benchmark-sized (thousands) → it is
+    BROADCAST, and the training corpus streams through ONE scan with
+    no shuffle of corpus rows; the per-probe max is a partial-agg
+    whose shuffle is benchmark-sized. This is deliberately the exact
+    (brute-force-per-probe, single-scan-total) form — a
+    decontamination decision needs recall 1.0 at the chosen
+    threshold, so bucket pruning (which trades recall for work) is
+    the wrong default here; at 100 TB the corpus scan is the same
+    scan the quality gates already make.
+
+    Returns (bench_id, max_cosine, contaminated) — one row per
+    benchmark vector, max_cosine rounded at 6dp (left-to-right HOF
+    folds, bit-identical to any engine's same-order fold)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from etl_cortex_spark.operators.similarity import as_double, cosine
+
+    c = train.select(as_double(F.col(vec_col)).alias("__cv"))
+    b = benchmark.select(
+        F.col(bench_id_col), as_double(F.col(vec_col)).alias("__bv")
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            bench_id_col,
+            F.round(cosine(F.col("__cv"), F.col("__bv")), 6).alias("__cos"),
+        )
+        .groupBy(bench_id_col)
+        .agg(F.max("__cos").alias("max_cosine"))
+        .select(
+            bench_id_col,
+            "max_cosine",
+            (F.col("max_cosine") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )
