@@ -1165,6 +1165,47 @@ def d05mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.parse_mp3_features(assets).orderBy("asset_id")
 
 
+@query(
+    "d05_tar_shard_manifest",
+    oracle="""
+    WITH a AS (SELECT doc_id, 4 + doc_id % 6 AS n FROM documents),
+    m AS (
+      SELECT doc_id, i, 0 AS kind,
+             lpad(CAST(i AS VARCHAR), 6, '0') || '.jpg' AS member_name,
+             400 + ((doc_id * 13 + i * 29) % 600) AS size
+      FROM a, range(0, 10) t(i) WHERE i < n
+      UNION ALL
+      SELECT doc_id, i, 1,
+             lpad(CAST(i AS VARCHAR), 6, '0') || '.json',
+             80 + ((doc_id * 7 + i * 11) % 90)
+      FROM a, range(0, 10) t(i) WHERE i < n
+    )
+    SELECT doc_id AS asset_id, member_name, CAST(size AS BIGINT) AS size,
+           CAST(512 + coalesce(sum(512 + ((size + 511) // 512) * 512) OVER (
+             PARTITION BY doc_id ORDER BY i * 2 + kind
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS data_offset
+    FROM m ORDER BY asset_id, data_offset
+    """,
+)
+def d05tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebDataset-shard manifest (round 11): multimodal training
+    corpora ship as tar shards of (jpg, json) sample pairs; the
+    shards here are written by the stdlib tarfile writer
+    (USTAR_FORMAT) and walked back by a HAND-WRITTEN ustar header
+    walker — 512-byte blocks, octal size fields, the chksum-as-spaces
+    header checksum verified per member, end-of-archive zero-block
+    stop, overrun/corruption raises — so the parse is independent of
+    the writer. Output is the manifest a shard loader range-reads by:
+    (member_name, size, exact data byte offset), payloads never
+    materialized. The oracle regenerates names/sizes from the closed
+    forms and replays the offset arithmetic (header + 512-padded
+    payload running sum) as a window over the member sequence."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_tar_shards(docs)
+    return MM.tar_shard_manifest(assets).orderBy("asset_id", "data_offset")
+
+
 # --- D6-D8: streaming ---------------------------------------------------------
 
 

@@ -1840,3 +1840,125 @@ def parse_mp3_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5j: REAL tar shard manifest (WebDataset layout, round 11) ----------------
+
+
+def synthesize_tar_shards(docs: DataFrame) -> DataFrame:
+    """REAL ustar archives in the WebDataset layout, one shard per
+    document — multimodal training corpora ship as tar shards of
+    (sample.jpg, sample.json) member pairs, and the shard READER's
+    first job is the member manifest: names, sizes, byte offsets, so
+    it can range-read samples without extracting. The shards here are
+    written by the stdlib ``tarfile`` writer (USTAR_FORMAT,
+    deterministic zeroed mtime/uid/gid), so the walker below is
+    exercised against independently-produced conformant bytes, not
+    our own serializer. Closed forms shared with the oracle:
+
+        n_samples      = 4 + id % 6
+        sample i: {i:06d}.jpg  of 400 + ((id*13 + i*29) % 600) bytes
+                  {i:06d}.json of  80 + ((id*7  + i*11) %  90) bytes
+        member order: 000000.jpg, 000000.json, 000001.jpg, ...
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        def encode_one(d: int) -> bytes:
+            bio = io.BytesIO()
+            with tarfile.open(
+                fileobj=bio, mode="w", format=tarfile.USTAR_FORMAT
+            ) as tf:
+                for i in range(4 + d % 6):
+                    for ext, size in (
+                        ("jpg", 400 + ((d * 13 + i * 29) % 600)),
+                        ("json", 80 + ((d * 7 + i * 11) % 90)),
+                    ):
+                        info = tarfile.TarInfo(name=f"{i:06d}.{ext}")
+                        info.size = size
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        tf.addfile(
+                            info,
+                            io.BytesIO(
+                                bytes((d + i + j) % 256 for j in range(size))
+                            ),
+                        )
+            return bio.getvalue()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def tar_shard_manifest(assets: DataFrame) -> DataFrame:
+    """REAL tar walking via ``mapInPandas`` — a hand-written ustar
+    header walker (stdlib struct-free: fixed 512-byte blocks, octal
+    size fields, and the HEADER CHECKSUM verified with the
+    chksum-field-as-spaces rule), deliberately NOT ``tarfile``, so the
+    parse is independent of the writer. Emits the shard reader's
+    manifest: one row per member with its payload size and the exact
+    byte offset of its data (header offset + 512) — what a
+    WebDataset-style loader range-reads samples by. Walk ends at the
+    end-of-archive zero block; a corrupt checksum or a size field
+    overrunning the archive raises loudly. The member payloads are
+    never materialized — manifest only, O(members) work per shard.
+    Output: (asset_id, member_name, size, data_offset)."""
+    out_schema = "asset_id bigint, member_name string, size bigint, data_offset bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        def walk_one(aid, buf: bytes):
+            out = []
+            pos = 0
+            while pos + 512 <= len(buf):
+                hdr = buf[pos : pos + 512]
+                if hdr == b"\x00" * 512:
+                    break  # end-of-archive
+                if hdr[257:262] != b"ustar":
+                    raise ValueError(f"asset {aid}: bad ustar magic at {pos}")
+                try:
+                    stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+                except ValueError:
+                    # a non-octal chksum field IS checksum corruption
+                    raise ValueError(
+                        f"asset {aid}: header checksum mismatch at {pos}"
+                    ) from None
+                summed = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+                if stored != summed:
+                    raise ValueError(f"asset {aid}: header checksum mismatch at {pos}")
+                name = hdr[0:100].split(b"\x00")[0].decode("utf-8")
+                size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+                data_off = pos + 512
+                if data_off + size > len(buf):
+                    raise ValueError(f"asset {aid}: member overruns archive at {pos}")
+                out.append((name, size, data_off))
+                pos = data_off + ((size + 511) // 512) * 512
+            if not out:
+                raise ValueError(f"asset {aid}: no tar members")
+            return out
+
+        for pdf in it:
+            rows = {"asset_id": [], "member_name": [], "size": [], "data_offset": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for name, size, off in walk_one(aid, bytes(payload)):
+                    rows["asset_id"].append(aid)
+                    rows["member_name"].append(name)
+                    rows["size"].append(size)
+                    rows["data_offset"].append(off)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)

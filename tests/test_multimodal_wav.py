@@ -644,3 +644,34 @@ def test_mp3_walk_rejects_desync_and_truncation(spark):
     )
     with _pytest.raises(Exception, match="sync"):
         MM.parse_mp3_features(df).collect()
+
+
+def test_tar_manifest_offsets_enable_range_reads(spark):
+    """The manifest's whole point: (offset, size) must slice the exact
+    member payload out of the shard bytes — verified against the
+    closed-form content. Also: checksum tampering raises."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 8)
+    shards = {int(r["asset_id"]): bytes(r["payload"])
+              for r in MM.synthesize_tar_shards(docs).collect()}
+    rows = MM.tar_shard_manifest(MM.synthesize_tar_shards(docs)).collect()
+    assert rows
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(int(r["asset_id"]), []).append(r)
+    for d, members in by_asset.items():
+        assert len(members) == 2 * (4 + d % 6)
+        for r in members:
+            i = int(r["member_name"][:6])
+            payload = shards[d][r["data_offset"] : r["data_offset"] + r["size"]]
+            assert payload == bytes((d + i + j) % 256 for j in range(r["size"])), (
+                d, r["member_name"])
+    # corrupt one checksum byte -> loud failure
+    buf = bytearray(shards[1])
+    buf[150] = (buf[150] + 1) % 256
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(buf)))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="checksum"):
+        MM.tar_shard_manifest(df).collect()
