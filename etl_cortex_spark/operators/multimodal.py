@@ -1536,6 +1536,7 @@ def synthesize_avi_assets(docs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        import numpy as np
         import pandas as pd
 
         def chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -1564,16 +1565,15 @@ def synthesize_avi_assets(docs: DataFrame) -> DataFrame:
                 b"hdrl",
                 chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
             )
-            frames = b"".join(
-                chunk(
-                    b"00dc",
-                    bytes(
-                        ((d + i) % 256 if j == 0 else (d * 3 + i * 7 + j) % 256)
-                        for j in range(64 + ((d * 31 + i * 17) % 128))
-                    ),
-                )
-                for i in range(n)
-            )
+            def frame_body(i: int) -> bytes:
+                # numpy byte-ramp instead of a per-byte Python generator
+                # (round 11: synthesis dominated the sf1 probe wall)
+                size = 64 + ((d * 31 + i * 17) % 128)
+                arr = (np.arange(size, dtype=np.int64) + d * 3 + i * 7) % 256
+                arr[0] = (d + i) % 256
+                return arr.astype(np.uint8).tobytes()
+
+            frames = b"".join(chunk(b"00dc", frame_body(i)) for i in range(n))
             movi = lst(b"movi", frames)
             riff_body = b"AVI " + hdrl + movi
             return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -1714,6 +1714,7 @@ def synthesize_mp3_assets(docs: DataFrame) -> DataFrame:
     out_schema = "asset_id bigint, payload binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         import pandas as pd
 
         bitrates = _MP3_BITRATES
@@ -1730,7 +1731,11 @@ def synthesize_mp3_assets(docs: DataFrame) -> DataFrame:
                 [(tag_body >> 21) & 0x7F, (tag_body >> 14) & 0x7F,
                  (tag_body >> 7) & 0x7F, tag_body & 0x7F]
             )
-            out += bytes((d + j) % 128 for j in range(tag_body))
+            out += (
+                ((np.arange(tag_body, dtype=np.int64) + d) % 128)
+                .astype(np.uint8)
+                .tobytes()
+            )
             for i in range(n):
                 br_idx = 1 + ((d * 7 + i * 13) % 14)
                 pad = (d + i) % 2
@@ -1740,8 +1745,10 @@ def synthesize_mp3_assets(docs: DataFrame) -> DataFrame:
                     [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1),
                      0xC0]
                 )
-                out += hdr + bytes(
-                    (d * 5 + i * 11 + j) % 256 for j in range(size - 4)
+                out += hdr + (
+                    ((np.arange(size - 4, dtype=np.int64) + d * 5 + i * 11) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                 )
             return bytes(out)
 
@@ -1867,6 +1874,7 @@ def synthesize_tar_shards(docs: DataFrame) -> DataFrame:
         import io
         import tarfile
 
+        import numpy as np
         import pandas as pd
 
         def encode_one(d: int) -> bytes:
@@ -1887,7 +1895,9 @@ def synthesize_tar_shards(docs: DataFrame) -> DataFrame:
                         tf.addfile(
                             info,
                             io.BytesIO(
-                                bytes((d + i + j) % 256 for j in range(size))
+                                ((np.arange(size, dtype=np.int64) + d + i) % 256)
+                                .astype(np.uint8)
+                                .tobytes()
                             ),
                         )
             return bio.getvalue()
