@@ -58,8 +58,9 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
-    library — by round 11 that is progressive JPEG, MP3 SAMPLE decode,
-    and video CODEC decode only: PCM-WAV (``decode_wav_features``),
+    library — by round 11 that is only: AC successive-approximation
+    REFINEMENT scans in progressive JPEG, MP3 SAMPLE decode, and video
+    CODEC decode. PCM-WAV (``decode_wav_features``),
     24-bpp BMP (``decode_bmp_features``), DEFLATE-compressed PNG
     (``decode_png_features``), baseline-sequential grayscale JPEG
     (``decode_jpeg_features`` — Huffman + full IDCT), baseline COLOR
@@ -67,13 +68,17 @@ def decode_image(payload: bytes) -> "object":
     MCUs, chroma upsampling, JFIF color conversion), RIFF-AVI
     container metadata (``parse_avi_features``) and MPEG-1 Layer III
     frame-header walks (``parse_mp3_features`` — ID3v2 skip, VBR
-    census) are all real stdlib parsing. A production build plugs
+    census), progressive multi-scan JPEG
+    (``decode_progressive_jpeg_features`` — DC successive
+    approximation + AC spectral selection with EOBn runs), and
+    WebDataset tar manifests (``tar_shard_manifest``) are all real
+    stdlib parsing. A production build plugs
     Pillow/libvips/ffmpeg here; everything around it (schema,
     batching, partitioning) is already real.
     """
     raise NotImplementedError(
-        "progressive-jpeg, mp3-sample, and video-codec decoders are not "
-        "available in this environment"
+        "progressive-jpeg AC-refinement scans, mp3-sample, and video-codec "
+        "decoders are not available in this environment"
     )
 
 
@@ -1969,6 +1974,394 @@ def tar_shard_manifest(assets: DataFrame) -> DataFrame:
                     rows["member_name"].append(name)
                     rows["size"].append(size)
                     rows["data_offset"].append(off)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5k: REAL PROGRESSIVE JPEG decode (multi-scan, round 11) ------------------
+
+
+def _prog_jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form dims for the progressive leg (distinct from the
+    baseline-grayscale and color families). Multiples of 8: MCU-
+    aligned so the closed-form oracle needs no crop."""
+    return 24 + (doc_id % 2) * 8, 16 + (doc_id % 3) * 8
+
+
+def synthesize_progressive_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) JPEG payloads — the last image entry of
+    the NotImplementedError contract, retired round 11. Progressive
+    JPEG splits the coefficient data across MULTIPLE SCANS; these
+    payloads exercise the three scan kinds a progressive decoder must
+    dispatch on:
+
+      scan 1: DC first pass   (Ss=0, Se=0, Ah=0, Al=1) — Huffman DC
+              diffs of (qDC >> 1), the successive-approximation
+              high bits (arithmetic shift: negatives floor, per G.1)
+      scan 2: DC refinement   (Ss=0, Se=0, Ah=1, Al=0) — ONE RAW BIT
+              per block (no Huffman), the low bit of qDC
+      scan 3: AC first pass   (Ss=1, Se=63, Ah=0, Al=0) — the 1-63
+              spectral band; all-zero here, closed per block with the
+              1-bit EOB code (an EOB-run of 1 — the EOBn machinery's
+              r=0 case)
+
+    so the decoder must accumulate coefficients across scans and IDCT
+    only at EOI. Assets are DC-only (the decoder path is general —
+    pytest feeds it a nonzero-AC progressive file); q[0]=8 keeps every
+    decoded pixel the exact integer 128 + qDC with the same closed
+    form as the baseline leg:
+
+        qDC(bx, by) = (id*7 + bx*5 + by*3) % 160 - 80
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def encode_one(d: int) -> bytes:
+            w, h = 24 + (d % 2) * 8, 16 + (d % 3) * 8  # inlined _prog_jpeg_dims
+            nbx, nby = w // 8, h // 8
+            qdc = [
+                (d * 7 + bx * 5 + by * 3) % 160 - 80
+                for by in range(nby)
+                for bx in range(nbx)
+            ]
+            q = bytes([8] + [16] * 63)
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+            out += (
+                b"\xff\xc2"  # SOF2: progressive
+                + struct.pack(">HBHHB", 11, 8, h, w, 1)
+                + bytes([1, 0x11, 0])
+            )
+            bits_dc = bytearray(16)
+            bits_dc[3] = 9
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + 9)
+                + b"\x00"
+                + bytes(bits_dc)
+                + bytes(range(9))
+            )
+            bits_ac = bytearray(16)
+            bits_ac[0] = 1
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + 1)
+                + b"\x10"
+                + bytes(bits_ac)
+                + bytes([0x00])
+            )
+
+            class BitW:
+                def __init__(self):
+                    self.data = bytearray()
+                    self.buf = self.n = 0
+
+                def put(self, code: int, ln: int) -> None:
+                    self.buf = (self.buf << ln) | code
+                    self.n += ln
+                    while self.n >= 8:
+                        byte = (self.buf >> (self.n - 8)) & 0xFF
+                        self.data.append(byte)
+                        if byte == 0xFF:
+                            self.data.append(0x00)
+                        self.n -= 8
+                        self.buf &= (1 << self.n) - 1
+
+                def flush(self) -> bytes:
+                    if self.n:
+                        pad = 8 - self.n
+                        byte = ((self.buf << pad) | ((1 << pad) - 1)) & 0xFF
+                        self.data.append(byte)
+                        if byte == 0xFF:
+                            self.data.append(0x00)
+                        self.buf = self.n = 0
+                    return bytes(self.data)
+
+            def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+                return (
+                    b"\xff\xda"
+                    + struct.pack(">HB", 8, 1)
+                    + bytes([1, 0x00, ss, se, (ah << 4) | al])
+                )
+
+            # scan 1: DC first pass, values >> 1 (arithmetic), Huffman diffs
+            out += sos(0, 0, 0, 1)
+            bw = BitW()
+            prev = 0
+            for v in qdc:
+                hi = v >> 1
+                diff = hi - prev
+                prev = hi
+                s = diff.bit_length()
+                bw.put(s, 4)
+                if s:
+                    amp = diff if diff > 0 else diff + (1 << s) - 1
+                    bw.put(amp & ((1 << s) - 1), s)
+            out += bw.flush()
+            # scan 2: DC refinement — one raw bit per block
+            out += sos(0, 0, 1, 0)
+            bw = BitW()
+            for v in qdc:
+                bw.put(v & 1, 1)
+            out += bw.flush()
+            # scan 3: AC first pass 1-63 — EOB per block (1-bit code)
+            out += sos(1, 63, 0, 0)
+            bw = BitW()
+            for _ in qdc:
+                bw.put(0, 1)
+            out += bw.flush()
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_progressive_jpeg_features(assets: DataFrame) -> DataFrame:
+    """REAL progressive-JPEG decode via ``mapInPandas`` — stdlib +
+    numpy, a MULTI-SCAN grayscale decoder (ITU T.81 Annex G): SOF2,
+    per-scan dispatch on (Ss, Se, Ah, Al) — DC first pass (Huffman
+    diffs shifted up by Al), DC refinement (one raw bit per block
+    OR-ed in at Al), AC first pass over any spectral band with the
+    full EOBn run machinery (symbol (r,0): EOBRUN = 2^r − 1 +
+    r extra bits, skipping whole blocks) and ZRL — coefficients
+    ACCUMULATE across scans and the IDCT runs once at EOI. Supported
+    subset is explicit: grayscale, DC successive approximation to any
+    depth, AC spectral selection with Ah=0; AC successive-
+    approximation REFINEMENT scans (Ah>0 with Ss>0) raise — they are
+    the one remaining piece of the image contract, and a file without
+    them is still fully legal progressive JPEG. Output contract
+    matches the baseline leg: (asset_id, width, height, n_pixels,
+    mean_lum, topleft_lum)."""
+    out_schema = (
+        "asset_id bigint, width int, height int, n_pixels bigint, "
+        "mean_lum double, topleft_lum int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        zigzag = (
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        )
+        M = np.array(
+            [
+                [
+                    ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                    / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+
+        def build_huff(bits, vals):
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    k += 1
+                    code += 1
+                code <<= 1
+            return table
+
+        def decode_one(aid, buf: bytes):
+            if buf[:2] != b"\xff\xd8":
+                raise ValueError(f"asset {aid}: not a JPEG (no SOI)")
+            pos, qt, huff, sof = 2, {}, {}, None
+            coefs = None  # per-block coefficient store, across scans
+            while pos < len(buf):
+                if buf[pos] != 0xFF:
+                    raise ValueError(f"asset {aid}: expected marker at {pos}")
+                m = buf[pos + 1]
+                pos += 2
+                if m == 0xD9:  # EOI: all scans in — dequant + IDCT now
+                    if sof is None or coefs is None:
+                        raise ValueError(f"asset {aid}: EOI before any scan")
+                    w, h, tq = sof
+                    q = qt[tq]
+                    nbx = w // 8
+                    px = np.zeros((h, w), dtype=np.int64)
+                    for bi, czz in enumerate(coefs):
+                        Fm = np.zeros(64, dtype=np.float64)
+                        Fm[list(zigzag)] = czz * q
+                        block = M.T @ Fm.reshape(8, 8) @ M
+                        by, bx = divmod(bi, nbx)
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                            np.floor(block + 0.5).astype(np.int64) + 128, 0, 255
+                        )
+                    return w, h, px
+                (ln,) = struct.unpack(">H", buf[pos : pos + 2])
+                seg = buf[pos + 2 : pos + ln]
+                pos += ln
+                if 0xE0 <= m <= 0xEF or m == 0xFE:
+                    continue
+                if m == 0xDB:
+                    i = 0
+                    while i < len(seg):
+                        pq, tq = seg[i] >> 4, seg[i] & 0xF
+                        if pq != 0:
+                            raise ValueError(f"asset {aid}: 16-bit DQT unsupported")
+                        qt[tq] = np.frombuffer(
+                            seg[i + 1 : i + 65], dtype=np.uint8
+                        ).astype(np.int64)
+                        i += 65
+                elif m == 0xC4:
+                    i = 0
+                    while i < len(seg):
+                        tc, th = seg[i] >> 4, seg[i] & 0xF
+                        bits = list(seg[i + 1 : i + 17])
+                        nv = sum(bits)
+                        huff[(tc, th)] = build_huff(bits, list(seg[i + 17 : i + 17 + nv]))
+                        i += 17 + nv
+                elif m == 0xC2:  # SOF2 progressive
+                    prec = seg[0]
+                    h, w = struct.unpack(">HH", seg[1:5])
+                    nc = seg[5]
+                    if prec != 8 or nc != 1 or seg[7] != 0x11:
+                        raise ValueError(
+                            f"asset {aid}: only 8-bit single-component 1x1 "
+                            f"progressive supported"
+                        )
+                    sof = (w, h, seg[8])
+                    coefs = [
+                        np.zeros(64, dtype=np.int64)
+                        for _ in range((w // 8) * (h // 8))
+                    ]
+                elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+                    raise ValueError(
+                        f"asset {aid}: SOF{m & 0xF} in the progressive decoder "
+                        f"(use decode_jpeg_features for baseline)"
+                    )
+                elif m == 0xDD:
+                    raise ValueError(f"asset {aid}: restart intervals unsupported")
+                elif m == 0xDA:
+                    if sof is None:
+                        raise ValueError(f"asset {aid}: SOS before SOF2")
+                    tbl = seg[2]
+                    ss, se = seg[3], seg[4]
+                    ah, al = seg[5] >> 4, seg[5] & 0xF
+                    data = bytearray()
+                    p = pos
+                    while p < len(buf):
+                        if buf[p] == 0xFF:
+                            if p + 1 < len(buf) and buf[p + 1] == 0x00:
+                                data.append(0xFF)
+                                p += 2
+                                continue
+                            break
+                        data.append(buf[p])
+                        p += 1
+                    bitpos = 0
+
+                    def getbit() -> int:
+                        nonlocal bitpos
+                        byte = data[bitpos >> 3]
+                        bit = (byte >> (7 - (bitpos & 7))) & 1
+                        bitpos += 1
+                        return bit
+
+                    def read_huff(tab):
+                        code = ln2 = 0
+                        while ln2 <= 16:
+                            code = (code << 1) | getbit()
+                            ln2 += 1
+                            sym = tab.get((ln2, code))
+                            if sym is not None:
+                                return sym
+                        raise ValueError(f"asset {aid}: invalid Huffman code")
+
+                    def receive_extend(s: int) -> int:
+                        v = 0
+                        for _ in range(s):
+                            v = (v << 1) | getbit()
+                        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+                    if ss == 0 and ah == 0:  # DC first pass
+                        dc_t = huff[(0, tbl >> 4)]
+                        prev = 0
+                        for czz in coefs:
+                            s = read_huff(dc_t)
+                            prev += receive_extend(s) if s else 0
+                            czz[0] = prev << al
+                    elif ss == 0:  # DC refinement: one raw bit per block
+                        for czz in coefs:
+                            if getbit():
+                                czz[0] |= 1 << al
+                    elif ah == 0:  # AC first pass over band [ss, se]
+                        ac_t = huff[(1, tbl & 0xF)]
+                        eobrun = 0
+                        for czz in coefs:
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = read_huff(ac_t)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    # EOBn: run of 2^r - 1 + extra blocks
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        v = 0
+                                        for _ in range(r):
+                                            v = (v << 1) | getbit()
+                                        eobrun += v
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError(
+                                        f"asset {aid}: AC index past band end"
+                                    )
+                                czz[k] = receive_extend(s) << al
+                                k += 1
+                    else:
+                        raise ValueError(
+                            f"asset {aid}: AC successive-approximation "
+                            f"refinement (Ah>0) unsupported"
+                        )
+                    pos = p  # continue the marker walk after this scan
+                else:
+                    raise ValueError(f"asset {aid}: unexpected marker 0x{m:02x}")
+            raise ValueError(f"asset {aid}: no EOI")
+
+        for pdf in it:
+            cols = (
+                "asset_id", "width", "height", "n_pixels", "mean_lum", "topleft_lum",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_one(aid, bytes(payload))
+                n = w * h
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(n)
+                rows["mean_lum"].append(float(px.sum()) / n)
+                rows["topleft_lum"].append(int(px[0, 0]))
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)

@@ -675,3 +675,105 @@ def test_tar_manifest_offsets_enable_range_reads(spark):
     )
     with _pytest.raises(Exception, match="checksum"):
         MM.tar_shard_manifest(df).collect()
+
+
+def test_progressive_jpeg_roundtrip_and_scan_structure(spark):
+    """Synthesized files are genuine SOF2 with THREE SOS scans (DC
+    first, DC refinement, AC first) and decode to the closed form —
+    i.e. the successive-approximation split reconstructs qDC exactly."""
+    import struct
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 12)
+    rows = MM.synthesize_progressive_jpeg_assets(docs).collect()
+    assert rows
+    for r in rows:
+        buf = bytes(r["payload"])
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf  # SOF2, no SOF0
+        # three scans with the expected (Ss, Se, Ah/Al) headers
+        scans = []
+        p = 0
+        while True:
+            p = buf.find(b"\xff\xda", p)
+            if p < 0:
+                break
+            (ln,) = struct.unpack(">H", buf[p + 2 : p + 4])
+            seg = buf[p + 4 : p + 2 + ln]
+            scans.append((seg[3], seg[4], seg[5] >> 4, seg[5] & 0xF))
+            p += 2 + ln
+        assert scans == [(0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0)], scans
+    feats = {int(r["asset_id"]): r for r in MM.decode_progressive_jpeg_features(
+        MM.synthesize_progressive_jpeg_assets(docs)).collect()}
+    for d, r in feats.items():
+        w, h = MM._prog_jpeg_dims(d)
+        vals = [128 + ((d * 7 + bx * 5 + by * 3) % 160 - 80)
+                for by in range(h // 8) for bx in range(w // 8)]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_lum"] == sum(vals) / len(vals)
+        assert r["topleft_lum"] == 128 + ((d * 7) % 160 - 80)
+
+
+def test_progressive_jpeg_decoder_handles_ac_scan_data(spark):
+    """The AC first-pass path must be the real EOBn/coefficient loop:
+    a hand-built progressive file whose AC scan carries a nonzero
+    coefficient (2-symbol AC table) must decode to the exact IDCT —
+    and an AC-refinement scan (Ah>0) must raise, per the documented
+    subset."""
+    import math
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    def headers(sof_marker=b"\xff\xc2"):
+        q = bytes([8] + [16] * 63)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+        out += sof_marker + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        bits_dc = bytearray(16); bits_dc[3] = 9
+        out += (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 9) + b"\x00"
+                + bytes(bits_dc) + bytes(range(9)))
+        bits_ac = bytearray(16); bits_ac[0] = 1; bits_ac[1] = 1
+        out += (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 2) + b"\x10"
+                + bytes(bits_ac) + bytes([0x00, 0x01]))
+        return out
+
+    def sos(ss, se, ah, al):
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + bytes([1, 0x00, ss, se, (ah << 4) | al]))
+
+    out = headers()
+    out += sos(0, 0, 0, 0) + bytes([0b00001111])   # DC first: size 0 -> qDC 0
+    # AC first pass: symbol 0x01 ("10") + amp bit "1" -> coef zz1 = +1, EOB "0"
+    out += sos(1, 63, 0, 0) + bytes([0b10100111])
+    out += b"\xff\xd9"
+    df = spark.createDataFrame(
+        [(9, bytearray(bytes(out)))], "asset_id long, payload binary"
+    )
+    [r] = MM.decode_progressive_jpeg_features(df).collect()
+    M = np.array([
+        [((1 / math.sqrt(2)) if u == 0 else 1.0) / 2.0
+         * math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+        for u in range(8)
+    ])
+    Fm = np.zeros((8, 8)); Fm[0, 1] = 16.0
+    block = np.clip(np.floor(M.T @ Fm @ M + 0.5).astype(int) + 128, 0, 255)
+    assert block.min() != block.max()
+    assert r["mean_lum"] == float(block.sum()) / 64
+    assert r["topleft_lum"] == int(block[0, 0])
+
+    bad = headers()
+    bad += sos(1, 63, 1, 0) + bytes([0xFF, 0x00])  # AC refinement: unsupported
+    df = spark.createDataFrame(
+        [(10, bytearray(bytes(bad)))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="refinement"):
+        MM.decode_progressive_jpeg_features(df).collect()
+
+    base = headers(sof_marker=b"\xff\xc0")  # baseline SOF0 -> wrong decoder
+    base += b"\xff\xd9"
+    df = spark.createDataFrame(
+        [(11, bytearray(bytes(base)))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="SOF0|baseline"):
+        MM.decode_progressive_jpeg_features(df).collect()
