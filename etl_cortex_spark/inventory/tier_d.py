@@ -1242,8 +1242,10 @@ def d05pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan 2 — both engines' values agree because the arithmetic-shift
     split reconstructs qDC exactly); pytest proves a nonzero-AC
     progressive payload decodes through the same kernel. Supported
-    subset is explicit: AC successive-approximation REFINEMENT scans
-    raise (the one remaining image-contract item)."""
+    pytest also drives AC successive-approximation REFINEMENT scans
+    (correction bits, newly-significant insertions, EOB-run
+    corrections) — the image contract is now fully decoded; only
+    mp3-sample and video-codec decode remain stubbed."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_progressive_jpeg_assets(docs)
     return MM.decode_progressive_jpeg_features(assets).orderBy("asset_id")

@@ -58,9 +58,9 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
-    library — by round 11 that is only: AC successive-approximation
-    REFINEMENT scans in progressive JPEG, MP3 SAMPLE decode, and video
-    CODEC decode. PCM-WAV (``decode_wav_features``),
+    library — by round 11 that is only: MP3 SAMPLE decode and video
+    CODEC decode (the full image family, progressive AC refinement
+    included, is decoded for real). PCM-WAV (``decode_wav_features``),
     24-bpp BMP (``decode_bmp_features``), DEFLATE-compressed PNG
     (``decode_png_features``), baseline-sequential grayscale JPEG
     (``decode_jpeg_features`` — Huffman + full IDCT), baseline COLOR
@@ -77,8 +77,8 @@ def decode_image(payload: bytes) -> "object":
     batching, partitioning) is already real.
     """
     raise NotImplementedError(
-        "progressive-jpeg AC-refinement scans, mp3-sample, and video-codec "
-        "decoders are not available in this environment"
+        "mp3-sample and video-codec decoders are not available in this "
+        "environment"
     )
 
 
@@ -2137,12 +2137,15 @@ def decode_progressive_jpeg_features(assets: DataFrame) -> DataFrame:
     OR-ed in at Al), AC first pass over any spectral band with the
     full EOBn run machinery (symbol (r,0): EOBRUN = 2^r − 1 +
     r extra bits, skipping whole blocks) and ZRL — coefficients
-    ACCUMULATE across scans and the IDCT runs once at EOI. Supported
-    subset is explicit: grayscale, DC successive approximation to any
-    depth, AC spectral selection with Ah=0; AC successive-
-    approximation REFINEMENT scans (Ah>0 with Ss>0) raise — they are
-    the one remaining piece of the image contract, and a file without
-    them is still fully legal progressive JPEG. Output contract
+    ACCUMULATE across scans and the IDCT runs once at EOI — plus AC
+    successive-approximation REFINEMENT scans (G.1.2.3: per-
+    coefficient correction bits toward the sign, newly-significant
+    insertions, EOBn runs that still read correction bits for the
+    nonzero coefficients they skip; the refinement EOBn counts the
+    current block, whose band remainder is processed under it).
+    Grayscale only; multi-component progressive would compose this
+    kernel per component exactly as the baseline color path does.
+    Output contract
     matches the baseline leg: (asset_id, width, height, n_pixels,
     mean_lum, topleft_lum)."""
     out_schema = (
@@ -2339,10 +2342,74 @@ def decode_progressive_jpeg_features(assets: DataFrame) -> DataFrame:
                                 czz[k] = receive_extend(s) << al
                                 k += 1
                     else:
-                        raise ValueError(
-                            f"asset {aid}: AC successive-approximation "
-                            f"refinement (Ah>0) unsupported"
-                        )
+                        # AC refinement (T.81 G.1.2.3, round 11 — the
+                        # last image-contract item): per coefficient,
+                        # a nonzero HISTORY value reads one correction
+                        # bit (add ±2^Al toward its sign unless that
+                        # bit is already set), a zero-history value can
+                        # become newly significant (s=1 + sign bit);
+                        # EOBn runs still read correction bits for the
+                        # nonzero coefficients they skip.
+                        ac_t = huff[(1, tbl & 0xF)]
+                        p1 = 1 << al
+                        m1 = -1 << al
+
+                        def correct(czz, k: int) -> None:
+                            if getbit() and (czz[k] & p1) == 0:
+                                czz[k] += p1 if czz[k] >= 0 else m1
+
+                        eobrun = 0
+                        for czz in coefs:
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = read_huff(ac_t)
+                                    r, s = rs >> 4, rs & 0xF
+                                    if s == 0:
+                                        if r != 15:
+                                            # refinement EOBn counts the
+                                            # CURRENT block too (its band
+                                            # remainder still reads
+                                            # correction bits below) —
+                                            # 1<<r total, current consumes 1
+                                            eobrun = 1 << r
+                                            if r:
+                                                v = 0
+                                                for _ in range(r):
+                                                    v = (v << 1) | getbit()
+                                                eobrun += v
+                                            break
+                                        newval = 0  # ZRL: 16 zero-history skips
+                                    else:
+                                        if s != 1:
+                                            raise ValueError(
+                                                f"asset {aid}: refinement "
+                                                f"s={s} (must be 1)"
+                                            )
+                                        newval = p1 if getbit() else m1
+                                    # skip r zero-history coeffs, correcting
+                                    # every nonzero-history one on the way
+                                    while k <= se:
+                                        if czz[k] != 0:
+                                            correct(czz, k)
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if s and k <= se:
+                                        czz[k] = newval
+                                        k += 1
+                                    elif not s:
+                                        k += 1  # past the ZRL's 16th zero
+                            if eobrun > 0:
+                                # remainder of THIS block under the EOB run:
+                                # nonzero history still reads correction bits
+                                while k <= se:
+                                    if czz[k] != 0:
+                                        correct(czz, k)
+                                    k += 1
+                                eobrun -= 1
                     pos = p  # continue the marker walk after this scan
                 else:
                     raise ValueError(f"asset {aid}: unexpected marker 0x{m:02x}")

@@ -762,14 +762,6 @@ def test_progressive_jpeg_decoder_handles_ac_scan_data(spark):
     assert r["mean_lum"] == float(block.sum()) / 64
     assert r["topleft_lum"] == int(block[0, 0])
 
-    bad = headers()
-    bad += sos(1, 63, 1, 0) + bytes([0xFF, 0x00])  # AC refinement: unsupported
-    df = spark.createDataFrame(
-        [(10, bytearray(bytes(bad)))], "asset_id long, payload binary"
-    )
-    with _pytest.raises(Exception, match="refinement"):
-        MM.decode_progressive_jpeg_features(df).collect()
-
     base = headers(sof_marker=b"\xff\xc0")  # baseline SOF0 -> wrong decoder
     base += b"\xff\xd9"
     df = spark.createDataFrame(
@@ -777,3 +769,73 @@ def test_progressive_jpeg_decoder_handles_ac_scan_data(spark):
     )
     with _pytest.raises(Exception, match="SOF0|baseline"):
         MM.decode_progressive_jpeg_features(df).collect()
+
+
+def test_progressive_jpeg_ac_refinement_scan(spark):
+    """The AC successive-approximation REFINEMENT path (T.81 G.1.2.3),
+    retired from the contract in round 11: a hand-built file refines
+    one coefficient with a correction bit (-4 -> -5) AND makes a
+    second newly significant (+1 at Al=0) in the same scan — the
+    decoder must read the sign bit, then the correction bit inside
+    the advance loop, and the final IDCT must match numpy exactly."""
+    import math
+    import struct
+
+    import numpy as np
+
+    q = bytes([8] + [16] * 63)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    bits_dc = bytearray(16); bits_dc[3] = 9
+    out += (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 9) + b"\x00"
+            + bytes(bits_dc) + bytes(range(9)))
+    bits_ac = bytearray(16); bits_ac[0] = 1; bits_ac[1] = 1; bits_ac[2] = 1
+    out += (b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 3) + b"\x10"
+            + bytes(bits_ac) + bytes([0x00, 0x01, 0x02]))
+
+    def sos(ss, se, ah, al):
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + bytes([1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=0, qDC=0 -> size 0 ('0000')
+    out += sos(0, 0, 0, 0) + bytes([0b00001111])
+    # scan 2: AC first at Al=1 — zz1 coded as -2 (true -5 >> 1 toward 0
+    # on magnitude): symbol 0x02 '110' + amp '01' (extend -> -2), EOB '0'
+    out += sos(1, 63, 0, 1) + bytes([0b11001011])
+    # scan 3: AC refinement Ah=1, Al=0 — zz2 newly significant +1
+    # (symbol 0x01 '10' + sign '1'), zz1 correction bit '1' (read in the
+    # advance loop while skipping to zz2: -4 -> -5), then EOB '0'
+    out += sos(1, 63, 1, 0) + bytes([0b10110111])
+    out += b"\xff\xd9"
+
+    df = spark.createDataFrame(
+        [(21, bytearray(bytes(out)))], "asset_id long, payload binary"
+    )
+    [r] = MM.decode_progressive_jpeg_features(df).collect()
+    M = np.array([
+        [((1 / math.sqrt(2)) if u == 0 else 1.0) / 2.0
+         * math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+        for u in range(8)
+    ])
+    Fm = np.zeros((8, 8))
+    Fm[0, 1] = -5 * 16.0  # zigzag 1, refined value
+    Fm[1, 0] = 1 * 16.0   # zigzag 2, newly significant
+    block = np.clip(np.floor(M.T @ Fm @ M + 0.5).astype(int) + 128, 0, 255)
+    assert r["mean_lum"] == float(block.sum()) / 64
+    assert r["topleft_lum"] == int(block[0, 0])
+
+    # EOB-run correction path: a refinement scan that is ONE EOB over
+    # the whole band still reads a correction bit for the nonzero zz1
+    out2 = bytearray(bytes(out[: out.rfind(b"\xff\xda")]))
+    # EOB '0' + correction bit '1' for zz1 -> '01' padded '01111111'
+    out2 += sos(1, 63, 1, 0) + bytes([0b01111111]) + b"\xff\xd9"
+    df2 = spark.createDataFrame(
+        [(22, bytearray(bytes(out2)))], "asset_id long, payload binary"
+    )
+    [r2] = MM.decode_progressive_jpeg_features(df2).collect()
+    Fm2 = np.zeros((8, 8))
+    Fm2[0, 1] = -5 * 16.0  # -4 corrected to -5 under the EOB run
+    block2 = np.clip(np.floor(M.T @ Fm2 @ M + 0.5).astype(int) + 128, 0, 255)
+    assert r2["mean_lum"] == float(block2.sum()) / 64
+    assert r2["topleft_lum"] == int(block2[0, 0])
