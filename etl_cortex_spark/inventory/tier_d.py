@@ -1832,6 +1832,66 @@ def d08e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hll_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS within_5pct
+    FROM events
+    """,
+)
+def d08h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 state-side pattern, round 11 — the DISTINCT-count member of
+    the always-on sketch family (CMS = frequencies, Bloom =
+    membership, HLL = cardinality): ``foreach_batch_hll`` unions each
+    micro-batch's Datasketches HLL into a ONE-ROW stored sketch under
+    the versioned exactly-once commit protocol. HLL union is register-
+    wise max — associative, commutative, idempotent — so the drained
+    sketch equals the one-batch build (pinned in pytest) and estimates
+    are replay-safe. Estimates are engine-specific, so the oracle-
+    checkable contract is the c19/HLL-rollup epsilon pattern: the
+    query computes the exact COUNT(DISTINCT) itself and emits whether
+    the streamed sketch's estimate lands within 5% (lg_k=12 ⇒ σ≈1.6%,
+    5% is >3σ); the oracle pins the flag. Driver-side state: none —
+    the comparison is one broadcast of a 1-row sketch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_hll,
+        read_upsert_table,
+    )
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_hll", h)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select("user_id")
+    q = foreach_batch_hll(
+        ev,
+        table_dir=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        key_col="user_id",
+        lg_k=12,
+    )
+    q.awaitTermination()
+    sketch = read_upsert_table(spark, os.path.join(base, "table"))
+
+    events = T(spark, sf_dir, "events")
+    exact = events.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = sketch.select(F.hll_sketch_estimate("sketch").alias("est"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
     "d87_incremental_exact_dedup",
     oracle="""
     WITH newb AS (

@@ -403,3 +403,41 @@ def foreach_batch_bloom(
         return sk if prev is None else bloom_merge(prev, sk)
 
     return _foreach_batch_merge(stream, table_dir, checkpoint_dir, merge, keep_versions)
+
+
+def foreach_batch_hll(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    lg_k: int = 12,
+    keep_versions: int = 2,
+):
+    """Streaming HLL distinct-count maintenance (round 11 — completes
+    the sketch×streaming matrix: CMS counts frequencies, Bloom answers
+    membership, HLL counts DISTINCTS): every micro-batch's Datasketches
+    HLL (``hll_sketch_agg``) is unioned into the stored one-row sketch
+    under the same versioned commit protocol as the upsert/CMS/Bloom
+    sinks — exactly-once under crash-replay, and because HLL union
+    takes the register-wise max it is associative, commutative AND
+    idempotent, so the drained sketch equals the one built over the
+    whole input in one batch (pinned in pytest).
+
+    This is the always-on cardinality monitor of a 100 TB ingest
+    (unique users/documents/keys ever seen): stored state is ONE row
+    with a ≤2^lg_k-register binary at any stream volume, each
+    micro-batch contributes one partial-combined aggregation, and
+    readers call ``hll_sketch_estimate`` on the snapshot — with
+    time-travel over ``keep_versions`` giving distinct-count-as-of."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
+        sk = batch.agg(F.hll_sketch_agg(key_col, lg_k).alias("sketch"))
+        if prev is None:
+            return sk
+        return (
+            prev.unionByName(sk)
+            .agg(F.hll_union_agg("sketch", True).alias("sketch"))
+        )
+
+    return _foreach_batch_merge(stream, table_dir, checkpoint_dir, merge, keep_versions)

@@ -330,3 +330,51 @@ def test_bloom_of_empty_key_set_rejects_everything(spark):
         .count()
     )
     assert hits == 0
+
+
+def test_streamed_hll_equals_batch_build_and_replay_is_noop(spark, tmp_path):
+    """foreach_batch_hll (round 11) over micro-batches must estimate
+    EXACTLY what one hll_sketch_agg over the whole input estimates
+    (union = register-wise max: associative, commutative, idempotent),
+    and re-draining with the same checkpoint must not change it."""
+    import os
+
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_hll,
+        read_upsert_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = spark.createDataFrame([(k % 37,) for k in range(80)], "k bigint")
+    b = spark.createDataFrame([(k % 53,) for k in range(90)], "k bigint")
+    a.coalesce(1).write.parquet(str(src / "a.parquet"))
+    b.coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_hll(stream, table_dir, ckpt, "k", lg_k=12)
+    q.awaitTermination()
+    guards = os.listdir(os.path.join(ckpt, "applied_batches"))
+    assert len(guards) >= 2, "expected one commit per micro-batch"
+
+    def est(df):
+        return df.select(F.hll_sketch_estimate("sketch").alias("e")).first()["e"]
+
+    streamed = est(read_upsert_table(spark, table_dir))
+    batch = est(
+        a.unionByName(b).agg(F.hll_sketch_agg("k", 12).alias("sketch"))
+    )
+    assert streamed == batch
+    # 53 distinct keys at lg_k=12: the sketch is effectively exact
+    assert abs(streamed - 53) / 53 <= 0.05
+
+    q2 = foreach_batch_hll(stream, table_dir, ckpt, "k", lg_k=12)
+    q2.awaitTermination()
+    assert est(read_upsert_table(spark, table_dir)) == streamed
