@@ -1892,6 +1892,64 @@ def d08h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_kmv_quantile",
+    oracle="""
+    WITH sk AS (
+      SELECT value,
+             row_number() OVER (
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rk
+      FROM events
+    )
+    SELECT (list_sort(list(value)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1]
+             AS p50_value,
+           CAST(count(*) AS BIGINT) AS sample_size
+    FROM sk WHERE rk <= 64
+    """,
+)
+def d08k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 state-side pattern, round 11 — the QUANTILE member closes
+    the sketch×streaming matrix (CMS/Bloom/HLL/KMV all maintained by
+    the same versioned exactly-once protocol): ``foreach_batch_kmv``
+    re-ranks each micro-batch's bottom-64 md5-priority sample into the
+    stored ≤64-row state. Unlike the probabilistic members this one is
+    FULLY hash-exact: the sample is a deterministic function of the
+    keys, so the oracle replays the identical bottom-64 selection and
+    discrete median in SQL — no epsilon gate. The emitted p50 is an
+    actual data point (bit-portable double); sample_size pins that the
+    drained state is the full k."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.sketch import bottomk_quantile
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_kmv,
+        read_upsert_table,
+    )
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_kmv", h)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select("event_id", "value")
+    q = foreach_batch_kmv(
+        ev,
+        table_dir=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        value_col="value",
+        key_col="event_id",
+        k=64,
+    )
+    q.awaitTermination()
+    sketch = read_upsert_table(spark, os.path.join(base, "table"))
+    return bottomk_quantile(sketch, ["__g"], "value", 0.5).select(
+        "p50_value", "sample_size"
+    )
+
+
+@query(
     "d87_incremental_exact_dedup",
     oracle="""
     WITH newb AS (

@@ -441,3 +441,40 @@ def foreach_batch_hll(
         )
 
     return _foreach_batch_merge(stream, table_dir, checkpoint_dir, merge, keep_versions)
+
+
+def foreach_batch_kmv(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    key_col: str,
+    k: int = 64,
+    keep_versions: int = 2,
+):
+    """Streaming KMV (bottom-k) quantile-sample maintenance (round 11
+    — the FOURTH and last sketch family streamed: CMS = frequencies,
+    Bloom = membership, HLL = cardinality, KMV = quantiles): each
+    micro-batch's bottom-k content-hash sample merges into the stored
+    sample by re-ranking the union on the SAME global (md5 priority,
+    key) order and truncating to k — associative, commutative and
+    idempotent, so the drained sample is EXACTLY the one a single
+    bottom-k over the whole input produces (pinned in pytest), and —
+    unlike the probabilistic sketches — fully hash-exact under an
+    oracle, because the sample is a deterministic function of the
+    keys. Stored state is ≤ k rows at any stream volume; quantiles
+    read from the snapshot are actual data points
+    (``sketch.bottomk_quantile``)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from etl_cortex_spark.operators.sketch import bottomk_build, bottomk_merge
+
+    def merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
+        sk = bottomk_build(
+            batch.withColumn("__g", F.lit(1)), ["__g"], value_col, key_col, k
+        )
+        if prev is None:
+            return sk
+        return bottomk_merge(prev.unionByName(sk), ["__g"], k)
+
+    return _foreach_batch_merge(stream, table_dir, checkpoint_dir, merge, keep_versions)

@@ -378,3 +378,52 @@ def test_streamed_hll_equals_batch_build_and_replay_is_noop(spark, tmp_path):
     q2 = foreach_batch_hll(stream, table_dir, ckpt, "k", lg_k=12)
     q2.awaitTermination()
     assert est(read_upsert_table(spark, table_dir)) == streamed
+
+
+def test_streamed_kmv_equals_batch_build_and_replay_is_noop(spark, tmp_path):
+    """foreach_batch_kmv (round 11): the drained bottom-k sample must
+    EQUAL the one bottomk_build produces over the whole input at once
+    (union-rerank-truncate is associative/commutative/idempotent on
+    global hash priorities), and re-draining must not change it."""
+    from etl_cortex_spark.operators.sketch import bottomk_build
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_kmv,
+        read_upsert_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = spark.createDataFrame(
+        [(k, float(k % 13)) for k in range(70)], "k bigint, v double"
+    )
+    b = spark.createDataFrame(
+        [(k, float(k % 17)) for k in range(70, 160)], "k bigint, v double"
+    )
+    a.coalesce(1).write.parquet(str(src / "a.parquet"))
+    b.coalesce(1).write.parquet(str(src / "b.parquet"))
+    stream = (
+        spark.readStream.schema("k bigint, v double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_kmv(stream, table_dir, ckpt, "v", "k", k=16)
+    q.awaitTermination()
+
+    def sample(df):
+        return sorted((r["__key"], r["v"]) for r in df.collect())
+
+    streamed = sample(read_upsert_table(spark, table_dir))
+    assert len(streamed) == 16
+    batch = sample(
+        bottomk_build(
+            a.unionByName(b).withColumn("__g", F.lit(1)), ["__g"], "v", "k", 16
+        )
+    )
+    assert streamed == batch
+
+    q2 = foreach_batch_kmv(stream, table_dir, ckpt, "v", "k", k=16)
+    q2.awaitTermination()
+    assert sample(read_upsert_table(spark, table_dir)) == streamed
