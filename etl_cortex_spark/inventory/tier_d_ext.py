@@ -1047,6 +1047,57 @@ def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16) -> str:
     )
 
 
+@query(
+    "d39_bfs_hops",
+    oracle="""
+    WITH RECURSIVE ed AS (
+      SELECT DISTINCT l_orderkey + 10000000 AS src, l_suppkey AS dst
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    ),
+    e AS (
+      SELECT src AS s, dst AS d FROM ed
+      UNION ALL
+      SELECT dst, src FROM ed
+    ),
+    walk(node, dist) AS (
+      SELECT (SELECT min(dst) FROM ed), 0
+      UNION
+      SELECT e.d, walk.dist + 1
+      FROM walk JOIN e ON walk.node = e.s
+      WHERE walk.dist < 12
+    )
+    SELECT node, CAST(min(dist) AS INT) AS hops
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def d39bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.bfs_hops — single-source shortest hops (round 11: the
+    classic graph primitive next to PageRank/CC/LPA/triangles) over
+    the sparse supplier↔order co-supply bipartite graph (every 50th
+    order): hop 0 = the min-id supplier in the slice, hop 1 = its
+    orders, hop 2 = co-suppliers, and so on — supplier collaboration
+    distance. Frontier expansion as joins (one shuffle per hop level,
+    visited set anti-joined, localCheckpoint lineage truncation);
+    returns only the REACHABLE component, which is exactly what the
+    oracle's dedup-recursive CTE (UNION on (node, dist), min per
+    node) explores. The 12-level oracle bound is >2× the measured
+    eccentricity at every SF; Spark's own exhaustion bound raises
+    rather than silently truncating."""
+    from etl_cortex_spark.operators.graph import bfs_hops
+
+    ed = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            (F.col("l_orderkey") + 10_000_000).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    source = ed.agg(F.min("dst")).first()[0]  # bounded driver peek (1 scalar)
+    return bfs_hops(ed, int(source)).orderBy("node")
+
+
 @query("d37_pq_encode", oracle=_pq_oracle())
 def d37(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/pq.pq_encode — product-quantization codes (m=4

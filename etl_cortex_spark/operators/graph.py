@@ -354,3 +354,77 @@ def lpa_unrolled_sql(edges_sql: str, nodes_sql: str, *, iters: int = 3) -> str:
         + ", ".join(parts)
         + f" SELECT node, label FROM l{iters} ORDER BY node"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source shortest HOPS (unweighted BFS, round 11 — the
+    classic graph primitive the family lacked next to PageRank /
+    connected components / label propagation / triangles): frontier
+    expansion as joins, one round per hop level. Returns (node, hops)
+    for every REACHABLE node, source included at 0.
+
+    Scale design: state is the visited set (node, hops) plus the
+    current frontier — both DataFrames, never driver-side; each round
+    is one frontier⋈edges shuffle + an anti-join against visited +
+    one distinct. Rounds needed = eccentricity of the source, bounded
+    by ``max_iter`` (exhaustion raises — a silent partial BFS would
+    read as "unreachable"). ``localCheckpoint`` truncates the
+    per-round lineage exactly like ``connected_components``; the
+    convergence probe is one empty-frontier check per round (bounded
+    driver state).
+    """
+    fwd = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    edges2 = fwd.unionByName(
+        edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "node bigint, hops int")
+    frontier = visited.select("node").localCheckpoint()
+    visited = visited.localCheckpoint()
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            edges2.join(frontier, edges2["__s"] == frontier["node"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return visited
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(depth).cast("int").alias("hops"))
+        ).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"bfs_hops did not exhaust the component in max_iter={max_iter} "
+        f"rounds — the graph has an eccentricity above max_iter; raise it."
+    )
+
+
+def bfs_unrolled_sql(
+    edges_sql: str, source: int, *, iters: int = 4
+) -> str:
+    """DuckDB twin of ``bfs_hops`` via a recursive CTE: explore all
+    paths up to the diameter, then keep min(dist) per node. Exact for
+    graphs whose eccentricity from ``source`` is ≤ ``iters``."""
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT src AS s, dst AS d FROM ({edges_sql})
+      UNION ALL
+      SELECT dst, src FROM ({edges_sql})
+    ),
+    walk(node, dist) AS (
+      SELECT CAST({source} AS BIGINT), 0
+      UNION ALL
+      SELECT e.d, walk.dist + 1
+      FROM walk JOIN e ON walk.node = e.s
+      WHERE walk.dist < {iters}
+    )
+    SELECT node, CAST(min(dist) AS INT) AS hops FROM walk GROUP BY node
+    """

@@ -184,3 +184,29 @@ def test_label_propagation_weight_beats_count(spark):
         for r in label_propagation(nodes, edges, iters=1).collect()
     }
     assert got[3] == 0
+
+
+def test_bfs_hops_levels_reachability_and_exhaustion(spark):
+    """bfs_hops (round 11): exact hop levels on a hand graph, the
+    unreachable component excluded, source at 0 — and a chain longer
+    than max_iter raises instead of silently truncating."""
+    import pytest
+
+    from etl_cortex_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (8, 9)],
+        "src bigint, dst bigint",
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, 1).collect()}
+    # 4 is reachable in 2 via 5 (shorter than 1-2-3-4); 8,9 unreachable
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+    # undirected: BFS from 4 reaches 1 in 2
+    got4 = {r["node"]: r["hops"] for r in bfs_hops(edges, 4).collect()}
+    assert got4[1] == 2 and 8 not in got4
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="max_iter"):
+        bfs_hops(chain, 0, max_iter=3)
