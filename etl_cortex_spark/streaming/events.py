@@ -59,14 +59,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # FileStreamSource wants a directory: stream the sf dir, glob down
-    # to the one table file.
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    if os.path.isdir(path):
+        # Multi-file table layout (any real ingest, the bench relayout,
+        # the slope corpora): stream the table DIRECTORY itself.
+        # Round-11 bug fix: the glob branch below applied to this case
+        # filtered on the literal name "events.parquet", which no
+        # part-file inside the directory matches — every streaming
+        # entry silently read ZERO rows from multi-file layouts
+        # (caught by the sf10 probe; regression-pinned in
+        # tests/test_streaming_ts.py).
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        # Single-file layout (the driver-generated testdata):
+        # FileStreamSource wants a directory — stream the sf dir and
+        # glob down to the one table file.
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     from pyspark.sql.types import LongType
 
     ts_type = schema["ts"].dataType

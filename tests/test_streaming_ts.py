@@ -121,3 +121,32 @@ def test_batch_reader_handles_both_ts_units(spark, tmp_path, unit):
     df = load_table(spark, sf_dir, "events")
     got = sorted(r["ts"] for r in df.select("ts").collect())
     assert got == sorted(_TS)
+
+
+def test_stream_reader_handles_multifile_table_directory(spark, tmp_path):
+    """Round-11 regression: when events.parquet is a DIRECTORY of part
+    files (any real ingest layout, the bench relayout, the slope
+    corpora), the stream must read every row — the old pathGlobFilter
+    branch matched only a file literally named events.parquet, so
+    multi-file layouts silently streamed ZERO rows."""
+    table_dir = tmp_path / "events.parquet"
+    table_dir.mkdir()
+    n = len(_TS)
+    for i in range(2):  # two part files, like a real write
+        part = pa.table(
+            {
+                "event_id": pa.array(range(i * n, i * n + n), pa.int64()),
+                "ts": pa.array(_TS, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        pq.write_table(part, str(table_dir / f"part-{i:02d}.parquet"))
+
+    ev = read_events_stream(spark, str(tmp_path))
+    out = run_to_memory(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    assert {(r["event_type"], r["n"]) for r in out.collect()} == {("click", 2 * n)}
