@@ -1071,6 +1071,60 @@ def d05cj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d05_image_resize_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             15 + (doc_id % 4) * 8 AS w,
+             12 + (doc_id % 3) * 4 AS h
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, w, h,
+             greatest(w * 8 // greatest(w, h), 1) AS ow,
+             greatest(h * 8 // greatest(w, h), 1) AS oh
+      FROM s
+    ),
+    p AS (
+      SELECT doc_id, w, h, ow, oh, i % ow AS x, i // ow AS y
+      FROM d, range(0, 64) t(i) WHERE i < ow * oh
+    )
+    SELECT doc_id AS asset_id,
+           CAST(max(ow) AS INT) AS width,
+           CAST(max(oh) AS INT) AS height,
+           count(*) AS n_pixels,
+           CAST(sum((doc_id * 23 + ((x * w) // ow) * 3 + ((y * h) // oh) * 19) % 256)
+                AS DOUBLE) / count(*) AS mean_r,
+           CAST(sum((doc_id * 17 + ((x * w) // ow) * 5 + ((y * h) // oh) * 11) % 256)
+                AS DOUBLE) / count(*) AS mean_g,
+           CAST(sum((doc_id * 31 + ((x * w) // ow) * 7 + ((y * h) // oh) * 13) % 256)
+                AS DOUBLE) / count(*) AS mean_b,
+           CAST((doc_id * 23) % 256 + (doc_id * 17) % 256 + (doc_id * 31) % 256
+                AS INT) AS topleft_lum
+    FROM p GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def d05rz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (round 11 — retires the last fake pixel
+    kernel): synthesize genuine BMPs, decode + NEAREST-NEIGHBOR
+    downscale to max_side=8 with pure integer arithmetic + RE-ENCODE
+    a valid bottom-up BMP (`multimodal.resize_bmp_nearest`), then run
+    the resized payloads through the SAME `decode_bmp_features` the
+    original-image entry uses — the round-trip proves the re-encoder
+    writes files the decoder family accepts. Every resized pixel has
+    a closed form (source pixel at sx = x·w // ow), so the oracle
+    regenerates the downscaled image without seeing any bytes; the
+    integer scale rule (ow = w·8 // max(w,h)) keeps the dimensions
+    cross-engine exact where a float scale factor could flip."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_bmp_assets(docs)
+    resized = MM.resize_bmp_nearest(assets, max_side=8)
+    return MM.decode_bmp_features(resized.select("asset_id", "payload")).orderBy(
+        "asset_id"
+    )
+
+
+@query(
     "d05_avi_container_features",
     oracle="""
     WITH a AS (

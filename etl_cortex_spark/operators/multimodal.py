@@ -2432,3 +2432,75 @@ def decode_progressive_jpeg_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5l: REAL image resize (nearest-neighbor over BMP, round 11) --------------
+
+
+def resize_bmp_nearest(assets: DataFrame, max_side: int = 8) -> DataFrame:
+    """REAL image resize — the last fake pixel kernel retired: decode
+    the 24-bpp BMP payload (magic, headers, stride un-pad, bottom-up
+    flip), NEAREST-NEIGHBOR downscale to fit ``max_side`` with pure
+    INTEGER arithmetic (out_w = max(w·max_side // max(w,h), 1), source
+    pixel sx = x·w // out_w — exact on any engine, no float scale
+    factor to disagree about), and RE-ENCODE a valid bottom-up padded
+    BMP, so the output of this operator feeds ``decode_bmp_features``
+    — the round-trip that proves the re-encoder. The aspect ratio is
+    preserved in the integer sense; upscaling is out of contract
+    (images smaller than max_side pass through at original size,
+    since out_w = w·max_side // max(w,h) ≥ w exactly when max(w,h) ≤
+    max_side — the map is then the identity).
+
+    Scale note: payload rows never shuffle (mapInPandas preserves the
+    input partitioning) and per-asset work is O(out pixels)."""
+    out_schema = "asset_id bigint, payload binary, width int, height int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def resize_one(aid, buf: bytes):
+            if buf[:2] != b"BM":
+                raise ValueError(f"asset {aid}: not a BMP")
+            (off,) = struct.unpack("<I", buf[10:14])
+            hdr_sz, w, h, planes, bpp = struct.unpack("<IiiHH", buf[14:30])
+            if bpp != 24 or h <= 0:
+                raise ValueError(f"asset {aid}: only bottom-up 24-bpp supported")
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.frombuffer(
+                buf[off : off + h * stride], dtype=np.uint8
+            ).reshape(h, stride)
+            img = rows[::-1, : w * 3].reshape(h, w, 3)  # top-down, BGR
+            m = max(w, h)
+            ow = max(w * max_side // m, 1)
+            oh = max(h * max_side // m, 1)
+            sx = (np.arange(ow, dtype=np.int64) * w) // ow
+            sy = (np.arange(oh, dtype=np.int64) * h) // oh
+            out = img[sy][:, sx]  # (oh, ow, 3) nearest-neighbor
+            ostride = (ow * 3 + 3) // 4 * 4
+            orows = np.zeros((oh, ostride), dtype=np.uint8)
+            orows[:, : ow * 3] = out.reshape(oh, ow * 3)
+            pix = orows[::-1].tobytes()  # back to bottom-up
+            hoff = 14 + 40
+            payload = (
+                b"BM"
+                + struct.pack("<IHHI", hoff + len(pix), 0, 0, hoff)
+                + struct.pack("<IiiHH", 40, ow, oh, 1, 24)
+                + struct.pack("<IIiiII", 0, len(pix), 0, 0, 0, 0)
+                + pix
+            )
+            return payload, ow, oh
+
+        for pdf in it:
+            rows = {"asset_id": [], "payload": [], "width": [], "height": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out, ow, oh = resize_one(aid, bytes(payload))
+                rows["asset_id"].append(aid)
+                rows["payload"].append(out)
+                rows["width"].append(ow)
+                rows["height"].append(oh)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)

@@ -839,3 +839,43 @@ def test_progressive_jpeg_ac_refinement_scan(spark):
     block2 = np.clip(np.floor(M.T @ Fm2 @ M + 0.5).astype(int) + 128, 0, 255)
     assert r2["mean_lum"] == float(block2.sum()) / 64
     assert r2["topleft_lum"] == int(block2[0, 0])
+
+
+def test_bmp_resize_nearest_exact_and_reencoded_valid(spark):
+    """resize_bmp_nearest (round 11): the resized payload is itself a
+    valid BMP (decode_bmp_features accepts it), every resized pixel
+    equals the source pixel at (x*w//ow, y*h//oh), and a non-BMP
+    payload raises."""
+    import struct
+
+    import pytest as _pytest
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    src = {int(r["asset_id"]): bytes(r["payload"])
+           for r in MM.synthesize_bmp_assets(docs).collect()}
+    resized = MM.resize_bmp_nearest(MM.synthesize_bmp_assets(docs), max_side=8)
+    for r in resized.collect():
+        d = int(r["asset_id"])
+        w, h = MM._bmp_dims(d)
+        m = max(w, h)
+        ow, oh = max(w * 8 // m, 1), max(h * 8 // m, 1)
+        assert (r["width"], r["height"]) == (ow, oh)
+        buf = bytes(r["payload"])
+        assert buf[:2] == b"BM"
+        (off,) = struct.unpack("<I", buf[10:14])
+        stride = (ow * 3 + 3) // 4 * 4
+        # stored bottom-up: image row 0 = last stored row; check ALL pixels
+        for y in range(oh):
+            p = off + (oh - 1 - y) * stride
+            for x in range(ow):
+                sx, sy = x * w // ow, y * h // oh
+                b_, g_, r_ = buf[p + 3 * x : p + 3 * x + 3]
+                assert b_ == (d * 31 + sx * 7 + sy * 13) % 256
+                assert g_ == (d * 17 + sx * 5 + sy * 11) % 256
+                assert r_ == (d * 23 + sx * 3 + sy * 19) % 256
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"XX" + b"\x00" * 64))], "asset_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="BMP"):
+        MM.resize_bmp_nearest(bad).collect()
