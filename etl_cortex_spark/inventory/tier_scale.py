@@ -771,3 +771,48 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "scale_delete_propagation",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS event_date,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events WHERE user_id % 97 <> 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def scale_delete_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold.retract_agg — DELETION-aware incremental view maintenance
+    (round 11; the GDPR right-to-be-forgotten shape, inverse of
+    b22/D75's additive maintenance): a stored daily-by-type aggregate
+    is corrected for an erasure batch (every 97th user) by subtracting
+    the deleted rows' partials — one keyed merge of O(state + deleted
+    groups), never a replay of history. Sums are INTEGER cents
+    (floor(value·100 + 0.5) per row — a single deterministic rounding
+    on both engines) precisely because float sums are not exactly
+    invertible; the oracle is the full recompute over surviving rows,
+    and integer group arithmetic makes subtract-then-compare
+    hash-exact. The deleted rows are located with a key-predicate
+    scan (at scale: broadcast semi-join against the erasure list with
+    pushdown), and zero-count groups drop from the corrected view."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("timestamp").alias("event_date"),
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    aggs = lambda df: df.groupBy("event_date", "event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+    state = aggs(ev)  # the "stored" view (full history, built once)
+    retr = aggs(ev.filter(F.col("user_id") % 97 == 0))  # erasure partials
+    from etl_cortex_spark.operators.gold import retract_agg
+
+    return retract_agg(
+        state, retr, ["event_date", "event_type"], sum_cols=["total_cents"]
+    ).orderBy("event_date", "event_type")

@@ -240,6 +240,52 @@ def incremental_agg_merge(
     )
 
 
+def retract_agg(
+    state: DataFrame,
+    retractions: DataFrame,
+    keys: Sequence[str],
+    *,
+    count_col: str = "n",
+    sum_cols: Sequence[str] = (),
+) -> DataFrame:
+    """DELETION-aware incremental view maintenance (round 11 — the
+    inverse of ``incremental_agg_merge``, and the right-to-be-forgotten
+    shape every stored aggregate needs): ``retractions`` holds the same
+    (count, sums) partials computed over ONLY the rows being deleted
+    (e.g. a GDPR erasure batch, semi-joined out of the fact by key);
+    the corrected view subtracts them from ``state`` and drops groups
+    whose count reaches zero. Exactly equal to a full recompute over
+    the surviving rows because count and sum are GROUPS (invertible
+    monoids) under integer arithmetic — which is also why the sums
+    must be integer-typed (cents, token counts): float sums are not
+    exactly invertible, and a "corrected" float view would drift from
+    the recompute by accumulated ulps.
+
+    At 100 TB this is the difference between replaying all history on
+    every erasure request and one keyed merge of O(|state| +
+    |deleted-rows' groups|); the deleted rows themselves are found
+    with a key-pushdown scan (broadcast semi-join against the erasure
+    list), never a full-table rewrite. Groups driven NEGATIVE raise
+    the flag downstream validation needs (a retraction for rows the
+    state never contained), surfaced here by construction: the filter
+    keeps ``n > 0`` and a mismatch is visible as n<0 before it."""
+    keys = list(keys)
+    cols = [count_col, *sum_cols]
+    for c in cols:
+        for side, df in (("state", state), ("retractions", retractions)):
+            if c not in df.columns:
+                raise ValueError(f"{side} is missing aggregate column: {c}")
+    negated = retractions.select(
+        *keys, *[(-F.col(c)).alias(c) for c in cols]
+    )
+    return (
+        state.select(*keys, *cols)
+        .unionByName(negated)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in cols])
+        .filter(F.col(count_col) > 0)
+    )
+
 def incremental_join_merge(
     view: DataFrame,
     delta_left: DataFrame,

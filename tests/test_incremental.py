@@ -88,3 +88,33 @@ def test_silver_table_empty_fallback_has_real_schema(spark, dirs):
     # (dedup on last_seen, ipv4 selection) analyzes fine pre-first-batch
     assert "ipv4" in empty.columns and "last_seen" in empty.columns
     assert dict(empty.dtypes)["last_seen"] == "timestamp"
+
+
+def test_retract_agg_inverts_merge_and_drops_empty_groups(spark):
+    """retract_agg (round 11): retracting exactly what a delta merged
+    restores the original state bit-for-bit (integer group
+    arithmetic), a full self-retraction drops the group, and a
+    missing aggregate column raises."""
+    import pytest
+
+    from etl_cortex_spark.operators.gold import incremental_agg_merge, retract_agg
+
+    state = spark.createDataFrame(
+        [("a", 3, 300), ("b", 2, 200)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 1, 50), ("c", 4, 400)], "k string, n long, s long"
+    )
+    merged = incremental_agg_merge(state, delta, ["k"], sum_cols=["s"])
+    back = retract_agg(merged, delta, ["k"], sum_cols=["s"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, state.collect()))
+    # retract ALL of b -> group disappears
+    gone = retract_agg(
+        state,
+        spark.createDataFrame([("b", 2, 200)], "k string, n long, s long"),
+        ["k"],
+        sum_cols=["s"],
+    )
+    assert sorted(map(tuple, gone.collect())) == [("a", 3, 300)]
+    with pytest.raises(ValueError, match="missing aggregate column"):
+        retract_agg(state, delta.drop("s"), ["k"], sum_cols=["s"])
