@@ -54,6 +54,55 @@ _BM25_TERMS = ("table", "join", "fast")
 
 
 @query(
+    "d19_phrase_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id, text || ' alpha beta gamma alpha beta' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    d AS (SELECT doc_id, {_WORDS} AS w FROM base),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS pos FROM d
+    ),
+    m AS (
+      SELECT a.doc_id, a.pos
+      FROM (SELECT doc_id, pos FROM toks WHERE tok = 'alpha') a
+      JOIN (SELECT doc_id, pos - 1 AS pos FROM toks WHERE tok = 'beta') b
+        ON a.doc_id = b.doc_id AND a.pos = b.pos
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(pos) AS INT) AS first_pos
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def d19ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search.phrase_search — positional-index phrase matching (round
+    11), the retrieval capability bag-of-words BM25 cannot express:
+    find documents containing the EXACT adjacent token sequence
+    "alpha beta", with overlap-counting occurrences and the first
+    0-based position. Self-seeded: every 10th document gets
+    " alpha beta gamma alpha beta" appended (2 occurrences at known
+    offsets); any natural occurrences count identically on both
+    engines. The Spark plan filters each term's postings BEFORE the
+    adjacency join — the joined frames are term-frequency-sized, the
+    positional-inverted-index serving shape — and the oracle replays
+    the same adjacency semantics over zipped (token, position)
+    unnests."""
+    docs = T(spark, sf_dir, "documents")
+    keep = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    seeded = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" alpha beta gamma alpha beta")).alias("text"),
+    )
+    base = keep.unionByName(seeded)
+    from etl_cortex_spark.operators.search import phrase_search
+
+    return phrase_search(base, "alpha beta").orderBy("doc_id")
+
+
+@query(
     "d19_bm25_topk",
     oracle=f"""
     WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

@@ -264,3 +264,49 @@ def hybrid_topk_rrf(
         .orderBy(F.desc("rrf"), id_col)
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-index PHRASE search (round 11 — the retrieval family
+    member BM25's bag-of-words scoring cannot express: "these exact
+    tokens, adjacent, in order"): build (doc, position, token)
+    postings with ``posexplode``, FILTER each posting stream down to
+    one phrase term BEFORE any join (predicate pushdown does the
+    heavy lifting — the joined frames are term-frequency-sized, not
+    corpus-sized), then chain equi-joins on (doc, pos + offset) for
+    the adjacency. Returns (id_col, n_occurrences, first_pos) per
+    matching document, positions 0-based; occurrences may overlap —
+    each starting position counts.
+
+    Scale shape: this is exactly how a positional inverted index
+    serves phrase queries at corpus scale — per-term postings are the
+    index partitions, the query touches only its own terms' postings,
+    and the adjacency join keys on (doc, pos) so co-located posting
+    shards join without a corpus shuffle. At 100 TB: write the
+    postings once (doc-bucketed), and this query prunes to
+    |phrase-terms| posting lists."""
+    from etl_cortex_spark.operators.textops import words
+
+    terms = [w for w in phrase.split() if w]
+    if len(terms) < 2:
+        raise ValueError(f"phrase_search needs >= 2 tokens, got {phrase!r}")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("__pos", "__tok")
+    )
+    out = toks.filter(F.col("__tok") == terms[0]).select(
+        id_col, F.col("__pos").alias("__p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("__tok") == t).select(
+            id_col, (F.col("__pos") - i).alias("__p0")
+        )
+        out = out.join(nxt, [id_col, "__p0"])
+    return out.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("__p0").cast("int").alias("first_pos"),
+    )

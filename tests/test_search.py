@@ -161,3 +161,34 @@ def test_hybrid_rrf_fusion_properties(spark):
     assert abs(rows[3]["rrf"] - 1 / 62) < 1e-15
     # both-pool doc leads the fused order
     assert out[0]["doc_id"] == 1
+
+
+def test_phrase_search_adjacency_overlap_and_validation(spark):
+    """phrase_search (round 11): exact adjacency (not bag-of-words),
+    OVERLAPPING occurrences each count, 3-term phrases chain, first
+    position is 0-based, and a 1-token phrase raises."""
+    import pytest
+
+    from etl_cortex_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b y a b z"),          # two occurrences of "a b"
+            (2, "a a a"),                  # overlapping "a a": positions 0,1
+            (3, "b a"),                    # reversed: no match
+            (4, "a c b"),                  # gap: no match
+            (5, "a b c tail"),             # 3-term phrase hit
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in phrase_search(docs, "a b").collect()}
+    assert got == {1: (2, 1), 5: (1, 0)}
+    ov = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+          for r in phrase_search(docs, "a a").collect()}
+    assert ov == {2: (2, 0)}
+    tri = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in phrase_search(docs, "a b c").collect()}
+    assert tri == {5: (1, 0)}
+    with pytest.raises(ValueError, match="2 tokens"):
+        phrase_search(docs, "solo")
