@@ -427,3 +427,36 @@ def d81(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
     docs.createOrReplaceTempView("d81_documents")
     return spark.sql(_EXACT_SPLIT_SQL.format(docs="d81_documents"))
+
+
+@query(
+    "d52b_weighted_priority_sample",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+                   AS BIGINT) * 1000000) // n_chars AS __priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, CAST(__priority AS BIGINT) AS __priority
+    FROM pr ORDER BY __priority, doc_id LIMIT 40
+    """,
+)
+def d52b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmprep.weighted_priority_sample — deterministic WEIGHTED
+    sampling without replacement (round 11; the Efraimidis–Spirakis
+    weighted-reservoir shape as a batch operator, completing the
+    sampling family: md5-threshold keep-RATES, uniform per-group
+    caps, exact stratified quotas, and now weight-proportional
+    exact-k). Priority = 40-bit md5 uniform · 10^6 // weight — pure
+    INTEGER arithmetic, so no transcendental u^(1/w) for two engines
+    to disagree about and the exact-k cut can never flip on a ulp;
+    longer documents (weight = n_chars) get proportionally smaller
+    expected priorities and dominate the selection without crowding
+    it out entirely. Plan: pure projection + TakeOrdered(40) — no
+    global sort, no shuffle beyond the top-k; the oracle replays the
+    identical integer priority and cut."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return LP.weighted_priority_sample(docs, k=40, weight_col="n_chars").orderBy(
+        "__priority", "doc_id"
+    )

@@ -1240,3 +1240,46 @@ def semantic_contamination(
             (F.col("max_cosine") >= F.lit(float(threshold))).alias("contaminated"),
         )
     )
+
+
+def weighted_priority_sample(
+    df: "DataFrame",
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Deterministic WEIGHTED sampling without replacement (round 11):
+    select exactly ``k`` rows with inclusion biased toward high
+    ``weight_col`` — the missing member of the sampling family
+    (md5-threshold keep-rates sample at a RATE; the domain cap is
+    uniform-per-group; this one is the Efraimidis–Spirakis
+    weighted-reservoir shape as a batch operator). Each row draws a
+    deterministic uniform from its id (md5 → 48-bit integer) and
+    takes priority ``u · 10^6 // weight`` — PURE INTEGER arithmetic,
+    so unlike the float ``u^(1/w)`` textbook key there is no
+    transcendental for two engines to disagree about, and the exact-k
+    cut can never flip on a ulp; the k smallest priorities win
+    (doubling a row's weight halves its expected priority — inclusion
+    odds scale ~linearly with weight at corpus scale).
+
+    Plan shape: priority is a pure projection; exact-k is one
+    TakeOrdered (no global sort); weights must be positive integers —
+    fractional weights should be pre-scaled to integers by the caller
+    (token counts, byte sizes, quality scores ×1000), which is also
+    what keeps the arithmetic exact. Returns the selected rows with
+    their ``__priority`` for auditability."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    # 40-bit uniform (10 hex chars): u·10^6 tops out at ~1.1e18, inside
+    # BIGINT under ANSI; `div` keeps the division in INTEGER space —
+    # `/` would return DOUBLE and lose exactness above 2^53.
+    pri = F.expr(
+        f"(conv(substring(md5(cast(cast({id_col} as string) as binary)), 1, 10),"
+        f" 16, 10) * 1000000) div {weight_col}"
+    ).cast("bigint")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__priority", pri)
+        .orderBy("__priority", id_col)
+        .limit(k)
+    )

@@ -407,3 +407,25 @@ def test_shuffle_to_shards_deterministic_balanced_complete(spark):
              for r in shuffle_to_shards(docs, n_shards=4, seed=8).collect()}
     mine = {r.doc_id: r.shuffle_key for r in rows}
     assert mine != other  # the seed actually changes the order
+
+
+def test_weighted_priority_sample_bias_determinism_and_guards(spark):
+    """weighted_priority_sample (round 11): heavier rows are selected
+    far more often than light ones (weight bias), the selection is
+    identical under any partitioning (determinism), non-positive
+    weights are excluded, and exactly k rows return."""
+    from etl_cortex_spark.operators.llmprep import weighted_priority_sample
+
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(400)]
+    rows += [(9999, 0), (10000, -5)]  # excluded: weight must be > 0
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_priority_sample(df, k=50, weight_col="w").collect()
+    assert len(got) == 50
+    ids = {r["doc_id"] for r in got}
+    assert 9999 not in ids and 10000 not in ids
+    heavy = sum(1 for r in got if r["w"] == 1000)
+    # 200 heavy vs 200 light at 1000:1 weights: the 50 winners should
+    # be overwhelmingly heavy (expected ~50; allow a generous floor)
+    assert heavy >= 45, f"only {heavy}/50 heavy rows selected"
+    again = weighted_priority_sample(df.repartition(7), k=50, weight_col="w").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
