@@ -54,13 +54,27 @@ _REVERIFY_NOW: dict[str, int] = {
     # least-recently-verified tail — the 41-entry r5 cohort — gets the
     # round's remaining sample slots.)
     #
-    # Round 11: group_rep_near_pairs persists its reps aggregate
-    # before the 4-way fan-out (round-10 ADVICE) — identical output,
-    # new plan shape.
-    "d02_group_rep_pairs": 11,
-    # Round 11: trailing sort repartition(1)+sortWithinPartitions
-    # (replaces global orderBy; measured 0.45 vs 0.80 s interleaved).
-    "d02_prefix_probe_pairs": 11,
+    # (The round-11 seeds — d02_group_rep_pairs, d02_prefix_probe_pairs
+    # — both have green r11 records, so their boosts expired.)
+    #
+    # Round-11 verdict #3: the 10 entries whose latest driver record
+    # still dates to r5 — six rounds of plan drift ago. No code change;
+    # seeded so CORRECTNESS_r12 refreshes every one and no entry's
+    # latest record predates r6.
+    "d81_exact_stratified_split": 12,
+    "pyds_synthetic_docs_scan": 12,
+    "pyds_stream_synthetic_docs": 12,
+    "scale_cms_frequency": 12,
+    "scale_file_skipping": 12,
+    "scale_heavy_hitters_two_scan": 12,
+    "scale_sample_quantile_rollup": 12,
+    "sink_parquet_schema_evolution": 12,
+    "tpch_q11_important_stock": 12,
+    "tpch_q16_parts_supplier_relationship": 12,
+    # Round 12: weighted_priority_sample's conv() now carries an
+    # explicit cast-to-bigint (ADVICE #4) — identical value, new
+    # expression; re-verify its entry on the new plan.
+    "d52b_weighted_priority_sample": 12,
 }
 
 

@@ -459,12 +459,18 @@ def main() -> None:
     for name in HEADLINE:
         if name not in QUERIES:
             continue
+        duck_con = None
         if con is not None and name in ORACLE:
             try:
                 con.execute(ORACLE[name]).fetchall()  # duck warm-up leg
+                duck_con = con
             except Exception:
-                pass
-        s, d = run_interleaved(spark, con, name, sf_dir)
+                # An oracle this duckdb build can't run (e.g. missing
+                # function) must degrade this query to Spark-only, not
+                # crash the whole headline window: the timed legs in
+                # run_interleaved don't guard, by design.
+                duck_con = None
+        s, d = run_interleaved(spark, duck_con, name, sf_dir)
         timings[name] = round(s, 4)
         if d is not None:
             duck[name] = round(d, 4)

@@ -247,6 +247,7 @@ def retract_agg(
     *,
     count_col: str = "n",
     sum_cols: Sequence[str] = (),
+    strict: bool = False,
 ) -> DataFrame:
     """DELETION-aware incremental view maintenance (round 11 — the
     inverse of ``incremental_agg_merge``, and the right-to-be-forgotten
@@ -265,10 +266,15 @@ def retract_agg(
     every erasure request and one keyed merge of O(|state| +
     |deleted-rows' groups|); the deleted rows themselves are found
     with a key-pushdown scan (broadcast semi-join against the erasure
-    list), never a full-table rewrite. Groups driven NEGATIVE raise
-    the flag downstream validation needs (a retraction for rows the
-    state never contained), surfaced here by construction: the filter
-    keeps ``n > 0`` and a mismatch is visible as n<0 before it."""
+    list), never a full-table rewrite. Over-retraction handling
+    (a retraction for rows the state never contained drives a group's
+    count NEGATIVE): by default such groups are DROPPED by the
+    ``n > 0`` filter — indistinguishable from a legitimate full
+    deletion, which is acceptable only when the caller guarantees
+    retractions are a subset of state (the semi-join construction
+    above does). Pass ``strict=True`` to instead RAISE at execution
+    time on any post-merge negative count, the posture a pipeline
+    without that guarantee should run."""
     keys = list(keys)
     cols = [count_col, *sum_cols]
     for c in cols:
@@ -278,13 +284,32 @@ def retract_agg(
     negated = retractions.select(
         *keys, *[(-F.col(c)).alias(c) for c in cols]
     )
-    return (
+    merged = (
         state.select(*keys, *cols)
         .unionByName(negated)
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in cols])
-        .filter(F.col(count_col) > 0)
     )
+    if strict:
+        # assert_true returns NULL when the predicate holds and raises
+        # otherwise; keeping it inside the Filter (not a dropped
+        # projection) means column pruning can never optimize the
+        # check away.
+        merged = merged.filter(
+            F.assert_true(
+                F.col(count_col) >= 0,
+                F.concat(
+                    F.lit(
+                        f"retract_agg: negative {count_col} after merge "
+                        "(retraction for rows not in state) for group "
+                    ),
+                    F.concat_ws(
+                        ",", *[F.col(k).cast("string") for k in keys]
+                    ),
+                ),
+            ).isNull()
+        )
+    return merged.filter(F.col(count_col) > 0)
 
 def incremental_join_merge(
     view: DataFrame,

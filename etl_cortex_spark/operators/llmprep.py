@@ -1254,7 +1254,7 @@ def weighted_priority_sample(
     (md5-threshold keep-rates sample at a RATE; the domain cap is
     uniform-per-group; this one is the Efraimidis–Spirakis
     weighted-reservoir shape as a batch operator). Each row draws a
-    deterministic uniform from its id (md5 → 48-bit integer) and
+    deterministic uniform from its id (md5 → 40-bit integer) and
     takes priority ``u · 10^6 // weight`` — PURE INTEGER arithmetic,
     so unlike the float ``u^(1/w)`` textbook key there is no
     transcendental for two engines to disagree about, and the exact-k
@@ -1272,11 +1272,14 @@ def weighted_priority_sample(
 
     # 40-bit uniform (10 hex chars): u·10^6 tops out at ~1.1e18, inside
     # BIGINT under ANSI; `div` keeps the division in INTEGER space —
-    # `/` would return DOUBLE and lose exactness above 2^53.
+    # `/` would return DOUBLE and lose exactness above 2^53. The
+    # explicit cast(conv(...) as bigint) is load-bearing: conv()
+    # returns STRING, and the integer-arithmetic guarantee must not
+    # depend on implicit coercion inside `div`.
     pri = F.expr(
-        f"(conv(substring(md5(cast(cast({id_col} as string) as binary)), 1, 10),"
-        f" 16, 10) * 1000000) div {weight_col}"
-    ).cast("bigint")
+        f"(cast(conv(substring(md5(cast(cast({id_col} as string) as binary)),"
+        f" 1, 10), 16, 10) as bigint) * 1000000) div {weight_col}"
+    )
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("__priority", pri)

@@ -2446,10 +2446,11 @@ def resize_bmp_nearest(assets: DataFrame, max_side: int = 8) -> DataFrame:
     factor to disagree about), and RE-ENCODE a valid bottom-up padded
     BMP, so the output of this operator feeds ``decode_bmp_features``
     — the round-trip that proves the re-encoder. The aspect ratio is
-    preserved in the integer sense; upscaling is out of contract
-    (images smaller than max_side pass through at original size,
-    since out_w = w·max_side // max(w,h) ≥ w exactly when max(w,h) ≤
-    max_side — the map is then the identity).
+    preserved in the integer sense; upscaling is out of contract:
+    images smaller than max_side pass through at original size via an
+    explicit clamp out_w = min(w, max(w·max_side // max(w,h), 1)) —
+    the unclamped formula alone would UPSCALE them (w=h=4, max_side=8
+    gives 8×8), so the clamp is what makes the map the identity there.
 
     Scale note: payload rows never shuffle (mapInPandas preserves the
     input partitioning) and per-asset work is O(out pixels)."""
@@ -2474,8 +2475,11 @@ def resize_bmp_nearest(assets: DataFrame, max_side: int = 8) -> DataFrame:
             ).reshape(h, stride)
             img = rows[::-1, : w * 3].reshape(h, w, 3)  # top-down, BGR
             m = max(w, h)
-            ow = max(w * max_side // m, 1)
-            oh = max(h * max_side // m, 1)
+            # min(w, ·) clamps the already-small image to its original
+            # size — upscaling is out of contract (see docstring); the
+            # unclamped formula would upscale when max(w,h) < max_side.
+            ow = min(w, max(w * max_side // m, 1))
+            oh = min(h, max(h * max_side // m, 1))
             sx = (np.arange(ow, dtype=np.int64) * w) // ow
             sy = (np.arange(oh, dtype=np.int64) * h) // oh
             out = img[sy][:, sx]  # (oh, ow, 3) nearest-neighbor

@@ -118,3 +118,27 @@ def test_retract_agg_inverts_merge_and_drops_empty_groups(spark):
     assert sorted(map(tuple, gone.collect())) == [("a", 3, 300)]
     with pytest.raises(ValueError, match="missing aggregate column"):
         retract_agg(state, delta.drop("s"), ["k"], sum_cols=["s"])
+
+
+def test_retract_agg_strict_raises_on_over_retraction(spark):
+    """Round-12 ADVICE fix: strict=True RAISES on a retraction that
+    drives a group's count negative (rows the state never contained),
+    instead of silently dropping the group like the default; a clean
+    retraction passes strict mode unchanged."""
+    import pytest
+
+    from etl_cortex_spark.operators.gold import retract_agg
+
+    state = spark.createDataFrame(
+        [("a", 3, 300)], "k string, n long, s long"
+    )
+    over = spark.createDataFrame(
+        [("a", 5, 500)], "k string, n long, s long"
+    )
+    # default: group silently dropped (documented behavior)
+    assert retract_agg(state, over, ["k"], sum_cols=["s"]).count() == 0
+    with pytest.raises(Exception, match="retract_agg: negative n"):
+        retract_agg(state, over, ["k"], sum_cols=["s"], strict=True).collect()
+    ok = spark.createDataFrame([("a", 1, 100)], "k string, n long, s long")
+    rows = retract_agg(state, ok, ["k"], sum_cols=["s"], strict=True).collect()
+    assert sorted(map(tuple, rows)) == [("a", 2, 200)]

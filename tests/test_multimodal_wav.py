@@ -858,7 +858,7 @@ def test_bmp_resize_nearest_exact_and_reencoded_valid(spark):
         d = int(r["asset_id"])
         w, h = MM._bmp_dims(d)
         m = max(w, h)
-        ow, oh = max(w * 8 // m, 1), max(h * 8 // m, 1)
+        ow, oh = min(w, max(w * 8 // m, 1)), min(h, max(h * 8 // m, 1))
         assert (r["width"], r["height"]) == (ow, oh)
         buf = bytes(r["payload"])
         assert buf[:2] == b"BM"
@@ -879,3 +879,37 @@ def test_bmp_resize_nearest_exact_and_reencoded_valid(spark):
     )
     with _pytest.raises(Exception, match="BMP"):
         MM.resize_bmp_nearest(bad).collect()
+
+
+def test_bmp_resize_small_image_passes_through(spark):
+    """Round-12 ADVICE fix: an image already smaller than max_side
+    passes through at ORIGINAL size (the unclamped integer formula
+    would upscale a 4x4 to 8x8) and the payload pixels are unchanged."""
+    import struct
+
+    w = h = 4
+    stride = (w * 3 + 3) // 4 * 4
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = bytearray(stride)
+        for x in range(w):
+            row[3 * x : 3 * x + 3] = bytes(
+                [(x * 7 + y * 13) % 256, (x * 5 + y * 11) % 256, (x * 3 + y * 19) % 256]
+            )
+        pix += row
+    hoff = 54
+    buf = (
+        b"BM"
+        + struct.pack("<IHHI", hoff + len(pix), 0, 0, hoff)
+        + struct.pack("<IiiHH", 40, w, h, 1, 24)
+        + struct.pack("<6I", 0, 0, 0, 0, 0, 0)
+        + bytes(pix)
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(buf))], "asset_id long, payload binary"
+    )
+    [r] = MM.resize_bmp_nearest(df, max_side=8).collect()
+    assert (r["width"], r["height"]) == (4, 4)
+    out = bytes(r["payload"])
+    (ooff,) = struct.unpack("<I", out[10:14])
+    assert out[ooff : ooff + len(pix)] == bytes(pix)
