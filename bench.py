@@ -290,6 +290,16 @@ def cache_dimensions(spark, sf_dir: str) -> None:
     for t in DIM_CACHE:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             load_table(spark, sf_dir, t).cache().count()
+    # the conformed supplier_geo dim (q5) is a dimension too: cache it
+    # so its broadcast builds read the InMemoryRelation like the base
+    # dims do (build_layouts has already written the table by the time
+    # queries run; calling the loader here re-reads, not re-writes)
+    try:
+        from etl_cortex_spark.inventory.tier_tpch import _supplier_geo_dim
+
+        _supplier_geo_dim(spark, sf_dir).cache().count()
+    except Exception:
+        pass
 
 
 def build_layouts(spark, sf_dir: str) -> float:
@@ -312,6 +322,7 @@ def build_layouts(spark, sf_dir: str) -> float:
     from etl_cortex_spark.inventory.tier_tpch import (
         _customer_by_custkey,
         _lineitem_by_orderkey,
+        _supplier_geo_dim,
     )
     from etl_cortex_spark.operators.layout import bucketed_fact
 
@@ -320,6 +331,7 @@ def build_layouts(spark, sf_dir: str) -> float:
         _lineitem_by_orderkey(spark, sf_dir)  # q3 + q5 (shared layout)
         _orders_by_custkey(spark, sf_dir)  # c10 + q3/q5 co build
         _customer_by_custkey(spark, sf_dir)  # c10 + q3/q5 co build
+        _supplier_geo_dim(spark, sf_dir)  # q5 conformed supplier dim
         bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey", _BKT_LI_COLS, 8)
         bucketed_fact(spark, sf_dir, "orders", "o_orderkey", _BKT_O_COLS, 8)
     except Exception:
@@ -443,8 +455,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     window_violations = global_window_violations(spark, HEADLINE, sf_dir)
     warm_up(spark)
-    cache_dimensions(spark, sf_dir)
+    # layouts BEFORE the dim cache (round 12): the conformed
+    # supplier_geo write happens inside build_layouts, so its one-time
+    # cost lands in ingest_secs; cache_dimensions then only re-reads.
     ingest_secs = build_layouts(spark, sf_dir)
+    cache_dimensions(spark, sf_dir)
 
     # Interleaved official window (round-10 verdict #1): per query the
     # Spark and DuckDB legs alternate repetition by repetition — the

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_cortex_spark.operators.layout import bucketed_fact, fact_buckets
+from etl_cortex_spark.operators.layout import (
+    bucketed_fact,
+    conformed_dim,
+    fact_buckets,
+)
 from etl_cortex_spark.queries import T, query
 
 
@@ -55,6 +59,37 @@ def _customer_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_fact(
         spark, sf_dir, "customer", "c_custkey", _CUST_BKT_COLS, fact_buckets(sf_dir)
     )
+
+
+def _supplier_geo_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⋈ nation ⋈ region conformed into ONE stored dimension
+    (s_suppkey, s_nationkey, n_name, r_name) — the star-schema
+    flattening written at ingest (`bench.build_layouts`), so queries
+    cutting suppliers by geography build ONE broadcast from one scan
+    instead of re-paying the three-level broadcast subtree per run
+    (the round-12 floor decomposition measured those builds at 3 of
+    q5's 5 scheduled jobs). Identical rows to the in-plan join — the
+    fallback on any write failure — so oracles are unaffected."""
+    import os
+
+    def build() -> DataFrame:
+        sup = T(spark, sf_dir, "supplier")
+        nat = T(spark, sf_dir, "nation")
+        reg = T(spark, sf_dir, "region")
+        return (
+            sup.join(
+                F.broadcast(nat),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(reg),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("s_suppkey", "s_nationkey", "n_name", "r_name")
+        )
+
+    sig = f"{os.path.abspath(sf_dir)}|supplier_geo|v1"
+    return conformed_dim(spark, "supplier_geo", build, sig)
 
 
 def _lineitem_by_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,38 +210,38 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The region cut (1/5 of nations) is pushed into BOTH fact-side
     inputs before any big join (round-4 plan fix): customer is
-    semi-joined to the ASIA nation list and supplier is inner-joined
-    to it (picking up n_name), so the customer⋈orders⋈lineitem chain
-    never carries non-ASIA rows that the old plan discarded at the
-    end. Catalyst can't do this reordering itself without CBO stats —
-    the builder owns it. At 100 TB this is the difference between
-    joining 1/5 of the facts and joining all of them."""
-    asia_nations = (
-        T(spark, sf_dir, "nation")
-        .join(
-            F.broadcast(
-                T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("n_nationkey", "n_name")
+    semi-joined to the ASIA supplier list on nationkey and supplier is
+    cut to ASIA, so the customer⋈orders⋈lineitem chain never carries
+    non-ASIA rows that the old plan discarded at the end. Catalyst
+    can't do this reordering itself without CBO stats — the builder
+    owns it. At 100 TB this is the difference between joining 1/5 of
+    the facts and joining all of them.
+
+    Round 12: the supplier⋈nation⋈region chain reads the CONFORMED
+    `_supplier_geo_dim` layout, and the customer semi probes the SAME
+    broadcast frame the final join probes (semantically equal to the
+    old ASIA-nation semi: a customer row can only survive the final
+    c_nationkey==s_nationkey join if its nation has an ASIA supplier)
+    — identical canonical subtree ⇒ ReusedExchange, so the query
+    builds ONE broadcast where it used to build three (region, asia,
+    supp). The round-12 floor decomposition measured those builds at
+    3 of the query's 5 scheduled jobs (~28 ms scheduler floor each at
+    sf0.1); the interleaved A/B recorded in BASELINE.md is the adopt
+    evidence."""
+    supp_frame = (
+        _supplier_geo_dim(spark, sf_dir)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
     )
+    supp = F.broadcast(supp_frame)
     cust = (
         _customer_by_custkey(spark, sf_dir)
         .join(
-            F.broadcast(asia_nations),
-            F.col("c_nationkey") == F.col("n_nationkey"),
+            supp,
+            F.col("c_nationkey") == F.col("s_nationkey"),
             "left_semi",
         )
         .select("c_custkey", "c_nationkey")
-    )
-    supp = F.broadcast(
-        T(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(asia_nations),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_nationkey", "n_name")
     )
     from etl_cortex_spark.inventory.tier_c_rel import _orders_by_custkey
 
