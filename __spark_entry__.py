@@ -75,6 +75,9 @@ _REVERIFY_NOW: dict[str, int] = {
     # explicit cast-to-bigint (ADVICE #4) — identical value, new
     # expression; re-verify its entry on the new plan.
     "d52b_weighted_priority_sample": 12,
+    # Round 12: q5 reads the conformed supplier_geo dim (one broadcast
+    # instead of three) — identical rows, new plan shape.
+    "tpch_q5_local_supplier_volume": 12,
 }
 
 
