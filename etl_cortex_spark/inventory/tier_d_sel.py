@@ -154,6 +154,74 @@ def d69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_train(docs, "text", n_merges=4)
 
 
+@query(
+    "d58_unigram_em",
+    oracle=r"""
+    WITH RECURSIVE v AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
+        FROM documents) s
+      WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 10
+      GROUP BY w
+    ),
+    occ AS (
+      SELECT substring(w, i, l) AS piece, sum(wf) AS pf
+      FROM v, range(1, 11) s(i), range(1, 4) q(l)
+      WHERE i + l - 1 <= length(w)
+      GROUP BY 1
+    ),
+    pieces AS (
+      SELECT piece, pf, 41 - length(bin(pf)) AS cost FROM (
+        SELECT piece, pf FROM occ WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, pf FROM (
+          SELECT piece, pf FROM occ WHERE length(piece) >= 2
+          ORDER BY pf DESC, piece LIMIT 60) tk
+      ) u
+    ),
+    paths(w, pos, cost, seg) AS (
+        SELECT w, 0, 0, '' FROM v
+      UNION
+        SELECT pa.w, pa.pos + length(pc.piece), pa.cost + pc.cost,
+               pa.seg || pc.piece || '.'
+        FROM paths pa JOIN pieces pc
+          ON substring(pa.w, pa.pos + 1, length(pc.piece)) = pc.piece
+        WHERE pa.pos < length(pa.w)
+    ),
+    best AS (
+      SELECT w, min(lpad(CAST(cost AS VARCHAR), 6, '0') || '|' || seg) AS key
+      FROM paths WHERE pos = length(w) GROUP BY w
+    ),
+    em AS (
+      SELECT unnest(list_filter(string_split(substring(key, 8), '.'),
+                                x -> x <> '')) AS piece, wf
+      FROM best JOIN v USING (w)
+    ),
+    agg AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS em_count FROM em GROUP BY piece),
+    tot AS (SELECT sum(em_count) AS t FROM agg)
+    SELECT piece, em_count, CAST(em_count * 1000000 // t AS BIGINT) AS score_ppm
+    FROM agg, tot
+    ORDER BY em_count DESC, piece LIMIT 40
+    """,
+)
+def d58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE unigram-LM (SentencePiece) EM iteration (round 12 — the
+    tokenizer family's missing member next to BPE d55/d57/d69):
+    frequent-substring piece seeding with integer-quantized costs
+    (41 − ilog2(freq) — no transcendental log for engines to round
+    differently), Viterbi hard-E-step as a pure-JVM string-key fold
+    over every distinct clean word, occurrence-weighted M-step counts
+    renormalized to exact ppm integer scores. The oracle replays the
+    vocabulary/inventory/cost arithmetic verbatim and brute-force
+    enumerates every segmentation with a recursive CTE (bounded by
+    the length-10 vocab cap), taking the same string-MIN key — the
+    worse-algorithm-as-oracle pattern. Independent pure-Python
+    reference in tests/test_unigram_em.py
+    (operators/textops.py:unigram_em_step)."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.unigram_em_step(docs, "text", top_multi=60, top_k=40)
+
+
 # --- D71: distributed perceptron training ------------------------------------
 
 _PERC_FEATS_SQL = """

@@ -721,3 +721,196 @@ def winnowing_fingerprints(
     return docs.select(
         F.col(id_col), F.explode(selected).alias("fingerprint")
     ).dropDuplicates([id_col, "fingerprint"])
+
+
+# --- D58: unigram-LM (SentencePiece) EM step -----------------------------------
+
+#: Viterbi key sentinel: real keys are lpad(cost,6,'0') || '|' || seg and
+#: per-word costs top out near 400, so '999999|' sorts after every real
+#: key — string MIN is the (cost, segmentation) lexicographic argmin.
+_UNI_INF = "999999|"
+#: piece separator inside a segmentation string ('.' = ASCII 46, below
+#: every lowercase letter, so dot-vs-letter decides ties identically on
+#: any bytewise-comparing engine)
+_UNI_SEP = "."
+
+
+def _unigram_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The weighted CLEAN-WORD vocabulary the EM step runs on: pure
+    lowercase-alpha tokens of length 2..10 with occurrence counts. The
+    length cap bounds the segmentation lattice (and the oracle's
+    brute-force path enumeration); production tails beyond it are
+    chunked upstream (d18) — the EM statistics want the high-frequency
+    core anyway, which is short words."""
+    return (
+        df.select(F.explode(words(text_col)).alias("__w"))
+        .filter(
+            F.col("__w").rlike("^[a-z]+$")
+            & F.length("__w").between(2, 10)
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wf"))
+    )
+
+
+def unigram_piece_costs(
+    df: DataFrame, text_col: str = "text", top_multi: int = 60
+) -> DataFrame:
+    """Seed piece inventory + integer costs for the unigram-LM EM step
+    (Kudo 2018's frequent-substring seeding, quantized): every length-1
+    piece of the clean vocabulary (guaranteed segmentation coverage)
+    plus the ``top_multi`` most frequent length-2..3 substrings
+    (occurrence-weighted, ties broken piece-asc so the cut is
+    deterministic). cost(p) = 41 − ilog2(freq_p) with ilog2 =
+    length(bin(freq)) − 1 — an INTEGER quantization of −log p(piece),
+    exact on any engine (no transcendental log for two engines to
+    round differently), so Viterbi sums and the EM counts downstream
+    are bit-identical by construction.
+
+    Scale shape: one corpus pass builds the vocabulary; the substring
+    explode runs over DISTINCT words only (≤30 positions each); the
+    inventory is ≤ 26 + top_multi rows — broadcastable model state."""
+    v = _unigram_vocab(df, text_col)
+    occ = (
+        v.select(
+            "__w", "__wf",
+            F.explode(F.sequence(F.lit(1), F.length("__w"))).alias("__i"),
+        )
+        .select(
+            "__w", "__wf", "__i",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("__l"),
+        )
+        .filter(F.col("__i") + F.col("__l") - 1 <= F.length("__w"))
+        .select(F.expr("substring(__w, __i, __l)").alias("piece"), "__wf")
+        .groupBy("piece")
+        .agg(F.sum("__wf").alias("pf"))
+    )
+    p1 = occ.filter(F.length("piece") == 1)
+    pk = (
+        occ.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("pf"), "piece")
+        .limit(top_multi)
+    )
+    return p1.unionByName(pk).select(
+        "piece", "pf", (F.lit(41) - F.length(F.bin("pf"))).alias("cost")
+    )
+
+
+def _unigram_viterbi_key(w, items: list[tuple[str, int]]):
+    """Best-segmentation key for word column ``w`` under the collected
+    (piece, cost) ladder: a pure-JVM ``aggregate`` fold over character
+    positions — dp[i] = MIN over piece lengths j∈{1,2,3} of
+    extend(dp[i−j], w[i−j+1 .. i]) — where each dp entry is the string
+    ``lpad(cost,6,'0')|seg`` so string MIN is exactly the (cost, seg)
+    lexicographic argmin. Optimal substructure holds for this key: a
+    cheaper prefix stays cheaper under any common suffix (costs add;
+    equal-cost segs of the same prefix can never be string-prefixes of
+    each other, so their order is decided before the suffix)."""
+
+    def cost_of(piece):
+        out = F.lit(None).cast("int")
+        for p, c in items:
+            out = F.when(piece == F.lit(p), F.lit(int(c))).otherwise(out)
+        return out
+
+    def step(acc, i):
+        cands = []
+        for j in (1, 2, 3):
+            prev = F.element_at(acc, F.greatest(i - F.lit(j) + 1, F.lit(1)))
+            piece = F.substr(w, i - F.lit(j) + 1, F.lit(j))
+            c = cost_of(piece)
+            prev_cost = F.substring(prev, 1, 6).cast("int")
+            prev_seg = F.substr(prev, F.lit(8), F.length(prev))
+            key = F.concat(
+                F.lpad((prev_cost + c).cast("string"), 6, "0"),
+                F.lit("|"), prev_seg, piece, F.lit(_UNI_SEP),
+            )
+            valid = (
+                (i >= F.lit(j))
+                & (F.substring(prev, 1, 6) != F.lit("999999"))
+                & c.isNotNull()
+            )
+            cands.append(F.when(valid, key).otherwise(F.lit(_UNI_INF)))
+        best = F.least(*cands)
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.array(F.lit("000000|")),
+        step,
+    )
+    return F.element_at(dp, -1)
+
+
+def unigram_em_step(
+    df: DataFrame,
+    text_col: str = "text",
+    top_multi: int = 60,
+    top_k: int = 40,
+) -> DataFrame:
+    """ONE EM iteration of unigram-LM (SentencePiece, Kudo 2018)
+    tokenizer training — the tokenizer-family member BPE doesn't cover
+    (d55/d57/d69 are BPE end-to-end; unigram is the other production
+    tokenizer): E-step = Viterbi-segment every distinct clean word
+    under the current (integer-quantized) piece costs; M-step = piece
+    occurrence counts over the Viterbi segmentations, occurrence-
+    weighted, renormalized to exact parts-per-million integer scores.
+    Returns the ``top_k`` (piece, em_count, score_ppm) rows ordered
+    (em_count desc, piece).
+
+    The textbook E-step is forward-backward (expected counts over ALL
+    segmentations); SentencePiece itself ships the Viterbi ("hard-EM")
+    approximation for exactly the reason this engine wants it —
+    argmax counts are integer-exact and engine-replayable, while
+    posterior expectations are transcendental. Documented contract,
+    not a shortcut taken silently.
+
+    Scale shape: the corpus is touched ONCE (vocabulary pass); the
+    E-step is a pure projection over DISTINCT words (the fold in
+    `_unigram_viterbi_key` is whole-stage-codegen JVM, no Python); the
+    piece inventory (≤ 26 + top_multi rows) is collected as driver
+    model state — the documented k-row pattern (k-means centroids,
+    DSIR buckets, perceptron gradients); the M-step is one explode +
+    partial-combined agg over segment pieces. Oracle: the DuckDB twin
+    replays the vocabulary, inventory, and costs verbatim, then
+    brute-force enumerates every segmentation with a recursive CTE
+    (bounded by the length-10 vocab cap) and takes the same string-MIN
+    key — the worse-algorithm-as-oracle pattern (d59b)."""
+    v = _unigram_vocab(df, text_col)
+    pieces = unigram_piece_costs(df, text_col, top_multi)
+    items = [
+        (r["piece"], int(r["cost"]))
+        for r in pieces.collect()  # ≤ 26 + top_multi rows: model state
+    ]
+    if not items:
+        return df.sparkSession.createDataFrame(
+            [], "piece string, em_count bigint, score_ppm bigint"
+        )
+    key = _unigram_viterbi_key(F.col("__w"), items)
+    segs = v.select(
+        "__wf",
+        F.substr(key, F.lit(8), F.length(key)).alias("__seg"),
+    )
+    em = (
+        segs.select(
+            "__wf",
+            F.explode(
+                F.filter(
+                    F.split("__seg", "\\" + _UNI_SEP), lambda x: x != ""
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("__wf").alias("em_count"))
+    )
+    total = em.agg(F.sum("em_count").alias("__t"))
+    return (
+        em.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            "em_count",
+            F.expr("em_count * 1000000 div __t").alias("score_ppm"),
+        )
+        .orderBy(F.desc("em_count"), "piece")
+        .limit(top_k)
+    )
