@@ -78,6 +78,15 @@ _REVERIFY_NOW: dict[str, int] = {
     # Round 12: q5 reads the conformed supplier_geo dim (one broadcast
     # instead of three) — identical rows, new plan shape.
     "tpch_q5_local_supplier_volume": 12,
+    # Round-12 verdict #6: the 3 entries whose latest driver record
+    # still dates to r6 (now the oldest cohort). No code change; seeded
+    # so CORRECTNESS_r13 refreshes them and no record predates r8.
+    "scale_dynamic_partition_pruning": 13,
+    "scale_incremental_join": 13,
+    "tpch_q20_potential_promotion": 13,
+    # Round 13: unigram piece costs clamped at 0 (ADVICE #4) —
+    # identical values at test scale, new expression in plan+oracle.
+    "d58_unigram_em": 13,
 }
 
 

@@ -171,7 +171,7 @@ def d69(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     pieces AS (
-      SELECT piece, pf, 41 - length(bin(pf)) AS cost FROM (
+      SELECT piece, pf, greatest(41 - length(bin(pf)), 0) AS cost FROM (
         SELECT piece, pf FROM occ WHERE length(piece) = 1
         UNION ALL
         SELECT piece, pf FROM (

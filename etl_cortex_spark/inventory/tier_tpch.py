@@ -219,14 +219,17 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 12: the supplier⋈nation⋈region chain reads the CONFORMED
     `_supplier_geo_dim` layout, and the customer semi probes the SAME
-    broadcast frame the final join probes (semantically equal to the
-    old ASIA-nation semi: a customer row can only survive the final
-    c_nationkey==s_nationkey join if its nation has an ASIA supplier)
-    — identical canonical subtree ⇒ ReusedExchange, so the query
-    builds ONE broadcast where it used to build three (region, asia,
-    supp). The round-12 floor decomposition measured those builds at
-    3 of the query's 5 scheduled jobs (~28 ms scheduler floor each at
-    sf0.1); the interleaved A/B recorded in BASELINE.md is the adopt
+    cached conformed-dim scan the final join probes (semantically
+    equal to the old ASIA-nation semi: a customer row can only survive
+    the final c_nationkey==s_nationkey join if its nation has an ASIA
+    supplier). The two probes hash on different key sets (semi on
+    [s_nationkey], final on [s_suppkey, s_nationkey]) so their
+    HashedRelationBroadcastModes differ and TWO broadcasts are built —
+    but both from the one cached dim scan, collapsing the old
+    region→nation→supplier subtree builds: jobs 5→3. The round-12
+    floor decomposition measured those subtree builds at 3 of the
+    query's 5 scheduled jobs (~28 ms scheduler floor each at sf0.1);
+    the interleaved A/B recorded in BASELINE.md is the adopt
     evidence."""
     supp_frame = (
         _supplier_geo_dim(spark, sf_dir)

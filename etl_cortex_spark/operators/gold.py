@@ -273,8 +273,15 @@ def retract_agg(
     deletion, which is acceptable only when the caller guarantees
     retractions are a subset of state (the semi-join construction
     above does). Pass ``strict=True`` to instead RAISE at execution
-    time on any post-merge negative count, the posture a pipeline
-    without that guarantee should run."""
+    time on any post-merge negative count, AND on any group whose
+    merged count reached exactly 0 while a sum column did not — the
+    signature of a corrupting retraction that matched the group's row
+    count but not its values (round-12 advice: count-only strict mode
+    let an inflated-sum retraction pass silently). Strict mode cannot
+    see a corrupted sum on a group whose count stays positive — that
+    is undetectable from (count, sum) partials alone — so it is a
+    subset-violation tripwire, not a full integrity proof; the posture
+    a pipeline without the subset guarantee should run."""
     keys = list(keys)
     cols = [count_col, *sum_cols]
     for c in cols:
@@ -294,14 +301,21 @@ def retract_agg(
         # assert_true returns NULL when the predicate holds and raises
         # otherwise; keeping it inside the Filter (not a dropped
         # projection) means column pruning can never optimize the
-        # check away.
+        # check away. A fully-deleted group (count == 0) must have all
+        # its sums back at exactly 0 too — a nonzero residue means the
+        # retraction matched the row count but not the values.
+        ok = F.col(count_col) >= 0
+        for c in sum_cols:
+            ok = ok & ((F.col(count_col) > 0) | (F.col(c) == 0))
         merged = merged.filter(
             F.assert_true(
-                F.col(count_col) >= 0,
+                ok,
                 F.concat(
                     F.lit(
-                        f"retract_agg: negative {count_col} after merge "
-                        "(retraction for rows not in state) for group "
+                        "retract_agg: inconsistent merge (negative "
+                        f"{count_col}, or zero {count_col} with nonzero "
+                        "sum residue — retraction not a subset of state) "
+                        "for group "
                     ),
                     F.concat_ws(
                         ",", *[F.col(k).cast("string") for k in keys]

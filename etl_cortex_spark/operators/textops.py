@@ -761,11 +761,15 @@ def unigram_piece_costs(
     piece of the clean vocabulary (guaranteed segmentation coverage)
     plus the ``top_multi`` most frequent length-2..3 substrings
     (occurrence-weighted, ties broken piece-asc so the cut is
-    deterministic). cost(p) = 41 − ilog2(freq_p) with ilog2 =
-    length(bin(freq)) − 1 — an INTEGER quantization of −log p(piece),
-    exact on any engine (no transcendental log for two engines to
-    round differently), so Viterbi sums and the EM counts downstream
-    are bit-identical by construction.
+    deterministic). cost(p) = 41 − length(bin(freq_p)) — equivalently
+    40 − ilog2(freq_p) with ilog2 = length(bin(freq)) − 1 — an INTEGER
+    quantization of −log p(piece), exact on any engine (no
+    transcendental log for two engines to round differently), so
+    Viterbi sums and the EM counts downstream are bit-identical by
+    construction. The cost is clamped at 0 (greatest(…, 0), mirrored
+    in the DuckDB oracle): a piece frequency ≥ 2^41 would otherwise go
+    negative and a '-'-prefixed lpad would break the string-MIN key
+    ordering the Viterbi fold relies on.
 
     Scale shape: one corpus pass builds the vocabulary; the substring
     explode runs over DISTINCT words only (≤30 positions each); the
@@ -792,7 +796,8 @@ def unigram_piece_costs(
         .limit(top_multi)
     )
     return p1.unionByName(pk).select(
-        "piece", "pf", (F.lit(41) - F.length(F.bin("pf"))).alias("cost")
+        "piece", "pf",
+        F.greatest(F.lit(41) - F.length(F.bin("pf")), F.lit(0)).alias("cost"),
     )
 
 

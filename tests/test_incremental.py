@@ -137,8 +137,25 @@ def test_retract_agg_strict_raises_on_over_retraction(spark):
     )
     # default: group silently dropped (documented behavior)
     assert retract_agg(state, over, ["k"], sum_cols=["s"]).count() == 0
-    with pytest.raises(Exception, match="retract_agg: negative n"):
+    with pytest.raises(Exception, match="retract_agg: inconsistent merge"):
         retract_agg(state, over, ["k"], sum_cols=["s"], strict=True).collect()
     ok = spark.createDataFrame([("a", 1, 100)], "k string, n long, s long")
     rows = retract_agg(state, ok, ["k"], sum_cols=["s"], strict=True).collect()
     assert sorted(map(tuple, rows)) == [("a", 2, 200)]
+    # round-13 ADVICE fix: a retraction matching the group's row count
+    # but with an inflated sum leaves count == 0 with a nonzero sum
+    # residue — strict mode must now catch it too (default drops it).
+    bad_sum = spark.createDataFrame(
+        [("a", 3, 999)], "k string, n long, s long"
+    )
+    assert retract_agg(state, bad_sum, ["k"], sum_cols=["s"]).count() == 0
+    with pytest.raises(Exception, match="retract_agg: inconsistent merge"):
+        retract_agg(
+            state, bad_sum, ["k"], sum_cols=["s"], strict=True
+        ).collect()
+    # a clean FULL deletion (count and sums all reach 0) passes strict
+    full = spark.createDataFrame([("a", 3, 300)], "k string, n long, s long")
+    assert (
+        retract_agg(state, full, ["k"], sum_cols=["s"], strict=True).count()
+        == 0
+    )

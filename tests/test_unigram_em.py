@@ -40,7 +40,7 @@ def _reference(texts: list[str], top_multi: int, top_k: int):
             key=lambda kv: (-kv[1], kv[0]),
         )[:top_multi]
     )
-    cost = {p: 41 - f.bit_length() for p, f in {**p1, **pk}.items()}
+    cost = {p: max(41 - f.bit_length(), 0) for p, f in {**p1, **pk}.items()}
 
     def viterbi(w: str) -> str:
         dp = ["000000|"]
