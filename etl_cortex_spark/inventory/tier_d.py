@@ -656,6 +656,63 @@ def d03d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(spark, path, books, qv, topk=10)
 
 
+@query(
+    "d03_ivf_incremental",
+    oracle=f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+           n_indexed
+    FROM e, q,
+         (SELECT CAST(count(*) AS BIGINT) AS n_indexed FROM e) n
+    WHERE ({_bucket_sql("v")}) = ({_bucket_sql("qv")})
+    ORDER BY cosine DESC, vec_id LIMIT 5
+    """,
+)
+def d03inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (round 13 — round-12 verdict
+    #1, the last ANN production gap): the index is built over a BASE
+    slice (vec_id % 7 != 3) with `similarity.write_ivf_index`, then a
+    delta batch (the % 7 == 3 slice — new vectors arriving after the
+    build) is appended BUCKET-ALIGNED with `similarity.append_ivf_index`
+    — same deterministic hyperplanes ⇒ same cell assignment, one new
+    file per touched cell, cells the delta misses never rewritten, NO
+    index rebuild. The query then answers against the maintained index
+    exactly as before: `lsh_topk_ivf` prunes to ONE partition directory
+    (now multi-file), pinned in tests/test_plans.py. The oracle replays
+    base ∪ delta as one fresh SQL index — identical bucketing + ranking
+    — so a dropped or duplicated delta row in the query's cell breaks
+    the top-k hash, and the piggybacked `n_indexed` count (1-row
+    broadcast join, never a collect) breaks on ANY cell losing or
+    doubling rows. At 100 TB: O(|delta|) shuffle per ingest batch
+    instead of an O(corpus) re-shuffle; file accumulation is
+    `layout.compact_parquet`'s job like any bucketed fact
+    (`similarity.py:append_ivf_index`)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = T(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfinc_{tag}_{os.getpid()}"
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    SIM.write_ivf_index(corpus.filter(F.col("vec_id") % 7 != 3), path)
+    SIM.append_ivf_index(corpus.filter(F.col("vec_id") % 7 == 3), path)
+    qv = _query_vec(spark, sf_dir)
+    n = (
+        spark.read.parquet(path)
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_indexed"))
+    )
+    return SIM.lsh_topk_ivf(spark, path, qv, k=5).crossJoin(F.broadcast(n))
+
+
 # --- D4: text analysis --------------------------------------------------------
 
 

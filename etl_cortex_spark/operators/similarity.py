@@ -293,6 +293,64 @@ def write_ivf_index(
     out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
 
+def append_ivf_index(
+    delta: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """INCREMENTAL maintenance of a ``write_ivf_index`` table (round 13
+    — the ingest path the index was missing): bucket the delta batch
+    with the SAME deterministic hyperplanes as the base (``dim`` +
+    ``n_planes`` + ``seed`` fully determine them, so matching knobs ⇒
+    matching cell assignment by construction) and APPEND it
+    partition-aligned — each sign-LSH cell directory gains exactly one
+    new file holding its delta vectors, and cells the delta doesn't
+    touch are never listed, let alone rewritten. The delta is
+    repartitioned by the bucket id first so a cell's rows land in one
+    task → one file per touched cell per batch (the
+    ``bucketed_fact_with_delta`` discipline applied to the ANN index).
+
+    At 100 TB this is the difference between re-shuffling the whole
+    corpus per ingest batch and a delta-sized write: cost is
+    O(|delta|) shuffle + O(touched cells) files, independent of base
+    size. The query path (``lsh_topk_ivf``) is UNCHANGED — the bucket
+    equality still prunes to ONE partition directory, which now simply
+    holds base + delta files (numPartitions==1 over multi-file cells
+    is pinned in tests/test_plans.py). Compaction of accumulated
+    per-batch files is ``layout.compact_parquet``'s job, same as for
+    any bucketed fact.
+
+    ``dim`` is peeked from the first non-null delta vector when not
+    given; it MUST equal the base's dim or the planes diverge — the
+    same contract ``lsh_topk_ivf`` already imposes on the query
+    vector.
+    """
+    if dim is None:
+        first = (
+            delta.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .first()
+        )
+        if first is None or first[0] is None or first[0] < 0:
+            raise ValueError(
+                f"append_ivf_index: cannot infer vector dim — delta is "
+                f"empty or {vec_col!r} is NULL in every row; pass dim "
+                f"explicitly"
+            )
+        dim = first[0]
+    planes = hyperplanes(dim, n_planes, seed)
+    out = delta.withColumn(
+        "__bucket", lsh_bucket(as_double(F.col(vec_col)), planes)
+    )
+    out.repartition("__bucket").write.mode("append").partitionBy(
+        "__bucket"
+    ).parquet(path)
+
+
 def lsh_topk_ivf(
     spark,
     path: str,

@@ -188,6 +188,61 @@ def test_ivf_partition_pruning(spark, tmp_path):
     assert n_parts == 1, f"expected 1 pruned partition read, got {n_parts}"
 
 
+def test_ivf_incremental_append(spark, tmp_path):
+    """append_ivf_index (round 13): a delta batch appended to an
+    existing IVF index is (a) bucket-aligned — exactly one new file
+    per cell the delta touches, untouched cells keep their file set —
+    (b) invisible to the query path: lsh_topk_ivf still prunes to ONE
+    partition directory (now multi-file) and returns exactly the
+    full-index answer over base ∪ delta."""
+    import glob as _glob
+    import os as _os
+
+    from etl_cortex_spark.operators import similarity as SIM
+    from etl_cortex_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").filter("vec_id <> 0")
+    base = emb.filter("vec_id % 7 <> 3")
+    delta = emb.filter("vec_id % 7 = 3")
+    path = str(tmp_path / "ivf_inc")
+    SIM.write_ivf_index(base, path)
+
+    def files_per_cell():
+        return {
+            _os.path.basename(d): len(_glob.glob(_os.path.join(d, "*.parquet")))
+            for d in _glob.glob(_os.path.join(path, "__bucket=*"))
+        }
+
+    before = files_per_cell()
+    SIM.append_ivf_index(delta, path)
+    after = files_per_cell()
+    touched = {
+        f"__bucket={r['__bucket']}"
+        for r in delta.withColumn(
+            "__bucket",
+            SIM.lsh_bucket(SIM.as_double(F.col("embedding")), SIM.hyperplanes(64, 6, 7)),
+        )
+        .select("__bucket")
+        .distinct()
+        .collect()
+    }
+    for cell, n in after.items():
+        if cell in touched:
+            assert n == before.get(cell, 0) + 1, (cell, before.get(cell), n)
+        else:
+            assert n == before.get(cell, 0), (cell, before.get(cell), n)
+    # at least one cell existed in the base AND gained a delta file —
+    # the multi-file-cell case the query pin below must survive
+    assert any(c in before for c in touched)
+
+    qv = [float(x) for x in load_table(spark, SF, "embeddings").filter("vec_id = 0").first().embedding]
+    df = SIM.lsh_topk_ivf(spark, path, qv, k=5)
+    full = SIM.lsh_topk(emb, qv, k=5).collect()
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in full]
+    n_parts = _scan_metric(df, "numPartitions")
+    assert n_parts == 1, f"expected 1 pruned partition read, got {n_parts}"
+
+
 def _scan_metric(df, key: str) -> int:
     """Walk the executed (post-AQE) plan to the parquet scan leaf and
     read one of its runtime SQL metrics."""
