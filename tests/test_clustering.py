@@ -237,3 +237,69 @@ def test_pq_codebooks_null_first_vector_does_not_abort(spark):
     books = PQ.deterministic_codebooks(df, m=2, k=4)
     assert len(books) == 2 and len(books[0]) == 4
     assert books[0][0] == [1.0, 1.0]  # id 1, not the NULL id 0
+
+
+# --- bucketed semantic decontamination (round 13) ----------------------------
+
+
+def _sem_lsh_fixture(spark):
+    from etl_cortex_spark.inventory.tier_d_prep import _sem_lsh_bench_train
+
+    return _sem_lsh_bench_train(spark, SF_SMOKE)
+
+
+def test_semantic_contamination_lsh_recall_and_no_false_positives(spark):
+    """The bucketed decontamination sibling: (a) candidates are a
+    subset of all pairs, so the bucketed max_cosine can never EXCEED
+    the exact one — no false positives by construction; (b) on the
+    perturbed seeding the radius-1 multi-probe catches every exact
+    flag (measured recall 1.0 at all three SFs, deterministic for
+    fixed data+planes); (c) one output row per benchmark id, misses
+    flagged false rather than dropped."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    bench, train = _sem_lsh_fixture(spark)
+    exact = {
+        r.bench_id: (r.max_cosine, r.contaminated)
+        for r in LP.semantic_contamination(train, bench, threshold=0.99).collect()
+    }
+    approx = {
+        r.bench_id: (r.max_cosine, r.contaminated)
+        for r in LP.semantic_contamination_lsh(
+            train, bench, threshold=0.99, probe_radius=1
+        ).collect()
+    }
+    assert set(approx) == set(exact)  # every bench id present
+    for bid, (mc, flag) in approx.items():
+        emc, eflag = exact[bid]
+        if mc is not None:
+            assert mc <= emc  # bucketed candidates ⊆ all pairs
+        if flag:
+            assert eflag  # no false positives
+    exact_flagged = {b for b, (_, f) in exact.items() if f}
+    caught = {b for b, (_, f) in approx.items() if f}
+    assert exact_flagged, "seeding must plant contamination"
+    assert len(exact_flagged & caught) / len(exact_flagged) >= 0.95
+
+
+def test_semantic_contamination_lsh_multiprobe_monotone(spark):
+    """Raising probe_radius can only ADD candidates: radius-2 flags a
+    superset of radius-1, which flags a superset of radius-0."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    bench, train = _sem_lsh_fixture(spark)
+    sets = []
+    for r in (0, 1, 2):
+        out = LP.semantic_contamination_lsh(
+            train, bench, threshold=0.99, probe_radius=r
+        )
+        sets.append({x.bench_id for x in out.filter("contaminated").collect()})
+    assert sets[0] <= sets[1] <= sets[2]
+
+
+def test_semantic_contamination_lsh_empty_benchmark_raises(spark):
+    from etl_cortex_spark.operators import llmprep as LP
+
+    bench, train = _sem_lsh_fixture(spark)
+    with pytest.raises(ValueError, match="cannot infer vector dim"):
+        LP.semantic_contamination_lsh(train, bench.filter("bench_id < 0"))
