@@ -58,11 +58,21 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
-    library — by round 12 that is only: MP3 SAMPLE decode and
-    COMPRESSED-video codec decode (the full image family, progressive
-    AC refinement included, is decoded for real, and UNCOMPRESSED
-    BI_RGB video frames decode for real through
-    ``decode_avi_frame_features``). PCM-WAV (``decode_wav_features``),
+    library — by round 13 that is only: MP3 (LAYER III) sample decode,
+    the Layer I/II subband→PCM synthesis WINDOW, and COMPRESSED-video
+    codec decode. The narrowing trail: the full image family
+    (progressive AC refinement included) decodes for real,
+    UNCOMPRESSED BI_RGB video frames decode for real
+    (``decode_avi_frame_features``), and as of round 13 MPEG-1
+    LAYER II audio decodes for real down to requantized subband
+    samples (``decode_mp2_subband_features`` — allocation, scfsi,
+    scalefactors, grouped/ungrouped requantization). What keeps the
+    remaining three behind the stub is spec TABLE DATA, not machinery:
+    the synthesis window is ISO 11172-3 Table 3-B.3 (512 numerically
+    designed coefficients, no closed form), Layer III needs the
+    Huffman code Tables 3-B.7, and video codecs need their reference
+    libraries — none reconstructible offline without copying tables
+    this build does not ship. PCM-WAV (``decode_wav_features``),
     24-bpp BMP (``decode_bmp_features``), DEFLATE-compressed PNG
     (``decode_png_features``), baseline-sequential grayscale JPEG
     (``decode_jpeg_features`` — Huffman + full IDCT), baseline COLOR
@@ -79,8 +89,10 @@ def decode_image(payload: bytes) -> "object":
     batching, partitioning) is already real.
     """
     raise NotImplementedError(
-        "mp3-sample and compressed-video-codec decoders are not "
-        "available in this environment"
+        "Layer-III sample, Layer-I/II PCM-synthesis-window, and "
+        "compressed-video-codec decoders are not available in this "
+        "environment (ISO tables 3-B.3/3-B.7 and codec libraries not "
+        "shipped)"
     )
 
 
@@ -2057,6 +2069,347 @@ def parse_mp3_features(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 n, sr, dur, total, avg, padded = parse_one(aid, bytes(payload))
                 for k, v in zip(cols, (aid, n, sr, dur, total, avg, padded)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5n: REAL MPEG-1 Layer II subband-sample decode (round 13) ----------------
+
+#: MPEG-1 Layer II bitrate table (kbps), index 1..14 (0 = free, 15 = bad).
+_MP2_BITRATES = (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+
+#: Low-rate bit-allocation tables (ISO 11172-3 Tables 3-B.2c / 3-B.2d):
+#: nbal = 4 bits for every subband, sblimit 8 (C) / 12 (D), and the
+#: quantization classes are the natural ladder — allocation index i ≥ 1
+#: selects steps = (3, 5, 9, 15, 31, 63, ..., 32767)[i-1]. The
+#: high-rate tables 3-B.2a/b (56–192 kbps/ch) carry per-subband
+#: irregular class lists — spec TABLE DATA this offline build does not
+#: ship; decode of those configurations raises, see decode_image.
+_MP2_STEPS_CD = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767)
+#: grouped classes pack 3 consecutive samples into one base-steps code
+_MP2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+
+def _mp2_class(alloc_idx: int) -> tuple[int, int, bool]:
+    """(steps, code bits, grouped) for a table-C/D allocation index."""
+    steps = _MP2_STEPS_CD[alloc_idx - 1]
+    if steps in _MP2_GROUP_BITS:
+        return steps, _MP2_GROUP_BITS[steps], True
+    return steps, (steps + 1).bit_length() - 1, False
+
+
+def _mp2_scalefactor(idx: int) -> float:
+    """ISO Table 3-B.1: sf(idx) = 2 · 2^(−idx/3). Exactly a power of
+    two when idx is a multiple of 3 (the fixture family); the cube-root
+    intermediates otherwise."""
+    return 2.0 ** (1 - idx // 3) * (1.0, 2.0 ** (-1.0 / 3.0), 2.0 ** (-2.0 / 3.0))[idx % 3]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, val: int, n: int) -> None:
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def bytes_padded(self, total: int) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.nbits = 0
+        if len(self.buf) > total:
+            raise ValueError("mp2 frame body overflows declared size")
+        return bytes(self.buf) + b"\x00" * (total - len(self.buf))
+
+
+class _BitReader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def get(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self.buf[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def synthesize_mp2_assets(docs: DataFrame) -> DataFrame:
+    """REAL MPEG-1 LAYER II streams, one per document — mono, 48 kHz,
+    48 kbps (bitrate index 2 → the low-rate Table 3-B.2c allocation
+    family, frame size exactly 144000·48/48000 = 144 bytes, padding
+    never fires). Each payload is an ID3v2.4 tag (syncsafe size, the
+    parse_mp3_features trap) followed by ``3 + id % 4`` frames whose
+    side info + subband codes all come from closed forms shared with
+    the oracle:
+
+        frame: alloc sb0=4 (15 steps), sb1=1 (3 steps, grouped),
+               sb2=2 (5 steps, grouped), sb3..7 = 0
+        scfsi(sb)          = (id + sb) % 4
+        sfidx(sb, t)       = 3·((id + sb + t) % 4)   # powers of two
+        sb0 code(fr,g,k)   = (id·7 + fr·5 + g·3 + k) % 15
+        sb1 digit(fr,g,k)  = (id + fr + g + k) % 3
+        sb2 digit(fr,g,k)  = (id·3 + fr + g·2 + k) % 5
+
+    The scalefactor indices are multiples of 3 BY CONSTRUCTION, so
+    every requantized sample is a dyadic rational and the decode
+    features are exact integers — the audio twin of the DC-only JPEG
+    fixture trick (decoder general, payload chosen so the output has
+    a trig-free closed form)."""
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        def encode_one(d: int) -> bytes:
+            n_frames = 3 + d % 4
+            tag_body = 21 + d % 32
+            out = bytearray(b"ID3\x04\x00\x00")
+            out += bytes(
+                [(tag_body >> 21) & 0x7F, (tag_body >> 14) & 0x7F,
+                 (tag_body >> 7) & 0x7F, tag_body & 0x7F]
+            )
+            out += bytes((i + d) % 128 for i in range(tag_body))
+            allocs = [4, 1, 2] + [0] * 5  # table-C indices per subband
+            for fr in range(n_frames):
+                # header: sync/MPEG-1/Layer II/no CRC; br_idx 2 (48k),
+                # sr_idx 1 (48 kHz), no padding; mono
+                out += bytes([0xFF, 0xFD, (2 << 4) | (1 << 2), 0xC0])
+                w = _BitWriter()
+                for a in allocs:
+                    w.put(a, 4)
+                for sb, a in enumerate(allocs):
+                    if a:
+                        w.put((d + sb) % 4, 2)
+                for sb, a in enumerate(allocs):
+                    if not a:
+                        continue
+                    scfsi = (d + sb) % 4
+                    ntrans = (3, 2, 1, 2)[scfsi]
+                    for t in range(ntrans):
+                        w.put(3 * ((d + sb + t) % 4), 6)
+                for g in range(12):
+                    for sb, a in enumerate(allocs):
+                        if not a:
+                            continue
+                        steps, nbits, grouped = _mp2_class(a)
+                        if grouped:
+                            if steps == 3:
+                                digs = [(d + fr + g + k) % 3 for k in range(3)]
+                            else:
+                                digs = [(d * 3 + fr + g * 2 + k) % 5 for k in range(3)]
+                            w.put(
+                                digs[0] + steps * digs[1] + steps * steps * digs[2],
+                                nbits,
+                            )
+                        else:
+                            for k in range(3):
+                                w.put((d * 7 + fr * 5 + g * 3 + k) % 15, nbits)
+                out += w.bytes_padded(144 - 4)
+            return bytes(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_mp2_subband_features(assets: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer II SAMPLE decode via ``mapInPandas`` (stdlib
+    only) — the audio-codec leg the NotImplementedError contract
+    carried since round 10, now real down to requantized subband
+    samples: header validation (sync/MPEG-1/Layer II, bitrate and
+    sample-rate indices), low-rate bit-allocation read (Tables
+    3-B.2c/d: nbal=4, natural step ladder — selected for bitrate/ch
+    ≤ 48 kbps; the high-rate 3-B.2a/b per-subband class lists are spec
+    table data this offline build does not ship and raise loudly),
+    scfsi + scalefactor-sharing across the frame's three parts,
+    GROUPED requantization (3/5/9-step triplets unpacked base-steps
+    from one 5/7/10-bit code) and ungrouped codes with the all-ones
+    pattern excluded, and the unified ISO requantization algebra
+
+        s'' = C·(s''' + D),  C = 2^nb/steps,
+        s''' = code·2^(1−nb) − 1,
+        D = 0.5 (grouped) | 2^(1−nb) (ungrouped)
+        ⇒ s'' = 2·(code + 1 − 2^(nb−1))/steps   (ungrouped)
+          s'' = 2·(digit − 2^(nb−2))/steps      (grouped)
+
+    then s' = scalefactor · s''. What stays stubbed (decode_image):
+    the final subband→PCM synthesis filterbank, whose 512-coefficient
+    prototype window is ISO Table 3-B.3 TABULATED data (designed
+    numerically, no closed form, unavailable offline) — and Layer III,
+    whose Huffman tables (3-B.7) are the same class of spec data.
+    Everything decode-algorithmic is real and general; a production
+    build adds two spec tables, not new machinery.
+
+    Output (exact integers + one closed-form double, the oracle-safe
+    projection of the subband grid): ``sum_scaled_x60`` is
+    Σ 60·s' — an exact integer whenever 120·sf·code/steps is integral,
+    which the fixture family guarantees (sf a power of two ≥ 1/4,
+    steps ∈ {3,5,15} dividing 120) so the sum is order-free;
+    ``sum_sfidx`` pins the scfsi→transmitted-scalefactor count logic;
+    ``first_sample`` is the bitstream-first requantized sample as a
+    double (identical single-division arithmetic on both engines).
+
+    Cites reference behavior: app.py has no audio surface; this is
+    tier-D mandate (SURVEY §2 D5), public-spec parity like T.81/RIFF.
+    """
+    out_schema = (
+        "asset_id bigint, n_frames int, samplerate int, sblimit int, "
+        "n_alloc_slots bigint, sum_scaled_x60 bigint, sum_sfidx bigint, "
+        "first_sample double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        rates = _MP3_RATES
+        bitrates = _MP2_BITRATES
+
+        def decode_one(aid, buf: bytes):
+            pos = 0
+            if buf[:3] == b"ID3":
+                if len(buf) < 10 or any(b & 0x80 for b in buf[6:10]):
+                    raise ValueError(f"asset {aid}: bad ID3v2 syncsafe size")
+                pos = 10 + ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9])
+            n_frames = 0
+            sr = None
+            sblimit = None
+            n_alloc_slots = 0
+            sum_scaled_x60 = 0.0
+            sum_sfidx = 0
+            first_sample = None
+            while pos < len(buf):
+                if pos + 4 > len(buf):
+                    raise ValueError(f"asset {aid}: truncated header at {pos}")
+                b0, b1, b2 = buf[pos], buf[pos + 1], buf[pos + 2]
+                if b0 != 0xFF or (b1 & 0xF8) != 0xF8:
+                    raise ValueError(f"asset {aid}: lost frame sync at {pos}")
+                if (b1 & 0x18) != 0x18:
+                    raise ValueError(f"asset {aid}: not MPEG-1 at {pos}")
+                if (b1 & 0x06) != 0x04:
+                    raise ValueError(f"asset {aid}: not Layer II at {pos}")
+                if not (b1 & 0x01):
+                    raise ValueError(f"asset {aid}: CRC frames unsupported")
+                br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+                if br_idx in (0, 15):
+                    raise ValueError(f"asset {aid}: free/bad bitrate index")
+                if sr_idx == 3:
+                    raise ValueError(f"asset {aid}: reserved sample rate")
+                mode = buf[pos + 3] >> 6
+                if mode != 3:
+                    raise ValueError(
+                        f"asset {aid}: only single_channel implemented"
+                    )
+                kbps = bitrates[br_idx - 1]
+                rate = rates[sr_idx]
+                if sr is None:
+                    sr = rate
+                elif sr != rate:
+                    raise ValueError(f"asset {aid}: sample rate changed")
+                if kbps > 48:
+                    raise ValueError(
+                        f"asset {aid}: {kbps} kbps/ch selects bit-allocation "
+                        "table 3-B.2a/b — spec table data not shipped offline"
+                    )
+                sblimit = 8 if sr_idx in (0, 1) else 12  # B.2c / B.2d
+                size = 144000 * kbps // rate + pad
+                if pos + size > len(buf):
+                    raise ValueError(f"asset {aid}: truncated frame at {pos}")
+                r = _BitReader(buf[pos + 4 : pos + size])
+                allocs = [r.get(4) for _ in range(sblimit)]
+                scfsi = {
+                    sb: r.get(2) for sb, a in enumerate(allocs) if a
+                }
+                sf_eff: dict[int, list[float]] = {}
+                for sb, a in enumerate(allocs):
+                    if not a:
+                        continue
+                    ntrans = (3, 2, 1, 2)[scfsi[sb]]
+                    trans = [r.get(6) for _ in range(ntrans)]
+                    sum_sfidx += sum(trans)
+                    tmap = {
+                        0: (0, 1, 2),
+                        1: (0, 0, 1),
+                        2: (0, 0, 0),
+                        3: (0, 1, 1),
+                    }[scfsi[sb]]
+                    sf_eff[sb] = [_mp2_scalefactor(trans[t]) for t in tmap]
+                for g in range(12):
+                    part = g // 4
+                    for sb, a in enumerate(allocs):
+                        if not a:
+                            continue
+                        steps, nbits, grouped = _mp2_class(a)
+                        sf = sf_eff[sb][part]
+                        if grouped:
+                            code = r.get(nbits)
+                            if code >= steps * steps * steps:
+                                raise ValueError(
+                                    f"asset {aid}: grouped code {code} out of "
+                                    f"range for {steps}^3"
+                                )
+                            # digit → sample: s'' = 2·(d − 2^(nb−2))/steps
+                            # with nb the width of one digit
+                            dnb = steps.bit_length()  # 3→2, 5→3, 9→4
+                            samples = [
+                                2.0 * ((code // steps**k) % steps - (1 << (dnb - 2))) / steps * sf
+                                for k in range(3)
+                            ]
+                        else:
+                            codes = [r.get(nbits) for _ in range(3)]
+                            if any(c == (1 << nbits) - 1 for c in codes):
+                                raise ValueError(
+                                    f"asset {aid}: forbidden all-ones code"
+                                )
+                            samples = [
+                                2.0 * (c + 1 - (1 << (nbits - 1))) / steps * sf
+                                for c in codes
+                            ]
+                        for s in samples:
+                            if first_sample is None:
+                                first_sample = s
+                            sum_scaled_x60 += 60.0 * s
+                        n_alloc_slots += 3
+                n_frames += 1
+                pos += size
+            if n_frames == 0 or sr is None:
+                raise ValueError(f"asset {aid}: no MPEG frames")
+            total = round(sum_scaled_x60)
+            if abs(sum_scaled_x60 - total) > 1e-6:
+                raise ValueError(
+                    f"asset {aid}: non-integral scaled sum {sum_scaled_x60} "
+                    "(payload outside the exact fixture family)"
+                )
+            return (
+                n_frames, sr, sblimit, n_alloc_slots, int(total),
+                sum_sfidx, first_sample,
+            )
+
+        for pdf in it:
+            cols = (
+                "asset_id", "n_frames", "samplerate", "sblimit",
+                "n_alloc_slots", "sum_scaled_x60", "sum_sfidx",
+                "first_sample",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                vals = decode_one(aid, bytes(payload))
+                for k, v in zip(cols, (aid, *vals)):
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 
