@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from etl_cortex_spark.operators import llmprep as LP
 from etl_cortex_spark.operators import search as SR
 from etl_cortex_spark.operators import textops as TX
-from etl_cortex_spark.inventory.tier_d import _WORDS, _shingles_sql
+from etl_cortex_spark.inventory.tier_d import _WORDS, _bucket_sql, _shingles_sql
 from etl_cortex_spark.queries import T, query
 
 
@@ -1359,3 +1359,101 @@ def d77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pair_orders"), "part_a", "part_b")
     )
+
+
+@query(
+    "d101_bitext_margin",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT vec_id AS src_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    t0 AS (
+      SELECT vec_id AS tgt_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 2 = 1
+      UNION ALL
+      SELECT vec_id + 1000001,
+             list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                            x -> x + 0.01)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    sp AS (
+      SELECT src_id, v, xor(({_bucket_sql("v")}), f) AS cell
+      FROM s0, (VALUES (0), (1), (2), (4), (8), (16), (32)) fl(f)
+    ),
+    tb AS (SELECT tgt_id, v, ({_bucket_sql("v")}) AS cell FROM t0),
+    pr AS (
+      SELECT src_id, tgt_id,
+             round(list_dot_product(sp.v, tb.v) /
+                   (sqrt(list_dot_product(sp.v, sp.v)) *
+                    sqrt(list_dot_product(tb.v, tb.v))), 6) AS cosine
+      FROM sp JOIN tb USING (cell)
+    ),
+    pc AS (SELECT *, CAST(round(cosine * 1000000) AS BIGINT) AS c6 FROM pr),
+    rk AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id) AS rs,
+        row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id) AS rt
+      FROM pc
+    ),
+    nx AS (SELECT src_id, CAST(sum(c6) AS BIGINT) AS sx,
+                  CAST(count(*) AS BIGINT) AS cx
+           FROM rk WHERE rs <= 4 GROUP BY src_id),
+    ny AS (SELECT tgt_id, CAST(sum(c6) AS BIGINT) AS sy,
+                  CAST(count(*) AS BIGINT) AS cy
+           FROM rk WHERE rt <= 4 GROUP BY tgt_id),
+    sc AS (
+      SELECT rk.src_id, rk.tgt_id, rk.cosine,
+             (2.0 * rk.c6) / (sx / cx + sy / cy) AS margin
+      FROM rk JOIN nx USING (src_id) JOIN ny USING (tgt_id)
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin DESC, tgt_id) AS rm
+      FROM sc
+    )
+    SELECT src_id, tgt_id, margin, cosine
+    FROM best WHERE rm = 1 AND margin >= 1.5
+    ORDER BY src_id
+    """,
+)
+def d101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.bitext_margin_pairs -- MARGIN-BASED BITEXT MINING
+    (round 13, the parallel-corpus construction step of a multilingual
+    training pipeline; Artetxe & Schwenk margin criterion): per source
+    embedding, the target candidate whose cosine stands out relative
+    to BOTH vectors' k-NN neighborhood averages, mined at margin >=
+    1.5. Raw-cosine mining over-selects hub vectors; the margin
+    normalization is the published fix. Self-seeded ground truth: the
+    target side carries a +0.01-perturbed copy of every 10th source
+    vector (disjoint +1000001 ids), so planted translations mine with
+    margins far above organic pairs -- the recovery property is pinned
+    in pytest (tests/test_selection.py). Scale shape: sign-LSH cell
+    join with radius-1 multi-probe on the source side (one shuffle per
+    side on the cell key, never all-pairs); neighborhood averages are
+    candidate-pool windows quantized to integer micro-units so the
+    top-k sums are order-free and the margin is one identical-operand
+    double expression on both engines. FULL oracle: the deterministic
+    plane literals + xor probes + quantized windows replayed verbatim
+    in DuckDB (operators/similarity.py:bitext_margin_pairs)."""
+    from etl_cortex_spark.operators import similarity as SIM
+
+    emb = T(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), dbl.alias("embedding")
+    )
+    organic = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), dbl.alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_001).alias("tgt_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias(
+            "embedding"
+        ),
+    )
+    return SIM.bitext_margin_pairs(
+        src, organic.unionByName(planted), k=4, threshold=1.5
+    ).orderBy("src_id")

@@ -527,3 +527,105 @@ def lsh_topk_batch(
         .filter(F.col("__rn") <= k)
         .select(query_id_col, id_col, "cosine")
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.5,
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    src_id_col: str = "src_id",
+    tgt_id_col: str = "tgt_id",
+) -> DataFrame:
+    """MARGIN-BASED BITEXT MINING (round 13) — the parallel-corpus
+    construction step of a multilingual training pipeline (the
+    Artetxe & Schwenk margin criterion, CCMatrix-style): for every
+    source-language embedding, find the target-language candidate
+    whose cosine stands out RELATIVE to both vectors' neighborhoods,
+
+        margin(x, y) = cos(x, y) / (avg_k NN(x)/2 + avg_k NN(y)/2),
+
+    and emit the best-margin pair per source when it clears
+    ``threshold``. Raw cosine alone over-mines hub vectors (points
+    close to everything); the margin normalizes by each side's
+    neighborhood density — the published fix this operator reproduces.
+
+    Scale shape: candidates come from a sign-LSH cell join with
+    radius-1 MULTI-PROBE on the source side (the d12c recall device) —
+    both sides shuffle ONCE on the cell key, never all-pairs; the
+    neighborhood averages are windows over candidate pools (cell-
+    sized), not the corpus; the final argmax is one more pool window.
+    Neighborhoods are computed over the SAME candidate set (documented
+    deviation from global kNN — exact at fixture scale where cells
+    cover the true neighbors, certified by the planted-pair pytest).
+
+    Cross-engine exactness device: cosines are quantized to integer
+    micro-units (round 6dp × 1e6 → BIGINT) BEFORE the window sums, so
+    the top-k neighborhood sums are order-free integers and the margin
+    is one identical-operand double expression on both engines.
+    Returns (src_id, tgt_id, margin, cosine) — one row per mined
+    source."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    cv = as_double(F.col(vec_col))
+    flips = [0] + [1 << j for j in range(n_planes)]
+    s = src.select(
+        F.col(src_id_col),
+        cv.alias("__sv"),
+        F.explode(
+            F.array(
+                *[lsh_bucket(cv, planes).bitwiseXOR(F.lit(f)) for f in flips]
+            )
+        ).alias("__cell"),
+    )
+    t = tgt.select(
+        F.col(tgt_id_col),
+        cv.alias("__tv"),
+        lsh_bucket(cv, planes).alias("__cell"),
+    )
+    pairs = s.join(t, "__cell").select(
+        src_id_col,
+        tgt_id_col,
+        F.round(cosine(F.col("__sv"), F.col("__tv")), 6).alias("cosine"),
+    ).withColumn("__c6", F.round(F.col("cosine") * 1_000_000).cast("bigint"))
+    ws = Window.partitionBy(src_id_col).orderBy(
+        F.desc("__c6"), F.asc(tgt_id_col)
+    )
+    wt = Window.partitionBy(tgt_id_col).orderBy(
+        F.desc("__c6"), F.asc(src_id_col)
+    )
+    ranked = pairs.withColumn("__rs", F.row_number().over(ws)).withColumn(
+        "__rt", F.row_number().over(wt)
+    )
+    nbh_s = (
+        ranked.filter(F.col("__rs") <= k)
+        .groupBy(src_id_col)
+        .agg(F.sum("__c6").alias("__sx"), F.count(F.lit(1)).alias("__nx"))
+    )
+    nbh_t = (
+        ranked.filter(F.col("__rt") <= k)
+        .groupBy(tgt_id_col)
+        .agg(F.sum("__c6").alias("__sy"), F.count(F.lit(1)).alias("__ny"))
+    )
+    scored = (
+        ranked.join(nbh_s, src_id_col)
+        .join(nbh_t, tgt_id_col)
+        .withColumn(
+            "margin",
+            (F.lit(2.0) * F.col("__c6"))
+            / (F.col("__sx") / F.col("__nx") + F.col("__sy") / F.col("__ny")),
+        )
+    )
+    wm = Window.partitionBy(src_id_col).orderBy(
+        F.desc("margin"), F.asc(tgt_id_col)
+    )
+    return (
+        scored.withColumn("__rm", F.row_number().over(wm))
+        .filter((F.col("__rm") == 1) & (F.col("margin") >= F.lit(float(threshold))))
+        .select(src_id_col, tgt_id_col, "margin", "cosine")
+    )

@@ -429,3 +429,75 @@ def test_weighted_priority_sample_bias_determinism_and_guards(spark):
     assert heavy >= 45, f"only {heavy}/50 heavy rows selected"
     again = weighted_priority_sample(df.repartition(7), k=50, weight_col="w").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+# --- D101: margin-based bitext mining (round 13) --------------------------------
+
+
+def _bitext_sides(spark):
+    from etl_cortex_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    src = emb.filter("vec_id % 2 = 0").select(
+        F.col("vec_id").alias("src_id"), dbl.alias("embedding")
+    )
+    organic = emb.filter("vec_id % 2 = 1").select(
+        F.col("vec_id").alias("tgt_id"), dbl.alias("embedding")
+    )
+    planted = emb.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 1_000_001).alias("tgt_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"),
+    )
+    return src, organic.unionByName(planted)
+
+
+def test_bitext_margin_recovers_planted_translations(spark):
+    """Every planted translation that gets mined is mined against ITS
+    source (no cross-wiring), nearly all planted sources are mined, and
+    mined margins clear the threshold."""
+    from etl_cortex_spark.operators.similarity import bitext_margin_pairs
+
+    src, tgt = _bitext_sides(spark)
+    mined = {
+        r.src_id: (r.tgt_id, r.margin)
+        for r in bitext_margin_pairs(src, tgt, k=4, threshold=1.5).collect()
+    }
+    planted_srcs = [s for s in mined if s % 10 == 0]
+    assert planted_srcs, "no planted sources mined at all"
+    for s in planted_srcs:
+        assert mined[s][0] == s + 1_000_001, (s, mined[s])
+        assert mined[s][1] >= 1.5
+    # recall over planted sources: LSH cells at this angle rarely split
+    n_planted = src.filter("src_id % 10 = 0").count()
+    assert len(planted_srcs) / n_planted >= 0.9
+
+
+def test_bitext_margin_normalizes_hubs(spark):
+    """The margin criterion's reason to exist: a hub target (close to
+    everything) must NOT be mined by every source. Raw-cosine top-1
+    would pair many sources with the hub; margin mining caps it to the
+    sources whose cosine stands out against the hub's own crowded
+    neighborhood."""
+    from etl_cortex_spark.operators.similarity import bitext_margin_pairs
+
+    src, tgt = _bitext_sides(spark)
+    # add a hub: the MEAN direction of all source vectors (closeish to
+    # many of them at once), as a target row
+    import numpy as np
+
+    vecs = np.array([r.embedding for r in src.limit(200).collect()])
+    hub = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).mean(axis=0)
+    hub_row = src.sparkSession.createDataFrame(
+        [(9_999_999, [float(x) for x in hub])],
+        "tgt_id long, embedding array<double>",
+    )
+    mined = bitext_margin_pairs(
+        src, tgt.unionByName(hub_row), k=4, threshold=1.5
+    )
+    n_hub = mined.filter("tgt_id = 9999999").count()
+    n_total = mined.count()
+    assert n_total > 0
+    # the hub shares a cell with many sources, but margin mining must
+    # not hand it more than a sliver of the mined set
+    assert n_hub <= max(2, n_total // 10), (n_hub, n_total)
