@@ -816,3 +816,67 @@ def scale_delete_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retract_agg(
         state, retr, ["event_date", "event_type"], sum_cols=["total_cents"]
     ).orderBy("event_date", "event_type")
+
+
+@query(
+    "scale_snapshot_time_travel",
+    oracle="""
+    WITH v(version) AS (VALUES (1), (2), (3))
+    SELECT v.version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM v JOIN orders o ON (o.o_orderkey % 3) < v.version
+    GROUP BY v.version ORDER BY v.version
+    """,
+)
+def scale_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-BASED SNAPSHOT READS / TIME TRAVEL (round 13 —
+    `layout.snapshot_append` + `layout.snapshot_read`, the Iceberg/
+    Delta mechanism reduced to its load-bearing core): three commits
+    land the orders table in thirds (o_orderkey % 3 = 0, then 1, then
+    2), each commit writing O(|batch|) data files plus ONE immutable
+    manifest listing every file visible at that version; the query
+    then reads ALL THREE versions AS OF their commit — after the later
+    commits exist — and aggregates each. The v1/v2 rows prove time
+    travel (historical versions unchanged by subsequent appends,
+    because readers resolve one manifest and never list the data
+    directory); the cumulative counts prove the commit protocol adds
+    exactly the intended files. At 100 TB this is the table format
+    question: reproducible training runs pin a snapshot version while
+    ingest keeps committing, with no table rewrite and no read-side
+    locking — immutability alone gives snapshot isolation. The oracle
+    replays the cumulative thirds as plain SQL. Index path carries the
+    pid so concurrent harness runs never collide; the table is rebuilt
+    per call for idempotence (re-runs must not stack versions)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snap_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    frames = []
+    for v in (1, 2, 3):
+        frames.append(
+            snapshot_read(spark, path, version=v)
+            .groupBy()
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select("version", "n_orders", "total_price")
+        )
+    out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    # 3 rows: local sort == global order, no range exchange
+    return out.coalesce(1).sortWithinPartitions("version")

@@ -548,3 +548,77 @@ def skipping_scan(spark, path: str, key_col: str, lo, hi, stats=None):
         .parquet(*files)
         .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
     )
+
+
+# --- manifest-based snapshot reads (time travel) --------------------------------
+
+
+def snapshot_append(spark, df, path: str) -> int:
+    """MANIFEST-BASED versioned append (round 13 — the lakehouse
+    capability the layout family was missing): each call writes the
+    batch's parquet files under ``path/data/`` and commits a new
+    manifest ``path/vN.manifest.json`` listing EVERY file visible at
+    version N (the previous version's files + the new batch's). Reads
+    never list the data directory — they read exactly one manifest's
+    file set — so a reader pinned to version N is untouched by later
+    appends (snapshot isolation) and historical versions stay
+    queryable after new commits (time travel). This is the Iceberg/
+    Delta snapshot mechanism reduced to its load-bearing core: an
+    immutable file log as the table's source of truth, no table-sized
+    rewrite per commit, O(|batch|) data written per version.
+
+    Returns the committed version number. Concurrency stance: commits
+    are test-scale sequential (one writer); a production build swaps
+    the manifest rename for an atomic-swap catalog — the READ protocol
+    (this module's ``snapshot_read``) is unchanged by that upgrade,
+    which is the point of the design."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    staged = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(staged)
+    new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    if not new_files:
+        raise ValueError("snapshot_append: batch wrote no parquet files")
+    manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+    prev: list[str] = []
+    version = 1
+    if manifests:
+        with open(manifests[-1]) as f:
+            prev = json.load(f)["files"]
+        version = (
+            int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
+        )
+    tmp = os.path.join(path, f".v{version}.manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": prev + new_files}, f)
+    os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
+    return version
+
+
+def snapshot_read(spark, path: str, version: int | None = None):
+    """Read a versioned table AS OF ``version`` (default: latest):
+    parse one manifest, scan exactly its file set. A version committed
+    after this reader resolved its manifest can never change the
+    result — snapshot isolation from immutability alone."""
+    import glob
+    import json
+    import os
+
+    if version is None:
+        manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+        if not manifests:
+            raise ValueError(f"snapshot_read: no manifests under {path}")
+        target = manifests[-1]
+    else:
+        target = os.path.join(path, f"v{version}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_read: version {version} does not exist at {path}"
+            )
+    with open(target) as f:
+        files = json.load(f)["files"]
+    return spark.read.parquet(*files)

@@ -221,3 +221,35 @@ def test_delta_append_failure_never_leaves_partial_table(spark):
     assert spark.catalog.tableExists(name)  # rebuilt clean on retry
     assert out2.count() == expected
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- manifest snapshots / time travel (round 13) --------------------------------
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """A reader pinned to version N sees EXACTLY version N's rows
+    forever: appends after the manifest resolve change nothing, every
+    historical version stays queryable, and the latest-version default
+    tracks the head."""
+    import pytest
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+
+    path = str(tmp_path / "snap")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 25).withColumnRenamed("id", "k")
+    assert snapshot_append(spark, df1, path) == 1
+    pinned = snapshot_read(spark, path, version=1)
+    assert snapshot_append(spark, df2, path) == 2
+    # the pinned reader (resolved before commit 2) still sees only v1
+    assert pinned.count() == 10
+    assert snapshot_read(spark, path, version=1).count() == 10
+    assert snapshot_read(spark, path, version=2).count() == 25
+    assert snapshot_read(spark, path).count() == 25  # latest
+    assert sorted(
+        r.k for r in snapshot_read(spark, path, version=2).collect()
+    ) == list(range(25))
+    with pytest.raises(ValueError, match="version 7 does not exist"):
+        snapshot_read(spark, path, version=7)
+    with pytest.raises(ValueError, match="no manifests"):
+        snapshot_read(spark, str(tmp_path / "empty"))
