@@ -880,3 +880,66 @@ def scale_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frames[0].unionByName(frames[1]).unionByName(frames[2])
     # 3 rows: local sort == global order, no range exchange
     return out.coalesce(1).sortWithinPartitions("version")
+
+
+@query(
+    "scale_snapshot_cow_delete",
+    oracle="""
+    WITH v(version) AS (VALUES (2), (3))
+    SELECT v.version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM v JOIN orders o
+      ON (o.o_orderkey % 3) < 2
+     AND (v.version = 2 OR (o.o_orderkey % 6) <> 0)
+    GROUP BY v.version ORDER BY v.version
+    """,
+)
+def scale_snapshot_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE DELETE against the versioned table
+    (`layout.snapshot_delete` — the erasure half of the D102 protocol,
+    the retract_agg story applied to STORAGE): two commits land the
+    orders thirds 0 and 1, then a delete erases the o_orderkey % 6 = 0
+    rows (half of batch 1's keyspace, NONE of batch 2's); the new
+    version rewrites only the files containing matches — batch 2's
+    files are carried by REFERENCE, pinned in pytest — while version 2
+    still serves every pre-delete row (time travel as the audit
+    trail). The query reads v2 (pre-delete) and v3 (post-delete) after
+    both commits exist; the oracle replays both predicates as plain
+    SQL, so the hash match proves the COW rewrite dropped exactly the
+    intended rows and nothing else. At 100 TB this is the GDPR-erasure
+    cost model: rewrite the handful of files a user's rows live in,
+    never the table."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cow_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    snapshot_delete(spark, path, F.col("o_orderkey") % 6 == 0)
+    frames = []
+    for v in (2, 3):
+        frames.append(
+            snapshot_read(spark, path, version=v)
+            .groupBy()
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select("version", "n_orders", "total_price")
+        )
+    return frames[0].unionByName(frames[1]).coalesce(1).sortWithinPartitions("version")

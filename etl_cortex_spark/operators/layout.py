@@ -622,3 +622,62 @@ def snapshot_read(spark, path: str, version: int | None = None):
     with open(target) as f:
         files = json.load(f)["files"]
     return spark.read.parquet(*files)
+
+
+def snapshot_delete(spark, path: str, predicate) -> int:
+    """COPY-ON-WRITE DELETE for the manifest snapshot protocol (the
+    other half of the lakehouse write path — GDPR erasure / bad-batch
+    retraction against a versioned table): rows matching ``predicate``
+    (a Column) disappear from the NEW version while every prior
+    version still serves them (time travel is the audit trail;
+    permanent erasure would additionally expire old manifests, a
+    retention-policy knob, not a protocol change).
+
+    Cost shape is the COW contract: only files that actually CONTAIN
+    matching rows are rewritten (one filtered rewrite each); untouched
+    files are carried into the new manifest by reference — at 100 TB
+    an erasure of one user's rows rewrites the handful of files their
+    rows live in, never the table. The affected-file set is found with
+    one predicate-pushdown scan over ``input_file_name()`` (file-level
+    zone maps would prune that scan further, `file_stats`).
+
+    Returns the committed version. Like ``snapshot_append``: one
+    sequential writer at test scale; atomic-swap catalogs replace the
+    manifest rename in production without touching the read protocol."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+    if not manifests:
+        raise ValueError(f"snapshot_delete: no manifests under {path}")
+    with open(manifests[-1]) as f:
+        cur = json.load(f)["files"]
+    version = int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
+    full = spark.read.parquet(*cur)
+    affected = {
+        os.path.abspath(r["f"].removeprefix("file:"))
+        for r in full.filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    kept = [f for f in cur if os.path.abspath(f) not in affected]
+    new_files: list[str] = []
+    if affected:
+        staged = os.path.join(path, "data", f"cow-{uuid.uuid4().hex[:12]}")
+        survivors = (
+            spark.read.schema(full.schema)
+            .parquet(*sorted(affected))
+            .filter(~predicate)
+        )
+        survivors.write.mode("errorifexists").parquet(staged)
+        new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    tmp = os.path.join(path, f".v{version}.manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": kept + new_files}, f)
+    os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
+    return version

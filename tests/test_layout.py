@@ -253,3 +253,49 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
         snapshot_read(spark, path, version=7)
     with pytest.raises(ValueError, match="no manifests"):
         snapshot_read(spark, str(tmp_path / "empty"))
+
+
+def test_snapshot_cow_delete_rewrites_only_affected_files(spark, tmp_path):
+    """The COW contract: a delete whose matches live only in batch 1
+    rewrites batch-1 files and carries batch-2 files BY REFERENCE (the
+    same paths appear in the new manifest); prior versions still serve
+    the deleted rows; deleting nothing carries every file by
+    reference."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "cow")
+    b1 = spark.range(0, 100).withColumnRenamed("id", "k")
+    b2 = spark.range(1000, 1100).withColumnRenamed("id", "k")
+    snapshot_append(spark, b1, path)
+    snapshot_append(spark, b2, path)
+
+    def manifest(v):
+        with open(os.path.join(path, f"v{v}.manifest.json")) as f:
+            return set(json.load(f)["files"])
+
+    m2 = manifest(2)
+    b2_files = {f for f in m2 if spark.read.parquet(f).filter("k >= 1000").count() > 0}
+    assert b2_files
+    v3 = snapshot_delete(spark, path, F.col("k") < 50)
+    assert v3 == 3
+    m3 = manifest(3)
+    # batch-2 files carried by reference, affected batch-1 files gone
+    assert b2_files <= m3
+    assert snapshot_read(spark, path, version=3).count() == 150
+    assert snapshot_read(spark, path, version=2).count() == 200  # audit trail
+    assert sorted(
+        r.k for r in snapshot_read(spark, path, version=3).collect()
+    ) == list(range(50, 100)) + list(range(1000, 1100))
+    # no-op delete: every file carried by reference
+    v4 = snapshot_delete(spark, path, F.col("k") < -1)
+    assert manifest(4) == m3 and v4 == 4
