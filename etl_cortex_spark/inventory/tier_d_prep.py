@@ -1490,3 +1490,89 @@ def d12semlshra(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(exact_ids), bool(recall >= 0.95))],
         "n_exact_contaminated long, recall_ok boolean",
     )
+
+
+_BLOCKLIST = (
+    "tracker0.com", "tracker1.com", "tracker2.com",
+    "spam.net", "malware.co", "news3.org",
+)
+
+
+@query(
+    "d103_domain_blocklist",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'cdn.ads.tracker' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+               WHEN 1 THEN 'www.news' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+               WHEN 2 THEN 'mirror.spam.net'
+               WHEN 3 THEN 'blog.example' || CAST(doc_id % 4 AS VARCHAR) || '.io'
+               ELSE 'a.b.malware.co'
+             END AS host
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, host,
+             list_filter(
+               list_transform(
+                 generate_series(1, len(string_split(host, '.'))),
+                 i -> array_to_string(string_split(host, '.')[i:], '.')),
+               s -> list_contains({list(_BLOCKLIST)!r}, s)
+             )[1] AS matched_domain
+      FROM h
+    )
+    SELECT doc_id, host, matched_domain,
+           matched_domain IS NOT NULL AS blocked
+    FROM m ORDER BY doc_id
+    """,
+)
+def d103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmprep.domain_blocklist_filter — URL-filter blocklist with
+    SUFFIX semantics (round 13; the curation step d54's normalizer
+    feeds): a doc is blocked when its host or ANY parent domain is
+    listed ('cdn.ads.tracker0.com' blocked by 'tracker0.com'). The
+    scalable rewrite: decompose each host into its suffix chain and
+    EQUI-join against the broadcast blocklist — O(labels) hash probes
+    per row regardless of blocklist size, where the naive form is
+    |docs| × |blocklist| LIKE scans. Shuffle shape: docs are never
+    shuffled (suffixes explode map-side into the broadcast join; the
+    longest-match collapse groups only MATCH rows; the match table
+    joins back broadcast). Hosts are synthesized from doc_id closed
+    forms (three blocked families — nested subdomain, exact-parent,
+    deep-chain — and two clean ones, including a clean 'news{{k}}.org'
+    family that only k=3 of is listed, so suffix matching is really
+    exercised against near-misses); the oracle replays the suffix
+    decomposition with DuckDB list functions and the literal
+    blocklist. (operators/llmprep.py:domain_blocklist_filter)"""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("cdn.ads.tracker"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("www.news"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".org"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit("mirror.spam.net"))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("blog.example"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(".io"),
+            ),
+        )
+        .otherwise(F.lit("a.b.malware.co"))
+        .alias("host"),
+    )
+    return LP.domain_blocklist_filter(docs, list(_BLOCKLIST)).orderBy("doc_id")

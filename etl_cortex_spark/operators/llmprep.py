@@ -1397,3 +1397,54 @@ def weighted_priority_sample(
         .orderBy("__priority", id_col)
         .limit(k)
     )
+
+
+def domain_blocklist_filter(
+    docs: "DataFrame",
+    blocklist: list[str],
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """URL-FILTER BLOCKLIST with SUFFIX semantics (round 13 — the
+    FineWeb/CC-pipeline curation step d54's normalizer feeds): a doc
+    is blocked when its host OR ANY PARENT DOMAIN of it appears in the
+    blocklist ('cdn.ads.tracker0.com' is blocked by 'tracker0.com').
+    The naive form — |docs| × |blocklist| LIKE '%.domain' scans — is
+    quadratic; the scalable rewrite decomposes each host into its
+    ≤ label-count suffix chain and EQUI-joins that against the
+    broadcast blocklist: per-row work O(labels) hash probes,
+    independent of blocklist size.
+
+    Shuffle shape: the docs side is NEVER shuffled — suffixes explode
+    map-side into the broadcast join; the per-doc longest-match
+    collapse (min_by over suffix position) groups only MATCH rows
+    (blocked-docs-sized), and the match table joins back BROADCAST.
+    Returns every input row + (matched_domain — the most specific
+    matching suffix, NULL if clean, deterministic) + blocked flag.
+
+    The blocklist is model state (broadcastable by assumption, like
+    d91's Bloom side); a blocklist too big to broadcast would move to
+    the d91 constant-size Bloom representation with this operator's
+    suffix decomposition unchanged."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark = docs.sparkSession
+    bl = F.broadcast(
+        spark.createDataFrame([(b,) for b in blocklist], "domain string")
+    )
+    parts = F.split(F.col(host_col), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts) - i + 1), "."),
+    )
+    exploded = docs.select(
+        id_col, F.posexplode(suffixes).alias("__pos", "__suffix")
+    )
+    matches = (
+        exploded.join(bl, F.col("__suffix") == F.col("domain"))
+        .groupBy(id_col)
+        .agg(F.min_by("__suffix", "__pos").alias("matched_domain"))
+    )
+    return docs.join(F.broadcast(matches), id_col, "left").withColumn(
+        "blocked", F.col("matched_domain").isNotNull()
+    )

@@ -501,3 +501,40 @@ def test_bitext_margin_normalizes_hubs(spark):
     # the hub shares a cell with many sources, but margin mining must
     # not hand it more than a sliver of the mined set
     assert n_hub <= max(2, n_total // 10), (n_hub, n_total)
+
+
+# --- D103: domain blocklist suffix filter (round 13) ----------------------------
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    """Label-aligned suffix matching, NOT endswith: 'otracker.com'
+    must survive a 'tracker.com' blocklist entry (the classic
+    endswith-matching bug), exact hosts and parent domains match, the
+    longest (most specific) match wins, and clean rows keep
+    matched_domain NULL."""
+    from etl_cortex_spark.operators.llmprep import domain_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tracker.com"),            # exact
+            (2, "cdn.tracker.com"),        # parent match
+            (3, "otracker.com"),           # endswith trap: NOT blocked
+            (4, "deep.ads.tracker.com"),   # 2-level parent
+            (5, "clean.org"),              # clean
+            (6, "ads.tracker.com"),        # more specific entry exists
+        ],
+        "doc_id long, host string",
+    )
+    out = {
+        r.doc_id: (r.matched_domain, r.blocked)
+        for r in domain_blocklist_filter(
+            docs, ["tracker.com", "ads.tracker.com"]
+        ).collect()
+    }
+    assert out[1] == ("tracker.com", True)
+    assert out[2] == ("tracker.com", True)
+    assert out[3] == (None, False)
+    assert out[4] == ("ads.tracker.com", True)   # longest match wins
+    assert out[5] == (None, False)
+    assert out[6] == ("ads.tracker.com", True)
+    assert len(out) == 6  # every input row present exactly once
