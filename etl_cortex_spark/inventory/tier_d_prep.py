@@ -1576,3 +1576,70 @@ def d103(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("host"),
     )
     return LP.domain_blocklist_filter(docs, list(_BLOCKLIST)).orderBy("doc_id")
+
+
+@query(
+    "d104_calibration_audit",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform({_WORDS}, t -> {_W_SQL})), 0)
+                  AS BIGINT) AS feat_sum,
+             CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             feat_sum / (128.0 * greatest(n_tokens, 1)) AS score,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            AS BIGINT)
+                       < 128 + least(greatest(feat_sum, -96), 96)
+                  THEN 1 ELSE 0 END AS label
+      FROM scored
+    ),
+    bk AS (
+      SELECT least(greatest(CAST(floor((score - (-1.0)) / 0.2) AS INT), 0), 9)
+               AS bucket,
+             label
+      FROM lab
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           sum(label) / CAST(count(*) AS DOUBLE) AS pos_rate
+    FROM bk GROUP BY bucket ORDER BY bucket
+    """,
+)
+def d104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.calibration_audit — the RELIABILITY-DIAGRAM feed for the
+    d63 model-based quality filter (round 13): scores bucketed into 10
+    fixed-width bins over [-1, 1], per-bin count + empirical positive
+    rate. Labels are self-seeded with score-correlated md5 noise
+    (label = md5_byte(doc_id) < 128 + clamp(feat_sum, ±96) — both
+    engines derive it from the data), so the audit shows the monotone
+    pos_rate-vs-bucket curve a calibrated filter should produce.
+    Fixed-width bins BY DESIGN: quantile bins need a global rank;
+    these are a pure projection + one ≤10-group partial agg — nothing
+    scales with the corpus but the scan. Exact integer counts + one
+    single-division rate (cross-engine-stable); the oracle replays
+    scoring, labeling, and binning verbatim.
+    (operators/quality.py:calibration_audit)"""
+    from etl_cortex_spark.operators.quality import calibration_audit
+
+    docs = T(spark, sf_dir, "documents")
+    noise = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+    scored = docs.select(
+        "doc_id",
+        TX.classifier_score("text").alias("score"),
+        (
+            noise
+            < 128
+            + F.least(
+                F.greatest(TX.classifier_feat_sum("text"), F.lit(-96)),
+                F.lit(96),
+            )
+        ).alias("label"),
+    )
+    return calibration_audit(
+        scored, "score", "label", n_buckets=10, lo=-1.0, hi=1.0
+    ).orderBy("bucket")

@@ -115,3 +115,45 @@ def observe_metrics(df: DataFrame, name: str, metrics: dict[str, Column]):
 
     obs = Observation(name)
     return df.observe(obs, *(c.alias(n) for n, c in metrics.items())), obs
+
+
+def calibration_audit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    lo: float = -1.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """CLASSIFIER CALIBRATION AUDIT (round 13 — the reliability-diagram
+    feed for a model-based quality filter like d63): bucket predicted
+    scores into ``n_buckets`` FIXED-WIDTH bins over [lo, hi] and emit
+    per-bin counts + empirical positive rate. A well-calibrated filter
+    has pos_rate tracking the bin's score range; systematic gaps mean
+    the keep-threshold is mis-set for parts of the corpus — the audit
+    every score-gated training mix should run before committing to a
+    threshold.
+
+    Fixed-width bins, NOT quantile bins, deliberately: quantile
+    binning needs a global rank (a sort or a two-phase D90 rank);
+    fixed-width binning is a pure projection + one partial-agg shuffle
+    of ≤ n_buckets groups — nothing here scales with corpus size
+    except the scan. Scores outside [lo, hi] clamp into the edge bins
+    so every row is audited. Emitted columns are exact integers plus
+    one single-division rate, the cross-engine-stable projection."""
+    b = F.floor(
+        (F.col(score_col) - F.lit(lo)) / F.lit((hi - lo) / n_buckets)
+    ).cast("int")
+    bucket = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+    return (
+        df.select(
+            bucket.alias("bucket"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+        )
+        .withColumn("pos_rate", F.col("n_pos") / F.col("n"))
+    )

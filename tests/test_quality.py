@@ -68,3 +68,29 @@ def test_empty_rules_rejected(spark):
     df = _df(spark, [(1, 1.0)])
     with pytest.raises(ValueError):
         check_rules(df, {})
+
+
+def test_calibration_audit_bins_clamp_and_count(spark):
+    """Fixed-width binning: out-of-range scores clamp into the edge
+    bins, every row lands in exactly one bin, and pos_rate is the
+    exact per-bin ratio."""
+    from etl_cortex_spark.operators.quality import calibration_audit
+
+    rows = [
+        (-5.0, 1),   # clamps to bucket 0
+        (-1.0, 0),   # bucket 0
+        (-0.05, 1),  # bucket 4
+        (0.05, 1),   # bucket 5
+        (0.99, 0),   # bucket 9
+        (7.0, 1),    # clamps to bucket 9
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {
+        r.bucket: (r.n, r.n_pos, r.pos_rate)
+        for r in calibration_audit(df, "score", "label").collect()
+    }
+    assert out[0] == (2, 1, 0.5)
+    assert out[4] == (1, 1, 1.0)
+    assert out[5] == (1, 1, 1.0)
+    assert out[9] == (2, 1, 0.5)
+    assert sum(n for n, _, _ in out.values()) == len(rows)
