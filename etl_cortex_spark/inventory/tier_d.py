@@ -1326,6 +1326,56 @@ def d05mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d05_mjpeg_frame_decode",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             16 + (doc_id % 3) * 8 AS w,
+             8 + (doc_id % 4) * 8 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h, fr.f,
+             i % (w // 8) AS bx,
+             i // (w // 8) AS by
+      FROM a, range(0, 4) fr(f), range(0, 16) t(i)
+      WHERE fr.f < nf AND i < (w // 8) * (h // 8)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(sum(128 + ((doc_id * 7 + bx * 5 + by * 3 + f * 11) % 160 - 80))
+                AS DOUBLE) / (max(w) * max(h) / 64) AS mean_lum,
+           CAST(128 + ((doc_id * 7 + f * 11) % 160 - 80) AS INT) AS topleft_lum
+    FROM b GROUP BY doc_id, f ORDER BY asset_id, frame_idx
+    """,
+)
+def d05mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-video frame decode (round 13 — the first
+    compressed codec retired from the stub, and the proof that the
+    boundary was table data and libraries, never machinery): the Spark
+    side builds genuine MOTION-JPEG AVIs — real RIFF grammar, fourcc
+    MJPG, every ``00dc`` chunk a complete baseline JPEG with real
+    Huffman entropy coding and byte stuffing — and decodes every
+    frame's pixels back through the SAME module-level T.81 kernel the
+    still-image leg uses (`multimodal.baseline_jpeg_pixels`, shared
+    since the round-13 refactor: one kernel, two containers). Frames
+    are DC-only by fixture design so each decoded block is exactly
+    128 + qDC and this oracle replays per-frame means from the closed
+    form with a frames×blocks range join — no trigonometry, the
+    d05_jpeg pattern extended with the frame index. The remaining
+    video stub is the INTER-FRAME family (H.26x/VPx/AV1: motion
+    compensation + arithmetic coders — reference-library territory),
+    stated in `multimodal.decode_image`. Wrong-codec routing and
+    truncation raise loudly (pytest twins, tests/test_multimodal_wav.py)."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_mjpeg_avi_assets(docs)
+    return MM.decode_mjpeg_frame_features(assets).orderBy("asset_id", "frame_idx")
+
+
+@query(
     "d05_mp2_sample_decode",
     oracle="""
     WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),

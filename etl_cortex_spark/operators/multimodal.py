@@ -59,20 +59,25 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
     library — by round 13 that is only: MP3 (LAYER III) sample decode,
-    the Layer I/II subband→PCM synthesis WINDOW, and COMPRESSED-video
+    the Layer I/II subband→PCM synthesis WINDOW, and INTER-FRAME video
     codec decode. The narrowing trail: the full image family
     (progressive AC refinement included) decodes for real,
     UNCOMPRESSED BI_RGB video frames decode for real
     (``decode_avi_frame_features``), and as of round 13 MPEG-1
     LAYER II audio decodes for real down to requantized subband
     samples (``decode_mp2_subband_features`` — allocation, scfsi,
-    scalefactors, grouped/ungrouped requantization). What keeps the
-    remaining three behind the stub is spec TABLE DATA, not machinery:
-    the synthesis window is ISO 11172-3 Table 3-B.3 (512 numerically
-    designed coefficients, no closed form), Layer III needs the
-    Huffman code Tables 3-B.7, and video codecs need their reference
-    libraries — none reconstructible offline without copying tables
-    this build does not ship. PCM-WAV (``decode_wav_features``),
+    scalefactors, grouped/ungrouped requantization) AND the first
+    COMPRESSED video codec decodes for real: MOTION-JPEG, every 00dc
+    frame a complete baseline JPEG through the shared T.81 kernel
+    (``decode_mjpeg_frame_features``). What keeps the remaining three
+    behind the stub is spec TABLE DATA and reference libraries, not
+    machinery: the synthesis window is ISO 11172-3 Table 3-B.3 (512
+    numerically designed coefficients, no closed form), Layer III
+    needs the Huffman code Tables 3-B.7, and inter-frame codecs
+    (H.26x/VPx/AV1) need motion compensation + arithmetic coders from
+    their reference implementations — none reconstructible offline
+    without copying material this build does not ship. PCM-WAV
+    (``decode_wav_features``),
     24-bpp BMP (``decode_bmp_features``), DEFLATE-compressed PNG
     (``decode_png_features``), baseline-sequential grayscale JPEG
     (``decode_jpeg_features`` — Huffman + full IDCT), baseline COLOR
@@ -90,9 +95,9 @@ def decode_image(payload: bytes) -> "object":
     """
     raise NotImplementedError(
         "Layer-III sample, Layer-I/II PCM-synthesis-window, and "
-        "compressed-video-codec decoders are not available in this "
-        "environment (ISO tables 3-B.3/3-B.7 and codec libraries not "
-        "shipped)"
+        "inter-frame video-codec decoders are not available in this "
+        "environment (ISO tables 3-B.3/3-B.7 and codec reference "
+        "libraries not shipped)"
     )
 
 
@@ -905,6 +910,176 @@ def synthesize_jpeg_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
 
 
+def _jpeg_build_huff(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman decode table exactly as T.81 Annex C defines:
+    (length, code) → symbol. Shared by the still-image and MJPEG
+    decode paths (round 13 refactor — ONE kernel, two containers)."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def baseline_jpeg_pixels(aid, buf: bytes):
+    """General BASELINE SEQUENTIAL grayscale JPEG decode (ITU T.81) →
+    (width, height, pixel ndarray). The full entropy-coded path:
+    marker walk (APPn/COM skipped), DQT, DHT → canonical Huffman,
+    SOF0 (8-bit, 1 component, 1×1), SOS, per-MCU DC size+amplitude
+    with the Annex F EXTEND rule, the AC run-length loop (EOB/ZRL/
+    run-size), dezigzag, dequantize, complete 2-D IDCT, +128 shift,
+    clamp. Module-level since round 13 so the still-image leg
+    (``decode_jpeg_features``) and the MJPEG video leg
+    (``decode_mjpeg_frame_features``) decode through the SAME kernel.
+    Raises ValueError on anything non-baseline — loud desync, never
+    silent skips."""
+    import math
+    import struct
+
+    import numpy as np
+
+    zigzag = _JPEG_ZIGZAG
+    M = np.array(
+        [
+            [
+                ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError(f"asset {aid}: not a JPEG (no SOI)")
+    pos, qt, huff, sof = 2, {}, {}, None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"asset {aid}: expected marker at {pos}")
+        m = buf[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            raise ValueError(f"asset {aid}: EOI before SOS")
+        (ln,) = struct.unpack(">H", buf[pos : pos + 2])
+        seg = buf[pos + 2 : pos + ln]
+        pos += ln
+        if 0xE0 <= m <= 0xEF or m == 0xFE:
+            continue  # APPn / COM
+        if m == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError(f"asset {aid}: 16-bit DQT unsupported")
+                qt[tq] = np.frombuffer(
+                    seg[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif m == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _jpeg_build_huff(
+                    bits, list(seg[i + 17 : i + 17 + nv])
+                )
+                i += 17 + nv
+        elif m == 0xC0:
+            prec = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    f"asset {aid}: only 8-bit single-component "
+                    f"baseline supported (got prec={prec}, nc={nc})"
+                )
+            if seg[7] != 0x11:
+                raise ValueError(f"asset {aid}: subsampling unsupported")
+            sof = (w, h, seg[8])
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"asset {aid}: non-baseline SOF{m & 0xF}")
+        elif m == 0xDD:
+            raise ValueError(f"asset {aid}: restart intervals unsupported")
+        elif m == 0xDA:
+            if sof is None:
+                raise ValueError(f"asset {aid}: SOS before SOF0")
+            w, h, tq0 = sof
+            tbl = seg[2]
+            dc_t, ac_t = huff[(0, tbl >> 4)], huff[(1, tbl & 0xF)]
+            q = qt[tq0]
+            # un-stuff entropy bytes up to the next real marker
+            data = bytearray()
+            p = pos
+            while p + 1 < len(buf):
+                if buf[p] == 0xFF:
+                    if buf[p + 1] == 0x00:
+                        data.append(0xFF)
+                        p += 2
+                        continue
+                    break
+                data.append(buf[p])
+                p += 1
+            bitpos = 0
+
+            def getbit() -> int:
+                nonlocal bitpos
+                byte = data[bitpos >> 3]
+                bit = (byte >> (7 - (bitpos & 7))) & 1
+                bitpos += 1
+                return bit
+
+            def read_huff(tab: dict) -> int:
+                code = ln2 = 0
+                while ln2 <= 16:
+                    code = (code << 1) | getbit()
+                    ln2 += 1
+                    sym = tab.get((ln2, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError(f"asset {aid}: invalid Huffman code")
+
+            def receive_extend(s: int) -> int:
+                v = 0
+                for _ in range(s):
+                    v = (v << 1) | getbit()
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            nbx, nby = w // 8, h // 8
+            px = np.zeros((h, w), dtype=np.int64)
+            prev = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    s = read_huff(dc_t)
+                    prev += receive_extend(s) if s else 0
+                    czz = np.zeros(64, dtype=np.int64)
+                    czz[0] = prev
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(ac_t)
+                        if rs == 0x00:
+                            break  # EOB
+                        if rs == 0xF0:
+                            k += 16  # ZRL
+                            continue
+                        k += rs >> 4
+                        czz[k] = receive_extend(rs & 0xF)
+                        k += 1
+                    Fm = np.zeros(64, dtype=np.float64)
+                    Fm[list(zigzag)] = czz * q
+                    block = M.T @ Fm.reshape(8, 8) @ M
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.rint(block).astype(np.int64) + 128, 0, 255
+                    )
+            return w, h, px
+        else:
+            raise ValueError(f"asset {aid}: unexpected marker 0x{m:02x}")
+    raise ValueError(f"asset {aid}: no SOS segment")
+
+
 def decode_jpeg_features(assets: DataFrame) -> DataFrame:
     """REAL entropy-coded image decode via ``mapInPandas`` — stdlib +
     numpy only, a general BASELINE SEQUENTIAL grayscale JPEG decoder
@@ -931,168 +1106,7 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-        import struct
-
-        import numpy as np
         import pandas as pd
-
-        zigzag = (
-            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
-        )
-        # orthonormal IDCT basis: M[u, x] = C(u)/2 * cos((2x+1)u*pi/16);
-        # block = M.T @ F @ M  (the /4 of T.81's IDCT is absorbed)
-        M = np.array(
-            [
-                [
-                    ((1 / math.sqrt(2)) if u == 0 else 1.0)
-                    / 2.0
-                    * math.cos((2 * x + 1) * u * math.pi / 16)
-                    for x in range(8)
-                ]
-                for u in range(8)
-            ]
-        )
-
-        def build_huff(bits: list[int], vals: list[int]) -> dict:
-            table, code, k = {}, 0, 0
-            for ln in range(1, 17):
-                for _ in range(bits[ln - 1]):
-                    table[(ln, code)] = vals[k]
-                    k += 1
-                    code += 1
-                code <<= 1
-            return table
-
-        def decode_one(aid, buf: bytes):
-            if buf[:2] != b"\xff\xd8":
-                raise ValueError(f"asset {aid}: not a JPEG (no SOI)")
-            pos, qt, huff, sof = 2, {}, {}, None
-            while pos < len(buf):
-                if buf[pos] != 0xFF:
-                    raise ValueError(f"asset {aid}: expected marker at {pos}")
-                m = buf[pos + 1]
-                pos += 2
-                if m == 0xD9:
-                    raise ValueError(f"asset {aid}: EOI before SOS")
-                (ln,) = struct.unpack(">H", buf[pos : pos + 2])
-                seg = buf[pos + 2 : pos + ln]
-                pos += ln
-                if 0xE0 <= m <= 0xEF or m == 0xFE:
-                    continue  # APPn / COM
-                if m == 0xDB:
-                    i = 0
-                    while i < len(seg):
-                        pq, tq = seg[i] >> 4, seg[i] & 0xF
-                        if pq != 0:
-                            raise ValueError(f"asset {aid}: 16-bit DQT unsupported")
-                        qt[tq] = np.frombuffer(
-                            seg[i + 1 : i + 65], dtype=np.uint8
-                        ).astype(np.int64)
-                        i += 65
-                elif m == 0xC4:
-                    i = 0
-                    while i < len(seg):
-                        tc, th = seg[i] >> 4, seg[i] & 0xF
-                        bits = list(seg[i + 1 : i + 17])
-                        nv = sum(bits)
-                        huff[(tc, th)] = build_huff(
-                            bits, list(seg[i + 17 : i + 17 + nv])
-                        )
-                        i += 17 + nv
-                elif m == 0xC0:
-                    prec = seg[0]
-                    h, w = struct.unpack(">HH", seg[1:5])
-                    nc = seg[5]
-                    if prec != 8 or nc != 1:
-                        raise ValueError(
-                            f"asset {aid}: only 8-bit single-component "
-                            f"baseline supported (got prec={prec}, nc={nc})"
-                        )
-                    if seg[7] != 0x11:
-                        raise ValueError(f"asset {aid}: subsampling unsupported")
-                    sof = (w, h, seg[8])
-                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-                    raise ValueError(f"asset {aid}: non-baseline SOF{m & 0xF}")
-                elif m == 0xDD:
-                    raise ValueError(f"asset {aid}: restart intervals unsupported")
-                elif m == 0xDA:
-                    if sof is None:
-                        raise ValueError(f"asset {aid}: SOS before SOF0")
-                    w, h, tq0 = sof
-                    tbl = seg[2]
-                    dc_t, ac_t = huff[(0, tbl >> 4)], huff[(1, tbl & 0xF)]
-                    q = qt[tq0]
-                    # un-stuff entropy bytes up to the next real marker
-                    data = bytearray()
-                    p = pos
-                    while p + 1 < len(buf):
-                        if buf[p] == 0xFF:
-                            if buf[p + 1] == 0x00:
-                                data.append(0xFF)
-                                p += 2
-                                continue
-                            break
-                        data.append(buf[p])
-                        p += 1
-                    bitpos = 0
-
-                    def getbit() -> int:
-                        nonlocal bitpos
-                        byte = data[bitpos >> 3]
-                        bit = (byte >> (7 - (bitpos & 7))) & 1
-                        bitpos += 1
-                        return bit
-
-                    def read_huff(tab: dict) -> int:
-                        code = ln2 = 0
-                        while ln2 <= 16:
-                            code = (code << 1) | getbit()
-                            ln2 += 1
-                            sym = tab.get((ln2, code))
-                            if sym is not None:
-                                return sym
-                        raise ValueError(f"asset {aid}: invalid Huffman code")
-
-                    def receive_extend(s: int) -> int:
-                        v = 0
-                        for _ in range(s):
-                            v = (v << 1) | getbit()
-                        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-                    nbx, nby = w // 8, h // 8
-                    px = np.zeros((h, w), dtype=np.int64)
-                    prev = 0
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            s = read_huff(dc_t)
-                            prev += receive_extend(s) if s else 0
-                            czz = np.zeros(64, dtype=np.int64)
-                            czz[0] = prev
-                            k = 1
-                            while k < 64:
-                                rs = read_huff(ac_t)
-                                if rs == 0x00:
-                                    break  # EOB
-                                if rs == 0xF0:
-                                    k += 16  # ZRL
-                                    continue
-                                k += rs >> 4
-                                czz[k] = receive_extend(rs & 0xF)
-                                k += 1
-                            Fm = np.zeros(64, dtype=np.float64)
-                            Fm[list(zigzag)] = czz * q
-                            block = M.T @ Fm.reshape(8, 8) @ M
-                            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                                np.rint(block).astype(np.int64) + 128, 0, 255
-                            )
-                    return w, h, px
-                else:
-                    raise ValueError(f"asset {aid}: unexpected marker 0x{m:02x}")
-            raise ValueError(f"asset {aid}: no SOS segment")
 
         for pdf in it:
             rows = {
@@ -1103,7 +1117,7 @@ def decode_jpeg_features(assets: DataFrame) -> DataFrame:
                 )
             }
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                w, h, px = decode_one(aid, bytes(payload))
+                w, h, px = baseline_jpeg_pixels(aid, bytes(payload))
                 n = w * h
                 rows["asset_id"].append(aid)
                 rows["width"].append(w)
@@ -2070,6 +2084,239 @@ def parse_mp3_features(assets: DataFrame) -> DataFrame:
                 n, sr, dur, total, avg, padded = parse_one(aid, bytes(payload))
                 for k, v in zip(cols, (aid, n, sr, dur, total, avg, padded)):
                     rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5o: REAL MJPEG (compressed-video) frame decode (round 13) ----------------
+
+
+def synthesize_mjpeg_avi_assets(docs: DataFrame) -> DataFrame:
+    """REAL MOTION-JPEG AVIs, one per document — the first COMPRESSED
+    video codec to decode for real (round 13): same genuine RIFF
+    grammar as ``synthesize_dib_avi_assets`` (hdrl/avih + vids
+    strh/strf + movi), but fourcc 'MJPG', strf biCompression = 'MJPG',
+    and each ``00dc`` chunk body is a COMPLETE baseline JPEG built by
+    the same DC-only encoder as ``synthesize_jpeg_assets`` — real
+    Huffman entropy coding, byte stuffing, per-frame DC prediction —
+    with the frame index folded into the closed form:
+
+        width  = 16 + (id % 3) * 8,  height = 8 + (id % 4) * 8
+        n_frames = 2 + id % 3
+        qDC(f, bx, by) = (id·7 + bx·5 + by·3 + f·11) % 160 − 80
+        pixel(frame f, block bx,by) = 128 + qDC   (DC-only ⇒ uniform)
+
+    MJPEG is exactly what its name says — every frame an independent
+    JPEG, no inter-frame prediction — which is why the existing T.81
+    kernel retires this codec with zero new decode machinery; the
+    remaining video stub is the INTER-FRAME codec family (H.26x/VPx/
+    AV1: motion compensation + arithmetic/entropy coders needing
+    reference libraries)."""
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        def encode_jpeg(d: int, f: int, w: int, h: int) -> bytes:
+            nbx, nby = w // 8, h // 8
+            q = bytes([8] + [16] * 63)
+            out = bytearray(b"\xff\xd8")
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+            out += (
+                b"\xff\xc0"
+                + struct.pack(">HBHHB", 11, 8, h, w, 1)
+                + bytes([1, 0x11, 0])
+            )
+            bits_dc = bytearray(16)
+            bits_dc[3] = 9
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + 9)
+                + b"\x00"
+                + bytes(bits_dc)
+                + bytes(range(9))
+            )
+            bits_ac = bytearray(16)
+            bits_ac[0] = 1
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 2 + 1 + 16 + 1)
+                + b"\x10"
+                + bytes(bits_ac)
+                + bytes([0x00])
+            )
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+            data = bytearray()
+            bitbuf = nbits = 0
+
+            def put(code: int, ln: int) -> None:
+                nonlocal bitbuf, nbits
+                bitbuf = (bitbuf << ln) | code
+                nbits += ln
+                while nbits >= 8:
+                    byte = (bitbuf >> (nbits - 8)) & 0xFF
+                    data.append(byte)
+                    if byte == 0xFF:
+                        data.append(0x00)
+                    nbits -= 8
+                    bitbuf &= (1 << nbits) - 1
+
+            prev = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    dc = (d * 7 + bx * 5 + by * 3 + f * 11) % 160 - 80
+                    diff = dc - prev
+                    prev = dc
+                    s = diff.bit_length()
+                    put(s, 4)
+                    if s:
+                        amp = diff if diff > 0 else diff + (1 << s) - 1
+                        put(amp & ((1 << s) - 1), s)
+                    put(0, 1)  # EOB
+            if nbits:
+                pad = 8 - nbits
+                byte = ((bitbuf << pad) | ((1 << pad) - 1)) & 0xFF
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+            out += data + b"\xff\xd9"
+            return bytes(out)
+
+        def encode_one(d: int) -> bytes:
+            w, h = 16 + (d % 3) * 8, 8 + (d % 4) * 8
+            n = 2 + d % 3
+            avih = struct.pack(
+                "<14I", 41666, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
+            )
+            strh = (
+                b"vids" + b"MJPG" + struct.pack("<I2H8I", 0, 0, 0, 0, 1,
+                                                24, 0, n, 0, 0, 0)
+                + struct.pack("<4h", 0, 0, w, h)
+            )
+            strf = struct.pack(
+                "<I2i2H6I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0
+            )
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+            frames = b"".join(
+                chunk(b"00dc", encode_jpeg(d, f, w, h)) for f in range(n)
+            )
+            movi = lst(b"movi", frames)
+            riff_body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_mjpeg_frame_features(assets: DataFrame) -> DataFrame:
+    """REAL COMPRESSED-video frame decode (round 13 — the first member
+    of the compressed-codec family retired from the stub): walk the
+    RIFF container, read strf.biCompression, and for 'MJPG' decode
+    EVERY ``00dc`` chunk as a complete baseline JPEG through the SAME
+    module-level T.81 kernel the still-image leg uses
+    (``baseline_jpeg_pixels`` — Huffman tables from DHT, AC run-length
+    loop, dezigzag, dequantize, full 2-D IDCT). One output row per
+    frame: (asset_id, frame_idx, width, height, mean_lum,
+    topleft_lum), means exact integer-sum / count. BI_RGB payloads are
+    routed to ``decode_avi_frame_features``'s path by contract
+    (raise); any OTHER biCompression raises NotImplementedError — the
+    remaining honest boundary is inter-frame codecs (motion
+    compensation + arithmetic coding need their reference libraries).
+    Truncated or desynced chunks raise loudly like every container
+    walk in this module."""
+    out_schema = (
+        "asset_id bigint, frame_idx int, width int, height int, "
+        "mean_lum double, topleft_lum int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def parse_one(aid, buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                raise ValueError(f"asset {aid}: not a RIFF/AVI")
+            (riff_len,) = struct.unpack("<I", buf[4:8])
+            if 8 + riff_len > len(buf):
+                raise ValueError(f"asset {aid}: truncated RIFF body")
+            frames: list[bytes] = []
+            compression = None
+
+            def walk(pos: int, end: int) -> None:
+                nonlocal compression
+                while pos + 8 <= end:
+                    fourcc = buf[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    body_end = pos + 8 + ln
+                    if body_end > end:
+                        raise ValueError(
+                            f"asset {aid}: chunk {fourcc!r} overruns parent"
+                        )
+                    if fourcc == b"LIST":
+                        walk(pos + 12, body_end)
+                    elif fourcc == b"strf":
+                        compression = struct.unpack(
+                            "<I", buf[pos + 8 + 16 : pos + 8 + 20]
+                        )[0]
+                    elif fourcc == b"00dc":
+                        frames.append(buf[pos + 8 : body_end])
+                    pos = body_end + (ln & 1)
+
+            walk(12, 8 + riff_len)
+            if compression is None:
+                raise ValueError(f"asset {aid}: no strf header")
+            if compression == 0:
+                raise ValueError(
+                    f"asset {aid}: BI_RGB payload — use "
+                    "decode_avi_frame_features for the uncompressed path"
+                )
+            if compression != 0x47504A4D:  # 'MJPG'
+                raise NotImplementedError(
+                    f"asset {aid}: biCompression 0x{compression:08x} — "
+                    "inter-frame codecs need their reference libraries"
+                )
+            if not frames:
+                raise ValueError(f"asset {aid}: MJPG stream with no 00dc frames")
+            out = []
+            for f, jpg in enumerate(frames):
+                w, h, px = baseline_jpeg_pixels(aid, jpg)
+                out.append(
+                    (f, w, h, float(px.sum()) / (w * h), int(px[0, 0]))
+                )
+            return out
+
+        for pdf in it:
+            cols = (
+                "asset_id", "frame_idx", "width", "height",
+                "mean_lum", "topleft_lum",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for f, w, h, mean, tl in parse_one(aid, bytes(payload)):
+                    for k, v in zip(cols, (aid, f, w, h, mean, tl)):
+                        rows[k].append(v)
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)

@@ -986,3 +986,59 @@ def test_avi_dib_decode_rejects_compressed_and_truncated(spark):
     )
     with _pytest.raises(Exception, match="DIB size mismatch|overruns|mismatch"):
         MM.decode_avi_frame_features(df2).collect()
+
+
+# --- MJPEG frame decode (round 13) ----------------------------------------------
+
+
+def test_mjpeg_frames_decode_exact_pixels(spark):
+    """Every MJPG frame decodes through the shared T.81 kernel to the
+    exact closed-form block values, with the frame index advancing the
+    DC pattern."""
+    docs = spark.createDataFrame([(5,)], "doc_id long")
+    assets = MM.synthesize_mjpeg_avi_assets(docs)
+    rows = sorted(
+        MM.decode_mjpeg_frame_features(assets).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    d = 5
+    w, h, nf = 16 + (d % 3) * 8, 8 + (d % 4) * 8, 2 + d % 3
+    assert len(rows) == nf
+    for r in rows:
+        assert (r.width, r.height) == (w, h)
+        total = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                total += 128 + ((d * 7 + bx * 5 + by * 3 + r.frame_idx * 11) % 160 - 80)
+        assert r.mean_lum == total / ((w // 8) * (h // 8))
+        assert r.topleft_lum == 128 + ((d * 7 + r.frame_idx * 11) % 160 - 80)
+
+
+def test_mjpeg_codec_routing_and_truncation(spark):
+    """BI_RGB payloads are routed to the uncompressed path (raise), an
+    unknown codec raises NotImplementedError naming the boundary, and
+    a truncated RIFF body desyncs loudly."""
+    import pandas as pd
+    import pytest
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    dib = MM.synthesize_dib_avi_assets(docs)
+    with pytest.raises(Exception, match="BI_RGB payload"):
+        MM.decode_mjpeg_frame_features(dib).collect()
+
+    mjpg = MM.synthesize_mjpeg_avi_assets(docs)
+    payload = bytes(mjpg.collect()[0].payload)
+
+    def swap(p: bytes):
+        def gen(it):
+            for _ in it:
+                yield pd.DataFrame({"asset_id": [1], "payload": [p]})
+        return mjpg.mapInPandas(gen, schema="asset_id bigint, payload binary")
+
+    # corrupt biCompression to a fake codec fourcc
+    i = payload.index(b"strf") + 8 + 16
+    fake = payload[:i] + b"XVID" + payload[i + 4 :]
+    with pytest.raises(Exception, match="reference libraries"):
+        MM.decode_mjpeg_frame_features(swap(fake)).collect()
+    with pytest.raises(Exception, match="truncated RIFF body"):
+        MM.decode_mjpeg_frame_features(swap(payload[:60])).collect()
