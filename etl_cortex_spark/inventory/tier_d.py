@@ -1948,6 +1948,57 @@ def d08d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_snapshot_ingest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    """,
+)
+def d08e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming APPEND-ONLY ingest into the D102 manifest snapshot
+    table (round 13 — `streaming.ingest.foreach_batch_snapshot`): the
+    events stream commits one snapshot version per micro-batch, each
+    manifest tagged with its batch_id so crash-replays are lookup
+    no-ops (pinned in tests/test_layout.py), and the final read
+    resolves the LATEST manifest — which must contain exactly every
+    event once, independent of where the engine cut the micro-batches
+    (append is additive; the oracle is the plain batch aggregate).
+    This is the streaming-writes-while-training-reads posture of a
+    100 TB corpus store: ingest keeps committing versions while any
+    reader stays pinned to the snapshot it resolved."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_read
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import foreach_batch_snapshot
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_snapstream", h)
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    q = foreach_batch_snapshot(
+        ev,
+        path=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return (
+        snapshot_read(spark, os.path.join(base, "table"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "d02_prefix_probe_pairs",
     oracle=f"""
     WITH newb AS (

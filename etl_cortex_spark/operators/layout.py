@@ -553,7 +553,7 @@ def skipping_scan(spark, path: str, key_col: str, lo, hi, stats=None):
 # --- manifest-based snapshot reads (time travel) --------------------------------
 
 
-def snapshot_append(spark, df, path: str) -> int:
+def snapshot_append(spark, df, path: str, batch_id: int | None = None) -> int:
     """MANIFEST-BASED versioned append (round 13 — the lakehouse
     capability the layout family was missing): each call writes the
     batch's parquet files under ``path/data/`` and commits a new
@@ -571,12 +571,24 @@ def snapshot_append(spark, df, path: str) -> int:
     are test-scale sequential (one writer); a production build swaps
     the manifest rename for an atomic-swap catalog — the READ protocol
     (this module's ``snapshot_read``) is unchanged by that upgrade,
-    which is the point of the design."""
+    which is the point of the design.
+
+    ``batch_id`` makes the commit IDEMPOTENT for streaming replays
+    (round 13, the foreachBatch contract): a manifest already carrying
+    this batch_id means the batch was fully committed — the replay
+    returns that version without writing, so a crash-and-replay can
+    never double-append a micro-batch."""
     import glob
     import json
     import os
     import uuid
 
+    if batch_id is not None:
+        for m in sorted(glob.glob(os.path.join(path, "v*.manifest.json"))):
+            with open(m) as f:
+                meta = json.load(f)
+            if meta.get("batch_id") == batch_id:
+                return meta["version"]
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     staged = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(staged)
@@ -593,8 +605,11 @@ def snapshot_append(spark, df, path: str) -> int:
             int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
         )
     tmp = os.path.join(path, f".v{version}.manifest.tmp")
+    meta = {"version": version, "files": prev + new_files}
+    if batch_id is not None:
+        meta["batch_id"] = batch_id
     with open(tmp, "w") as f:
-        json.dump({"version": version, "files": prev + new_files}, f)
+        json.dump(meta, f)
     os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
     return version
 

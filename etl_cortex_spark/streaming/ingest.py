@@ -478,3 +478,28 @@ def foreach_batch_kmv(
         return bottomk_merge(prev.unionByName(sk), ["__g"], k)
 
     return _foreach_batch_merge(stream, table_dir, checkpoint_dir, merge, keep_versions)
+
+
+def foreach_batch_snapshot(stream: DataFrame, path: str, checkpoint_dir: str):
+    """Streaming APPEND-ONLY ingest into the manifest snapshot table
+    (round 13 — the streaming leg of `layout.snapshot_append`): each
+    micro-batch commits one snapshot version tagged with its batch_id,
+    so a crash-replay of the same batch is a manifest-lookup no-op
+    (pinned in pytest) and readers pin versions while ingest keeps
+    committing — the streaming-writes-while-training-reads posture a
+    100 TB corpus store runs. Returns the started availableNow query."""
+    from etl_cortex_spark.operators.layout import snapshot_append
+
+    spark = stream.sparkSession
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        snapshot_append(spark, batch_df, path, batch_id=int(batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -299,3 +299,25 @@ def test_snapshot_cow_delete_rewrites_only_affected_files(spark, tmp_path):
     # no-op delete: every file carried by reference
     v4 = snapshot_delete(spark, path, F.col("k") < -1)
     assert manifest(4) == m3 and v4 == 4
+
+
+def test_snapshot_append_batch_id_replay_is_noop(spark, tmp_path):
+    """The streaming exactly-once contract: re-committing a batch_id
+    already in the manifest log returns the SAME version and writes
+    nothing; a new batch_id commits normally."""
+    import glob
+    import os
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+
+    path = str(tmp_path / "snapbid")
+    df = spark.range(0, 7).withColumnRenamed("id", "k")
+    v1 = snapshot_append(spark, df, path, batch_id=0)
+    n_manifests = len(glob.glob(os.path.join(path, "v*.manifest.json")))
+    assert (v1, n_manifests) == (1, 1)
+    # replay: same batch_id -> same version, no new manifest, no new rows
+    assert snapshot_append(spark, df, path, batch_id=0) == 1
+    assert len(glob.glob(os.path.join(path, "v*.manifest.json"))) == 1
+    assert snapshot_read(spark, path).count() == 7
+    assert snapshot_append(spark, df, path, batch_id=1) == 2
+    assert snapshot_read(spark, path).count() == 14
