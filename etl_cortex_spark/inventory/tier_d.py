@@ -1376,6 +1376,64 @@ def d05mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d05_rle8_delta_decode",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             8 + (doc_id % 3) * 4 AS w,
+             6 + (doc_id % 2) * 3 AS h,
+             3 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    fy AS (
+      SELECT doc_id, w, h, nf, t1.f, t2.y
+      FROM a, range(0, 5) t1(f), range(0, 9) t2(y)
+      WHERE t1.f < nf AND t2.y < h
+    ),
+    upd AS (
+      SELECT fy.doc_id, fy.f, fy.y, fy.w, fy.h, max(g.f2) AS fstar
+      FROM fy LEFT JOIN range(1, 5) g(f2)
+        ON g.f2 <= fy.f AND g.f2 < fy.nf
+       AND ((fy.doc_id + g.f2 * 5) % fy.h) = fy.y
+      GROUP BY fy.doc_id, fy.f, fy.y, fy.w, fy.h
+    ),
+    px AS (
+      SELECT doc_id, f, y, w, h,
+             CASE WHEN fstar IS NULL THEN (doc_id * 13 + y * 7) % 256
+                  ELSE (doc_id * 11 + fstar * 17) % 256 END AS val
+      FROM upd
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+           CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(sum(val) * max(w) AS DOUBLE) / (max(w) * max(h)) AS mean_gray,
+           CAST(max(CASE WHEN y = h - 1 THEN val END) AS INT) AS topleft_gray
+    FROM px GROUP BY doc_id, f ORDER BY asset_id, frame_idx
+    """,
+)
+def d05rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL INTER-FRAME video decode (round 13 — Microsoft BI_RLE8,
+    the second compressed codec retired and the first with CROSS-FRAME
+    STATE): frame 0 paints every row, each later frame DELTA-skips to
+    one row and repaints only it, so every skipped pixel must be
+    CARRIED from the previous frame's buffer — the inter-frame carry
+    law MJPEG (independent frames) never exercises. The decoder
+    (`multimodal.decode_rle8_frame_features`) maintains the mutable
+    frame buffer, reads the file's REAL 256-entry RGBQUAD palette, and
+    handles runs, absolute mode, EOL/EOS, and delta escapes with loud
+    bounds checks. The oracle replays the carry law declaratively:
+    last-repainting-frame per (frame, row) via a range anti/max join,
+    then the closed-form row values — no buffer simulation in SQL,
+    which is exactly the point (the imperative carry semantics reduce
+    to a max-over-updates rule the hash check can pin). After this
+    round the video stub is ONLY the motion-compensated family
+    (H.26x/VPx/AV1 — reference-library territory,
+    multimodal.decode_image)."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_rle8_avi_assets(docs)
+    return MM.decode_rle8_frame_features(assets).orderBy("asset_id", "frame_idx")
+
+
+@query(
     "d05_mp2_sample_decode",
     oracle="""
     WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),

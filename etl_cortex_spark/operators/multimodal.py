@@ -2322,6 +2322,254 @@ def decode_mjpeg_frame_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=out_schema)
 
 
+# --- D5p: REAL INTER-FRAME video decode, Microsoft RLE8 (round 13) -------------
+
+
+def synthesize_rle8_avi_assets(docs: DataFrame) -> DataFrame:
+    """REAL BI_RLE8 AVIs, one per document — the first INTER-FRAME
+    video payloads in the proof family: Microsoft RLE8 (biCompression
+    = 1, the documented Windows codec) encodes runs of 8-bit palette
+    indices with escape codes, and its DELTA escape (00 02 dx dy)
+    moves the raster position WITHOUT writing — pixels it skips are
+    CARRIED FROM THE PREVIOUS FRAME, so a correct decoder must keep
+    mutable frame-buffer state across frames. Frame 0 paints every
+    (bottom-up) row with a full-width run; each later frame f delta-
+    skips straight to ONE row and repaints only it. The strf carries a
+    real 256-entry identity-grayscale RGBQUAD palette the decoder must
+    actually read.
+
+    Closed forms shared with the oracle:
+        width  = 8 + (id % 3) * 4,  height = 6 + (id % 2) * 3
+        n_frames = 3 + id % 3
+        rb(f)   = (id + f·5) % height      # the row frame f repaints
+        v0(y)   = (id·13 + y·7) % 256      # frame-0 row values
+        u(f)    = (id·11 + f·17) % 256     # repaint values
+        pixel(row y, frame F) = u(f*) for the LAST f* ≤ F repainting y,
+                                else v0(y)  — the carry-over law
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", kind + body)
+
+        def encode_one(d: int) -> bytes:
+            w, h = 8 + (d % 3) * 4, 6 + (d % 2) * 3
+            n = 3 + d % 3
+            avih = struct.pack(
+                "<14I", 41666, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
+            )
+            strh = (
+                b"vids" + b"MRLE" + struct.pack("<I2H8I", 0, 0, 0, 0, 1,
+                                                24, 0, n, 0, 0, 0)
+                + struct.pack("<4h", 0, 0, w, h)
+            )
+            palette = b"".join(
+                bytes([i, i, i, 0]) for i in range(256)
+            )  # RGBQUAD: B G R reserved — identity grayscale
+            strf = struct.pack(
+                "<I2i2H6I", 40, w, h, 1, 8, 1, w * h, 0, 0, 256, 0
+            ) + palette
+            hdrl = lst(
+                b"hdrl",
+                chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+            )
+
+            def frame_body(f: int) -> bytes:
+                body = bytearray()
+                if f == 0:
+                    for y in range(h):  # bottom-up rows
+                        body += bytes([w, (d * 13 + y * 7) % 256])
+                        if y < h - 1:
+                            body += b"\x00\x00"  # EOL
+                else:
+                    rb = (d + f * 5) % h
+                    if rb:
+                        body += bytes([0x00, 0x02, 0, rb])  # DELTA up rb rows
+                    body += bytes([w, (d * 11 + f * 17) % 256])
+                body += b"\x00\x01"  # EOS
+                return bytes(body)
+
+            frames = b"".join(chunk(b"00dc", frame_body(f)) for f in range(n))
+            movi = lst(b"movi", frames)
+            riff_body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_rle8_frame_features(assets: DataFrame) -> DataFrame:
+    """REAL INTER-FRAME video decode (round 13 — Microsoft RLE8, the
+    delta-escape half of the video-codec family): walk the RIFF
+    container, require biCompression = 1 / 8 bpp, read the REAL
+    RGBQUAD palette, and decode every ``00dc`` chunk as BI_RLE8 —
+    encoded runs, absolute mode (00 n≥3 + word-padded raw indices),
+    EOL (00 00), EOS (00 01), and the DELTA escape (00 02 dx dy) that
+    skips raster positions so they CARRY the previous frame's pixels:
+    the frame buffer is mutable cross-frame state, which is what makes
+    this the first genuinely inter-frame decode in the family (MJPEG
+    frames are independent; RLE8 deltas are not). Grayness comes from
+    the palette the file actually carries ((R+G+B)//3 per index), not
+    an assumed identity. Output one row per frame: (asset_id,
+    frame_idx, width, height, mean_gray, topleft_gray) — exact integer
+    sums / count. Out-of-bounds runs, bad escapes, truncation, or a
+    non-RLE8 biCompression raise loudly; the remaining video stub
+    after this round is the motion-compensated family (H.26x/VPx/AV1)."""
+    out_schema = (
+        "asset_id bigint, frame_idx int, width int, height int, "
+        "mean_gray double, topleft_gray int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse_one(aid, buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                raise ValueError(f"asset {aid}: not a RIFF/AVI")
+            (riff_len,) = struct.unpack("<I", buf[4:8])
+            if 8 + riff_len > len(buf):
+                raise ValueError(f"asset {aid}: truncated RIFF body")
+            frames: list[bytes] = []
+            strf_body = None
+
+            def walk(pos: int, end: int) -> None:
+                nonlocal strf_body
+                while pos + 8 <= end:
+                    fourcc = buf[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    body_end = pos + 8 + ln
+                    if body_end > end:
+                        raise ValueError(
+                            f"asset {aid}: chunk {fourcc!r} overruns parent"
+                        )
+                    if fourcc == b"LIST":
+                        walk(pos + 12, body_end)
+                    elif fourcc == b"strf":
+                        strf_body = buf[pos + 8 : body_end]
+                    elif fourcc == b"00dc":
+                        frames.append(buf[pos + 8 : body_end])
+                    pos = body_end + (ln & 1)
+
+            walk(12, 8 + riff_len)
+            if strf_body is None:
+                raise ValueError(f"asset {aid}: no strf header")
+            w, h = struct.unpack("<2i", strf_body[4:12])
+            bpp, compression = (
+                struct.unpack("<H", strf_body[14:16])[0],
+                struct.unpack("<I", strf_body[16:20])[0],
+            )
+            if compression != 1 or bpp != 8:
+                raise NotImplementedError(
+                    f"asset {aid}: biCompression {compression}/{bpp}bpp — "
+                    "this path decodes BI_RLE8 only"
+                )
+            pal_raw = strf_body[40:]
+            n_colors = len(pal_raw) // 4
+            if n_colors < 256:
+                raise ValueError(f"asset {aid}: palette truncated ({n_colors})")
+            gray = np.array(
+                [
+                    (pal_raw[i * 4] + pal_raw[i * 4 + 1] + pal_raw[i * 4 + 2]) // 3
+                    for i in range(256)
+                ],
+                dtype=np.int64,
+            )
+            if not frames:
+                raise ValueError(f"asset {aid}: RLE8 stream with no 00dc frames")
+            buf2 = np.zeros((h, w), dtype=np.int64)  # bottom-up rows
+            out = []
+            for fi, fb in enumerate(frames):
+                x = y = 0
+                p = 0
+                done = False
+                while p < len(fb):
+                    b0 = fb[p]
+                    if b0 > 0:
+                        idx = fb[p + 1]
+                        if y >= h or x + b0 > w:
+                            raise ValueError(
+                                f"asset {aid}: run overflows row at frame {fi}"
+                            )
+                        buf2[y, x : x + b0] = idx
+                        x += b0
+                        p += 2
+                    else:
+                        esc = fb[p + 1]
+                        if esc == 0:  # EOL
+                            x, y = 0, y + 1
+                            p += 2
+                        elif esc == 1:  # EOS
+                            done = True
+                            p += 2
+                            break
+                        elif esc == 2:  # DELTA — carry skipped pixels
+                            x += fb[p + 2]
+                            y += fb[p + 3]
+                            p += 4
+                        else:  # absolute mode
+                            n = esc
+                            raw = fb[p + 2 : p + 2 + n]
+                            if y >= h or x + n > w or len(raw) < n:
+                                raise ValueError(
+                                    f"asset {aid}: absolute run overflows "
+                                    f"at frame {fi}"
+                                )
+                            buf2[y, x : x + n] = np.frombuffer(
+                                raw, dtype=np.uint8
+                            ).astype(np.int64)
+                            x += n
+                            p += 2 + n + (n & 1)  # word-aligned
+                    if y > h or x > w:
+                        raise ValueError(
+                            f"asset {aid}: raster out of bounds at frame {fi}"
+                        )
+                if not done:
+                    raise ValueError(f"asset {aid}: frame {fi} missing EOS")
+                g = gray[buf2]
+                out.append(
+                    (
+                        fi, w, h,
+                        float(g.sum()) / (w * h),
+                        int(g[h - 1, 0]),  # image top-left = bottom-up row h-1
+                    )
+                )
+            return out
+
+        for pdf in it:
+            cols = (
+                "asset_id", "frame_idx", "width", "height",
+                "mean_gray", "topleft_gray",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for fi, w, h, mean, tl in parse_one(aid, bytes(payload)):
+                    for k, v in zip(cols, (aid, fi, w, h, mean, tl)):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
 # --- D5n: REAL MPEG-1 Layer II subband-sample decode (round 13) ----------------
 
 #: MPEG-1 Layer II bitrate table (kbps), index 1..14 (0 = free, 15 = bad).

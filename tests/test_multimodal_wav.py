@@ -1042,3 +1042,92 @@ def test_mjpeg_codec_routing_and_truncation(spark):
         MM.decode_mjpeg_frame_features(swap(fake)).collect()
     with pytest.raises(Exception, match="truncated RIFF body"):
         MM.decode_mjpeg_frame_features(swap(payload[:60])).collect()
+
+
+# --- RLE8 inter-frame decode (round 13) ------------------------------------------
+
+
+def test_rle8_delta_carries_previous_frame_pixels(spark):
+    """The inter-frame law, hand-verified: frame f repaints ONLY row
+    rb(f); every other row carries the last value that painted it."""
+    docs = spark.createDataFrame([(4,)], "doc_id long")
+    d = 4
+    w, h, nf = 8 + (d % 3) * 4, 6 + (d % 2) * 3, 3 + d % 3
+    assets = MM.synthesize_rle8_avi_assets(docs)
+    rows = sorted(
+        MM.decode_rle8_frame_features(assets).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(rows) == nf
+
+    vals = {y: (d * 13 + y * 7) % 256 for y in range(h)}  # frame-0 rows
+    for r in rows:
+        f = r.frame_idx
+        if f > 0:
+            vals = dict(vals)
+            vals[(d + f * 5) % h] = (d * 11 + f * 17) % 256
+        assert r.mean_gray == sum(vals.values()) * w / (w * h)
+        assert r.topleft_gray == vals[h - 1]
+
+
+def test_rle8_absolute_mode_and_errors(spark):
+    """Absolute mode (00 n>=3 + word-padded raw indices) decodes, and
+    the loud error paths fire: non-RLE8 codec, run overflow, missing
+    EOS."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    base = bytes(MM.synthesize_rle8_avi_assets(docs).collect()[0].payload)
+
+    def with_frames(frames: list[bytes], payload: bytes = base) -> bytes:
+        # rebuild the movi LIST with replacement frames
+        i = payload.index(b"LIST", payload.index(b"movi") - 8)
+        head = payload[:i]
+        body = b"movi" + b"".join(
+            b"00dc" + struct.pack("<I", len(fb)) + fb + (b"\x00" if len(fb) % 2 else b"")
+            for fb in frames
+        )
+        movi = b"LIST" + struct.pack("<I", len(body)) + body
+        out = head + movi
+        return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+    def decode(payload: bytes):
+        assets = MM.synthesize_rle8_avi_assets(docs)
+
+        def gen(it):
+            for _ in it:
+                yield pd.DataFrame({"asset_id": [1], "payload": [payload]})
+
+        df = assets.mapInPandas(gen, schema="asset_id bigint, payload binary")
+        return MM.decode_rle8_frame_features(df).collect()
+
+    w = 8 + (1 % 3) * 4  # 12
+    # one frame: absolute run of 4 explicit indices then a run, per row 0 only
+    fb = bytes([0x00, 4, 10, 20, 30, 40]) + bytes([w - 4, 7]) + b"\x00\x01"
+    [r] = decode(with_frames([fb]))
+    # bottom row: 10+20+30+40 + 7*(w-4); rows 1..h-1 stay zero
+    h = 6 + (1 % 2) * 3
+    assert r.mean_gray == (10 + 20 + 30 + 40 + 7 * (w - 4)) / (w * h)
+    assert r.topleft_gray == 0  # top image row untouched
+
+    with pytest.raises(Exception, match="run overflows row"):
+        decode(with_frames([bytes([255, 9]) + b"\x00\x01"]))
+    with pytest.raises(Exception, match="missing EOS"):
+        decode(with_frames([bytes([4, 9])]))
+    # flip biCompression to 2 (RLE4): NotImplementedError boundary
+    i = base.index(b"strf") + 8 + 16
+    bad = base[:i] + struct.pack("<I", 2) + base[i + 4 :]
+    with pytest.raises(Exception, match="BI_RLE8 only"):
+        decode_payload = bad
+        assets = MM.synthesize_rle8_avi_assets(docs)
+
+        def gen2(it):
+            for _ in it:
+                yield pd.DataFrame({"asset_id": [1], "payload": [decode_payload]})
+
+        MM.decode_rle8_frame_features(
+            assets.mapInPandas(gen2, schema="asset_id bigint, payload binary")
+        ).collect()
