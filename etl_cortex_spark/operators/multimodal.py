@@ -59,23 +59,25 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes) -> "object":
     """Real decoder contract for codecs that genuinely need an external
     library — by round 13 that is only: MP3 (LAYER III) sample decode,
-    the Layer I/II subband→PCM synthesis WINDOW, and INTER-FRAME video
-    codec decode. The narrowing trail: the full image family
+    the Layer I/II subband→PCM synthesis WINDOW, and MOTION-COMPENSATED
+    video codec decode. The narrowing trail: the full image family
     (progressive AC refinement included) decodes for real,
     UNCOMPRESSED BI_RGB video frames decode for real
     (``decode_avi_frame_features``), and as of round 13 MPEG-1
     LAYER II audio decodes for real down to requantized subband
     samples (``decode_mp2_subband_features`` — allocation, scfsi,
-    scalefactors, grouped/ungrouped requantization) AND the first
-    COMPRESSED video codec decodes for real: MOTION-JPEG, every 00dc
-    frame a complete baseline JPEG through the shared T.81 kernel
-    (``decode_mjpeg_frame_features``). What keeps the remaining three
-    behind the stub is spec TABLE DATA and reference libraries, not
-    machinery: the synthesis window is ISO 11172-3 Table 3-B.3 (512
-    numerically designed coefficients, no closed form), Layer III
-    needs the Huffman code Tables 3-B.7, and inter-frame codecs
-    (H.26x/VPx/AV1) need motion compensation + arithmetic coders from
-    their reference implementations — none reconstructible offline
+    scalefactors, grouped/ungrouped requantization) AND two
+    COMPRESSED video codecs decode for real: MOTION-JPEG (every 00dc
+    frame a complete baseline JPEG through the shared T.81 kernel,
+    ``decode_mjpeg_frame_features``) and Microsoft BI_RLE8 with its
+    INTER-FRAME delta-carry semantics (``decode_rle8_frame_features``
+    keeps a mutable frame buffer across chunks). What keeps the
+    remaining three behind the stub is spec TABLE DATA and reference
+    libraries, not machinery: the synthesis window is ISO 11172-3
+    Table 3-B.3 (512 numerically designed coefficients, no closed
+    form), Layer III needs the Huffman code Tables 3-B.7, and
+    motion-compensated codecs (H.26x/VPx/AV1) need motion search +
+    arithmetic coders from their reference implementations — none reconstructible offline
     without copying material this build does not ship. PCM-WAV
     (``decode_wav_features``),
     24-bpp BMP (``decode_bmp_features``), DEFLATE-compressed PNG
@@ -95,8 +97,8 @@ def decode_image(payload: bytes) -> "object":
     """
     raise NotImplementedError(
         "Layer-III sample, Layer-I/II PCM-synthesis-window, and "
-        "inter-frame video-codec decoders are not available in this "
-        "environment (ISO tables 3-B.3/3-B.7 and codec reference "
+        "motion-compensated video-codec decoders are not available in "
+        "this environment (ISO tables 3-B.3/3-B.7 and codec reference "
         "libraries not shipped)"
     )
 
