@@ -943,3 +943,58 @@ def scale_snapshot_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("version", "n_orders", "total_price")
         )
     return frames[0].unionByName(frames[1]).coalesce(1).sortWithinPartitions("version")
+
+
+@query(
+    "scale_snapshot_pruned_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 500 AND 999
+    """,
+)
+def scale_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-STATS FILE PRUNING on the versioned table (round 13 —
+    Iceberg's manifest zone maps on the D102 protocol,
+    `layout.snapshot_scan`): orders commit in three key-range batches
+    with `snapshot_append(..., stats_col='o_orderkey')`, so each
+    manifest carries per-file [lo, hi]; a range query then prunes to
+    the overlapping files FROM THE MANIFEST ALONE — no directory
+    listing, no footer reads, no data file opened to plan the scan
+    (the difference from D73's `skipping_scan`, which derives stats
+    with a read pass). At 100 TB this is why table formats keep stats
+    in metadata: planning cost is one JSON read regardless of file
+    count. The pruning itself (files actually read < files in the
+    table) is pinned in tests/test_layout.py via inputFiles(); this
+    entry pins the VALUES against the plain SQL range replay."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_scan
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapscan_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for lo_k, hi_k in ((0, 500), (500, 1000), (1000, None)):
+        batch = orders.filter(F.col("o_orderkey") >= lo_k)
+        if hi_k is not None:
+            batch = batch.filter(F.col("o_orderkey") < hi_k)
+        snapshot_append(spark, batch, path, stats_col="o_orderkey")
+    return (
+        snapshot_scan(spark, path, "o_orderkey", 500, 999)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -553,7 +553,10 @@ def skipping_scan(spark, path: str, key_col: str, lo, hi, stats=None):
 # --- manifest-based snapshot reads (time travel) --------------------------------
 
 
-def snapshot_append(spark, df, path: str, batch_id: int | None = None) -> int:
+def snapshot_append(
+    spark, df, path: str, batch_id: int | None = None,
+    stats_col: str | None = None,
+) -> int:
     """MANIFEST-BASED versioned append (round 13 — the lakehouse
     capability the layout family was missing): each call writes the
     batch's parquet files under ``path/data/`` and commits a new
@@ -577,7 +580,14 @@ def snapshot_append(spark, df, path: str, batch_id: int | None = None) -> int:
     (round 13, the foreachBatch contract): a manifest already carrying
     this batch_id means the batch was fully committed — the replay
     returns that version without writing, so a crash-and-replay can
-    never double-append a micro-batch."""
+    never double-append a micro-batch.
+
+    ``stats_col`` records a per-file ZONE MAP in the manifest
+    (``"stats": {file: [lo, hi]}`` over the new batch's files, merged
+    with the previous manifest's) — the Iceberg manifest-stats idea:
+    ``snapshot_scan`` then prunes files by predicate range from the
+    MANIFEST alone, no footer reads, no directory listing. Files
+    committed without stats are conservatively never pruned."""
     import glob
     import json
     import os
@@ -604,8 +614,20 @@ def snapshot_append(spark, df, path: str, batch_id: int | None = None) -> int:
         version = (
             int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
         )
+    prev_stats: dict = {}
+    if manifests:
+        with open(manifests[-1]) as f:
+            prev_stats = json.load(f).get("stats", {})
+    stats = dict(prev_stats)
+    if stats_col is not None:
+        batch_stats = file_stats(spark, staged, stats_col).collect()
+        for r in batch_stats:
+            fname = os.path.abspath(r["file"].removeprefix("file:"))
+            stats[fname] = [r["lo"], r["hi"]]
     tmp = os.path.join(path, f".v{version}.manifest.tmp")
     meta = {"version": version, "files": prev + new_files}
+    if stats:
+        meta["stats"] = stats
     if batch_id is not None:
         meta["batch_id"] = batch_id
     with open(tmp, "w") as f:
@@ -696,3 +718,52 @@ def snapshot_delete(spark, path: str, predicate) -> int:
         json.dump({"version": version, "files": kept + new_files}, f)
     os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
     return version
+
+
+def snapshot_scan(
+    spark, path: str, key_col: str, lo, hi, version: int | None = None
+):
+    """MANIFEST-STATS PRUNED range scan over a versioned table (round
+    13 — the Iceberg manifest-pruning idea on the D102 protocol): the
+    manifest's per-file zone map (written by ``snapshot_append(...,
+    stats_col=)``) decides which files can overlap [lo, hi]; only
+    those are opened, the exact predicate filters the survivors, and —
+    unlike ``skipping_scan``, which derives stats with a footer-read
+    pass — NO data file is touched to plan the scan: pruning runs
+    entirely on the manifest, which is what makes it free at 100 TB
+    (one JSON read vs listing/opening thousands of files). Files
+    committed without stats are conservatively read. Returns an empty
+    frame with the table's schema when nothing overlaps."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+        if not manifests:
+            raise ValueError(f"snapshot_scan: no manifests under {path}")
+        target = manifests[-1]
+    else:
+        target = os.path.join(path, f"v{version}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_scan: version {version} does not exist at {path}"
+            )
+    with open(target) as f:
+        meta = json.load(f)
+    stats = meta.get("stats", {})
+    keep = []
+    for fpath in meta["files"]:
+        rng = stats.get(os.path.abspath(fpath))
+        if rng is None or (rng[1] >= lo and rng[0] <= hi):
+            keep.append(fpath)
+    full = spark.read.parquet(*meta["files"])
+    if not keep:
+        return full.limit(0)
+    return (
+        spark.read.schema(full.schema)
+        .parquet(*keep)
+        .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
+    )

@@ -321,3 +321,30 @@ def test_snapshot_append_batch_id_replay_is_noop(spark, tmp_path):
     assert snapshot_read(spark, path).count() == 7
     assert snapshot_append(spark, df, path, batch_id=1) == 2
     assert snapshot_read(spark, path).count() == 14
+
+
+def test_snapshot_scan_prunes_from_manifest_stats(spark, tmp_path):
+    """The manifest zone map prunes: a range covered by ONE of three
+    key-range batches reads only that batch's files (inputFiles()),
+    values are exact, an empty overlap returns an empty frame with the
+    table schema, and stats survive manifest chaining."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "snapstats")
+    for lo in (0, 100, 200):
+        b = (
+            spark.range(lo, lo + 100)
+            .withColumnRenamed("id", "k")
+            .coalesce(2)
+        )
+        snapshot_append(spark, b, path, stats_col="k")
+    total_files = len(snapshot_read(spark, path).inputFiles())
+    pruned = snapshot_scan(spark, path, "k", 120, 180)
+    assert len(pruned.inputFiles()) < total_files
+    assert sorted(r.k for r in pruned.collect()) == list(range(120, 181))
+    empty = snapshot_scan(spark, path, "k", 900, 950)
+    assert empty.count() == 0 and empty.columns == ["k"]
