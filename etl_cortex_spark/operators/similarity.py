@@ -556,9 +556,15 @@ def bitext_margin_pairs(
 
     Scale shape: candidates come from a sign-LSH cell join with
     radius-1 MULTI-PROBE on the source side (the d12c recall device) —
-    both sides shuffle ONCE on the cell key, never all-pairs; the
-    neighborhood averages are windows over candidate pools (cell-
-    sized), not the corpus; the final argmax is one more pool window.
+    both sides shuffle ONCE on the cell key; the neighborhood averages
+    are windows over candidate pools (cell-sized), not the corpus; the
+    final argmax is one more pool window. The pairwise candidate JOIN
+    is the scaling term and ``n_planes`` is its knob: cells must grow
+    with the corpus (n_planes ≈ log2(|corpus|·(n_planes+1) /
+    target_pool) keeps per-cell pools constant — the d25/d03 sizing
+    rule; the round-13 probe in BASELINE.md measures the fixture's
+    pinned 6 planes going quadratic at 10×, by design of the knob,
+    not of the operator).
     Neighborhoods are computed over the SAME candidate set (documented
     deviation from global kNN — exact at fixture scale where cells
     cover the true neighbors, certified by the planted-pair pytest).
