@@ -1457,3 +1457,52 @@ def d101(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.bitext_margin_pairs(
         src, organic.unionByName(planted), k=4, threshold=1.5
     ).orderBy("src_id")
+
+
+@query(
+    "d19_postings_index_lookup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    hits AS (
+      SELECT doc_id,
+             unnest(list_filter(ws, t -> list_contains(['table','join','fast'], t)))
+               AS term
+      FROM d
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_matched,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tfc GROUP BY doc_id
+    ORDER BY n_matched DESC, total_tf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def d19idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search.write_postings_index + postings_lookup — the PERSISTED
+    inverted index (round 13, the lexical twin of the IVF layout):
+    tokenize once at ingest, write (term, doc, tf) postings
+    PARTITIONED BY a deterministic md5 term bucket, then answer a
+    3-term query by pruning to ≤3 bucket directories (driver-side
+    bucket twin computes the literal prune list; the scan never lists
+    the other buckets — numPartitions pinned in tests/test_plans.py).
+    The ad-hoc `d19_bm25_topk` and this layout are the two real
+    retrieval postures: per-query corpus scan for one-off audits,
+    ingest-time index for a serving workload. The oracle replays the
+    postings aggregation + matched-term ranking from the raw corpus —
+    equality proves the INDEX holds exactly the corpus's postings (a
+    dropped or doubled posting breaks the hash). Index path carries
+    the pid; the table is rebuilt per call for idempotence."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = T(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_postings_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    SR.write_postings_index(docs, path)
+    return SR.postings_lookup(spark, path, ["table", "join", "fast"], k=20)

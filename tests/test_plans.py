@@ -807,3 +807,39 @@ def test_no_row_python_udf_or_cartesian_anywhere_in_registry(spark):
         if n_py or n_cart:
             bad[name] = {"row_python": n_py, "cartesian": n_cart}
     assert not bad, f"hot-path violations: {bad}"
+
+
+def test_postings_index_partition_pruning(spark, tmp_path):
+    """The persisted inverted index's claim: a k-term query reads at
+    most k bucket directories — the scan's runtime numPartitions
+    equals the query terms' distinct bucket count, and the result
+    matches a direct corpus-side computation."""
+    from etl_cortex_spark.operators import search as SR
+    from etl_cortex_spark.operators.textops import words
+    from etl_cortex_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "postings")
+    SR.write_postings_index(docs, path)
+    terms = ["table", "join", "fast"]
+    out = SR.postings_lookup(spark, path, terms, k=10)
+    rows = [tuple(r) for r in out.collect()]
+    n_buckets = len({SR.term_bucket_py(t) for t in terms})
+    n_parts = _scan_metric(out, "numPartitions")
+    assert n_parts == n_buckets, (n_parts, n_buckets)
+    # parity with the direct corpus-side computation
+    w = words("text")
+    direct = (
+        docs.select(F.col("doc_id"), F.explode(w).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.desc("n_matched"), F.desc("total_tf"), "doc_id")
+        .limit(10)
+    )
+    assert rows == [tuple(r) for r in direct.collect()]
