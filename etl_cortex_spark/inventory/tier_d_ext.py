@@ -1506,3 +1506,62 @@ def d19idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     SR.write_postings_index(docs, path)
     return SR.postings_lookup(spark, path, ["table", "join", "fast"], k=20)
+
+
+@query(
+    "d19_postings_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000000, 'fast fast join table ' || text
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    d AS (SELECT doc_id, {_WORDS} AS ws FROM corpus),
+    hits AS (
+      SELECT doc_id,
+             unnest(list_filter(ws, t -> list_contains(['table','join','fast'], t)))
+               AS term
+      FROM d
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_matched,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tfc GROUP BY doc_id
+    ORDER BY n_matched DESC, total_tf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def d19inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental postings-index maintenance (round 13 —
+    `search.append_postings_index`, the bucket-aligned append pattern
+    applied to the lexical index): the base index is written over the
+    corpus, then a delta batch of NEW documents (every 25th, re-texted
+    to contain the query terms — 'fast fast join table …' at disjoint
+    +30M ids) is appended by tokenizing ONLY the delta; same md5 term
+    hash ⇒ same bucket ⇒ queries read merged posting lists with no
+    merge step and no base re-tokenize. The oracle replays base ∪
+    delta from raw text, so a dropped or doubled delta posting breaks
+    the hash — and because the delta docs are STUFFED with query terms
+    they reach the top-k (3 of 20 at sf0.01, rank 1 included), so the
+    maintained index's delta visibility is pinned by the hash, not
+    just the base postings."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = T(spark, sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_postinc_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    SR.write_postings_index(docs, path)
+    delta = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(F.lit("fast fast join table "), F.col("text")).alias("text"),
+    )
+    SR.append_postings_index(delta, path)
+    return SR.postings_lookup(spark, path, ["table", "join", "fast"], k=20)

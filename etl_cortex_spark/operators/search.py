@@ -397,3 +397,43 @@ def postings_lookup(
         .orderBy(F.desc("n_matched"), F.desc("total_tf"), id_col)
         .limit(k)
     )
+
+
+def append_postings_index(
+    delta_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """INCREMENTAL maintenance of a `write_postings_index` layout
+    (round 13 — the `similarity.append_ivf_index` pattern applied to
+    the lexical index): tokenize ONLY the new documents, bucket their
+    postings with the SAME deterministic md5 term hash, and APPEND
+    partition-aligned — each term bucket gains one file holding the
+    delta's postings, untouched buckets are never rewritten, and the
+    lookup path is unchanged (a bucket directory simply holds base +
+    delta files). O(|delta|) work per ingest batch instead of a corpus
+    re-tokenize; file accumulation is `layout.compact_parquet`'s job.
+    New docs' postings for an EXISTING term land in that term's
+    existing bucket by construction (same hash), so queries see the
+    merged posting list with no merge step."""
+    from etl_cortex_spark.operators.textops import words
+
+    w = words(text_col)
+    postings = (
+        delta_docs.select(
+            F.col(id_col), F.size(w).alias("dl"), F.explode(w).alias("term")
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "__bucket",
+            F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("int")
+            % n_buckets,
+        )
+    )
+    postings.repartition("__bucket").write.mode("append").partitionBy(
+        "__bucket"
+    ).parquet(path)

@@ -175,3 +175,56 @@ def test_winnowing_shared_run_guarantees_shared_fingerprint(spark, shared, pre_a
     for r in rows:
         fps[r["doc_id"]].add(r["fingerprint"])
     assert fps[0] & fps[1], (doc_a, doc_b)
+
+
+@SLOW
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.lists(st.integers(0, 60), min_size=1, max_size=8)),
+            st.tuples(st.just("delete"), st.integers(0, 60)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_snapshot_protocol_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the manifest snapshot protocol: an
+    arbitrary sequence of appends (multisets of keys) and COW deletes
+    (drop one key everywhere) must leave every VERSION equal to a
+    plain Python multiset model replayed to that point — snapshot
+    isolation, COW rewrites, and manifest chaining all at once."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read,
+    )
+
+    path = str(tmp_path_factory.mktemp("snapmodel") / "t")
+    model: collections.Counter = collections.Counter()
+    history = []  # model state per version
+    for op, arg in ops:
+        if op == "append":
+            snapshot_append(
+                spark,
+                spark.createDataFrame([(k,) for k in arg], "k long"),
+                path,
+            )
+            model = model + collections.Counter(arg)
+        else:
+            if not history:  # delete needs an existing table
+                continue
+            snapshot_delete(spark, path, F.col("k") == arg)
+            model = collections.Counter(
+                {k: n for k, n in model.items() if k != arg}
+            )
+        history.append(collections.Counter(model))
+    for v, expect in enumerate(history, start=1):
+        got = collections.Counter(
+            r.k for r in snapshot_read(spark, path, version=v).collect()
+        )
+        assert got == expect, (v, got, expect)
