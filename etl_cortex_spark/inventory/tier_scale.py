@@ -998,3 +998,59 @@ def scale_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "scale_snapshot_compact",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    """,
+)
+def scale_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the versioned table (`layout.snapshot_compact` —
+    round 13, the protocol's last member: per-batch commits accumulate
+    small files; compaction rewrites the live rows into one file and
+    commits them as a NEW version with identical content, prior
+    versions untouched). Three key-range commits with manifest stats,
+    one compaction, then the post-compaction read must equal the plain
+    corpus aggregate — content-preservation is the hash-pinned claim;
+    the file-count drop, history intactness, and post-compaction
+    pruning are pinned in tests/test_layout.py. At 100 TB compaction
+    is the nightly job every per-batch-committing table needs, and
+    making it a COMMIT (not an in-place rewrite) is what keeps pinned
+    readers safe while it runs."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapcomp_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for lo_k, hi_k in ((0, 500), (500, 1000), (1000, None)):
+        batch = orders.filter(F.col("o_orderkey") >= lo_k)
+        if hi_k is not None:
+            batch = batch.filter(F.col("o_orderkey") < hi_k)
+        snapshot_append(spark, batch, path, stats_col="o_orderkey")
+    snapshot_compact(spark, path, stats_col="o_orderkey", target_files=1)
+    return (
+        snapshot_read(spark, path)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+    )

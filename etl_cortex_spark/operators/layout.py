@@ -767,3 +767,50 @@ def snapshot_scan(
         .parquet(*keep)
         .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
     )
+
+
+def snapshot_compact(
+    spark, path: str, stats_col: str | None = None, target_files: int = 1
+) -> int:
+    """OPTIMIZE for the manifest snapshot table (round 13 — closing
+    the protocol family: append / read / COW-delete / stats-prune /
+    stream-ingest / COMPACT): per-batch commits and COW rewrites
+    accumulate small files; this rewrites the CURRENT version's rows
+    into ``target_files`` files and commits them as a new version with
+    identical content — readers pinned to older versions keep their
+    file sets (compaction is just another commit; old files are
+    garbage only when every manifest referencing them is expired, the
+    retention knob). With ``stats_col`` the rewrite re-derives the
+    per-file zone map, so a compacted table keeps manifest pruning.
+    Cost is one read + one write of the LIVE rows — the standing
+    small-files answer (`compact_parquet`) lifted into the versioned
+    protocol."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+    if not manifests:
+        raise ValueError(f"snapshot_compact: no manifests under {path}")
+    with open(manifests[-1]) as f:
+        cur = json.load(f)
+    version = int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
+    staged = os.path.join(path, "data", f"compact-{uuid.uuid4().hex[:12]}")
+    df = spark.read.parquet(*cur["files"])
+    df.coalesce(max(int(target_files), 1)).write.mode(
+        "errorifexists"
+    ).parquet(staged)
+    new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    meta = {"version": version, "files": new_files}
+    if stats_col is not None:
+        stats = {}
+        for r in file_stats(spark, staged, stats_col).collect():
+            fname = os.path.abspath(r["file"].removeprefix("file:"))
+            stats[fname] = [r["lo"], r["hi"]]
+        meta["stats"] = stats
+    tmp = os.path.join(path, f".v{version}.manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
+    return version

@@ -348,3 +348,37 @@ def test_snapshot_scan_prunes_from_manifest_stats(spark, tmp_path):
     assert sorted(r.k for r in pruned.collect()) == list(range(120, 181))
     empty = snapshot_scan(spark, path, "k", 900, 950)
     assert empty.count() == 0 and empty.columns == ["k"]
+
+
+def test_snapshot_compact_preserves_rows_and_history(spark, tmp_path):
+    """Compaction is just another commit: identical rows in fewer
+    files at the new version, prior versions untouched (their file
+    sets still resolve), and manifest stats re-derived so pruning
+    still works post-compaction."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "snapcompact")
+    for lo in (0, 50, 100):
+        snapshot_append(
+            spark,
+            spark.range(lo, lo + 50).withColumnRenamed("id", "k").coalesce(3),
+            path,
+            stats_col="k",
+        )
+    before_files = len(snapshot_read(spark, path).inputFiles())
+    v = snapshot_compact(spark, path, stats_col="k", target_files=1)
+    assert v == 4
+    after = snapshot_read(spark, path)
+    assert len(after.inputFiles()) < before_files
+    assert sorted(r.k for r in after.collect()) == list(range(150))
+    # history intact: version 2 still serves exactly batches 1+2
+    assert snapshot_read(spark, path, version=2).count() == 100
+    # pruning still works on the compacted manifest (single-file table:
+    # the zone map exists and the scan returns the exact range)
+    pr = snapshot_scan(spark, path, "k", 60, 80)
+    assert sorted(r.k for r in pr.collect()) == list(range(60, 81))
