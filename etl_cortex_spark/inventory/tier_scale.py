@@ -1054,3 +1054,35 @@ def scale_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_keys"),
         )
     )
+
+
+@query(
+    "scale_skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_count,
+           CAST(max_by(user_id, n * 10000000 + user_id) AS BIGINT) AS hottest_key,
+           sum(n) / CAST(count(*) AS DOUBLE) AS avg_per_key,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_key_count,
+           max(n) / (sum(n) / CAST(count(*) AS DOUBLE)) AS skew_factor
+    FROM c
+    """,
+)
+def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew.skew_report — KEY-SKEW DIAGNOSTICS on the events user_id
+    (round 13): the measurement the skew family acts on — row/key
+    counts, the hottest key (count ties broken on the key), exact
+    discrete p99 of per-key counts, and skew_factor = max/avg, all
+    from two partial-agg shuffles that never move payload columns. At
+    100 TB this one-row report is what decides between plain hash
+    partitioning, AQE skew splitting, and the salted rewrites — run it
+    BEFORE the join, not after the straggler. Exact integers + two
+    single-division doubles; the oracle replays the same aggregates
+    (the tiebreak rides a combined count*1e7+key scalar portable to
+    both engines; quantile_disc == percentile_disc)."""
+    from etl_cortex_spark.operators.skew import skew_report
+
+    ev = T(spark, sf_dir, "events").select("user_id")
+    return skew_report(ev, "user_id")

