@@ -1052,3 +1052,70 @@ def b31(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev="b31_events", gapus="unix_micros(p.pts) - unix_micros(c.cts)"
         )
     )
+
+
+@query(
+    "b32_point_in_time_join",
+    oracle="""
+    WITH silver AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE user_id % 10 = 0
+    ), ch AS (
+      SELECT *, lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM silver
+    ), runs AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ch WHERE prev IS NULL OR prev <> event_type
+    ), hist AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+      FROM runs
+    ), facts AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id % 10 = 0 AND event_id % 3 = 0
+    )
+    SELECT f.user_id, f.event_id, f.ts,
+           h.event_type AS state_at_event, h.valid_from
+    FROM facts f LEFT JOIN hist h
+      ON f.user_id = h.user_id
+     AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    ORDER BY f.user_id, f.event_id
+    """,
+)
+def b32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold.point_in_time_join — the FEATURE-STORE primitive (round 13;
+    the temporal-leakage guard every training pipeline joining facts to
+    mutable dimensions needs): each fact event is enriched with the
+    SCD2 state (b15's history) valid AT ITS OWN TIMESTAMP — from-
+    inclusive / to-exclusive, open current row — never a state written
+    later. Using the current snapshot here is the classic label-leakage
+    bug; this operator is the correct-by-construction alternative, and
+    the interval semantics guarantee each fact matches AT MOST ONE
+    history row (back-to-back ranges can't double-match; the driver's
+    row-count check would catch a fan-out). Plan: equi-join on the key
+    with the validity range as a residual condition — per-key history
+    is state-CHANGES (dim-sized), so no cartesian, no range binning.
+    Oracle replays history construction + the temporal join verbatim
+    (operators/gold.py:point_in_time_join)."""
+    from etl_cortex_spark.operators.gold import (
+        point_in_time_join,
+        scd2_from_snapshots,
+    )
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    hist = scd2_from_snapshots(
+        ev, key_cols=["user_id"], attr_cols=["event_type"],
+        ts_col="ts", tiebreak_cols=["event_id"],
+    ).drop("is_current")
+    facts = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "event_id", "ts"
+    )
+    return point_in_time_join(
+        facts, hist.withColumnRenamed("event_type", "state_at_event"),
+        keys=["user_id"], fact_ts="ts",
+    ).select(
+        "user_id", "event_id", "ts", "state_at_event", "valid_from"
+    ).orderBy("user_id", "event_id")

@@ -450,3 +450,54 @@ def dedup_latest_agg(
             for c in df.columns
         ]
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """POINT-IN-TIME join against an SCD2 history (round 13 — the
+    feature-store primitive that prevents TEMPORAL LEAKAGE in training
+    data): each fact row is enriched with the dimension state that was
+    valid AT ITS OWN timestamp — `[valid_from, valid_to)` with an open
+    current row (valid_to NULL) — never the state written later. Using
+    the current snapshot instead of this join is the classic label-
+    leakage bug (training features computed from post-event states);
+    `scd2_from_snapshots` builds the history this consumes.
+
+    Plan shape: an EQUI-join on the keys with the validity range as a
+    residual join condition — the per-key history is a handful of rows
+    (state changes, not observations), so the match fan-out is bounded
+    and there is no cartesian and no range-bin machinery needed (the
+    binned_range_join answer is for big×big interval joins; here the
+    right side is dim-sized per key by construction). Interval
+    semantics: from-inclusive / to-exclusive, so back-to-back ranges
+    never double-match and a fact at a state-change instant gets the
+    NEW state. Facts predating the first state keep NULL state under
+    ``how='left'`` — visible, not silently dropped."""
+    cond = None
+    for k in keys:
+        c = facts[k] == dim_history[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (facts[fact_ts] >= dim_history[valid_from])
+        & (
+            dim_history[valid_to].isNull()
+            | (facts[fact_ts] < dim_history[valid_to])
+        )
+    )
+    out = facts.join(dim_history, cond, how)
+    return out.select(
+        *[facts[c] for c in facts.columns],
+        *[
+            dim_history[c]
+            for c in dim_history.columns
+            if c not in set(keys)
+        ],
+    )

@@ -181,3 +181,38 @@ def test_incremental_join_merge_upsert_contract(spark):
         (2, 20, 200.0, "bob"),
         (3, 20, 300.0, "bob"),
     ]
+
+
+def test_point_in_time_join_no_leakage_and_unique_match(spark):
+    """The PIT contract on a hand-built history: a fact at a
+    state-change instant gets the NEW state (from-inclusive), a fact
+    between changes gets the state valid THEN (never a later one —
+    the leakage case), facts before the first state keep NULL, and
+    every fact matches at most one history row."""
+    from etl_cortex_spark.operators.gold import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 20),
+            (1, "silver", 20, 40),
+            (1, "gold", 40, None),
+        ],
+        "user_id long, state string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 100, 5), (1, 101, 10), (1, 102, 25), (1, 103, 40), (1, 104, 99)],
+        "user_id long, event_id long, ts long",
+    )
+    out = {
+        r.event_id: r.state
+        for r in point_in_time_join(facts, hist, keys=["user_id"]).collect()
+    }
+    assert out == {
+        100: None,       # predates history — visible, not dropped
+        101: "bronze",   # from-inclusive
+        102: "silver",   # the state valid THEN, not today's 'gold'
+        103: "gold",     # change instant takes the NEW state
+        104: "gold",     # open current row
+    }
+    # uniqueness: row count equals fact count (no fan-out)
+    assert point_in_time_join(facts, hist, keys=["user_id"]).count() == 5
