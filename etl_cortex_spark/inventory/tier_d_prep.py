@@ -1643,3 +1643,60 @@ def d104(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_audit(
         scored, "score", "label", n_buckets=10, lo=-1.0, hi=1.0
     ).orderBy("bucket")
+
+
+@query(
+    "d105_psi_drift",
+    oracle=rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             least(greatest(CAST(floor(len({_WORDS}) / 20.0) AS INT), 0), 9)
+               AS bucket
+      FROM documents
+    ),
+    r AS (SELECT bucket, count(*) AS n_ref FROM feat WHERE doc_id % 2 = 0 GROUP BY bucket),
+    c AS (SELECT bucket, count(*) AS n_cur FROM feat
+          WHERE doc_id % 2 = 1 AND doc_id % 7 <> 0 GROUP BY bucket),
+    b AS (SELECT range AS bucket FROM range(0, 10)),
+    j AS (
+      SELECT b.bucket,
+             coalesce(n_ref, 0) AS n_ref,
+             coalesce(n_cur, 0) AS n_cur
+      FROM b LEFT JOIN r ON b.bucket = r.bucket
+             LEFT JOIN c ON b.bucket = c.bucket
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           round(((n_cur / tc + 0.0001) - (n_ref / tr + 0.0001))
+                 * ln((n_cur / tc + 0.0001) / (n_ref / tr + 0.0001)), 6)
+             AS psi_term
+    FROM j, t ORDER BY bucket
+    """,
+)
+def d105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.psi_drift — POPULATION STABILITY INDEX data-drift gate
+    (round 13; the check an ingest pipeline runs before admitting a
+    new batch to the training mix): token-count distribution of a
+    reference split (even doc_ids) vs a DRIFTED current split (odd ids
+    minus the %7 stratum — a real composition shift, not noise),
+    fixed-width buckets of 20 tokens, per-bucket (q−p)·ln(q/p) with
+    ε-smoothing. No global rank anywhere (fixed-width bins, the
+    calibration-audit stance); two ≤10-group partial aggs. Counts are
+    exact integers; psi_term carries the one transcendental (ln) under
+    the d19 rounding convention (6dp, identical-operand doubles). The
+    oracle replays bucketing, the drift seeding, and the PSI algebra
+    verbatim (operators/quality.py:psi_drift)."""
+    from etl_cortex_spark.operators.quality import psi_drift
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", TX.n_tokens("text").alias("nt")
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("nt") / 20.0).alias("v")
+    )
+    cur = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 != 0)
+    ).select((F.col("nt") / 20.0).alias("v"))
+    return psi_drift(ref, cur, "v", n_buckets=10, lo=0.0, hi=10.0).orderBy(
+        "bucket"
+    )

@@ -157,3 +157,65 @@ def calibration_audit(
         )
         .withColumn("pos_rate", F.col("n_pos") / F.col("n"))
     )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """POPULATION STABILITY INDEX between a reference and a current
+    distribution of one feature (round 13 — the standard data-drift
+    gate an ingest pipeline runs before letting a new batch into the
+    training mix): fixed-width buckets over [lo, hi] (clamped edges,
+    same rationale as `calibration_audit` — no global rank), per-bucket
+    shares p (reference) and q (current), PSI = Σ (q−p)·ln(q/p) with
+    ``eps``-smoothed shares so empty buckets contribute finitely.
+    Rule-of-thumb thresholds the caller applies: <0.1 stable, 0.1–0.25
+    moderate shift, >0.25 act.
+
+    Output: one row per bucket (n_ref, n_cur exact integers, shares
+    and the psi_term as doubles rounded at 6dp — ln is the one
+    transcendental, so the rounding convention is d19's) plus the
+    caller sums psi_term for the scalar. Two partial-agg shuffles of
+    ≤ n_buckets groups; nothing scales with the data but the scans."""
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor(
+            (F.col(value_col) - F.lit(lo)) / F.lit((hi - lo) / n_buckets)
+        ).cast("int")
+        bucket = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+        return (
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spark = reference.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    r = bucketed(reference, "n_ref")
+    c = bucketed(current, "n_cur")
+    joined = (
+        all_buckets.join(r, "bucket", "left")
+        .join(c, "bucket", "left")
+        .fillna(0, ["n_ref", "n_cur"])
+    )
+    tot = joined.groupBy().agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p = F.col("n_ref") / F.col("__tr") + F.lit(eps)
+    q = F.col("n_cur") / F.col("__tc") + F.lit(eps)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+    )

@@ -94,3 +94,23 @@ def test_calibration_audit_bins_clamp_and_count(spark):
     assert out[5] == (1, 1, 1.0)
     assert out[9] == (2, 1, 0.5)
     assert sum(n for n, _, _ in out.values()) == len(rows)
+
+
+def test_psi_drift_detects_shift_and_is_zero_on_identity(spark):
+    """PSI sanity: identical distributions give ~zero total PSI; a
+    shifted distribution gives a clearly positive one; every bucket row
+    is present (empty buckets included) and counts are exact."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.quality import psi_drift
+
+    base = spark.range(0, 1000).select((F.col("id") % 100 / 100.0).alias("v"))
+    same = psi_drift(base, base, "v", n_buckets=10, lo=0.0, hi=1.0)
+    rows = same.collect()
+    assert len(rows) == 10
+    assert abs(sum(r.psi_term for r in rows)) < 1e-9
+    shifted = spark.range(0, 1000).select(
+        ((F.col("id") % 100) / 100.0 * 0.5 + 0.5).alias("v")
+    )
+    drift = psi_drift(base, shifted, "v", n_buckets=10, lo=0.0, hi=1.0)
+    assert sum(r.psi_term for r in drift.collect()) > 0.25  # act threshold
