@@ -1700,3 +1700,62 @@ def d105(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, "v", n_buckets=10, lo=0.0, hi=10.0).orderBy(
         "bucket"
     )
+
+
+@query(
+    "d106_encode_to_ids",
+    oracle=rf"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    cnt AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+    ),
+    v AS (
+      SELECT word, row_number() OVER (ORDER BY n DESC, word) - 1 AS id
+      FROM (SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT 50)
+    ),
+    tok AS (
+      SELECT w.doc_id, r.p, ws[r.p] AS word
+      FROM w, range(1, 33) r(p) WHERE r.p <= least(len(ws), 32)
+    ),
+    enc AS (
+      SELECT tok.doc_id,
+             array_to_string(list(CAST(coalesce(v.id, 50) AS INT)
+                                  ORDER BY tok.p), ',') AS ids_csv,
+             CAST(count(*) FILTER (v.id IS NULL) AS BIGINT) AS n_unk
+      FROM tok LEFT JOIN v ON tok.word = v.word
+      GROUP BY tok.doc_id
+    )
+    SELECT w.doc_id, enc.ids_csv, CAST(len(w.ws) AS BIGINT) AS n_tokens, enc.n_unk
+    FROM w JOIN enc ON w.doc_id = enc.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def d106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textops.train_vocab_ids + encode_to_ids — TENSORIZATION (round
+    13, the last data-side step before training): a top-50 vocabulary
+    trained with deterministic ids ((count desc, word asc) ranks —
+    reproducible on any engine and partitioning), then every document
+    encoded to an id array with UNK=|V| fallback, truncated to 32,
+    plus the collator lengths (n_tokens pre-truncate, n_unk in the
+    kept window). The vocabulary is k-row MODEL STATE collected to the
+    driver and applied as a literal MAP in one codegen'd projection —
+    no explode, no join, no Python in the encode pass, which is the
+    plan a tokenizer-apply job over 100 TB wants (the trained-model
+    swap-in is a bigger map or a broadcast join, same shape). The
+    oracle trains the same vocabulary in SQL and encodes via a
+    position range-join with an ORDER BY list aggregate — different
+    machinery, same bytes, which is the point."""
+    docs = T(spark, sf_dir, "documents")
+    vocab = TX.train_vocab_ids(docs, v=50)
+    out = TX.encode_to_ids(docs, vocab, max_len=32)
+    # the id ARRAY is the operator's API; the entry emits it as a
+    # canonical comma-joined string because the driver's value-hash
+    # compares scalar cells (array cells have no cross-engine
+    # canonical rendering)
+    return out.select(
+        "doc_id",
+        F.array_join("ids", ",").alias("ids_csv"),
+        "n_tokens",
+        "n_unk",
+    ).orderBy("doc_id")

@@ -919,3 +919,55 @@ def unigram_em_step(
         .orderBy(F.desc("em_count"), "piece")
         .limit(top_k)
     )
+
+
+def train_vocab_ids(
+    docs: "DataFrame", v: int = 50, text_col: str = "text"
+) -> list[tuple[str, int]]:
+    """Train a top-V word vocabulary with DETERMINISTIC ids: rank by
+    (count desc, word asc) — the tiebreak makes the id assignment
+    reproducible on any engine and any partitioning. Returns [(word,
+    id)] driver-side — k-row MODEL STATE (the centroid/codebook/
+    merge-table pattern), never data-sized."""
+    w = words(text_col)
+    rows = (
+        docs.select(F.explode(w).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__w"))
+        .limit(v)
+        .collect()
+    )
+    return [(r["__w"], i) for i, r in enumerate(rows)]
+
+
+def encode_to_ids(
+    docs: "DataFrame",
+    vocab: list[tuple[str, int]],
+    max_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """TENSORIZATION (round 13 — the last data-side step before
+    training): map each document's tokens to vocabulary ids with an
+    UNK fallback (id = |vocab|), truncate to ``max_len``, and emit the
+    id array plus the lengths a collator needs (n_tokens pre-truncate,
+    n_unk within the kept window). The vocabulary rides as a literal
+    MAP expression (broadcast model state, one codegen'd projection —
+    no explode, no join, no Python), so encoding is a pure map-side
+    pass over the corpus: the plan every tokenizer-apply job wants at
+    100 TB. Deterministic by construction given the trained vocab
+    (`train_vocab_ids`' (count desc, word asc) ids)."""
+    unk = len(vocab)
+    m = F.create_map(
+        *[x for wd, i in vocab for x in (F.lit(wd), F.lit(i))]
+    )
+    w = words(text_col)
+    kept = F.slice(w, 1, max_len)
+    ids = F.transform(kept, lambda t: F.coalesce(m[t], F.lit(unk)).cast("int"))
+    return docs.select(
+        F.col(id_col),
+        ids.alias("ids"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == unk)).cast("bigint").alias("n_unk"),
+    )

@@ -538,3 +538,35 @@ def test_domain_blocklist_suffix_semantics(spark):
     assert out[5] == (None, False)
     assert out[6] == ("ads.tracker.com", True)
     assert len(out) == 6  # every input row present exactly once
+
+
+# --- D106: tensorization (round 13) ----------------------------------------------
+
+
+def test_encode_to_ids_contract(spark):
+    """Vocabulary ids are deterministic ((count desc, word asc)), OOV
+    maps to |V|, truncation keeps the FIRST max_len tokens, and the
+    collator lengths are exact."""
+    from etl_cortex_spark.operators.textops import encode_to_ids, train_vocab_ids
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b b b a a c"),
+            (2, "a zz b"),
+            (3, "zz zz zz zz zz"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = train_vocab_ids(docs, v=3)
+    # counts: zz=6? no: zz appears 1 (doc2) + 5 (doc3) = 6, b=4, a=3, c=1
+    # top-3 by (count desc, word asc): zz(0), b(1), a(2); c is OOV
+    assert vocab == [("zz", 0), ("b", 1), ("a", 2)]
+    out = {r.doc_id: r for r in encode_to_ids(docs, vocab, max_len=4).collect()}
+    assert out[1].ids == [1, 1, 1, 2]           # truncated at 4
+    assert (out[1].n_tokens, out[1].n_unk) == (6, 0)
+    assert out[2].ids == [2, 0, 1]
+    assert out[3].ids == [0, 0, 0, 0]           # truncated
+    # OOV: doc with c beyond truncation window has n_unk 0; put c early
+    docs2 = spark.createDataFrame([(4, "c a")], "doc_id long, text string")
+    [r4] = encode_to_ids(docs2, vocab, max_len=4).collect()
+    assert r4.ids == [3, 2] and r4.n_unk == 1   # unk id == |V| == 3
