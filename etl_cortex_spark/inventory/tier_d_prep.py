@@ -1759,3 +1759,98 @@ def d106(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_unk",
     ).orderBy("doc_id")
+
+
+@query(
+    "d107_preference_cycles",
+    oracle="""
+    WITH picks AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    five AS (SELECT source, doc_id FROM picks WHERE rn <= 5),
+    pairs AS (
+      SELECT a.source, a.doc_id AS lo, b.doc_id AS hi
+      FROM five a JOIN five b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(source || ':' ||
+                       CAST(lo AS VARCHAR) || ':' || CAST(hi AS VARCHAR)), 1, 2)
+                       AS BIGINT) % 2 = 0
+                  THEN lo ELSE hi END AS s,
+             CASE WHEN CAST('0x' || substr(md5(source || ':' ||
+                       CAST(lo AS VARCHAR) || ':' || CAST(hi AS VARCHAR)), 1, 2)
+                       AS BIGINT) % 2 = 0
+                  THEN hi ELSE lo END AS d
+      FROM pairs
+    ),
+    cyc AS (
+      SELECT count(*) AS n_cycles
+      FROM edges e1 JOIN edges e2 ON e1.d = e2.s
+                    JOIN edges e3 ON e2.d = e3.s AND e3.d = e1.s
+      WHERE e1.s < e2.s AND e1.s < e3.s
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(n_cycles AS BIGINT) AS n_cycles
+    FROM cyc
+    """,
+)
+def d107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.directed_3cycles — PREFERENCE-CYCLE audit (round 13; the
+    RLHF annotation-consistency gate: a judgment set with directed
+    3-cycles cannot be explained by any scalar reward, so DPO-style
+    training on it fits noise — count the cycles BEFORE training, the
+    d83 family's quality sibling): 5 docs per source form all 10
+    ordered pairs, each pair's direction decided by deterministic
+    md5-parity 'annotators' (intransitive by construction, so the
+    fixture genuinely contains cycles), then the cycle count via three
+    self-joins anchored on each cycle's unique smallest node. Both
+    engines derive the same edge set from the same md5 arithmetic (the
+    d11/d38 convention) and replay the same join — a full-strength
+    oracle over a genuinely graph-shaped computation
+    (operators/graph.py:directed_3cycles)."""
+    from etl_cortex_spark.operators.graph import directed_3cycles
+
+    docs = T(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    five = (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    a = five.alias("a")
+    b = five.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.source").alias("source"),
+        F.col("a.doc_id").alias("lo"),
+        F.col("b.doc_id").alias("hi"),
+    )
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", "source", F.col("lo").cast("string"),
+                        F.col("hi").cast("string"),
+                    )
+                ),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+    )
+    edges = pairs.select(
+        F.when(parity == 0, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(parity == 0, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+    )
+    return directed_3cycles(edges)

@@ -428,3 +428,38 @@ def bfs_unrolled_sql(
     )
     SELECT node, CAST(min(dist) AS INT) AS hops FROM walk GROUP BY node
     """
+
+
+def directed_3cycles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Count DIRECTED 3-cycles (a→b→c→a) — the transitivity-violation
+    audit for preference/tournament data (round 13: an RLHF judgment
+    set with cycles cannot be explained by ANY scalar reward, so the
+    cycle count is the annotation-consistency metric to gate on before
+    DPO training). Each cycle is counted exactly once by anchoring on
+    its unique smallest node (a < b AND a < c). Three self-joins on
+    the (deduped) edge list — at scale the same degree-based orienting
+    trick as `triangle_count` applies if hubs appear; preference sets
+    are per-prompt tiny, so the plain join is the right default.
+    Returns one row: (n_edges, n_cycles)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    cycles = (
+        e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e2.d") == F.col("e3.s"))
+            & (F.col("e3.d") == F.col("e1.s")),
+        )
+        .filter(
+            (F.col("e1.s") < F.col("e2.s")) & (F.col("e1.s") < F.col("e3.s"))
+        )
+    )
+    return e.groupBy().agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(
+            cycles.groupBy().agg(F.count(F.lit(1)).alias("n_cycles"))
+        )
+    )

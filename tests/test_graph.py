@@ -210,3 +210,23 @@ def test_bfs_hops_levels_reachability_and_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="max_iter"):
         bfs_hops(chain, 0, max_iter=3)
+
+
+def test_directed_3cycles_counts_each_cycle_once(spark):
+    """Hand-built tournaments: a pure 3-cycle counts exactly 1, a
+    transitive (scalar-reward-explainable) tournament counts 0, a
+    4-node tournament with two overlapping cycles counts both, and
+    duplicate edges don't double-count."""
+    from etl_cortex_spark.operators.graph import directed_3cycles
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        [r] = directed_3cycles(df).collect()
+        return r.n_edges, r.n_cycles
+
+    assert run([(1, 2), (2, 3), (3, 1)]) == (3, 1)
+    assert run([(1, 2), (2, 3), (1, 3)]) == (3, 0)  # transitive
+    # 4 nodes: 1→2→3→1 and 1→2→4→1 share edge 1→2
+    assert run([(1, 2), (2, 3), (3, 1), (2, 4), (4, 1)]) == (5, 2)
+    # duplicate edges collapse before counting
+    assert run([(1, 2), (1, 2), (2, 3), (3, 1)]) == (3, 1)
