@@ -1854,3 +1854,63 @@ def d107(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(parity == 0, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
     )
     return directed_3cycles(edges)
+
+
+@query(
+    "d108_dedup_composition_drift",
+    oracle="""
+    WITH ms AS (SELECT min(source) AS s FROM documents),
+    corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT d.doc_id + 40000000, d.text, d.source
+      FROM documents d, ms WHERE d.source = ms.s AND d.doc_id % 2 = 0
+    ),
+    before AS (SELECT source, count(*) AS n_before FROM corpus GROUP BY source),
+    surv AS (
+      SELECT source FROM (
+        SELECT source,
+               row_number() OVER (PARTITION BY text
+                                  ORDER BY doc_id) AS rn
+        FROM corpus
+      ) WHERE rn = 1
+    ),
+    after AS (SELECT source, count(*) AS n_after FROM surv GROUP BY source),
+    t AS (SELECT (SELECT sum(n_before) FROM before) AS tb,
+                 (SELECT sum(n_after) FROM after) AS ta)
+    SELECT b.source,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+           b.n_before / CAST(tb AS DOUBLE) AS share_before,
+           coalesce(a.n_after, 0) / CAST(ta AS DOUBLE) AS share_after,
+           coalesce(a.n_after, 0) / CAST(ta AS DOUBLE)
+             - b.n_before / CAST(tb AS DOUBLE) AS share_delta
+    FROM before b LEFT JOIN after a ON b.source = a.source, t
+    ORDER BY b.source
+    """,
+)
+def d108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llmprep.dedup_composition_report — DEDUP COMPOSITION DRIFT
+    (round 13; the audit between dedup and the mixture planner: exact
+    dedup removes disproportionately from template-heavy strata, so
+    the surviving mix shifts away from the curated one — d52/d86 must
+    consume post-dedup shares, and this report is where they come
+    from). Self-seeded drift: verbatim copies of HALF of the
+    lexicographically-first source's docs are planted (+40M ids), so
+    that source's raw share is inflated and dedup pulls it back —
+    every share_delta is data-derived on both engines (the min(source)
+    pick is a 1-row broadcast, never a literal that could drift from
+    the data). Counts exact; shares single divisions. The oracle
+    replays planting, exact dedup (grouping on the text itself —
+    same equivalence classes as the sha256 digest; min-id survivor,
+    dedup.py's rule),
+    and the share algebra verbatim."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    min_source = docs.groupBy().agg(F.min("source")).first()[0]
+    planted = docs.filter(
+        (F.col("source") == min_source) & (F.col("doc_id") % 2 == 0)
+    ).select((F.col("doc_id") + 40_000_000).alias("doc_id"), "text", "source")
+    corpus = docs.unionByName(planted)
+    return LP.dedup_composition_report(corpus, group_col="source").orderBy(
+        "source"
+    )

@@ -1448,3 +1448,53 @@ def domain_blocklist_filter(
     return docs.join(F.broadcast(matches), id_col, "left").withColumn(
         "blocked", F.col("matched_domain").isNotNull()
     )
+
+
+def dedup_composition_report(
+    docs: "DataFrame",
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """DEDUP COMPOSITION-DRIFT report (round 13 — the audit the dedup
+    family was missing: exact dedup removes disproportionately from
+    boilerplate/template-heavy strata, so the SURVIVING corpus's
+    source mix silently shifts away from the mix the curator chose;
+    FineWeb-class pipelines re-weight after dedup for exactly this
+    reason). Per group: raw and surviving counts, raw and surviving
+    shares, and the share delta — the number the mixture planner (d52/
+    d86) must consume INSTEAD of the raw shares.
+
+    Shape: the survivor set comes from `dedup.exact_dedup` (digest
+    aggregate, payload-free shuffle); both censuses are ≤|groups|-row
+    partial aggs; shares are single divisions of exact integers —
+    order-free, oracle-exact."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from etl_cortex_spark.operators.dedup import exact_dedup
+
+    before = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        exact_dedup(docs, text_col=text_col, id_col=id_col, keep=[group_col])
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    tb = before.groupBy().agg(F.sum("n_before").alias("__tb"))
+    ta = after.groupBy().agg(F.sum("n_after").alias("__ta"))
+    return (
+        before.join(after, group_col, "left")
+        .fillna(0, ["n_after"])
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            group_col,
+            "n_before",
+            "n_after",
+            (F.col("n_before") / F.col("__tb")).alias("share_before"),
+            (F.col("n_after") / F.col("__ta")).alias("share_after"),
+            (
+                F.col("n_after") / F.col("__ta")
+                - F.col("n_before") / F.col("__tb")
+            ).alias("share_delta"),
+        )
+    )

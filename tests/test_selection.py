@@ -570,3 +570,25 @@ def test_encode_to_ids_contract(spark):
     docs2 = spark.createDataFrame([(4, "c a")], "doc_id long, text string")
     [r4] = encode_to_ids(docs2, vocab, max_len=4).collect()
     assert r4.ids == [3, 2] and r4.n_unk == 1   # unk id == |V| == 3
+
+
+def test_dedup_composition_report_shifts_and_conserves(spark):
+    """Shares sum to 1 on both sides, the duplicated stratum loses
+    exactly its planted share, and a group whose docs all vanish keeps
+    a row with n_after 0 (visible, not dropped)."""
+    from etl_cortex_spark.operators.llmprep import dedup_composition_report
+
+    rows = (
+        [(i, f"text {i}", "a") for i in range(10)]
+        + [(100 + i, f"text {i}", "a") for i in range(10)]  # verbatim dups
+        + [(200 + i, f"other {i}", "b") for i in range(10)]
+        + [(300, "text 0", "c")]  # c's only doc is a dup of a's
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in dedup_composition_report(df).collect()}
+    assert abs(sum(r.share_before for r in out.values()) - 1.0) < 1e-12
+    assert abs(sum(r.share_after for r in out.values()) - 1.0) < 1e-12
+    assert (out["a"].n_before, out["a"].n_after) == (20, 10)
+    assert (out["b"].n_before, out["b"].n_after) == (10, 10)
+    assert (out["c"].n_before, out["c"].n_after) == (1, 0)  # visible zero
+    assert out["a"].share_delta < 0 < out["b"].share_delta
