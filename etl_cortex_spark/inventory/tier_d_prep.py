@@ -1914,3 +1914,52 @@ def d108(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LP.dedup_composition_report(corpus, group_col="source").orderBy(
         "source"
     )
+
+
+@query(
+    "d109_encoding_audit",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 9 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0 THEN chr(65533) ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, chr(65533))) AS INT) AS n_replacement,
+           CAST(length(regexp_extract_all(text,
+                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS INT) AS n_control,
+           CAST(length(regexp_extract_all(text,
+                chr(195) || '[\\x80-\\xbf]')) AS INT) AS n_mojibake,
+           length(regexp_extract_all(text, chr(65533))) = 0
+             AND length(regexp_extract_all(text,
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) = 0
+             AND length(regexp_extract_all(text,
+                 chr(195) || '[\\x80-\\xbf]')) = 0 AS clean
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def d109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textops.encoding_audit — ENCODING/MOJIBAKE health check (round
+    13; run BEFORE any text operator trusts the bytes): per-doc counts
+    of U+FFFD replacement chars, stray C0/C1 controls, and the
+    'Ã?'-class double-encoding artifact, plus the combined clean flag.
+    The synthetic corpus is clean ASCII, so damage is SEEDED
+    deterministically — every 9th doc gets a genuine cafÃ© double-
+    encoding, every 13th a U+FFFD, every 11th a BEL control — and both
+    engines derive every count from the same seeded text (chr()-built
+    on the SQL side so the oracle file itself stays ASCII). Pure
+    regexp_count projections, zero shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" cafÃ©")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("�")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TX.encoding_audit(seeded).orderBy("doc_id")

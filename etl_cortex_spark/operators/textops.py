@@ -971,3 +971,36 @@ def encode_to_ids(
         F.size(w).cast("bigint").alias("n_tokens"),
         F.size(F.filter(ids, lambda i: i == unk)).cast("bigint").alias("n_unk"),
     )
+
+
+def encoding_audit(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """ENCODING/MOJIBAKE audit (round 13 — the ingestion-health check a
+    web-scale corpus runs before any text op trusts the bytes): per
+    document, counts of the three classic damage signatures —
+    U+FFFD replacement characters (a decoder already gave up),
+    C0/C1 control characters other than tab/newline/CR (binary leaked
+    into text), and the 'Ã?'-class double-encoding artifact (UTF-8
+    bytes decoded as Latin-1 then re-encoded: 'Ã' followed by a char
+    in U+0080–U+00BF, the Latin-1 rendering of UTF-8 continuation
+    bytes — café→cafÃ©, the most common real-world corruption) — plus the combined ``clean`` flag a filter gates on.
+    Pure regexp_count projections in the Java∩RE2 subset (the
+    PII_PATTERNS discipline): zero shuffle, oracle-exact."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    c = F.col(text_col)
+    n_replacement = F.regexp_count(c, F.lit("�")).cast("int")
+    n_control = F.regexp_count(
+        c, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+    ).cast("int")
+    n_mojibake = F.regexp_count(c, F.lit("Ã[\\x80-\\xbf]")).cast("int")
+    return docs.select(
+        F.col(id_col),
+        n_replacement.alias("n_replacement"),
+        n_control.alias("n_control"),
+        n_mojibake.alias("n_mojibake"),
+        (
+            (n_replacement == 0) & (n_control == 0) & (n_mojibake == 0)
+        ).alias("clean"),
+    )

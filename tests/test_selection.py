@@ -592,3 +592,24 @@ def test_dedup_composition_report_shifts_and_conserves(spark):
     assert (out["b"].n_before, out["b"].n_after) == (10, 10)
     assert (out["c"].n_before, out["c"].n_after) == (1, 0)  # visible zero
     assert out["a"].share_delta < 0 < out["b"].share_delta
+
+
+def test_encoding_audit_signatures(spark):
+    """Each damage signature is detected independently, clean text
+    passes, and tab/newline do NOT count as control damage."""
+    from etl_cortex_spark.operators.textops import encoding_audit
+
+    rows = [
+        (1, "perfectly clean text\twith tab\nand newline"),
+        (2, "lost byte � here"),
+        (3, "binary \x07 leak \x1b"),
+        (4, "double encoded cafÃ© and naÃ¯ve"),
+        (5, "legit Ã at end of sentence. Z"),  # Ã before ASCII: no hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in encoding_audit(df).collect()}
+    assert out[1].clean and out[1].n_control == 0
+    assert (out[2].n_replacement, out[2].clean) == (1, False)
+    assert (out[3].n_control, out[3].clean) == (2, False)
+    assert (out[4].n_mojibake, out[4].clean) == (2, False)
+    assert out[5].clean  # Ã followed by ASCII is legitimate text
