@@ -1454,8 +1454,11 @@ def d101(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    # n_planes pinned to 6 HERE (not in the operator's default) so the
+    # oracle's plane/flip literals stay replayable in DuckDB; the
+    # operator default self-sizes from the corpus count (round 14)
     return SIM.bitext_margin_pairs(
-        src, organic.unionByName(planted), k=4, threshold=1.5
+        src, organic.unionByName(planted), k=4, threshold=1.5, n_planes=6
     ).orderBy("src_id")
 
 

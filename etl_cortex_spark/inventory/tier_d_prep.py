@@ -1726,8 +1726,10 @@ def d105(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok LEFT JOIN v ON tok.word = v.word
       GROUP BY tok.doc_id
     )
-    SELECT w.doc_id, enc.ids_csv, CAST(len(w.ws) AS BIGINT) AS n_tokens, enc.n_unk
-    FROM w JOIN enc ON w.doc_id = enc.doc_id
+    SELECT w.doc_id, coalesce(enc.ids_csv, '') AS ids_csv,
+           CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           coalesce(enc.n_unk, 0) AS n_unk
+    FROM w LEFT JOIN enc ON w.doc_id = enc.doc_id
     ORDER BY w.doc_id
     """,
 )

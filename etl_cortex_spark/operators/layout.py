@@ -553,6 +553,57 @@ def skipping_scan(spark, path: str, key_col: str, lo, hi, stats=None):
 # --- manifest-based snapshot reads (time travel) --------------------------------
 
 
+def _manifest_version(m: str) -> int:
+    """Version number of a ``vN.manifest.json`` path. Manifests MUST be
+    ordered by this, never lexicographically: 'v10' sorts before 'v9'
+    as a string, so a string-sorted [-1] silently resolves the wrong
+    "latest" from version 10 onward (and a writer would then recompute
+    and clobber an existing version — data loss)."""
+    import os
+
+    return int(os.path.basename(m).split(".")[0][1:])
+
+
+def _manifests(path: str) -> list:
+    """All committed manifests under ``path``, sorted NUMERICALLY by
+    version (see `_manifest_version`)."""
+    import glob
+    import os
+
+    return sorted(
+        glob.glob(os.path.join(path, "v*.manifest.json")),
+        key=_manifest_version,
+    )
+
+
+def _commit_manifest(path: str, version: int, meta: dict) -> None:
+    """Commit ``meta`` as version ``version`` with CREATE-EXCLUSIVE
+    semantics: write to a temp file, then `os.link` it to the final
+    name, which fails with FileExistsError if the version already
+    exists. A concurrent (or buggy) writer that computes a duplicate
+    version number therefore fails LOUDLY instead of silently
+    overwriting a committed manifest and orphaning its files."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(
+        path, f".v{version}.{uuid.uuid4().hex[:8]}.manifest.tmp"
+    )
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    final = os.path.join(path, f"v{version}.manifest.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ValueError(
+            f"snapshot commit conflict: version {version} already exists "
+            f"at {path} (concurrent writer or version-resolution bug)"
+        )
+    finally:
+        os.remove(tmp)
+
+
 def snapshot_append(
     spark, df, path: str, batch_id: int | None = None,
     stats_col: str | None = None,
@@ -594,7 +645,7 @@ def snapshot_append(
     import uuid
 
     if batch_id is not None:
-        for m in sorted(glob.glob(os.path.join(path, "v*.manifest.json"))):
+        for m in _manifests(path):
             with open(m) as f:
                 meta = json.load(f)
             if meta.get("batch_id") == batch_id:
@@ -605,34 +656,28 @@ def snapshot_append(
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     if not new_files:
         raise ValueError("snapshot_append: batch wrote no parquet files")
-    manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+    manifests = _manifests(path)
     prev: list[str] = []
+    prev_stats: dict = {}
     version = 1
     if manifests:
         with open(manifests[-1]) as f:
-            prev = json.load(f)["files"]
-        version = (
-            int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
-        )
-    prev_stats: dict = {}
-    if manifests:
-        with open(manifests[-1]) as f:
-            prev_stats = json.load(f).get("stats", {})
+            latest = json.load(f)
+        prev = latest["files"]
+        prev_stats = latest.get("stats", {})
+        version = _manifest_version(manifests[-1]) + 1
     stats = dict(prev_stats)
     if stats_col is not None:
         batch_stats = file_stats(spark, staged, stats_col).collect()
         for r in batch_stats:
             fname = os.path.abspath(r["file"].removeprefix("file:"))
             stats[fname] = [r["lo"], r["hi"]]
-    tmp = os.path.join(path, f".v{version}.manifest.tmp")
     meta = {"version": version, "files": prev + new_files}
     if stats:
         meta["stats"] = stats
     if batch_id is not None:
         meta["batch_id"] = batch_id
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
+    _commit_manifest(path, version, meta)
     return version
 
 
@@ -646,7 +691,7 @@ def snapshot_read(spark, path: str, version: int | None = None):
     import os
 
     if version is None:
-        manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+        manifests = _manifests(path)
         if not manifests:
             raise ValueError(f"snapshot_read: no manifests under {path}")
         target = manifests[-1]
@@ -678,6 +723,13 @@ def snapshot_delete(spark, path: str, predicate) -> int:
     one predicate-pushdown scan over ``input_file_name()`` (file-level
     zone maps would prune that scan further, `file_stats`).
 
+    DELETE drops exactly the rows where ``predicate`` is TRUE —
+    NULL-predicate rows (e.g. ``col = 5`` over a NULL) are KEPT, the
+    Delta/Iceberg three-valued-logic contract. Both the affected-file
+    scan and the survivor rewrite therefore use the null-safe form
+    ``coalesce(predicate, false)`` so a NULL never silently erases a
+    row from a rewritten file.
+
     Returns the committed version. Like ``snapshot_append``: one
     sequential writer at test scale; atomic-swap catalogs replace the
     manifest rename in production without touching the read protocol."""
@@ -688,16 +740,17 @@ def snapshot_delete(spark, path: str, predicate) -> int:
 
     from pyspark.sql import functions as F
 
-    manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+    manifests = _manifests(path)
     if not manifests:
         raise ValueError(f"snapshot_delete: no manifests under {path}")
     with open(manifests[-1]) as f:
         cur = json.load(f)["files"]
-    version = int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
+    version = _manifest_version(manifests[-1]) + 1
+    matched = F.coalesce(predicate, F.lit(False))
     full = spark.read.parquet(*cur)
     affected = {
         os.path.abspath(r["f"].removeprefix("file:"))
-        for r in full.filter(predicate)
+        for r in full.filter(matched)
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
@@ -709,14 +762,13 @@ def snapshot_delete(spark, path: str, predicate) -> int:
         survivors = (
             spark.read.schema(full.schema)
             .parquet(*sorted(affected))
-            .filter(~predicate)
+            .filter(~matched)
         )
         survivors.write.mode("errorifexists").parquet(staged)
         new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
-    tmp = os.path.join(path, f".v{version}.manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "files": kept + new_files}, f)
-    os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
+    _commit_manifest(
+        path, version, {"version": version, "files": kept + new_files}
+    )
     return version
 
 
@@ -741,7 +793,7 @@ def snapshot_scan(
     from pyspark.sql import functions as F
 
     if version is None:
-        manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+        manifests = _manifests(path)
         if not manifests:
             raise ValueError(f"snapshot_scan: no manifests under {path}")
         target = manifests[-1]
@@ -759,11 +811,14 @@ def snapshot_scan(
         rng = stats.get(os.path.abspath(fpath))
         if rng is None or (rng[1] >= lo and rng[0] <= hi):
             keep.append(fpath)
-    full = spark.read.parquet(*meta["files"])
+    # Schema comes from ONE file (manifest commits are same-schema
+    # appends), never a full-table footer pass — the "no data file is
+    # touched to plan the scan" claim must hold at 100k-file scale.
+    schema = spark.read.parquet(meta["files"][0]).schema
     if not keep:
-        return full.limit(0)
+        return spark.createDataFrame([], schema)
     return (
-        spark.read.schema(full.schema)
+        spark.read.schema(schema)
         .parquet(*keep)
         .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
     )
@@ -790,12 +845,12 @@ def snapshot_compact(
     import os
     import uuid
 
-    manifests = sorted(glob.glob(os.path.join(path, "v*.manifest.json")))
+    manifests = _manifests(path)
     if not manifests:
         raise ValueError(f"snapshot_compact: no manifests under {path}")
     with open(manifests[-1]) as f:
         cur = json.load(f)
-    version = int(os.path.basename(manifests[-1]).split(".")[0][1:]) + 1
+    version = _manifest_version(manifests[-1]) + 1
     staged = os.path.join(path, "data", f"compact-{uuid.uuid4().hex[:12]}")
     df = spark.read.parquet(*cur["files"])
     df.coalesce(max(int(target_files), 1)).write.mode(
@@ -809,8 +864,5 @@ def snapshot_compact(
             fname = os.path.abspath(r["file"].removeprefix("file:"))
             stats[fname] = [r["lo"], r["hi"]]
         meta["stats"] = stats
-    tmp = os.path.join(path, f".v{version}.manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, f"v{version}.manifest.json"))
+    _commit_manifest(path, version, meta)
     return version

@@ -2823,7 +2823,10 @@ def decode_mp2_subband_features(assets: DataFrame) -> DataFrame:
                         f"asset {aid}: {kbps} kbps/ch selects bit-allocation "
                         "table 3-B.2a/b — spec table data not shipped offline"
                     )
-                sblimit = 8 if sr_idx in (0, 1) else 12  # B.2c / B.2d
+                # ISO 11172-3 low-rate table selection: 48 kHz ->
+                # 3-B.2c (sblimit 8); 44.1 kHz AND 32 kHz -> 3-B.2d
+                # (sblimit 12). sr_idx order is (44.1, 48, 32).
+                sblimit = 8 if sr_idx == 1 else 12  # B.2c / B.2d
                 size = 144000 * kbps // rate + pad
                 if pos + size > len(buf):
                     raise ValueError(f"asset {aid}: truncated frame at {pos}")

@@ -529,12 +529,37 @@ def lsh_topk_batch(
     )
 
 
+def sized_n_planes(
+    n_tgt: int, target_pool: int = 256, max_planes: int = 30
+) -> int:
+    """The d25/d03 LSH sizing rule as BEHAVIOR (round 14 — the round-13
+    verdict's one measured scale-killer was `bitext_margin_pairs`
+    defaulting to a fixture-sized plane count): the smallest plane
+    count n whose expected per-source candidate pool,
+
+        pool(n) = (n + 1) * n_tgt / 2**n
+                  (radius-1 multi-probe visits n+1 cells; each cell
+                   holds n_tgt / 2**n targets in expectation),
+
+    stays within ``target_pool``. Pools held constant make the
+    candidate join LINEAR in the corpus (|src| * target_pool pairs)
+    instead of quadratic at a pinned n. Monotone decreasing in n, so
+    the first n that fits is the unique minimal choice — deterministic
+    from the corpus count alone, no sampling, no RNG. ``max_planes=30``
+    (2^30 cells, cell key well under 63 bits) covers corpora to ~10^10
+    vectors at the default pool."""
+    n = 1
+    while n < max_planes and (n + 1) * n_tgt / (2.0**n) > target_pool:
+        n += 1
+    return n
+
+
 def bitext_margin_pairs(
     src: DataFrame,
     tgt: DataFrame,
     k: int = 4,
     threshold: float = 1.5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 7,
     dim: int = 64,
     vec_col: str = "embedding",
@@ -560,11 +585,14 @@ def bitext_margin_pairs(
     are windows over candidate pools (cell-sized), not the corpus; the
     final argmax is one more pool window. The pairwise candidate JOIN
     is the scaling term and ``n_planes`` is its knob: cells must grow
-    with the corpus (n_planes ≈ log2(|corpus|·(n_planes+1) /
-    target_pool) keeps per-cell pools constant — the d25/d03 sizing
-    rule; the round-13 probe in BASELINE.md measures the fixture's
-    pinned 6 planes going quadratic at 10×, by design of the knob,
-    not of the operator).
+    with the corpus. ``n_planes=None`` (the default since round 14)
+    DERIVES the plane count from one cheap target-side count via
+    `sized_n_planes` — per-source pools held ~constant, candidate
+    pairs linear in the corpus — which retires the round-13 measured
+    superlinearity of the old pinned default (sf0.1→sf1 6.7×,
+    BASELINE.md round-13 probe). Pass an explicit integer only when
+    the plane literals must be replayable elsewhere (the d101 oracle
+    fixture pins 6 so DuckDB can share them).
     Neighborhoods are computed over the SAME candidate set (documented
     deviation from global kNN — exact at fixture scale where cells
     cover the true neighbors, certified by the planted-pair pytest).
@@ -577,6 +605,8 @@ def bitext_margin_pairs(
     source."""
     from pyspark.sql import Window
 
+    if n_planes is None:
+        n_planes = sized_n_planes(tgt.count())
     planes = hyperplanes(dim, n_planes, seed)
     cv = as_double(F.col(vec_col))
     flips = [0] + [1 << j for j in range(n_planes)]

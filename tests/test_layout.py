@@ -382,3 +382,73 @@ def test_snapshot_compact_preserves_rows_and_history(spark, tmp_path):
     # the zone map exists and the scan returns the exact range)
     pr = snapshot_scan(spark, path, "k", 60, 80)
     assert sorted(r.k for r in pr.collect()) == list(range(60, 81))
+
+
+def test_snapshot_versions_past_ten_resolve_numerically(spark, tmp_path):
+    """Regression for the lexicographic-manifest-sort bug: 'v10' sorts
+    before 'v9' as a string, so a string-sorted latest-manifest resolve
+    makes commit 11 re-derive version 10 and overwrite it (silent data
+    loss). Drive the table to 12 versions: every commit must get a
+    fresh version number, the head must accumulate every batch, and
+    each historical version must still serve its exact prefix."""
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+
+    path = str(tmp_path / "snapdeep")
+    for i in range(12):
+        v = snapshot_append(
+            spark,
+            spark.range(i * 5, i * 5 + 5).withColumnRenamed("id", "k"),
+            path,
+        )
+        assert v == i + 1
+    assert snapshot_read(spark, path).count() == 60  # latest = all 12 batches
+    for version, expect in ((1, 5), (9, 45), (10, 50), (11, 55), (12, 60)):
+        got = snapshot_read(spark, path, version=version)
+        assert sorted(r.k for r in got.collect()) == list(range(expect))
+
+
+def test_snapshot_commit_collision_fails_loudly(spark, tmp_path):
+    """A writer that computes an already-committed version number must
+    FAIL, never silently replace the manifest (the exclusive-create
+    commit contract)."""
+    import pytest
+
+    from etl_cortex_spark.operators.layout import (
+        _commit_manifest,
+        snapshot_append,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapdup")
+    df = spark.range(0, 9).withColumnRenamed("id", "k")
+    assert snapshot_append(spark, df, path) == 1
+    files_before = snapshot_read(spark, path, version=1).inputFiles()
+    with pytest.raises(ValueError, match="version 1 already exists"):
+        _commit_manifest(path, 1, {"version": 1, "files": []})
+    # the committed manifest is untouched by the failed commit
+    assert snapshot_read(spark, path, version=1).inputFiles() == files_before
+
+
+def test_snapshot_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE three-valued logic: rows where the predicate is NULL
+    (e.g. ``v = 5`` over a NULL v) are NOT matched and must survive
+    the COW rewrite — only predicate-TRUE rows disappear."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapnull")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7), (4, 5), (5, None)], "k int, v int"
+    )
+    snapshot_append(spark, df, path)
+    v2 = snapshot_delete(spark, path, F.col("v") == 5)
+    assert v2 == 2
+    survivors = snapshot_read(spark, path, version=2)
+    assert sorted(r.k for r in survivors.collect()) == [2, 3, 5]
+    # the NULL rows really carried their NULLs through the rewrite
+    assert survivors.filter(F.col("v").isNull()).count() == 2

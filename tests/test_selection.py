@@ -459,9 +459,13 @@ def test_bitext_margin_recovers_planted_translations(spark):
     from etl_cortex_spark.operators.similarity import bitext_margin_pairs
 
     src, tgt = _bitext_sides(spark)
+    # n_planes=6 is the oracle fixture's pinned knob (tier_d_ext d101);
+    # the self-sized default has its own recovery test below
     mined = {
         r.src_id: (r.tgt_id, r.margin)
-        for r in bitext_margin_pairs(src, tgt, k=4, threshold=1.5).collect()
+        for r in bitext_margin_pairs(
+            src, tgt, k=4, threshold=1.5, n_planes=6
+        ).collect()
     }
     planted_srcs = [s for s in mined if s % 10 == 0]
     assert planted_srcs, "no planted sources mined at all"
@@ -469,6 +473,47 @@ def test_bitext_margin_recovers_planted_translations(spark):
         assert mined[s][0] == s + 1_000_001, (s, mined[s])
         assert mined[s][1] >= 1.5
     # recall over planted sources: LSH cells at this angle rarely split
+    n_planted = src.filter("src_id % 10 = 0").count()
+    assert len(planted_srcs) / n_planted >= 0.9
+
+
+def test_bitext_sized_n_planes_arithmetic():
+    """The self-sizing rule's contract: the returned n is the MINIMAL
+    plane count whose expected per-source pool (n+1)*n_tgt/2^n fits
+    target_pool — so pools stay ~constant and candidate pairs stay
+    linear as the corpus grows."""
+    from etl_cortex_spark.operators.similarity import sized_n_planes
+
+    def pool(n, n_tgt):
+        return (n + 1) * n_tgt / 2.0**n
+
+    for n_tgt in (100, 1_000, 30_000, 1_000_000, 100_000_000):
+        n = sized_n_planes(n_tgt)
+        assert pool(n, n_tgt) <= 256
+        if n > 1:  # minimality: one plane fewer would overflow the pool
+            assert pool(n - 1, n_tgt) > 256
+    # growth is logarithmic: 100x the corpus costs ~7 planes, not 100x
+    assert sized_n_planes(1_000_000) - sized_n_planes(10_000) <= 8
+    assert sized_n_planes(10) == 1  # floor
+    assert sized_n_planes(10**14) <= 30  # cap
+
+
+def test_bitext_margin_default_self_sizes_and_recovers(spark):
+    """The round-14 default (n_planes=None) derives the plane count
+    from the target count and must still recover planted translations:
+    the scale-safety fix cannot cost the mining its recall at fixture
+    scale."""
+    from etl_cortex_spark.operators.similarity import bitext_margin_pairs
+
+    src, tgt = _bitext_sides(spark)
+    mined = {
+        r.src_id: r.tgt_id
+        for r in bitext_margin_pairs(src, tgt, k=4, threshold=1.5).collect()
+    }
+    planted_srcs = [s for s in mined if s % 10 == 0]
+    assert planted_srcs, "no planted sources mined at sized planes"
+    for s in planted_srcs:
+        assert mined[s] == s + 1_000_001
     n_planted = src.filter("src_id % 10 = 0").count()
     assert len(planted_srcs) / n_planted >= 0.9
 
