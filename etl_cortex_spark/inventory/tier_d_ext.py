@@ -1568,3 +1568,63 @@ def d19inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SR.append_postings_index(delta, path)
     return SR.postings_lookup(spark, path, ["table", "join", "fast"], k=20)
+
+
+@query(
+    "stream_postings_ingest",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    hits AS (
+      SELECT doc_id,
+             unnest(list_filter(ws, t -> list_contains(['table','join','fast'], t)))
+               AS term
+      FROM d
+    ),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_matched,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tfc GROUP BY doc_id
+    ORDER BY n_matched DESC, total_tf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def d19stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING postings-index maintenance through the snapshot
+    protocol (round 14 — `streaming.ingest.foreach_batch_postings` +
+    `search.snapshot_postings_lookup`; closes the serving-layout loop:
+    index write r13, batch append r13, STREAMING append r14): the
+    documents stream drains through foreachBatch, each micro-batch
+    tokenized alone (the shared `postings_frame` code path) and
+    committed as ONE snapshot version with its batch_id (crash-replay
+    = manifest-lookup no-op, pinned in tests/test_layout.py) and
+    per-file __bucket zone maps; the 3-term query then plans from one
+    manifest read, keeping only bucket-overlapping files. The oracle
+    replays the postings aggregation + matched-term ranking from raw
+    text — equality proves the streamed index holds exactly the
+    corpus's postings ONCE, independent of where the engine cut the
+    micro-batches (a doubled batch or a torn commit breaks the hash).
+    At 100 TB this is the index-freshness answer: ingest commits
+    versions continuously, serving pins a snapshot per query, and
+    nothing ever rebuilds."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.streaming.events import read_table_stream
+    from etl_cortex_spark.streaming.ingest import foreach_batch_postings
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_postream", h)
+    shutil.rmtree(base, ignore_errors=True)
+    docs = read_table_stream(spark, sf_dir, "documents").select("doc_id", "text")
+    q = foreach_batch_postings(
+        docs,
+        path=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return SR.snapshot_postings_lookup(
+        spark, os.path.join(base, "table"), ["table", "join", "fast"], k=20
+    )

@@ -322,6 +322,34 @@ def term_bucket_py(term: str, n_buckets: int = 64) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
 
 
+def postings_frame(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The (term, doc, dl, tf, __bucket) postings of ``docs`` — the
+    shared build step of the full index write, the incremental append,
+    and the streaming micro-batch commit (one code path, the three
+    ingest modes cannot drift)."""
+    from etl_cortex_spark.operators.textops import words
+
+    w = words(text_col)
+    return (
+        docs.select(
+            F.col(id_col), F.size(w).alias("dl"), F.explode(w).alias("term")
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "__bucket",
+            F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("int")
+            % n_buckets,
+        )
+    )
+
+
 def write_postings_index(
     docs: DataFrame,
     path: str,
@@ -347,20 +375,8 @@ def write_postings_index(
     |buckets(query)| directory reads instead of a corpus scan+tokenize
     per query (what `bm25_topk` does ad-hoc — both postures are real:
     ad-hoc for one-off audits, this layout for a serving workload)."""
-    from etl_cortex_spark.operators.textops import words
-
-    w = words(text_col)
-    postings = (
-        docs.select(
-            F.col(id_col), F.size(w).alias("dl"), F.explode(w).alias("term")
-        )
-        .groupBy("term", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "__bucket",
-            F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("int")
-            % n_buckets,
-        )
+    postings = postings_frame(
+        docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
     postings.repartition("__bucket").write.mode("overwrite").partitionBy(
         "__bucket"
@@ -419,21 +435,68 @@ def append_postings_index(
     New docs' postings for an EXISTING term land in that term's
     existing bucket by construction (same hash), so queries see the
     merged posting list with no merge step."""
-    from etl_cortex_spark.operators.textops import words
-
-    w = words(text_col)
-    postings = (
-        delta_docs.select(
-            F.col(id_col), F.size(w).alias("dl"), F.explode(w).alias("term")
-        )
-        .groupBy("term", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "__bucket",
-            F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("int")
-            % n_buckets,
-        )
+    postings = postings_frame(
+        delta_docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
     postings.repartition("__bucket").write.mode("append").partitionBy(
         "__bucket"
     ).parquet(path)
+
+
+def snapshot_postings_lookup(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    k: int = 20,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Top-k lexical lookup against a SNAPSHOT-VERSIONED postings
+    table (round 14 — the serving read of `streaming.ingest.
+    foreach_batch_postings`): the index lives under the D102 manifest
+    protocol (each micro-batch is one snapshot version of postings
+    rows, committed with per-file ``__bucket`` zone maps), so the
+    query plans from ONE manifest read — files are kept only when
+    their bucket range overlaps a queried term's bucket, the manifest
+    version pins the index state (a query never sees a half-committed
+    batch), and exactly-once ingest comes from the protocol's batch_id
+    idempotence rather than a bespoke sidecar. Manifest zone maps play
+    the role directory partitioning plays in `postings_lookup`; the
+    micro-batch writer range-partitions on __bucket so each file's
+    range is tight and a k-term query touches ~k files per version."""
+    import json
+    import os
+
+    from etl_cortex_spark.operators.layout import _manifests, _stats_range
+
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_postings_lookup: no manifests under {path}")
+    with open(manifests[-1]) as f:
+        meta = json.load(f)
+    stats = meta.get("stats", {})
+    keep = []
+    for fp in meta["files"]:
+        rng = _stats_range(stats.get(os.path.abspath(fp)), "__bucket")
+        if rng is None or any(rng[0] <= b <= rng[1] for b in buckets):
+            keep.append(fp)
+    schema = spark.read.parquet(meta["files"][0]).schema
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    base = (
+        spark.createDataFrame([], schema)
+        if not keep
+        else spark.read.schema(schema).parquet(*keep)
+    )
+    return (
+        base.filter(F.col("__bucket").isin(buckets))
+        .filter(F.array_contains(terms_lit, F.col("term")))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("term").alias("n_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.desc("n_matched"), F.desc("total_tf"), id_col)
+        .limit(k)
+    )

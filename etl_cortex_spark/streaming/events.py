@@ -87,6 +87,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """File-source stream replaying any testdata table (round 14 —
+    the generic sibling of `read_events_stream`, for tables without
+    the events-specific timestamp handling; first user: the documents
+    stream feeding `foreach_batch_postings`). Handles both layouts the
+    same way events does: a table DIRECTORY streams directly; the
+    driver's single-file layout streams the sf dir through a
+    pathGlobFilter (FileStreamSource wants a directory)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).format("parquet").load(path)
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
+        .load(sf_dir)
+    )
+
+
 def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a bounded streaming query to completion into a memory
     sink; returns the result as a (batch) DataFrame.

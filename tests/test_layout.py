@@ -557,3 +557,81 @@ def test_snapshot_scan_multi_prunes_on_both_predicates(spark, tmp_path):
     empty = snapshot_scan_multi(spark, path, {"k": (0, 99), "d": (50, 60)})
     assert empty.count() == 0
     assert empty.columns == ["k", "d"]
+
+
+def test_stream_postings_multibatch_exactly_once_and_pruned(spark, tmp_path):
+    """The streaming postings composition end-to-end with FORCED
+    multi-batch cuts (maxFilesPerTrigger=1): (1) the drained index
+    answers exactly like the batch-built one — micro-batch boundaries
+    are invisible; (2) a re-run over the same checkpoint commits
+    nothing new, and a manually replayed batch_id is a manifest-lookup
+    no-op (exactly-once); (3) the lookup reads only bucket-overlapping
+    files from the manifest (pruned serving)."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import _manifests, snapshot_append
+    from etl_cortex_spark.operators.search import (
+        postings_lookup,
+        snapshot_postings_lookup,
+        write_postings_index,
+    )
+    from etl_cortex_spark.streaming.ingest import foreach_batch_postings
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} " + ("join table " * (i % 3)))
+         for i in range(60)],
+        "doc_id int, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+    idx = str(tmp_path / "postidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+        q = foreach_batch_postings(stream, idx, ckpt)
+        q.awaitTermination()
+
+    run_stream()
+    versions = _manifests(idx)
+    assert len(versions) >= 2  # genuinely multi-batch
+    terms = ["join", "table", "alpha"]
+    got = {
+        (r.doc_id, r.n_matched, r.total_tf)
+        for r in snapshot_postings_lookup(spark, idx, terms, k=60).collect()
+    }
+    batch_idx = str(tmp_path / "batchidx")
+    write_postings_index(docs, batch_idx)
+    want = {
+        (r.doc_id, r.n_matched, r.total_tf)
+        for r in postings_lookup(spark, batch_idx, terms, k=60).collect()
+    }
+    assert got == want
+    # exactly-once leg 1: a re-run over the same checkpoint is a no-op
+    run_stream()
+    assert _manifests(idx) == versions
+    # exactly-once leg 2: a crash-replayed micro-batch (same batch_id)
+    # returns its committed version without writing
+    import json
+
+    with open(versions[0]) as f:
+        v0 = json.load(f)
+    dummy = docs.limit(5).select(
+        "doc_id", F.lit(1).alias("dl"), F.lit("x").alias("term"),
+        F.lit(1).alias("tf"), F.lit(0).alias("__bucket"),
+    )
+    assert (
+        snapshot_append(spark, dummy, idx, batch_id=v0["batch_id"])
+        == v0["version"]
+    )
+    assert _manifests(idx) == versions
+    # pruned serving: the lookup reads a strict subset of the files
+    with open(_manifests(idx)[-1]) as f:
+        all_files = json.load(f)["files"]
+    read_files = snapshot_postings_lookup(spark, idx, ["join"], k=10).inputFiles()
+    assert 0 < len(read_files) < len(all_files)
