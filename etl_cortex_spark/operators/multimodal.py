@@ -75,10 +75,13 @@ def decode_image(payload: bytes) -> "object":
     remaining three behind the stub is spec TABLE DATA and reference
     libraries, not machinery: the synthesis window is ISO 11172-3
     Table 3-B.3 (512 numerically designed coefficients, no closed
-    form), Layer III needs the Huffman code Tables 3-B.7, and
-    motion-compensated codecs (H.26x/VPx/AV1) need motion search +
-    arithmetic coders from their reference implementations — none reconstructible offline
-    without copying material this build does not ship. PCM-WAV
+    form), Layer III's SPECTRUM needs the Huffman code Tables 3-B.7
+    (the frame structure itself — side info, window switching, the
+    bit reservoir — decodes for real in ``parse_mp3_sideinfo``, round
+    14), and motion-compensated codecs (H.26x/VPx/AV1) need motion
+    search + arithmetic coders from their reference implementations —
+    none reconstructible offline without copying material this build
+    does not ship. PCM-WAV
     (``decode_wav_features``),
     24-bpp BMP (``decode_bmp_features``), DEFLATE-compressed PNG
     (``decode_png_features``), baseline-sequential grayscale JPEG
@@ -2085,6 +2088,137 @@ def parse_mp3_features(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 n, sr, dur, total, avg, padded = parse_one(aid, bytes(payload))
                 for k, v in zip(cols, (aid, n, sr, dur, total, avg, padded)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)
+
+
+def parse_mp3_sideinfo(assets: DataFrame) -> DataFrame:
+    """REAL MPEG-1 Layer III SIDE-INFORMATION decode + BIT-RESERVOIR
+    accounting (round 14 — the boundary moves again): everything
+    STRUCTURAL in a Layer III frame is now decoded for real; only the
+    Huffman-coded spectrum (ISO 11172-3 Tables 3-B.7) and the
+    synthesis filterbank window (Table 3-B.3) remain behind the
+    documented stub, and both are tabulated spec data, not machinery.
+
+    Per frame (mono, so 17 side-info bytes right after the 4-byte
+    header — no CRC in the fixture stream), the full 2.4.1.7 field
+    walk: main_data_begin (9 bits — the bit-reservoir back-pointer),
+    private_bits (5), scfsi (4), then per granule part2_3_length (12),
+    big_values (9), global_gain (8), scalefac_compress (4),
+    window_switching_flag (1), and the 22-bit branch (block_type /
+    mixed_block_flag / 2×table_select / 3×subblock_gain when
+    switching; 3×table_select / region0_count / region1_count
+    otherwise — both arms are exactly 22 bits, which is why mono
+    side-info is a fixed 136-bit layout), closing with preflag /
+    scalefac_scale / count1table_select.
+
+    The RESERVOIR check is the real decoder obligation this surfaces:
+    frame i's main data may begin up to main_data_begin bytes BEFORE
+    its own side info, but only within bytes donated by previous
+    frames — a frame violates when main_data_begin exceeds the
+    cumulative donated capacity sum_{k<i}(size_k − header − sideinfo)
+    (and frame 0 must carry 0). Decoders that skip this check crash on
+    the first cut stream; corpus pipelines count violations to triage
+    re-encodes. Output per asset: frame count plus exact integer
+    censuses (sums of main_data_begin / part2_3_length / big_values /
+    global_gain, window-switching, short-block, reserved-block-type,
+    and reservoir-violation counts) — order-free integers, so the
+    closed-form fixture oracle replays every field from the same fixed
+    bit offsets. (Reference intent: app.py's pipeline treats media as
+    opaque; this is the Spark-first audio-metadata leg at 100 TB —
+    per-asset Python in mapInPandas, embarrassingly parallel.)"""
+    out_schema = (
+        "asset_id bigint, n_frames int, sum_main_data_begin bigint, "
+        "n_reservoir_violations int, sum_part23 bigint, "
+        "sum_big_values bigint, sum_global_gain bigint, "
+        "n_window_switching int, n_short_blocks int, "
+        "n_reserved_block_type int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        bitrates = _MP3_BITRATES
+        rates = _MP3_RATES
+
+        def parse_one(aid, buf: bytes):
+            pos = 0
+            if buf[:3] == b"ID3":
+                if len(buf) < 10 or any(b & 0x80 for b in buf[6:10]):
+                    raise ValueError(f"asset {aid}: bad ID3v2 syncsafe size")
+                pos = 10 + (
+                    (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+                )
+            n = s_mdb = viol = s_p23 = s_bv = s_gg = n_wsf = n_short = 0
+            n_resv = 0
+            donated = 0  # cumulative reservoir capacity from past frames
+            while pos < len(buf):
+                if pos + 4 > len(buf):
+                    raise ValueError(f"asset {aid}: truncated header at {pos}")
+                b0, b1, b2, b3 = buf[pos : pos + 4]
+                if b0 != 0xFF or (b1 & 0xFE) != 0xFA:
+                    raise ValueError(f"asset {aid}: lost frame sync at {pos}")
+                if not (b1 & 0x01):
+                    raise ValueError(f"asset {aid}: CRC frames unsupported")
+                br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+                if br_idx in (0, 15) or sr_idx == 3:
+                    raise ValueError(f"asset {aid}: bad indices at {pos}")
+                if (b3 >> 6) != 3:
+                    raise ValueError(f"asset {aid}: only single_channel")
+                size = 144000 * bitrates[br_idx - 1] // rates[sr_idx] + pad
+                if pos + size > len(buf) or size < 4 + 17:
+                    raise ValueError(f"asset {aid}: truncated frame at {pos}")
+                r = _BitReader(buf[pos + 4 : pos + 4 + 17])
+                mdb = r.get(9)
+                r.get(5)  # private_bits (mono)
+                r.get(4)  # scfsi
+                for _g in range(2):
+                    s_p23 += r.get(12)
+                    s_bv += r.get(9)
+                    s_gg += r.get(8)
+                    r.get(4)  # scalefac_compress
+                    wsf = r.get(1)
+                    if wsf:
+                        n_wsf += 1
+                        block_type = r.get(2)
+                        if block_type == 2:
+                            n_short += 1
+                        elif block_type == 0:
+                            # reserved when switching (2.4.1.7) — a
+                            # census, not an abort: the walk stays
+                            # structural over arbitrary main data
+                            n_resv += 1
+                        r.get(1)  # mixed_block_flag
+                        r.get(10)  # 2 × table_select
+                        r.get(9)  # 3 × subblock_gain
+                    else:
+                        r.get(15)  # 3 × table_select
+                        r.get(4)  # region0_count
+                        r.get(3)  # region1_count
+                    r.get(3)  # preflag, scalefac_scale, count1table_select
+                s_mdb += mdb
+                if mdb > donated:
+                    viol += 1
+                donated += size - 4 - 17
+                n += 1
+                pos += size
+            if n == 0:
+                raise ValueError(f"asset {aid}: no MPEG frames")
+            return (n, s_mdb, viol, s_p23, s_bv, s_gg, n_wsf, n_short, n_resv)
+
+        for pdf in it:
+            cols = (
+                "asset_id", "n_frames", "sum_main_data_begin",
+                "n_reservoir_violations", "sum_part23", "sum_big_values",
+                "sum_global_gain", "n_window_switching", "n_short_blocks",
+                "n_reserved_block_type",
+            )
+            rows = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                vals = parse_one(aid, bytes(payload))
+                for k, v in zip(cols, (aid, *vals)):
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 
