@@ -713,6 +713,72 @@ def d03inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk_ivf(spark, path, qv, k=5).crossJoin(F.broadcast(n))
 
 
+@query(
+    "stream_ivf_ingest",
+    oracle=f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv) /
+                 (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+           n_indexed
+    FROM e, q,
+         (SELECT CAST(count(*) AS BIGINT) AS n_indexed FROM e) n
+    WHERE ({_bucket_sql("v")}) = ({_bucket_sql("qv")})
+    ORDER BY cosine DESC, vec_id LIMIT 5
+    """,
+)
+def d03stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF-index maintenance through the snapshot protocol
+    (round 14 — `streaming.ingest.foreach_batch_ivf` +
+    `similarity.snapshot_ivf_topk`; with the postings twin this closes
+    BOTH serving layouts' maintenance end-to-end: build r13, batch
+    append r13, streaming append r14): the embeddings stream drains
+    through foreachBatch, each micro-batch bucketed with the same
+    deterministic hyperplanes as any batch build, committed as ONE
+    snapshot version with its batch_id (crash-replay = manifest no-op)
+    and per-file __bucket zone maps; the query computes its cell
+    driver-side and plans from one manifest read, keeping only files
+    whose bucket range covers that cell. The oracle replays the full
+    corpus as a fresh SQL index — identical bucketing + ranking — so a
+    dropped or doubled micro-batch row in the query's cell breaks the
+    top-k hash and the piggybacked n_indexed count breaks on ANY cell
+    losing or doubling rows, independent of where the engine cut the
+    batches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.streaming.events import read_table_stream
+    from etl_cortex_spark.streaming.ingest import foreach_batch_ivf
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_ivfstream", h)
+    shutil.rmtree(base, ignore_errors=True)
+    emb = read_table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != 0
+    )
+    q = foreach_batch_ivf(
+        emb,
+        path=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    qv = _query_vec(spark, sf_dir)
+    idx = os.path.join(base, "table")
+    from etl_cortex_spark.operators.layout import snapshot_read
+
+    n = (
+        snapshot_read(spark, idx)
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_indexed"))
+    )
+    return SIM.snapshot_ivf_topk(spark, idx, qv, k=5).crossJoin(F.broadcast(n))
+
+
 # --- D4: text analysis --------------------------------------------------------
 
 

@@ -378,6 +378,60 @@ def lsh_topk_ivf(
     )
 
 
+def snapshot_ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k against a SNAPSHOT-VERSIONED IVF table (round 14 —
+    the serving read of `streaming.ingest.foreach_batch_ivf`, the
+    vector twin of `search.snapshot_postings_lookup`): the index lives
+    under the D102 manifest protocol (each micro-batch one snapshot
+    version of (id, vec, __bucket) rows with per-file __bucket zone
+    maps), so the query computes its cell driver-side, keeps only
+    manifest files whose bucket range covers that cell — zone maps do
+    what the partition directory does in `lsh_topk_ivf` — and ranks
+    the survivors by exact cosine. The manifest version pins the index
+    state per query; exactly-once ingest is the protocol's batch_id
+    contract, not a bespoke sink."""
+    import json
+    import os
+
+    from etl_cortex_spark.operators.layout import _manifests, _stats_range
+
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qbucket = query_bucket(query_vec, planes)
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_ivf_topk: no manifests under {path}")
+    with open(manifests[-1]) as f:
+        meta = json.load(f)
+    stats = meta.get("stats", {})
+    keep = []
+    for fp in meta["files"]:
+        rng = _stats_range(stats.get(os.path.abspath(fp)), "__bucket")
+        if rng is None or (rng[0] <= qbucket <= rng[1]):
+            keep.append(fp)
+    schema = spark.read.parquet(meta["files"][0]).schema
+    base = (
+        spark.createDataFrame([], schema)
+        if not keep
+        else spark.read.schema(schema).parquet(*keep)
+    )
+    v = as_double(F.col(vec_col))
+    return (
+        base.filter(F.col("__bucket") == qbucket)
+        .select(F.col(id_col), F.round(cosine_lit(v, query_vec), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --- int8 quantization (the ANN storage path at corpus scale) -----------------
 
 

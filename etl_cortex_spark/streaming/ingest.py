@@ -505,6 +505,58 @@ def foreach_batch_snapshot(stream: DataFrame, path: str, checkpoint_dir: str):
     )
 
 
+def foreach_batch_ivf(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+    files_per_batch: int = 8,
+):
+    """STREAMING IVF-index maintenance through the snapshot protocol
+    (round 14 — the vector twin of `foreach_batch_postings`; with it,
+    BOTH serving layouts take streaming deltas exactly-once): each
+    micro-batch is bucketed with the SAME deterministic hyperplanes as
+    any batch build (dim + n_planes + seed fully determine them),
+    range-partitioned on the cell id so per-file cell ranges are
+    tight, and committed as ONE snapshot version tagged with its
+    batch_id and per-file __bucket zone maps. Crash-replay is a
+    manifest lookup no-op; `similarity.snapshot_ivf_topk` plans a
+    query from one manifest read and prunes to the files covering the
+    query's cell. Returns the started availableNow query."""
+    from etl_cortex_spark.operators.layout import snapshot_append
+    from etl_cortex_spark.operators.similarity import (
+        as_double,
+        hyperplanes,
+        lsh_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    spark = stream.sparkSession
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.withColumn(
+            "__bucket", lsh_bucket(as_double(F.col(vec_col)), planes)
+        ).repartitionByRange(files_per_batch, "__bucket")
+        snapshot_append(
+            spark, delta, path, batch_id=int(batch_id), stats_col="__bucket"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_postings(
     stream: DataFrame,
     path: str,

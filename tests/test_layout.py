@@ -635,3 +635,65 @@ def test_stream_postings_multibatch_exactly_once_and_pruned(spark, tmp_path):
         all_files = json.load(f)["files"]
     read_files = snapshot_postings_lookup(spark, idx, ["join"], k=10).inputFiles()
     assert 0 < len(read_files) < len(all_files)
+
+
+def test_stream_ivf_multibatch_exactly_once_and_pruned(spark, tmp_path):
+    """The streaming IVF composition with forced multi-batch cuts:
+    the drained snapshot index answers the cell query exactly like a
+    batch-built IVF table; re-running the drained stream commits
+    nothing; the query reads only bucket-covering files."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import _manifests
+    from etl_cortex_spark.operators.similarity import (
+        lsh_topk_ivf,
+        snapshot_ivf_topk,
+        write_ivf_index,
+    )
+    from etl_cortex_spark.streaming.ingest import foreach_batch_ivf
+
+    rng = random.Random(11)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "vec_src")
+    vecs.repartition(3).write.parquet(src)
+    idx = str(tmp_path / "ivfidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+        q = foreach_batch_ivf(stream, idx, ckpt)
+        q.awaitTermination()
+
+    run_stream()
+    versions = _manifests(idx)
+    assert len(versions) >= 2
+    # query with a corpus vector so its cell is provably non-empty
+    qv = [float(x) for x in vecs.filter("vec_id = 5").first().embedding]
+    got = [
+        (r.vec_id, r.cosine)
+        for r in snapshot_ivf_topk(spark, idx, qv, k=10).collect()
+    ]
+    batch_idx = str(tmp_path / "batchivf")
+    write_ivf_index(vecs, batch_idx)
+    want = [
+        (r.vec_id, r.cosine)
+        for r in lsh_topk_ivf(spark, batch_idx, qv, k=10).collect()
+    ]
+    assert got == want and got  # same cell, same ranking, non-empty
+    run_stream()  # replay: drained checkpoint commits nothing
+    assert _manifests(idx) == versions
+    with open(versions[-1]) as f:
+        all_files = json.load(f)["files"]
+    read_files = snapshot_ivf_topk(spark, idx, qv, k=10).inputFiles()
+    assert 0 < len(read_files) < len(all_files)
