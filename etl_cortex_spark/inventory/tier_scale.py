@@ -1217,6 +1217,182 @@ def scale_snapshot_scan_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_snapshot_changes",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(min(o_orderkey % 3) AS BIGINT) AS min_third,
+           CAST(max(o_orderkey % 3) AS BIGINT) AS max_third
+    FROM orders WHERE (o_orderkey % 3) IN (1, 2)
+    """,
+)
+def scale_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CHANGE READ between snapshot versions
+    (`layout.snapshot_changes`, round 14 — the change-data-feed the
+    manifest protocol gets for free on append-only lineage): orders
+    commit in thirds; a consumer that processed version 1 catches up
+    to version 3 by reading EXACTLY the files added in between —
+    thirds 1 and 2, O(|new data|), never the table. The min/max third
+    columns pin that third 0's rows are NOT re-delivered (the
+    incremental contract) while count+sum pin that nothing added is
+    missed. The walk validates the lineage is append-only and raises
+    on any rewriting commit (pinned in tests/test_layout.py) — CDC
+    over rewrites is `b23_cdc_diff`'s content-diff job, not a file
+    diff. At 100 TB this is how downstream ETL and the D112/D113
+    index-maintenance paths consume a table: manifest set-arithmetic
+    to plan, delta-sized reads to run."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapchg_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    return (
+        snapshot_changes(spark, path, 1, 3)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min(F.col("o_orderkey") % 3).alias("min_third"),
+            F.max(F.col("o_orderkey") % 3).alias("max_third"),
+        )
+    )
+
+
+@query(
+    "scale_snapshot_rollback",
+    oracle="""
+    WITH v(version) AS (VALUES (2), (3))
+    SELECT v.version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM v JOIN orders o
+      ON (v.version = 2 AND (o.o_orderkey % 3) < 2)
+      OR (v.version = 3 AND (o.o_orderkey % 3) = 0)
+    GROUP BY v.version ORDER BY v.version
+    """,
+)
+def scale_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK as a commit (`layout.snapshot_rollback`, round 14 —
+    Delta/Iceberg RESTORE on the D102 protocol): thirds 0 and 1 land,
+    then the table is rolled back to version 1 — a NEW version 3 whose
+    file set IS version 1's, one manifest write, no data read or
+    copied, O(1) in table size. The query reads v2 (the "bad" commit,
+    still in history as the audit trail) and v3 (the head, serving the
+    restored state): v3 == third 0 proves the restore, v2 intact
+    proves rollback never destroys history (`snapshot_expire` is the
+    deletion knob). At 100 TB this is the bad-batch undo: seconds, not
+    a table rewrite."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_rollback,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snaprb_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    snapshot_rollback(spark, path, to_version=1)
+    frames = []
+    for v in (2, 3):
+        frames.append(
+            snapshot_read(spark, path, version=v)
+            .groupBy()
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select("version", "n_orders", "total_price")
+        )
+    return frames[0].unionByName(frames[1]).coalesce(1).sortWithinPartitions("version")
+
+
+@query(
+    "scale_snapshot_expire",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    """,
+)
+def scale_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION / VACUUM (`layout.snapshot_expire`, round 14 — the
+    knob the whole snapshot family's docstrings deferred to): orders
+    commit in thirds, a COW delete then immediately rolls back (so
+    history contains files the HEAD no longer references — the
+    garbage vacuum exists for), and expiry to keep_last=1 drops the
+    old manifests first, then deletes every data file no surviving
+    manifest references. The hash-pinned claim: the head's content is
+    byte-identical after vacuum (nothing live was touched); the
+    unreferenced-file deletion, the two-phase crash safety, and the
+    loud failure of readers pinned to expired versions are pinned in
+    tests/test_layout.py. At 100 TB this is the erasure SLA: time
+    travel is bounded by retention, and GDPR deletion completes when
+    the last referencing manifest expires."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_expire,
+        snapshot_read,
+        snapshot_rollback,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapexp_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    snapshot_delete(spark, path, F.col("o_orderkey") % 6 == 0)  # v4
+    snapshot_rollback(spark, path, to_version=3)  # v5: head == full table
+    snapshot_expire(spark, path, keep_last=1)
+    return (
+        snapshot_read(spark, path)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+    )
+
+
+@query(
     "scale_skew_report",
     oracle="""
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)

@@ -1039,3 +1039,120 @@ def snapshot_compact(
         meta["stats"] = multi_file_stats(spark, staged, cols)
     _commit_manifest(path, version, meta)
     return version
+
+def snapshot_changes(spark, path: str, from_version: int, to_version: int):
+    """INCREMENTAL READ between two snapshot versions (round 14 — the
+    change-data-feed the protocol gets for free on append-only
+    histories): every commit's manifest lists the table's full file
+    set, so the rows ADDED between versions are exactly the files in
+    ``to_version``'s manifest missing from ``from_version``'s — an
+    incremental consumer (downstream ETL, index maintenance, a
+    training-data refresh) reads O(|new data|), never the table.
+
+    Contract enforced, not just documented: every step in
+    (from_version, to_version] must be an APPEND (no file of the
+    previous version dropped). A delete/merge/compact step rewrites
+    rows, so "added files" would double-count surviving rows — the
+    walk raises loudly there instead of silently over-reporting
+    (full-diff readers belong to `cdc_diff`, which compares contents).
+    At 100 TB this check is |files| set arithmetic on manifests — no
+    data file is touched to validate the lineage."""
+    import json
+    import os
+
+    def load(v: int) -> list:
+        target = os.path.join(path, f"v{v}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_changes: version {v} does not exist at {path}"
+            )
+        with open(target) as f:
+            return json.load(f)["files"]
+
+    if not 0 < from_version < to_version:
+        raise ValueError(
+            "snapshot_changes: need 0 < from_version < to_version"
+        )
+    prev = set(load(from_version))
+    for v in range(from_version + 1, to_version + 1):
+        cur = set(load(v))
+        if not prev <= cur:
+            raise ValueError(
+                f"snapshot_changes: version {v} is not an append "
+                f"(it drops {len(prev - cur)} file(s) of v{v - 1}); "
+                "append-only lineage required for an added-files read"
+            )
+        prev = cur
+    new_files = sorted(set(load(to_version)) - set(load(from_version)))
+    schema = spark.read.parquet(load(to_version)[0]).schema
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*new_files)
+
+
+def snapshot_rollback(spark, path: str, to_version: int) -> int:
+    """ROLLBACK as a new commit (round 14): the new version's file set
+    IS ``to_version``'s — the bad commits stay in history (time travel
+    remains the audit trail; `snapshot_expire` is the deletion knob)
+    but the table head serves the old state again. No data is read,
+    copied, or rewritten: rollback is one manifest write, O(1) in the
+    table size, exactly how Delta/Iceberg RESTORE works. Zone-map
+    stats of the restored version are carried so pruning survives."""
+    import json
+    import os
+
+    target = os.path.join(path, f"v{to_version}.manifest.json")
+    if not os.path.exists(target):
+        raise ValueError(
+            f"snapshot_rollback: version {to_version} does not exist at {path}"
+        )
+    manifests = _manifests(path)
+    version = _manifest_version(manifests[-1]) + 1
+    with open(target) as f:
+        old = json.load(f)
+    meta = {"version": version, "files": old["files"]}
+    if "stats" in old:
+        meta["stats"] = old["stats"]
+    _commit_manifest(path, version, meta)
+    return version
+
+
+def snapshot_expire(spark, path: str, keep_last: int = 1) -> dict:
+    """RETENTION / VACUUM (round 14 — the knob every docstring in this
+    family deferred to): drop all but the newest ``keep_last``
+    manifests, then delete every data file under ``path`` referenced
+    by NO surviving manifest. Two-phase on purpose — manifests vanish
+    FIRST, so a crash between phases strands unreferenced files
+    (re-vacuumable garbage) but can never break a surviving version;
+    the reverse order could delete a file a still-live manifest
+    references. Readers pinned to an expired version fail loudly at
+    resolve time (the manifest is gone), which is the retention
+    contract: erasure SLAs bound time travel. Only files inside the
+    table's own data directory are ever deleted. Returns
+    ``{"manifests_removed": n, "files_deleted": n}``."""
+    import json
+    import os
+
+    if keep_last < 1:
+        raise ValueError("snapshot_expire: keep_last must be >= 1")
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_expire: no manifests under {path}")
+    drop, keep = manifests[:-keep_last], manifests[-keep_last:]
+    live: set = set()
+    for m in keep:
+        with open(m) as f:
+            live |= {os.path.abspath(p) for p in json.load(f)["files"]}
+    referenced: set = set()
+    for m in drop:
+        with open(m) as f:
+            referenced |= {os.path.abspath(p) for p in json.load(f)["files"]}
+    for m in drop:
+        os.remove(m)
+    data_root = os.path.abspath(os.path.join(path, "data"))
+    deleted = 0
+    for p in sorted(referenced - live):
+        if p.startswith(data_root + os.sep) and os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+    return {"manifests_removed": len(drop), "files_deleted": deleted}

@@ -697,3 +697,98 @@ def test_stream_ivf_multibatch_exactly_once_and_pruned(spark, tmp_path):
         all_files = json.load(f)["files"]
     read_files = snapshot_ivf_topk(spark, idx, qv, k=10).inputFiles()
     assert 0 < len(read_files) < len(all_files)
+
+
+def test_snapshot_changes_appends_only_and_raises_on_rewrite(spark, tmp_path):
+    """Changes(v1→v3) delivers exactly batches 2+3 (never re-delivers
+    batch 1); a rewriting commit (COW delete) in the range makes the
+    added-files read WRONG by construction, so the walk must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "snapchanges")
+    for lo in (0, 10, 20):
+        snapshot_append(
+            spark, spark.range(lo, lo + 10).withColumnRenamed("id", "k"), path
+        )
+    got = sorted(r.k for r in snapshot_changes(spark, path, 1, 3).collect())
+    assert got == list(range(10, 30))
+    # empty delta: same version twice apart → v2..v2 only
+    assert sorted(
+        r.k for r in snapshot_changes(spark, path, 1, 2).collect()
+    ) == list(range(10, 20))
+    snapshot_delete(spark, path, F.col("k") < 5)  # v4 rewrites batch 1
+    with pytest.raises(ValueError, match="not an append"):
+        snapshot_changes(spark, path, 1, 4)
+    # ranges entirely before the rewrite still work
+    assert snapshot_changes(spark, path, 2, 3).count() == 10
+
+
+def test_snapshot_rollback_restores_head_keeps_history(spark, tmp_path):
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_rollback,
+    )
+
+    path = str(tmp_path / "snaprollback")
+    snapshot_append(spark, spark.range(0, 10).withColumnRenamed("id", "k"), path)
+    snapshot_append(spark, spark.range(10, 30).withColumnRenamed("id", "k"), path)
+    v3 = snapshot_rollback(spark, path, to_version=1)
+    assert v3 == 3
+    assert sorted(r.k for r in snapshot_read(spark, path).collect()) == list(
+        range(10)
+    )
+    # the rolled-back-over commit is still queryable history
+    assert snapshot_read(spark, path, version=2).count() == 30
+    # rollback of a rollback: forward again
+    snapshot_rollback(spark, path, to_version=2)
+    assert snapshot_read(spark, path).count() == 30
+
+
+def test_snapshot_expire_vacuums_only_dead_files(spark, tmp_path):
+    """Expiry drops old manifests then deletes ONLY files no surviving
+    manifest references: the head's content is untouched, expired
+    versions fail loudly at resolve, and files shared by live
+    manifests survive even when dead manifests also referenced them."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_expire,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapexpire")
+    snapshot_append(spark, spark.range(0, 50).withColumnRenamed("id", "k"), path)
+    snapshot_append(spark, spark.range(50, 99).withColumnRenamed("id", "k"), path)
+    snapshot_delete(spark, path, F.col("k") < 25)  # v3 rewrites batch 1
+    files_before = set(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+    res = snapshot_expire(spark, path, keep_last=1)
+    assert res["manifests_removed"] == 2
+    # batch 1's original files were only referenced by v1/v2 → deleted;
+    # batch 2's files are shared with the live v3 → kept
+    assert res["files_deleted"] > 0
+    files_after = set(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+    assert files_after < files_before
+    assert sorted(r.k for r in snapshot_read(spark, path).collect()) == list(
+        range(25, 99)
+    )
+    with pytest.raises(ValueError, match="version 1 does not exist"):
+        snapshot_read(spark, path, version=1)
+    # re-vacuum is a no-op
+    res2 = snapshot_expire(spark, path, keep_last=1)
+    assert res2 == {"manifests_removed": 0, "files_deleted": 0}
+    with pytest.raises(ValueError, match="keep_last"):
+        snapshot_expire(spark, path, keep_last=0)
