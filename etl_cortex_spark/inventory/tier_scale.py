@@ -1393,6 +1393,83 @@ def scale_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_changes_downstream_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scale_changes_downstream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOWNSTREAM incremental-view maintenance off the CHANGE FEED
+    (round 14 — D114 composed with the B22 incremental-agg story, the
+    consumer loop a 100 TB warehouse actually runs): the orders table
+    commits in thirds; a downstream per-status aggregate is built ONCE
+    from version 1, then caught up to versions 2 and 3 by reading ONLY
+    `snapshot_changes(v-1, v)` — each step's work is O(|delta|) and the
+    state is MATERIALIZED to parquet between steps (the honest
+    checkpointed-state posture: a crash resumes from the last persisted
+    state + the change feed, nothing recomputes from scratch). Money is
+    summed in integer cents so the incremental partial sums are exact
+    and order-free — the retract_agg/b22 discipline — and the oracle is
+    the full-table recompute: equality proves the incremental path
+    converged to the batch answer through two delta applications."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_read,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_chgagg_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    path = os.path.join(base, "table")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    state_dir = os.path.join(base, "state_v1")
+    agg(snapshot_read(spark, path, version=1)).write.parquet(state_dir)
+    for v in (2, 3):
+        delta = agg(snapshot_changes(spark, path, v - 1, v))
+        merged = (
+            spark.read.parquet(state_dir)
+            .unionByName(delta)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("total_cents").alias("total_cents"),
+            )
+        )
+        state_dir_next = os.path.join(base, f"state_v{v}")
+        merged.write.parquet(state_dir_next)
+        state_dir = state_dir_next
+    out = spark.read.parquet(state_dir)
+    # k-row result (one per status): local sort, no range exchange
+    return out.coalesce(1).sortWithinPartitions("o_orderstatus")
+
+
+@query(
     "scale_skew_report",
     oracle="""
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
