@@ -183,17 +183,26 @@ def test_winnowing_shared_run_guarantees_shared_fingerprint(spark, shared, pre_a
         st.one_of(
             st.tuples(st.just("append"), st.lists(st.integers(0, 60), min_size=1, max_size=8)),
             st.tuples(st.just("delete"), st.integers(0, 60)),
+            st.tuples(
+                st.just("merge"),
+                st.lists(st.integers(0, 60), min_size=1, max_size=6, unique=True),
+            ),
+            st.tuples(st.just("rollback"), st.integers(1, 1000)),
         ),
         min_size=1,
         max_size=5,
     )
 )
 def test_snapshot_protocol_matches_model(spark, tmp_path_factory, ops):
-    """Model-based check of the manifest snapshot protocol: an
-    arbitrary sequence of appends (multisets of keys) and COW deletes
-    (drop one key everywhere) must leave every VERSION equal to a
-    plain Python multiset model replayed to that point — snapshot
-    isolation, COW rewrites, and manifest chaining all at once."""
+    """Model-based check of the manifest snapshot protocol, extended
+    in round 14 to the full write surface: an arbitrary sequence of
+    appends (multisets of (k, tag) rows), COW deletes (drop one key
+    everywhere), keyed MERGEs (replace every row of the given keys
+    with one fresh (k, tag) row each — upsert), and ROLLBACKs (head
+    becomes an earlier version's state, committed as a new version)
+    must leave every VERSION equal to a plain Python multiset model
+    replayed to that point — snapshot isolation, COW rewrites,
+    manifest chaining, and restore semantics all at once."""
     import collections
 
     from pyspark.sql import functions as F
@@ -201,30 +210,55 @@ def test_snapshot_protocol_matches_model(spark, tmp_path_factory, ops):
     from etl_cortex_spark.operators.layout import (
         snapshot_append,
         snapshot_delete,
+        snapshot_merge,
         snapshot_read,
+        snapshot_rollback,
     )
 
     path = str(tmp_path_factory.mktemp("snapmodel") / "t")
     model: collections.Counter = collections.Counter()
     history = []  # model state per version
-    for op, arg in ops:
+    for i, (op, arg) in enumerate(ops):
         if op == "append":
             snapshot_append(
                 spark,
-                spark.createDataFrame([(k,) for k in arg], "k long"),
+                spark.createDataFrame(
+                    [(k, i) for k in arg], "k long, tag long"
+                ),
                 path,
             )
-            model = model + collections.Counter(arg)
-        else:
-            if not history:  # delete needs an existing table
+            model = model + collections.Counter((k, i) for k in arg)
+        elif op == "delete":
+            if not history:  # needs an existing table
                 continue
             snapshot_delete(spark, path, F.col("k") == arg)
             model = collections.Counter(
-                {k: n for k, n in model.items() if k != arg}
+                {kt: n for kt, n in model.items() if kt[0] != arg}
             )
+        elif op == "merge":
+            if not history:
+                continue
+            snapshot_merge(
+                spark,
+                spark.createDataFrame(
+                    [(k, i) for k in arg], "k long, tag long"
+                ),
+                path,
+                "k",
+            )
+            keys = set(arg)
+            model = collections.Counter(
+                {kt: n for kt, n in model.items() if kt[0] not in keys}
+            ) + collections.Counter((k, i) for k in keys)
+        else:  # rollback
+            if not history:
+                continue
+            target = 1 + (arg % len(history))
+            snapshot_rollback(spark, path, to_version=target)
+            model = collections.Counter(history[target - 1])
         history.append(collections.Counter(model))
     for v, expect in enumerate(history, start=1):
         got = collections.Counter(
-            r.k for r in snapshot_read(spark, path, version=v).collect()
+            (r.k, r.tag) for r in snapshot_read(spark, path, version=v).collect()
         )
         assert got == expect, (v, got, expect)
