@@ -1470,6 +1470,77 @@ def scale_changes_downstream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_snapshot_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(o_flagged) AS BIGINT) AS n_flagged_rows,
+           CAST(sum(CASE WHEN coalesce(o_flagged, FALSE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged_true
+    FROM (
+      SELECT o_orderstatus, CAST(NULL AS BOOLEAN) AS o_flagged
+      FROM orders WHERE (o_orderkey % 3) < 2
+      UNION ALL
+      SELECT o_orderstatus, (o_orderkey % 2 = 0) AS o_flagged
+      FROM orders WHERE (o_orderkey % 3) = 2
+    ) GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scale_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION on the versioned snapshot table
+    (round 14 — `snapshot_read(merge_schema=True)`; the D58 parquet
+    schema-evolution story lifted into the D102 protocol): two commits
+    land orders WITHOUT the o_flagged column, a third commits rows
+    WITH it, and the evolved read resolves the UNION schema — rows
+    from pre-evolution files surface NULL for the new column, exactly
+    the Delta/Iceberg additive contract (readers never rewrite old
+    files to evolve). The oracle replays the NULL-backfill semantics
+    with an explicit UNION; n_flagged_rows pins that exactly the
+    post-evolution rows carry values and n_flagged_true pins the
+    values themselves. At 100 TB this is how a corpus table grows
+    columns (a new quality score, a new license flag) without a
+    table rewrite: old files stay bytes-identical, the manifest keeps
+    listing them, and only readers that ask pay the merge-footer
+    cost."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapevo_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    evolved = orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+        "o_flagged", F.col("o_orderkey") % 2 == 0
+    )
+    snapshot_append(spark, evolved, path)
+    return (
+        snapshot_read(spark, path, merge_schema=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_flagged").alias("n_flagged_rows"),
+            F.sum(
+                F.when(F.coalesce(F.col("o_flagged"), F.lit(False)), 1).otherwise(0)
+            ).alias("n_flagged_true"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("o_orderstatus")
+    )
+
+
+@query(
     "scale_skew_report",
     oracle="""
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)

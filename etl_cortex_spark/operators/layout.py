@@ -582,11 +582,18 @@ def _commit_manifest(path: str, version: int, meta: dict) -> None:
     name, which fails with FileExistsError if the version already
     exists. A concurrent (or buggy) writer that computes a duplicate
     version number therefore fails LOUDLY instead of silently
-    overwriting a committed manifest and orphaning its files."""
+    overwriting a committed manifest and orphaning its files.
+
+    Every commit is stamped with its wall-clock time here (ALL write
+    paths — append, delete, merge, compact, rollback — flow through
+    this commit), which powers `snapshot_version_asof`; the stamp is
+    never part of any oracle-compared output."""
     import json
     import os
+    import time
     import uuid
 
+    meta.setdefault("committed_at_unix", time.time())
     tmp = os.path.join(
         path, f".v{version}.{uuid.uuid4().hex[:8]}.manifest.tmp"
     )
@@ -725,12 +732,21 @@ def snapshot_append(
     return version
 
 
-def snapshot_read(spark, path: str, version: int | None = None):
+def snapshot_read(
+    spark, path: str, version: int | None = None, merge_schema: bool = False
+):
     """Read a versioned table AS OF ``version`` (default: latest):
     parse one manifest, scan exactly its file set. A version committed
     after this reader resolved its manifest can never change the
-    result — snapshot isolation from immutability alone."""
-    import glob
+    result — snapshot isolation from immutability alone.
+
+    ``merge_schema=True`` (round 14) resolves the UNION of all the
+    version's file schemas — the schema-evolution read: commits may
+    add columns over time (the Delta/Iceberg additive-evolution
+    contract) and rows from pre-evolution files surface NULL for the
+    new columns. Off by default because schema merging pays a footer
+    read per file; turn it on when the table's history is known to
+    span an evolution."""
     import json
     import os
 
@@ -747,7 +763,35 @@ def snapshot_read(spark, path: str, version: int | None = None):
             )
     with open(target) as f:
         files = json.load(f)["files"]
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
+
+
+def snapshot_version_asof(path: str, unix_ts: float) -> int:
+    """Resolve the snapshot version that was CURRENT at wall-clock
+    time ``unix_ts`` (round 14 — `VERSION AS OF` came with the r13
+    protocol; this is `TIMESTAMP AS OF`): the highest version whose
+    recorded commit time is ≤ the asked instant. Pre-round-14
+    manifests without a commit time are treated as epoch-0 (always
+    eligible — resolving an old table errs toward the oldest true
+    answer, never an anachronistic one). Raises when the instant
+    precedes the first commit."""
+    import json
+
+    best = None
+    for m in _manifests(path):
+        with open(m) as f:
+            meta = json.load(f)
+        if meta.get("committed_at_unix", 0.0) <= unix_ts:
+            best = meta["version"]
+    if best is None:
+        raise ValueError(
+            f"snapshot_version_asof: no version at or before {unix_ts} "
+            f"under {path}"
+        )
+    return best
 
 
 def snapshot_delete(spark, path: str, predicate) -> int:

@@ -792,3 +792,78 @@ def test_snapshot_expire_vacuums_only_dead_files(spark, tmp_path):
     assert res2 == {"manifests_removed": 0, "files_deleted": 0}
     with pytest.raises(ValueError, match="keep_last"):
         snapshot_expire(spark, path, keep_last=0)
+
+
+def test_snapshot_asof_timestamp_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: every write path stamps its commit; resolving
+    an instant between commits returns the version current THEN —
+    including across a delete and a rollback — and an instant before
+    the first commit fails loudly."""
+    import json
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_version_asof,
+    )
+
+    path = str(tmp_path / "snapasof")
+    t_pre = time.time()
+    instants = []
+    snapshot_append(spark, spark.range(0, 9).withColumnRenamed("id", "k"), path)
+    instants.append(time.time())
+    snapshot_append(spark, spark.range(9, 20).withColumnRenamed("id", "k"), path)
+    instants.append(time.time())
+    snapshot_delete(spark, path, F.col("k") < 3)
+    instants.append(time.time())
+    snapshot_rollback(spark, path, to_version=2)
+    instants.append(time.time())
+    # every commit path stamped its manifest
+    for m in _manifests(path):
+        with open(m) as f:
+            assert json.load(f)["committed_at_unix"] > 0
+    for want, ts in enumerate(instants, start=1):
+        assert snapshot_version_asof(path, ts) == want
+    # the resolved version reads the state current at that instant
+    v = snapshot_version_asof(path, instants[2])
+    assert snapshot_read(spark, path, version=v).count() == 17  # post-delete
+    with pytest.raises(ValueError, match="no version at or before"):
+        snapshot_version_asof(path, t_pre)
+
+
+def test_snapshot_schema_evolution_read(spark, tmp_path):
+    """Additive evolution: a post-evolution commit adds a column; the
+    merge_schema read surfaces NULL for pre-evolution rows, the
+    default read keeps working, and old files stay byte-identical
+    (evolution never rewrites history)."""
+    import glob
+    import os
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+
+    path = str(tmp_path / "snapevolve")
+    snapshot_append(
+        spark, spark.createDataFrame([(1,), (2,)], "k int"), path
+    )
+    files_v1 = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, "data", "*", "*.parquet"))
+    }
+    snapshot_append(
+        spark, spark.createDataFrame([(3, "x")], "k int, tag string"), path
+    )
+    got = {
+        (r.k, r.tag)
+        for r in snapshot_read(spark, path, merge_schema=True).collect()
+    }
+    assert got == {(1, None), (2, None), (3, "x")}
+    # old files untouched by the evolution
+    for f, mtime in files_v1.items():
+        assert os.path.getmtime(f) == mtime
