@@ -576,6 +576,13 @@ def _manifests(path: str) -> list:
     )
 
 
+class SnapshotCommitConflict(ValueError):
+    """Another writer committed this version number first. Appends
+    rebase and retry automatically (`snapshot_append`); rewriting
+    commits (delete/merge/compact) must re-run against the new head —
+    their read set may be stale, so silent retry would be wrong."""
+
+
 def _commit_manifest(path: str, version: int, meta: dict) -> None:
     """Commit ``meta`` as version ``version`` with CREATE-EXCLUSIVE
     semantics: write to a temp file, then `os.link` it to the final
@@ -606,7 +613,7 @@ def _commit_manifest(path: str, version: int, meta: dict) -> None:
     try:
         os.link(tmp, final)
     except FileExistsError:
-        raise ValueError(
+        raise SnapshotCommitConflict(
             f"snapshot commit conflict: version {version} already exists "
             f"at {path} (concurrent writer or version-resolution bug)"
         )
@@ -673,11 +680,17 @@ def snapshot_append(
     immutable file log as the table's source of truth, no table-sized
     rewrite per commit, O(|batch|) data written per version.
 
-    Returns the committed version number. Concurrency stance: commits
-    are test-scale sequential (one writer); a production build swaps
-    the manifest rename for an atomic-swap catalog — the READ protocol
-    (this module's ``snapshot_read``) is unchanged by that upgrade,
-    which is the point of the design.
+    Returns the committed version number. Concurrency stance (round
+    14): appends are OPTIMISTICALLY CONCURRENT — the exclusive-create
+    commit detects a lost race and the append rebases onto the new
+    head and retries (its read set is just "the previous manifest",
+    so the retry is always correct; pinned by a real multi-writer
+    pytest). Rewriting commits (delete/merge/compact) surface
+    `SnapshotCommitConflict` instead, because their affected-file
+    computation is stale after a concurrent commit — the caller
+    re-runs against the new head. A production build swaps the
+    link-create for an atomic-swap catalog; the READ protocol is
+    unchanged by that upgrade, which is the point of the design.
 
     ``batch_id`` makes the commit IDEMPOTENT for streaming replays
     (round 13, the foreachBatch contract): a manifest already carrying
@@ -709,27 +722,54 @@ def snapshot_append(
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     if not new_files:
         raise ValueError("snapshot_append: batch wrote no parquet files")
-    manifests = _manifests(path)
-    prev: list[str] = []
-    prev_stats: dict = {}
-    version = 1
-    if manifests:
-        with open(manifests[-1]) as f:
-            latest = json.load(f)
-        prev = latest["files"]
-        prev_stats = latest.get("stats", {})
-        version = _manifest_version(manifests[-1]) + 1
-    stats = dict(prev_stats)
+    batch_stats: dict = {}
     if stats_col is not None:
         cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
-        stats.update(multi_file_stats(spark, staged, cols))
-    meta = {"version": version, "files": prev + new_files}
-    if stats:
-        meta["stats"] = stats
-    if batch_id is not None:
-        meta["batch_id"] = batch_id
-    _commit_manifest(path, version, meta)
-    return version
+        batch_stats = multi_file_stats(spark, staged, cols)
+    # OPTIMISTIC CONCURRENCY (round 14): an append's read set is only
+    # "the previous manifest", so losing the commit race is always
+    # recoverable — re-resolve the new head (one JSON read; the staged
+    # data files are already written and conflict-free by uuid) and
+    # re-attempt. Rewriting commits (delete/merge/compact) do NOT get
+    # this: their affected-file computation is stale after a
+    # concurrent commit, so they surface SnapshotCommitConflict and
+    # the caller re-runs against the new head.
+    for attempt in range(25):
+        manifests = _manifests(path)
+        if attempt and batch_id is not None:
+            # a racing replay of OUR batch may have won a commit since
+            # the pre-staging idempotence walk — re-check the history
+            for m in manifests:
+                with open(m) as f:
+                    committed = json.load(f)
+                if committed.get("batch_id") == batch_id:
+                    return committed["version"]
+        prev: list[str] = []
+        prev_stats: dict = {}
+        version = 1
+        if manifests:
+            with open(manifests[-1]) as f:
+                latest = json.load(f)
+            prev = latest["files"]
+            prev_stats = latest.get("stats", {})
+            version = _manifest_version(manifests[-1]) + 1
+        stats = dict(prev_stats)
+        stats.update(batch_stats)
+        meta = {"version": version, "files": prev + new_files}
+        if stats:
+            meta["stats"] = stats
+        if batch_id is not None:
+            meta["batch_id"] = batch_id
+        try:
+            _commit_manifest(path, version, meta)
+            return version
+        except SnapshotCommitConflict:
+            continue
+    raise SnapshotCommitConflict(
+        f"snapshot_append: lost the commit race 25 times at {path} — "
+        "writer contention is beyond what the file protocol is for; "
+        "use a catalog service"
+    )
 
 
 def snapshot_read(

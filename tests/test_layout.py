@@ -867,3 +867,49 @@ def test_snapshot_schema_evolution_read(spark, tmp_path):
     # old files untouched by the evolution
     for f, mtime in files_v1.items():
         assert os.path.getmtime(f) == mtime
+
+
+def test_snapshot_append_optimistic_concurrency(spark, tmp_path):
+    """REAL concurrent writers: six appends racing from three threads
+    must ALL commit (rebase-and-retry on a lost race), producing six
+    distinct consecutive versions whose head contains every batch's
+    rows exactly once."""
+    import threading
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapconc")
+    errors = []
+
+    def writer(lo):
+        try:
+            for start in (lo, lo + 1000):
+                snapshot_append(
+                    spark,
+                    spark.range(start, start + 100).withColumnRenamed("id", "k"),
+                    path,
+                )
+        except Exception as e:  # surface thread failures in the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(lo,)) for lo in (0, 200, 400)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert [
+        __import__("os").path.basename(m) for m in _manifests(path)
+    ] == [f"v{v}.manifest.json" for v in range(1, 7)]
+    got = sorted(r.k for r in snapshot_read(spark, path).collect())
+    want = sorted(
+        k
+        for lo in (0, 200, 400)
+        for start in (lo, lo + 1000)
+        for k in range(start, start + 100)
+    )
+    assert got == want
