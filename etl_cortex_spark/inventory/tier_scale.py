@@ -1541,6 +1541,48 @@ def scale_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "scale_join_explosion_report",
+    oracle="""
+    WITH lc AS (SELECT l_partkey AS k, count(*) AS nl FROM lineitem GROUP BY 1),
+    ec AS (SELECT (o_orderkey % 200) AS k, count(*) AS nr FROM orders GROUP BY 1),
+    p AS (SELECT lc.k, nl * nr AS pr FROM lc JOIN ec USING (k))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS left_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS right_rows,
+           CAST(sum(pr) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS n_matching_keys,
+           CAST(max_by(k, pr * 10000000 + k) AS BIGINT) AS hottest_key,
+           CAST(max(pr) AS BIGINT) AS max_key_product,
+           sum(pr) / CAST(greatest(
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM orders)) AS DOUBLE) AS amplification
+    FROM p
+    """,
+)
+def scale_join_explosion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew.join_explosion_report — JOIN-CARDINALITY PRE-FLIGHT (round
+    14, `skew_report`'s join sibling): the EXACT output size of a join
+    is Σ_k n_left(k)·n_right(k), computed here from the two key-count
+    tables WITHOUT running the join — two partial-agg shuffles plus a
+    count-row join; payload never moves. Fixture: lineitem keyed on
+    l_partkey against orders keyed on a deliberately COARSE derived
+    key (o_orderkey % 200), a genuinely many-to-many pairing whose
+    amplification is far above 1 — the explosion the report exists to
+    catch before the stage OOMs. Output: both input sizes, exact join
+    rows, matching-key count, the hottest key with its product (the
+    combined-scalar max_by tiebreak, portable to both engines), and
+    the amplification factor. At 100 TB this O(|keys|) check is what
+    decides plain-join vs collapse-duplicates-first vs salting —
+    running the exploded join to find out costs the explosion."""
+    from etl_cortex_spark.operators.skew import join_explosion_report
+
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    o = T(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 200).alias("k")
+    )
+    return join_explosion_report(li, o, "k")
+
+
+@query(
     "scale_skew_report",
     oracle="""
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)

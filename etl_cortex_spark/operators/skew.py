@@ -234,3 +234,60 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
             / (F.sum("__n") / F.count(F.lit(1)))
         ).alias("skew_factor"),
     )
+
+
+def join_explosion_report(
+    left: DataFrame, right: DataFrame, key_col: str
+) -> DataFrame:
+    """JOIN-CARDINALITY PRE-FLIGHT (round 14 — `skew_report`'s join
+    sibling; together they are the measure-before-join pair): the
+    EXACT output size of ``left ⋈ right`` on ``key_col`` is
+    Σ_k n_left(k)·n_right(k), computable from the two key-count
+    tables WITHOUT running the join — two partial-agg count shuffles
+    plus a join of count rows (one row per key, payload never moves).
+    One summary row: both input sizes, the exact join output size,
+    the amplification factor vs the larger input, and the hottest
+    key with its contribution — a key whose product dominates is a
+    join explosion (the classic many-to-many trap: at 100 TB an
+    unnoticed 1000×1000 key pair adds 10^6 rows, and a handful of
+    them OOM the stage). Running the report costs O(|keys|) shuffle
+    bytes; running the exploded join costs the explosion — this is
+    the cheap check that decides between the plain join, collapsing
+    duplicates first (`dedup_latest_agg`), or salting.
+
+    hottest_key's max_by uses the combined-scalar ordering key
+    (product·10^7 + key), the `skew_report` portability convention —
+    valid while keys < 10^7 and products < 9.2e11, which every test
+    SF and any count census fitting a BIGINT satisfies."""
+    lc = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("__nl"))
+    rc = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("__nr"))
+    prod = lc.join(rc, key_col).select(
+        F.col(key_col), (F.col("__nl") * F.col("__nr")).alias("__p"),
+        "__nl", "__nr",
+    )
+    totals = prod.groupBy().agg(
+        F.sum("__p").alias("join_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max("__p").alias("max_key_product"),
+        F.max_by(
+            key_col, F.col("__p") * F.lit(10_000_000) + F.col(key_col)
+        ).alias("hottest_key"),
+    )
+    n_l = left.groupBy().agg(F.count(F.lit(1)).alias("left_rows"))
+    n_r = right.groupBy().agg(F.count(F.lit(1)).alias("right_rows"))
+    return (
+        totals.crossJoin(F.broadcast(n_l))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "left_rows",
+            "right_rows",
+            "join_rows",
+            "n_matching_keys",
+            "hottest_key",
+            "max_key_product",
+            (
+                F.col("join_rows")
+                / F.greatest(F.col("left_rows"), F.col("right_rows"))
+            ).alias("amplification"),
+        )
+    )
