@@ -362,6 +362,18 @@ def span_dedup(
     Returns (id, text rebuilt from kept words, n_words, n_removed).
     Output text is whitespace-normalized (single spaces) — span dedup
     operates on, and returns, the tokenized form.
+
+    ORDERING CONTRACT on duplication-heavy corpora (round 14,
+    measured): run `dedup.exact_dedup` FIRST. Verbatim copies multiply
+    every gram group and flip the duplicate set from boilerplate-sized
+    to corpus-sized (broadcast semi-join degrades to a full shuffle);
+    on the 10×-replica sf1 corpus the composition
+    ``span_dedup(exact_dedup(docs))`` measured **11× faster** (0.67 s
+    vs 7.5 s, interleaved A/B) — and it is the semantically right
+    order for training prep anyway (identical copies carry no span
+    signal a representative doesn't). This is the same
+    collapse-verbatim-first law the d02 group-rep path enforces for
+    pairing (BASELINE.md round 11).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
