@@ -872,7 +872,9 @@ def snapshot_delete(spark, path: str, predicate) -> int:
     if not manifests:
         raise ValueError(f"snapshot_delete: no manifests under {path}")
     with open(manifests[-1]) as f:
-        cur = json.load(f)["files"]
+        latest = json.load(f)
+    cur = latest["files"]
+    prev_stats = latest.get("stats", {})
     version = _manifest_version(manifests[-1]) + 1
     matched = F.coalesce(predicate, F.lit(False))
     full = spark.read.parquet(*cur)
@@ -894,9 +896,18 @@ def snapshot_delete(spark, path: str, predicate) -> int:
         )
         survivors.write.mode("errorifexists").parquet(staged)
         new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
-    _commit_manifest(
-        path, version, {"version": version, "files": kept + new_files}
-    )
+    meta = {"version": version, "files": kept + new_files}
+    # kept files keep their zone maps (the merge-path convention, round
+    # 14): pruning must survive a delete; rewritten files re-enter
+    # without stats until the next stats-carrying commit or compaction
+    stats = {
+        f: prev_stats[f]
+        for f in (os.path.abspath(k) for k in kept)
+        if f in prev_stats
+    }
+    if stats:
+        meta["stats"] = stats
+    _commit_manifest(path, version, meta)
     return version
 
 
@@ -962,7 +973,14 @@ def snapshot_scan_multi(spark, path: str, ranges: dict, version: int | None = No
     selective predicates prune to the files in the INTERSECTION of
     their survivor sets. Columns a file has no stats for are
     conservative (never disqualify). Plan cost is still one JSON read;
-    the exact conjunction filters the surviving files."""
+    the exact conjunction filters the surviving files.
+
+    Bound types must match the manifest's storage form: numeric
+    columns take numeric (lo, hi); date/timestamp columns persist as
+    ISO strings (the `_commit_manifest` default=str round trip), so
+    pass their bounds as ISO strings too — lexicographic order on the
+    ISO form IS temporal order, which is what makes the string
+    comparison exact."""
     import json
     import os
 

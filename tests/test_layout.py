@@ -913,3 +913,38 @@ def test_snapshot_append_optimistic_concurrency(spark, tmp_path):
         for k in range(start, start + 100)
     )
     assert got == want
+
+
+def test_snapshot_delete_keeps_zone_maps_of_untouched_files(spark, tmp_path):
+    """Pruning must survive a delete: files the COW rewrite didn't
+    touch keep their manifest zone maps, so a post-delete range scan
+    still prunes to the overlapping untouched files."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_delete,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "snapdelstats")
+    for lo in (0, 1000, 2000):
+        snapshot_append(
+            spark,
+            spark.range(lo, lo + 1000).withColumnRenamed("id", "k"),
+            path,
+            stats_col="k",
+        )
+    snapshot_delete(spark, path, F.col("k") < 100)  # touches batch 1 only
+    with open(_manifests(path)[-1]) as f:
+        meta = json.load(f)
+    # batch 2+3 files kept their stats entries
+    assert meta.get("stats"), "delete dropped all zone maps"
+    pruned = snapshot_scan(spark, path, "k", 2100, 2200)
+    assert sorted(r.k for r in pruned.collect()) == list(range(2100, 2201))
+    # the scan read strictly fewer files than the table holds (batch 3
+    # zone map survived the delete and pruned batches 2 + the rewrite)
+    assert 0 < len(pruned.inputFiles()) < len(meta["files"])
