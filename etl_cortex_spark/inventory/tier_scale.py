@@ -1583,6 +1583,61 @@ def scale_join_explosion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_snapshot_bloom_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS total_price
+    FROM orders WHERE o_orderkey = 777
+    """,
+)
+def scale_snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PRUNED POINT LOOKUP on the versioned table (round 14 —
+    `layout.file_blooms` + `snapshot_point_lookup`, the equality twin
+    of the D102d range zone maps): orders commit in three MODULAR
+    batches (o_orderkey % 3 — each batch's key RANGE spans the whole
+    domain, so min/max zone maps cannot prune a point probe at all;
+    exactly the no-range-locality shape ids/hashes/emails have), each
+    with a per-file Bloom over the key in the manifest; the
+    ``o_orderkey = 777`` probe then prunes by driver-side bit tests —
+    no footer, no data file touched to plan — with no false negatives
+    by construction (every committed row set its three bits). The
+    value correctness is this oracle; the actual file pruning is
+    pinned via inputFiles() in tests/test_layout.py. At 100 TB this is
+    the GDPR-locate / record-fetch path: one JSON read + 3·|files| bit
+    tests instead of a table scan the range stats can't avoid."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_point_lookup,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapbloom_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark,
+            orders.filter(F.col("o_orderkey") % 3 == third),
+            path,
+            bloom_col="o_orderkey",
+        )
+    return snapshot_point_lookup(spark, path, "o_orderkey", 777).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@query(
     "scale_skew_report",
     oracle="""
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)

@@ -649,6 +649,135 @@ def multi_file_stats(spark, path: str, cols: list) -> dict:
     }
 
 
+#: manifest Bloom sizing: 8192 bits (128 longs) × 3 hash functions —
+#: ~3% false-positive rate at 1k distinct keys per file, degrading
+#: gracefully (a saturated Bloom prunes nothing, never wrongly). Real
+#: deployments size m to the file's key cardinality; the constant keeps
+#: the manifest entry small (128 ints/file) at test scale.
+_BLOOM_BITS = 8192
+
+
+def _bloom_positions_py(value, m: int = _BLOOM_BITS) -> list:
+    """The 3 Bloom bit positions of ``value`` — md5-based (the repo's
+    engine-portable hash convention), byte-identical to the Spark-side
+    expression in `file_blooms`, so the DRIVER can test a query key
+    against manifest Blooms without touching the cluster."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
+        for i in range(3)
+    ]
+
+
+def file_blooms(spark, path: str, col: str, m: int = _BLOOM_BITS) -> dict:
+    """Per-file BLOOM FILTERS over a parquet directory:
+    {abs_file: [m/64 longs]} — the point-lookup complement of the
+    range zone map (`multi_file_stats`): min/max prunes ranges, a
+    Bloom prunes EQUALITY probes on columns with no range locality
+    (ids, hashes, emails — exactly the GDPR-lookup / record-fetch
+    keys). Built in ONE aggregate pass: each row explodes to its 3 bit
+    positions, positions group map-side into (file, word-slot) bit_or
+    partials, and the driver folds ≤ m/64 rows per file into the word
+    array — the shuffle carries slot partials, never rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    pos = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+        for i in range(3)
+    ]
+    rows = (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode(F.array(*pos)).alias("p"),
+        )
+        .groupBy("file", (F.col("p") / 64).cast("int").alias("slot"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, CAST(p % 64 AS INT))")).alias(
+                "bits"
+            )
+        )
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        f = os.path.abspath(r["file"].removeprefix("file:"))
+        words = out.setdefault(f, [0] * (m // 64))
+        words[r["slot"]] = r["bits"]
+    return out
+
+
+def _bloom_maybe_contains(words, value, m: int = _BLOOM_BITS) -> bool:
+    """Driver-side membership test against one manifest Bloom entry.
+    True = the file MAY contain the key (read it); a missing/None
+    entry is conservatively True. No false negatives by construction:
+    every committed row set all three of its bits."""
+    if not words:
+        return True
+    for p in _bloom_positions_py(value, m):
+        if not (words[p // 64] >> (p % 64)) & 1:
+            return False
+    return True
+
+
+def snapshot_point_lookup(spark, path: str, col: str, value, version: int | None = None):
+    """BLOOM-PRUNED point lookup on the versioned table (round 14 —
+    the equality twin of `snapshot_scan`): the manifest's per-file
+    Blooms (written by ``snapshot_append(..., bloom_col=)``) decide
+    which files MAY contain ``col = value``; only those are opened and
+    the exact predicate filters them. Planning is one JSON read plus
+    3·|files| driver-side bit tests — no footer, no data file touched
+    to plan — and the Bloom guarantees no false negatives, so the
+    result equals the full scan's. At 100 TB this is the record-fetch
+    / GDPR-locate path: a single-key probe over a table whose key has
+    no range locality touches the handful of false-positive files
+    instead of everything the zone maps can't exclude."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(f"snapshot_point_lookup: no manifests under {path}")
+        target = manifests[-1]
+    else:
+        target = os.path.join(path, f"v{version}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_point_lookup: version {version} does not exist at {path}"
+            )
+    with open(target) as f:
+        meta = json.load(f)
+    blooms = meta.get("blooms", {}).get(col, {})
+    keep = [
+        fp
+        for fp in meta["files"]
+        if _bloom_maybe_contains(blooms.get(os.path.abspath(fp)), value)
+    ]
+    schema = spark.read.parquet(meta["files"][0]).schema
+    if not keep:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*keep)
+        .filter(F.col(col) == F.lit(value))
+    )
+
+
 def _stats_range(entry, col: str):
     """A file's [lo, hi] for ``col`` from a manifest stats entry, or
     None (conservative: never prune) when the entry doesn't carry that
@@ -665,7 +794,7 @@ def _stats_range(entry, col: str):
 
 def snapshot_append(
     spark, df, path: str, batch_id: int | None = None,
-    stats_col=None,
+    stats_col=None, bloom_col: str | None = None,
 ) -> int:
     """MANIFEST-BASED versioned append (round 13 — the lakehouse
     capability the layout family was missing): each call writes the
@@ -704,7 +833,14 @@ def snapshot_append(
     manifest's) — the Iceberg manifest-stats idea: ``snapshot_scan`` /
     ``snapshot_scan_multi`` then prune files by predicate range from
     the MANIFEST alone, no footer reads, no directory listing. Files
-    committed without stats are conservatively never pruned."""
+    committed without stats are conservatively never pruned.
+
+    ``bloom_col`` (round 14) additionally records a per-file BLOOM
+    FILTER over that column (``"blooms": {col: {file: [words]}}``) —
+    the equality-probe complement of the range zone map:
+    ``snapshot_point_lookup`` prunes files for ``col = value`` with
+    driver-side bit tests, no false negatives. Range stats and Blooms
+    compose (a scan can use both)."""
     import glob
     import json
     import os
@@ -726,6 +862,9 @@ def snapshot_append(
     if stats_col is not None:
         cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
         batch_stats = multi_file_stats(spark, staged, cols)
+    batch_blooms: dict = {}
+    if bloom_col is not None:
+        batch_blooms = file_blooms(spark, staged, bloom_col)
     # OPTIMISTIC CONCURRENCY (round 14): an append's read set is only
     # "the previous manifest", so losing the commit race is always
     # recoverable — re-resolve the new head (one JSON read; the staged
@@ -746,18 +885,25 @@ def snapshot_append(
                     return committed["version"]
         prev: list[str] = []
         prev_stats: dict = {}
+        prev_blooms: dict = {}
         version = 1
         if manifests:
             with open(manifests[-1]) as f:
                 latest = json.load(f)
             prev = latest["files"]
             prev_stats = latest.get("stats", {})
+            prev_blooms = latest.get("blooms", {})
             version = _manifest_version(manifests[-1]) + 1
         stats = dict(prev_stats)
         stats.update(batch_stats)
+        blooms = {c: dict(files) for c, files in prev_blooms.items()}
+        if bloom_col is not None:
+            blooms.setdefault(bloom_col, {}).update(batch_blooms)
         meta = {"version": version, "files": prev + new_files}
         if stats:
             meta["stats"] = stats
+        if blooms:
+            meta["blooms"] = blooms
         if batch_id is not None:
             meta["batch_id"] = batch_id
         try:

