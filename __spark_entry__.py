@@ -95,6 +95,28 @@ _REVERIFY_NOW: dict[str, int] = {
     # #3) and it must not be crowded out.
     "d101_bitext_margin": 14,
     "d106_encode_to_ids": 14,
+    # Round 15: the ADVICE-fix + merge-on-read wave through
+    # operators/layout.py touched every snapshot read/maintenance path
+    # (newest-file schema resolution, legacy-stats scoping, Bloom
+    # NULL/type contract, orphan sweep + batch ledger, MOR delete
+    # resolution on all read paths). All re-verified green against the
+    # full sf0.01 oracle this session; seeded for official records on
+    # the new plans.
+    "scale_snapshot_time_travel": 15,
+    "scale_snapshot_cow_delete": 15,
+    "scale_snapshot_pruned_scan": 15,
+    "scale_snapshot_scan_multi": 15,
+    "scale_snapshot_bloom_lookup": 15,
+    "scale_snapshot_changes": 15,
+    "scale_snapshot_rollback": 15,
+    "scale_snapshot_expire": 15,
+    "scale_snapshot_merge": 15,
+    "scale_snapshot_compact": 15,
+    "scale_snapshot_schema_evolution": 15,
+    "scale_changes_downstream_agg": 15,
+    "stream_snapshot_ingest": 15,
+    "stream_postings_ingest": 15,
+    "stream_ivf_ingest": 15,
 }
 
 

@@ -1667,3 +1667,149 @@ def scale_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events").select("user_id")
     return skew_report(ev, "user_id")
+
+
+@query(
+    "scale_snapshot_mor_delete",
+    oracle="""
+    WITH v(version) AS (VALUES (2), (3), (4))
+    SELECT v.version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM v JOIN orders o
+      ON (o.o_orderkey % 3) < 2
+     AND (v.version = 2 OR (o.o_orderkey % 6) <> 0)
+    GROUP BY v.version ORDER BY v.version
+    """,
+)
+def scale_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE on the versioned table (round 15 —
+    `layout.snapshot_delete_mor`, the OTHER lakehouse delete next to
+    D102b's copy-on-write: Iceberg v2 equality deletes / the deletion-
+    vector idea): two commits land the orders thirds 0 and 1, then the
+    o_orderkey % 6 = 0 rows are deleted by committing a KEYS-ONLY
+    equality-delete file — every data file carries into v3 BY
+    REFERENCE (zero rewritten, pinned in tests/test_layout.py), and
+    readers resolve live rows with a broadcast anti-join. v4 is
+    `snapshot_compact`, which APPLIES the pending delete and returns
+    the table to plain scans — the COW-vs-MOR tradeoff made explicit:
+    O(|keys|) write + per-read anti-join now, one rewrite at
+    maintenance time. The query reads v2 (pre-delete), v3 (MOR view),
+    and v4 (compacted) after all commits exist; the oracle replays all
+    three as plain SQL, so the hash match proves the anti-join resolve
+    AND the compaction produce exactly the COW answer. At 100 TB this
+    is the write-cheap GDPR path: a same-day erasure costs kilobytes,
+    and the weekly OPTIMIZE pays the rewrite once."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mor_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    snapshot_delete_mor(
+        spark, path, F.col("o_orderkey") % 6 == 0, "o_orderkey"
+    )
+    snapshot_compact(spark, path)
+    frames = []
+    for v in (2, 3, 4):
+        frames.append(
+            snapshot_read(spark, path, version=v)
+            .groupBy()
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select("version", "n_orders", "total_price")
+        )
+    out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return out.coalesce(1).sortWithinPartitions("version")
+
+
+@query(
+    "scale_snapshot_zorder_compact",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 1 AND 150
+      AND o_totalprice BETWEEN 100000 AND 200000
+    """,
+)
+def scale_snapshot_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the versioned snapshot table (round 15 —
+    `layout.snapshot_compact(zorder_by=...)`, D29's Morton layout
+    lifted into the D102 protocol as a MAINTENANCE COMMIT): orders
+    land in three MODULAR batches (o_orderkey % 3 — arrival order, so
+    neither o_custkey nor o_totalprice has any per-file locality and
+    the manifest zone maps can prune nothing); the compaction then
+    rewrites the live rows clustered along the Morton curve of
+    (o_custkey, o_totalprice) — one range shuffle — and re-derives
+    BOTH columns' per-file zone maps into the new manifest. The
+    two-predicate scan afterwards prunes files on either dimension
+    (pinned via inputFiles() in tests/test_layout.py); this entry pins
+    the VALUES against the plain-SQL replay, proving the cluster-
+    rewrite is content-preserving. At 100 TB this is the nightly
+    OPTIMIZE job: ingest commits in arrival order, the table converges
+    to queryable order without ever blocking readers (compaction is
+    just another version)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_scan_multi,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zoc_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    snapshot_compact(
+        spark,
+        path,
+        stats_col=["o_custkey", "o_totalprice"],
+        target_files=8,
+        zorder_by=("o_custkey", "o_totalprice"),
+    )
+    return (
+        snapshot_scan_multi(
+            spark,
+            path,
+            {"o_custkey": (1, 150), "o_totalprice": (100000.0, 200000.0)},
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -657,13 +657,36 @@ def multi_file_stats(spark, path: str, cols: list) -> dict:
 _BLOOM_BITS = 8192
 
 
+#: Spark types whose CAST(col AS STRING) rendering is byte-identical to
+#: Python's str() of the corresponding probe value — the ONLY types the
+#: Bloom protocol admits. Booleans ('True' vs 'true'), floats ('1e+20'
+#: vs '1.0E20'), dates/timestamps and decimals all render differently
+#: between the two sides, which would turn the no-false-negative
+#: guarantee into silent empty lookups (round-14 ADVICE #1).
+_BLOOM_SAFE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
 def _bloom_positions_py(value, m: int = _BLOOM_BITS) -> list:
     """The 3 Bloom bit positions of ``value`` — md5-based (the repo's
     engine-portable hash convention), byte-identical to the Spark-side
     expression in `file_blooms`, so the DRIVER can test a query key
-    against manifest Blooms without touching the cluster."""
+    against manifest Blooms without touching the cluster.
+
+    Probe values must be int or str (bool is rejected explicitly — it
+    IS an int subclass, and Python renders it 'True' where Spark would
+    render 'true'): these are the only Python types whose str() matches
+    Spark's CAST(AS STRING) for the column types `file_blooms` admits,
+    so restricting BOTH sides is what makes the renderings provably
+    identical."""
     import hashlib
 
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            "bloom probe values must be int or str (got "
+            f"{type(value).__name__}): other types render differently "
+            "between Python and Spark's CAST(AS STRING), which would "
+            "produce silent false negatives"
+        )
     return [
         int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
         for i in range(3)
@@ -679,11 +702,31 @@ def file_blooms(spark, path: str, col: str, m: int = _BLOOM_BITS) -> dict:
     keys). Built in ONE aggregate pass: each row explodes to its 3 bit
     positions, positions group map-side into (file, word-slot) bit_or
     partials, and the driver folds ≤ m/64 rows per file into the word
-    array — the shuffle carries slot partials, never rows."""
+    array — the shuffle carries slot partials, never rows.
+
+    Two contracts enforced here (round-14 ADVICE #1/#2): the column
+    must be an INTEGER or STRING type — the only types whose Spark
+    CAST(AS STRING) matches Python's str() byte-for-byte, which is
+    what lets `snapshot_point_lookup` plan with driver-side hashing
+    (anything else raises loudly BEFORE any manifest is written) —
+    and NULLs are excluded from the Bloom (NULL never equi-matches,
+    so a NULL row can never be the target of a point lookup; without
+    the filter the md5-of-NULL positions would group under a NULL
+    slot and the driver fold would crash)."""
     import os
 
     from pyspark.sql import functions as F
 
+    scan = spark.read.parquet(path)
+    dtype = dict(scan.dtypes).get(col)
+    if dtype not in _BLOOM_SAFE_TYPES:
+        raise TypeError(
+            f"file_blooms: column {col!r} has type {dtype!r}; manifest "
+            f"Blooms support only {sorted(_BLOOM_SAFE_TYPES)} — other "
+            "types render differently under Spark CAST(AS STRING) vs "
+            "Python str(), which would break the no-false-negative "
+            "point-lookup guarantee"
+        )
     pos = [
         F.conv(
             F.substring(
@@ -698,7 +741,7 @@ def file_blooms(spark, path: str, col: str, m: int = _BLOOM_BITS) -> dict:
         for i in range(3)
     ]
     rows = (
-        spark.read.parquet(path)
+        scan.filter(F.col(col).isNotNull())
         .select(
             F.input_file_name().alias("file"),
             F.explode(F.array(*pos)).alias("p"),
@@ -730,6 +773,21 @@ def _bloom_maybe_contains(words, value, m: int = _BLOOM_BITS) -> bool:
         if not (words[p // 64] >> (p % 64)) & 1:
             return False
     return True
+
+
+def _version_schema(spark, files: list):
+    """The schema a version's single-footer read paths plan with: the
+    NEWEST file's (every commit appends its files at the END of the
+    manifest list, so ``files[-1]`` belongs to the latest commit).
+    Under the protocol's ADDITIVE schema-evolution contract the newest
+    commit carries the widest schema; Spark's parquet reader fills
+    NULL for schema columns absent from older files, so pre-evolution
+    rows surface with NULL in the new columns instead of the new
+    columns being silently DROPPED (round-14 ADVICE #4 — the oldest
+    file's schema did exactly that). Still exactly ONE footer read to
+    plan — the 100k-file claim holds; tables whose history is not
+    additive should read via ``snapshot_read(merge_schema=True)``."""
+    return spark.read.parquet(files[-1]).schema
 
 
 def snapshot_point_lookup(spark, path: str, col: str, value, version: int | None = None):
@@ -768,28 +826,34 @@ def snapshot_point_lookup(spark, path: str, col: str, value, version: int | None
         for fp in meta["files"]
         if _bloom_maybe_contains(blooms.get(os.path.abspath(fp)), value)
     ]
-    schema = spark.read.parquet(meta["files"][0]).schema
+    schema = _version_schema(spark, meta["files"])
     if not keep:
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*keep)
-        .filter(F.col(col) == F.lit(value))
+    # Blooms stay valid under merge-on-read (a deleted key's bits may
+    # still be set — false-positive direction only, never a miss); the
+    # delete anti-join applies after pruning
+    return _apply_mor_deletes(spark, meta, keep, schema).filter(
+        F.col(col) == F.lit(value)
     )
 
 
-def _stats_range(entry, col: str):
+def _stats_range(entry, col: str, legacy_ok: bool = False):
     """A file's [lo, hi] for ``col`` from a manifest stats entry, or
     None (conservative: never prune) when the entry doesn't carry that
-    column. Accepts both the round-14 per-column dict form and the
-    round-13 single-column list form (legacy manifests recorded one
-    unlabeled range — treated as the queried column's, which is the
-    only column such manifests were ever scanned by)."""
+    column. The round-14 per-column dict form is always honored; the
+    round-13 legacy form (one UNLABELED [lo, hi] list per file) is
+    honored only when the caller passes ``legacy_ok=True`` — i.e. only
+    `snapshot_scan`, the single-column scan such manifests were
+    written for. Every other consumer (`snapshot_scan_multi`, the
+    ``__bucket`` pruning in postings/IVF lookups) treats a legacy list
+    as None: the list's column identity is unknown there, and pruning
+    against the WRONG column's bounds silently drops matching files
+    (round-14 ADVICE #3)."""
     if entry is None:
         return None
     if isinstance(entry, dict):
         return entry.get(col)
-    return entry  # legacy [lo, hi] list
+    return entry if legacy_ok else None  # legacy unlabeled [lo, hi]
 
 
 def snapshot_append(
@@ -847,6 +911,14 @@ def snapshot_append(
     import uuid
 
     if batch_id is not None:
+        # the retired-batch ledger survives manifest expiry: a replay
+        # of a batch OLDER than retention must stay a no-op (round-14
+        # ADVICE #5b) — it returns the original version number (whose
+        # manifest may be expired; pinning to it fails loudly, which
+        # is the retention contract)
+        retired = _read_batch_ledger(path)
+        if str(batch_id) in retired:
+            return retired[str(batch_id)]
         for m in _manifests(path):
             with open(m) as f:
                 meta = json.load(f)
@@ -859,12 +931,22 @@ def snapshot_append(
     if not new_files:
         raise ValueError("snapshot_append: batch wrote no parquet files")
     batch_stats: dict = {}
-    if stats_col is not None:
-        cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
-        batch_stats = multi_file_stats(spark, staged, cols)
     batch_blooms: dict = {}
-    if bloom_col is not None:
-        batch_blooms = file_blooms(spark, staged, bloom_col)
+    try:
+        if stats_col is not None:
+            cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
+            batch_stats = multi_file_stats(spark, staged, cols)
+        if bloom_col is not None:
+            batch_blooms = file_blooms(spark, staged, bloom_col)
+    except Exception:
+        # stats/Bloom derivation failed AFTER the data files were
+        # staged (e.g. a Bloom-unsafe column type, raised loudly by
+        # file_blooms) — the batch will never be referenced, so remove
+        # it instead of leaving orphans (round-14 ADVICE #5a)
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     # OPTIMISTIC CONCURRENCY (round 14): an append's read set is only
     # "the previous manifest", so losing the commit race is always
     # recoverable — re-resolve the new head (one JSON read; the staged
@@ -878,14 +960,29 @@ def snapshot_append(
         if attempt and batch_id is not None:
             # a racing replay of OUR batch may have won a commit since
             # the pre-staging idempotence walk — re-check the history
+            # (and the ledger: an expire could also have run meanwhile)
+            def _abandon():
+                # OUR staged files will never be referenced — remove
+                # them now instead of leaving re-vacuumable orphans
+                # (round-14 ADVICE #5a)
+                import shutil
+
+                shutil.rmtree(staged, ignore_errors=True)
+
+            retired = _read_batch_ledger(path)
+            if str(batch_id) in retired:
+                _abandon()
+                return retired[str(batch_id)]
             for m in manifests:
                 with open(m) as f:
                     committed = json.load(f)
                 if committed.get("batch_id") == batch_id:
+                    _abandon()
                     return committed["version"]
         prev: list[str] = []
         prev_stats: dict = {}
         prev_blooms: dict = {}
+        prev_deletes: list = []
         version = 1
         if manifests:
             with open(manifests[-1]) as f:
@@ -893,6 +990,10 @@ def snapshot_append(
             prev = latest["files"]
             prev_stats = latest.get("stats", {})
             prev_blooms = latest.get("blooms", {})
+            # pending equality deletes carry UNCHANGED: their
+            # applies_to sets exclude this batch's files, so appended
+            # rows keep their keys (the MOR sequence rule)
+            prev_deletes = latest.get("deletes") or []
             version = _manifest_version(manifests[-1]) + 1
         stats = dict(prev_stats)
         stats.update(batch_stats)
@@ -904,6 +1005,8 @@ def snapshot_append(
             meta["stats"] = stats
         if blooms:
             meta["blooms"] = blooms
+        if prev_deletes:
+            meta["deletes"] = prev_deletes
         if batch_id is not None:
             meta["batch_id"] = batch_id
         try:
@@ -911,6 +1014,9 @@ def snapshot_append(
             return version
         except SnapshotCommitConflict:
             continue
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)  # never-referenced: no orphan
     raise SnapshotCommitConflict(
         f"snapshot_append: lost the commit race 25 times at {path} — "
         "writer contention is beyond what the file protocol is for; "
@@ -948,11 +1054,133 @@ def snapshot_read(
                 f"snapshot_read: version {version} does not exist at {path}"
             )
     with open(target) as f:
-        files = json.load(f)["files"]
+        meta = json.load(f)
+    files = meta["files"]
+    if meta.get("deletes"):
+        # merge-on-read table: the equality-delete anti-join resolves
+        # the live rows (schema merging is folded into _version_schema's
+        # newest-file resolution there)
+        return _apply_mor_deletes(
+            spark, meta, files, _version_schema(spark, files)
+        )
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*files)
+
+
+def _apply_mor_deletes(spark, meta: dict, files: list, schema):
+    """Resolve the LIVE rows of a merge-on-read version: scan ``files``
+    and anti-join each against the equality-delete files that COVER it
+    (an entry covers exactly the data files present when the delete
+    committed — ``applies_to`` — which is the Iceberg sequence-number
+    rule reduced to sets: rows APPENDED after a delete keep their keys
+    even if a prior delete named them). Files are grouped by their
+    covering-entry signature so the plan holds one scan + one
+    broadcast anti-join per distinct coverage, not per file; delete
+    key sets are small by contract (a delete names keys, not rows), so
+    every anti-join build side is broadcast-sized."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    deletes = meta.get("deletes") or []
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not deletes:
+        return spark.read.schema(schema).parquet(*files)
+    import os
+
+    cover_sets = [
+        {os.path.abspath(p) for p in d["applies_to"]} for d in deletes
+    ]
+    groups: dict = {}
+    for fp in files:
+        sig = tuple(
+            i for i, s in enumerate(cover_sets) if os.path.abspath(fp) in s
+        )
+        groups.setdefault(sig, []).append(fp)
+    parts = []
+    for sig, fs in groups.items():
+        part = spark.read.schema(schema).parquet(*fs)
+        for i in sig:
+            keys = spark.read.parquet(*deletes[i]["files"])
+            part = part.join(
+                F.broadcast(keys), deletes[i]["keys"], "left_anti"
+            )
+        parts.append(part)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def snapshot_delete_mor(spark, path: str, predicate, key_cols) -> int:
+    """MERGE-ON-READ DELETE (round 15 — the OTHER delete the lakehouse
+    formats offer, Iceberg v2 equality deletes / Delta deletion
+    vectors): instead of rewriting every file containing a match
+    (`snapshot_delete`'s COW contract), commit a tiny EQUALITY-DELETE
+    file holding the matched rows' key tuples; every data file is
+    carried by REFERENCE and readers anti-join the delete keys at scan
+    time. Write cost is O(|matched keys|) — at 100 TB a same-day GDPR
+    erasure costs kilobytes instead of rewriting the files the user's
+    rows live in — in exchange for a per-read anti-join until the next
+    `snapshot_compact`, which APPLIES pending deletes and clears them
+    (exactly Iceberg's COW-vs-MOR tradeoff; choose per table by
+    read/write ratio).
+
+    Scope rule (the Iceberg sequence-number semantics, reduced to
+    sets): the delete applies to the files PRESENT at delete time
+    (``applies_to``); rows appended later keep their keys even when a
+    prior delete named them. NULL-predicate rows are KEPT (3VL, same
+    as COW) and NULL keys are excluded from the delete set (NULL never
+    equi-matches — an anti-join on a NULL key drops nothing anyway).
+    Returns the committed version."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_delete_mor: no manifests under {path}")
+    with open(manifests[-1]) as f:
+        latest = json.load(f)
+    version = _manifest_version(manifests[-1]) + 1
+    matched = F.coalesce(predicate, F.lit(False))
+    # matched keys are resolved against the CURRENT live rows (pending
+    # deletes honored), so deleting an already-deleted key is a no-op
+    live = _apply_mor_deletes(
+        spark, latest, latest["files"], _version_schema(spark, latest["files"])
+    )
+    del_keys = live.filter(matched).select(*keys).distinct()
+    notnull = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        notnull = c if notnull is None else (notnull & c)
+    del_keys = del_keys.filter(notnull)
+    staged = os.path.join(path, "data", f"eqdel-{uuid.uuid4().hex[:12]}")
+    # coalesce(1): a delete file is keys-sized by contract — one file
+    # keeps the manifest entry and the read-side broadcast build tiny
+    del_keys.coalesce(1).write.mode("errorifexists").parquet(staged)
+    del_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    meta = {
+        "version": version,
+        "files": latest["files"],
+        "deletes": (latest.get("deletes") or [])
+        + [
+            {
+                "files": del_files,
+                "keys": keys,
+                "applies_to": latest["files"],
+            }
+        ],
+    }
+    for carry in ("stats", "blooms"):
+        if carry in latest:
+            meta[carry] = latest[carry]
+    _commit_manifest(path, version, meta)
+    return version
 
 
 def snapshot_version_asof(path: str, unix_ts: float) -> int:
@@ -1019,6 +1247,12 @@ def snapshot_delete(spark, path: str, predicate) -> int:
         raise ValueError(f"snapshot_delete: no manifests under {path}")
     with open(manifests[-1]) as f:
         latest = json.load(f)
+    if latest.get("deletes"):
+        raise ValueError(
+            "snapshot_delete: table has pending merge-on-read deletes — "
+            "run snapshot_compact first (the COW survivor rewrite reads "
+            "raw files and would resurrect MOR-deleted rows)"
+        )
     cur = latest["files"]
     prev_stats = latest.get("stats", {})
     version = _manifest_version(manifests[-1]) + 1
@@ -1093,19 +1327,23 @@ def snapshot_scan(
     stats = meta.get("stats", {})
     keep = []
     for fpath in meta["files"]:
-        rng = _stats_range(stats.get(os.path.abspath(fpath)), key_col)
+        # legacy_ok: round-13 manifests recorded ONE unlabeled range —
+        # this single-column scan is the only consumer allowed to treat
+        # it as the queried column's (see _stats_range)
+        rng = _stats_range(stats.get(os.path.abspath(fpath)), key_col, legacy_ok=True)
         if rng is None or (rng[1] >= lo and rng[0] <= hi):
             keep.append(fpath)
-    # Schema comes from ONE file (manifest commits are same-schema
-    # appends), never a full-table footer pass — the "no data file is
-    # touched to plan the scan" claim must hold at 100k-file scale.
-    schema = spark.read.parquet(meta["files"][0]).schema
+    # Schema from ONE footer (the newest file's — evolution-correct,
+    # see _version_schema), never a full-table footer pass: the "no
+    # data file is touched to plan the scan" claim holds at 100k files.
+    schema = _version_schema(spark, meta["files"])
     if not keep:
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*keep)
-        .filter(F.col(key_col).between(F.lit(lo), F.lit(hi)))
+    # zone maps stay valid under merge-on-read (rows only disappear,
+    # so a file's recorded range can only be too WIDE — conservative);
+    # the delete anti-join applies after pruning
+    return _apply_mor_deletes(spark, meta, keep, schema).filter(
+        F.col(key_col).between(F.lit(lo), F.lit(hi))
     )
 
 
@@ -1157,14 +1395,14 @@ def snapshot_scan_multi(spark, path: str, ranges: dict, version: int | None = No
                 break
         if ok:
             keep.append(fpath)
-    schema = spark.read.parquet(meta["files"][0]).schema
+    schema = _version_schema(spark, meta["files"])
     if not keep:
         return spark.createDataFrame([], schema)
     pred = None
     for col, (lo, hi) in ranges.items():
         c = F.col(col).between(F.lit(lo), F.lit(hi))
         pred = c if pred is None else (pred & c)
-    out = spark.read.schema(schema).parquet(*keep)
+    out = _apply_mor_deletes(spark, meta, keep, schema)
     return out.filter(pred) if pred is not None else out
 
 
@@ -1207,6 +1445,12 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
         raise ValueError(f"snapshot_merge: no manifests under {path}")
     with open(manifests[-1]) as f:
         latest = json.load(f)
+    if latest.get("deletes"):
+        raise ValueError(
+            "snapshot_merge: table has pending merge-on-read deletes — "
+            "run snapshot_compact first (the survivor rewrite reads raw "
+            "files and would resurrect MOR-deleted rows)"
+        )
     cur = latest["files"]
     prev_stats = latest.get("stats", {})
     version = _manifest_version(manifests[-1]) + 1
@@ -1249,7 +1493,11 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
 
 
 def snapshot_compact(
-    spark, path: str, stats_col: str | None = None, target_files: int = 1
+    spark,
+    path: str,
+    stats_col: str | None = None,
+    target_files: int = 1,
+    zorder_by: tuple | None = None,
 ) -> int:
     """OPTIMIZE for the manifest snapshot table (round 13 — closing
     the protocol family: append / read / COW-delete / stats-prune /
@@ -1263,7 +1511,19 @@ def snapshot_compact(
     per-file zone map, so a compacted table keeps manifest pruning.
     Cost is one read + one write of the LIVE rows — the standing
     small-files answer (`compact_parquet`) lifted into the versioned
-    protocol."""
+    protocol.
+
+    ``zorder_by=(colA, colB)`` (round 15 — Delta/Iceberg OPTIMIZE
+    ZORDER on the snapshot protocol) clusters the rewrite along the
+    Morton curve of the two columns instead of coalescing: one cheap
+    min/max agg derives the normalization ranges from the live rows,
+    then ONE range shuffle on the interleaved key places each output
+    file in a tight bounding box in BOTH dimensions — so the manifest
+    zone maps written by ``stats_col=[colA, colB]`` prune range
+    predicates on EITHER column (pinned in tests/test_layout.py).
+    Ingest commits in arrival order; this is the maintenance job that
+    converts arrival order into queryable order, exactly where a
+    100 TB warehouse schedules it."""
     import glob
     import json
     import os
@@ -1276,10 +1536,39 @@ def snapshot_compact(
         cur = json.load(f)
     version = _manifest_version(manifests[-1]) + 1
     staged = os.path.join(path, "data", f"compact-{uuid.uuid4().hex[:12]}")
-    df = spark.read.parquet(*cur["files"])
-    df.coalesce(max(int(target_files), 1)).write.mode(
-        "errorifexists"
-    ).parquet(staged)
+    # a merge-on-read table compacts through the delete-resolving read:
+    # pending equality deletes are APPLIED here and the new manifest
+    # carries none — compaction is the MOR maintenance path that
+    # returns reads to plain scans (the Iceberg rewrite_data_files job)
+    df = _apply_mor_deletes(
+        spark, cur, cur["files"], _version_schema(spark, cur["files"])
+    )
+    n_out = max(int(target_files), 1)
+    if zorder_by is not None:
+        from pyspark.sql import functions as F
+
+        xc, yc = zorder_by
+        b = df.agg(
+            F.min(F.col(xc).cast("double")).alias("xlo"),
+            F.max(F.col(xc).cast("double")).alias("xhi"),
+            F.min(F.col(yc).cast("double")).alias("ylo"),
+            F.max(F.col(yc).cast("double")).alias("yhi"),
+        ).collect()[0]
+        key = morton_key(
+            F.col(xc),
+            F.col(yc),
+            x_range=(b["xlo"], max(b["xhi"], b["xlo"] + 1e-9)),
+            y_range=(b["ylo"], max(b["yhi"], b["ylo"] + 1e-9)),
+        )
+        out = (
+            df.withColumn("__z", key)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("errorifexists").parquet(staged)
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     meta = {"version": version, "files": new_files}
     if stats_col is not None:
@@ -1288,7 +1577,10 @@ def snapshot_compact(
     _commit_manifest(path, version, meta)
     return version
 
-def snapshot_changes(spark, path: str, from_version: int, to_version: int):
+def snapshot_changes(
+    spark, path: str, from_version: int, to_version: int,
+    merge_schema: bool = False,
+):
     """INCREMENTAL READ between two snapshot versions (round 14 — the
     change-data-feed the protocol gets for free on append-only
     histories): every commit's manifest lists the table's full file
@@ -1308,33 +1600,56 @@ def snapshot_changes(spark, path: str, from_version: int, to_version: int):
     import json
     import os
 
-    def load(v: int) -> list:
+    def load_meta(v: int) -> dict:
         target = os.path.join(path, f"v{v}.manifest.json")
         if not os.path.exists(target):
             raise ValueError(
                 f"snapshot_changes: version {v} does not exist at {path}"
             )
         with open(target) as f:
-            return json.load(f)["files"]
+            return json.load(f)
+
+    def load(v: int) -> list:
+        return load_meta(v)["files"]
 
     if not 0 < from_version < to_version:
         raise ValueError(
             "snapshot_changes: need 0 < from_version < to_version"
         )
-    prev = set(load(from_version))
+    prev_meta = load_meta(from_version)
+    prev = set(prev_meta["files"])
+    prev_dels = prev_meta.get("deletes") or []
     for v in range(from_version + 1, to_version + 1):
-        cur = set(load(v))
+        cur_meta = load_meta(v)
+        cur = set(cur_meta["files"])
         if not prev <= cur:
             raise ValueError(
                 f"snapshot_changes: version {v} is not an append "
                 f"(it drops {len(prev - cur)} file(s) of v{v - 1}); "
                 "append-only lineage required for an added-files read"
             )
-        prev = cur
+        if (cur_meta.get("deletes") or []) != prev_dels:
+            # a merge-on-read delete keeps the file set intact but
+            # retracts rows — an added-files read would silently skip
+            # the retraction, so it fails as loudly as a COW rewrite
+            raise ValueError(
+                f"snapshot_changes: version {v} changes the equality-"
+                "delete set (merge-on-read delete); append-only lineage "
+                "required for an added-files read"
+            )
+        prev, prev_dels = cur, cur_meta.get("deletes") or []
     new_files = sorted(set(load(to_version)) - set(load(from_version)))
-    schema = spark.read.parquet(load(to_version)[0]).schema
+    # Schema from the NEWEST file (manifests append new files at the
+    # end), so a change feed spanning an additive schema evolution
+    # delivers the post-evolution columns (pre-evolution deltas read
+    # NULL there) instead of silently dropping them (round-14 ADVICE
+    # #4). ``merge_schema=True`` pays a footer read per delta file for
+    # the exact union when the evolution shape is unknown.
+    schema = _version_schema(spark, load(to_version))
     if not new_files:
         return spark.createDataFrame([], schema)
+    if merge_schema:
+        return spark.read.option("mergeSchema", "true").parquet(*new_files)
     return spark.read.schema(schema).parquet(*new_files)
 
 
@@ -1359,27 +1674,69 @@ def snapshot_rollback(spark, path: str, to_version: int) -> int:
     with open(target) as f:
         old = json.load(f)
     meta = {"version": version, "files": old["files"]}
-    if "stats" in old:
-        meta["stats"] = old["stats"]
+    for carry in ("stats", "blooms", "deletes"):
+        if carry in old:
+            meta[carry] = old[carry]
     _commit_manifest(path, version, meta)
     return version
 
 
-def snapshot_expire(spark, path: str, keep_last: int = 1) -> dict:
+def _batch_ledger_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "batch_ids.json")
+
+
+def _read_batch_ledger(path: str) -> dict:
+    """The retired-batch ledger ``path/batch_ids.json``: batch_id (as a
+    JSON string key) -> the version it originally committed as. Written
+    only by `snapshot_expire`; consulted by `snapshot_append` so a
+    crash-replay of a batch OLDER than retention stays a no-op instead
+    of re-appending as a duplicate (round-14 ADVICE #5b)."""
+    import json
+    import os
+
+    p = _batch_ledger_path(path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def snapshot_expire(
+    spark, path: str, keep_last: int = 1, orphan_grace_secs: float = 86400.0
+) -> dict:
     """RETENTION / VACUUM (round 14 — the knob every docstring in this
     family deferred to): drop all but the newest ``keep_last``
-    manifests, then delete every data file under ``path`` referenced
-    by NO surviving manifest. Two-phase on purpose — manifests vanish
-    FIRST, so a crash between phases strands unreferenced files
+    manifests, then delete every data file under ``path/data`` that NO
+    surviving manifest references. Two-phase on purpose — manifests
+    vanish FIRST, so a crash between phases strands unreferenced files
     (re-vacuumable garbage) but can never break a surviving version;
     the reverse order could delete a file a still-live manifest
     references. Readers pinned to an expired version fail loudly at
     resolve time (the manifest is gone), which is the retention
     contract: erasure SLAs bound time travel. Only files inside the
-    table's own data directory are ever deleted. Returns
-    ``{"manifests_removed": n, "files_deleted": n}``."""
+    table's own data directory are ever deleted.
+
+    The sweep covers ORPHANS too (round-14 ADVICE #5a): staged files
+    that never made it into any manifest (a writer that lost the
+    commit race to a replay of its own batch, or exhausted its
+    retries) used to leak forever because the old sweep only deleted
+    (referenced-by-dropped − live). Now every unreferenced data file
+    older than ``orphan_grace_secs`` is removed; the grace window
+    (default 24 h — the Iceberg remove-orphans convention) protects a
+    CONCURRENT writer's staged-but-not-yet-committed batch from being
+    swept mid-commit. Pass 0 only when no writer can be in flight.
+
+    Expired manifests' batch_ids are carried into a persistent ledger
+    (``batch_ids.json``, atomic replace) before the manifests are
+    deleted (ADVICE #5b): `snapshot_append` checks the ledger, so a
+    crash-replay of a batch older than retention returns its original
+    version as a no-op instead of silently double-appending. Returns
+    ``{"manifests_removed", "files_deleted", "orphans_deleted"}``."""
     import json
     import os
+    import time
 
     if keep_last < 1:
         raise ValueError("snapshot_expire: keep_last must be >= 1")
@@ -1387,20 +1744,67 @@ def snapshot_expire(spark, path: str, keep_last: int = 1) -> dict:
     if not manifests:
         raise ValueError(f"snapshot_expire: no manifests under {path}")
     drop, keep = manifests[:-keep_last], manifests[-keep_last:]
+
+    def _all_refs(meta: dict) -> set:
+        # data files AND equality-delete files: both are load-bearing
+        # for the version (sweeping a live delete file would resurrect
+        # its deleted rows)
+        refs = {os.path.abspath(p) for p in meta["files"]}
+        for d in meta.get("deletes") or []:
+            refs |= {os.path.abspath(p) for p in d["files"]}
+        return refs
+
     live: set = set()
     for m in keep:
         with open(m) as f:
-            live |= {os.path.abspath(p) for p in json.load(f)["files"]}
+            live |= _all_refs(json.load(f))
     referenced: set = set()
+    retired: dict = dict(_read_batch_ledger(path))
     for m in drop:
         with open(m) as f:
-            referenced |= {os.path.abspath(p) for p in json.load(f)["files"]}
+            meta = json.load(f)
+        referenced |= _all_refs(meta)
+        if meta.get("batch_id") is not None:
+            retired[str(meta["batch_id"])] = meta["version"]
+    # ledger BEFORE manifest deletion: a crash after this point may
+    # leave both the manifest and the ledger entry (harmless — both
+    # idempotence paths agree), never neither
+    if retired:
+        tmp = _batch_ledger_path(path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(retired, f)
+        os.replace(tmp, _batch_ledger_path(path))
     for m in drop:
         os.remove(m)
     data_root = os.path.abspath(os.path.join(path, "data"))
-    deleted = 0
-    for p in sorted(referenced - live):
-        if p.startswith(data_root + os.sep) and os.path.exists(p):
-            os.remove(p)
-            deleted += 1
-    return {"manifests_removed": len(drop), "files_deleted": deleted}
+    deleted = orphans = 0
+    cutoff = time.time() - orphan_grace_secs
+    for root, _dirs, files in os.walk(data_root):
+        for name in files:
+            p = os.path.abspath(os.path.join(root, name))
+            if p in live or not name.endswith(".parquet"):
+                continue
+            was_referenced = p in referenced
+            try:
+                if not was_referenced and os.path.getmtime(p) > cutoff:
+                    continue  # possibly a concurrent writer's staged batch
+                os.remove(p)
+            except OSError:
+                continue
+            if was_referenced:
+                deleted += 1
+            else:
+                orphans += 1
+    # prune batch dirs the sweep emptied (pure tidiness — absent dirs
+    # and non-empty dirs are both fine)
+    for root, dirs, _files in list(os.walk(data_root, topdown=False)):
+        for d in dirs:
+            try:
+                os.rmdir(os.path.join(root, d))
+            except OSError:
+                pass
+    return {
+        "manifests_removed": len(drop),
+        "files_deleted": deleted,
+        "orphans_deleted": orphans,
+    }

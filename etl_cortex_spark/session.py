@@ -81,3 +81,61 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED_APPS: set = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``etl_cortex_spark`` importable on this session's PYTHON
+    WORKERS regardless of where the driver process was launched.
+
+    Module-level functions referenced from ``mapInPandas``/UDF closures
+    are pickled BY REFERENCE (cloudpickle's rule for importable
+    functions), so the worker must import the package. A session whose
+    driver ran from the repo root gets that for free (cwd is on the
+    worker's path); the driver harness and any embedding application
+    may launch from anywhere — round-15 verify: the four media
+    decoders that share module-level kernels (`baseline_jpeg_pixels`,
+    the MP2/MP3 bit readers) failed with ModuleNotFoundError under an
+    out-of-repo vanilla session. The fix is the standard Spark one:
+    zip the package once (content-addressed by file mtimes, cached in
+    the temp dir) and ``addPyFile`` it — workers put the zip on their
+    sys.path at the next task. Idempotent per application; a few ms
+    after the first call. On a real cluster this is exactly
+    ``--py-files``; doing it lazily here means NO caller has to
+    remember it."""
+    import hashlib
+    import os
+    import tempfile
+    import zipfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(pkg_dir)
+        for f in fn
+        if f.endswith(".py")
+    )
+    sig = hashlib.md5(
+        "|".join(f"{p}:{os.path.getmtime(p)}" for p in sources).encode()
+    ).hexdigest()[:10]
+    zpath = os.path.join(tempfile.gettempdir(), f"etl_cortex_spark_{sig}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            root = os.path.dirname(pkg_dir)
+            for p in sources:
+                zf.write(p, os.path.relpath(p, root))
+        os.replace(tmp, zpath)  # atomic vs concurrent builders
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added under this name in this app: same content
+    _SHIPPED_APPS.add(app)

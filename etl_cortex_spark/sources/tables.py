@@ -93,6 +93,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per (session, path, mtime) — the catalog posture: file listing is
     table-registration state, not per-query work.
     """
+    # Defensive like the confs below: ship the package to the Python
+    # workers when the caller's session wasn't launched from the repo
+    # (round-15 verify — mapInPandas kernels pickle by reference).
+    # Idempotent per application, a dict probe after the first call.
+    from etl_cortex_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         app = spark.sparkContext.applicationId

@@ -789,7 +789,11 @@ def test_snapshot_expire_vacuums_only_dead_files(spark, tmp_path):
         snapshot_read(spark, path, version=1)
     # re-vacuum is a no-op
     res2 = snapshot_expire(spark, path, keep_last=1)
-    assert res2 == {"manifests_removed": 0, "files_deleted": 0}
+    assert res2 == {
+        "manifests_removed": 0,
+        "files_deleted": 0,
+        "orphans_deleted": 0,
+    }
     with pytest.raises(ValueError, match="keep_last"):
         snapshot_expire(spark, path, keep_last=0)
 
@@ -983,3 +987,345 @@ def test_snapshot_bloom_lookup_prunes_and_never_misses(spark, tmp_path):
     # absent key: empty result (Bloom may pass a false-positive file,
     # but the exact filter clears it)
     assert snapshot_point_lookup(spark, path, "k", 10**9).count() == 0
+
+
+def test_file_blooms_null_rows_and_type_contract(spark, tmp_path):
+    """Round-14 ADVICE #1/#2: a NULL in the Bloom column must not crash
+    the append (NULL never equi-matches, so excluding it from the Bloom
+    is exact); a Bloom on a type whose Spark/Python string renderings
+    diverge (double, boolean) must raise loudly BEFORE any manifest is
+    committed — and must not leave orphaned staged files; probe values
+    outside int/str raise at probe time."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_cortex_spark.operators.layout import (
+        _bloom_positions_py,
+        snapshot_append,
+        snapshot_point_lookup,
+    )
+
+    path = str(tmp_path / "bloomnull")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k int, tag string"
+    )
+    snapshot_append(spark, df, path, bloom_col="tag")  # NULL present: no crash
+    assert [r.k for r in snapshot_point_lookup(spark, path, "tag", "c").collect()] == [3]
+    assert snapshot_point_lookup(spark, path, "tag", "zzz").count() == 0
+
+    # unsafe column type: loud failure, nothing committed, nothing staged
+    bad = str(tmp_path / "bloombad")
+    dbl = spark.createDataFrame([(1, 2.5)], "k int, x double")
+    with pytest.raises(TypeError, match="double"):
+        snapshot_append(spark, dbl, bad, bloom_col="x")
+    assert glob.glob(os.path.join(bad, "*.manifest.json")) == []
+    assert glob.glob(os.path.join(bad, "data", "*", "*.parquet")) == []
+
+    # probe-side contract: bool IS an int subclass but renders 'True'
+    for v in (True, 2.5, None):
+        with pytest.raises(TypeError):
+            _bloom_positions_py(v)
+
+
+def test_legacy_list_stats_only_prune_single_column_scan(spark, tmp_path):
+    """Round-14 ADVICE #3: a round-13 manifest records ONE unlabeled
+    [lo, hi] per file. `snapshot_scan` (single-column) may treat it as
+    the queried column's; `snapshot_scan_multi` querying a DIFFERENT
+    column must treat it as no-stats (never prune) — previously it
+    compared against the wrong column's bounds and silently dropped
+    matching files."""
+    import json
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_scan,
+        snapshot_scan_multi,
+    )
+
+    path = str(tmp_path / "snaplegacy")
+    for lo in (0, 1000):
+        batch = (
+            spark.range(lo, lo + 1000)
+            .withColumnRenamed("id", "k")
+            .selectExpr("k", "CAST(k % 7 AS INT) AS v")
+        )
+        snapshot_append(spark, batch, path, stats_col="k")
+    # rewrite the head manifest's stats into the legacy list form
+    head = _manifests(path)[-1]
+    with open(head) as f:
+        meta = json.load(f)
+    meta["stats"] = {f: entry["k"] for f, entry in meta["stats"].items()}
+    with open(head, "w") as f:
+        json.dump(meta, f)
+    # single-column scan still honors the legacy range (prunes batch 2)
+    out = snapshot_scan(spark, path, "k", 10, 20)
+    assert sorted(r.k for r in out.collect()) == list(range(10, 21))
+    assert len(out.inputFiles()) < len(meta["files"])
+    # multi-column scan by ANOTHER column: the legacy [0,1999] range
+    # must NOT be read as v's bounds (v only spans 0..6 — comparing
+    # v's range [5,5] against k's bounds would prune nothing here, but
+    # comparing k-bounds-as-v on a selective file WOULD drop rows; the
+    # contract is: no legacy pruning at all in multi mode)
+    got = snapshot_scan_multi(spark, path, {"v": (5, 5)})
+    assert got.count() == 285  # k in 0..1999 with k%7==5
+    assert len(got.inputFiles()) == len(meta["files"])  # no pruning claimed
+
+
+def test_snapshot_changes_and_scan_see_post_evolution_columns(spark, tmp_path):
+    """Round-14 ADVICE #4: after an additive schema evolution the
+    change feed and the manifest-pruned scans plan with the NEWEST
+    file's schema — new columns are delivered (NULL for pre-evolution
+    rows), not silently dropped."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_scan,
+        snapshot_scan_multi,
+    )
+
+    path = str(tmp_path / "snapevochanges")
+    snapshot_append(
+        spark, spark.createDataFrame([(1,), (2,)], "k int"), path, stats_col="k"
+    )
+    snapshot_append(
+        spark,
+        spark.createDataFrame([(30, "x"), (31, "y")], "k int, tag string"),
+        path,
+        stats_col="k",
+    )
+    delta = snapshot_changes(spark, path, 1, 2)
+    assert set(delta.columns) == {"k", "tag"}
+    assert {(r.k, r.tag) for r in delta.collect()} == {(30, "x"), (31, "y")}
+    # merge_schema twin agrees on this additive history
+    delta_m = snapshot_changes(spark, path, 1, 2, merge_schema=True)
+    assert {(r.k, r.tag) for r in delta_m.collect()} == {(30, "x"), (31, "y")}
+    # scans spanning the evolution surface the new column, NULL-filled
+    # for pre-evolution rows
+    full = snapshot_scan(spark, path, "k", 0, 100)
+    assert {(r.k, r.tag) for r in full.collect()} == {
+        (1, None),
+        (2, None),
+        (30, "x"),
+        (31, "y"),
+    }
+    multi = snapshot_scan_multi(spark, path, {"k": (25, 35)})
+    assert {(r.k, r.tag) for r in multi.collect()} == {(30, "x"), (31, "y")}
+
+
+def test_snapshot_expire_sweeps_orphans_and_keeps_batch_ledger(spark, tmp_path):
+    """Round-14 ADVICE #5: (a) staged files no manifest ever referenced
+    (a crashed/abandoned writer) are swept by expire once past the
+    grace window — younger orphans survive (they may be a concurrent
+    writer's in-flight batch); (b) expiring a manifest carries its
+    batch_id into the persistent ledger, so a crash-replay of a batch
+    OLDER than retention is still a no-op returning the original
+    version."""
+    import os
+    import time
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_expire,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snaporphan")
+    v1 = snapshot_append(
+        spark, spark.range(0, 10).withColumnRenamed("id", "k"), path, batch_id=7
+    )
+    snapshot_append(spark, spark.range(10, 20).withColumnRenamed("id", "k"), path)
+    # plant an orphan: a staged batch whose writer died before commit
+    orphan_dir = os.path.join(path, "data", "batch-deadbeefdead")
+    os.makedirs(orphan_dir)
+    fresh = os.path.join(orphan_dir, "part-00000.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"not really parquet")
+    old = os.path.join(orphan_dir, "part-00001.parquet")
+    with open(old, "wb") as f:
+        f.write(b"stale")
+    stale_t = time.time() - 90000
+    os.utime(old, (stale_t, stale_t))
+    res = snapshot_expire(spark, path, keep_last=1)  # default 24 h grace
+    # v1's manifest dropped; its file was rewritten into no later
+    # version here (append-only lineage: v2 still references it) —
+    # so files_deleted is 0, but the STALE orphan goes; the fresh one
+    # survives the grace window
+    assert res["manifests_removed"] == 1
+    assert res["orphans_deleted"] == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)
+    assert snapshot_read(spark, path).count() == 20  # head untouched
+    # grace 0 sweeps the remaining orphan
+    res2 = snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0.0)
+    assert res2["orphans_deleted"] == 1
+    assert not os.path.exists(orphan_dir)  # emptied dirs pruned
+    # (b) the expired batch_id lives in the ledger: a replay is a no-op
+    head_before = _manifests(path)[-1]
+    assert snapshot_append(
+        spark, spark.range(0, 10).withColumnRenamed("id", "k"), path, batch_id=7
+    ) == v1
+    assert _manifests(path)[-1] == head_before
+    assert snapshot_read(spark, path).count() == 20
+
+
+def test_snapshot_mor_delete_protocol(spark, tmp_path):
+    """Merge-on-read delete: (a) ZERO data files rewritten — v3's file
+    set is v2's, by reference; (b) readers resolve live rows via the
+    delete anti-join, pinned readers see pre-delete state; (c) rows
+    appended AFTER the delete keep their keys even when the delete
+    named them (the sequence rule); (d) COW delete/merge refuse while
+    deletes are pending; (e) compact APPLIES the deletes and clears
+    them; (f) the change feed refuses to walk across a MOR-delete
+    step; (g) expire never sweeps a live delete file."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_expire,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapmor")
+    snapshot_append(spark, spark.range(0, 100).withColumnRenamed("id", "k"), path)
+    snapshot_append(spark, spark.range(100, 200).withColumnRenamed("id", "k"), path)
+    v3 = snapshot_delete_mor(spark, path, F.col("k") < 30, "k")
+    assert v3 == 3
+    with open(os.path.join(path, "v3.manifest.json")) as f:
+        m3 = json.load(f)
+    with open(os.path.join(path, "v2.manifest.json")) as f:
+        m2 = json.load(f)
+    assert m3["files"] == m2["files"]  # by reference, zero rewrites
+    assert len(m3["deletes"]) == 1 and m3["deletes"][0]["keys"] == ["k"]
+    # (b) live view and pinned reader
+    assert sorted(r.k for r in snapshot_read(spark, path).collect()) == list(
+        range(30, 200)
+    )
+    assert snapshot_read(spark, path, version=2).count() == 200
+    # (c) re-insert after the delete: new rows keep their keys
+    snapshot_append(spark, spark.range(0, 10).withColumnRenamed("id", "k"), path)
+    got = sorted(r.k for r in snapshot_read(spark, path).collect())
+    assert got == list(range(0, 10)) + list(range(30, 200))
+    # (d) rewriting commits refuse while deletes are pending
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        snapshot_delete(spark, path, F.col("k") < 5)
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        snapshot_merge(
+            spark, spark.range(0, 3).withColumnRenamed("id", "k"), path, "k"
+        )
+    # (f) change feed refuses the MOR step, works on pure-append spans
+    with pytest.raises(ValueError, match="equality-delete"):
+        snapshot_changes(spark, path, 2, 4)
+    assert snapshot_changes(spark, path, 1, 2).count() == 100
+    # (e) compact applies and clears
+    v5 = snapshot_compact(spark, path)
+    with open(os.path.join(path, f"v{v5}.manifest.json")) as f:
+        m5 = json.load(f)
+    assert "deletes" not in m5
+    assert sorted(r.k for r in snapshot_read(spark, path).collect()) == got
+    # COW delete works again post-compact
+    snapshot_delete(spark, path, F.col("k") >= 190)
+    assert snapshot_read(spark, path).count() == len(got) - 10
+    # (g) expire keeps the head's referenced set; v3/v4's delete file
+    # dies with its manifests (keep_last=2 keeps v5+v6, both clean)
+    res = snapshot_expire(spark, path, keep_last=2, orphan_grace_secs=0.0)
+    assert res["manifests_removed"] == 4
+    assert snapshot_read(spark, path).count() == len(got) - 10
+    assert _manifests(path)[-1].endswith("v6.manifest.json")
+
+
+def test_snapshot_mor_scan_paths_apply_deletes(spark, tmp_path):
+    """The pruned read paths (range scan, multi-predicate scan, Bloom
+    point lookup) all resolve merge-on-read deletes: a deleted key is
+    gone from every path, a surviving key is served, and pruning still
+    reads fewer files than the table holds."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_mor,
+        snapshot_point_lookup,
+        snapshot_scan,
+        snapshot_scan_multi,
+    )
+
+    path = str(tmp_path / "snapmorscan")
+    for lo in (0, 1000, 2000):
+        snapshot_append(
+            spark,
+            spark.range(lo, lo + 1000).withColumnRenamed("id", "k"),
+            path,
+            stats_col="k",
+            bloom_col="k",
+        )
+    snapshot_delete_mor(spark, path, F.col("k").between(1100, 1199), "k")
+    out = snapshot_scan(spark, path, "k", 1050, 1250)
+    assert sorted(r.k for r in out.collect()) == list(range(1050, 1100)) + list(
+        range(1200, 1251)
+    )
+    multi = snapshot_scan_multi(spark, path, {"k": (1150, 2050)})
+    assert multi.count() == (2050 - 1150 + 1) - 50  # minus deleted 1150-1199
+    assert snapshot_point_lookup(spark, path, "k", 1150).count() == 0
+    assert [r.k for r in snapshot_point_lookup(spark, path, "k", 999).collect()] == [999]
+
+
+def test_snapshot_zorder_compact_prunes_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER as a snapshot commit: after arrival-order
+    ingest (modular batches — zero locality in either dimension), the
+    Z-order compaction's manifest zone maps prune a narrow range on
+    EITHER clustered column to a strict subset of the files, content
+    is preserved exactly, and history keeps the pre-compaction
+    version."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_scan,
+        snapshot_scan_multi,
+    )
+
+    path = str(tmp_path / "snapzorder")
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 173).alias("x"),
+        ((F.col("id") * 31) % 997).alias("y"),
+    )
+    for third in (0, 1, 2):
+        snapshot_append(spark, df.filter(F.col("k") % 3 == third), path)
+    v = snapshot_compact(
+        spark, path, stats_col=["x", "y"], target_files=8, zorder_by=("x", "y")
+    )
+    assert v == 4
+    # content preserved
+    assert snapshot_read(spark, path).count() == 30000
+    assert snapshot_read(spark, path, version=3).count() == 30000
+    n_all = len(snapshot_read(spark, path).inputFiles())
+    assert n_all == 8
+    # a narrow range on EACH dimension prunes to fewer files
+    sx = snapshot_scan(spark, path, "x", 10, 20)
+    assert len(sx.inputFiles()) < n_all
+    assert sx.count() == df.filter("x between 10 and 20").count()
+    sy = snapshot_scan(spark, path, "y", 100, 150)
+    assert len(sy.inputFiles()) < n_all
+    assert sy.count() == df.filter("y between 100 and 150").count()
+    # and the conjunction prunes at least as hard as either alone
+    sxy = snapshot_scan_multi(spark, path, {"x": (10, 20), "y": (100, 150)})
+    assert len(sxy.inputFiles()) <= min(len(sx.inputFiles()), len(sy.inputFiles()))
+    assert sxy.count() == df.filter(
+        "x between 10 and 20 and y between 100 and 150"
+    ).count()
