@@ -2759,3 +2759,35 @@ def d08f(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+@query(
+    "d110_warc_ingest",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'http://example.com/doc/' || doc_id AS target_uri,
+           200 AS http_status,
+           CAST(45 + strlen(text) AS BIGINT) AS content_length,
+           md5(text) AS text_md5
+    FROM documents ORDER BY asset_id
+    """,
+)
+def d110warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC/WET web-archive ingest (round 15 — the container
+    every web-scale training corpus arrives in; ISO 28500 + the
+    Common Crawl member-gzip layout): the Spark side builds genuine
+    WARC/1.0 archives — warcinfo + response records, Content-Length
+    framing, each record an independent RFC 1952 gzip member — and
+    the parser walks them back with zlib multi-member decompression
+    (gunzip-once readers would silently drop every record after the
+    first), verified record framing, and HTTP status/header splitting.
+    The response block carries each document's ACTUAL text, so the
+    emitted md5 proves byte-exact text recovery against the source
+    column; URI/status/length replay from closed forms. This is the
+    pipeline stage upstream of every tier-D text operator — raw crawl
+    bytes to (uri, text) rows — and it is embarrassingly parallel per
+    shard at 100 TB (mapInPandas, the sanctioned escape hatch).
+    Framing/magic/truncation violations raise loudly (pytest)."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_warc_assets(docs)
+    return MM.parse_warc_responses(assets).orderBy("asset_id")

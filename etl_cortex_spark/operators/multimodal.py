@@ -3704,3 +3704,153 @@ def resize_bmp_nearest(assets: DataFrame, max_side: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D120: REAL WARC/WET web-archive ingest (round 15) --------------------------
+
+
+def synthesize_warc_assets(docs: DataFrame) -> DataFrame:
+    """REAL WARC/1.0 archives (ISO 28500 — the container every
+    web-scale training corpus is delivered in: Common Crawl's
+    WARC/WET/WAT files), one per document so the DuckDB oracle can
+    replay every field from the documents table. Each archive holds a
+    ``warcinfo`` record followed by a ``response`` record whose block
+    is a full HTTP/1.1 response carrying the document's ACTUAL text —
+    so the parser's recovered text is checkable against the source
+    column, not a synthetic pattern. Records are individually
+    GZIP-COMPRESSED and concatenated (RFC 1952 multi-member stream) —
+    byte-for-byte the Common Crawl layout, which lets a reader
+    decompress record-at-a-time and range-skip; the parser must walk
+    gzip members, not just gunzip once.
+
+    Closed forms shared with the oracle: target URI
+    ``http://example.com/doc/{doc_id}``, HTTP status 200, block length
+    45 + octet_length(text) (the fixed 45-byte header prefix
+    ``HTTP/1.1 200 OK\\r\\nContent-Type: text/plain\\r\\n\\r\\n``)."""
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import io
+
+        import pandas as pd
+
+        def gz_member(raw: bytes) -> bytes:
+            bio = io.BytesIO()
+            # mtime=0: deterministic bytes (the gzip header stores it)
+            with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as gf:
+                gf.write(raw)
+            return bio.getvalue()
+
+        def record(rtype: str, headers: list, block: bytes) -> bytes:
+            head = [f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"]
+            head += [f"{k}: {v}\r\n" for k, v in headers]
+            head.append(f"Content-Length: {len(block)}\r\n\r\n")
+            return "".join(head).encode("ascii") + block + b"\r\n\r\n"
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                info = record(
+                    "warcinfo",
+                    [("WARC-Record-ID", f"<urn:uuid:{d:032x}>")],
+                    b"software: etl-cortex-spark-synth\r\n",
+                )
+                body = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    + str(text).encode("utf-8")
+                )
+                resp = record(
+                    "response",
+                    [
+                        ("WARC-Record-ID", f"<urn:uuid:{d + 1:032x}>"),
+                        ("WARC-Target-URI", f"http://example.com/doc/{d}"),
+                        ("WARC-Date", "2024-01-01T00:00:00Z"),
+                        ("Content-Type", "application/http;msgtype=response"),
+                    ],
+                    body,
+                )
+                payloads.append(gz_member(info) + gz_member(resp))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema=out_schema)
+
+
+def parse_warc_responses(assets: DataFrame) -> DataFrame:
+    """REAL WARC ingest via ``mapInPandas`` — the first stage of every
+    web-corpus pipeline (Common Crawl → text), no warc library: walk
+    the MULTI-MEMBER gzip stream with ``zlib.decompressobj(wbits=31)``
+    (each member ends with unused_data that starts the next — gunzip-
+    once readers silently drop all but the first record), parse each
+    WARC/1.0 record's named headers, enforce Content-Length record
+    framing (the \\r\\n\\r\\n record separator is VERIFIED, not
+    searched for — bodies may contain anything), keep only
+    ``response`` records, and split the HTTP status line + headers
+    from the payload. Emits per response: target URI, HTTP status,
+    block length, and the md5 of the recovered UTF-8 text — so the
+    oracle proves byte-exact text recovery against the source column
+    without shipping the text twice. Malformed magic, truncated
+    members, bad framing, or a record without Content-Length raise
+    loudly. At 100 TB this is embarrassingly parallel per shard —
+    the sanctioned mapInPandas escape hatch."""
+    out_schema = (
+        "asset_id bigint, target_uri string, http_status int, "
+        "content_length bigint, text_md5 string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import zlib
+
+        import pandas as pd
+
+        def gzip_members(aid, buf: bytes):
+            pos = 0
+            while pos < len(buf):
+                if buf[pos : pos + 2] != b"\x1f\x8b":
+                    raise ValueError(f"asset {aid}: bad gzip magic at {pos}")
+                d = zlib.decompressobj(wbits=31)
+                raw = d.decompress(buf[pos:])
+                if not d.eof:
+                    raise ValueError(f"asset {aid}: truncated gzip member at {pos}")
+                yield raw
+                pos = len(buf) - len(d.unused_data)
+
+        def parse_record(aid, raw: bytes):
+            sep = raw.find(b"\r\n\r\n")
+            if sep < 0 or not raw.startswith(b"WARC/1.0\r\n"):
+                raise ValueError(f"asset {aid}: not a WARC/1.0 record")
+            headers = {}
+            for line in raw[10:sep].decode("utf-8").split("\r\n"):
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            if "content-length" not in headers:
+                raise ValueError(f"asset {aid}: record without Content-Length")
+            n = int(headers["content-length"])
+            block = raw[sep + 4 : sep + 4 + n]
+            if raw[sep + 4 + n :] != b"\r\n\r\n":
+                raise ValueError(f"asset {aid}: bad record framing")
+            return headers, block
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "target_uri", "http_status",
+                "content_length", "text_md5",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for raw in gzip_members(aid, bytes(payload)):
+                    headers, block = parse_record(aid, raw)
+                    if headers.get("warc-type") != "response":
+                        continue
+                    hsep = block.find(b"\r\n\r\n")
+                    status = int(block[:hsep].split(b"\r\n")[0].split(b" ")[1])
+                    text = block[hsep + 4 :]
+                    rows["asset_id"].append(aid)
+                    rows["target_uri"].append(headers["warc-target-uri"])
+                    rows["http_status"].append(status)
+                    rows["content_length"].append(len(block))
+                    rows["text_md5"].append(hashlib.md5(text).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)

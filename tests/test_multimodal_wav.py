@@ -1131,3 +1131,45 @@ def test_rle8_absolute_mode_and_errors(spark):
         MM.decode_rle8_frame_features(
             assets.mapInPandas(gen2, schema="asset_id bigint, payload binary")
         ).collect()
+
+
+def test_warc_roundtrip_recovers_exact_text_and_rejects_malformed(spark):
+    """WARC ingest: the parser recovers each document's text
+    BYTE-EXACTLY (md5 vs the source column), keeps only response
+    records (one per archive — the warcinfo record is walked past via
+    its gzip member, not skipped by luck), and raises loudly on bad
+    gzip magic, a truncated member, and broken record framing."""
+    import gzip
+    import hashlib
+
+    import pytest as _pytest
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 8)
+    src = {int(r["doc_id"]): r["text"] for r in docs.collect()}
+    rows = MM.parse_warc_responses(MM.synthesize_warc_assets(docs)).collect()
+    assert len(rows) == len(src)  # exactly one response per archive
+    for r in rows:
+        d = int(r["asset_id"])
+        assert r["target_uri"] == f"http://example.com/doc/{d}"
+        assert r["http_status"] == 200
+        assert r["text_md5"] == hashlib.md5(src[d].encode("utf-8")).hexdigest()
+        assert r["content_length"] == 45 + len(src[d].encode("utf-8"))
+
+    shard = bytes(
+        MM.synthesize_warc_assets(docs.filter(F.col("doc_id") == 1))
+        .collect()[0]["payload"]
+    )
+
+    def df_of(buf: bytes):
+        return spark.createDataFrame(
+            [(1, bytearray(buf))], "asset_id long, payload binary"
+        )
+
+    with _pytest.raises(Exception, match="gzip magic"):
+        MM.parse_warc_responses(df_of(b"XX" + shard[2:])).collect()
+    with _pytest.raises(Exception, match="truncated"):
+        MM.parse_warc_responses(df_of(shard[:-10])).collect()
+    # un-gzipped WARC record: the member walk must refuse, not guess
+    raw = gzip.decompress(shard)  # first member only
+    with _pytest.raises(Exception, match="gzip magic"):
+        MM.parse_warc_responses(df_of(raw)).collect()
