@@ -2791,3 +2791,58 @@ def d110warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_warc_assets(docs)
     return MM.parse_warc_responses(assets).orderBy("asset_id")
+
+
+@query(
+    "d05_gif_decode_features",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             10 + (doc_id % 4) * 5 AS w,
+             8 + (doc_id % 3) * 4 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS P
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, P,
+             (doc_id * 7 + x.x * 3 + y.y * 5) % P AS i
+      FROM a, range(0, 25) x(x), range(0, 16) y(y)
+      WHERE x.x < w AND y.y < h
+    )
+    SELECT doc_id AS asset_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+           CAST(sum((doc_id * 5 + i * 11) % 256) AS DOUBLE)
+             / (max(w) * max(h)) AS mean_r,
+           CAST(sum((doc_id * 3 + i * 7) % 256) AS DOUBLE)
+             / (max(w) * max(h)) AS mean_g,
+           CAST(sum((doc_id * 7 + i * 13) % 256) AS DOUBLE)
+             / (max(w) * max(h)) AS mean_b,
+           CAST((doc_id * 5 + ((doc_id * 7) % P) * 11) % 256
+              + (doc_id * 3 + ((doc_id * 7) % P) * 7) % 256
+              + (doc_id * 7 + ((doc_id * 7) % P) * 13) % 256 AS INT)
+             AS topleft_lum
+    FROM px GROUP BY doc_id, P ORDER BY asset_id
+    """,
+)
+def d05gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (round 15 — the LZW/dictionary-coding member of
+    the codec family, next to PNG's DEFLATE and JPEG's DCT entropy
+    coding): the Spark side writes genuine GIF89a payloads — screen
+    descriptor, global color table, a Graphic Control Extension (so
+    extension SKIPPING is load-bearing), and a real variable-width
+    LZW index stream (clear/EOI codes, LSB-first packing, dictionary
+    growth to 12 bits) — and decodes them back with a from-scratch
+    LZW decoder (`multimodal.gif_lzw_decode`, including the KwKwK
+    case) plus palette mapping. Features are exact integer sums
+    divided once, replayed here from the closed pixel/palette forms
+    with a range join; the decoder is additionally pinned in pytest
+    against the CLASSIC public 1×1 GIF byte string (a fixture this
+    repo's encoder did not produce, breaking writer/reader bug
+    symmetry). Interlace and local color tables raise loudly — the
+    stated boundary. Per-asset Python in mapInPandas: embarrassingly
+    parallel at 100 TB, the sanctioned escape hatch."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_gif_assets(docs)
+    return MM.decode_gif_features(assets).orderBy("asset_id")

@@ -3854,3 +3854,285 @@ def parse_warc_responses(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D121: REAL GIF decode (LZW, variable-width codes, round 15) ----------------
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int]:
+    """Closed-form per-asset dimensions (shared with the oracle)."""
+    return 10 + (doc_id % 4) * 5, 8 + (doc_id % 3) * 4
+
+
+def synthesize_gif_assets(docs: DataFrame) -> DataFrame:
+    """REAL GIF89a payloads, one per document — the LZW leg of the
+    codec family (PNG proved DEFLATE/Huffman, JPEG proved DCT entropy
+    coding; GIF is the third classic compressed image format and the
+    only one built on DICTIONARY coding). Full spec grammar: header,
+    logical screen descriptor, global color table, a Graphic Control
+    Extension (so the reader's extension-skip path is exercised, not
+    just tolerated), image descriptor, and an LZW-compressed index
+    stream with variable code width (clear + EOI codes, LSB-first bit
+    packing, dictionary growth to 12 bits), closed by the 0x3B
+    trailer. Palette size 2^(2 + id % 3) (4/8/16 entries). Closed
+    forms shared with the oracle (image coordinates, P = palette
+    size):
+
+        idx(x,y) = (id*7 + x*3 + y*5) % P
+        palette[i] = (r,g,b) = ((id*5 + i*11) % 256,
+                               (id*3 + i*7)  % 256,
+                               (id*7 + i*13) % 256)
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def lzw_encode(indices, min_code: int) -> bytes:
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+            out = bytearray()
+            acc = nbits = 0
+
+            def emit(code: int):
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            emit(clear)
+            run: tuple = ()
+            for s in indices:
+                cand = run + (s,)
+                if cand in table:
+                    run = cand
+                    continue
+                emit(table[run])
+                table[cand] = next_code
+                next_code += 1
+                # GIF rule: width grows AFTER the code that filled the
+                # current width's range is assigned
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+                if next_code >= 4096:
+                    emit(clear)
+                    table = {(i,): i for i in range(1 << min_code)}
+                    next_code = eoi + 1
+                    width = min_code + 1
+                run = (s,)
+            if run:
+                emit(table[run])
+            emit(eoi)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        def encode_one(d: int) -> bytes:
+            w, h = _gif_dims(d)
+            pbits = 2 + d % 3
+            P = 1 << pbits
+            palette = b"".join(
+                bytes(
+                    (
+                        (d * 5 + i * 11) % 256,
+                        (d * 3 + i * 7) % 256,
+                        (d * 7 + i * 13) % 256,
+                    )
+                )
+                for i in range(P)
+            )
+            indices = [
+                (d * 7 + x * 3 + y * 5) % P for y in range(h) for x in range(w)
+            ]
+            min_code = pbits
+            lzw = lzw_encode(indices, min_code)
+            blocks = bytearray()
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                blocks.append(len(chunk))
+                blocks += chunk
+            blocks.append(0)
+            return (
+                b"GIF89a"
+                + struct.pack("<HH", w, h)
+                + bytes((0x80 | (pbits - 1), 0, 0))  # GCT present, size bits
+                + palette
+                # Graphic Control Extension: readers MUST skip unknown/
+                # control extensions by sub-block walking
+                + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                + b"\x2c"
+                + struct.pack("<HHHH", 0, 0, w, h)
+                + b"\x00"  # no local table, not interlaced
+                + bytes((min_code,))
+                + bytes(blocks)
+                + b"\x3b"
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list:
+    """GIF-variant LZW decode (the 89a spec's appendix algorithm):
+    LSB-first bit unpacking, variable code width starting at
+    min_code+1, clear resets the dictionary, EOI ends the stream, and
+    the KwKwK case (a code one past the table end) reproduces
+    prev + prev[0]. Raises on any other out-of-range code, on a code
+    before the first clear-reset pixel, or on pixel overrun."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pixels: list = []
+    table: list = []
+    width = min_code + 1
+    prev: list | None = None
+    acc = nbits = pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(1 << min_code)] + [None, None]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        pixels.extend(entry)
+        if len(pixels) > n_pixels:
+            raise ValueError("LZW output overruns the image")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(pixels) != n_pixels:
+        raise ValueError(
+            f"LZW decoded {len(pixels)} of {n_pixels} pixels"
+        )
+    return pixels
+
+
+def decode_gif_features(assets: DataFrame) -> DataFrame:
+    """REAL GIF decode via ``mapInPandas`` — no codec library: parse
+    the 89a grammar (screen descriptor, global color table, extension
+    sub-block skipping, image descriptor), run the full variable-width
+    LZW decode (`gif_lzw_decode`), map indices through the palette,
+    and emit per-asset features: exact channel means (integer sums
+    divided once) and the top-left pixel's r+g+b. Local color tables
+    and interlaced images raise loudly — the stated boundary, not a
+    silent wrong answer; extension blocks of ANY label are walked by
+    their sub-block lengths, the spec's forward-compat rule."""
+    out_schema = (
+        "asset_id bigint, width int, height int, n_pixels bigint, "
+        "mean_r double, mean_g double, mean_b double, topleft_lum int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def decode_one(aid, buf: bytes):
+            if buf[:6] not in (b"GIF89a", b"GIF87a"):
+                raise ValueError(f"asset {aid}: not a GIF payload")
+            w, h = struct.unpack("<HH", buf[6:10])
+            packed = buf[10]
+            pos = 13
+            palette = None
+            if packed & 0x80:
+                P = 2 << (packed & 0x07)
+                palette = buf[pos : pos + 3 * P]
+                pos += 3 * P
+            while True:
+                if pos >= len(buf):
+                    raise ValueError(f"asset {aid}: no image descriptor")
+                b0 = buf[pos]
+                pos += 1
+                if b0 == 0x3B:
+                    raise ValueError(f"asset {aid}: trailer before image")
+                if b0 == 0x21:  # extension: label + sub-blocks
+                    pos += 1
+                    while buf[pos]:
+                        pos += 1 + buf[pos]
+                    pos += 1
+                    continue
+                if b0 != 0x2C:
+                    raise ValueError(f"asset {aid}: bad block 0x{b0:02x}")
+                break
+            _l, _t, iw, ih = struct.unpack("<HHHH", buf[pos : pos + 8])
+            ipacked = buf[pos + 8]
+            pos += 9
+            if ipacked & 0x80:
+                raise ValueError(f"asset {aid}: local color tables unsupported")
+            if ipacked & 0x40:
+                raise ValueError(f"asset {aid}: interlaced GIFs unsupported")
+            if palette is None:
+                raise ValueError(f"asset {aid}: no color table")
+            min_code = buf[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                n = buf[pos]
+                pos += 1
+                if n == 0:
+                    break
+                lzw += buf[pos : pos + n]
+                pos += n
+            idx = gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+            rs = sum(palette[3 * i] for i in idx)
+            gs = sum(palette[3 * i + 1] for i in idx)
+            bs = sum(palette[3 * i + 2] for i in idx)
+            i0 = idx[0]
+            tl = palette[3 * i0] + palette[3 * i0 + 1] + palette[3 * i0 + 2]
+            n = iw * ih
+            return iw, ih, n, rs / n, gs / n, bs / n, tl
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "topleft_lum",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, n, mr, mg, mb, tl = decode_one(aid, bytes(payload))
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(n)
+                rows["mean_r"].append(mr)
+                rows["mean_g"].append(mg)
+                rows["mean_b"].append(mb)
+                rows["topleft_lum"].append(tl)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)

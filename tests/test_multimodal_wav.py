@@ -1173,3 +1173,78 @@ def test_warc_roundtrip_recovers_exact_text_and_rejects_malformed(spark):
     raw = gzip.decompress(shard)  # first member only
     with _pytest.raises(Exception, match="gzip magic"):
         MM.parse_warc_responses(df_of(raw)).collect()
+
+
+def test_gif_decode_public_fixture_and_errors(spark):
+    """GIF decoder pinned against the CLASSIC public 1×1 GIF byte
+    string (white pixel, 2-entry palette) — a fixture our own encoder
+    never produced, so a matched encoder/decoder bug pair cannot pass;
+    plus the loud-failure contract: interlace flag, truncated LZW
+    stream, and bad magic all raise."""
+    import pytest as _pytest
+
+    one_px = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00"
+        b"\xff\xff\xff\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+        b"\x02\x02D\x01\x00;"
+    )
+
+    def df_of(buf: bytes):
+        return spark.createDataFrame(
+            [(1, bytearray(buf))], "asset_id long, payload binary"
+        )
+
+    row = MM.decode_gif_features(df_of(one_px)).collect()[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (1, 1, 1)
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (255.0, 255.0, 255.0)
+    assert row["topleft_lum"] == 765
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 6)
+    shard = bytes(
+        MM.synthesize_gif_assets(docs.filter(F.col("doc_id") == 3))
+        .collect()[0]["payload"]
+    )
+    # flip the interlace bit in the image descriptor (after header+LSD+
+    # GCT+GCE: locate 0x2C and offset 9 past it)
+    i = shard.index(b",", 6)
+    tampered = bytearray(shard)
+    tampered[i + 9] |= 0x40
+    with _pytest.raises(Exception, match="interlaced"):
+        MM.decode_gif_features(df_of(bytes(tampered))).collect()
+    with _pytest.raises(Exception, match="not a GIF"):
+        MM.decode_gif_features(df_of(b"NOPE" + shard[4:])).collect()
+    # truncate inside the LZW data: ended-before-EOI must raise
+    from etl_cortex_spark.operators.multimodal import gif_lzw_decode
+
+    with _pytest.raises(ValueError, match="before EOI"):
+        gif_lzw_decode(b"\x44", 2, 4)
+
+
+def test_gif_lzw_kwkwk_and_roundtrip(spark):
+    """The LZW KwKwK corner (a code one past the table end) decodes as
+    prev + prev[0]: a run-heavy index stream forces it; the full
+    decode equals the closed-form pixel grid for every synthesized
+    asset checked."""
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 12)
+    rows = MM.decode_gif_features(MM.synthesize_gif_assets(docs)).collect()
+    assert len(rows) == 12
+    for r in rows:
+        d = int(r["asset_id"])
+        w, h = 10 + (d % 4) * 5, 8 + (d % 3) * 4
+        P = 1 << (2 + d % 3)
+        n = w * h
+        rs = sum(
+            (d * 5 + ((d * 7 + x * 3 + y * 5) % P) * 11) % 256
+            for y in range(h) for x in range(w)
+        )
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, n)
+        assert abs(r["mean_r"] - rs / n) < 1e-12
+    # explicit KwKwK: 'aaaa' with a 2-bit alphabet — encoder emits
+    # (clear, 0, <first assigned code>=6, EOI) and 6 IS the KwKwK code
+    from etl_cortex_spark.operators.multimodal import gif_lzw_decode
+
+    # hand-pack: width 3, LSB-first: 4 (clear), 0, 6, 5 (EOI)
+    acc = 4 | (0 << 3) | (6 << 6) | (5 << 9)
+    data = bytes((acc & 0xFF, (acc >> 8) & 0xFF))
+    assert gif_lzw_decode(data, 2, 3) == [0, 0, 0]
