@@ -1965,3 +1965,57 @@ def d109(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return TX.encoding_audit(seeded).orderBy("doc_id")
+
+
+@query(
+    "d111_ccnet_buckets",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, lower(text) AS t FROM documents
+    ), tg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                                   i -> substr(t, i, 3))) AS tg
+      FROM docs
+    ), tg3 AS (
+      SELECT * FROM tg WHERE length(tg) = 3
+    ), counts AS (
+      SELECT lang, tg, count(*) AS n FROM tg3 GROUP BY lang, tg
+    ), lm AS (
+      SELECT lang, tg, CAST(floor(ln(n) * 1000000) AS BIGINT) AS lp_u
+      FROM counts
+    ), ds AS (
+      SELECT t.doc_id, t.lang, sum(lp_u) AS s, count(*) AS m
+      FROM tg3 t JOIN lm USING (lang, tg) GROUP BY t.doc_id, t.lang
+    ), bk AS (
+      SELECT lang, doc_id, s, m,
+             ntile(3) OVER (
+               PARTITION BY lang
+               ORDER BY CAST(s AS DOUBLE) / m DESC, doc_id) AS b
+      FROM ds
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m) AS BIGINT) AS n_trigrams,
+           CAST(sum(s) AS BIGINT) AS sum_lp_micro
+    FROM bk GROUP BY lang, b ORDER BY lang, bucket
+    """,
+)
+def d111ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet PERPLEXITY BUCKETING (round 15 — Wenzek et al. 2020, the
+    head/middle/tail partition behind most crawl-derived pretraining
+    corpora; `llmprep.ccnet_perplexity_buckets`): a per-LANGUAGE
+    character-trigram LM trained on the corpus itself scores every
+    document, and each language splits into perplexity terciles — the
+    quality-vs-volume knob a data pipeline exposes downstream of D120's
+    WARC ingest and upstream of D52's mixture planner. Per-trigram
+    log-counts are quantized to integer µunits BEFORE summation (the
+    d101 convention), so document scores are exact integer sums and
+    the tercile boundary is identical in both engines; the ntile
+    orders by (score DESC, doc_id) — a total order. Plan shape: one
+    map-side-combined trigram count, one broadcast LM join, one
+    per-language window over DOC-level rows, k-row output."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.ccnet_perplexity_buckets(docs)

@@ -1510,3 +1510,81 @@ def dedup_composition_report(
             ).alias("share_delta"),
         )
     )
+
+
+# --- D122: CCNet perplexity bucketing (head / middle / tail) --------------------
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style LANGUAGE-MODEL PERPLEXITY BUCKETING (Wenzek et al.
+    2020 — the partition behind most crawl-derived pretraining
+    corpora): score every document with a per-LANGUAGE character-
+    trigram LM trained on the corpus itself (the d17 KenLM-style
+    screen, per-language), then split each language's documents into
+    perplexity terciles — head (lowest perplexity / most LM-like),
+    middle, tail — the knob CCNet exposes for quality-vs-volume
+    trade-offs. Returns one row per (lang, bucket) with document,
+    trigram, and score mass so the assignment is fully auditable.
+
+    Engine-portable determinism (the d101 integer-µunit convention):
+    each trigram's log-count is quantized to ``floor(1e6·ln(n))`` as a
+    BIGINT *before* any summation, so per-document scores are exact
+    integer sums — no float-accumulation-order divergence between
+    Spark and the SQL oracle — and the per-language normalization
+    constant ln(N_lang) is dropped entirely (it shifts every document
+    of a language equally, so tercile boundaries are unchanged). The
+    tercile rank orders by (score DESC, id) — a total order, so ntile
+    is reproducible.
+
+    Scale shape: one trigram explode (map-side combined count), one
+    broadcast-sized LM join (vocab ≤ charset³ per language), one
+    per-language window over doc-level rows (never trigram-level), and
+    a final k-row aggregate. At 100 TB the LM table is still tiny and
+    the window input is |docs|, not |trigrams|."""
+    from pyspark.sql import Window
+
+    tg = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("__lang"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 1)),"
+                f" i -> substring(lower({text_col}), i, 3))"
+            )
+        ).alias("__tg"),
+    ).filter(F.length("__tg") == 3)
+    counts = tg.groupBy("__lang", "__tg").agg(F.count(F.lit(1)).alias("__n"))
+    lm = counts.select(
+        "__lang",
+        "__tg",
+        F.floor(F.log(F.col("__n")) * 1_000_000).cast("bigint").alias("__lp_u"),
+    )
+    doc_scores = (
+        tg.join(F.broadcast(lm), ["__lang", "__tg"])
+        .groupBy("__lang", "__id")
+        .agg(F.sum("__lp_u").alias("__s"), F.count(F.lit(1)).alias("__m"))
+    )
+    w = Window.partitionBy("__lang").orderBy(
+        (F.col("__s").cast("double") / F.col("__m")).desc(), F.col("__id")
+    )
+    labeled = doc_scores.withColumn("__b", F.ntile(n_buckets).over(w))
+    name = F.when(F.col("__b") == 1, F.lit("head")).otherwise(
+        F.when(F.col("__b") == 2, F.lit("middle")).otherwise(F.lit("tail"))
+    )
+    return (
+        labeled.groupBy(F.col("__lang").alias("lang"), name.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__m").alias("n_trigrams"),
+            F.sum("__s").alias("sum_lp_micro"),
+        )
+        # k-row output (langs × buckets): local sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("lang", "bucket")
+    )

@@ -928,3 +928,28 @@ def test_group_rep_survivors_weights_clusters(spark):
     got = {r.doc_id: r.n_docs for r in DD.group_rep_survivors(df, threshold=0.5).collect()}
     # cluster {1,2,3,4} survives as 1 (4 docs); cluster {5,6} as 5 (2 docs)
     assert got == {1: 4, 5: 2}
+
+
+def test_ccnet_buckets_balanced_and_ordered(spark):
+    """CCNet bucketing invariants: per language the terciles differ by
+    at most one document (ntile contract), every document lands in
+    exactly one bucket, and the head bucket's mean quantized score is
+    strictly above the tail's (the whole point of the partition)."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    docs = load_table(spark, SF, "documents")
+    n_by_lang = {r["lang"]: r["n"] for r in
+                 docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rows = LP.ccnet_perplexity_buckets(docs).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        sizes = [buckets[b]["n_docs"] for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1
+        assert sum(sizes) == n_by_lang[lang]
+        head = buckets["head"]
+        tail = buckets["tail"]
+        assert (head["sum_lp_micro"] / head["n_trigrams"]
+                > tail["sum_lp_micro"] / tail["n_trigrams"])
