@@ -2846,3 +2846,77 @@ def d05gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_gif_assets(docs)
     return MM.decode_gif_features(assets).orderBy("asset_id")
+
+
+@query(
+    "d05_mp3_scalefactor_decode",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id AS d, i
+      FROM documents, range(0, 11) t(i) WHERE i < 6 + doc_id % 5
+    ),
+    gb AS (
+      SELECT d, i, gg.g, bb.b,
+             (d + 2*i + gg.g) % 16 AS sc,
+             (d + 2*i) % 16 AS sc0,
+             (d + i) % 16 AS scfsi
+      FROM fr, range(0, 2) gg(g), range(0, 21) bb(b)
+    ),
+    x AS (
+      SELECT *,
+        CASE WHEN b <= 10
+          THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4], 1 + sc)
+          ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3], 1 + sc)
+        END AS slen_g,
+        CASE WHEN b <= 10
+          THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4], 1 + sc0)
+          ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3], 1 + sc0)
+        END AS slen_0,
+        CASE WHEN b <= 5 THEN 0 WHEN b <= 10 THEN 1
+             WHEN b <= 15 THEN 2 ELSE 3 END AS grp
+      FROM gb
+    ),
+    y AS (
+      SELECT d, i, g, b,
+        CASE WHEN g = 1 AND ((scfsi >> (3 - grp)) & 1) = 1
+             THEN 1 ELSE 0 END AS reused,
+        CASE WHEN g = 1 AND ((scfsi >> (3 - grp)) & 1) = 1
+          THEN (3*d + 5*i + 11*b) % CAST(power(2, slen_0) AS BIGINT)
+          ELSE (3*d + 5*i + 7*g + 11*b) % CAST(power(2, slen_g) AS BIGINT)
+        END AS sf,
+        CASE WHEN g = 1 AND ((scfsi >> (3 - grp)) & 1) = 1
+             THEN 0 ELSE slen_g END AS bits,
+        CASE WHEN b = 0 THEN (5*d + 7*i + 3*g) % 256 ELSE 0 END AS gg_part
+      FROM x
+    )
+    SELECT d AS asset_id,
+           CAST(count(DISTINCT i) AS INT) AS n_frames,
+           CAST(sum(sf) AS BIGINT) AS sum_scalefac,
+           CAST(max(sf) AS INT) AS max_scalefac,
+           CAST(sum(reused) AS BIGINT) AS n_reused_bands,
+           CAST(sum(bits) AS BIGINT) AS sum_part2_bits,
+           CAST(0 AS BIGINT) AS sum_part3_bits,
+           CAST(sum(gg_part) AS BIGINT) AS sum_global_gain
+    FROM y GROUP BY d ORDER BY asset_id
+    """,
+)
+def d05mp3scf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Layer III SCALEFACTOR (part2) decode (round 15 — the next
+    boundary move after r14's side info: main data is now real bits up
+    to the Huffman spectrum): genuine mono frames whose main data
+    carries actual scalefactor bitstreams — slen1/slen2 from
+    scalefac_compress (ISO 11172-3 2.4.2.7), 21 long-block bands per
+    granule, and the scfsi REUSE rule exercised for real (granule 1
+    transmits only groups with a 0 bit and CARRIES granule 0's values
+    elsewhere — stateful across granules). The part2/part3 split is
+    enforced at the zero boundary (part2_3_length == part2, spectrum
+    silent), so the leftover Huffman bit budget sums to exactly 0 in
+    both engines. After this entry the Layer III stub is precisely
+    two blocks of spec-table DATA: Huffman codeword tables 3-B.7 and
+    synthesis window 3-B.3 — named in `multimodal.decode_image`'s
+    contract; every surrounding mechanism (framing, reservoir law,
+    side info, scalefactors, budget split) is decoded and
+    oracle-pinned."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_mp3_scf_assets(docs)
+    return MM.decode_mp3_scalefactors(assets).orderBy("asset_id")

@@ -1248,3 +1248,75 @@ def test_gif_lzw_kwkwk_and_roundtrip(spark):
     acc = 4 | (0 << 3) | (6 << 6) | (5 << 9)
     data = bytes((acc & 0xFF, (acc >> 8) & 0xFF))
     assert gif_lzw_decode(data, 2, 3) == [0, 0, 0]
+
+
+def test_mp3_scalefactor_scfsi_reuse_and_errors(spark):
+    """Layer III part2 decode: granule 1's scfsi-selected bands carry
+    granule 0's VALUES (verified per band against the closed forms),
+    a part2_3_length smaller than the scalefactor bit count raises,
+    and a nonzero big_values (spectrum present) raises with the stated
+    3-B.7 boundary message rather than mis-decoding."""
+    import pytest as _pytest
+
+    from etl_cortex_spark.operators.multimodal import (
+        _MP3_SLEN1,
+        _MP3_SLEN2,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    rows = MM.decode_mp3_scalefactors(
+        MM.synthesize_mp3_scf_assets(docs)
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        d = int(r["asset_id"])
+        exp_sf = exp_reused = exp_p2 = 0
+        mx = 0
+        for i in range(6 + d % 5):
+            scfsi = (d + i) % 16
+            vals0 = {}
+            for g in range(2):
+                sc = (d + 2 * i + g) % 16
+                for b in range(21):
+                    slen = _MP3_SLEN1[sc] if b <= 10 else _MP3_SLEN2[sc]
+                    grp = 0 if b <= 5 else 1 if b <= 10 else 2 if b <= 15 else 3
+                    if g == 1 and ((scfsi >> (3 - grp)) & 1):
+                        v = vals0[b]
+                        exp_reused += 1
+                    else:
+                        v = (3 * d + 5 * i + 7 * g + 11 * b) % (1 << slen) if slen else 0
+                        exp_p2 += slen
+                    if g == 0:
+                        vals0[b] = v
+                    exp_sf += v
+                    mx = max(mx, v)
+        assert r["sum_scalefac"] == exp_sf
+        assert r["n_reused_bands"] == exp_reused
+        assert r["sum_part2_bits"] == exp_p2
+        assert r["sum_part3_bits"] == 0
+        assert r["max_scalefac"] == mx
+
+    shard = bytearray(
+        bytes(
+            MM.synthesize_mp3_scf_assets(docs.filter(F.col("doc_id") == 7))
+            .collect()[0]["payload"]
+        )
+    )
+
+    def df_of(buf):
+        return spark.createDataFrame(
+            [(7, bytearray(bytes(buf)))], "asset_id long, payload binary"
+        )
+
+    # zero out granule 0's part2_3_length (bits 18-29 of side info =
+    # bytes 4+2.. : part2_3_length starts at side-info bit 18)
+    tampered = bytearray(shard)
+    tampered[4 + 2] &= 0xC0  # clears side-info bits 16..21
+    tampered[4 + 3] = 0      # bits 24..31 (covers the rest of the field)
+    with _pytest.raises(Exception, match="part2"):
+        MM.decode_mp3_scalefactors(df_of(tampered)).collect()
+    # set a nonzero big_values: boundary raises, never mis-decodes
+    tampered2 = bytearray(shard)
+    tampered2[4 + 3] |= 0x02  # a bit inside big_values (bits 30-38)
+    with _pytest.raises(Exception, match="3-B.7"):
+        MM.decode_mp3_scalefactors(df_of(tampered2)).collect()
