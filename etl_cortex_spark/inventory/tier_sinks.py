@@ -274,3 +274,58 @@ def pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return run_to_memory(stream, "append").orderBy("doc_id")
+
+
+@query(
+    "pyds_stream_snapshot_changes",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey
+    """,
+)
+def pyds_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING READ of the snapshot table (round 15 — Delta's
+    `readStream` analog on the D102 protocol, closing the loop: round
+    14 streamed WRITES into the table exactly-once; this streams READS
+    out of it): a Python streaming DataSource whose offsets are
+    snapshot VERSIONS — the engine's checkpoint IS a manifest pointer
+    — delivering per micro-batch exactly the rows ADDED between the
+    committed version and the head (the `snapshot_changes` diff with
+    the same append-only lineage check; a COW/MOR commit in range
+    raises rather than double-counting). `readBetweenOffsets` replays
+    any committed range deterministically from the immutable
+    manifests, so crash-recovery re-reads are byte-identical — the
+    exactly-once contract inherited from the snapshot design rather
+    than built beside it. The table here lands in three appends and a
+    bounded availableNow run drains all of them; the oracle replays
+    the union as plain SQL. Pytest drives the multi-batch walk: a
+    second stream pinned to start_version sees ONLY later commits."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_append
+    from etl_cortex_spark.sources.pyds import register_snapshot_stream
+    from etl_cortex_spark.streaming.events import run_to_memory
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapstream_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    register_snapshot_stream(spark)
+    stream = (
+        spark.readStream.format("snapshot_changes_stream")
+        .option("path", path)
+        .load()
+    )
+    return run_to_memory(stream, "append").orderBy("o_orderkey")

@@ -125,3 +125,83 @@ def test_python_stream_source_multibatch_offsets_and_replay(spark):
     reader = make_synthetic_docs_stream_source()(options={"n": 100, "batch": 30}).simpleStreamReader(None)
     replay = list(reader.readBetweenOffsets({"pos": 30}, {"pos": 60}))
     assert replay == [synthetic_doc(i) for i in range(30, 60)]
+
+
+def test_snapshot_stream_source_versions_as_offsets(spark):
+    """The snapshot change-feed stream: version offsets walk commits
+    (a stream started at start_version=1 sees ONLY later appends), new
+    commits made while the query runs arrive as new micro-batches,
+    readBetweenOffsets replays a committed version range
+    byte-identically from the immutable manifests, and a merge-on-read
+    delete in range raises instead of double-counting."""
+    import tempfile
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_mor,
+    )
+    from etl_cortex_spark.sources.pyds import (
+        make_snapshot_changes_stream_source,
+        register_snapshot_stream,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapstream_tbl_")
+    snapshot_append(spark, spark.range(0, 40).withColumnRenamed("id", "k"), path)
+    snapshot_append(spark, spark.range(40, 70).withColumnRenamed("id", "k"), path)
+
+    register_snapshot_stream(spark)
+    ckpt = tempfile.mkdtemp(prefix="snapstream_ck_")
+    stream = (
+        spark.readStream.format("snapshot_changes_stream")
+        .option("path", path)
+        .option("start_version", 1)  # skip the v1 snapshot
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("snapstream_multibatch")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("snapstream_multibatch").count() >= 30:
+                break
+            time.sleep(0.5)
+        # a commit made WHILE the query runs arrives as a later batch
+        snapshot_append(
+            spark, spark.range(70, 90).withColumnRenamed("id", "k"), path
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("snapstream_multibatch").count() >= 50:
+                break
+            time.sleep(0.5)
+        got = sorted(r.k for r in spark.table("snapstream_multibatch").collect())
+    finally:
+        q.stop()
+    assert got == list(range(40, 90))  # v1's rows were never delivered
+
+    # recovery replay: deterministic bytes for a committed range
+    src = make_snapshot_changes_stream_source()(options={"path": path})
+    reader = src.simpleStreamReader(None)
+    replay = sorted(
+        k for (k,) in reader.readBetweenOffsets({"version": 2}, {"version": 3})
+    )
+    assert replay == list(range(70, 90))
+    # offset 0 = "current snapshot first"
+    full = sorted(
+        k for (k,) in reader.readBetweenOffsets({"version": 0}, {"version": 3})
+    )
+    assert full == list(range(0, 90))
+    # a MOR delete in range: the added-files walk refuses loudly
+    snapshot_delete_mor(spark, path, F.col("k") < 5, "k")
+    with pytest.raises(ValueError, match="not a pure append"):
+        list(reader.readBetweenOffsets({"version": 3}, {"version": 4}))
