@@ -1813,3 +1813,64 @@ def scale_snapshot_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "scale_kmv_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    b AS (SELECT c_custkey AS key FROM customer WHERE c_custkey % 3 <> 0),
+    sa AS (SELECT md5(CAST(key AS VARCHAR)) AS pri, key FROM a
+           ORDER BY pri, key LIMIT 64),
+    sb AS (SELECT md5(CAST(key AS VARCHAR)) AS pri, key FROM b
+           ORDER BY pri, key LIMIT 64),
+    u AS (SELECT key, min(pri) AS pri
+          FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+          GROUP BY key ORDER BY pri, key LIMIT 64),
+    stats AS (SELECT count(*) AS n_union_sample, max(pri) AS kth FROM u),
+    c AS (SELECT count(*) AS c_common FROM u
+          WHERE key IN (SELECT key FROM sa) AND key IN (SELECT key FROM sb)),
+    ex AS (SELECT count(*) AS n_intersect_exact FROM a
+           WHERE key IN (SELECT key FROM b)),
+    e AS (SELECT *,
+            CASE WHEN n_union_sample < 64 THEN CAST(n_union_sample AS DOUBLE)
+                 ELSE 63 / (CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT)
+                                 AS DOUBLE) / 4503599627370496.0)
+            END AS union_est
+          FROM stats, c, ex)
+    SELECT 64 AS k,
+           CAST(n_union_sample AS BIGINT) AS n_union_sample,
+           CAST(c_common AS BIGINT) AS c_common,
+           CAST(n_intersect_exact AS BIGINT) AS n_intersect_exact,
+           union_est,
+           CAST(c_common AS DOUBLE) / n_union_sample AS jaccard_est,
+           (CAST(c_common AS DOUBLE) / n_union_sample) * union_est
+             AS intersect_est
+    FROM e
+    """,
+)
+def scale_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-INTERSECTION ESTIMATE from mergeable KMV sketches (round 15
+    — the Theta-sketch operation the D37/D74 sketch family was
+    missing; `sketch.kmv_intersection`): how many customers who placed
+    orders are also in the marketing segment (c_custkey % 3 ≠ 0),
+    estimated from two 64-row bottom-hash summaries instead of a
+    distinct-join of the sets — audience overlap / join-selectivity
+    estimation, THE pre-flight a 100 TB planner wants before paying a
+    shuffle. ρ̂ = shared keys in the union's k smallest hashes; |A∪B|
+    ≈ (k−1)/u from the k-th normalized hash; |A∩B| ≈ ρ̂·|A∪B|. Every
+    double is a quotient of exact integers (13-hex = 52-bit
+    normalization — the engine-portable md5 convention), so this
+    oracle is hash-exact, and the exact |A∩B| is emitted alongside as
+    the record's own ground truth. Plan: one distinct + take-ordered
+    per side (k·partitions rows move, never the sets), k-row joins
+    after."""
+    a = T(spark, sf_dir, "orders").select("o_custkey")
+    b = T(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    ).select("c_custkey")
+    from etl_cortex_spark.operators.sketch import kmv_intersection
+
+    out_a = a.withColumnRenamed("o_custkey", "key")
+    out_b = b.withColumnRenamed("c_custkey", "key")
+    return kmv_intersection(out_a, out_b, "key", k=64)

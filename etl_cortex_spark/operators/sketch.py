@@ -284,3 +284,92 @@ def bloom_merge(prev: DataFrame, sk: DataFrame) -> DataFrame:
             for i in range(n)
         ]
     )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """GLOBAL bottom-k (KMV / Theta) sketch of a key set: the k
+    distinct keys with the smallest md5 priorities. Planned as
+    ``orderBy(pri, key).limit(k)`` — Spark's TakeOrderedAndProject:
+    each partition keeps its own k candidates and the driver merges
+    k·n_partitions rows, so there is NO data-sized global sort or
+    window anywhere (the c69-class hazard this file's quantile sketch
+    avoids with per-group windows is avoided here with take-ordered).
+    Columns: (__pri, __key)."""
+    pri = F.md5(F.col("__key").cast("string").cast("binary"))
+    return (
+        df.select(F.col(key_col).alias("__key"))
+        .distinct()
+        .select(pri.alias("__pri"), "__key")
+        .orderBy("__pri", "__key")
+        .limit(k)
+    )
+
+
+def kmv_intersection(
+    a: DataFrame, b: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """SET-INTERSECTION cardinality from two mergeable KMV sketches —
+    the Theta-sketch workhorse (Beyer et al. 2007 / DataSketches):
+    with L = the k smallest-hash keys of the UNION of the two
+    sketches and u = L's k-th normalized hash, |A∪B| ≈ (k−1)/u,
+    ρ̂(Jaccard) = |L ∩ S_A ∩ S_B| / |L|, and |A∩B| ≈ ρ̂ · |A∪B| — an
+    intersection estimate from two k-row summaries, never a join of
+    the sets. When the union sample holds fewer than k keys the
+    sketch IS the union and every output is exact (the small-set
+    branch, replayed identically by the oracle).
+
+    Engine-portable arithmetic: the hash is the repo's md5-hex
+    convention, normalized by its first 13 hex digits (52 bits —
+    exactly representable in BIGINT and DOUBLE in both engines), so
+    every emitted double is a quotient of exact integers and the
+    oracle hash-matches bit-for-bit; the exact |A∩B| is emitted
+    alongside so every record of this estimator carries its own
+    ground truth. At 100 TB the sketches are k-row broadcast state
+    (audience-overlap / join-selectivity estimation without the
+    join); building them costs one distinct + take-ordered per side."""
+    sa = kmv_sketch(a, key_col, k)
+    sb = kmv_sketch(b, key_col, k)
+    union = (
+        sa.unionByName(sb)
+        .groupBy("__key")
+        .agg(F.min("__pri").alias("__pri"))
+        .orderBy("__pri", "__key")
+        .limit(k)
+    )
+    in_both = (
+        union.join(sa.select("__key"), "__key", "left_semi")
+        .join(sb.select("__key"), "__key", "left_semi")
+    )
+    exact = (
+        a.select(F.col(key_col).alias("__key"))
+        .distinct()
+        .join(
+            b.select(F.col(key_col).alias("__key")).distinct(),
+            "__key",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_intersect_exact"))
+    )
+    stats = union.agg(
+        F.count(F.lit(1)).alias("n_union_sample"),
+        F.max("__pri").alias("__kth"),
+    )
+    c = in_both.agg(F.count(F.lit(1)).alias("c_common"))
+    row = stats.crossJoin(c).crossJoin(exact)
+    u = F.conv(F.substring("__kth", 1, 13), 16, 10).cast("bigint").cast(
+        "double"
+    ) / F.lit(float(16**13))
+    small = F.col("n_union_sample") < F.lit(k)
+    union_est = F.when(
+        small, F.col("n_union_sample").cast("double")
+    ).otherwise((F.lit(k) - 1) / u)
+    jac = F.col("c_common").cast("double") / F.col("n_union_sample")
+    return row.select(
+        F.lit(k).alias("k"),
+        "n_union_sample",
+        "c_common",
+        "n_intersect_exact",
+        union_est.alias("union_est"),
+        jac.alias("jaccard_est"),
+        (jac * union_est).alias("intersect_est"),
+    )

@@ -427,3 +427,29 @@ def test_streamed_kmv_equals_batch_build_and_replay_is_noop(spark, tmp_path):
     q2 = foreach_batch_kmv(stream, table_dir, ckpt, "v", "k", k=16)
     q2.awaitTermination()
     assert sample(read_upsert_table(spark, table_dir)) == streamed
+
+
+def test_kmv_intersection_estimates_and_small_set_exactness(spark):
+    """KMV intersection: on a synthetic pair with known overlap the
+    estimate lands within 4/sqrt(k) relative error of truth (99.9%+
+    envelope), the emitted exact count is right, and when the union
+    fits inside k the small-set branch returns EXACT values."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.sketch import kmv_intersection
+
+    a = spark.range(0, 4000).select(F.col("id").alias("key"))
+    b = spark.range(2000, 7000).select(F.col("id").alias("key"))
+    r = kmv_intersection(a, b, "key", k=256).collect()[0]
+    assert r["n_intersect_exact"] == 2000
+    assert r["n_union_sample"] == 256
+    rel = 4.0 / (256 ** 0.5)
+    assert abs(r["union_est"] - 7000) / 7000 < rel
+    assert abs(r["intersect_est"] - 2000) / 2000 < 2 * rel
+    # small-set branch: union fits in k -> everything exact
+    a2 = spark.range(0, 30).select(F.col("id").alias("key"))
+    b2 = spark.range(20, 50).select(F.col("id").alias("key"))
+    r2 = kmv_intersection(a2, b2, "key", k=256).collect()[0]
+    assert r2["n_union_sample"] == 50
+    assert r2["union_est"] == 50.0
+    assert r2["c_common"] == 10 and r2["intersect_est"] == 10.0
