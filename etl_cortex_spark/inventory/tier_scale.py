@@ -1874,3 +1874,62 @@ def scale_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_a = a.withColumnRenamed("o_custkey", "key")
     out_b = b.withColumnRenamed("c_custkey", "key")
     return kmv_intersection(out_a, out_b, "key", k=64)
+
+
+@query(
+    "scale_cdc_apply_ooo",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             o_orderkey % 5 = 0 AS up, o_orderkey % 9 = 0 AS del,
+             2 * (1 + o_orderkey % 4) AS su,
+             1 + 2 * ((o_orderkey * 3 + 1) % 4) AS sd
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN up AND (NOT del OR su > sd)
+                THEN o_totalprice + 1000 ELSE o_totalprice
+           END AS o_totalprice
+    FROM x
+    WHERE NOT (del AND (NOT up OR sd > su))
+    ORDER BY o_orderkey
+    """,
+)
+def scale_cdc_apply_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER CHANGELOG APPLY with tombstones (round 15 —
+    `gold.apply_changelog`, the CDC-consumer half the B17/B23 family
+    was missing: B23 EXTRACTS a change set, B17 merges one ordered
+    batch; this resolves a shuffled multi-event stream): every %5 key
+    carries an upsert (price +1000) and every %9 key a delete
+    tombstone, each with a closed-form sequence number chosen so the
+    two RACE on the %45 keys — some deletes out-sequence their
+    updates (key gone), some lose (update wins) — and the consumer
+    must resolve by sequence, not arrival. Resolution is one
+    map-side-combined max_by aggregate (hot keys forward one
+    candidate per partition — skew-immune where a window hot-spots),
+    with tombstones dropped only AFTER the argmax (dropping first
+    resurrects deleted keys). Replayed/duplicate events are
+    idempotent by construction. The oracle replays the same race
+    arithmetic as plain CASE logic."""
+    from etl_cortex_spark.operators.gold import apply_changelog
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ups = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("seq", (2 * (1 + F.col("o_orderkey") % 4)).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn(
+            "seq", (1 + 2 * ((F.col("o_orderkey") * 3 + 1) % 4)).cast("long")
+        )
+        .withColumn("op", F.lit("D"))
+    )
+    changes = ups.unionByName(dels)
+    return apply_changelog(
+        orders, changes, ["o_orderkey"], "seq", "op"
+    ).orderBy("o_orderkey")

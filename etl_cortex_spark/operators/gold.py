@@ -501,3 +501,44 @@ def point_in_time_join(
             if c not in set(keys)
         ],
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an OUT-OF-ORDER changelog (upserts + delete tombstones,
+    each stamped with a monotone per-key sequence number) to a base
+    table — the Debezium/CDC-consumer contract: arrival order is
+    meaningless, the winner per key is the event with the HIGHEST
+    sequence; a winning ``op='D'`` removes the key, a winning
+    ``op='U'`` replaces the row, and keys the changelog never touches
+    keep their base row (the base participates as sequence-0
+    upserts).
+
+    The whole resolution is ONE partial-combined aggregate —
+    ``max_by(struct(op, payload), seq)`` per key — the repo's
+    dedup-latest discipline: each map task forwards at most one
+    candidate per key, so a hot key (millions of updates in one
+    batch) never concentrates rows the way a window would, and
+    late/duplicate/replayed events are idempotent by construction
+    (same seq → same winner). Tombstones are dropped AFTER the
+    argmax, never before — dropping them first would resurrect
+    deleted keys whose tombstone out-sequences their updates."""
+    payload = [c for c in base.columns if c not in keys]
+    zero = base.withColumn(seq_col, F.lit(0).cast("long")).withColumn(
+        op_col, F.lit("U")
+    )
+    ev = zero.unionByName(changes.select(*zero.columns))
+    winner = ev.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("__op"), *[F.col(c) for c in payload]),
+            F.col(seq_col),
+        ).alias("__w")
+    )
+    return winner.filter(F.col("__w.__op") == "U").select(
+        *keys, *[F.col(f"__w.{c}").alias(c) for c in payload]
+    )

@@ -216,3 +216,51 @@ def test_point_in_time_join_no_leakage_and_unique_match(spark):
     }
     # uniqueness: row count equals fact count (no fan-out)
     assert point_in_time_join(facts, hist, keys=["user_id"]).count() == 5
+
+
+def test_apply_changelog_resolves_races_and_is_idempotent(spark):
+    """Out-of-order changelog apply: the highest sequence wins per key
+    (tombstones included — a delete out-sequencing an update removes
+    the key, a losing delete doesn't), untouched keys keep their base
+    row, and replaying duplicate events changes nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.gold import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: update(seq 2) then delete(seq 5) -> gone
+            (1, "a2", 2, "U"), (1, None, 5, "D"),
+            # k=2: delete(seq 1) loses to update(seq 3) -> updated
+            (2, None, 1, "D"), (2, "b3", 3, "U"),
+            # k=3: two updates out of order -> seq 7 wins
+            (3, "c7", 7, "U"), (3, "c4", 4, "U"),
+            # k=5: insert of a new key
+            (5, "e", 1, "U"),
+        ],
+        "k int, v string, seq long, op string",
+    )
+    got = {
+        (r.k, r.v)
+        for r in apply_changelog(base, changes, ["k"], "seq", "op").collect()
+    }
+    assert got == {(2, "b3"), (3, "c7"), (4, "d"), (5, "e")}
+    # replay idempotence: doubling every event is a no-op
+    got2 = {
+        (r.k, r.v)
+        for r in apply_changelog(
+            base, changes.unionByName(changes), ["k"], "seq", "op"
+        ).collect()
+    }
+    assert got2 == got
+    # the resolution is an aggregate, not a window (skew posture)
+    plan = (
+        apply_changelog(base, changes, ["k"], "seq", "op")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
