@@ -1933,3 +1933,66 @@ def scale_cdc_apply_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changelog(
         orders, changes, ["o_orderkey"], "seq", "op"
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scale_mv_rewrite",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderdate, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) / 100.0 AS sum_price,
+           CAST(sum(cents) AS BIGINT) / 100.0 / count(*) AS avg_price
+    FROM c GROUP BY 1, 2 ORDER BY month, o_orderstatus
+    """,
+)
+def scale_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW AGGREGATE REWRITE (round 15 — Kimball's
+    aggregate navigator / Snowflake-BigQuery MV rewrite;
+    `operators/mv.py`): a DAILY (day, status) rollup of orders holds
+    re-aggregable partials (count + integer-cent price sum — the repo's
+    order-free money convention, so re-aggregation is EXACT and the
+    float-accumulation-order hazard of double partials never arises),
+    and the MONTHLY revenue question is answered by re-aggregating the
+    MV's ~2k rows instead of the fact — with AVG derived as sum/count
+    AFTER re-aggregation, the partial-measure algebra that makes MV
+    rewrite correct (averaging the MV's daily averages is the classic
+    wrong answer). The oracle computes straight from the fact, so the
+    hash match IS the navigator-correctness proof; the routing
+    decision (MV when the grouping's columns ⊆ MV dims, fact
+    otherwise) and the MV-not-fact plan shape are pinned in pytest.
+    At 100 TB this is the dashboard-latency pattern: one ingest-time
+    rollup, every derivable query reads |MV| rows."""
+    from etl_cortex_spark.operators.mv import answer_aggregate, build_rollup
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    mv = build_rollup(
+        orders, ["o_orderdate", "o_orderstatus"], ["cents"]
+    )
+    out = answer_aggregate(
+        orders,
+        mv,
+        ["o_orderdate", "o_orderstatus"],
+        [
+            ("month", "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)"),
+            ("o_orderstatus", "o_orderstatus"),
+        ],
+        requires=["o_orderdate", "o_orderstatus"],
+        sum_cols=["cents"],
+    )
+    return out.select(
+        "month",
+        "o_orderstatus",
+        "n_rows",
+        (F.col("sum_cents") / 100.0).alias("sum_price"),
+        (F.col("sum_cents") / 100.0 / F.col("n_rows")).alias("avg_price"),
+    ).orderBy("month", "o_orderstatus")

@@ -1,0 +1,78 @@
+"""Materialized-view ROLLUP + aggregate navigator.
+
+The warehouse pattern behind every BI layer (Kimball's "aggregate
+navigator", Snowflake/BigQuery MV rewrite): maintain ONE fine-grained
+rollup holding re-aggregable PARTIALS (count, per-measure sums), and
+answer every query whose grouping can be derived from the rollup's
+dimensions by re-aggregating those partials — reading |MV| rows
+instead of |fact|. Queries needing columns the MV doesn't carry fall
+back to the fact transparently; the caller's code path is identical
+either way.
+
+Correctness hinges on the partial-measure algebra: COUNT and SUM
+re-aggregate losslessly (sum of sums / sum of counts); AVG must be
+DERIVED as sum/count at the end (averaging averages is the classic
+wrong answer the partials exist to prevent); MIN/MAX re-aggregate but
+COUNT DISTINCT does not (it needs a sketch — `scale_hll_sketch_rollup`
+is that operator). At 100 TB the rollup is the difference between a
+dashboard query scanning gigabytes and scanning the fact: the MV is
+maintained incrementally by the same machinery as
+`scale_incremental_agg` (partials are additive, so a delta batch
+folds in without a rebuild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_rollup(
+    base: DataFrame, dims: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """The fine-grained rollup: one row per dims tuple carrying the
+    re-aggregable partials ``__n`` and ``__sum_<c>``. One map-side
+    combined aggregate of the fact — paid once at ingest/refresh."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(c).alias(f"__sum_{c}") for c in sum_cols
+    ]
+    return base.groupBy(*dims).agg(*aggs)
+
+
+def answer_aggregate(
+    base: DataFrame,
+    mv: DataFrame,
+    mv_dims: list[str],
+    group_exprs: list[tuple[str, str]],
+    requires: list[str],
+    sum_cols: list[str],
+    avg_cols: list[str] = (),
+) -> DataFrame:
+    """The NAVIGATOR: answer ``SELECT <group_exprs>, count, sums,
+    avgs`` from the rollup when every base column the grouping reads
+    (``requires``) is one of the rollup's dimensions — re-aggregating
+    partials over |MV| rows — and from the fact otherwise. The result
+    is identical by the partial-measure algebra; only the scanned
+    row count differs (pinned in pytest via the optimized plan).
+    ``avg_cols`` are derived as sum/count AFTER re-aggregation —
+    never an average of averages."""
+    from_mv = set(requires) <= set(mv_dims)
+    if from_mv:
+        src = mv
+        n = F.sum("__n")
+        sums = {c: F.sum(f"__sum_{c}") for c in sum_cols}
+    else:
+        src = base
+        n = F.count(F.lit(1))
+        sums = {c: F.sum(c) for c in sum_cols}
+    out = src.groupBy(
+        *[F.expr(e).alias(a) for a, e in group_exprs]
+    ).agg(
+        n.alias("n_rows"),
+        *[s.alias(f"sum_{c}") for c, s in sums.items()],
+    )
+    for c in avg_cols:
+        # exact-integer-free caveat does not apply: sum/count of
+        # identical doubles divides identically in any engine
+        out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+    return out

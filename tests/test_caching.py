@@ -224,3 +224,42 @@ def test_track_dedupes_same_plan_and_keeps_cache_hot(spark):
         )
     )
     assert first.storageLevel == StorageLevel.NONE
+
+
+def test_mv_navigator_routes_and_reaggregates_correctly(spark):
+    """The aggregate navigator: a grouping derivable from the MV dims
+    re-aggregates partials (the plan reads the rollup's __n, never
+    re-counting the fact); a grouping needing other columns falls back
+    to the fact; both paths produce identical values; and AVG comes
+    from sum/count — on a deliberately skewed fixture where the
+    average of the MV's per-day averages is WRONG."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.mv import answer_aggregate, build_rollup
+
+    base = spark.createDataFrame(
+        # day 1: 1 row of 100; day 2: 99 rows of 0 -> true avg = 1.0,
+        # avg-of-daily-avgs = 50.0
+        [(1, "a", 100)] + [(2, "a", 0)] * 99,
+        "day int, status string, v long",
+    )
+    mv = build_rollup(base, ["day", "status"], ["v"])
+    out = answer_aggregate(
+        base, mv, ["day", "status"],
+        [("status", "status")], requires=["status"], sum_cols=["v"],
+        avg_cols=["v"],
+    )
+    row = out.collect()[0]
+    assert (row["n_rows"], row["sum_v"], row["avg_v"]) == (100, 100, 1.0)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__n" in plan  # answered from the rollup's partials
+    # fallback: a grouping column the MV does not carry
+    out2 = answer_aggregate(
+        base, mv, ["day", "status"],
+        [("v_bucket", "CAST(v > 0 AS INT)")], requires=["v"],
+        sum_cols=["v"],
+    )
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "__n" not in plan2  # fact path
+    got = {(r["v_bucket"], r["n_rows"], r["sum_v"]) for r in out2.collect()}
+    assert got == {(1, 1, 100), (0, 99, 0)}
