@@ -2920,3 +2920,65 @@ def d05mp3scf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_mp3_scf_assets(docs)
     return MM.decode_mp3_scalefactors(assets).orderBy("asset_id")
+
+
+@query(
+    "d03_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id >= 8),
+    ms(m) AS (VALUES (8), (16), (32)),
+    scored AS (
+      SELECT ms.m, q.qid, c.vec_id,
+             round(list_dot_product(list_slice(v, 1, ms.m), list_slice(qv, 1, ms.m))
+                   / (sqrt(list_dot_product(list_slice(v, 1, ms.m), list_slice(v, 1, ms.m)))
+                      * sqrt(list_dot_product(list_slice(qv, 1, ms.m), list_slice(qv, 1, ms.m)))),
+                   6) AS s
+      FROM c, q, ms
+    ),
+    fscored AS (
+      SELECT q.qid, c.vec_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                   6) AS s
+      FROM c, q
+    ),
+    topm AS (
+      SELECT m, qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY m, qid ORDER BY s DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    topf AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+        FROM fscored) WHERE rn <= 10
+    )
+    SELECT m, 8 AS n_queries, CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) AS DOUBLE) / 80 AS recall_at_k
+    FROM topm JOIN topf USING (qid, vec_id)
+    GROUP BY m ORDER BY m
+    """,
+)
+def d03matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION recall audit (round 15 —
+    `similarity.matryoshka_recall_audit`): recall@10 of prefix-cosine
+    retrieval at 8/16/32 of 64 dimensions vs the full-dimension exact
+    top-10, over 8 query vectors — the measured basis for the
+    shorten-the-vector serving knob (4× shorter = 4× less ANN I/O),
+    held to the same discipline as the LSH/PQ ε-recall twins: a lossy
+    path ships with its recall number or not at all. Both engines
+    rank by 6dp-rounded scores with an id tiebreak over identical
+    left-to-right dot folds, so the hit COUNTS are exact integers and
+    this is a full hash oracle, not an ε bound. The measured recalls
+    are LOW here by construction (0.12–0.36): the synthetic embeddings
+    are random, and random vectors don't front-load information —
+    which is precisely the finding the audit exists to surface (only
+    Matryoshka-TRAINED embeddings may be served truncated; an
+    untrained table fails its audit and keeps full-width serving)."""
+    emb = T(spark, sf_dir, "embeddings")
+    from etl_cortex_spark.operators.similarity import matryoshka_recall_audit
+
+    return matryoshka_recall_audit(emb)

@@ -719,3 +719,87 @@ def bitext_margin_pairs(
         .filter((F.col("__rm") == 1) & (F.col("margin") >= F.lit(float(threshold))))
         .select(src_id_col, tgt_id_col, "margin", "cosine")
     )
+
+
+def matryoshka_recall_audit(
+    emb: DataFrame,
+    n_queries: int = 8,
+    dims: tuple = (8, 16, 32),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TRUNCATED-DIMENSION retrieval audit (round 15 — the Matryoshka
+    question every embedding-serving stack now asks: how much recall
+    does serving a PREFIX of the vector cost?): for each truncation
+    width m, rank the corpus by cosine over the first m components and
+    measure recall@k against the full-dimension exact top-k, averaged
+    over the first ``n_queries`` vectors as queries. This is the
+    measured basis for the storage/latency knob (a 4× shorter vector
+    is 4× less ANN I/O) — the same audit discipline as the LSH/PQ
+    ε-recall twins: never adopt a lossy serving path without its
+    measured recall.
+
+    Plan shape: ONE broadcast cross join of the corpus against the
+    tiny query set, a per-(m, query) window over corpus-sized rows
+    (partitioned, never global), and a k-row semi-join per truncation
+    — no all-pairs between corpus rows anywhere. Scores round to 6dp
+    before ranking with an id tiebreak (the d03 convention), so the
+    order — and therefore the recall integers — is engine-exact."""
+    from pyspark.sql import Window
+
+    queries = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("__qid"),
+            as_double(F.col(vec_col)).alias("__qv"),
+        )
+    )
+    corpus = emb.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    full_dim = 0  # sentinel label for the untruncated ranking
+    frames = []
+    for m in list(dims) + [full_dim]:
+        if m == full_dim:
+            sv, sq = F.col("__v"), F.col("__qv")
+        else:
+            sv, sq = F.slice("__v", 1, m), F.slice("__qv", 1, m)
+        frames.append(
+            pairs.select(
+                F.lit(m).alias("__m"),
+                "__qid",
+                "__id",
+                F.round(cosine(sv, sq), 6).alias("__s"),
+            )
+        )
+    from functools import reduce
+
+    scored = reduce(lambda a, b: a.unionByName(b), frames)
+    w = Window.partitionBy("__m", "__qid").orderBy(
+        F.desc("__s"), F.asc("__id")
+    )
+    top = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__m", "__qid", "__id")
+    )
+    full_top = top.filter(F.col("__m") == full_dim).select("__qid", "__id")
+    hits = (
+        top.filter(F.col("__m") != full_dim)
+        .join(full_top, ["__qid", "__id"], "left_semi")
+        .groupBy(F.col("__m").alias("m"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    denom = n_queries * k
+    return (
+        hits.select(
+            "m",
+            F.lit(n_queries).alias("n_queries"),
+            "hits",
+            (F.col("hits").cast("double") / F.lit(denom)).alias("recall_at_k"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("m")
+    )
