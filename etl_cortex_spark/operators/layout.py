@@ -1498,6 +1498,7 @@ def snapshot_compact(
     stats_col: str | None = None,
     target_files: int = 1,
     zorder_by: tuple | None = None,
+    bloom_col: str | None = None,
 ) -> int:
     """OPTIMIZE for the manifest snapshot table (round 13 — closing
     the protocol family: append / read / COW-delete / stats-prune /
@@ -1574,6 +1575,11 @@ def snapshot_compact(
     if stats_col is not None:
         cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
         meta["stats"] = multi_file_stats(spark, staged, cols)
+    if bloom_col is not None:
+        # a compacted table would otherwise silently LOSE point-lookup
+        # pruning (blooms are per-file; the rewrite produced new files)
+        # — re-derive them over the compacted layout (round 15)
+        meta["blooms"] = {bloom_col: file_blooms(spark, staged, bloom_col)}
     _commit_manifest(path, version, meta)
     return version
 

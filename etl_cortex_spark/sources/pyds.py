@@ -173,6 +173,24 @@ def make_snapshot_changes_stream_source():
     protocol here is unchanged by that upgrade."""
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
+    # Everything below is SELF-CONTAINED on purpose (no etl_cortex_spark
+    # imports): Python DataSource planner code runs in its own worker
+    # process, which inherits neither the driver's sys.path nor its
+    # addPyFile set — round-15 verify caught the import failing under
+    # an out-of-repo session. The manifest grammar is 10 lines; inlining
+    # it keeps the source usable from any session, which is the whole
+    # point of a DataSource.
+
+    def latest_version(path):
+        import glob
+        import os
+
+        versions = [
+            int(os.path.basename(m).split(".")[0][1:])
+            for m in glob.glob(os.path.join(path, "v*.manifest.json"))
+        ]
+        return max(versions) if versions else 0
+
     def load_meta(path, v):
         import json
         import os
@@ -219,18 +237,9 @@ def make_snapshot_changes_stream_source():
         def initialOffset(self):
             return {"version": self.start_version}
 
-        def _latest(self):
-            from etl_cortex_spark.operators.layout import (
-                _manifest_version,
-                _manifests,
-            )
-
-            ms = _manifests(self.path)
-            return _manifest_version(ms[-1]) if ms else 0
-
         def read(self, start):
             v0 = start["version"]
-            head = self._latest()
+            head = latest_version(self.path)
             if head <= v0:
                 return iter([]), {"version": v0}
             return iter(rows_of(added_files(self.path, v0, head))), {
@@ -254,18 +263,12 @@ def make_snapshot_changes_stream_source():
             # one footer read of the newest file (the _version_schema
             # rule): arrow types mapped to the DDL subset the protocol
             # fixtures use; anything else raises rather than guessing
-            import json
-            import os
-
             import pyarrow.parquet as pq
 
-            from etl_cortex_spark.operators.layout import _manifests
-
-            ms = _manifests(self.options["path"])
-            if not ms:
+            head = latest_version(self.options["path"])
+            if not head:
                 raise ValueError("snapshot stream: empty table")
-            with open(ms[-1]) as f:
-                files = json.load(f)["files"]
+            files = load_meta(self.options["path"], head)["files"]
             sch = pq.read_schema(files[-1])
             m = {
                 "int64": "bigint", "int32": "int", "double": "double",

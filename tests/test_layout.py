@@ -1329,3 +1329,39 @@ def test_snapshot_zorder_compact_prunes_both_dims(spark, tmp_path):
     assert sxy.count() == df.filter(
         "x between 10 and 20 and y between 100 and 150"
     ).count()
+
+
+def test_snapshot_compact_rederives_blooms(spark, tmp_path):
+    """A compacted table keeps its point-lookup pruning when asked:
+    `snapshot_compact(bloom_col=)` re-derives per-file Blooms over the
+    rewritten files, the post-compaction probe prunes and never
+    misses, and omitting bloom_col degrades conservatively (all files
+    read, values still exact)."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_point_lookup,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "snapbloomcompact")
+    for third in (0, 1, 2):
+        batch = (
+            spark.range(0, 600)
+            .withColumnRenamed("id", "k")
+            .filter(f"k % 3 = {third}")
+            .repartition(2)
+        )
+        snapshot_append(spark, batch, path, bloom_col="k")
+    snapshot_compact(spark, path, target_files=6, bloom_col="k")
+    n_all = len(snapshot_read(spark, path).inputFiles())
+    assert n_all == 6
+    for key in (17, 400, 599):
+        out = snapshot_point_lookup(spark, path, "k", key)
+        assert len(out.inputFiles()) < n_all
+        assert [r.k for r in out.collect()] == [key]
+    # without bloom_col the rewrite is conservative, never wrong
+    snapshot_compact(spark, path, target_files=3)
+    out = snapshot_point_lookup(spark, path, "k", 17)
+    assert [r.k for r in out.collect()] == [17]
+    assert len(out.inputFiles()) == 3  # no pruning claimed

@@ -116,17 +116,37 @@ def test_mp2_error_paths(spark):
         df = assets.mapInPandas(swap, schema="asset_id bigint, payload binary")
         return MM.decode_mp2_subband_features(df).collect()
 
+    def expect_error(payload: bytes, pattern: str):
+        # The decode MUST fail — that part never retries. The MESSAGE
+        # check retries: under heavy host load Spark's first-surfaced
+        # exception is occasionally the stage-cancellation artifact
+        # ("TaskKilled ...") instead of the worker's ValueError text
+        # (round-15 sweep flake — one occurrence in ~700 tests), and
+        # the worker text is what identifies WHICH guard fired.
+        import re
+
+        last = None
+        for _ in range(3):
+            try:
+                run(payload)
+            except Exception as e:  # noqa: BLE001 — message inspected
+                if re.search(pattern, str(e)):
+                    return
+                last = e
+                continue
+            raise AssertionError("corrupt payload decoded without error")
+        raise AssertionError(f"error text never matched {pattern!r}: {last}")
+
     good = bytes([0xFF, 0xFD, (2 << 4) | (1 << 2), 0xC0]) + b"\x00" * 140
     run(good)  # all-zero allocation: decodes to an empty subband grid
-    with pytest.raises(Exception, match="lost frame sync"):
-        run(b"\x00\x00" + good)
-    with pytest.raises(Exception, match="not Layer II"):
-        run(bytes([0xFF, 0xFB, 0x24, 0xC0]) + b"\x00" * 140)
-    with pytest.raises(Exception, match="truncated frame"):
-        run(good[:80])
-    with pytest.raises(Exception, match="3-B.2a/b"):
-        # bitrate index 4 → 64 kbps/ch → high-rate table family
-        run(bytes([0xFF, 0xFD, (4 << 4) | (1 << 2), 0xC0]) + b"\x00" * 188)
+    expect_error(b"\x00\x00" + good, "lost frame sync")
+    expect_error(bytes([0xFF, 0xFB, 0x24, 0xC0]) + b"\x00" * 140, "not Layer II")
+    expect_error(good[:80], "truncated frame")
+    # bitrate index 4 → 64 kbps/ch → high-rate table family
+    expect_error(
+        bytes([0xFF, 0xFD, (4 << 4) | (1 << 2), 0xC0]) + b"\x00" * 188,
+        "3-B.2a/b",
+    )
 
 
 def test_mp2_id3_skip_and_multiframe(spark):
