@@ -2982,3 +2982,61 @@ def d03matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_cortex_spark.operators.similarity import matryoshka_recall_audit
 
     return matryoshka_recall_audit(emb)
+
+
+@query(
+    "d05_rice_residual_decode",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS d, 64 + doc_id % 64 AS n, 2 + doc_id % 3 AS k
+      FROM documents
+    ),
+    s AS (
+      SELECT d, n, k, i.i, 100 + 3*i.i + ((7*d + 11*i.i) % 5) AS sv
+      FROM a, range(0, 128) i(i) WHERE i.i < n
+    ),
+    e AS (
+      SELECT d, n, k, i, sv,
+             sv - 2 * lag(sv, 1) OVER w + lag(sv, 2) OVER w AS ev
+      FROM s WINDOW w AS (PARTITION BY d ORDER BY i)
+    ),
+    u AS (
+      SELECT *,
+             CASE WHEN i < 2 THEN NULL
+                  WHEN ev >= 0 THEN 2 * ev ELSE -2 * ev - 1 END AS uz
+      FROM e
+    )
+    SELECT d AS asset_id,
+           CAST(max(n) AS INT) AS n_samples,
+           CAST(max(k) AS INT) AS k,
+           CAST(sum(sv) AS BIGINT) AS sum_samples,
+           CAST(max(sv) AS INT) AS max_sample,
+           CAST(sum(CASE WHEN i >= 2 THEN abs(ev) ELSE 0 END) AS BIGINT)
+             AS sum_abs_residual,
+           CAST(max(CASE WHEN i >= 2 THEN abs(ev) END) AS INT)
+             AS max_abs_residual,
+           CAST(12 + (sum(CASE WHEN i >= 2 THEN (uz >> k) + 1 + k
+                               ELSE 0 END) + 7) // 8 AS INT)
+             AS payload_bytes
+    FROM u GROUP BY d ORDER BY asset_id
+    """,
+)
+def d05rice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Rice/Golomb residual decode + fixed-predictor
+    reconstruction (round 15 — the lossless-audio core FLAC/Shorten/
+    ALAC build on, `multimodal.decode_rice_audio_features`): order-2
+    fixed prediction (ŝᵢ = 2sᵢ₋₁ − sᵢ₋₂, FLAC's public predictor
+    family) + Rice coding of the residuals (unary quotient, k binary
+    remainder bits, FLAC's zigzag sign fold), decoded bit-for-bit and
+    reconstructed through the inverse recurrence — lossless coding,
+    so the oracle replays EVERY sample from the closed signal form,
+    the residual censuses from its second differences, and even the
+    payload byte size from the Rice bit-length arithmetic
+    Σ((u>>k)+1+k) — the entropy coder's cost model is part of the
+    oracle, not just its output. Container framing is a minimal
+    private header by design (the claim is the coding machinery;
+    FLAC's container is framing, not math). Bad magic / stream
+    overrun / unsupported order raise loudly (pytest)."""
+    docs = T(spark, sf_dir, "documents")
+    assets = MM.synthesize_rice_audio_assets(docs)
+    return MM.decode_rice_audio_features(assets).orderBy("asset_id")

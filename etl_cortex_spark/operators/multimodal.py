@@ -4369,3 +4369,130 @@ def decode_mp3_scalefactors(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --- D5u: REAL Rice/Golomb residual decode (FLAC subframe core, round 15) -------
+
+
+def synthesize_rice_audio_assets(docs: DataFrame) -> DataFrame:
+    """Rice-coded FIXED-PREDICTOR audio subframes, one per document —
+    the lossless-audio core that FLAC/Shorten/ALAC build on: an
+    order-2 fixed linear predictor (ŝᵢ = 2·sᵢ₋₁ − sᵢ₋₂, FLAC's public
+    fixed-predictor family) leaves small residuals on smooth signals,
+    and Rice/Golomb coding (unary quotient + k binary remainder bits,
+    FLAC's zigzag sign fold u = 2e / −2e−1) entropy-codes them. The
+    CONTAINER here is a minimal private header (magic, n, order, k,
+    verbatim warm-up samples) — the claim is the CODING machinery,
+    not FLAC framing; both the predictor formulas and Rice coding are
+    textbook-public. Closed forms shared with the oracle:
+
+        n_samples = 64 + id % 64;  k = 2 + id % 3
+        s(i) = 100 + 3·i + ((7·id + 11·i) mod 5)       (smooth + noise)
+        residual e(i) = s(i) − 2·s(i−1) + s(i−2), i ≥ 2
+    """
+    out_schema = "asset_id bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def encode_one(d: int) -> bytes:
+            n = 64 + d % 64
+            k = 2 + d % 3
+            s = [100 + 3 * i + ((7 * d + 11 * i) % 5) for i in range(n)]
+            w = _BitWriter()
+            for i in range(2, n):
+                e = s[i] - 2 * s[i - 1] + s[i - 2]
+                u = 2 * e if e >= 0 else -2 * e - 1
+                q, r = u >> k, u & ((1 << k) - 1)
+                for _ in range(q):
+                    w.put(0, 1)
+                w.put(1, 1)  # unary terminator
+                w.put(r, k)
+            w.put(0, 0)
+            body = bytes(w.buf) + (
+                bytes(((w.acc << (8 - w.nbits)) & 0xFF,)) if w.nbits else b""
+            )
+            return (
+                b"RICE"
+                + struct.pack("<HBBhh", n, 2, k, s[0], s[1])
+                + body
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [encode_one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=out_schema)
+
+
+def decode_rice_audio_features(assets: DataFrame) -> DataFrame:
+    """REAL Rice/Golomb decode + fixed-predictor reconstruction via
+    ``mapInPandas``: walk the unary-quotient/binary-remainder
+    bitstream, unfold the zigzag sign map, and reconstruct samples
+    through the order-2 recurrence sᵢ = eᵢ + 2·sᵢ₋₁ − sᵢ₋₂ seeded by
+    the verbatim warm-up pair — the exact inverse of the predictor,
+    so reconstruction is BIT-EXACT (lossless coding has a closed-form
+    oracle by definition). Emits integer censuses of both the decoded
+    SAMPLES and the wire-level residuals, plus the actual bitstream
+    size, so the oracle pins the entropy-coding arithmetic too. Bad
+    magic, stream overrun, and unsupported predictor orders raise
+    loudly."""
+    out_schema = (
+        "asset_id bigint, n_samples int, k int, sum_samples bigint, "
+        "max_sample int, sum_abs_residual bigint, max_abs_residual int, "
+        "payload_bytes int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def decode_one(aid, buf: bytes):
+            if buf[:4] != b"RICE":
+                raise ValueError(f"asset {aid}: not a RICE payload")
+            n, order, k, s0, s1 = struct.unpack("<HBBhh", buf[4:12])
+            if order != 2:
+                raise ValueError(f"asset {aid}: only order-2 fixed predictor")
+            r = _BitReader(buf[12:])
+            total_bits = (len(buf) - 12) * 8
+            s = [s0, s1]
+            sum_abs_e = max_abs_e = 0
+            for _i in range(2, n):
+                q = 0
+                while True:
+                    if r.pos >= total_bits:
+                        raise ValueError(f"asset {aid}: Rice stream overrun")
+                    if r.get(1):
+                        break
+                    q += 1
+                if r.pos + k > total_bits:
+                    raise ValueError(f"asset {aid}: Rice stream overrun")
+                u = (q << k) | r.get(k)
+                e = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+                sum_abs_e += abs(e)
+                max_abs_e = max(max_abs_e, abs(e))
+                s.append(e + 2 * s[-1] - s[-2])
+            return (
+                n, k, sum(s), max(s), sum_abs_e, max_abs_e, len(buf),
+            )
+
+        for pdf in it:
+            cols = (
+                "asset_id", "n_samples", "k", "sum_samples", "max_sample",
+                "sum_abs_residual", "max_abs_residual", "payload_bytes",
+            )
+            rows = {c: [] for c in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                vals = decode_one(aid, bytes(payload))
+                for c, v in zip(cols, (aid, *vals)):
+                    rows[c].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=out_schema)

@@ -1320,3 +1320,48 @@ def test_mp3_scalefactor_scfsi_reuse_and_errors(spark):
     tampered2[4 + 3] |= 0x02  # a bit inside big_values (bits 30-38)
     with _pytest.raises(Exception, match="3-B.7"):
         MM.decode_mp3_scalefactors(df_of(tampered2)).collect()
+
+
+def test_rice_decode_bit_exact_and_errors(spark):
+    """Rice/fixed-predictor decode: reconstruction is BIT-EXACT per
+    sample against the closed signal form (lossless coding's whole
+    contract), and bad magic / truncation / unsupported predictor
+    order raise loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 6)
+    rows = MM.decode_rice_audio_features(
+        MM.synthesize_rice_audio_assets(docs)
+    ).collect()
+    assert len(rows) == 6
+    for r in rows:
+        d = int(r["asset_id"])
+        n = 64 + d % 64
+        s = [100 + 3 * i + ((7 * d + 11 * i) % 5) for i in range(n)]
+        assert r["n_samples"] == n and r["k"] == 2 + d % 3
+        assert r["sum_samples"] == sum(s)
+        assert r["max_sample"] == max(s)
+        es = [s[i] - 2 * s[i - 1] + s[i - 2] for i in range(2, n)]
+        assert r["sum_abs_residual"] == sum(abs(e) for e in es)
+        assert r["max_abs_residual"] == max(abs(e) for e in es)
+
+    shard = bytes(
+        MM.synthesize_rice_audio_assets(docs.filter(F.col("doc_id") == 3))
+        .collect()[0]["payload"]
+    )
+
+    def df_of(buf):
+        return spark.createDataFrame(
+            [(3, bytearray(bytes(buf)))], "asset_id long, payload binary"
+        )
+
+    with _pytest.raises(Exception, match="not a RICE"):
+        MM.decode_rice_audio_features(df_of(b"NOPE" + shard[4:])).collect()
+    with _pytest.raises(Exception, match="overrun"):
+        MM.decode_rice_audio_features(df_of(shard[:-3])).collect()
+    bad_order = bytearray(shard)
+    struct.pack_into("<B", bad_order, 6, 3)
+    with _pytest.raises(Exception, match="order-2"):
+        MM.decode_rice_audio_features(df_of(bytes(bad_order))).collect()
