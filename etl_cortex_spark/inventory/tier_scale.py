@@ -1996,3 +1996,64 @@ def scale_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_cents") / 100.0).alias("sum_price"),
         (F.col("sum_cents") / 100.0 / F.col("n_rows")).alias("avg_price"),
     ).orderBy("month", "o_orderstatus")
+
+
+@query(
+    "scale_snapshot_tags",
+    oracle="""
+    WITH v(tag) AS (VALUES ('golden'), ('head'))
+    SELECT v.tag,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM v JOIN orders o
+      ON (o.o_orderkey % 3) < (CASE v.tag WHEN 'golden' THEN 1 ELSE 3 END)
+    GROUP BY v.tag ORDER BY v.tag
+    """,
+)
+def scale_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED REFS / TAGS on the snapshot table (round 15 — Iceberg
+    tags, `layout.snapshot_tag` + `snapshot_read_ref`): the first
+    commit is tagged ``golden`` (the reproducible-training-run pin),
+    two more commits land, the head is tagged ``head``, and the query
+    reads BOTH tags — proving a tag resolves to its version's exact
+    content after later commits. The operational teeth are in pytest:
+    `snapshot_expire` refuses to drop a tagged version's manifest no
+    matter how old (a tag is a RETENTION GUARANTEE, Iceberg's ref
+    rule — "the snapshot the March run trained on" survives the
+    vacuum until someone untags it), and untagging makes it expirable
+    again. The oracle replays both versions' thirds as plain SQL."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read_ref,
+        snapshot_tag,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snaptag_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_tag(path, "golden")  # pins v1
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 2), path)
+    snapshot_tag(path, "head")  # pins v3
+    frames = []
+    for name in ("golden", "head"):
+        frames.append(
+            snapshot_read_ref(spark, path, name)
+            .groupBy()
+            .agg(
+                F.lit(name).alias("tag"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select("tag", "n_orders", "total_price")
+        )
+    return frames[0].unionByName(frames[1]).coalesce(1).sortWithinPartitions("tag")

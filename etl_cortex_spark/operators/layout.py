@@ -1750,6 +1750,20 @@ def snapshot_expire(
     if not manifests:
         raise ValueError(f"snapshot_expire: no manifests under {path}")
     drop, keep = manifests[:-keep_last], manifests[-keep_last:]
+    # TAGGED versions are retention guarantees (round 15 — the Iceberg
+    # ref rule): a manifest named by any ref moves from the drop set to
+    # the keep set no matter how old it is; its batch_id therefore also
+    # stays out of the retired ledger (the manifest remains the
+    # authority while the tag lives)
+    tagged = {
+        os.path.join(path, f"v{v}.manifest.json")
+        for v in snapshot_refs(path).values()
+    }
+    if tagged:
+        keep = sorted(
+            set(keep) | (set(drop) & tagged), key=_manifest_version
+        )
+        drop = [m for m in drop if m not in tagged]
 
     def _all_refs(meta: dict) -> set:
         # data files AND equality-delete files: both are load-bearing
@@ -1814,3 +1828,72 @@ def snapshot_expire(
         "files_deleted": deleted,
         "orphans_deleted": orphans,
     }
+
+
+def _refs_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "refs.json")
+
+
+def snapshot_tag(path: str, name: str, version: int | None = None) -> int:
+    """Named REF on the snapshot table (round 15 — Iceberg tags /
+    Delta's named restore points): bind ``name`` to a version (default
+    the head) in ``refs.json`` (atomic replace). Tags make pinning
+    HUMAN-OPERABLE — "the snapshot the March run trained on" instead
+    of a version number in a notebook — and they are load-bearing for
+    retention: `snapshot_expire` NEVER drops a tagged version's
+    manifest, so a tag is a retention guarantee, not a comment
+    (exactly Iceberg's ref-retention rule). Returns the bound
+    version; re-tagging a name rebinds it."""
+    import json
+    import os
+
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_tag: no manifests under {path}")
+    if version is None:
+        version = _manifest_version(manifests[-1])
+    elif not os.path.exists(os.path.join(path, f"v{version}.manifest.json")):
+        raise ValueError(f"snapshot_tag: version {version} does not exist")
+    refs = snapshot_refs(path)
+    refs[name] = version
+    tmp = _refs_path(path) + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, _refs_path(path))
+    return version
+
+
+def snapshot_refs(path: str) -> dict:
+    """All named refs: {name: version}."""
+    import json
+    import os
+
+    p = _refs_path(path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def snapshot_untag(path: str, name: str) -> None:
+    """Drop a ref; the version it pinned becomes expirable again."""
+    import json
+    import os
+
+    refs = snapshot_refs(path)
+    refs.pop(name, None)
+    tmp = _refs_path(path) + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, _refs_path(path))
+
+
+def snapshot_read_ref(spark, path: str, name: str):
+    """Read the table AS OF a named ref — `snapshot_read` at the
+    tagged version."""
+    refs = snapshot_refs(path)
+    if name not in refs:
+        raise ValueError(f"snapshot_read_ref: no ref {name!r} at {path}")
+    return snapshot_read(spark, path, version=refs[name])

@@ -1365,3 +1365,46 @@ def test_snapshot_compact_rederives_blooms(spark, tmp_path):
     out = snapshot_point_lookup(spark, path, "k", 17)
     assert [r.k for r in out.collect()] == [17]
     assert len(out.inputFiles()) == 3  # no pruning claimed
+
+
+def test_snapshot_tags_guarantee_retention(spark, tmp_path):
+    """Tags are retention guarantees: an expire that would drop a
+    tagged version keeps its manifest (and the data stays readable by
+    ref), re-tagging rebinds, untagging makes the version expirable,
+    and tagging a missing version fails loudly."""
+    import pytest
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_expire,
+        snapshot_read,
+        snapshot_read_ref,
+        snapshot_refs,
+        snapshot_tag,
+        snapshot_untag,
+    )
+
+    path = str(tmp_path / "snaptags")
+    snapshot_append(spark, spark.range(0, 40).withColumnRenamed("id", "k"), path)
+    assert snapshot_tag(path, "golden") == 1
+    snapshot_append(spark, spark.range(40, 90).withColumnRenamed("id", "k"), path)
+    snapshot_append(spark, spark.range(90, 150).withColumnRenamed("id", "k"), path)
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_tag(path, "nope", version=99)
+    res = snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0.0)
+    # v2 dropped; v1 SURVIVES because golden pins it
+    assert res["manifests_removed"] == 1
+    assert [m[-16:] for m in _manifests(path)] == [
+        "v1.manifest.json", "v3.manifest.json",
+    ]
+    assert snapshot_read_ref(spark, path, "golden").count() == 40
+    assert snapshot_read(spark, path).count() == 150
+    # untag -> the old version becomes expirable
+    snapshot_untag(path, "golden")
+    assert snapshot_refs(path) == {}
+    res2 = snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0.0)
+    assert res2["manifests_removed"] == 1
+    with pytest.raises(ValueError, match="no ref"):
+        snapshot_read_ref(spark, path, "golden")
+    assert snapshot_read(spark, path).count() == 150
