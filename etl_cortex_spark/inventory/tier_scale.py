@@ -2057,3 +2057,53 @@ def scale_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("tag", "n_orders", "total_price")
         )
     return frames[0].unionByName(frames[1]).coalesce(1).sortWithinPartitions("tag")
+
+
+@query(
+    "scale_snapshot_changes_cdf",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), round(o_totalprice, 2), 'delete'
+    FROM orders WHERE o_orderkey % 6 = 0
+    """,
+)
+def scale_snapshot_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-FEED across a merge-on-read delete (round 15 —
+    `layout.snapshot_changes_cdf`, the Delta CDF shape: D114's
+    added-files feed could only walk pure appends; this delivers
+    RETRACTIONS too): v1 lands the o_orderkey%3=0 third, v2 the %3=1
+    third, v3 is a MOR delete of %6=0 (which can only hit the v1
+    third), and the feed over (1, 3] emits v2's rows as inserts plus
+    the retracted rows' FULL PRE-IMAGES as deletes — reconstructed by
+    semi-joining v2's live view against the delete entry's key file,
+    so already-deleted rows never re-emit and the cost is
+    O(|retracted|), never the table. Rewriting commits still raise
+    (content diffs are b23's job). The oracle replays both legs as
+    plain SQL with the change-type tag."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes_cdf,
+        snapshot_delete_mor,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdf_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    snapshot_delete_mor(spark, path, F.col("o_orderkey") % 6 == 0, "o_orderkey")
+    return snapshot_changes_cdf(spark, path, 1, 3)

@@ -1408,3 +1408,52 @@ def test_snapshot_tags_guarantee_retention(spark, tmp_path):
     with pytest.raises(ValueError, match="no ref"):
         snapshot_read_ref(spark, path, "golden")
     assert snapshot_read(spark, path).count() == 150
+
+
+def test_snapshot_cdf_delivers_retractions_once(spark, tmp_path):
+    """The CDF walk: inserts from appends, full pre-image deletes from
+    MOR steps, already-deleted rows never re-emitted by a second
+    delete, metadata-only commits deliver nothing, and rewriting
+    commits raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes_cdf,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_tag,
+    )
+
+    path = str(tmp_path / "snapcdf")
+    snapshot_append(
+        spark,
+        spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v"),
+        path,
+    )
+    snapshot_append(
+        spark,
+        spark.range(50, 80).selectExpr("id AS k", "id * 2 AS v"),
+        path,
+    )
+    snapshot_delete_mor(spark, path, F.col("k") < 10, "k")  # v3
+    snapshot_delete_mor(spark, path, F.col("k") < 20, "k")  # v4: 10..19 only
+    got = [
+        (r.k, r.v, r._change_type)
+        for r in snapshot_changes_cdf(spark, path, 1, 4).collect()
+    ]
+    ins = sorted((k, v) for k, v, t in got if t == "insert")
+    dels = sorted((k, v) for k, v, t in got if t == "delete")
+    assert ins == [(k, 2 * k) for k in range(50, 80)]
+    # v3 retracts 0..9; v4 retracts ONLY 10..19 (0..9 already gone)
+    assert dels == [(k, 2 * k) for k in range(0, 20)]
+    assert len(got) == len(ins) + len(dels)  # exactly-once delivery
+    # a rewriting commit in range raises
+    snapshot_compact(spark, path)
+    with pytest.raises(ValueError, match="rewrites data files"):
+        snapshot_changes_cdf(spark, path, 4, 5).collect()
+    # the pre-image columns match the table schema plus _change_type
+    feed = snapshot_changes_cdf(spark, path, 1, 2)
+    assert feed.columns == ["k", "v", "_change_type"]
+    snapshot_tag(path, "x")  # refs are not commits: nothing changes
