@@ -2107,3 +2107,91 @@ def scale_snapshot_changes_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
     snapshot_delete_mor(spark, path, F.col("o_orderkey") % 6 == 0, "o_orderkey")
     return snapshot_changes_cdf(spark, path, 1, 3)
+
+
+@query(
+    "scale_snapshot_wap",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_price,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderkey % 3 < 2
+    """,
+)
+def scale_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the snapshot table (round 15 — the
+    Iceberg WAP pattern, `layout.snapshot_stage` / `snapshot_publish`
+    / `snapshot_discard_branch`: THE lakehouse data-quality gate):
+    the %3=1 third stages on a branch — invisible at head — its
+    branch view passes a null-price audit, and it publishes as one
+    atomic commit; then a POISONED batch (null prices injected)
+    stages, FAILS the same audit, and is discarded without trace.
+    The final head is exactly base + the published batch: zero
+    poisoned rows, zero leftover files — which is what the oracle's
+    n_null_price = 0 and the row count prove. Publish refuses when
+    the head moved past the staged base (the audit validated a
+    superseded state), pinned in pytest along with
+    invisibility-before-publish and trace-free discard. At 100 TB
+    this is how bad batches die BEFORE readers can see them, at
+    O(|batch|) cost."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_discard_branch,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_read_branch,
+        snapshot_stage,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_wap_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+
+    def audit_ok(branch: str) -> bool:
+        bad = (
+            snapshot_read_branch(spark, path, branch)
+            .filter(F.col("o_totalprice").isNull())
+            .limit(1)
+            .count()
+        )
+        return bad == 0
+
+    snapshot_stage(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 1), path, "etl"
+    )
+    if audit_ok("etl"):
+        snapshot_publish(spark, path, "etl")
+    poisoned = orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    snapshot_stage(spark, poisoned, path, "etl")
+    if audit_ok("etl"):
+        snapshot_publish(spark, path, "etl")  # pragma: no cover
+    else:
+        snapshot_discard_branch(path, "etl")
+    return (
+        snapshot_read(spark, path)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_null_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

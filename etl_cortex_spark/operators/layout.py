@@ -1778,6 +1778,14 @@ def snapshot_expire(
     for m in keep:
         with open(m) as f:
             live |= _all_refs(json.load(f))
+    # staged WAP branches are live too (round 15): their files are
+    # referenced by no version manifest YET — sweeping them would kill
+    # an in-flight write-audit-publish older than the grace window
+    import glob as _glob
+
+    for bm in _glob.glob(os.path.join(path, "branch-*.manifest.json")):
+        with open(bm) as f:
+            live |= {os.path.abspath(p) for p in json.load(f)["files"]}
     referenced: set = set()
     retired: dict = dict(_read_batch_ledger(path))
     for m in drop:
@@ -1982,3 +1990,112 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
             "_change_type", F.lit("insert")
         ).limit(0)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def snapshot_stage(spark, df, path: str, branch: str) -> str:
+    """WRITE-AUDIT-PUBLISH, step 1 (round 15 — the Iceberg WAP
+    pattern: land a batch INVISIBLY, gate it on audits, then publish
+    atomically or discard without trace): write the batch's data
+    files under the table's data dir and record them in a BRANCH
+    manifest (``branch-<name>.manifest.json`` — outside the ``v*``
+    version namespace, so head readers never see it), together with
+    the head version the stage was based on. Readers of the branch
+    (`snapshot_read_branch`) see head ∪ staged — exactly what the
+    audit must validate. Returns the branch manifest path."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_stage: no manifests under {path}")
+    base_version = _manifest_version(manifests[-1])
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    staged = os.path.join(path, "data", f"wap-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(staged)
+    new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    meta = {"branch": branch, "base_version": base_version, "files": new_files}
+    target = os.path.join(path, f"branch-{branch}.manifest.json")
+    tmp = target + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, target)
+    return target
+
+
+def snapshot_read_branch(spark, path: str, branch: str):
+    """The branch view: the base head's rows plus the staged batch —
+    the frame audits run against BEFORE anything becomes visible."""
+    import json
+    import os
+
+    target = os.path.join(path, f"branch-{branch}.manifest.json")
+    if not os.path.exists(target):
+        raise ValueError(f"snapshot_read_branch: no branch {branch!r}")
+    with open(target) as f:
+        meta = json.load(f)
+    base = snapshot_read(spark, path, version=meta["base_version"])
+    staged = spark.read.schema(base.schema).parquet(*meta["files"])
+    return base.unionByName(staged)
+
+
+def snapshot_publish(spark, path: str, branch: str) -> int:
+    """WAP step 3a — PUBLISH: commit the staged files as the next
+    version (the previous manifest's files + the branch's), then drop
+    the branch manifest. Refuses when the head moved past the
+    branch's base (the audit validated a superseded state — restage
+    against the new head); the exclusive-create commit makes the
+    publish atomic. Returns the committed version."""
+    import json
+    import os
+
+    target = os.path.join(path, f"branch-{branch}.manifest.json")
+    if not os.path.exists(target):
+        raise ValueError(f"snapshot_publish: no branch {branch!r}")
+    with open(target) as f:
+        meta = json.load(f)
+    manifests = _manifests(path)
+    head = _manifest_version(manifests[-1])
+    if head != meta["base_version"]:
+        raise SnapshotCommitConflict(
+            f"snapshot_publish: head moved (v{meta['base_version']} -> "
+            f"v{head}) since branch {branch!r} was staged; the audit "
+            "validated a superseded state — restage against the new head"
+        )
+    with open(manifests[-1]) as f:
+        latest = json.load(f)
+    version = head + 1
+    new_meta = {"version": version, "files": latest["files"] + meta["files"]}
+    for carry in ("stats", "blooms", "deletes"):
+        if carry in latest:
+            new_meta[carry] = latest[carry]
+    _commit_manifest(path, version, new_meta)
+    os.remove(target)
+    return version
+
+
+def snapshot_discard_branch(path: str, branch: str) -> int:
+    """WAP step 3b — DISCARD: a failed audit deletes the branch
+    manifest and its staged files immediately (no trace at head, no
+    orphan left for the vacuum). Returns files removed."""
+    import json
+    import os
+    import shutil
+
+    target = os.path.join(path, f"branch-{branch}.manifest.json")
+    if not os.path.exists(target):
+        raise ValueError(f"snapshot_discard_branch: no branch {branch!r}")
+    with open(target) as f:
+        meta = json.load(f)
+    n = 0
+    dirs = set()
+    for p in meta["files"]:
+        if os.path.exists(p):
+            os.remove(p)
+            n += 1
+        dirs.add(os.path.dirname(p))
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    os.remove(target)
+    return n

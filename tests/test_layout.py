@@ -1457,3 +1457,78 @@ def test_snapshot_cdf_delivers_retractions_once(spark, tmp_path):
     feed = snapshot_changes_cdf(spark, path, 1, 2)
     assert feed.columns == ["k", "v", "_change_type"]
     snapshot_tag(path, "x")  # refs are not commits: nothing changes
+
+
+def test_snapshot_wap_invisibility_conflict_and_discard(spark, tmp_path):
+    """WAP contract: staged rows are INVISIBLE at head (and to pinned
+    readers) until publish; publish refuses when the head moved past
+    the staged base; discard removes the staged files and the branch
+    without a trace; publish carries stats/blooms/deletes forward."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        SnapshotCommitConflict,
+        snapshot_append,
+        snapshot_discard_branch,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_read_branch,
+        snapshot_stage,
+    )
+
+    path = str(tmp_path / "snapwap")
+    snapshot_append(spark, spark.range(0, 50).withColumnRenamed("id", "k"), path)
+    snapshot_stage(spark, spark.range(50, 80).withColumnRenamed("id", "k"), path, "b")
+    # invisible at head; visible on the branch view
+    assert snapshot_read(spark, path).count() == 50
+    assert snapshot_read_branch(spark, path, "b").count() == 80
+    # head moves -> publish refuses (the audit validated a stale state)
+    snapshot_append(spark, spark.range(100, 110).withColumnRenamed("id", "k"), path)
+    with pytest.raises(SnapshotCommitConflict, match="head moved"):
+        snapshot_publish(spark, path, "b")
+    # discard: no trace — branch gone, staged files gone
+    n = snapshot_discard_branch(path, "b")
+    assert n > 0
+    assert not glob.glob(os.path.join(path, "branch-*.manifest.json"))
+    assert not glob.glob(os.path.join(path, "data", "wap-*", "*.parquet"))
+    # restage against the new head and publish
+    snapshot_stage(spark, spark.range(50, 80).withColumnRenamed("id", "k"), path, "b")
+    v = snapshot_publish(spark, path, "b")
+    assert sorted(r.k for r in snapshot_read(spark, path, version=v).collect()) == (
+        list(range(0, 80)) + list(range(100, 110))
+    )
+    assert not os.path.exists(os.path.join(path, "branch-b.manifest.json"))
+
+
+def test_expire_never_sweeps_staged_branches(spark, tmp_path):
+    """The vacuum treats staged WAP branch files as live even past the
+    orphan grace window — an in-flight write-audit-publish survives
+    retention, and its publish still works afterwards."""
+    import glob
+    import os
+    import time
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_expire,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_stage,
+    )
+
+    path = str(tmp_path / "snapwapexp")
+    snapshot_append(spark, spark.range(0, 30).withColumnRenamed("id", "k"), path)
+    snapshot_append(spark, spark.range(30, 60).withColumnRenamed("id", "k"), path)
+    snapshot_stage(spark, spark.range(60, 90).withColumnRenamed("id", "k"), path, "b")
+    # age the staged files far past any grace window
+    old = time.time() - 10 * 86400
+    for p in glob.glob(os.path.join(path, "data", "wap-*", "*.parquet")):
+        os.utime(p, (old, old))
+    res = snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0.0)
+    assert res["orphans_deleted"] == 0
+    assert snapshot_publish(spark, path, "b") == 3
+    assert snapshot_read(spark, path).count() == 90
