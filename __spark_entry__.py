@@ -47,76 +47,21 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # changes only — the rotation below is otherwise purely
 # least-recently-verified.
 _REVERIFY_NOW: dict[str, int] = {
-    # (The round-10 backlog — the 17 fold-reversal / plan-change
-    # entries — was fully consumed by CORRECTNESS_r10: every seeded
-    # name has an r10 record, so the boosts expired and were removed.
-    # Round-10 verdict #4: keep this dict MINIMAL so the rotation's
-    # least-recently-verified tail — the 41-entry r5 cohort — gets the
-    # round's remaining sample slots.)
+    # (Every earlier seed — through the round-15 snapshot-protocol
+    # backlog — has a CORRECTNESS record at or after its seed round,
+    # so all prior boosts expired and were removed. Round-10 verdict
+    # #4 standing rule: keep this dict MINIMAL; the round-16 sample's
+    # natural target is the r8-era least-recently-verified cohort
+    # (round-15 verdict #3) and it must not be crowded out.)
     #
-    # (The round-11 seeds — d02_group_rep_pairs, d02_prefix_probe_pairs
-    # — both have green r11 records, so their boosts expired.)
-    #
-    # Round-11 verdict #3: the 10 entries whose latest driver record
-    # still dates to r5 — six rounds of plan drift ago. No code change;
-    # seeded so CORRECTNESS_r12 refreshes every one and no entry's
-    # latest record predates r6.
-    "d81_exact_stratified_split": 12,
-    "pyds_synthetic_docs_scan": 12,
-    "pyds_stream_synthetic_docs": 12,
-    "scale_cms_frequency": 12,
-    "scale_file_skipping": 12,
-    "scale_heavy_hitters_two_scan": 12,
-    "scale_sample_quantile_rollup": 12,
-    "sink_parquet_schema_evolution": 12,
-    "tpch_q11_important_stock": 12,
-    "tpch_q16_parts_supplier_relationship": 12,
-    # Round 12: weighted_priority_sample's conv() now carries an
-    # explicit cast-to-bigint (ADVICE #4) — identical value, new
-    # expression; re-verify its entry on the new plan.
-    "d52b_weighted_priority_sample": 12,
-    # Round 12: q5 reads the conformed supplier_geo dim (one broadcast
-    # instead of three) — identical rows, new plan shape.
-    "tpch_q5_local_supplier_volume": 12,
-    # Round-12 verdict #6: the 3 entries whose latest driver record
-    # still dates to r6 (now the oldest cohort). No code change; seeded
-    # so CORRECTNESS_r13 refreshes them and no record predates r8.
-    "scale_dynamic_partition_pruning": 13,
-    "scale_incremental_join": 13,
-    "tpch_q20_potential_promotion": 13,
-    # Round 13: unigram piece costs clamped at 0 (ADVICE #4) —
-    # identical values at test scale, new expression in plan+oracle.
-    "d58_unigram_em": 13,
-    # Round 14: d101's entry now pins n_planes=6 explicitly (the
-    # operator default self-sizes), d106's oracle LEFT JOINs the
-    # encoded side (ADVICE #5) — both re-verified this session, seeded
-    # for an official record. Kept minimal on purpose: the rotation's
-    # natural next sample is the 27-entry r7 cohort (round-13 verdict
-    # #3) and it must not be crowded out.
-    "d101_bitext_margin": 14,
-    "d106_encode_to_ids": 14,
-    # Round 15: the ADVICE-fix + merge-on-read wave through
-    # operators/layout.py touched every snapshot read/maintenance path
-    # (newest-file schema resolution, legacy-stats scoping, Bloom
-    # NULL/type contract, orphan sweep + batch ledger, MOR delete
-    # resolution on all read paths). All re-verified green against the
-    # full sf0.01 oracle this session; seeded for official records on
-    # the new plans.
-    "scale_snapshot_time_travel": 15,
-    "scale_snapshot_cow_delete": 15,
-    "scale_snapshot_pruned_scan": 15,
-    "scale_snapshot_scan_multi": 15,
-    "scale_snapshot_bloom_lookup": 15,
-    "scale_snapshot_changes": 15,
-    "scale_snapshot_rollback": 15,
-    "scale_snapshot_expire": 15,
-    "scale_snapshot_merge": 15,
-    "scale_snapshot_compact": 15,
-    "scale_snapshot_schema_evolution": 15,
-    "scale_changes_downstream_agg": 15,
-    "stream_snapshot_ingest": 15,
-    "stream_postings_ingest": 15,
-    "stream_ivf_ingest": 15,
+    # Round 16: d111's SEMANTICS changed — the trigram LM is capped to
+    # the top-256 trigrams per language (bounded broadcast; the cap
+    # binds at every test SF and the oracle reproduces it) and the
+    # tercile is assigned by skew.grouped_ntile's two-phase census
+    # instead of ntile OVER (PARTITION BY lang). Verified green
+    # against the full sf0.01 oracle this session; seeded for an
+    # official record on the new plan.
+    "d111_ccnet_buckets": 16,
 }
 
 

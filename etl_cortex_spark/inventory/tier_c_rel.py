@@ -559,6 +559,13 @@ def c25b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family (row_number/rank/dense_rank/ntile/
+    percent_rank) — the SQL-surface parity demo. Scale note: ntile and
+    percent_rank need their whole partition (not WindowGroupLimit-
+    prunable), so this entry is allowlisted in the ntile-family plan
+    audit; a data-sized pipeline assigns quantile buckets with
+    `skew.grouped_ntile` / `global_ntile` (two-phase census — the d111
+    pattern) instead of the windowed form."""
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return T(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -1414,7 +1421,11 @@ def c63(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist — the one ranking-family window function c26 didn't
     cover (fraction of partition rows ≤ current ORDER BY value; peers
     share a value, so no unique tiebreaker is needed for the result to
-    be deterministic)."""
+    be deterministic). Scale note: cume_dist (like ntile) cannot be
+    WindowGroupLimit-pruned — this entry is the SQL-surface parity
+    demo (allowlisted in the ntile-family plan audit); a data-sized
+    pipeline computes the same quantity from `skew.global_rank` /
+    `grouped_ntile`-style two-phase censuses instead."""
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
     return T(spark, sf_dir, "customer").select(
         "c_custkey",

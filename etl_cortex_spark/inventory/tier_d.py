@@ -2212,6 +2212,84 @@ def d08e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_snapshot_wap",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    """,
+)
+def d08wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WRITE-AUDIT-PUBLISH (round 16 —
+    `streaming.ingest.foreach_batch_wap`, composing the round-15 WAP
+    protocol with the exactly-once micro-batch ledger): every events
+    micro-batch stages on its own branch, the audit (no NULL user_id,
+    no absurd value) validates the rows READ BACK from the staged
+    files, and the batch publishes atomically — then a DETERMINISTIC
+    poisoned batch (value = −9.9e9, a synthetic batch_id outside the
+    stream's range) flows through the same commit path and is audited
+    OUT: discarded without trace, nothing at head, no orphan files.
+    The audit holds for every real event, so the published head equals
+    the full corpus NO MATTER where the engine cut the micro-batches —
+    which is what makes the plain batch aggregate a full-strength
+    oracle: a hash match proves zero audited-out rows reached head.
+    Replay no-ops and publish-conflict restaging are pinned in
+    tests/test_streaming_ts.py. At 100 TB this is the quality gate
+    running INSIDE ingest instead of as mop-up deletes after bad data
+    already served readers."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_read
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import (
+        foreach_batch_wap,
+        wap_commit_batch,
+    )
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_snapwap", h)
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "table")
+
+    def audit(staged: DataFrame) -> bool:
+        return staged.filter(
+            F.col("user_id").isNull() | (F.col("value") < -1e8)
+        ).isEmpty()
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    q = foreach_batch_wap(
+        ev, path=table, checkpoint_dir=os.path.join(base, "ckpt"), audit=audit
+    )
+    q.awaitTermination()
+    poison = (
+        T(spark, sf_dir, "events")
+        .limit(5)
+        .select(
+            "user_id",
+            (F.col("event_id") + 90_000_000).alias("event_id"),
+            F.lit(-9.9e9).alias("value"),
+        )
+    )
+    outcome = wap_commit_batch(
+        spark, poison, table, batch_id=10**9, audit=audit
+    )
+    assert outcome == "discarded", outcome
+    return (
+        snapshot_read(spark, table)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "d02_prefix_probe_pairs",
     oracle=f"""
     WITH newb AS (

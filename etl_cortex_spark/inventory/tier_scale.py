@@ -1057,6 +1057,73 @@ def scale_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_snapshot_partition_evolution",
+    oracle="""
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS gen,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 1 AND 2000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scale_snapshot_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION on the versioned table (round 16 —
+    `layout.snapshot_set_layout`, the last load-bearing Iceberg
+    capability the D102 protocol lacked): third 0 of orders commits
+    BEFORE the evolution (arrival layout, explicit stats), then a
+    METADATA-ONLY commit sets ``partition_by=o_orderkey`` — no file is
+    rewritten, which is what makes evolving a 100 TB table's layout
+    free — and thirds 1 and 2 commit AFTER it, range-clustered into
+    files with auto-recorded zone maps. The query `snapshot_scan`s a
+    key range spanning BOTH generations and aggregates per third, so
+    the hash match proves the scan unifies pre- and post-evolution
+    files exactly (old files prune on their recorded stats, new files
+    on the layout clustering — pruning itself is pinned in
+    tests/test_layout.py::test_snapshot_partition_evolution_prunes_both_generations).
+    The oracle replays the range filter as plain SQL."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_scan,
+        snapshot_set_layout,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapevo_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 0), path,
+        stats_col="o_orderkey",
+    )
+    snapshot_set_layout(path, "o_orderkey", files_per_batch=4)
+    for third in (1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    return (
+        snapshot_scan(spark, path, "o_orderkey", 1, 2000)
+        .groupBy((F.col("o_orderkey") % 3).cast("bigint").alias("gen"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        # 3-row output: local sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("gen")
+    )
+
+
+@query(
     "scale_snapshot_merge",
     oracle="""
     WITH base AS (

@@ -916,25 +916,42 @@ def snapshot_append(
         # ADVICE #5b) — it returns the original version number (whose
         # manifest may be expired; pinning to it fails loudly, which
         # is the retention contract)
-        retired = _read_batch_ledger(path)
-        if str(batch_id) in retired:
-            return retired[str(batch_id)]
-        for m in _manifests(path):
-            with open(m) as f:
-                meta = json.load(f)
-            if meta.get("batch_id") == batch_id:
-                return meta["version"]
+        committed = snapshot_batch_version(path, batch_id)
+        if committed is not None:
+            return committed
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    # PARTITION-EVOLUTION layout (round 16, `snapshot_set_layout`): a
+    # layout spec on the head manifest applies to FUTURE appends only —
+    # cluster THIS batch's rows into files by range on the layout
+    # columns (one O(|batch|) shuffle, never a table rewrite) and
+    # auto-record their zone maps, so new-generation files prune on
+    # the layout key from the manifest alone. Pre-evolution files keep
+    # their old layout and whatever stats their commits recorded.
+    manifests0 = _manifests(path)
+    layout = None
+    if manifests0:
+        with open(manifests0[-1]) as f:
+            layout = json.load(f).get("layout")
     staged = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
-    df.write.mode("errorifexists").parquet(staged)
+    to_write = df
+    if layout:
+        lcols = layout["partition_by"]
+        to_write = df.repartitionByRange(
+            max(int(layout.get("files_per_batch", 4)), 1), *lcols
+        ).sortWithinPartitions(*lcols)
+    to_write.write.mode("errorifexists").parquet(staged)
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     if not new_files:
         raise ValueError("snapshot_append: batch wrote no parquet files")
     batch_stats: dict = {}
     batch_blooms: dict = {}
     try:
+        cols = []
         if stats_col is not None:
             cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
+        if layout:
+            cols += [c for c in layout["partition_by"] if c not in cols]
+        if cols:
             batch_stats = multi_file_stats(spark, staged, cols)
         if bloom_col is not None:
             batch_blooms = file_blooms(spark, staged, bloom_col)
@@ -969,16 +986,10 @@ def snapshot_append(
 
                 shutil.rmtree(staged, ignore_errors=True)
 
-            retired = _read_batch_ledger(path)
-            if str(batch_id) in retired:
+            committed = snapshot_batch_version(path, batch_id)
+            if committed is not None:
                 _abandon()
-                return retired[str(batch_id)]
-            for m in manifests:
-                with open(m) as f:
-                    committed = json.load(f)
-                if committed.get("batch_id") == batch_id:
-                    _abandon()
-                    return committed["version"]
+                return committed
         prev: list[str] = []
         prev_stats: dict = {}
         prev_blooms: dict = {}
@@ -995,6 +1006,18 @@ def snapshot_append(
             # rows keep their keys (the MOR sequence rule)
             prev_deletes = latest.get("deletes") or []
             version = _manifest_version(manifests[-1]) + 1
+        if (latest.get("layout") if manifests else None) != layout:
+            # the layout spec changed between staging and commit — the
+            # batch was clustered under a superseded spec; restaging
+            # is the caller's call (the rewriting-commit convention)
+            import shutil
+
+            shutil.rmtree(staged, ignore_errors=True)
+            raise SnapshotCommitConflict(
+                f"snapshot_append: table layout changed concurrently at "
+                f"{path} — the staged batch was clustered under the old "
+                "spec; re-run the append"
+            )
         stats = dict(prev_stats)
         stats.update(batch_stats)
         blooms = {c: dict(files) for c, files in prev_blooms.items()}
@@ -1007,6 +1030,8 @@ def snapshot_append(
             meta["blooms"] = blooms
         if prev_deletes:
             meta["deletes"] = prev_deletes
+        if layout:
+            meta["layout"] = layout
         if batch_id is not None:
             meta["batch_id"] = batch_id
         try:
@@ -1176,7 +1201,7 @@ def snapshot_delete_mor(spark, path: str, predicate, key_cols) -> int:
             }
         ],
     }
-    for carry in ("stats", "blooms"):
+    for carry in ("stats", "blooms", "layout"):
         if carry in latest:
             meta[carry] = latest[carry]
     _commit_manifest(path, version, meta)
@@ -1287,6 +1312,8 @@ def snapshot_delete(spark, path: str, predicate) -> int:
     }
     if stats:
         meta["stats"] = stats
+    if "layout" in latest:
+        meta["layout"] = latest["layout"]
     _commit_manifest(path, version, meta)
     return version
 
@@ -1488,6 +1515,8 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
     }
     if stats:
         meta["stats"] = stats
+    if "layout" in latest:
+        meta["layout"] = latest["layout"]
     _commit_manifest(path, version, meta)
     return version
 
@@ -1555,22 +1584,45 @@ def snapshot_compact(
             F.min(F.col(yc).cast("double")).alias("ylo"),
             F.max(F.col(yc).cast("double")).alias("yhi"),
         ).collect()[0]
-        key = morton_key(
-            F.col(xc),
-            F.col(yc),
-            x_range=(b["xlo"], max(b["xhi"], b["xlo"] + 1e-9)),
-            y_range=(b["ylo"], max(b["yhi"], b["ylo"] + 1e-9)),
-        )
-        out = (
-            df.withColumn("__z", key)
-            .repartitionByRange(n_out, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+        if b["xlo"] is None or b["ylo"] is None:
+            # EMPTY live set (every row MOR-deleted) or all-NULL keys:
+            # there is no curve to normalize (the min/max bounds are
+            # NULL — max(None, ...) would TypeError, round-16 ADVICE).
+            # Fall through to the plain rewrite, which commits a
+            # well-defined empty (or null-keyed) table: coalesce(1)
+            # always writes one schema-carrying part file, so the
+            # manifest's files list stays non-empty and every read
+            # path (_version_schema, snapshot_read) keeps working.
+            out = df.coalesce(n_out)
+        else:
+            key = morton_key(
+                F.col(xc),
+                F.col(yc),
+                x_range=(b["xlo"], max(b["xhi"], b["xlo"] + 1e-9)),
+                y_range=(b["ylo"], max(b["yhi"], b["ylo"] + 1e-9)),
+            )
+            out = (
+                df.withColumn("__z", key)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
     else:
         out = df.coalesce(n_out)
     out.write.mode("errorifexists").parquet(staged)
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    if not new_files:
+        # a repartitionByRange of an empty frame can plan ZERO tasks —
+        # never commit an empty files list (read paths index files[-1])
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        df.limit(0).coalesce(1).write.mode("errorifexists").parquet(staged)
+        new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+        if not new_files:
+            raise ValueError(
+                "snapshot_compact: rewrite produced no parquet files"
+            )
     meta = {"version": version, "files": new_files}
     if stats_col is not None:
         cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
@@ -1580,8 +1632,74 @@ def snapshot_compact(
         # pruning (blooms are per-file; the rewrite produced new files)
         # — re-derive them over the compacted layout (round 15)
         meta["blooms"] = {bloom_col: file_blooms(spark, staged, bloom_col)}
+    if "layout" in cur:
+        meta["layout"] = cur["layout"]
     _commit_manifest(path, version, meta)
     return version
+
+
+def snapshot_set_layout(
+    path: str, partition_by, files_per_batch: int = 4
+) -> int:
+    """PARTITION-SPEC EVOLUTION (round 16 — the last load-bearing
+    Iceberg capability the D102 protocol lacked, per the round-15
+    verdict): commit a METADATA-ONLY version that records the table's
+    layout spec — the clustering that applies to FUTURE appends only.
+    Nothing is rewritten, so evolving a 100 TB table's partitioning is
+    free (the Iceberg partition-spec-evolution contract): pre-evolution
+    files keep their arrival layout and whatever manifest stats their
+    commits recorded, while `snapshot_append` clusters each subsequent
+    batch into ``files_per_batch`` files by RANGE on the layout
+    columns and auto-records their zone maps. Reads need no
+    generation awareness at all: `snapshot_scan`/`snapshot_scan_multi`
+    already plan from per-file stats, so new-generation files prune
+    tightly on the layout key and old-generation files prune on their
+    own recorded stats (conservatively read otherwise) — the scan
+    unification IS the existing stats protocol, which is why the spec
+    can evolve without a read-path change.
+
+    ``partition_by`` is a column name or list; ``None`` CLEARS the
+    spec (subsequent appends return to arrival layout). The commit is
+    optimistically concurrent like an append (its read set is just the
+    previous manifest); an append staged under the superseded spec
+    detects the change at commit time and surfaces
+    `SnapshotCommitConflict`. Returns the committed version."""
+    import json
+
+    cols = (
+        None
+        if partition_by is None
+        else (
+            [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by)
+        )
+    )
+    for _ in range(25):
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(f"snapshot_set_layout: no manifests under {path}")
+        with open(manifests[-1]) as f:
+            latest = json.load(f)
+        version = _manifest_version(manifests[-1]) + 1
+        meta = {"version": version, "files": latest["files"]}
+        for carry in ("stats", "blooms", "deletes"):
+            if carry in latest:
+                meta[carry] = latest[carry]
+        if cols is not None:
+            meta["layout"] = {
+                "partition_by": cols,
+                "files_per_batch": int(files_per_batch),
+                "since_version": version,
+            }
+        try:
+            _commit_manifest(path, version, meta)
+            return version
+        except SnapshotCommitConflict:
+            continue
+    raise SnapshotCommitConflict(
+        f"snapshot_set_layout: lost the commit race 25 times at {path}"
+    )
 
 def snapshot_changes(
     spark, path: str, from_version: int, to_version: int,
@@ -1680,7 +1798,7 @@ def snapshot_rollback(spark, path: str, to_version: int) -> int:
     with open(target) as f:
         old = json.load(f)
     meta = {"version": version, "files": old["files"]}
-    for carry in ("stats", "blooms", "deletes"):
+    for carry in ("stats", "blooms", "deletes", "layout"):
         if carry in old:
             meta[carry] = old[carry]
     _commit_manifest(path, version, meta)
@@ -1707,6 +1825,25 @@ def _read_batch_ledger(path: str) -> dict:
         return {}
     with open(p) as f:
         return json.load(f)
+
+
+def snapshot_batch_version(path: str, batch_id: int) -> int | None:
+    """The version that committed ``batch_id``, or None (round 16 —
+    the exactly-once lookup shared by `snapshot_append` and the
+    streaming WAP sink): live manifests first, then the retired-batch
+    ledger, so a replay stays a no-op even when the original manifest
+    is past retention."""
+    import json
+
+    retired = _read_batch_ledger(path)
+    if str(batch_id) in retired:
+        return retired[str(batch_id)]
+    for m in _manifests(path):
+        with open(m) as f:
+            meta = json.load(f)
+        if meta.get("batch_id") == batch_id:
+            return meta["version"]
+    return None
 
 
 def snapshot_expire(
@@ -1739,13 +1876,26 @@ def snapshot_expire(
     deleted (ADVICE #5b): `snapshot_append` checks the ledger, so a
     crash-replay of a batch older than retention returns its original
     version as a no-op instead of silently double-appending. Returns
-    ``{"manifests_removed", "files_deleted", "orphans_deleted"}``."""
+    ``{"manifests_removed", "files_deleted", "orphans_deleted"}``.
+
+    Holds `_catalog_lock` for the whole retention pass (round-16
+    ADVICE): the refs read, the ledger rewrite and the manifest
+    deletions form one read-modify-write — without the lock a tag
+    committed between the refs read and the deletes could pin a
+    version whose manifest this pass already dropped."""
+    if keep_last < 1:
+        raise ValueError("snapshot_expire: keep_last must be >= 1")
+    with _catalog_lock(path):
+        return _snapshot_expire_locked(spark, path, keep_last, orphan_grace_secs)
+
+
+def _snapshot_expire_locked(
+    spark, path: str, keep_last: int, orphan_grace_secs: float
+) -> dict:
     import json
     import os
     import time
 
-    if keep_last < 1:
-        raise ValueError("snapshot_expire: keep_last must be >= 1")
     manifests = _manifests(path)
     if not manifests:
         raise ValueError(f"snapshot_expire: no manifests under {path}")
@@ -1844,6 +1994,57 @@ def _refs_path(path: str) -> str:
     return os.path.join(path, "refs.json")
 
 
+def _catalog_lock(path: str, timeout_secs: float = 30.0,
+                  stale_secs: float = 300.0):
+    """Serialize refs.json / batch-ledger mutation (round-16 ADVICE):
+    `snapshot_tag` / `snapshot_untag` / `snapshot_expire` are
+    read-modify-write over shared JSON — atomic REPLACE alone cannot
+    stop two concurrent writers from losing one of their updates, and
+    expire additionally deletes manifests based on the refs it read,
+    so a tag committed between that read and the deletes would pin a
+    version whose manifest is already gone (a silently void retention
+    guarantee). This context manager gives those three paths the same
+    exclusive-create arbitration `_commit_manifest` gets from
+    ``os.link``: a ``.catalog.lock`` file created O_EXCL, retried up
+    to ``timeout_secs``, with a ``stale_secs`` breaker for a crashed
+    holder (the single-node analogue of a catalog service's lease; a
+    production build replaces the whole file protocol with that
+    service, as `snapshot_append`'s docstring already states)."""
+    import contextlib
+    import os
+    import time
+
+    @contextlib.contextmanager
+    def _cm():
+        lock = os.path.join(path, ".catalog.lock")
+        deadline = time.time() + timeout_secs
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_secs:
+                        os.remove(lock)  # break a dead holder's lock
+                        continue
+                except OSError:
+                    continue  # holder released between test and stat
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"catalog lock at {path} busy for >{timeout_secs}s"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(lock)
+
+    return _cm()
+
+
 def snapshot_tag(path: str, name: str, version: int | None = None) -> int:
     """Named REF on the snapshot table (round 15 — Iceberg tags /
     Delta's named restore points): bind ``name`` to a version (default
@@ -1853,24 +2054,30 @@ def snapshot_tag(path: str, name: str, version: int | None = None) -> int:
     retention: `snapshot_expire` NEVER drops a tagged version's
     manifest, so a tag is a retention guarantee, not a comment
     (exactly Iceberg's ref-retention rule). Returns the bound
-    version; re-tagging a name rebinds it."""
+    version; re-tagging a name rebinds it. Tag/untag/expire serialize
+    through `_catalog_lock`, so no concurrent update is ever lost and
+    a tag can never race expire into pinning an already-dropped
+    manifest."""
     import json
     import os
 
-    manifests = _manifests(path)
-    if not manifests:
-        raise ValueError(f"snapshot_tag: no manifests under {path}")
-    if version is None:
-        version = _manifest_version(manifests[-1])
-    elif not os.path.exists(os.path.join(path, f"v{version}.manifest.json")):
-        raise ValueError(f"snapshot_tag: version {version} does not exist")
-    refs = snapshot_refs(path)
-    refs[name] = version
-    tmp = _refs_path(path) + f".{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(refs, f)
-    os.replace(tmp, _refs_path(path))
-    return version
+    with _catalog_lock(path):
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(f"snapshot_tag: no manifests under {path}")
+        if version is None:
+            version = _manifest_version(manifests[-1])
+        elif not os.path.exists(
+            os.path.join(path, f"v{version}.manifest.json")
+        ):
+            raise ValueError(f"snapshot_tag: version {version} does not exist")
+        refs = snapshot_refs(path)
+        refs[name] = version
+        tmp = _refs_path(path) + f".{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, _refs_path(path))
+        return version
 
 
 def snapshot_refs(path: str) -> dict:
@@ -1886,16 +2093,18 @@ def snapshot_refs(path: str) -> dict:
 
 
 def snapshot_untag(path: str, name: str) -> None:
-    """Drop a ref; the version it pinned becomes expirable again."""
+    """Drop a ref; the version it pinned becomes expirable again.
+    Serialized via `_catalog_lock` (see `snapshot_tag`)."""
     import json
     import os
 
-    refs = snapshot_refs(path)
-    refs.pop(name, None)
-    tmp = _refs_path(path) + f".{os.getpid()}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(refs, f)
-    os.replace(tmp, _refs_path(path))
+    with _catalog_lock(path):
+        refs = snapshot_refs(path)
+        refs.pop(name, None)
+        tmp = _refs_path(path) + f".{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, _refs_path(path))
 
 
 def snapshot_read_ref(spark, path: str, name: str):
@@ -2001,16 +2210,18 @@ def snapshot_stage(spark, df, path: str, branch: str) -> str:
     version namespace, so head readers never see it), together with
     the head version the stage was based on. Readers of the branch
     (`snapshot_read_branch`) see head ∪ staged — exactly what the
-    audit must validate. Returns the branch manifest path."""
+    audit must validate. Returns the branch manifest path.
+
+    An EMPTY table stages at base_version 0 (round 16 — the streaming
+    WAP sink's first micro-batch must be auditable before the table's
+    first version exists); publishing such a branch commits v1."""
     import glob
     import json
     import os
     import uuid
 
     manifests = _manifests(path)
-    if not manifests:
-        raise ValueError(f"snapshot_stage: no manifests under {path}")
-    base_version = _manifest_version(manifests[-1])
+    base_version = _manifest_version(manifests[-1]) if manifests else 0
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     staged = os.path.join(path, "data", f"wap-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(staged)
@@ -2024,9 +2235,12 @@ def snapshot_stage(spark, df, path: str, branch: str) -> str:
     return target
 
 
-def snapshot_read_branch(spark, path: str, branch: str):
+def snapshot_read_branch(spark, path: str, branch: str, staged_only: bool = False):
     """The branch view: the base head's rows plus the staged batch —
-    the frame audits run against BEFORE anything becomes visible."""
+    the frame audits run against BEFORE anything becomes visible.
+    ``staged_only=True`` returns just the staged batch's rows READ
+    BACK from the branch files (the frame a per-batch audit wants:
+    what was actually written, not what the writer intended)."""
     import json
     import os
 
@@ -2035,18 +2249,29 @@ def snapshot_read_branch(spark, path: str, branch: str):
         raise ValueError(f"snapshot_read_branch: no branch {branch!r}")
     with open(target) as f:
         meta = json.load(f)
+    if staged_only or meta["base_version"] == 0:
+        # staged onto an empty table: the branch view is the batch
+        return spark.read.parquet(*meta["files"])
     base = snapshot_read(spark, path, version=meta["base_version"])
     staged = spark.read.schema(base.schema).parquet(*meta["files"])
     return base.unionByName(staged)
 
 
-def snapshot_publish(spark, path: str, branch: str) -> int:
+def snapshot_publish(
+    spark, path: str, branch: str, batch_id: int | None = None
+) -> int:
     """WAP step 3a — PUBLISH: commit the staged files as the next
     version (the previous manifest's files + the branch's), then drop
     the branch manifest. Refuses when the head moved past the
     branch's base (the audit validated a superseded state — restage
     against the new head); the exclusive-create commit makes the
-    publish atomic. Returns the committed version."""
+    publish atomic. Returns the committed version.
+
+    ``batch_id`` (round 16 — the streaming WAP sink) stamps the
+    committed manifest exactly like `snapshot_append`'s, composing the
+    publish with the exactly-once batch ledger: a crash-replay of a
+    published micro-batch resolves via `snapshot_batch_version` to a
+    no-op instead of staging and publishing twice."""
     import json
     import os
 
@@ -2056,20 +2281,24 @@ def snapshot_publish(spark, path: str, branch: str) -> int:
     with open(target) as f:
         meta = json.load(f)
     manifests = _manifests(path)
-    head = _manifest_version(manifests[-1])
+    head = _manifest_version(manifests[-1]) if manifests else 0
     if head != meta["base_version"]:
         raise SnapshotCommitConflict(
             f"snapshot_publish: head moved (v{meta['base_version']} -> "
             f"v{head}) since branch {branch!r} was staged; the audit "
             "validated a superseded state — restage against the new head"
         )
-    with open(manifests[-1]) as f:
-        latest = json.load(f)
+    latest: dict = {"files": []}
+    if manifests:
+        with open(manifests[-1]) as f:
+            latest = json.load(f)
     version = head + 1
     new_meta = {"version": version, "files": latest["files"] + meta["files"]}
-    for carry in ("stats", "blooms", "deletes"):
+    for carry in ("stats", "blooms", "deletes", "layout"):
         if carry in latest:
             new_meta[carry] = latest[carry]
+    if batch_id is not None:
+        new_meta["batch_id"] = batch_id
     _commit_manifest(path, version, new_meta)
     os.remove(target)
     return version

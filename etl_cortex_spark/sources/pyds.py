@@ -217,22 +217,30 @@ def make_snapshot_changes_stream_source():
             prev, prev_dels = cur, meta.get("deletes") or []
         return sorted(set(load_meta(path, v_to)["files"]) - set(prev_meta["files"]))
 
-    def rows_of(files):
+    def rows_of(files, cols):
         # a LIST, not a generator (the prefetch cache copy.copy()s the
-        # iterator); dicts from to_pylist preserve parquet column
-        # order, which is the declared schema's order
+        # iterator). Rows are aligned to the DECLARED schema's column
+        # NAMES explicitly (round-16 ADVICE): relying on parquet column
+        # order silently misaligns or truncates values when a later
+        # append wrote its columns in a different order or added a
+        # column (additive evolution) — the append-only lineage check
+        # does not guard schema drift. Missing declared columns
+        # surface as None; columns the declared schema doesn't know
+        # are ignored (the stream's schema is fixed at start, the CDC
+        # convention).
         import pyarrow.parquet as pq
 
         out = []
         for f in files:
             for rec in pq.read_table(f).to_pylist():
-                out.append(tuple(rec.values()))
+                out.append(tuple(rec.get(c) for c in cols))
         return out
 
     class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
-        def __init__(self, options):
+        def __init__(self, options, cols):
             self.path = options["path"]
             self.start_version = int(options.get("start_version", 0))
+            self.cols = cols  # declared schema's column names, fixed at start
 
         def initialOffset(self):
             return {"version": self.start_version}
@@ -242,13 +250,16 @@ def make_snapshot_changes_stream_source():
             head = latest_version(self.path)
             if head <= v0:
                 return iter([]), {"version": v0}
-            return iter(rows_of(added_files(self.path, v0, head))), {
-                "version": head
-            }
+            return iter(
+                rows_of(added_files(self.path, v0, head), self.cols)
+            ), {"version": head}
 
         def readBetweenOffsets(self, start, end):
             return iter(
-                rows_of(added_files(self.path, start["version"], end["version"]))
+                rows_of(
+                    added_files(self.path, start["version"], end["version"]),
+                    self.cols,
+                )
             )
 
         def commit(self, end):
@@ -286,7 +297,15 @@ def make_snapshot_changes_stream_source():
             return ", ".join(parts)
 
         def simpleStreamReader(self, schema):
-            return SnapshotChangesStreamReader(self.options)
+            # hand the reader the DECLARED column names so every
+            # record aligns by name, not parquet position (see rows_of);
+            # schema=None (direct/recovery construction) re-derives the
+            # same names from this source's own DDL
+            if schema is not None:
+                cols = [f.name for f in schema.fields]
+            else:
+                cols = [p.strip().split(" ")[0] for p in self.schema().split(",")]
+            return SnapshotChangesStreamReader(self.options, cols)
 
     return SnapshotChangesStreamSource
 

@@ -1532,3 +1532,190 @@ def test_expire_never_sweeps_staged_branches(spark, tmp_path):
     assert res["orphans_deleted"] == 0
     assert snapshot_publish(spark, path, "b") == 3
     assert snapshot_read(spark, path).count() == 90
+
+
+def test_snapshot_compact_empty_live_set_is_well_defined(spark, tmp_path):
+    """Round-16 ADVICE: compacting a table whose every row is
+    MOR-deleted must not crash (the zorder min/max bounds are NULL)
+    and must commit a manifest whose files list is non-empty, so
+    every read path keeps working on the empty table."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    snapshot_append(spark, df, path, stats_col=["k", "v"])
+    assert snapshot_delete_mor(spark, path, F.lit(True), "k") == 2  # version
+    assert snapshot_read(spark, path).count() == 0  # all rows MOR-deleted
+    v = snapshot_compact(spark, path, stats_col="k", zorder_by=("k", "v"))
+    got = snapshot_read(spark, path, version=v)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "v"}
+    # scan path too (indexes files[-1] for the schema)
+    assert snapshot_scan(spark, path, "k", 0, 100).count() == 0
+    # and a later append over the empty head works
+    snapshot_append(spark, df.limit(3), path)
+    assert snapshot_read(spark, path).count() == 3
+
+
+def test_catalog_lock_serializes_tag_untag_expire(spark, tmp_path):
+    """Round-16 ADVICE: refs/ledger mutation is serialized by the
+    exclusive-create catalog lock — concurrent tags never lose
+    updates, a held lock blocks (then times out loudly), and a stale
+    lock from a dead holder is broken instead of deadlocking."""
+    import os
+    import threading
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _catalog_lock,
+        snapshot_append,
+        snapshot_refs,
+        snapshot_tag,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(spark, spark.range(5).select(F.col("id").alias("k")), path)
+
+    # 16 threads tag concurrently; every name must survive the race
+    errs = []
+
+    def _tag(i):
+        try:
+            snapshot_tag(path, f"t{i}", 1)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=_tag, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert set(snapshot_refs(path)) == {f"t{i}" for i in range(16)}
+
+    # a held lock times out loudly instead of silently proceeding
+    with _catalog_lock(path):
+        with pytest.raises(TimeoutError, match="catalog lock"):
+            with _catalog_lock(path, timeout_secs=0.2):
+                pass
+    # a STALE lock (dead holder) is broken, not deadlocked
+    lock = os.path.join(path, ".catalog.lock")
+    with open(lock, "w") as f:
+        f.write("999999")
+    old = os.path.getmtime(lock) - 1_000
+    os.utime(lock, (old, old))
+    assert snapshot_tag(path, "after_stale", 1) == 1
+
+
+def test_snapshot_partition_evolution_prunes_both_generations(spark, tmp_path):
+    """Round-16: `snapshot_set_layout` is metadata-only (no file is
+    rewritten), FUTURE appends cluster by the layout columns with
+    auto-recorded zone maps, and `snapshot_scan` prunes across BOTH
+    generations from the manifest alone — old files by their own
+    recorded stats, new files by the layout clustering."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        SnapshotCommitConflict,
+        _manifests,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_scan,
+        snapshot_set_layout,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v")
+    )
+    # two pre-evolution batches, one file each, stats recorded
+    snapshot_append(spark, mk(0, 200).coalesce(1), path, stats_col="k")
+    snapshot_append(spark, mk(200, 400).coalesce(1), path, stats_col="k")
+    files_before = set(json.load(open(_manifests(path)[-1]))["files"])
+
+    v = snapshot_set_layout(path, "k", files_per_batch=4)
+    meta = json.load(open(os.path.join(path, f"v{v}.manifest.json")))
+    assert set(meta["files"]) == files_before  # metadata-only commit
+    assert meta["layout"]["partition_by"] == ["k"]
+
+    # post-evolution append: shuffled arrival order, NO stats_col —
+    # the layout clusters and auto-records zone maps anyway
+    snapshot_append(spark, mk(400, 800).orderBy(F.rand(7)), path)
+    head = json.load(open(_manifests(path)[-1]))
+    new_gen = [f for f in head["files"] if f not in files_before]
+    assert len(new_gen) == 4
+    assert all(os.path.abspath(f) in head["stats"] for f in new_gen)
+
+    # full content survives across generations
+    assert snapshot_read(spark, path).count() == 800
+
+    # new-generation pruning: a narrow range inside batch 3 touches
+    # exactly one clustered file and neither old file
+    got = snapshot_scan(spark, path, "k", 450, 460)
+    assert got.count() == 11
+    touched = {os.path.abspath(f.removeprefix("file:")) for f in got.inputFiles()}
+    assert len(touched) == 1
+    assert touched <= {os.path.abspath(f) for f in new_gen}
+
+    # old-generation pruning: a range inside batch 1 touches only its file
+    got_old = snapshot_scan(spark, path, "k", 100, 110)
+    assert got_old.count() == 11
+    touched_old = {
+        os.path.abspath(f.removeprefix("file:")) for f in got_old.inputFiles()
+    }
+    assert len(touched_old) == 1
+    assert touched_old <= {os.path.abspath(f) for f in files_before}
+
+    # the spec survives a compact; clearing it returns appends to
+    # arrival layout
+    snapshot_compact(spark, path, stats_col="k", target_files=2)
+    assert "layout" in json.load(open(_manifests(path)[-1]))
+    snapshot_set_layout(path, None)
+    head2 = json.load(open(_manifests(path)[-1]))
+    assert "layout" not in head2
+    snapshot_append(spark, mk(800, 810).coalesce(3), path)
+    assert snapshot_read(spark, path).count() == 810
+
+    # an append staged under a superseded spec fails LOUDLY: flip the
+    # layout between the append's staging and its commit (hook the
+    # bloom derivation, which runs post-staging, pre-commit)
+    import pytest
+
+    import etl_cortex_spark.operators.layout as L
+
+    orig_blooms = L.file_blooms
+
+    def _flip_then_derive(spark_, staged_, col_, **kw):
+        snapshot_set_layout(path, "v", files_per_batch=2)
+        return orig_blooms(spark_, staged_, col_, **kw)
+
+    L.file_blooms = _flip_then_derive
+    try:
+        with pytest.raises(SnapshotCommitConflict, match="layout changed"):
+            snapshot_append(spark, mk(900, 910), path, bloom_col="k")
+    finally:
+        L.file_blooms = orig_blooms
+    # the conflicting append left no trace: head rows unchanged and
+    # re-running under the new spec succeeds
+    assert snapshot_read(spark, path).count() == 810
+    snapshot_append(spark, mk(900, 910), path)
+    assert snapshot_read(spark, path).count() == 820
+
+    with pytest.raises(ValueError, match="no manifests"):
+        snapshot_set_layout(str(tmp_path / "nope"), "k")

@@ -641,6 +641,28 @@ def test_preference_pairs_rank_windows_prune_map_side(spark):
     assert "WindowGroupLimit" in plan
 
 
+#: registry entries the repo-wide window audits skip: streaming/sink/
+#: datasource builders execute their work eagerly and are covered by
+#: their own pytest files.
+_AUDIT_SKIP = ("stream_", "sink_", "pyds_")
+
+#: name -> optimized-plan string, built once per session and shared by
+#: the repo-wide window audits (each fn(spark, SF) call is real work —
+#: some builders run jobs — so the sweeps must not pay it twice).
+_REGISTRY_PLANS: dict = {}
+
+
+def _registry_plan(spark, name: str) -> str:
+    if name not in _REGISTRY_PLANS:
+        _REGISTRY_PLANS[name] = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    return _REGISTRY_PLANS[name]
+
+
 def test_no_data_sized_global_window_anywhere_in_registry(spark):
     """Repo-wide scale audit (the c69/b26 class): every registry
     entry's optimized plan is scanned for GLOBAL Window nodes (empty
@@ -665,12 +687,11 @@ def test_no_data_sized_global_window_anywhere_in_registry(spark):
         "d85_curriculum_order": 1,    # |strata| rows
         "d80_source_concentration": 1,  # |sources| rows
     }
-    SKIP = ("stream_", "sink_", "pyds_")
     bad = {}
-    for name, fn in QUERIES.items():
-        if name.startswith(SKIP):
+    for name in QUERIES:
+        if name.startswith(_AUDIT_SKIP):
             continue
-        plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        plan = _registry_plan(spark, name)
         n = 0
         for line in plan.splitlines():
             s = line.lstrip(" :+-")
@@ -684,6 +705,47 @@ def test_no_data_sized_global_window_anywhere_in_registry(spark):
         if n > BOUNDED_GLOBAL.get(name, 0):
             bad[name] = n
     assert not bad, f"data-sized global windows: {bad}"
+
+
+def test_no_unprunable_partitioned_window_anywhere_in_registry(spark):
+    """Round-16 audit extension (the d111 lesson — the round-15
+    verdict's one scale-killer sailed PAST the global-window audit
+    because its window had a partition spec): ntile, percent_rank and
+    cume_dist need their WHOLE partition — WindowGroupLimit cannot
+    prune them — so even a partitioned window single-tasks its largest
+    group when the partition key is a bounded-cardinality column over
+    data-sized input (~45% of a real crawl is one language). Every
+    registry plan is swept for Window nodes carrying the family; each
+    allowlisted entry is justified below. The pre-fix d111 (ntile OVER
+    (PARTITION BY lang)) fails this audit; the grouped_ntile rewrite
+    passes. row_number/rank/dense_rank are deliberately excluded:
+    their filtered top-k forms plan as WindowGroupLimit (pinned by
+    test_preference_pairs_rank_windows_prune_map_side), and their
+    partition-less uses are caught by the global-window audit above."""
+    UNPRUNABLE = ("ntile(", "percent_rank(", "cume_dist(")
+    ALLOWED = {
+        # SQL-surface parity demos of the window functions THEMSELVES
+        # (SURVEY rows C26 / D47): the deliverable is the windowed
+        # form's semantics vs the DuckDB oracle, over one sf table with
+        # a fixed 5-value partition key; their docstrings point scale
+        # users at skew.grouped_ntile / global_ntile for the 100 TB
+        # path.
+        "c26_window_ranking": 1,
+        "c63_window_cume_dist": 1,
+    }
+    bad = {}
+    for name in QUERIES:
+        if name.startswith(_AUDIT_SKIP):
+            continue
+        plan = _registry_plan(spark, name)
+        n = 0
+        for line in plan.splitlines():
+            s = line.lstrip(" :+-")
+            if s.startswith("Window ") and any(u in s for u in UNPRUNABLE):
+                n += 1
+        if n > ALLOWED.get(name, 0):
+            bad[name] = n
+    assert not bad, f"unprunable (ntile-family) windows: {bad}"
 
 
 def test_bucketed_join_is_exchange_free(spark):

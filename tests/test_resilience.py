@@ -205,3 +205,55 @@ def test_snapshot_stream_source_versions_as_offsets(spark):
     snapshot_delete_mor(spark, path, F.col("k") < 5, "k")
     with pytest.raises(ValueError, match="not a pure append"):
         list(reader.readBetweenOffsets({"version": 3}, {"version": 4}))
+
+
+def test_snapshot_stream_aligns_rows_by_name_not_position(spark):
+    """Round-16 ADVICE: a later append whose parquet files store the
+    SAME columns in a DIFFERENT order (two writers selecting columns
+    differently), or with an ADDED column (additive evolution), must
+    not silently misalign or truncate the stream's rows — records
+    align to the declared schema's column NAMES. The declared schema
+    is the newest head file's at reader construction (the
+    _version_schema rule): pre-evolution files pad the new column with
+    None, the reversed-order file's values land under their right
+    names, and a reader declared BEFORE an evolution simply never
+    sees the later column (the CDC fixed-schema convention)."""
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_append
+    from etl_cortex_spark.sources.pyds import make_snapshot_changes_stream_source
+
+    path = tempfile.mkdtemp(prefix="snapstream_drift_")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    snapshot_append(spark, base, path)
+    # same columns, REVERSED select order — parquet stores (s, k)
+    drift = spark.createDataFrame([("c", 3), ("d", 4)], "s string, k long")
+    snapshot_append(spark, drift, path)
+    # additive evolution: an extra column the declared schema never saw
+    extra = spark.createDataFrame(
+        [(5, "e", 9.9)], "k long, s string, extra double"
+    )
+    snapshot_append(spark, extra, path)
+
+    src = make_snapshot_changes_stream_source()(options={"path": path})
+    reader = src.simpleStreamReader(None)  # declares head schema (k,s,extra)
+    got = sorted(reader.readBetweenOffsets({"version": 0}, {"version": 3}))
+    assert got == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", None),
+        (4, "d", None),
+        (5, "e", 9.9),
+    ]
+    # a reader declared BEFORE the evolution (column set (k, s)) reads
+    # the evolved file without misalignment: extra is invisible
+    from etl_cortex_spark.sources.pyds import make_snapshot_changes_stream_source as mk
+
+    pre = mk()(options={"path": path})
+    pre_reader = pre.simpleStreamReader(None)
+    pre_reader.cols = ["k", "s"]  # as if constructed at version 2
+    got_pre = sorted(pre_reader.readBetweenOffsets({"version": 2}, {"version": 3}))
+    assert got_pre == [(5, "e")]
+    # and alignment is by NAME even when parquet order is reversed
+    got_rev = sorted(pre_reader.readBetweenOffsets({"version": 1}, {"version": 2}))
+    assert got_rev == [(3, "c"), (4, "d")]

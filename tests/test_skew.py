@@ -142,3 +142,102 @@ def test_global_ntile_plan_has_no_global_window(spark):
             groups = re.split(r"\], \[", s)
             # 3 groups = [exprs], [partition], [order] — partitioned
             assert len(groups) == 3, f"global window in plan: {s[:90]}"
+
+
+def _grouped_ntile_ref(spark, df, b, group_col, order_cols):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return {
+        (r["g"], r["k"]): r["nt"]
+        for r in df.select(
+            F.col(group_col).alias("g"),
+            F.col("k"),
+            F.ntile(b).over(w).alias("nt"),
+        ).collect()
+    }
+
+
+def test_grouped_ntile_matches_windowed_ntile_under_skew(spark):
+    """grouped_ntile must equal ntile OVER (PARTITION BY g) bit-for-bit
+    on a 90%-one-group distribution (the d111 hazard shape), including
+    uneven group sizes (n_g % b != 0) and a group smaller than b."""
+    from etl_cortex_spark.operators.skew import grouped_ntile
+
+    df = spark.range(1_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("en"))
+        .when(F.col("id") % 10 == 9, F.lit("de"))
+        .otherwise(F.lit("zh"))
+        .alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 101).alias("v"),
+    ).union(
+        # a 2-row group with b=3: ntile gives one row per bucket
+        spark.createDataFrame([("xx", 10_001, 5), ("xx", 10_002, 9)], "g string, k long, v long")
+    )
+    order = [F.desc("v"), F.col("k")]
+    want = _grouped_ntile_ref(spark, df, 3, "g", order)
+    got = {
+        (r["g"], r["k"]): r["q"]
+        for r in grouped_ntile(df, 3, "g", order, "q").collect()
+    }
+    assert got == want
+
+
+def test_grouped_ntile_null_group_and_partition_invariance(spark):
+    from etl_cortex_spark.operators.skew import grouped_ntile
+
+    df = spark.createDataFrame(
+        [(None, 1, 3.0), (None, 2, 1.0), ("a", 3, 2.0), (None, 4, 2.0)],
+        "g string, k long, v double",
+    )
+    order = [F.col("v"), F.col("k")]
+    want = _grouped_ntile_ref(spark, df, 2, "g", order)
+    for parts in (1, 7):
+        got = {
+            (r["g"], r["k"]): r["q"]
+            for r in grouped_ntile(
+                df.repartition(parts), 2, "g", order, "q"
+            ).collect()
+        }
+        assert got == want, f"repartition({parts})"
+
+
+def test_grouped_ntile_rejects_unbounded_group(spark):
+    """The bounded-cardinality contract fails loudly, not silently: a
+    census bigger than max_groups + n_partitions raises."""
+    import pytest
+
+    from etl_cortex_spark.operators.skew import grouped_ntile
+
+    df = spark.range(300).select(
+        F.col("id").cast("string").alias("g"), F.col("id").alias("k")
+    )
+    with pytest.raises(ValueError, match="bounded-cardinality"):
+        grouped_ntile(df, 3, "g", [F.col("k")], "q", max_groups=10).collect()
+
+
+def test_grouped_ntile_plan_windows_are_pid_partitioned(spark):
+    """The scale contract: every Window node partitions by (__pid, g) —
+    a task ranks only its own range slice, so a dominant group can
+    never single-task. No ntile() call appears anywhere in the plan."""
+    from etl_cortex_spark.operators.skew import grouped_ntile
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    plan = (
+        grouped_ntile(df, 4, "g", [F.col("k")], "q")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ntile(" not in plan
+    import re
+
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-")
+        if s.startswith("Window "):
+            groups = re.split(r"\], \[", s)
+            assert len(groups) == 3, f"global window in plan: {s[:90]}"
+            assert "__pid" in groups[1], f"window not pid-partitioned: {s[:120]}"

@@ -150,3 +150,68 @@ def test_stream_reader_handles_multifile_table_directory(spark, tmp_path):
         ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), "complete"
     )
     assert {(r["event_type"], r["n"]) for r in out.collect()} == {("click", 2 * n)}
+
+
+def test_wap_commit_batch_publish_discard_replay_conflict(spark, tmp_path):
+    """Round-16 streaming WAP pins: (1) a good batch publishes — even
+    the FIRST batch of an empty table (base_version 0); (2) a poisoned
+    batch is discarded without trace (no head rows, no branch manifest,
+    no orphan files); (3) a replay of a published batch is a ledger
+    no-op before anything stages; (4) a replay of a discarded batch
+    re-audits and re-discards; (5) a publish that loses the head race
+    discards, restages against the new head and publishes."""
+    import glob
+    import os
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+    )
+    from etl_cortex_spark.streaming.ingest import wap_commit_batch
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi, v: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), F.lit(float(v)).alias("val")
+    )
+    audit = lambda df: df.filter(F.col("val") < 0).isEmpty()  # noqa: E731
+
+    # (1) first batch onto an EMPTY table
+    assert wap_commit_batch(spark, mk(0, 10, 1.0), path, 0, audit) == "published"
+    assert snapshot_read(spark, path).count() == 10
+
+    # (2) poisoned batch: discarded without trace
+    assert wap_commit_batch(spark, mk(10, 15, -5.0), path, 1, audit) == "discarded"
+    assert snapshot_read(spark, path).count() == 10
+    assert not glob.glob(os.path.join(path, "branch-*.manifest.json"))
+    # exactly ONE wap dir remains: the PUBLISHED batch's (its files
+    # are referenced by v1); the discarded batch's dir is gone
+    assert len(glob.glob(os.path.join(path, "data", "wap-*"))) == 1
+
+    # (3) replay of the PUBLISHED batch: no-op before staging
+    assert wap_commit_batch(spark, mk(0, 10, 1.0), path, 0, audit) == "replayed"
+    assert snapshot_read(spark, path).count() == 10
+
+    # (4) replay of the DISCARDED batch: re-audits, re-discards
+    assert wap_commit_batch(spark, mk(10, 15, -5.0), path, 1, audit) == "discarded"
+    assert snapshot_read(spark, path).count() == 10
+
+    # (5) publish conflict: a concurrent append lands between stage
+    # and publish (hooked into the audit, which runs in that window)
+    appended = {"done": False}
+
+    def racing_audit(df):
+        if not appended["done"]:
+            appended["done"] = True
+            snapshot_append(spark, mk(100, 103, 7.0), path)
+        return df.filter(F.col("val") < 0).isEmpty()
+
+    assert (
+        wap_commit_batch(spark, mk(20, 25, 2.0), path, 2, racing_audit)
+        == "published"
+    )
+    # both the concurrent append AND the WAP batch are at head
+    assert snapshot_read(spark, path).count() == 10 + 3 + 5
+    assert not glob.glob(os.path.join(path, "branch-*.manifest.json"))
+    # two published wap dirs (batches 0 and 2); the conflict retry's
+    # first staging was discarded
+    assert len(glob.glob(os.path.join(path, "data", "wap-*"))) == 2

@@ -953,3 +953,87 @@ def test_ccnet_buckets_balanced_and_ordered(spark):
         tail = buckets["tail"]
         assert (head["sum_lp_micro"] / head["n_trigrams"]
                 > tail["sum_lp_micro"] / tail["n_trigrams"])
+
+
+def test_ccnet_buckets_equal_windowed_ntile_form_under_skew(spark):
+    """Round-16 fix pin: the two-phase grouped_ntile tercile must equal
+    the ntile OVER (PARTITION BY lang) form bit-for-bit — verified on a
+    90%-one-language corpus (the exact shape whose windowed form
+    single-tasks at scale, and which the balanced sf fixture can't
+    exercise). The reference here recomputes the SAME capped-LM scores
+    and assigns terciles with the windowed ntile."""
+    from pyspark.sql import Window
+
+    from etl_cortex_spark.operators import llmprep as LP
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(400):
+        lang = "en" if i % 10 < 9 else "zh"
+        text = " ".join(words[(i * k) % len(words)] for k in range(1, 8 + i % 5))
+        rows.append((i, lang, text))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["lang"], r["bucket"]): (r["n_docs"], r["sum_lp_micro"])
+        for r in LP.ccnet_perplexity_buckets(docs, lm_top_k=20).collect()
+    }
+
+    # reference: identical scoring, windowed ntile tercile
+    tg = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.col("lang").alias("__lang"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("__tg"),
+    ).filter(F.length("__tg") == 3)
+    counts = tg.groupBy("__lang", "__tg").agg(F.count(F.lit(1)).alias("__n"))
+    w_lm = Window.partitionBy("__lang").orderBy(F.desc("__n"), "__tg")
+    lm = (
+        counts.withColumn("__rk", F.row_number().over(w_lm))
+        .filter(F.col("__rk") <= 20)
+        .select(
+            "__lang",
+            "__tg",
+            F.floor(F.log("__n") * 1_000_000).cast("bigint").alias("__lp_u"),
+        )
+    )
+    ds = (
+        tg.join(lm, ["__lang", "__tg"])
+        .groupBy("__lang", "__id")
+        .agg(F.sum("__lp_u").alias("__s"), F.count(F.lit(1)).alias("__m"))
+    )
+    w = Window.partitionBy("__lang").orderBy(
+        (F.col("__s").cast("double") / F.col("__m")).desc(), F.col("__id")
+    )
+    name = F.when(F.col("__b") == 1, F.lit("head")).otherwise(
+        F.when(F.col("__b") == 2, F.lit("middle")).otherwise(F.lit("tail"))
+    )
+    want = {
+        (r["lang"], r["bucket"]): (r["n_docs"], r["sum_lp_micro"])
+        for r in ds.withColumn("__b", F.ntile(3).over(w))
+        .groupBy(F.col("__lang").alias("lang"), name.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__s").alias("sum_lp_micro"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ccnet_buckets_plan_no_ntile_and_lm_topk_prunes(spark):
+    """Round-16 scale pins: (1) no ntile() survives anywhere in d111's
+    plan — the tercile is the two-phase grouped_ntile, whose windows
+    all partition by __pid; (2) the LM top-k derivation plans as
+    WindowGroupLimit, so the per-language trigram rank prunes map-side
+    instead of sorting a language's whole vocabulary in one task."""
+    from etl_cortex_spark.operators import llmprep as LP
+
+    df = LP.ccnet_perplexity_buckets(load_table(spark, SF, "documents"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ntile(" not in opt
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in ex
