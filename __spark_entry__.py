@@ -62,6 +62,14 @@ _REVERIFY_NOW: dict[str, int] = {
     # against the full sf0.01 oracle this session; seeded for an
     # official record on the new plan.
     "d111_ccnet_buckets": 16,
+    # Round 16: d85's per-stratum rank moved from the windowed
+    # row_number (single-tasks the dominant stratum — found by this
+    # round's latent-skew sweep) to skew.grouped_rank's two-phase
+    # census; values identical (exact rank), rank_in_stratum widened
+    # to BIGINT in plan+oracle. Verified green against the sf0.01
+    # oracle this session; seeded for an official record on the new
+    # plan.
+    "d85_curriculum_order": 16,
 }
 
 

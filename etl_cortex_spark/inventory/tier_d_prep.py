@@ -1108,7 +1108,7 @@ def d84(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT r.doc_id, r.lang,
-           CAST(rk AS INT) AS rank_in_stratum,
+           CAST(rk AS BIGINT) AS rank_in_stratum,
            CAST((rk - 1) * ns + i AS BIGINT) AS position
     FROM r JOIN idx USING (lang) CROSS JOIN n
     ORDER BY position
@@ -1118,10 +1118,12 @@ def d85(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (llmprep.curriculum_order): documents
     ranked easiest-first (token count, doc_id tiebreak) within each
     language, strata interleaved round-robin — the reproducible
-    data-ordering half of curriculum learning. One rank window
-    PARTITIONED BY the stratum; stratum index/count come from a
-    |langs|-row broadcast. Positions are unique by arithmetic — no
-    global sort to assign them."""
+    data-ordering half of curriculum learning. Round 16: the
+    per-stratum rank is `skew.grouped_rank`'s two-phase census (an
+    unfiltered windowed row_number would single-task the dominant
+    stratum — the d111 hazard shape, caught by this round's sweep);
+    stratum index/count come from a |langs|-row broadcast. Positions
+    are unique by arithmetic — no global sort to assign them."""
     docs = T(spark, sf_dir, "documents")
     return LP.curriculum_order(
         docs, "lang", TX.n_tokens("text"), "doc_id"

@@ -1124,6 +1124,141 @@ def scale_snapshot_partition_evolution(
 
 
 @query(
+    "scale_snapshot_hidden_partitioning",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scale_snapshot_hidden_partitioning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN PARTITIONING (round 16 — Iceberg's partition transforms
+    on the D130 layout spec, monotone subset): the layout evolves to
+    ``months(o_orderdate)`` — a TRANSFORM of a source column, never a
+    partition column in the data — and later appends cluster by
+    calendar month. "Hidden" is the contract under test: the query
+    filters the plain ``o_orderdate`` column with no rewrite, and
+    pruning still works because clustering by a monotone transform
+    keeps every file a contiguous source-date range that the ordinary
+    zone maps capture (pinned in tests/test_layout.py; bucket(n) is
+    rejected loudly for exactly this reason — it breaks source
+    contiguity). The scan spans a pre-evolution generation and two
+    month-clustered generations; the oracle replays the date-range
+    filter as plain SQL. At 100 TB this is the Iceberg answer to
+    Hive-style partition folders: users never learn the layout, and
+    evolving it never rewrites data or queries."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_scan,
+        snapshot_set_layout,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snaphp_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 0), path,
+        stats_col="o_orderdate",
+    )
+    snapshot_set_layout(
+        path, [("months", "o_orderdate")], files_per_batch=6
+    )
+    for third in (1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    return (
+        snapshot_scan(spark, path, "o_orderdate", "1996-01-01", "1996-12-31")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        # 12-row output: local sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("month")
+    )
+
+
+@query(
+    "scale_snapshot_row_lineage",
+    oracle="""
+    WITH t(v, third) AS (VALUES (1, 0), (2, 1), (3, 2))
+    SELECT CAST(t.v AS INT) AS _commit_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM t JOIN orders o
+      ON (o.o_orderkey % 3) = t.third AND (o.o_orderkey % 6) <> 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scale_snapshot_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LINEAGE READ (round 16 — `layout.snapshot_read_lineage`,
+    Delta's ``_commit_version`` metadata column on the D102 protocol):
+    three commits land the orders thirds, a merge-on-read delete
+    erases the o_orderkey % 6 = 0 rows, and the lineage read tags
+    every LIVE row with the version whose commit added its file — the
+    "which ingest batch produced this training document" audit, with
+    no provenance column baked into the data. The per-version
+    aggregate hash-matches the oracle's replay of (third, version)
+    pairs under the delete predicate, proving (a) survivors keep their
+    ORIGINAL commit tag through MOR resolution and (b) no row is
+    tagged with the delete's version (v4 adds no files). The tag is a
+    broadcast file-dim join on input_file_name projected at scan time
+    — manifest-sized state, zero data rewrite, O(1) in table size.
+    File-provenance contract (rewrites re-stamp) pinned in
+    tests/test_layout.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_mor,
+        snapshot_read_lineage,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snaplin_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for third in (0, 1, 2):
+        snapshot_append(
+            spark, orders.filter(F.col("o_orderkey") % 3 == third), path
+        )
+    snapshot_delete_mor(
+        spark, path, F.col("o_orderkey") % 6 == 0, "o_orderkey"
+    )
+    return (
+        snapshot_read_lineage(spark, path)
+        .groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        # 3-row output: local sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("_commit_version")
+    )
+
+
+@query(
     "scale_snapshot_merge",
     oracle="""
     WITH base AS (

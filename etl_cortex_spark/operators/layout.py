@@ -935,10 +935,10 @@ def snapshot_append(
     staged = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
     to_write = df
     if layout:
-        lcols = layout["partition_by"]
+        lexprs, _ = _layout_cluster_exprs(layout)
         to_write = df.repartitionByRange(
-            max(int(layout.get("files_per_batch", 4)), 1), *lcols
-        ).sortWithinPartitions(*lcols)
+            max(int(layout.get("files_per_batch", 4)), 1), *lexprs
+        ).sortWithinPartitions(*lexprs)
     to_write.write.mode("errorifexists").parquet(staged)
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     if not new_files:
@@ -950,7 +950,11 @@ def snapshot_append(
         if stats_col is not None:
             cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
         if layout:
-            cols += [c for c in layout["partition_by"] if c not in cols]
+            # zone maps on the SOURCE columns: monotone transforms keep
+            # each clustered file a contiguous source range, so source
+            # stats prune source-column predicates (hidden partitioning)
+            _, lsrc = _layout_cluster_exprs(layout)
+            cols += [c for c in lsrc if c not in cols]
         if cols:
             batch_stats = multi_file_stats(spark, staged, cols)
         if bloom_col is not None:
@@ -1094,7 +1098,8 @@ def snapshot_read(
     return reader.parquet(*files)
 
 
-def _apply_mor_deletes(spark, meta: dict, files: list, schema):
+def _apply_mor_deletes(spark, meta: dict, files: list, schema,
+                       tag_versions: dict | None = None):
     """Resolve the LIVE rows of a merge-on-read version: scan ``files``
     and anti-join each against the equality-delete files that COVER it
     (an entry covers exactly the data files present when the delete
@@ -1104,16 +1109,48 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema):
     covering-entry signature so the plan holds one scan + one
     broadcast anti-join per distinct coverage, not per file; delete
     key sets are small by contract (a delete names keys, not rows), so
-    every anti-join build side is broadcast-sized."""
+    every anti-join build side is broadcast-sized.
+
+    ``tag_versions`` (round 16 — `snapshot_read_lineage`): abs file →
+    commit version; when given, every row gains ``_commit_version``
+    via a broadcast join of the manifest-sized (file, version) dim on
+    ``input_file_name()`` projected AT SCAN TIME (the snapshot_merge
+    rule: after a shuffle it returns ''). A file-dim join, not a
+    literal map expression, so a 100k-file manifest costs a 100k-row
+    broadcast, never a 100k-node plan."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
+    lineage_dim = None
+    if tag_versions is not None:
+        lineage_dim = spark.createDataFrame(
+            [(k, int(v)) for k, v in tag_versions.items()],
+            "__file string, _commit_version int",
+        )
+
+    def _tag(part):
+        if lineage_dim is None:
+            return part
+        return (
+            part.withColumn(
+                # input_file_name() renders file:/ or file:/// URIs;
+                # collapse either to the plain abspath the dim carries
+                "__file",
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            )
+            .join(F.broadcast(lineage_dim), "__file")
+            .drop("__file")
+        )
+
     deletes = meta.get("deletes") or []
     if not files:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if lineage_dim is not None:
+            out = out.withColumn("_commit_version", F.lit(None).cast("int"))
+        return out
     if not deletes:
-        return spark.read.schema(schema).parquet(*files)
+        return _tag(spark.read.schema(schema).parquet(*files))
     import os
 
     cover_sets = [
@@ -1127,7 +1164,7 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema):
         groups.setdefault(sig, []).append(fp)
     parts = []
     for sig, fs in groups.items():
-        part = spark.read.schema(schema).parquet(*fs)
+        part = _tag(spark.read.schema(schema).parquet(*fs))
         for i in sig:
             keys = spark.read.parquet(*deletes[i]["files"])
             part = part.join(
@@ -1135,6 +1172,73 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema):
             )
         parts.append(part)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def snapshot_file_versions(path: str, version: int | None = None) -> dict:
+    """abs data file → the version whose commit FIRST listed it,
+    walking manifests 1..version (incremental first-seen, one JSON
+    read per surviving manifest). Files whose introducing manifest is
+    past retention resolve to the oldest SURVIVING manifest that lists
+    them — the honest answer once history is erased."""
+    import json
+    import os
+
+    seen: dict = {}
+    for m in _manifests(path):
+        v = _manifest_version(m)
+        if version is not None and v > version:
+            break
+        with open(m) as f:
+            meta = json.load(f)
+        for fp in meta["files"]:
+            a = os.path.abspath(fp)
+            if a not in seen:
+                seen[a] = v
+    return seen
+
+
+def snapshot_read_lineage(spark, path: str, version: int | None = None):
+    """ROW-LINEAGE read (round 16 — Delta's ``_commit_version`` /
+    Iceberg's file-provenance metadata column on the D102 protocol):
+    the table AS OF ``version`` with every row tagged
+    ``_commit_version`` = the version whose commit ADDED the row's
+    file. This is what makes a snapshot table auditable row-by-row —
+    "which ingest batch produced this training document" without a
+    provenance column baked into the data — and it composes with the
+    protocol: merge-on-read deletes resolve normally (survivors keep
+    their original version tag), pinned reads tag against their own
+    version's history.
+
+    Contract: FILE provenance, deliberately — a COW delete/merge or a
+    compaction re-stamps the rows it rewrites with the rewriting
+    version (the rewrite is a new commit of new files; pinned in
+    pytest). Iceberg v3's durable per-row ids survive rewrites; that
+    upgrade changes this function alone, not the protocol."""
+    import json
+    import os
+
+    if version is None:
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(f"snapshot_read_lineage: no manifests under {path}")
+        target = manifests[-1]
+        version = _manifest_version(target)
+    else:
+        target = os.path.join(path, f"v{version}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_read_lineage: version {version} does not exist"
+            )
+    with open(target) as f:
+        meta = json.load(f)
+    files = meta["files"]
+    schema = _version_schema(spark, files) if files else None
+    if not files:
+        raise ValueError(f"snapshot_read_lineage: empty files at v{version}")
+    return _apply_mor_deletes(
+        spark, meta, files, schema,
+        tag_versions=snapshot_file_versions(path, version=version),
+    )
 
 
 def snapshot_delete_mor(spark, path: str, predicate, key_cols) -> int:
@@ -1638,6 +1742,44 @@ def snapshot_compact(
     return version
 
 
+#: hidden-partitioning transforms the layout spec admits (round 16 —
+#: Iceberg's partition transforms, restricted to the MONOTONE ones):
+#: identity, truncate(width), days/months/years. Monotonicity is the
+#: admission rule: clustering by a monotone transform of a column
+#: keeps each output file a contiguous SOURCE-column range, so the
+#: existing per-file zone maps prune range scans with no new manifest
+#: machinery. bucket(n) is rejected loudly — a hash transform breaks
+#: source contiguity and would need transform-value stats plus a
+#: transform-aware scan path to prune (a documented boundary, not a
+#: silent gap).
+_MONOTONE_TRANSFORMS = ("truncate", "days", "months", "years")
+
+
+def _layout_cluster_exprs(layout: dict):
+    """(cluster expressions, source columns) for a layout spec."""
+    from pyspark.sql import functions as F
+
+    exprs, src_cols = [], []
+    for e in layout["partition_by"]:
+        if isinstance(e, str):
+            exprs.append(F.col(e))
+            src_cols.append(e)
+            continue
+        t, c = e["transform"], e["col"]
+        if t == "truncate":
+            exprs.append(F.floor(F.col(c) / int(e["width"])) * int(e["width"]))
+        elif t == "days":
+            exprs.append(F.date_trunc("day", F.col(c)))
+        elif t == "months":
+            exprs.append(F.date_trunc("month", F.col(c)))
+        elif t == "years":
+            exprs.append(F.date_trunc("year", F.col(c)))
+        else:  # pragma: no cover - set_layout validated already
+            raise ValueError(f"unknown layout transform {t!r}")
+        src_cols.append(c)
+    return exprs, src_cols
+
+
 def snapshot_set_layout(
     path: str, partition_by, files_per_batch: int = 4
 ) -> int:
@@ -1658,23 +1800,56 @@ def snapshot_set_layout(
     unification IS the existing stats protocol, which is why the spec
     can evolve without a read-path change.
 
-    ``partition_by`` is a column name or list; ``None`` CLEARS the
-    spec (subsequent appends return to arrival layout). The commit is
-    optimistically concurrent like an append (its read set is just the
-    previous manifest); an append staged under the superseded spec
-    detects the change at commit time and surfaces
-    `SnapshotCommitConflict`. Returns the committed version."""
+    ``partition_by`` is a column name, a list of names and/or
+    HIDDEN-PARTITIONING transform specs (round 16 — Iceberg's
+    transforms, the monotone subset): ``("truncate", col, width)`` /
+    ``("days"|"months"|"years", col)`` or the equivalent dicts.
+    Hidden means queries still filter the SOURCE column — clustering
+    by a monotone transform keeps each file a contiguous source range,
+    so the ordinary zone maps prune; no query rewrite, no partition
+    column in the data. ``bucket(n)`` is rejected loudly (see
+    `_MONOTONE_TRANSFORMS`). ``None`` CLEARS the spec (subsequent
+    appends return to arrival layout). The commit is optimistically
+    concurrent like an append (its read set is just the previous
+    manifest); an append staged under the superseded spec detects the
+    change at commit time and surfaces `SnapshotCommitConflict`.
+    Returns the committed version."""
     import json
 
-    cols = (
-        None
-        if partition_by is None
-        else (
-            [partition_by]
-            if isinstance(partition_by, str)
-            else list(partition_by)
-        )
-    )
+    def _norm(e):
+        if isinstance(e, str):
+            return e
+        if isinstance(e, (tuple, list)):
+            t = e[0]
+            e = (
+                {"transform": t, "col": e[1], "width": e[2]}
+                if t == "truncate"
+                else {"transform": t, "col": e[1]}
+            )
+        t = e.get("transform")
+        if t not in _MONOTONE_TRANSFORMS:
+            raise ValueError(
+                f"snapshot_set_layout: transform {t!r} is not supported — "
+                f"monotone transforms only {_MONOTONE_TRANSFORMS} (bucket "
+                "breaks source-range contiguity, so zone maps could not "
+                "prune it; it needs a transform-value stats protocol)"
+            )
+        if t == "truncate" and int(e.get("width", 0)) <= 0:
+            raise ValueError("snapshot_set_layout: truncate needs width > 0")
+        return e
+
+    if partition_by is None:
+        cols = None
+    elif isinstance(partition_by, str):
+        cols = [partition_by]
+    elif (
+        isinstance(partition_by, tuple)
+        and partition_by
+        and partition_by[0] in _MONOTONE_TRANSFORMS
+    ):
+        cols = [_norm(partition_by)]  # one bare transform tuple
+    else:
+        cols = [_norm(e) for e in partition_by]
     for _ in range(25):
         manifests = _manifests(path)
         if not manifests:

@@ -985,14 +985,23 @@ def curriculum_order(
     data-ordering half of curriculum learning: same corpus → same
     order, any engine, any partitioning).
 
-    Scale shape: ONE rank window PARTITIONED BY the stratum (never
-    global); the stratum index and count come from a |strata|-row
-    aggregate broadcast back onto the rows. Positions are unique
-    across the corpus by construction (rank × index arithmetic), no
-    global sort needed to ASSIGN them — only the consumer's writer
-    orders by position, and that is a sort on a dense integer key.
+    Scale shape (round 16 — this round's latent-skew sweep found the
+    old form was a d111 sibling): the per-stratum rank is
+    `skew.grouped_rank`'s two-phase census assignment, NOT
+    ``row_number OVER (PARTITION BY stratum)`` — an UNFILTERED
+    per-group row_number is not WindowGroupLimit-prunable, so the
+    windowed form sorted the dominant stratum in ONE task at 100 TB
+    (strata are bounded-cardinality over data-sized input, exactly
+    the ccnet language shape). The stratum index and count come from
+    a |strata|-row aggregate broadcast back onto the rows. Positions
+    are unique across the corpus by construction (rank × index
+    arithmetic), no global sort needed to ASSIGN them — only the
+    consumer's writer orders by position, and that is a sort on a
+    dense integer key.
     """
     from pyspark.sql import Window
+
+    from etl_cortex_spark.operators.skew import grouped_rank
 
     s = df.select(
         F.col(stratum_col), F.col(id_col), difficulty.alias("__diff")
@@ -1017,8 +1026,9 @@ def curriculum_order(
             .alias("__n_strata"),
         )
     )
-    w = Window.partitionBy(stratum_col).orderBy("__diff", id_col)
-    ranked = s.withColumn("__rank", F.row_number().over(w))
+    ranked = grouped_rank(
+        s, stratum_col, [F.col("__diff"), F.col(id_col)], rank_col="__rank"
+    )
     return (
         ranked.join(F.broadcast(strata), stratum_col)
         .select(

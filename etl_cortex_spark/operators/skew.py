@@ -197,43 +197,35 @@ def global_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__r")
 
 
-def grouped_ntile(
+def _gk(v) -> str:
+    # driver-side group-key render; must match the executor-side
+    # COALESCE(CAST(g AS STRING), sentinel) in _grouped_two_phase
+    return "\x00NULL" if v is None else str(v)
+
+
+def _lit_map(d: dict) -> Column:
+    return F.create_map(
+        *[x for k, v in sorted(d.items()) for x in (F.lit(k), F.lit(v))]
+    )
+
+
+def _grouped_two_phase(
     df: DataFrame,
-    n_buckets: int,
     group_col: str,
     order_exprs: Sequence[Column],
-    out_col: str = "ntile",
-    n_partitions: int | None = None,
-    max_groups: int = 10_000,
-) -> DataFrame:
-    """PER-GROUP ``ntile(b) OVER (PARTITION BY g ORDER BY ...)`` at
-    scale (round 16 — the round-15 verdict's one scale-killer, fixed
-    at the primitive level): the windowed form cannot be
-    WindowGroupLimit-pruned — ntile needs its WHOLE partition — so a
-    dominant group (45% of a crawl corpus is English) sorts in ONE
-    task at 100 TB. This is `global_rank`'s two-phase pattern applied
-    per group instead:
-
-    1. ``repartitionByRange(group, *order)``: partitions are
-       non-overlapping (group, order) ranges, PERSISTED so the census
-       and the rank job see the identical placement. Each group spans
-       a CONTIGUOUS run of partitions, so no task ever holds more
-       than ~|rows|/|partitions| rows no matter how skewed the groups.
-    2. A (pid, group) census — at most ``n_partitions + |groups|``
-       rows by contiguity — collected as bounded driver state.
-    3. rank-in-group = offset[(pid, group)] + row_number over the
-       PARTITIONED (pid, group) window; the bucket follows the SQL
-       ntile fill rule (first ``n mod b`` buckets take one extra row)
-       from the exact per-group totals, so the result is
-       bit-identical to the windowed ntile.
-
-    Contract: ``group_col`` must be BOUNDED-CARDINALITY (languages,
-    sources, shards — guarded by ``max_groups``, which also bounds the
-    literal lookup-map expressions) and its values must render
-    identically via Spark's CAST(.. AS STRING) and Python's str()
-    (strings, ints, dates do; floats and booleans do not — pre-cast
-    those). The order must be TOTAL within each group (include a
-    unique tiebreak) or the assignment is nondeterministic."""
+    n_partitions: int | None,
+    max_groups: int,
+    caller: str,
+):
+    """The shared core of `grouped_rank` / `grouped_ntile` (round 16):
+    range-repartition on (group, order) → PERSISTED placement → a
+    bounded (pid, group) census → per-(pid, group) offsets and exact
+    per-group totals as driver state. Returns (parted, rank_expr,
+    gkey_expr, totals_by_group_key) — rank_expr is the exact 1-based
+    rank WITHIN the row's group, computed under a window PARTITIONED
+    by (__pid, group) so no task ever sorts more than its own range
+    slice, no matter how skewed the groups. Returns totals empty when
+    the frame is empty."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -254,50 +246,101 @@ def grouped_ntile(
     )
     if len(census) > max_groups + n_partitions:
         raise ValueError(
-            f"grouped_ntile: census of {len(census)} (pid, group) rows "
+            f"{caller}: census of {len(census)} (pid, group) rows "
             f"exceeds max_groups={max_groups} + {n_partitions} partitions "
             f"— {group_col!r} is not a bounded-cardinality group column"
         )
-
-    def _gk(v) -> str:
-        # must match the executor-side COALESCE(CAST(g AS STRING), sentinel)
-        return "\x00NULL" if v is None else str(v)
-
     from collections import defaultdict
 
     by_group: dict[str, list] = defaultdict(list)
     for r in census:
         by_group[_gk(r[group_col])].append((r["__pid"], r["__n"]))
     offsets: dict[str, int] = {}
-    q_by_g: dict[str, int] = {}
-    rem_by_g: dict[str, int] = {}
+    totals: dict[str, int] = {}
     for gk, lst in by_group.items():
         acc = 0
         for pid, n in sorted(lst):
             offsets[f"{pid}\x1f{gk}"] = acc
             acc += n
-        q_by_g[gk], rem_by_g[gk] = divmod(acc, n_buckets)
+        totals[gk] = acc
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00NULL"))
     if not offsets:
+        return parted, None, gkey, totals
+    okey = F.concat_ws("\x1f", F.col("__pid").cast("string"), gkey)
+    w = Window.partitionBy("__pid", group_col).orderBy(*order_exprs)
+    rank = (_lit_map(offsets)[okey] + F.row_number().over(w)).cast("long")
+    return parted, rank, gkey, totals
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_exprs: Sequence[Column],
+    rank_col: str = "rank",
+    n_partitions: int | None = None,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Exact 1-based ``row_number() OVER (PARTITION BY g ORDER BY ...)``
+    at scale (round 16 — the d85 fix found by this round's latent-skew
+    sweep): an UNFILTERED per-group row_number cannot be
+    WindowGroupLimit-pruned (only rank-≤-k filters plan that way), so
+    the windowed form sorts a dominant group — the biggest curriculum
+    stratum, the dominant language — in ONE task at 100 TB. Two-phase
+    instead (`_grouped_two_phase`): every task ranks only its own
+    range slice and the offsets come from a bounded census.
+
+    Contract: ``group_col`` must be BOUNDED-CARDINALITY (guarded by
+    ``max_groups``, which also bounds the literal lookup maps) and its
+    values must render identically via Spark's CAST(.. AS STRING) and
+    Python's str() (strings, ints, dates do; floats and booleans do
+    not — pre-cast those). The order must be TOTAL within each group
+    (include a unique tiebreak) or the rank is nondeterministic."""
+    parted, rank, _gkey, totals = _grouped_two_phase(
+        df, group_col, order_exprs, n_partitions, max_groups, "grouped_rank"
+    )
+    if rank is None:  # empty frame
+        return parted.drop("__pid").withColumn(
+            rank_col, F.lit(None).cast("long")
+        )
+    return parted.withColumn(rank_col, rank).drop("__pid")
+
+
+def grouped_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    group_col: str,
+    order_exprs: Sequence[Column],
+    out_col: str = "ntile",
+    n_partitions: int | None = None,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """PER-GROUP ``ntile(b) OVER (PARTITION BY g ORDER BY ...)`` at
+    scale (round 16 — the round-15 verdict's one scale-killer, fixed
+    at the primitive level): the windowed form cannot be
+    WindowGroupLimit-pruned — ntile needs its WHOLE partition — so a
+    dominant group (45% of a crawl corpus is English) sorts in ONE
+    task at 100 TB. Rank from `_grouped_two_phase` (every task ranks
+    only its own range slice), bucket from the SQL ntile fill rule
+    (first ``n mod b`` buckets take one extra row) applied to the
+    exact per-group totals — bit-identical to the windowed ntile,
+    pinned under 90%-skew in tests/test_skew.py. Same
+    bounded-cardinality / total-order contract as `grouped_rank`."""
+    parted, rank, gkey, totals = _grouped_two_phase(
+        df, group_col, order_exprs, n_partitions, max_groups, "grouped_ntile"
+    )
+    if rank is None:  # empty frame
         return parted.drop("__pid").withColumn(
             out_col, F.lit(None).cast("int")
         )
-
-    def _lit_map(d: dict) -> Column:
-        return F.create_map(
-            *[x for k, v in sorted(d.items()) for x in (F.lit(k), F.lit(v))]
-        )
-
-    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00NULL"))
-    okey = F.concat_ws("\x1f", F.col("__pid").cast("string"), gkey)
-    w = Window.partitionBy("__pid", group_col).orderBy(*order_exprs)
-    r = (_lit_map(offsets)[okey] + F.row_number().over(w)).cast("long")
+    q_by_g = {gk: n // n_buckets for gk, n in totals.items()}
+    rem_by_g = {gk: n % n_buckets for gk, n in totals.items()}
     q = _lit_map(q_by_g)[gkey].cast("long")
     rem = _lit_map(rem_by_g)[gkey].cast("long")
     big = rem * (q + F.lit(1))
     bucket = (
-        F.when(q == F.lit(0), r)  # n < b: one row per bucket
-        .when(r <= big, F.ceil(r / (q + 1)))
-        .otherwise(rem + F.ceil((r - big) / q))
+        F.when(q == F.lit(0), rank)  # n < b: one row per bucket
+        .when(rank <= big, F.ceil(rank / (q + 1)))
+        .otherwise(rem + F.ceil((rank - big) / q))
     )
     return parted.withColumn(out_col, bucket.cast("int")).drop("__pid")
 

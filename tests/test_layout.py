@@ -1719,3 +1719,118 @@ def test_snapshot_partition_evolution_prunes_both_generations(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no manifests"):
         snapshot_set_layout(str(tmp_path / "nope"), "k")
+
+
+def test_snapshot_row_lineage_tags_and_rewrite_restamp(spark, tmp_path):
+    """Round-16 lineage pins: rows carry the version that added their
+    file; MOR-deleted survivors keep their ORIGINAL tag; a pinned read
+    tags against its own version's history; compaction re-stamps every
+    row with the compacting version (the documented file-provenance
+    contract); appends after compaction tag with their own version."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read_lineage,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_append(spark, mk(0, 10), path)   # v1
+    snapshot_append(spark, mk(10, 30), path)  # v2
+
+    tags = {
+        r["k"]: r["_commit_version"]
+        for r in snapshot_read_lineage(spark, path).collect()
+    }
+    assert all(tags[k] == 1 for k in range(0, 10))
+    assert all(tags[k] == 2 for k in range(10, 30))
+
+    # pinned read: only v1's history
+    tags1 = {
+        r["k"]: r["_commit_version"]
+        for r in snapshot_read_lineage(spark, path, version=1).collect()
+    }
+    assert tags1 == {k: 1 for k in range(0, 10)}
+
+    # MOR delete (v3): survivors keep their original tags
+    snapshot_delete_mor(spark, path, F.col("k") % 2 == 0, "k")
+    tags3 = {
+        r["k"]: r["_commit_version"]
+        for r in snapshot_read_lineage(spark, path).collect()
+    }
+    assert set(tags3) == {k for k in range(30) if k % 2 == 1}
+    assert all(tags3[k] == (1 if k < 10 else 2) for k in tags3)
+
+    # compaction (v4) re-stamps everything it rewrote
+    v = snapshot_compact(spark, path, target_files=1)
+    tags4 = {
+        r["k"]: r["_commit_version"]
+        for r in snapshot_read_lineage(spark, path).collect()
+    }
+    assert set(tags4) == set(tags3)
+    assert all(t == v for t in tags4.values())
+
+    # and a fresh append tags with its own version
+    snapshot_append(spark, mk(100, 103), path)
+    tags5 = {
+        r["k"]: r["_commit_version"]
+        for r in snapshot_read_lineage(spark, path).collect()
+    }
+    assert all(tags5[k] == v + 1 for k in (100, 101, 102))
+
+
+def test_snapshot_hidden_partitioning_transforms(spark, tmp_path):
+    """Round-16 hidden-partitioning pins: a months() transform layout
+    clusters appends by calendar month with SOURCE-column zone maps
+    (a one-month scan touches only that month's files, filtering the
+    plain date column — no query rewrite); truncate() works on
+    numerics; bucket() is rejected loudly with the contiguity reason."""
+    import datetime as dt
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_scan,
+        snapshot_set_layout,
+    )
+
+    path = str(tmp_path / "tbl")
+    rows = [
+        (i, dt.date(1996, 1 + (i % 12), 1 + (i % 27)), float(i)) for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "k long, d date, v double")
+    # seed v1 (pre-evolution) WITH stats so the old generation prunes
+    snapshot_append(spark, df.limit(1), path, stats_col="d")
+    snapshot_set_layout(path, [("months", "d")], files_per_batch=12)
+    snapshot_append(spark, df.filter(F.col("k") > 0), path)
+
+    got = snapshot_scan(spark, path, "d", "1996-03-01", "1996-03-31")
+    want = [r["k"] for r in df.filter(F.month("d") == 3).collect()]
+    assert sorted(r["k"] for r in got.collect()) == sorted(want)
+    touched = {os.path.abspath(f.removeprefix("file:")) for f in got.inputFiles()}
+    # 12 month-clustered files + the January-only seed file: a March
+    # scan reads EXACTLY the March file
+    assert len(touched) == 1
+
+    # truncate() on numerics
+    path2 = str(tmp_path / "tbl2")
+    snapshot_append(spark, df.limit(1), path2, stats_col="k")
+    snapshot_set_layout(path2, [("truncate", "k", 100)], files_per_batch=3)
+    snapshot_append(spark, df.filter(F.col("k") > 0), path2)
+    got2 = snapshot_scan(spark, path2, "k", 150, 160)
+    assert sorted(r["k"] for r in got2.collect()) == list(range(150, 161))
+    assert len(got2.inputFiles()) == 1
+
+    # bucket() rejected loudly
+    with pytest.raises(ValueError, match="bucket"):
+        snapshot_set_layout(path2, [("bucket", "k", 8)])
+    with pytest.raises(ValueError, match="width"):
+        snapshot_set_layout(path2, [("truncate", "k", 0)])

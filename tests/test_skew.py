@@ -241,3 +241,36 @@ def test_grouped_ntile_plan_windows_are_pid_partitioned(spark):
             groups = re.split(r"\], \[", s)
             assert len(groups) == 3, f"global window in plan: {s[:90]}"
             assert "__pid" in groups[1], f"window not pid-partitioned: {s[:120]}"
+
+
+def test_grouped_rank_matches_windowed_row_number_under_skew(spark):
+    """grouped_rank (the d85 fix) must equal row_number OVER
+    (PARTITION BY g) bit-for-bit on a 90%-one-group distribution, and
+    its plan must contain only __pid-partitioned windows."""
+    from pyspark.sql import Window
+
+    from etl_cortex_spark.operators.skew import grouped_rank
+
+    df = spark.range(2_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("big")).otherwise(F.lit("small")).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 31 % 257).alias("v"),
+    )
+    order = [F.desc("v"), F.col("k")]
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["k"]): r["rn"]
+        for r in df.select("g", "k", F.row_number().over(w).alias("rn")).collect()
+    }
+    got_df = grouped_rank(df, "g", order, "rn")
+    got = {(r["g"], r["k"]): r["rn"] for r in got_df.collect()}
+    assert got == want
+
+    import re
+
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-")
+        if s.startswith("Window "):
+            groups = re.split(r"\], \[", s)
+            assert len(groups) == 3 and "__pid" in groups[1], s[:120]
