@@ -70,6 +70,13 @@ _REVERIFY_NOW: dict[str, int] = {
     # oracle this session; seeded for an official record on the new
     # plan.
     "d85_curriculum_order": 16,
+    # Round 16 broadcast audit (the d111 lesson applied repo-wide):
+    # d103's match-back and d17's corpus-derived trigram LM lose their
+    # forced-broadcast hints (both build sides are unbounded at 100 TB;
+    # AQE now decides at runtime). Values identical, plans changed;
+    # both re-verified green against the sf0.01 oracle this session.
+    "d103_domain_blocklist": 16,
+    "d17_trigram_lm_score": 16,
 }
 
 

@@ -1537,10 +1537,12 @@ def d103(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable rewrite: decompose each host into its suffix chain and
     EQUI-join against the broadcast blocklist — O(labels) hash probes
     per row regardless of blocklist size, where the naive form is
-    |docs| × |blocklist| LIKE scans. Shuffle shape: docs are never
-    shuffled (suffixes explode map-side into the broadcast join; the
-    longest-match collapse groups only MATCH rows; the match table
-    joins back broadcast). Hosts are synthesized from doc_id closed
+    |docs| × |blocklist| LIKE scans. Shuffle shape: the suffix probe
+    is map-side (broadcast blocklist join); the longest-match
+    collapse groups only MATCH rows; the match table joins back on
+    the unique id with NO broadcast hint (round-16 broadcast audit:
+    it is blocked-docs-sized — unbounded at 100 TB — so AQE decides
+    at runtime). Hosts are synthesized from doc_id closed
     forms (three blocked families — nested subdomain, exact-parent,
     deep-chain — and two clean ones, including a clean 'news{{k}}.org'
     family that only k=3 of is listed, so suffix matching is really

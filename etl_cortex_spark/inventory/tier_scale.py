@@ -1124,6 +1124,149 @@ def scale_snapshot_partition_evolution(
 
 
 @query(
+    "scale_snapshot_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 1, 1, 0, 0, FALSE),
+      (2, 3, 2, 0, 0, FALSE),
+      (3, 3, 0, 0, 1, FALSE),
+      (4, 1, 1, 3, 0, FALSE),
+      (5, 1, 0, 0, 0, TRUE)
+    ) AS t(version, n_files, n_added, n_removed,
+           n_delete_entries, has_layout)
+    ORDER BY version
+    """,
+)
+def scale_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-HISTORY metadata view (round 16 — `layout.snapshot_history`,
+    the Iceberg history / Delta DESCRIBE HISTORY surface): a controlled
+    commit sequence — 1-file append, 2-file append, merge-on-read
+    delete (file set unchanged, one delete entry), full compaction
+    (3 files → 1, deletes applied), partition-spec evolution (metadata
+    only) — and the history view must replay every version's
+    bookkeeping EXACTLY: file counts, added/removed deltas, pending
+    delete entries, layout flag. The oracle is the protocol's own
+    arithmetic as a VALUES table, which is the point: the manifest log
+    IS the table's account of itself, and an operator plans retention,
+    compaction and debugging from this view without touching a data
+    file. Timestamps are deliberately absent (oracle-unstable;
+    `snapshot_version_asof` serves time-keyed lookups)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_history,
+        snapshot_set_layout,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snaphist_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(1), path
+    )
+    snapshot_append(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 1).repartition(2),
+        path,
+    )
+    snapshot_delete_mor(spark, path, F.col("o_orderkey") % 6 == 0, "o_orderkey")
+    snapshot_compact(spark, path, target_files=1)
+    snapshot_set_layout(path, "o_orderkey")
+    return (
+        snapshot_history(spark, path)
+        .select(
+            "version", "n_files", "n_added", "n_removed",
+            "n_delete_entries", "has_layout",
+        )
+        # 5-row output: local sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("version")
+    )
+
+
+@query(
+    "scale_snapshot_compact_small_files",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    """,
+)
+def scale_snapshot_compact_small_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELECTIVE small-file compaction (round 16 — Delta OPTIMIZE's
+    actual selection rule, `snapshot_compact(small_bytes=...)`): one
+    large file and eight deliberately small ones land across three
+    commits; the compaction rewrites ONLY the files under the
+    threshold — the large file carries into the new version BY
+    REFERENCE (pinned in tests/test_layout.py, with its zone map
+    intact) — and the post-compaction read must equal the plain
+    corpus aggregate. This is the shape a 100 TB table schedules
+    nightly: the small-file debt is per-batch commits, and the
+    full-table rewrite `scale_snapshot_compact` demonstrates would be
+    a table-sized job at scale, so the selective form is O(|small
+    files|) forever. The threshold is derived from the large file's
+    actual size, so the split is deterministic at every SF."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapsel_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(1),
+        path,
+        stats_col="o_orderkey",
+    )
+    for third in (1, 2):
+        snapshot_append(
+            spark,
+            orders.filter(F.col("o_orderkey") % 3 == third).repartition(4),
+            path,
+        )
+    with open(_manifests(path)[-1]) as f:
+        files = json.load(f)["files"]
+    big = max(os.path.getsize(p) for p in files)
+    snapshot_compact(
+        spark, path, stats_col="o_orderkey", target_files=2, small_bytes=big
+    )
+    return (
+        snapshot_read(spark, path)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+    )
+
+
+@query(
     "scale_snapshot_hidden_partitioning",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -1336,6 +1479,89 @@ def scale_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("version", "n_orders", "total_price")
         )
     return frames[0].unionByName(frames[1]).coalesce(1).sortWithinPartitions("version")
+
+
+@query(
+    "scale_snapshot_merge_mor",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE (o_orderkey % 3) < 2
+    ),
+    post AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice
+      FROM orders WHERE (o_orderkey % 3) = 2
+    )
+    SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price FROM base
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) FROM post
+    UNION ALL
+    SELECT 4, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) FROM post
+    ORDER BY version
+    """,
+)
+def scale_snapshot_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE (round 16 — `layout.snapshot_merge_mor`,
+    the COW merge's O(|batch|) sibling): the same upsert fixture as
+    `scale_snapshot_merge` (update the o_orderkey % 6 = 0 rows,
+    insert third 2 under shifted keys) but committed as ONE manifest
+    carrying the batch files plus a single equality-delete entry
+    scoped to the pre-merge files — NO existing data file is read or
+    rewritten (pinned in tests/test_layout.py), which is the cost
+    model when a day's changed keys scatter across thousands of
+    files at 100 TB. The query reads v2 (pre-merge), v3 (post-merge,
+    resolved through the anti-join), and v4 (post-compaction, deletes
+    APPLIED and cleared): v3 == v4 == the oracle's replay proves the
+    deferred and the materialized form agree exactly — the
+    COW-vs-MOR equivalence, stated as a hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_merge_mor,
+        snapshot_read,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mormrg_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    updates = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 3 == 2).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    snapshot_merge_mor(spark, updates.unionByName(inserts), path, "o_orderkey")
+    snapshot_compact(spark, path, target_files=2)
+    frames = []
+    for v in (2, 3, 4):
+        frames.append(
+            snapshot_read(spark, path, version=v)
+            .groupBy()
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select("version", "n_orders", "total_price")
+        )
+    out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return out.coalesce(1).sortWithinPartitions("version")
 
 
 @query(

@@ -1197,6 +1197,48 @@ def snapshot_file_versions(path: str, version: int | None = None) -> dict:
     return seen
 
 
+def snapshot_history(spark, path: str):
+    """TABLE-HISTORY metadata view (round 16 — Iceberg's
+    history/snapshots metadata tables, Delta's DESCRIBE HISTORY, on
+    the D102 protocol): one row per SURVIVING manifest with the
+    bookkeeping an operator reads before touching a table — version,
+    file count, files added/removed vs the previous surviving
+    version, the streaming batch_id (NULL for batch commits), pending
+    equality-delete entries, and whether a layout spec is in force.
+    Driver state is manifest-sized (one JSON read per version, no
+    data file touched — the same cost class as every planner path
+    here). Wall-clock commit stamps exist in the manifests but are
+    deliberately NOT emitted: they are oracle-unstable by nature;
+    `snapshot_version_asof` is the time-keyed lookup."""
+    import json
+    import os
+
+    rows = []
+    prev: set = set()
+    for m in _manifests(path):
+        with open(m) as f:
+            meta = json.load(f)
+        cur = {os.path.abspath(p) for p in meta["files"]}
+        bid = meta.get("batch_id")
+        rows.append(
+            (
+                int(meta["version"]),
+                len(cur),
+                len(cur - prev),
+                len(prev - cur),
+                int(bid) if bid is not None else None,
+                len(meta.get("deletes") or []),
+                "layout" in meta,
+            )
+        )
+        prev = cur
+    return spark.createDataFrame(
+        rows,
+        "version int, n_files int, n_added int, n_removed int, "
+        "batch_id bigint, n_delete_entries int, has_layout boolean",
+    )
+
+
 def snapshot_read_lineage(spark, path: str, version: int | None = None):
     """ROW-LINEAGE read (round 16 — Delta's ``_commit_version`` /
     Iceberg's file-provenance metadata column on the D102 protocol):
@@ -1625,6 +1667,85 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
     return version
 
 
+def snapshot_merge_mor(spark, df, path: str, key_cols) -> int:
+    """MERGE-ON-READ MERGE (round 16 — the upsert `snapshot_merge`'s
+    copy-on-write form cannot afford when a day's keys scatter across
+    many files: COW rewrites every file containing a match, MOR
+    commits O(|batch|) regardless of scatter). One atomic commit
+    carries (a) the batch as new data files and (b) ONE equality-
+    delete entry naming the batch's keys, scoped — the sequence rule —
+    to the files present BEFORE this commit. That IS the MERGE at
+    read time: pre-existing rows with batch keys disappear behind the
+    anti-join, the batch's own rows keep theirs (their files are not
+    in ``applies_to``), non-matching keys simply insert. The read-side
+    anti-join persists until `snapshot_compact` applies and clears the
+    entries — Iceberg's MOR-upsert trade, chosen per table by
+    read/write ratio, with `snapshot_merge` as the COW sibling.
+
+    Semantics match `snapshot_merge`: NULL-keyed batch rows INSERT and
+    never delete (NULL never equi-matches, and NULL keys are excluded
+    from the delete file); a batch with duplicate keys lands duplicate
+    rows — deduplicate upstream (`dedup_latest_agg`). Batch files
+    enter without manifest stats (conservatively read) until the next
+    stats-carrying commit or compaction, the kept files keep theirs.
+    Works with prior pending deletes (entries accumulate; coverage is
+    per-file). Returns the committed version."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_merge_mor: no manifests under {path}")
+    with open(manifests[-1]) as f:
+        latest = json.load(f)
+    version = _manifest_version(manifests[-1]) + 1
+    batch_staged = os.path.join(
+        path, "data", f"mormerge-{uuid.uuid4().hex[:12]}"
+    )
+    df.write.mode("errorifexists").parquet(batch_staged)
+    new_files = sorted(glob.glob(os.path.join(batch_staged, "*.parquet")))
+    if not new_files:
+        raise ValueError("snapshot_merge_mor: batch wrote no parquet files")
+    notnull = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        notnull = c if notnull is None else (notnull & c)
+    del_keys = df.select(*keys).distinct().filter(notnull)
+    eq_staged = os.path.join(path, "data", f"eqdel-{uuid.uuid4().hex[:12]}")
+    # coalesce(1): a delete file is keys-sized by contract — one file
+    # keeps the manifest entry and the read-side broadcast build tiny
+    del_keys.coalesce(1).write.mode("errorifexists").parquet(eq_staged)
+    del_files = sorted(glob.glob(os.path.join(eq_staged, "*.parquet")))
+    meta = {
+        "version": version,
+        "files": latest["files"] + new_files,
+        "deletes": (latest.get("deletes") or [])
+        + (
+            [
+                {
+                    "files": del_files,
+                    "keys": keys,
+                    "applies_to": latest["files"],
+                }
+            ]
+            if del_files
+            else []
+        ),
+    }
+    if not meta["deletes"]:
+        del meta["deletes"]
+    for carry in ("stats", "blooms", "layout"):
+        if carry in latest:
+            meta[carry] = latest[carry]
+    _commit_manifest(path, version, meta)
+    return version
+
+
 def snapshot_compact(
     spark,
     path: str,
@@ -1632,6 +1753,7 @@ def snapshot_compact(
     target_files: int = 1,
     zorder_by: tuple | None = None,
     bloom_col: str | None = None,
+    small_bytes: int | None = None,
 ) -> int:
     """OPTIMIZE for the manifest snapshot table (round 13 — closing
     the protocol family: append / read / COW-delete / stats-prune /
@@ -1657,7 +1779,20 @@ def snapshot_compact(
     predicates on EITHER column (pinned in tests/test_layout.py).
     Ingest commits in arrival order; this is the maintenance job that
     converts arrival order into queryable order, exactly where a
-    100 TB warehouse schedules it."""
+    100 TB warehouse schedules it.
+
+    ``small_bytes`` (round 16 — Delta OPTIMIZE's actual selection
+    rule): rewrite ONLY files smaller than the threshold; files at or
+    above it carry into the new version BY REFERENCE with their zone
+    maps and Blooms intact. This is the form a 100 TB table actually
+    schedules — the small-file debt is per-batch commits, and a full
+    rewrite to fix it would be a table-sized job; selective compaction
+    is O(|small files|) forever. Fewer than TWO small files is a
+    metadata no-op (returns the current head, no commit — nothing to
+    bin-pack). Refuses on pending merge-on-read deletes: a selective
+    rewrite resolves deletes for the files it touches but not the
+    kept ones, which would leave one version with half-applied
+    deletes — run a full compact there (it applies and clears them)."""
     import glob
     import json
     import os
@@ -1669,6 +1804,60 @@ def snapshot_compact(
     with open(manifests[-1]) as f:
         cur = json.load(f)
     version = _manifest_version(manifests[-1]) + 1
+    if small_bytes is not None:
+        if cur.get("deletes"):
+            raise ValueError(
+                "snapshot_compact: selective compaction (small_bytes) "
+                "cannot run with pending merge-on-read deletes — it would "
+                "apply them only to the rewritten files; run a full "
+                "compact first"
+            )
+        small = [
+            f for f in cur["files"] if os.path.getsize(f) < small_bytes
+        ]
+        if len(small) < 2:
+            return _manifest_version(manifests[-1])  # nothing to bin-pack
+        small_set = {os.path.abspath(f) for f in small}
+        kept = [f for f in cur["files"] if os.path.abspath(f) not in small_set]
+        staged = os.path.join(path, "data", f"compact-{uuid.uuid4().hex[:12]}")
+        schema = _version_schema(spark, cur["files"])
+        out = spark.read.schema(schema).parquet(*small).coalesce(
+            max(int(target_files), 1)
+        )
+        out.write.mode("errorifexists").parquet(staged)
+        new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+        if not new_files:
+            raise ValueError(
+                "snapshot_compact: selective rewrite produced no files"
+            )
+        meta = {"version": version, "files": kept + new_files}
+        prev_stats = cur.get("stats", {})
+        stats = {
+            f: prev_stats[f]
+            for f in (os.path.abspath(k) for k in kept)
+            if f in prev_stats
+        }
+        if stats_col is not None:
+            cols = [stats_col] if isinstance(stats_col, str) else list(stats_col)
+            stats.update(multi_file_stats(spark, staged, cols))
+        if stats:
+            meta["stats"] = stats
+        prev_blooms = cur.get("blooms", {})
+        blooms = {
+            c: {f: w for f, w in files.items() if f not in small_set}
+            for c, files in prev_blooms.items()
+        }
+        blooms = {c: files for c, files in blooms.items() if files}
+        if bloom_col is not None:
+            blooms.setdefault(bloom_col, {}).update(
+                file_blooms(spark, staged, bloom_col)
+            )
+        if blooms:
+            meta["blooms"] = blooms
+        if "layout" in cur:
+            meta["layout"] = cur["layout"]
+        _commit_manifest(path, version, meta)
+        return version
     staged = os.path.join(path, "data", f"compact-{uuid.uuid4().hex[:12]}")
     # a merge-on-read table compacts through the delete-resolving read:
     # pending equality deletes are APPLIED here and the new manifest

@@ -1437,12 +1437,17 @@ def domain_blocklist_filter(
     broadcast blocklist: per-row work O(labels) hash probes,
     independent of blocklist size.
 
-    Shuffle shape: the docs side is NEVER shuffled — suffixes explode
-    map-side into the broadcast join; the per-doc longest-match
-    collapse (min_by over suffix position) groups only MATCH rows
-    (blocked-docs-sized), and the match table joins back BROADCAST.
-    Returns every input row + (matched_domain — the most specific
-    matching suffix, NULL if clean, deterministic) + blocked flag.
+    Shuffle shape: the suffix probe is map-side (suffixes explode
+    into the broadcast blocklist join); the per-doc longest-match
+    collapse (min_by over suffix position) groups only MATCH rows,
+    and the match table joins back on the unique id with NO broadcast
+    hint (round 16 — the d111 broadcast lesson applied repo-wide: the
+    match table is BLOCKED-DOCS-sized, unbounded at 100 TB on a
+    hit-heavy blocklist, so forcing it broadcast is a driver OOM; AQE
+    broadcasts it at runtime exactly when it is actually small, and
+    the fallback is a well-behaved unique-key hash join). Returns
+    every input row + (matched_domain — the most specific matching
+    suffix, NULL if clean, deterministic) + blocked flag.
 
     The blocklist is model state (broadcastable by assumption, like
     d91's Bloom side); a blocklist too big to broadcast would move to
@@ -1467,7 +1472,7 @@ def domain_blocklist_filter(
         .groupBy(id_col)
         .agg(F.min_by("__suffix", "__pos").alias("matched_domain"))
     )
-    return docs.join(F.broadcast(matches), id_col, "left").withColumn(
+    return docs.join(matches, id_col, "left").withColumn(
         "blocked", F.col("matched_domain").isNotNull()
     )
 

@@ -211,13 +211,24 @@ def char_trigrams(col: Column | str) -> Column:
 
 def trigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text"):
     """KenLM-style quality signal without an external model: train a
-    unigram-over-trigrams LM on the corpus itself (one count shuffle),
-    broadcast the (bounded: |charset|³) logprob table, and score each
-    document by its mean trigram logprob (second shuffle, keyed on id).
-    Gibberish and boilerplate sit far from the corpus mean — the same
-    screening KenLM perplexity does in web-scale pipelines, minus the
-    external model dependency. Returns (id, mean_logprob, n_trigrams),
-    mean unrounded (callers round for cross-engine hashing)."""
+    unigram-over-trigrams LM on the corpus itself (one count shuffle)
+    and score each document by its mean trigram logprob (second
+    shuffle, keyed on id). Gibberish and boilerplate sit far from the
+    corpus mean — the same screening KenLM perplexity does in
+    web-scale pipelines, minus the external model dependency. Returns
+    (id, mean_logprob, n_trigrams), mean unrounded (callers round for
+    cross-engine hashing).
+
+    Scale note (round 16 — the d111 broadcast lesson applied
+    repo-wide): the LM join carries NO broadcast hint. The old
+    "bounded: |charset|³" claim is false comfort for CJK — the
+    distinct-trigram count of a 100 TB CJK sub-corpus is billions of
+    rows, a driver OOM if forced broadcast. AQE broadcasts the LM at
+    runtime exactly when it is actually small; otherwise the score is
+    a well-distributed trigram-keyed hash join. A pipeline that wants
+    a provably bounded broadcast uses the capped-LM variant
+    (`llmprep.ccnet_perplexity_buckets`'s top-K per language — CCNet's
+    fixed-LM contract)."""
     tg = df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("tg"))
     counts = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
@@ -225,7 +236,7 @@ def trigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text"):
         "tg", F.log(F.col("n") / F.col("total")).alias("lp")
     )
     return (
-        tg.join(F.broadcast(lm), "tg")
+        tg.join(lm, "tg")
         .groupBy(id_col)
         .agg(
             F.avg("lp").alias("mean_logprob"),

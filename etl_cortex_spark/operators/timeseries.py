@@ -35,6 +35,12 @@ def resample_daily_locf(
     Returns (day date, key_col, n bigint, val double, val_filled
     double): ``n``/``val`` are the day's own rows (0/NULL on gap days),
     ``val_filled`` is LOCF.
+
+    Contract (round 16 broadcast audit): ``key_col`` must be
+    BOUNDED-CARDINALITY (series labels — event types, metrics) — the
+    dense |days|×|keys| grid both broadcasts are sized by is only
+    meaningful for dashboard-class key sets; a data-sized key column
+    would make the grid itself the blow-up, not just the broadcast.
     """
     day = F.to_date(F.col(ts_col)).alias("day")
     daily = (

@@ -1834,3 +1834,153 @@ def test_snapshot_hidden_partitioning_transforms(spark, tmp_path):
         snapshot_set_layout(path2, [("bucket", "k", 8)])
     with pytest.raises(ValueError, match="width"):
         snapshot_set_layout(path2, [("truncate", "k", 0)])
+
+
+def test_snapshot_selective_compact_keeps_big_files_by_reference(spark, tmp_path):
+    """Round-16 selective-compaction pins: only sub-threshold files
+    are rewritten; the big file carries into the new version BY
+    REFERENCE with its zone map (and Bloom) intact; fewer than two
+    small files is a no-op (no commit); pending MOR deletes refuse."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    big = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    snapshot_append(spark, big.coalesce(1), path, stats_col="k", bloom_col="k")
+    snapshot_append(
+        spark,
+        spark.range(5_000, 5_200).select(F.col("id").alias("k")).repartition(4),
+        path,
+    )
+    with open(_manifests(path)[-1]) as f:
+        head = json.load(f)
+    sizes = {p: os.path.getsize(p) for p in head["files"]}
+    big_file = max(sizes, key=sizes.get)
+    threshold = sizes[big_file]
+    v = snapshot_compact(spark, path, target_files=1, small_bytes=threshold)
+    with open(os.path.join(path, f"v{v}.manifest.json")) as f:
+        meta = json.load(f)
+    assert big_file in meta["files"]  # carried by reference, same path
+    assert len(meta["files"]) == 2    # big + one compacted file
+    # kept zone map and Bloom survived the selective rewrite
+    assert os.path.abspath(big_file) in meta.get("stats", {})
+    assert os.path.abspath(big_file) in meta.get("blooms", {}).get("k", {})
+    assert snapshot_read(spark, path).count() == 5_200
+    # kept stats still prune: a scan inside the big file's range reads 1 file
+    got = snapshot_scan(spark, path, "k", 10, 20)
+    assert got.count() == 11
+
+    # fewer than two small files -> metadata no-op, same head version
+    assert snapshot_compact(spark, path, small_bytes=10) == v
+    assert len(_manifests(path)) == 3  # no new manifest
+
+    # pending MOR deletes refuse selective compaction
+    snapshot_delete_mor(spark, path, F.col("k") < 3, "k")
+    with pytest.raises(ValueError, match="selective compaction"):
+        snapshot_compact(spark, path, small_bytes=10**9)
+
+
+def test_snapshot_history_batch_ids_and_expiry(spark, tmp_path):
+    """snapshot_history pins: batch commits carry NULL batch_id,
+    streamed (batch_id-tagged) commits surface it, and after expire
+    the view covers only SURVIVING manifests — the added-count of the
+    oldest survivor is its full file set (no predecessor to diff)."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_expire,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("k"))  # noqa: E731
+    snapshot_append(spark, mk(0, 5).coalesce(1), path)
+    snapshot_append(spark, mk(5, 9).coalesce(1), path, batch_id=7)
+    snapshot_append(spark, mk(9, 12).coalesce(1), path)
+
+    hist = {r["version"]: r for r in snapshot_history(spark, path).collect()}
+    assert [hist[v]["n_files"] for v in (1, 2, 3)] == [1, 2, 3]
+    assert [hist[v]["batch_id"] for v in (1, 2, 3)] == [None, 7, None]
+
+    snapshot_expire(spark, path, keep_last=2, orphan_grace_secs=0)
+    hist2 = {r["version"]: r for r in snapshot_history(spark, path).collect()}
+    assert sorted(hist2) == [2, 3]
+    assert hist2[2]["n_added"] == 2  # oldest survivor diffs against nothing
+
+
+def test_snapshot_merge_mor_rewrites_nothing(spark, tmp_path):
+    """Round-16 MOR-merge pins: the upsert commit carries every
+    pre-existing data file BY REFERENCE (zero rewrite), adds only the
+    batch's files plus one keys-sized delete file; updated keys
+    resolve to the batch's rows, unmatched keys insert, NULL-keyed
+    rows insert without deleting anything; the batch's own rows are
+    NOT covered by the delete (sequence rule); entries accumulate
+    over prior pending deletes; compaction materializes the same
+    content and clears the entries."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_merge_mor,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    snapshot_append(spark, base, path, stats_col="k")
+    snapshot_delete_mor(spark, path, F.col("k") == 4, "k")  # prior pending
+    with open(_manifests(path)[-1]) as f:
+        before = json.load(f)
+
+    batch = spark.createDataFrame(
+        [(2, 200.0), (9, 900.0), (None, 999.0)], "k long, v double"
+    )
+    v = snapshot_merge_mor(spark, batch, path, "k")
+    with open(os.path.join(path, f"v{v}.manifest.json")) as f:
+        meta = json.load(f)
+    # every pre-existing file carried by reference; only batch files added
+    assert set(before["files"]) <= set(meta["files"])
+    assert len(meta["deletes"]) == 2  # prior entry + the merge's
+    new_entry = meta["deletes"][-1]
+    assert new_entry["applies_to"] == before["files"]  # sequence rule
+    assert set(new_entry["applies_to"]).isdisjoint(
+        set(meta["files"]) - set(before["files"])
+    )
+    # kept zone maps survive
+    assert meta.get("stats")
+
+    got = {
+        (r["k"], r["v"]) for r in snapshot_read(spark, path).collect()
+    }
+    assert got == {(1, 10.0), (2, 200.0), (3, 30.0), (9, 900.0), (None, 999.0)}
+
+    # compaction materializes identical content and clears the entries
+    cv = snapshot_compact(spark, path, target_files=1)
+    with open(os.path.join(path, f"v{cv}.manifest.json")) as f:
+        cmeta = json.load(f)
+    assert "deletes" not in cmeta or not cmeta["deletes"]
+    got2 = {
+        (r["k"], r["v"]) for r in snapshot_read(spark, path).collect()
+    }
+    assert got2 == got
