@@ -1746,6 +1746,41 @@ def snapshot_merge_mor(spark, df, path: str, key_cols) -> int:
     return version
 
 
+def _zorder_rewrite(df, zorder_by: tuple | None, n_out: int):
+    """The compaction rewrite plan: Morton-clustered when asked (one
+    cheap min/max agg for the normalization bounds, one range shuffle
+    on the interleaved key), plain coalesce otherwise — with the
+    empty/all-NULL-bounds guard (round-16 ADVICE): no curve exists
+    there, so fall through to the plain rewrite."""
+    from pyspark.sql import functions as F
+
+    if zorder_by is None:
+        return df.coalesce(n_out)
+    xc, yc = zorder_by
+    b = df.agg(
+        F.min(F.col(xc).cast("double")).alias("xlo"),
+        F.max(F.col(xc).cast("double")).alias("xhi"),
+        F.min(F.col(yc).cast("double")).alias("ylo"),
+        F.max(F.col(yc).cast("double")).alias("yhi"),
+    ).collect()[0]
+    if b["xlo"] is None or b["ylo"] is None:
+        # EMPTY set (or all-NULL keys): coalesce(1) still writes one
+        # schema-carrying part file, so read paths keep working
+        return df.coalesce(n_out)
+    key = morton_key(
+        F.col(xc),
+        F.col(yc),
+        x_range=(b["xlo"], max(b["xhi"], b["xlo"] + 1e-9)),
+        y_range=(b["ylo"], max(b["yhi"], b["ylo"] + 1e-9)),
+    )
+    return (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_out, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def snapshot_compact(
     spark,
     path: str,
@@ -1821,8 +1856,13 @@ def snapshot_compact(
         kept = [f for f in cur["files"] if os.path.abspath(f) not in small_set]
         staged = os.path.join(path, "data", f"compact-{uuid.uuid4().hex[:12]}")
         schema = _version_schema(spark, cur["files"])
-        out = spark.read.schema(schema).parquet(*small).coalesce(
-            max(int(target_files), 1)
+        # zorder_by applies to the REWRITTEN subset (round-16 review:
+        # silently ignoring it would leave callers believing the small
+        # files are Morton-clustered when they are not)
+        out = _zorder_rewrite(
+            spark.read.schema(schema).parquet(*small),
+            zorder_by,
+            max(int(target_files), 1),
         )
         out.write.mode("errorifexists").parquet(staged)
         new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
@@ -1866,42 +1906,7 @@ def snapshot_compact(
     df = _apply_mor_deletes(
         spark, cur, cur["files"], _version_schema(spark, cur["files"])
     )
-    n_out = max(int(target_files), 1)
-    if zorder_by is not None:
-        from pyspark.sql import functions as F
-
-        xc, yc = zorder_by
-        b = df.agg(
-            F.min(F.col(xc).cast("double")).alias("xlo"),
-            F.max(F.col(xc).cast("double")).alias("xhi"),
-            F.min(F.col(yc).cast("double")).alias("ylo"),
-            F.max(F.col(yc).cast("double")).alias("yhi"),
-        ).collect()[0]
-        if b["xlo"] is None or b["ylo"] is None:
-            # EMPTY live set (every row MOR-deleted) or all-NULL keys:
-            # there is no curve to normalize (the min/max bounds are
-            # NULL — max(None, ...) would TypeError, round-16 ADVICE).
-            # Fall through to the plain rewrite, which commits a
-            # well-defined empty (or null-keyed) table: coalesce(1)
-            # always writes one schema-carrying part file, so the
-            # manifest's files list stays non-empty and every read
-            # path (_version_schema, snapshot_read) keeps working.
-            out = df.coalesce(n_out)
-        else:
-            key = morton_key(
-                F.col(xc),
-                F.col(yc),
-                x_range=(b["xlo"], max(b["xhi"], b["xlo"] + 1e-9)),
-                y_range=(b["ylo"], max(b["yhi"], b["ylo"] + 1e-9)),
-            )
-            out = (
-                df.withColumn("__z", key)
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-    else:
-        out = df.coalesce(n_out)
+    out = _zorder_rewrite(df, zorder_by, max(int(target_files), 1))
     out.write.mode("errorifexists").parquet(staged)
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     if not new_files:
@@ -2373,28 +2378,50 @@ def _catalog_lock(path: str, timeout_secs: float = 30.0,
     to ``timeout_secs``, with a ``stale_secs`` breaker for a crashed
     holder (the single-node analogue of a catalog service's lease; a
     production build replaces the whole file protocol with that
-    service, as `snapshot_append`'s docstring already states)."""
+    service, as `snapshot_append`'s docstring already states).
+
+    Race discipline (round-16 review): the stale break is an atomic
+    ``os.rename`` to a unique tombstone — of two waiters that both
+    judge the lock stale, exactly ONE rename succeeds, so a breaker
+    can never delete the lock another waiter just freshly created
+    (the remove-based break's TOCTOU). Release is TOKEN-CHECKED: the
+    holder removes the lock only if it still carries its own token,
+    so a holder that overran ``stale_secs`` and was broken cannot
+    release its breaker's live lock on exit."""
     import contextlib
     import os
     import time
+    import uuid
 
     @contextlib.contextmanager
     def _cm():
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"catalog lock: no table directory at {path}"
+            )
         lock = os.path.join(path, ".catalog.lock")
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
         deadline = time.time() + timeout_secs
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > stale_secs:
-                        os.remove(lock)  # break a dead holder's lock
-                        continue
+                    stale = time.time() - os.path.getmtime(lock) > stale_secs
                 except OSError:
                     continue  # holder released between test and stat
+                if stale:
+                    dead = lock + f".dead-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, dead)  # one breaker wins
+                    except OSError:
+                        continue  # lost the break race — re-probe
+                    with contextlib.suppress(OSError):
+                        os.remove(dead)
+                    continue
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"catalog lock at {path} busy for >{timeout_secs}s"
@@ -2403,8 +2430,14 @@ def _catalog_lock(path: str, timeout_secs: float = 30.0,
         try:
             yield
         finally:
-            with contextlib.suppress(OSError):
-                os.remove(lock)
+            try:
+                with open(lock) as f:
+                    mine = f.read() == token
+            except OSError:
+                mine = False
+            if mine:
+                with contextlib.suppress(OSError):
+                    os.remove(lock)
 
     return _cm()
 
@@ -2578,7 +2611,18 @@ def snapshot_stage(spark, df, path: str, branch: str) -> str:
 
     An EMPTY table stages at base_version 0 (round 16 — the streaming
     WAP sink's first micro-batch must be auditable before the table's
-    first version exists); publishing such a branch commits v1."""
+    first version exists); publishing such a branch commits v1.
+
+    A layout spec on the base head applies to staged batches exactly
+    as it does to appends (round-16 review — WAP is the OTHER
+    file-adding commit path, and skipping it would leave every
+    streamed-in generation unclustered and unpruned forever): the
+    batch is range-clustered by the layout columns and their zone
+    maps ride the branch manifest; `snapshot_publish` merges them
+    into the committed version. Staging under a spec the head has
+    since replaced is caught by publish's base-version check — a
+    `snapshot_set_layout` commit moves the head, so the stale-base
+    refusal already covers superseded layouts."""
     import glob
     import json
     import os
@@ -2586,11 +2630,24 @@ def snapshot_stage(spark, df, path: str, branch: str) -> str:
 
     manifests = _manifests(path)
     base_version = _manifest_version(manifests[-1]) if manifests else 0
+    layout = None
+    if manifests:
+        with open(manifests[-1]) as f:
+            layout = json.load(f).get("layout")
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     staged = os.path.join(path, "data", f"wap-{uuid.uuid4().hex[:12]}")
-    df.write.mode("errorifexists").parquet(staged)
+    to_write = df
+    if layout:
+        lexprs, _ = _layout_cluster_exprs(layout)
+        to_write = df.repartitionByRange(
+            max(int(layout.get("files_per_batch", 4)), 1), *lexprs
+        ).sortWithinPartitions(*lexprs)
+    to_write.write.mode("errorifexists").parquet(staged)
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
     meta = {"branch": branch, "base_version": base_version, "files": new_files}
+    if layout:
+        _, lsrc = _layout_cluster_exprs(layout)
+        meta["stats"] = multi_file_stats(spark, staged, lsrc)
     target = os.path.join(path, f"branch-{branch}.manifest.json")
     tmp = target + f".{os.getpid()}.tmp"
     with open(tmp, "w") as f:
@@ -2661,6 +2718,10 @@ def snapshot_publish(
     for carry in ("stats", "blooms", "deletes", "layout"):
         if carry in latest:
             new_meta[carry] = latest[carry]
+    if meta.get("stats"):
+        # layout-derived zone maps staged with the branch (round 16):
+        # merge them so the published generation prunes like an append
+        new_meta["stats"] = {**new_meta.get("stats", {}), **meta["stats"]}
     if batch_id is not None:
         new_meta["batch_id"] = batch_id
     _commit_manifest(path, version, new_meta)

@@ -186,15 +186,22 @@ def global_ntile(
     windowed ntile bit-for-bit."""
     ranked, n = global_rank(df, order_exprs, rank_col="__r")
     q, rem = divmod(n, n_buckets) if n else (0, 0)
-    r = F.col("__r")
-    if q == 0:
-        bucket = r  # n < b: one row per bucket
-    else:
-        big = rem * (q + 1)
-        bucket = F.when(r <= big, F.ceil(r / (q + 1))).otherwise(
-            rem + F.ceil((r - big) / q)
-        )
+    bucket = _ntile_bucket(F.col("__r"), F.lit(q), F.lit(rem))
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__r")
+
+
+def _ntile_bucket(rank: Column, q: Column, rem: Column) -> Column:
+    """The SQL ntile fill rule as one expression (shared by
+    `global_ntile` and `grouped_ntile` so the arithmetic can never
+    drift between them): with n = q·b + rem rows, the first ``rem``
+    buckets take ``q + 1`` rows, the rest ``q``; ``q = 0`` (n < b)
+    degenerates to one row per bucket."""
+    big = rem * (q + F.lit(1))
+    return (
+        F.when(q == F.lit(0), rank)
+        .when(rank <= big, F.ceil(rank / (q + 1)))
+        .otherwise(rem + F.ceil((rank - big) / q))
+    )
 
 
 def _gk(v) -> str:
@@ -228,9 +235,34 @@ def _grouped_two_phase(
     the frame is empty."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
+    from pyspark.sql import types as T  # noqa: N812
 
     from etl_cortex_spark.operators.caching import track
 
+    # LOUD dtype gate (round-16 review): the census keys groups by
+    # Python str() while the executor keys by CAST(g AS STRING); the
+    # two renderings agree for strings/integers/dates but NOT for
+    # floats ('1e+20' vs '1.0E20'), booleans ('True' vs 'true'),
+    # timestamps or decimals — which would silently NULL every rank
+    # of the mismatched group. Refuse those types up front; callers
+    # pre-cast to string.
+    gtype = df.schema[group_col].dataType
+    if not isinstance(
+        gtype,
+        (
+            T.StringType,
+            T.IntegerType,
+            T.LongType,
+            T.ShortType,
+            T.ByteType,
+            T.DateType,
+        ),
+    ):
+        raise ValueError(
+            f"{caller}: group column {group_col!r} has type {gtype} — "
+            "only string/integral/date group keys render identically in "
+            "Python and Spark; cast the column to string first"
+        )
     n_partitions = (
         n_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
@@ -334,13 +366,10 @@ def grouped_ntile(
         )
     q_by_g = {gk: n // n_buckets for gk, n in totals.items()}
     rem_by_g = {gk: n % n_buckets for gk, n in totals.items()}
-    q = _lit_map(q_by_g)[gkey].cast("long")
-    rem = _lit_map(rem_by_g)[gkey].cast("long")
-    big = rem * (q + F.lit(1))
-    bucket = (
-        F.when(q == F.lit(0), rank)  # n < b: one row per bucket
-        .when(rank <= big, F.ceil(rank / (q + 1)))
-        .otherwise(rem + F.ceil((rank - big) / q))
+    bucket = _ntile_bucket(
+        rank,
+        _lit_map(q_by_g)[gkey].cast("long"),
+        _lit_map(rem_by_g)[gkey].cast("long"),
     )
     return parted.withColumn(out_col, bucket.cast("int")).drop("__pid")
 

@@ -529,9 +529,19 @@ def wap_commit_batch(
     and re-audits — a deterministic audit re-discards, so the head
     never sees an audited-out row under any crash/replay interleaving.
     A publish that loses the head race (a concurrent writer committed
-    after this batch staged) discards the branch and restages against
-    the new head — the staged data is batch-local, so re-auditing it
-    is exact — bounded by ``max_retries``."""
+    after this batch staged) discards the branch, RE-CHECKS the
+    ledger — the racing commit may have been a replay of THIS batch
+    (the zombie-driver overlap), in which case publishing again would
+    double the batch; the re-check is the same in-loop idempotence
+    walk `snapshot_append` does — and only then restages against the
+    new head (the staged data is batch-local, so re-auditing it is
+    exact), bounded by ``max_retries``. An exception from the audit
+    itself discards the staged branch before propagating: a failed
+    audit attempt must not leave branch manifests or staged files
+    behind (the engine will replay the batch; a lingering branch
+    would be clobbered and its files orphaned)."""
+    import contextlib
+
     from etl_cortex_spark.operators.layout import (
         SnapshotCommitConflict,
         snapshot_batch_version,
@@ -541,21 +551,32 @@ def wap_commit_batch(
         snapshot_stage,
     )
 
-    if snapshot_batch_version(path, int(batch_id)) is not None:
-        return "replayed"
     branch = f"{branch_prefix}-{int(batch_id)}"
     for _ in range(max_retries):
+        # in-loop, not just upfront: after a lost publish race the
+        # winning commit may have been OUR batch's replay
+        if snapshot_batch_version(path, int(batch_id)) is not None:
+            return "replayed"
         snapshot_stage(spark, batch_df, path, branch)
-        staged = snapshot_read_branch(spark, path, branch, staged_only=True)
-        if not audit(staged):
+        try:
+            staged = snapshot_read_branch(spark, path, branch, staged_only=True)
+            keep = audit(staged)
+        except BaseException:
+            with contextlib.suppress(ValueError, OSError):
+                snapshot_discard_branch(path, branch)
+            raise
+        if not keep:
             snapshot_discard_branch(path, branch)
             return "discarded"
         try:
             snapshot_publish(spark, path, branch, batch_id=int(batch_id))
             return "published"
         except SnapshotCommitConflict:
-            # head moved between stage and publish — restage on it
-            snapshot_discard_branch(path, branch)
+            # head moved between stage and publish — discard (a racing
+            # replay may have os.replace()d the branch; tolerate) and
+            # loop: the re-check above decides replayed vs restage
+            with contextlib.suppress(ValueError, OSError):
+                snapshot_discard_branch(path, branch)
             continue
     raise SnapshotCommitConflict(
         f"wap_commit_batch: batch {batch_id} lost the publish race "

@@ -1984,3 +1984,132 @@ def test_snapshot_merge_mor_rewrites_nothing(spark, tmp_path):
         (r["k"], r["v"]) for r in snapshot_read(spark, path).collect()
     }
     assert got2 == got
+
+
+def test_catalog_lock_stale_break_is_atomic_and_release_token_checked(spark, tmp_path):
+    """Round-16 review fixes: breaking a stale lock uses an atomic
+    rename (of N breakers exactly one wins — a breaker can never
+    delete a freshly created lock), and release removes the lock only
+    when it still carries the holder's own token."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _catalog_lock,
+        snapshot_append,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(spark, spark.range(3).select(F.col("id").alias("k")), path)
+    lock = os.path.join(path, ".catalog.lock")
+
+    # token-checked release: while held, a breaker replaces the lock
+    # with its own — the original holder's exit must NOT remove it
+    with _catalog_lock(path):
+        os.remove(lock)
+        with open(lock, "w") as f:
+            f.write("someone-else")
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert f.read() == "someone-else"
+    os.remove(lock)
+
+    # stale break: a dead holder's lock is broken and acquisition
+    # succeeds; a FRESH foreign lock is respected (timeout)
+    with open(lock, "w") as f:
+        f.write("dead-holder")
+    old = os.path.getmtime(lock) - 10_000
+    os.utime(lock, (old, old))
+    with _catalog_lock(path, stale_secs=300):
+        pass  # broke the stale lock, acquired, released
+    assert not os.path.exists(lock)
+    with open(lock, "w") as f:
+        f.write("live-holder")
+    with pytest.raises(TimeoutError):
+        with _catalog_lock(path, timeout_secs=0.2, stale_secs=300):
+            pass
+    os.remove(lock)
+
+    # missing table directory raises the protocol's ValueError
+    with pytest.raises(ValueError, match="no table directory"):
+        with _catalog_lock(str(tmp_path / "nope")):
+            pass
+
+
+def test_selective_compact_honors_zorder_and_wap_respects_layout(spark, tmp_path):
+    """Round-16 review fixes: (1) snapshot_compact(small_bytes=...,
+    zorder_by=...) Morton-clusters the rewritten subset (disjoint
+    per-file bounding ranges on both dims); (2) snapshot_stage under
+    a layout spec clusters the staged batch and snapshot_publish
+    merges its zone maps, so WAP-ingested generations prune exactly
+    like appended ones."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_publish,
+        snapshot_scan,
+        snapshot_set_layout,
+        snapshot_stage,
+    )
+
+    path = str(tmp_path / "tbl")
+    big = spark.range(20_000).select(
+        F.col("id").alias("x"), ((F.col("id") * 7919) % 20_000).alias("y")
+    )
+    snapshot_append(spark, big.coalesce(1), path, stats_col=["x", "y"])
+    snapshot_append(
+        spark,
+        spark.range(20_000, 20_400)
+        .select(F.col("id").alias("x"), (F.col("id") % 100).alias("y"))
+        .repartition(4),
+        path,
+    )
+    with open(_manifests(path)[-1]) as f:
+        head = json.load(f)
+    threshold = max(os.path.getsize(p) for p in head["files"])
+    v = snapshot_compact(
+        spark, path, stats_col=["x", "y"], target_files=2,
+        zorder_by=("x", "y"), small_bytes=threshold,
+    )
+    with open(os.path.join(path, f"v{v}.manifest.json")) as f:
+        meta = json.load(f)
+    new = [p for p in meta["files"] if p not in head["files"]]
+    assert len(new) == 2
+    xr = [meta["stats"][os.path.abspath(p)]["x"] for p in new]
+    # Morton-range-partitioned on a 1-D-dominant key space: the two
+    # rewritten files cover disjoint x ranges
+    xr.sort()
+    assert xr[0][1] <= xr[1][0]
+
+    # (2) WAP under a layout spec
+    path2 = str(tmp_path / "tbl2")
+    snapshot_append(
+        spark,
+        spark.range(5).select(F.col("id").alias("x")).coalesce(1),
+        path2,
+        stats_col="x",
+    )
+    snapshot_set_layout(path2, "x", files_per_batch=4)
+    snapshot_stage(
+        spark,
+        spark.range(1_000, 1_400).select(F.col("id").alias("x")),
+        path2,
+        "gate",
+    )
+    pv = snapshot_publish(spark, path2, "gate")
+    with open(os.path.join(path2, f"v{pv}.manifest.json")) as f:
+        pmeta = json.load(f)
+    staged_files = [p for p in pmeta["files"] if "/wap-" in p]
+    assert len(staged_files) == 4  # layout-clustered
+    assert all(os.path.abspath(p) in pmeta["stats"] for p in staged_files)
+    got = snapshot_scan(spark, path2, "x", 1_100, 1_150)
+    assert got.count() == 51
+    assert len(got.inputFiles()) == 1  # published generation prunes

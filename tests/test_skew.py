@@ -274,3 +274,23 @@ def test_grouped_rank_matches_windowed_row_number_under_skew(spark):
         if s.startswith("Window "):
             groups = re.split(r"\], \[", s)
             assert len(groups) == 3 and "__pid" in groups[1], s[:120]
+
+
+def test_grouped_two_phase_rejects_unportable_group_dtypes(spark):
+    """Round-16 review fix: float/boolean/timestamp group keys would
+    silently NULL every rank (Python str() vs Spark CAST render
+    mismatch) — the operators refuse them loudly instead."""
+    import pytest
+
+    from etl_cortex_spark.operators.skew import grouped_ntile, grouped_rank
+
+    fl = spark.range(10).select(
+        (F.col("id") / 3.0).alias("g"), F.col("id").alias("k")
+    )
+    with pytest.raises(ValueError, match="cast the column to string"):
+        grouped_rank(fl, "g", [F.col("k")])
+    bo = spark.range(10).select(
+        (F.col("id") % 2 == 0).alias("g"), F.col("id").alias("k")
+    )
+    with pytest.raises(ValueError, match="cast the column to string"):
+        grouped_ntile(bo, 2, "g", [F.col("k")])

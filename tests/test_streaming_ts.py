@@ -215,3 +215,64 @@ def test_wap_commit_batch_publish_discard_replay_conflict(spark, tmp_path):
     # two published wap dirs (batches 0 and 2); the conflict retry's
     # first staging was discarded
     assert len(glob.glob(os.path.join(path, "data", "wap-*"))) == 2
+
+
+def test_wap_racing_replay_and_audit_exception(spark, tmp_path):
+    """Round-16 review fixes: (1) a publish that loses the head race
+    to a REPLAY OF THE SAME BATCH resolves to 'replayed' instead of
+    publishing the batch twice (the zombie-driver overlap); (2) an
+    exception thrown by the audit discards the staged branch before
+    propagating — no branch manifest, no orphaned files."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+    )
+    from etl_cortex_spark.streaming.ingest import wap_commit_batch
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k")
+    )
+    assert (
+        wap_commit_batch(
+            spark, mk(0, 10), path, 0, lambda df: True
+        )
+        == "published"
+    )
+
+    # (1) zombie overlap: while THIS worker audits batch 5, the other
+    # driver's replay of batch 5 commits (same batch_id) — the publish
+    # conflict must resolve to a ledger no-op, not a second publish
+    def racing_same_batch_audit(df):
+        if not getattr(racing_same_batch_audit, "done", False):
+            racing_same_batch_audit.done = True
+            snapshot_append(spark, mk(10, 15), path, batch_id=5)
+        return True
+
+    assert (
+        wap_commit_batch(spark, mk(10, 15), path, 5, racing_same_batch_audit)
+        == "replayed"
+    )
+    assert snapshot_read(spark, path).count() == 15  # batch 5 once, not twice
+
+    # (2) audit exception: staged branch discarded before propagating
+    n_wap_dirs = len(glob.glob(os.path.join(path, "data", "wap-*")))
+
+    def broken_audit(df):
+        raise RuntimeError("audit infra failure")
+
+    with pytest.raises(RuntimeError, match="audit infra failure"):
+        wap_commit_batch(spark, mk(20, 25), path, 6, broken_audit)
+    assert not glob.glob(os.path.join(path, "branch-*.manifest.json"))
+    assert len(glob.glob(os.path.join(path, "data", "wap-*"))) == n_wap_dirs
+    # the replay of the failed batch works normally
+    assert (
+        wap_commit_batch(spark, mk(20, 25), path, 6, lambda df: True)
+        == "published"
+    )
+    assert snapshot_read(spark, path).count() == 20
