@@ -1972,6 +1972,67 @@ def d109(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d112_source_quality_deciles",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, doc_id, CAST(len({_WORDS}) AS BIGINT) AS toks
+      FROM documents
+    ), d AS (
+      SELECT source, doc_id, toks,
+             ntile(10) OVER (PARTITION BY source
+                             ORDER BY toks DESC, doc_id) AS dec
+      FROM s
+    )
+    SELECT source, CAST(dec AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           CAST(min(toks) AS BIGINT) AS min_tokens
+    FROM d GROUP BY source, dec ORDER BY source, decile
+    """,
+)
+def d112deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUALITY-DECILE CUT (round 16 — the FineWeb-class
+    curation step the d111 machinery generalizes to: rank every
+    document WITHIN its source by a quality signal, split each source
+    into deciles, and let the mixture planner keep the top-k deciles
+    per source — per-source quantile cuts, not one global threshold,
+    because sources have incomparable score distributions). The
+    signal here is the whitespace token count (exact integer — the
+    d85 convention), ordered DESC with doc_id tiebreak; the decile is
+    `skew.grouped_ntile`'s two-phase census — bit-identical to ntile
+    OVER (PARTITION BY source) with NO single-task source sort (the
+    web source dominates a real crawl mix exactly like English
+    dominates languages — the d111 hazard shape, pinned by the
+    repo-wide ntile-family plan audit). Output is the per-(source,
+    decile) census (count, token mass, decile floor) — the frame the
+    planner joins against; k-row output."""
+    from etl_cortex_spark.operators.skew import grouped_ntile
+    from etl_cortex_spark.operators.textops import n_tokens
+
+    docs = T(spark, sf_dir, "documents").select(
+        "source", "doc_id", n_tokens("text").alias("__toks")
+    )
+    labeled = grouped_ntile(
+        docs,
+        10,
+        "source",
+        [F.col("__toks").desc(), F.col("doc_id").asc()],
+        out_col="__dec",
+    )
+    return (
+        labeled.groupBy("source", F.col("__dec").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__toks").alias("sum_tokens"),
+            F.min("__toks").alias("min_tokens"),
+        )
+        # |sources|×10 output: local sort, no range exchange
+        .coalesce(1)
+        .sortWithinPartitions("source", "decile")
+    )
+
+
+@query(
     "d111_ccnet_buckets",
     oracle="""
     WITH docs AS (
