@@ -2113,3 +2113,33 @@ def test_selective_compact_honors_zorder_and_wap_respects_layout(spark, tmp_path
     got = snapshot_scan(spark, path2, "x", 1_100, 1_150)
     assert got.count() == 51
     assert len(got.inputFiles()) == 1  # published generation prunes
+
+
+def test_snapshot_lineage_after_expiry_resolves_to_oldest_survivor(spark, tmp_path):
+    """snapshot_file_versions' documented erasure semantics: files
+    whose introducing manifest is past retention resolve to the
+    oldest SURVIVING manifest that lists them — the honest answer
+    once history is erased — and the lineage read keeps working."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_expire,
+        snapshot_read_lineage,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id").alias("k"))  # noqa: E731
+    snapshot_append(spark, mk(0, 5).coalesce(1), path)    # v1
+    snapshot_append(spark, mk(5, 8).coalesce(1), path)    # v2
+    snapshot_append(spark, mk(8, 10).coalesce(1), path)   # v3
+    snapshot_expire(spark, path, keep_last=2, orphan_grace_secs=0)
+
+    tags = {
+        r["k"]: r["_commit_version"]
+        for r in snapshot_read_lineage(spark, path).collect()
+    }
+    # v1's files now first appear in v2 (the oldest survivor listing
+    # them); v3's keep their true tag
+    assert all(tags[k] == 2 for k in range(0, 8))
+    assert all(tags[k] == 3 for k in (8, 9))
