@@ -271,15 +271,23 @@ def _grouped_two_phase(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # The cardinality guard must fire BEFORE the driver materializes
+    # the census (round-16 verdict #2): collect through limit(bound+1),
+    # so an unbounded group column yields at most bound+1 driver rows
+    # and a loud ValueError — never a driver OOM. A limit that returns
+    # <= bound rows IS the complete census (limit only truncates past
+    # the bound), so the success path costs the same single job.
+    bound = max_groups + n_partitions
     census = (
         parted.groupBy("__pid", group_col)
         .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(bound + 1)
         .collect()
     )
-    if len(census) > max_groups + n_partitions:
+    if len(census) > bound:
         raise ValueError(
-            f"{caller}: census of {len(census)} (pid, group) rows "
-            f"exceeds max_groups={max_groups} + {n_partitions} partitions "
+            f"{caller}: census exceeds max_groups={max_groups} + "
+            f"{n_partitions} partitions ((pid, group) rows > {bound}) "
             f"— {group_col!r} is not a bounded-cardinality group column"
         )
     from collections import defaultdict

@@ -217,6 +217,39 @@ def test_grouped_ntile_rejects_unbounded_group(spark):
         grouped_ntile(df, 3, "g", [F.col("k")], "q", max_groups=10).collect()
 
 
+def test_grouped_rank_guard_fires_before_driver_materializes(spark, monkeypatch):
+    """Round-16 verdict #2: the cardinality guard must fail BEFORE the
+    census lands on the driver. The census collect goes through
+    limit(bound + 1), so a wildly unbounded group column (every row its
+    own group) hands the driver at most bound + 1 rows — pinned by
+    intercepting the collect and counting what actually arrived."""
+    import pytest
+
+    from etl_cortex_spark.operators.skew import grouped_rank
+
+    # patch the CONCRETE DataFrame class (Spark 4's classic session
+    # subclasses pyspark.sql.DataFrame and overrides collect)
+    df_cls = type(spark.range(1))
+    seen = {}
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        seen["n"] = max(seen.get("n", 0), len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    df = spark.range(5000).select(
+        F.col("id").cast("string").alias("g"), F.col("id").alias("k")
+    )
+    with pytest.raises(ValueError, match="bounded-cardinality"):
+        grouped_rank(df, "g", [F.col("k")], max_groups=10, n_partitions=4)
+    assert seen["n"] <= 10 + 4 + 1, (
+        f"driver materialized {seen['n']} census rows — the guard must "
+        "bound the collect itself, not just check afterwards"
+    )
+
+
 def test_grouped_ntile_plan_windows_are_pid_partitioned(spark):
     """The scale contract: every Window node partitions by (__pid, g) —
     a task ranks only its own range slice, so a dominant group can
