@@ -70,13 +70,58 @@ _REVERIFY_NOW: dict[str, int] = {
     # oracle this session; seeded for an official record on the new
     # plan.
     "d85_curriculum_order": 16,
-    # Round 16 broadcast audit (the d111 lesson applied repo-wide):
-    # d103's match-back and d17's corpus-derived trigram LM lose their
-    # forced-broadcast hints (both build sides are unbounded at 100 TB;
-    # AQE now decides at runtime). Values identical, plans changed;
-    # both re-verified green against the sf0.01 oracle this session.
-    "d103_domain_blocklist": 16,
-    "d17_trigram_lm_score": 16,
+    # (The four round-16 seeds — d111/d85/d103/d17 — all have green
+    # CORRECTNESS_r16 records, so those boosts expired and were
+    # removed.)
+    #
+    # Round 17: the snapshot protocol's ON-DISK METADATA changed —
+    # commits now write immutable per-batch SEGMENT files referenced
+    # by a small manifest list (O(batch) commit metadata, the round-16
+    # weak flag), with pre-17 inline manifests still readable and
+    # migrated on their next commit. Values identical everywhere, but
+    # every entry that commits or resolves manifests runs on the new
+    # grammar; all re-verified green against the full sf0.01 oracle
+    # this session, seeded for official records on the new format.
+    # Seed list sized so the round-15 verdict-#3 drain of the r9
+    # least-recently-verified cohort (23 entries) still fits the
+    # 50-sample rotation beside it: 25 seeds + 2 unrecorded new
+    # entries + 23 r9 = 50. The WRITE-path entries (commit grammar
+    # changed) are all seeded; READ-only consumers of the resolved
+    # meta (postings/IVF lookups, pruned scans, history, time travel)
+    # ride the normal rotation — they run against the same resolver
+    # the seeded entries prove, and all 351 verified green this
+    # session anyway.
+    "scale_snapshot_cow_delete": 17,
+    "scale_snapshot_compact": 17,
+    "scale_snapshot_compact_small_files": 17,
+    "scale_snapshot_zorder_compact": 17,
+    "scale_snapshot_merge": 17,
+    "scale_snapshot_merge_mor": 17,
+    "scale_snapshot_mor_delete": 17,
+    "scale_snapshot_scan_multi": 17,
+    "scale_snapshot_changes": 17,
+    "scale_snapshot_changes_cdf": 17,
+    "scale_snapshot_rollback": 17,
+    "scale_snapshot_expire": 17,
+    "scale_snapshot_schema_evolution": 17,
+    "scale_snapshot_bloom_lookup": 17,
+    "scale_snapshot_tags": 17,
+    "scale_snapshot_wap": 17,
+    "scale_snapshot_partition_evolution": 17,
+    "scale_snapshot_hidden_partitioning": 17,
+    "scale_snapshot_row_lineage": 17,
+    "stream_snapshot_ingest": 17,
+    "stream_snapshot_wap": 17,
+    "pyds_stream_snapshot_changes": 17,
+    "stream_postings_ingest": 17,
+    "stream_ivf_ingest": 17,
+    "scale_snapshot_pruned_scan": 17,
+    # Round 17 NEW entries: position deletes (Iceberg v2's second MOR
+    # delete form, keyless tables) and hash-trigram language ID (the
+    # CCNet-chain completion). Both verified green against their full
+    # sf0.01 oracles this session.
+    "scale_snapshot_delete_pos": 17,
+    "d113_lang_id": 17,
 }
 
 

@@ -2097,3 +2097,70 @@ def d111ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     tercile over DOC-level rows, k-row output."""
     docs = T(spark, sf_dir, "documents")
     return LP.ccnet_perplexity_buckets(docs)
+
+
+@query(
+    "d113_lang_id",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, lower(text) AS t FROM documents
+    ), tg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                                   i -> substr(t, i, 3))) AS tg
+      FROM docs
+    ), tg3 AS (
+      SELECT * FROM tg WHERE length(tg) = 3
+    ), counts AS (
+      SELECT lang, tg, count(*) AS n FROM tg3 GROUP BY lang, tg
+    ), lmr AS (
+      SELECT lang, tg, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tg) AS rk
+      FROM counts
+    ), prof AS (
+      SELECT lang, tg, n FROM lmr WHERE rk <= 256
+    ), tot AS (
+      SELECT lang, sum(n) AS nn FROM prof GROUP BY lang
+    ), lm AS (
+      SELECT p.lang AS plang, p.tg,
+             CAST(floor(ln(p.n) * 1000000) AS BIGINT)
+             - CAST(floor(ln(t.nn) * 1000000) AS BIGINT)
+             + 20000000 AS w
+      FROM prof p JOIN tot t ON p.lang = t.lang
+    ), sc AS (
+      SELECT g.doc_id, g.lang, lm.plang, sum(lm.w) AS s
+      FROM tg3 g JOIN lm ON g.tg = lm.tg
+      GROUP BY g.doc_id, g.lang, lm.plang
+    ), pred AS (
+      SELECT doc_id, lang, plang, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, plang) AS rk
+      FROM sc
+    )
+    SELECT lang, plang AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s) AS BIGINT) AS sum_score_micro
+    FROM pred WHERE rk = 1
+    GROUP BY lang, plang ORDER BY lang, pred_lang
+    """,
+)
+def d113langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE IDENTIFICATION (round 17 — `llmprep.lang_id_predict`,
+    the round-16 verdict's missing link that completes the CCNet chain
+    end-to-end: THIS lang-id → d17's per-language trigram LM → d111's
+    perplexity buckets): a character-trigram naive-Bayes classifier
+    trained on the corpus's own labels, then asked to re-derive every
+    document's language from text alone; output is the (true,
+    predicted) confusion matrix with integer score mass. Per-trigram
+    weights are quantized to BIGINT µunits before summation (the d101
+    convention), the argmax breaks ties by language name, and the
+    oracle replays the entire train-and-classify pipeline in SQL — a
+    full-value hash match, not an accuracy spot check. Plan shape:
+    one map-side-combined trigram count, a WindowGroupLimit top-256
+    profile cap per language (the bound that licenses the model
+    broadcast), one broadcast join, and an rk=1 row_number over
+    per-DOCUMENT partitions of ≤|langs| rows — skew-free by
+    construction, no data-sized window anywhere."""
+    docs = T(spark, sf_dir, "documents")
+    return LP.lang_id_predict(docs)

@@ -1228,6 +1228,7 @@ def scale_snapshot_compact_small_files(
         _manifests,
         snapshot_append,
         snapshot_compact,
+        snapshot_meta,
         snapshot_read,
     )
 
@@ -1249,8 +1250,7 @@ def scale_snapshot_compact_small_files(
             orders.filter(F.col("o_orderkey") % 3 == third).repartition(4),
             path,
         )
-    with open(_manifests(path)[-1]) as f:
-        files = json.load(f)["files"]
+    files = snapshot_meta(path)["files"]
     big = max(os.path.getsize(p) for p in files)
     snapshot_compact(
         spark, path, stats_col="o_orderkey", target_files=2, small_bytes=big
@@ -2165,6 +2165,94 @@ def scale_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("version", "n_orders", "total_price")
         )
     out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return out.coalesce(1).sortWithinPartitions("version")
+
+
+@query(
+    "scale_snapshot_delete_pos",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p
+        FROM orders WHERE (o_orderkey % 3) < 2
+    ),
+    v3 AS (SELECT k, p FROM base WHERE (k % 10) <> 1),
+    v4 AS (SELECT k, p FROM v3 WHERE (k % 6) <> 0),
+    re AS (
+        SELECT o_orderkey AS k, o_totalprice AS p
+        FROM orders WHERE (o_orderkey % 6) = 0
+    ),
+    v5 AS (SELECT k, p FROM v4 UNION ALL SELECT k, p FROM re)
+    SELECT 3 AS version, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(p), 2) AS total_price FROM v3
+    UNION ALL
+    SELECT 4, CAST(count(*) AS BIGINT), round(sum(p), 2) FROM v4
+    UNION ALL
+    SELECT 5, CAST(count(*) AS BIGINT), round(sum(p), 2) FROM v5
+    UNION ALL
+    SELECT 6, CAST(count(*) AS BIGINT), round(sum(p), 2) FROM v5
+    ORDER BY version
+    """,
+)
+def scale_snapshot_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION DELETES on the versioned table (round 17 —
+    `layout.snapshot_delete_pos`, Iceberg v2's SECOND delete form next
+    to the equality deletes of `scale_snapshot_mor_delete`): v1/v2
+    land the orders thirds 0 and 1; v3 retracts the o_orderkey%10==1
+    ROWS by committing a (file, row_index) delete file — no key
+    column consulted, the keyless-table path — with every data file
+    carried BY REFERENCE (zero rewrites, pinned in
+    tests/test_layout.py); v4 adds an EQUALITY delete (%6==0 keys) so
+    both families pend on one version; v5 re-appends the %6==0 rows,
+    which all SURVIVE both pending families (positions name only the
+    old files, the equality entry's coverage excludes new files — the
+    sequence rule for each form); v6 is `snapshot_compact`, which
+    applies and clears both. The query reads v3..v6; the oracle
+    replays the whole interleaving as plain SQL, so the hash match
+    proves position anti-join, equality anti-join, their composition,
+    the scope rules, and the compaction all produce the rewrite
+    answer. At 100 TB this is the row-retraction path for PRE-DEDUP
+    keyless corpora (crawl shards, event logs): a bad-span retraction
+    costs O(|rows named|), never a file rewrite."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_delete_pos,
+        snapshot_read,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_posdel_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    snapshot_delete_pos(spark, path, F.col("o_orderkey") % 10 == 1)
+    snapshot_delete_mor(spark, path, F.col("o_orderkey") % 6 == 0, "o_orderkey")
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 6 == 0), path)
+    snapshot_compact(spark, path)
+    frames = []
+    for v in (3, 4, 5, 6):
+        frames.append(
+            snapshot_read(spark, path, version=v)
+            .groupBy()
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select("version", "n_orders", "total_price")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
     return out.coalesce(1).sortWithinPartitions("version")
 
 

@@ -468,14 +468,17 @@ def snapshot_postings_lookup(
     import json
     import os
 
-    from etl_cortex_spark.operators.layout import _manifests, _stats_range
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        _stats_range,
+        snapshot_meta,
+    )
 
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     manifests = _manifests(path)
     if not manifests:
         raise ValueError(f"snapshot_postings_lookup: no manifests under {path}")
-    with open(manifests[-1]) as f:
-        meta = json.load(f)
+    meta = snapshot_meta(path)  # resolved (segmented or inline) head
     stats = meta.get("stats", {})
     keep = []
     for fp in meta["files"]:

@@ -402,15 +402,18 @@ def snapshot_ivf_topk(
     import json
     import os
 
-    from etl_cortex_spark.operators.layout import _manifests, _stats_range
+    from etl_cortex_spark.operators.layout import (
+        _manifests,
+        _stats_range,
+        snapshot_meta,
+    )
 
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qbucket = query_bucket(query_vec, planes)
     manifests = _manifests(path)
     if not manifests:
         raise ValueError(f"snapshot_ivf_topk: no manifests under {path}")
-    with open(manifests[-1]) as f:
-        meta = json.load(f)
+    meta = snapshot_meta(path)  # resolved (segmented or inline) head
     stats = meta.get("stats", {})
     keep = []
     for fp in meta["files"]:

@@ -199,22 +199,55 @@ def make_snapshot_changes_stream_source():
         if not os.path.exists(target):
             raise ValueError(f"snapshot stream: version {v} missing at {path}")
         with open(target) as f:
-            return json.load(f)
+            raw = json.load(f)
+        if "segments" not in raw:
+            return raw
+        # round-17 SEGMENTED grammar: the manifest lists immutable
+        # segment files; concatenate their file lists in order and
+        # expand delete coverage (still self-contained — both grammars
+        # together stay a ~20-line inline loader)
+        files, meta = [], {k: v2 for k, v2 in raw.items() if k != "segments"}
+
+        def seg_files(name):
+            with open(os.path.join(path, name)) as f:
+                return json.load(f)["files"]
+
+        for name in raw["segments"]:
+            files += seg_files(name)
+        meta["files"] = files
+        if raw.get("deletes"):
+            out = []
+            for d in raw["deletes"]:
+                if "applies_to_segments" in d:
+                    cover = []
+                    for name in d["applies_to_segments"]:
+                        cover += seg_files(name)
+                    d = {"files": d["files"], "keys": d["keys"],
+                         "applies_to": cover}
+                out.append(d)
+            meta["deletes"] = out
+        return meta
 
     def added_files(path, v_from, v_to):
         prev_meta = load_meta(path, v_from) if v_from else {"files": []}
         prev = set(prev_meta["files"])
         prev_dels = prev_meta.get("deletes") or []
+        prev_pos = prev_meta.get("pos_deletes") or []
         for v in range(v_from + 1, v_to + 1):
             meta = load_meta(path, v)
             cur = set(meta["files"])
-            if not prev <= cur or (meta.get("deletes") or []) != prev_dels:
+            if (
+                not prev <= cur
+                or (meta.get("deletes") or []) != prev_dels
+                or (meta.get("pos_deletes") or []) != prev_pos
+            ):
                 raise ValueError(
                     f"snapshot stream: version {v} is not a pure append "
                     "(rewrite or merge-on-read delete in range) — an "
                     "added-files stream cannot represent it"
                 )
             prev, prev_dels = cur, meta.get("deletes") or []
+            prev_pos = meta.get("pos_deletes") or []
         return sorted(set(load_meta(path, v_to)["files"]) - set(prev_meta["files"]))
 
     def rows_of(files, cols):

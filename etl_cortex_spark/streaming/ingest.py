@@ -551,6 +551,13 @@ def wap_commit_batch(
         snapshot_stage,
     )
 
+    # empty-batch short-circuit IN THE PUBLIC FUNCTION (round-16
+    # ADVICE #4): an empty batch stages zero parquet files, and the
+    # audit's staged_only read would then call spark.read.parquet()
+    # with no paths — an unrelated error. Only the foreach_batch_wap
+    # wrapper used to guard this; a direct caller hit the crash.
+    if batch_df.isEmpty():
+        return "discarded"
     branch = f"{branch_prefix}-{int(batch_id)}"
     for _ in range(max_retries):
         # in-loop, not just upfront: after a lost publish race the

@@ -279,9 +279,10 @@ def test_snapshot_cow_delete_rewrites_only_affected_files(spark, tmp_path):
     snapshot_append(spark, b1, path)
     snapshot_append(spark, b2, path)
 
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
     def manifest(v):
-        with open(os.path.join(path, f"v{v}.manifest.json")) as f:
-            return set(json.load(f)["files"])
+        return set(snapshot_meta(path, v)["files"])
 
     m2 = manifest(2)
     b2_files = {f for f in m2 if spark.read.parquet(f).filter("k >= 1000").count() > 0}
@@ -619,8 +620,9 @@ def test_stream_postings_multibatch_exactly_once_and_pruned(spark, tmp_path):
     # returns its committed version without writing
     import json
 
-    with open(versions[0]) as f:
-        v0 = json.load(f)
+    from etl_cortex_spark.operators.layout import _load_meta
+
+    v0 = _load_meta(idx, versions[0])
     dummy = docs.limit(5).select(
         "doc_id", F.lit(1).alias("dl"), F.lit("x").alias("term"),
         F.lit(1).alias("tf"), F.lit(0).alias("__bucket"),
@@ -631,8 +633,7 @@ def test_stream_postings_multibatch_exactly_once_and_pruned(spark, tmp_path):
     )
     assert _manifests(idx) == versions
     # pruned serving: the lookup reads a strict subset of the files
-    with open(_manifests(idx)[-1]) as f:
-        all_files = json.load(f)["files"]
+    all_files = _load_meta(idx, _manifests(idx)[-1])["files"]
     read_files = snapshot_postings_lookup(spark, idx, ["join"], k=10).inputFiles()
     assert 0 < len(read_files) < len(all_files)
 
@@ -693,8 +694,9 @@ def test_stream_ivf_multibatch_exactly_once_and_pruned(spark, tmp_path):
     assert got == want and got  # same cell, same ranking, non-empty
     run_stream()  # replay: drained checkpoint commits nothing
     assert _manifests(idx) == versions
-    with open(versions[-1]) as f:
-        all_files = json.load(f)["files"]
+    from etl_cortex_spark.operators.layout import _load_meta
+
+    all_files = _load_meta(idx, versions[-1])["files"]
     read_files = snapshot_ivf_topk(spark, idx, qv, k=10).inputFiles()
     assert 0 < len(read_files) < len(all_files)
 
@@ -943,8 +945,9 @@ def test_snapshot_delete_keeps_zone_maps_of_untouched_files(spark, tmp_path):
             stats_col="k",
         )
     snapshot_delete(spark, path, F.col("k") < 100)  # touches batch 1 only
-    with open(_manifests(path)[-1]) as f:
-        meta = json.load(f)
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
+    meta = snapshot_meta(path)
     # batch 2+3 files kept their stats entries
     assert meta.get("stats"), "delete dropped all zone maps"
     pruned = snapshot_scan(spark, path, "k", 2100, 2200)
@@ -1053,10 +1056,13 @@ def test_legacy_list_stats_only_prune_single_column_scan(spark, tmp_path):
             .selectExpr("k", "CAST(k % 7 AS INT) AS v")
         )
         snapshot_append(spark, batch, path, stats_col="k")
-    # rewrite the head manifest's stats into the legacy list form
+    # rewrite the head manifest into the LEGACY INLINE grammar with
+    # the legacy (unlabeled list) stats form — resolves exercise both
+    # pre-17 compat paths at once
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
     head = _manifests(path)[-1]
-    with open(head) as f:
-        meta = json.load(f)
+    meta = snapshot_meta(path)
     meta["stats"] = {f: entry["k"] for f, entry in meta["stats"].items()}
     with open(head, "w") as f:
         json.dump(meta, f)
@@ -1204,10 +1210,10 @@ def test_snapshot_mor_delete_protocol(spark, tmp_path):
     snapshot_append(spark, spark.range(100, 200).withColumnRenamed("id", "k"), path)
     v3 = snapshot_delete_mor(spark, path, F.col("k") < 30, "k")
     assert v3 == 3
-    with open(os.path.join(path, "v3.manifest.json")) as f:
-        m3 = json.load(f)
-    with open(os.path.join(path, "v2.manifest.json")) as f:
-        m2 = json.load(f)
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
+    m3 = snapshot_meta(path, 3)
+    m2 = snapshot_meta(path, 2)
     assert m3["files"] == m2["files"]  # by reference, zero rewrites
     assert len(m3["deletes"]) == 1 and m3["deletes"][0]["keys"] == ["k"]
     # (b) live view and pinned reader
@@ -1227,13 +1233,12 @@ def test_snapshot_mor_delete_protocol(spark, tmp_path):
             spark, spark.range(0, 3).withColumnRenamed("id", "k"), path, "k"
         )
     # (f) change feed refuses the MOR step, works on pure-append spans
-    with pytest.raises(ValueError, match="equality-delete"):
+    with pytest.raises(ValueError, match="merge-on-read delete"):
         snapshot_changes(spark, path, 2, 4)
     assert snapshot_changes(spark, path, 1, 2).count() == 100
     # (e) compact applies and clears
     v5 = snapshot_compact(spark, path)
-    with open(os.path.join(path, f"v{v5}.manifest.json")) as f:
-        m5 = json.load(f)
+    m5 = snapshot_meta(path, v5)
     assert "deletes" not in m5
     assert sorted(r.k for r in snapshot_read(spark, path).collect()) == got
     # COW delete works again post-compact
@@ -1647,17 +1652,19 @@ def test_snapshot_partition_evolution_prunes_both_generations(spark, tmp_path):
     # two pre-evolution batches, one file each, stats recorded
     snapshot_append(spark, mk(0, 200).coalesce(1), path, stats_col="k")
     snapshot_append(spark, mk(200, 400).coalesce(1), path, stats_col="k")
-    files_before = set(json.load(open(_manifests(path)[-1]))["files"])
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
+    files_before = set(snapshot_meta(path)["files"])
 
     v = snapshot_set_layout(path, "k", files_per_batch=4)
-    meta = json.load(open(os.path.join(path, f"v{v}.manifest.json")))
+    meta = snapshot_meta(path, v)
     assert set(meta["files"]) == files_before  # metadata-only commit
     assert meta["layout"]["partition_by"] == ["k"]
 
     # post-evolution append: shuffled arrival order, NO stats_col —
     # the layout clusters and auto-records zone maps anyway
     snapshot_append(spark, mk(400, 800).orderBy(F.rand(7)), path)
-    head = json.load(open(_manifests(path)[-1]))
+    head = snapshot_meta(path)
     new_gen = [f for f in head["files"] if f not in files_before]
     assert len(new_gen) == 4
     assert all(os.path.abspath(f) in head["stats"] for f in new_gen)
@@ -1685,9 +1692,9 @@ def test_snapshot_partition_evolution_prunes_both_generations(spark, tmp_path):
     # the spec survives a compact; clearing it returns appends to
     # arrival layout
     snapshot_compact(spark, path, stats_col="k", target_files=2)
-    assert "layout" in json.load(open(_manifests(path)[-1]))
+    assert "layout" in snapshot_meta(path)
     snapshot_set_layout(path, None)
-    head2 = json.load(open(_manifests(path)[-1]))
+    head2 = snapshot_meta(path)
     assert "layout" not in head2
     snapshot_append(spark, mk(800, 810).coalesce(3), path)
     assert snapshot_read(spark, path).count() == 810
@@ -1864,14 +1871,14 @@ def test_snapshot_selective_compact_keeps_big_files_by_reference(spark, tmp_path
         spark.range(5_000, 5_200).select(F.col("id").alias("k")).repartition(4),
         path,
     )
-    with open(_manifests(path)[-1]) as f:
-        head = json.load(f)
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
+    head = snapshot_meta(path)
     sizes = {p: os.path.getsize(p) for p in head["files"]}
     big_file = max(sizes, key=sizes.get)
     threshold = sizes[big_file]
     v = snapshot_compact(spark, path, target_files=1, small_bytes=threshold)
-    with open(os.path.join(path, f"v{v}.manifest.json")) as f:
-        meta = json.load(f)
+    meta = snapshot_meta(path, v)
     assert big_file in meta["files"]  # carried by reference, same path
     assert len(meta["files"]) == 2    # big + one compacted file
     # kept zone map and Bloom survived the selective rewrite
@@ -1950,15 +1957,15 @@ def test_snapshot_merge_mor_rewrites_nothing(spark, tmp_path):
     )
     snapshot_append(spark, base, path, stats_col="k")
     snapshot_delete_mor(spark, path, F.col("k") == 4, "k")  # prior pending
-    with open(_manifests(path)[-1]) as f:
-        before = json.load(f)
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
+    before = snapshot_meta(path)
 
     batch = spark.createDataFrame(
         [(2, 200.0), (9, 900.0), (None, 999.0)], "k long, v double"
     )
     v = snapshot_merge_mor(spark, batch, path, "k")
-    with open(os.path.join(path, f"v{v}.manifest.json")) as f:
-        meta = json.load(f)
+    meta = snapshot_meta(path, v)
     # every pre-existing file carried by reference; only batch files added
     assert set(before["files"]) <= set(meta["files"])
     assert len(meta["deletes"]) == 2  # prior entry + the merge's
@@ -1977,8 +1984,7 @@ def test_snapshot_merge_mor_rewrites_nothing(spark, tmp_path):
 
     # compaction materializes identical content and clears the entries
     cv = snapshot_compact(spark, path, target_files=1)
-    with open(os.path.join(path, f"v{cv}.manifest.json")) as f:
-        cmeta = json.load(f)
+    cmeta = snapshot_meta(path, cv)
     assert "deletes" not in cmeta or not cmeta["deletes"]
     got2 = {
         (r["k"], r["v"]) for r in snapshot_read(spark, path).collect()
@@ -2072,15 +2078,15 @@ def test_selective_compact_honors_zorder_and_wap_respects_layout(spark, tmp_path
         .repartition(4),
         path,
     )
-    with open(_manifests(path)[-1]) as f:
-        head = json.load(f)
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
+    head = snapshot_meta(path)
     threshold = max(os.path.getsize(p) for p in head["files"])
     v = snapshot_compact(
         spark, path, stats_col=["x", "y"], target_files=2,
         zorder_by=("x", "y"), small_bytes=threshold,
     )
-    with open(os.path.join(path, f"v{v}.manifest.json")) as f:
-        meta = json.load(f)
+    meta = snapshot_meta(path, v)
     new = [p for p in meta["files"] if p not in head["files"]]
     assert len(new) == 2
     xr = [meta["stats"][os.path.abspath(p)]["x"] for p in new]
@@ -2105,8 +2111,7 @@ def test_selective_compact_honors_zorder_and_wap_respects_layout(spark, tmp_path
         "gate",
     )
     pv = snapshot_publish(spark, path2, "gate")
-    with open(os.path.join(path2, f"v{pv}.manifest.json")) as f:
-        pmeta = json.load(f)
+    pmeta = snapshot_meta(path2, pv)
     staged_files = [p for p in pmeta["files"] if "/wap-" in p]
     assert len(staged_files) == 4  # layout-clustered
     assert all(os.path.abspath(p) in pmeta["stats"] for p in staged_files)
@@ -2143,3 +2148,376 @@ def test_snapshot_lineage_after_expiry_resolves_to_oldest_survivor(spark, tmp_pa
     # them); v3's keep their true tag
     assert all(tags[k] == 2 for k in range(0, 8))
     assert all(tags[k] == 3 for k in (8, 9))
+
+
+# --- manifest segments: O(batch) commit metadata (round 17) ----------------
+
+
+def test_snapshot_commit_metadata_bytes_do_not_grow_with_table(spark, tmp_path):
+    """The round-16 weak flag, closed and pinned: every commit used to
+    reserialize the FULL cumulative file list + zone maps + Blooms into
+    one manifest JSON — O(table files) of driver metadata per commit,
+    paid per streaming micro-batch. With manifest segments, commit N
+    writes its own immutable segment (O(|batch|)) plus a name list
+    (O(#commits) at ~40 bytes/name), so the bytes written by commit 30
+    stay within noise of commit 3's — while the INLINE serialization of
+    the same table state is an order of magnitude larger and growing."""
+    import glob as g
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_meta
+
+    path = str(tmp_path / "tbl")
+    per_commit = []  # (manifest_bytes, new_segment_bytes)
+    seen_segs: set = set()
+    for i in range(30):
+        batch = (
+            spark.range(i * 100, i * 100 + 100)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .coalesce(1)
+        )
+        v = snapshot_append(spark, batch, path, stats_col=["k", "v"], bloom_col="k")
+        man = os.path.join(path, f"v{v}.manifest.json")
+        segs = set(g.glob(os.path.join(path, "seg-*.segment.json")))
+        new = segs - seen_segs
+        seen_segs = segs
+        assert len(new) == 1  # exactly one segment per append
+        per_commit.append(
+            (os.path.getsize(man), sum(os.path.getsize(s) for s in new))
+        )
+    m3, s3 = per_commit[2]
+    m30, s30 = per_commit[-1]
+    # segment payload is batch-sized: constant across the run
+    assert s30 <= s3 * 1.3, (s3, s30)
+    # manifest grows only by the name list: < 120 bytes per commit
+    assert (m30 - m3) / 27 < 120, (m3, m30)
+    # and the commit's total metadata write is far below what the old
+    # inline form would have reserialized (the resolved table state)
+    inline_bytes = len(json.dumps(snapshot_meta(path), default=str))
+    assert (m30 + s30) * 5 < inline_bytes, (m30 + s30, inline_bytes)
+
+
+def test_snapshot_expire_sweeps_dead_segments(spark, tmp_path):
+    """Segment GC: expiring history removes segments only dropped
+    manifests referenced; segments the surviving head references stay,
+    and a full compact collapses the segment list to one."""
+    import glob as g
+    import os
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        snapshot_append(
+            spark,
+            spark.range(lo, lo + 100).withColumnRenamed("id", "k").coalesce(1),
+            path,
+        )
+    assert len(g.glob(os.path.join(path, "seg-*.segment.json"))) == 3
+    cv = snapshot_compact(spark, path, target_files=1)
+    assert cv == 4
+    # all four segments still on disk: v1..v3 reference the originals
+    assert len(g.glob(os.path.join(path, "seg-*.segment.json"))) == 4
+    res = snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0.0)
+    assert res["manifests_removed"] == 3
+    # only the compacted head's single segment survives
+    assert len(g.glob(os.path.join(path, "seg-*.segment.json"))) == 1
+    assert snapshot_read(spark, path).count() == 300
+
+
+def test_snapshot_legacy_inline_manifest_migrates_on_next_commit(spark, tmp_path):
+    """Pre-17 tables (inline files/stats in the manifest) stay fully
+    readable, and the FIRST new-format commit migrates the inline
+    state into a segment exactly once — after which commits are
+    O(batch) again. Pinned by hand-building a legacy manifest."""
+    import glob as g
+    import json
+    import os
+
+    from etl_cortex_spark.operators.layout import (
+        _commit_manifest,
+        snapshot_append,
+        snapshot_meta,
+        snapshot_read,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(path, "data"))
+    staged = os.path.join(path, "data", "legacy")
+    spark.range(0, 100).withColumnRenamed("id", "k").coalesce(1) \
+        .write.parquet(staged)
+    files = sorted(g.glob(os.path.join(staged, "*.parquet")))
+    _commit_manifest(path, 1, {
+        "version": 1,
+        "files": files,
+        "stats": {os.path.abspath(files[0]): {"k": [0, 99]}},
+    })
+    # legacy head reads through every path
+    assert snapshot_read(spark, path).count() == 100
+    assert snapshot_scan(spark, path, "k", 5, 10).count() == 6
+    # new-format append on top: migration segment + batch segment
+    snapshot_append(
+        spark,
+        spark.range(100, 150).withColumnRenamed("id", "k").coalesce(1),
+        path,
+        stats_col="k",
+    )
+    assert len(g.glob(os.path.join(path, "seg-*.segment.json"))) == 2
+    with open(os.path.join(path, "v2.manifest.json")) as f:
+        raw = json.load(f)
+    assert "files" not in raw and len(raw["segments"]) == 2
+    meta = snapshot_meta(path)
+    assert len(meta["files"]) == 2 and meta["files"][0] == files[0]
+    # the legacy file's zone map survived the migration
+    assert meta["stats"][os.path.abspath(files[0])]["k"] == [0, 99]
+    assert snapshot_read(spark, path).count() == 150
+
+
+def test_snapshot_position_deletes_keyless_compose_and_guard(spark, tmp_path):
+    """Round-17 position deletes (Iceberg v2's second delete form):
+    row-level deletes on a KEYLESS table commit (file, pos) entries
+    with zero data files rewritten; they compose with equality deletes
+    on the same version; rows appended later are untouched (positions
+    name files explicitly); COW rewrites refuse while they are
+    pending; the append-only feeds refuse the step; compaction applies
+    and clears; expire treats the delete files as live references."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_changes_cdf,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_mor,
+        snapshot_delete_pos,
+        snapshot_expire,
+        snapshot_meta,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    # KEYLESS table: text rows, no identifier column at all
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        (F.col("id") % 10).alias("bucket"),
+    ).drop("id")
+    snapshot_append(spark, mk(0, 60).coalesce(2), path)
+    snapshot_append(spark, mk(60, 100).coalesce(1), path)
+    v3 = snapshot_delete_pos(spark, path, F.col("bucket") == 3)
+    assert v3 == 3
+    # zero rewrites: the file set is carried by reference
+    assert snapshot_meta(path, 2)["files"] == snapshot_meta(path, 3)["files"]
+    assert snapshot_read(spark, path).count() == 90
+    # NULL predicate rows are KEPT (3VL): a predicate over a NULL col
+    assert (
+        snapshot_delete_pos(
+            spark, path, F.when(F.col("bucket") > 100, True)
+        )
+        == 4
+    )
+    assert snapshot_read(spark, path).count() == 90
+    # composes with an equality delete on the same version
+    snapshot_delete_mor(spark, path, F.col("bucket") == 7, "bucket")
+    assert snapshot_read(spark, path).count() == 80
+    # later append is untouched by BOTH pending delete families
+    snapshot_append(spark, mk(100, 120).coalesce(1), path)  # has buckets 3+7
+    assert snapshot_read(spark, path).count() == 100
+    # COW rewrites refuse while pos deletes pend
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        snapshot_delete(spark, path, F.col("bucket") == 0)
+    # append-only feeds refuse the pos-delete step
+    with pytest.raises(ValueError, match="delete"):
+        snapshot_changes(spark, path, 2, 3)
+    with pytest.raises(ValueError, match="position"):
+        snapshot_changes_cdf(spark, path, 2, 3)
+    # compaction applies and clears both families
+    cv = snapshot_compact(spark, path, target_files=1)
+    head = snapshot_meta(path, cv)
+    assert "deletes" not in head and "pos_deletes" not in head
+    got = sorted(r.text for r in snapshot_read(spark, path).collect())
+    want = sorted(
+        f"doc-{i}" for i in range(120)
+        if not (i < 100 and i % 10 in (3, 7))
+    )
+    assert got == want
+    # pinned pre-compact version still resolves (delete files live)
+    snapshot_expire(spark, path, keep_last=3, orphan_grace_secs=0.0)
+    assert snapshot_read(spark, path, version=6).count() == 100
+    assert snapshot_read(spark, path).count() == 100
+
+
+def test_snapshot_lineage_survives_special_char_table_paths(spark, tmp_path):
+    """Round-16 ADVICE #1: input_file_name() returns PERCENT-ENCODED
+    URIs, so a table path containing spaces or '%' used to mismatch
+    the abspath lineage dim and silently drop every row from the
+    audit-facing read. Pinned on a path with both hazards."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read_lineage,
+    )
+
+    path = str(tmp_path / "dir with space" / "t%20bl")
+    snapshot_append(
+        spark, spark.range(0, 50).withColumnRenamed("id", "k"), path
+    )
+    snapshot_append(
+        spark, spark.range(50, 80).withColumnRenamed("id", "k"), path
+    )
+    rows = snapshot_read_lineage(spark, path).collect()
+    assert len(rows) == 80  # nothing silently dropped
+    got = {r.k: r._commit_version for r in rows}
+    assert all(v is not None for v in got.values())  # every row matched
+    assert got[0] == 1 and got[79] == 2
+
+
+def test_snapshot_merge_mor_delete_keys_from_staged_readback(spark, tmp_path):
+    """Round-16 ADVICE #2: merge_mor derives its equality-delete keys
+    from the STAGED FILES READ BACK, not a re-evaluation of the
+    caller's df — a NONDETERMINISTIC batch (rand-derived keys) must
+    commit delete keys that agree exactly with the batch rows in the
+    same manifest. Pinned: after the merge, a batch key never
+    coexists with a pre-existing row of the same key, and every
+    batch row survives."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_merge_mor,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.lit("old").alias("src")
+    )
+    snapshot_append(spark, base, path)
+    # nondeterministic batch: every evaluation yields different keys
+    batch = spark.range(0, 40).select(
+        (F.rand(seed=None) * 200).cast("long").alias("k"),
+        F.lit("new").alias("src"),
+    ).distinct()
+    snapshot_merge_mor(spark, batch, path, "k")
+    rows = snapshot_read(spark, path).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r.src)
+    # the MERGE contract on what was actually written: a key carried
+    # by a committed batch row must have exactly its new row(s), never
+    # an old one beside them
+    for k, srcs in by_key.items():
+        if "new" in srcs:
+            assert "old" not in srcs, (k, srcs)
+    n_new = sum(1 for r in rows if r.src == "new")
+    assert n_new >= 1  # the staged batch's rows all survive
+    assert len(rows) == 200 - len(
+        {k for k, srcs in by_key.items() if "new" in srcs}
+    ) + n_new
+
+
+def test_catalog_lock_fence_detects_broken_hold(spark, tmp_path):
+    """Round-16 ADVICE #3: the yielded fence re-verifies the lock
+    token — a holder whose lock was stale-broken (simulated by
+    rewriting the token) aborts loudly at the next protected write
+    instead of mutating shared state under its breaker."""
+    import os
+
+    import pytest
+
+    from etl_cortex_spark.operators.layout import _catalog_lock
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    with _catalog_lock(path) as fence:
+        fence()  # healthy hold passes
+        with open(os.path.join(path, ".catalog.lock"), "w") as f:
+            f.write("someone-else")  # a breaker took the lock
+        with pytest.raises(TimeoutError, match="broken while held"):
+            fence()
+
+
+def test_snapshot_rewrite_segments_consolidates_metadata_only(spark, tmp_path):
+    """Round-17 rewrite_manifests analogue: consolidating the segment
+    list touches NO data file, shrinks the head manifest back to one
+    name, preserves reads, zone-map pruning, Blooms AND pending
+    delete scoping (entries' applies_to_segments keep naming the
+    pre-consolidation segments, which stay alive)."""
+    import glob as g
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_mor,
+        snapshot_meta,
+        snapshot_point_lookup,
+        snapshot_read,
+        snapshot_rewrite_segments,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "tbl")
+    for i in range(12):
+        snapshot_append(
+            spark,
+            spark.range(i * 100, i * 100 + 100)
+            .withColumnRenamed("id", "k")
+            .coalesce(1),
+            path,
+            stats_col="k",
+            bloom_col="k",
+        )
+    snapshot_delete_mor(spark, path, F.col("k") < 50, "k")
+    # a post-delete append: its rows are OUTSIDE the delete's scope
+    snapshot_append(
+        spark,
+        spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1),
+        path,
+        stats_col="k",
+    )
+    data_before = sorted(
+        g.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    )
+    man_before = os.path.getsize(
+        os.path.join(path, "v14.manifest.json")
+    )
+    v = snapshot_rewrite_segments(path)
+    assert v == 15
+    # metadata-only: identical data files, smaller manifest, 1 segment
+    data_after = sorted(
+        g.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert data_after == data_before
+    meta = snapshot_meta(path)
+    man_after = os.path.getsize(os.path.join(path, "v15.manifest.json"))
+    assert man_after < man_before
+    raw_head = open(os.path.join(path, "v15.manifest.json")).read()
+    assert raw_head.count("seg-") >= 2  # merged ref + delete scoping refs
+    # content identical: delete scope preserved (k<50 gone from the
+    # pre-delete generation, the post-delete re-append of 0..9 kept)
+    got = sorted(r.k for r in snapshot_read(spark, path).collect())
+    assert got == sorted(list(range(0, 10)) + list(range(50, 1200)))
+    # pruning and Blooms survive consolidation: exactly ONE data file
+    # scanned (inputFiles also lists the equality-delete key file the
+    # anti-join reads — not a data scan)
+    sc = snapshot_scan(spark, path, "k", 250, 260)
+    data_scanned = [f for f in sc.inputFiles() if "/batch-" in f]
+    assert sc.count() == 11 and len(data_scanned) == 1
+    assert snapshot_point_lookup(spark, path, "k", 777).count() == 1
+    # idempotent: single segment (plus scoping refs) is a no-op
+    assert snapshot_rewrite_segments(path) == 15
+    assert "stats" in meta and "blooms" in meta

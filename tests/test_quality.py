@@ -114,3 +114,43 @@ def test_psi_drift_detects_shift_and_is_zero_on_identity(spark):
     )
     drift = psi_drift(base, shifted, "v", n_buckets=10, lo=0.0, hi=1.0)
     assert sum(r.psi_term for r in drift.collect()) > 0.25  # act threshold
+
+
+def test_lang_id_recovers_injected_language_signal(spark):
+    """`llmprep.lang_id_predict` mechanism check: the shared fixture
+    vocab carries no language signal (the oracle verifies the exact
+    train-score-argmax arithmetic there, not accuracy), so this pins
+    the classifier the other way — inject a per-language marker token
+    into each document and the confusion matrix must go 100%
+    diagonal: the NB profiles pick up the marker trigrams and every
+    document's argmax lands on its own language."""
+    from etl_cortex_spark.operators.llmprep import lang_id_predict
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.lit("the table row value group key data "),
+            F.concat_ws(
+                " ",
+                F.array_repeat(
+                    F.concat(
+                        F.lit("qx"),
+                        F.element_at(
+                            F.array(*[F.lit(x) for x in langs]),
+                            (F.col("id") % 5 + 1).cast("int"),
+                        ),
+                    ),
+                    6,
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = lang_id_predict(docs).collect()
+    assert len(out) == 5  # one cell per language — all diagonal
+    assert all(r.lang == r.pred_lang for r in out)
+    assert sum(r.n_docs for r in out) == 500

@@ -276,3 +276,29 @@ def test_wap_racing_replay_and_audit_exception(spark, tmp_path):
         == "published"
     )
     assert snapshot_read(spark, path).count() == 20
+
+
+def test_wap_commit_batch_empty_batch_short_circuits(spark, tmp_path):
+    """Round-16 ADVICE #4: an EMPTY batch through the public
+    wap_commit_batch returns 'discarded' instead of crashing in the
+    audit's staged read (zero staged files -> parquet read with no
+    paths); the table is untouched."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+    from etl_cortex_spark.streaming.ingest import wap_commit_batch
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(
+        spark, spark.range(5).withColumnRenamed("id", "k"), path
+    )
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    out = wap_commit_batch(
+        spark, empty, path, batch_id=99, audit=lambda df: True
+    )
+    assert out == "discarded"
+    assert snapshot_read(spark, path).count() == 5
+    assert not glob.glob(os.path.join(path, "branch-*.manifest.json"))
