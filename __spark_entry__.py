@@ -122,6 +122,8 @@ _REVERIFY_NOW: dict[str, int] = {
     # sf0.01 oracles this session.
     "scale_snapshot_delete_pos": 17,
     "d113_lang_id": 17,
+    "scale_snapshot_bucket_layout": 17,
+    "stream_snapshot_upsert": 17,
 }
 
 

@@ -3118,3 +3118,94 @@ def d05rice(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_rice_audio_assets(docs)
     return MM.decode_rice_audio_features(assets).orderBy("asset_id")
+
+
+@query(
+    "stream_snapshot_upsert",
+    oracle="""
+    WITH fin AS (
+        SELECT CAST(event_id AS BIGINT) AS k, 'final' AS status,
+               value FROM events
+    ), seeds AS (
+        SELECT CAST(-i AS BIGINT) AS k, 'pending' AS status,
+               0.0 AS value
+        FROM range(1, 51) t(i)
+    ), tbl AS (
+        SELECT * FROM fin UNION ALL SELECT * FROM seeds
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           round(sum(value), 2) AS total_value
+    FROM tbl GROUP BY status ORDER BY status
+    """,
+)
+def d08up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE MERGE-ON-READ UPSERT into the snapshot
+    table (round 17 — `streaming.ingest.foreach_batch_merge_mor`, the
+    CDC-upsert sink between D102c's append-only ingest and D132's
+    WAP): the table is SEEDED with 'pending' rows — one per event key
+    divisible by 7 (value 0) plus 50 synthetic negative keys no event
+    will ever carry — then the events stream upserts every event as a
+    'final' row keyed by its globally unique event_id. Each
+    micro-batch commits through `snapshot_merge_mor(batch_id=...)`:
+    batch files + one equality-delete entry scoped to pre-merge files,
+    O(|batch|) per commit, manifest stamped for ledger-no-op replays.
+    The drained table must hold every event exactly once as 'final'
+    (seeded keys UPDATED through the anti-join, unseeded keys
+    INSERTED) and exactly the 50 never-streamed seeds as 'pending' —
+    independent of where the engine cut the micro-batches, because
+    every streamed key arrives exactly once. The oracle replays that
+    end state as plain SQL over events; the two MOR delete families'
+    maintenance story (compact applies and clears) is pinned in
+    tests/test_layout.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_append, snapshot_read
+    from etl_cortex_spark.streaming.events import read_events_stream
+    from etl_cortex_spark.streaming.ingest import foreach_batch_merge_mor
+
+    h = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), "etl_cortex_spark_morup", h)
+    shutil.rmtree(base, ignore_errors=True)
+    path = os.path.join(base, "table")
+    ev_batch = T(spark, sf_dir, "events")
+    seeds = (
+        ev_batch.filter(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("event_id").cast("long").alias("k"),
+            F.lit("pending").alias("status"),
+            F.lit(0.0).alias("value"),
+        )
+        .unionByName(
+            spark.range(1, 51).select(
+                (-F.col("id")).cast("long").alias("k"),
+                F.lit("pending").alias("status"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+    )
+    snapshot_append(spark, seeds, path)
+    ev = read_events_stream(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("k"),
+        F.lit("final").alias("status"),
+        F.col("value"),
+    )
+    q = foreach_batch_merge_mor(
+        ev, path, checkpoint_dir=os.path.join(base, "ckpt"), key_cols="k"
+    )
+    q.awaitTermination()
+    return (
+        snapshot_read(spark, path)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("status")
+    )

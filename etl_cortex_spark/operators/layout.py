@@ -1152,6 +1152,11 @@ def snapshot_append(
             cols += [c for c in lsrc if c not in cols]
         if cols:
             batch_stats = multi_file_stats(spark, staged, cols)
+        espec = _layout_expr_specs(layout)
+        if espec:
+            # transform-value zone maps (bucket(n) hidden partitioning)
+            for f, entry in multi_file_expr_stats(spark, staged, espec).items():
+                batch_stats.setdefault(f, {}).update(entry)
         if bloom_col is not None:
             batch_blooms = file_blooms(spark, staged, bloom_col)
     except Exception:
@@ -1879,6 +1884,74 @@ def snapshot_scan_multi(spark, path: str, ranges: dict, version: int | None = No
     return out.filter(pred) if pred is not None else out
 
 
+def snapshot_point_lookup_bucket(spark, path: str, col: str, value, version: int | None = None):
+    """TRANSFORM-AWARE point lookup for a bucket(n) hidden-partition
+    layout (round 17 — the scan path that closes the round-16
+    "bucket rejected loudly" boundary): resolve the probe's bucket
+    with the same md5 arithmetic the layout clustered by
+    (`_bucket_value_py` ≡ `_bucket_sql`), prune files whose
+    TRANSFORM-VALUE zone map (recorded per-file at append time under
+    `_bucket_stat_key`) excludes that bucket, then filter the exact
+    equality predicate. Because appends range-cluster on the bucket
+    value, a point probe touches ~1/files_per_batch of each
+    generation's files — the hash-key analogue of the monotone
+    transforms' source-range pruning, for exactly the id/hash/email
+    keys that have no range locality. Files committed before the
+    bucket layout (no transform stats) are conservatively read; the
+    planner cost is one manifest resolve + driver bit arithmetic, no
+    footer reads."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if version is None:
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(
+                f"snapshot_point_lookup_bucket: no manifests under {path}"
+            )
+        target = manifests[-1]
+    else:
+        target = os.path.join(path, f"v{version}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_point_lookup_bucket: version {version} does not exist"
+            )
+    meta = _load_meta(path, target)
+    layout = meta.get("layout") or {}
+    spec = next(
+        (
+            e
+            for e in layout.get("partition_by", [])
+            if isinstance(e, dict)
+            and e.get("transform") == "bucket"
+            and e.get("col") == col
+        ),
+        None,
+    )
+    if spec is None:
+        raise ValueError(
+            f"snapshot_point_lookup_bucket: no bucket() layout on {col!r} "
+            f"at {path} — set one with snapshot_set_layout(('bucket', "
+            f"{col!r}, n))"
+        )
+    n = int(spec["n"])
+    qb = _bucket_value_py(value, n)
+    key = _bucket_stat_key(col, n)
+    stats = meta.get("stats", {})
+    keep = []
+    for fp in meta["files"]:
+        rng = _stats_range(stats.get(os.path.abspath(fp)), key)
+        if rng is None or (rng[0] <= qb <= rng[1]):
+            keep.append(fp)
+    schema = _version_schema(spark, meta["files"])
+    if not keep:
+        return spark.createDataFrame([], schema)
+    return _apply_mor_deletes(spark, meta, keep, schema).filter(
+        F.col(col) == F.lit(value)
+    )
+
+
 def snapshot_merge(spark, df, path: str, key_cols) -> int:
     """MERGE (upsert) on the versioned snapshot table (round 14 — the
     protocol member the round-13 verdict listed first: B17's keyed
@@ -1964,7 +2037,9 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
     return version
 
 
-def snapshot_merge_mor(spark, df, path: str, key_cols) -> int:
+def snapshot_merge_mor(
+    spark, df, path: str, key_cols, batch_id: int | None = None
+) -> int:
     """MERGE-ON-READ MERGE (round 16 — the upsert `snapshot_merge`'s
     copy-on-write form cannot afford when a day's keys scatter across
     many files: COW rewrites every file containing a match, MOR
@@ -1995,6 +2070,14 @@ def snapshot_merge_mor(spark, df, path: str, key_cols) -> int:
     from pyspark.sql import functions as F
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if batch_id is not None:
+        # exactly-once for streaming upsert replays (round 17 — the
+        # same ledger contract as snapshot_append/snapshot_publish):
+        # a manifest or retired-ledger entry carrying this batch_id
+        # means the merge fully committed; the replay is a no-op
+        committed = snapshot_batch_version(path, batch_id)
+        if committed is not None:
+            return committed
     manifests = _manifests(path)
     if not manifests:
         raise ValueError(f"snapshot_merge_mor: no manifests under {path}")
@@ -2057,6 +2140,8 @@ def snapshot_merge_mor(spark, df, path: str, key_cols) -> int:
     for carry in ("pos_deletes", "layout"):
         if carry in raw:
             meta[carry] = raw[carry]
+    if batch_id is not None:
+        meta["batch_id"] = batch_id
     try:
         _commit_manifest(path, version, meta)
     except SnapshotCommitConflict:
@@ -2270,20 +2355,57 @@ def snapshot_compact(
 
 
 #: hidden-partitioning transforms the layout spec admits (round 16 —
-#: Iceberg's partition transforms, restricted to the MONOTONE ones):
-#: identity, truncate(width), days/months/years. Monotonicity is the
-#: admission rule: clustering by a monotone transform of a column
-#: keeps each output file a contiguous SOURCE-column range, so the
-#: existing per-file zone maps prune range scans with no new manifest
-#: machinery. bucket(n) is rejected loudly — a hash transform breaks
-#: source contiguity and would need transform-value stats plus a
-#: transform-aware scan path to prune (a documented boundary, not a
-#: silent gap).
+#: Iceberg's partition transforms): the MONOTONE ones — identity,
+#: truncate(width), days/months/years — keep each clustered file a
+#: contiguous SOURCE-column range, so the existing per-file zone maps
+#: prune range scans with no new manifest machinery. bucket(n)
+#: (round 17) is admitted through the OTHER protocol it needed: a
+#: hash transform breaks source contiguity, so its appends record
+#: per-file zone maps of the TRANSFORM VALUE (`_layout_expr_specs`)
+#: and the transform-aware `snapshot_point_lookup_bucket` prunes
+#: equality probes against them — the round-16 documented boundary,
+#: closed.
 _MONOTONE_TRANSFORMS = ("truncate", "days", "months", "years")
+_LAYOUT_TRANSFORMS = _MONOTONE_TRANSFORMS + ("bucket",)
+
+
+def _bucket_sql(col: str, n: int) -> str:
+    """Spark SQL for the bucket(n) transform value — md5-based (the
+    repo's engine-portable hash convention, byte-compatible with
+    `_bucket_value_py` for int/string columns)."""
+    return (
+        f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10) "
+        f"as bigint) % {int(n)}"
+    )
+
+
+def _bucket_value_py(value, n: int) -> int:
+    """Driver-side bucket of a probe value — identical to `_bucket_sql`
+    for int/str probes (the same rendering contract as the manifest
+    Blooms: those are the only Python types whose str() matches
+    Spark's CAST(AS STRING) byte-for-byte)."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            "bucket probe values must be int or str (got "
+            f"{type(value).__name__}): other types render differently "
+            "between Python and Spark's CAST(AS STRING)"
+        )
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:8], 16) % int(n)
+
+
+def _bucket_stat_key(col: str, n: int) -> str:
+    return f"__bucket_{col}_{int(n)}"
 
 
 def _layout_cluster_exprs(layout: dict):
-    """(cluster expressions, source columns) for a layout spec."""
+    """(cluster expressions, source columns) for a layout spec.
+    Monotone transforms contribute their SOURCE column (each clustered
+    file stays a contiguous source range, so ordinary zone maps
+    prune); bucket(n) contributes its cluster expression only — its
+    prunable stats live on the TRANSFORM VALUE (`_layout_expr_specs`),
+    because a hash bucket is deliberately NOT source-contiguous."""
     from pyspark.sql import functions as F
 
     exprs, src_cols = [], []
@@ -2301,10 +2423,59 @@ def _layout_cluster_exprs(layout: dict):
             exprs.append(F.date_trunc("month", F.col(c)))
         elif t == "years":
             exprs.append(F.date_trunc("year", F.col(c)))
+        elif t == "bucket":
+            exprs.append(F.expr(_bucket_sql(c, int(e["n"]))))
+            continue  # no source col: stats go on the transform value
         else:  # pragma: no cover - set_layout validated already
             raise ValueError(f"unknown layout transform {t!r}")
         src_cols.append(c)
     return exprs, src_cols
+
+
+def _layout_expr_specs(layout: dict | None) -> dict:
+    """{stat_key: SQL expr} for the layout's TRANSFORM-VALUE zone maps
+    (round 17 — the stats protocol bucket(n) needed): each bucket
+    entry records per-file [lo, hi] of the bucket VALUE under a
+    derived key, which `snapshot_point_lookup_bucket` prunes against.
+    Monotone transforms need none (source stats already prune)."""
+    if not layout:
+        return {}
+    out = {}
+    for e in layout["partition_by"]:
+        if isinstance(e, dict) and e.get("transform") == "bucket":
+            out[_bucket_stat_key(e["col"], int(e["n"]))] = _bucket_sql(
+                e["col"], int(e["n"])
+            )
+    return out
+
+
+def multi_file_expr_stats(spark, path: str, specs: dict) -> dict:
+    """`multi_file_stats` over SQL EXPRESSIONS instead of plain
+    columns: {abs_file: {stat_key: [lo, hi]}} in one aggregate pass —
+    the transform-value zone maps hidden partitioning's bucket(n)
+    prunes with."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for k, e in specs.items():
+        aggs += [
+            F.min(F.expr(e)).alias(f"lo_{k}"),
+            F.max(F.expr(e)).alias(f"hi_{k}"),
+        ]
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        os.path.abspath(r["file"].removeprefix("file:")): {
+            k: [r[f"lo_{k}"], r[f"hi_{k}"]] for k in specs
+        }
+        for r in rows
+    }
 
 
 def snapshot_rewrite_segments(path: str) -> int:
@@ -2385,13 +2556,16 @@ def snapshot_set_layout(
 
     ``partition_by`` is a column name, a list of names and/or
     HIDDEN-PARTITIONING transform specs (round 16 — Iceberg's
-    transforms, the monotone subset): ``("truncate", col, width)`` /
-    ``("days"|"months"|"years", col)`` or the equivalent dicts.
-    Hidden means queries still filter the SOURCE column — clustering
-    by a monotone transform keeps each file a contiguous source range,
-    so the ordinary zone maps prune; no query rewrite, no partition
-    column in the data. ``bucket(n)`` is rejected loudly (see
-    `_MONOTONE_TRANSFORMS`). ``None`` CLEARS the spec (subsequent
+    transforms): ``("truncate", col, width)`` /
+    ``("days"|"months"|"years", col)`` / ``("bucket", col, n)`` or the
+    equivalent dicts. Hidden means queries still filter the SOURCE
+    column — clustering by a monotone transform keeps each file a
+    contiguous source range, so the ordinary zone maps prune; no query
+    rewrite, no partition column in the data. ``bucket(n)`` (round 17)
+    prunes through TRANSFORM-VALUE zone maps instead — appends record
+    per-file [lo, hi] of the md5 bucket value and
+    `snapshot_point_lookup_bucket` plans equality probes against them
+    (see `_LAYOUT_TRANSFORMS`). ``None`` CLEARS the spec (subsequent
     appends return to arrival layout). The commit is optimistically
     concurrent like an append (its read set is just the previous
     manifest); an append staged under the superseded spec detects the
@@ -2404,21 +2578,22 @@ def snapshot_set_layout(
             return e
         if isinstance(e, (tuple, list)):
             t = e[0]
-            e = (
-                {"transform": t, "col": e[1], "width": e[2]}
-                if t == "truncate"
-                else {"transform": t, "col": e[1]}
-            )
+            if t == "truncate":
+                e = {"transform": t, "col": e[1], "width": e[2]}
+            elif t == "bucket":
+                e = {"transform": t, "col": e[1], "n": e[2]}
+            else:
+                e = {"transform": t, "col": e[1]}
         t = e.get("transform")
-        if t not in _MONOTONE_TRANSFORMS:
+        if t not in _LAYOUT_TRANSFORMS:
             raise ValueError(
                 f"snapshot_set_layout: transform {t!r} is not supported — "
-                f"monotone transforms only {_MONOTONE_TRANSFORMS} (bucket "
-                "breaks source-range contiguity, so zone maps could not "
-                "prune it; it needs a transform-value stats protocol)"
+                f"supported transforms: {_LAYOUT_TRANSFORMS}"
             )
         if t == "truncate" and int(e.get("width", 0)) <= 0:
             raise ValueError("snapshot_set_layout: truncate needs width > 0")
+        if t == "bucket" and int(e.get("n", 0)) <= 0:
+            raise ValueError("snapshot_set_layout: bucket needs n > 0")
         return e
 
     if partition_by is None:
@@ -2428,7 +2603,7 @@ def snapshot_set_layout(
     elif (
         isinstance(partition_by, tuple)
         and partition_by
-        and partition_by[0] in _MONOTONE_TRANSFORMS
+        and partition_by[0] in _LAYOUT_TRANSFORMS
     ):
         cols = [_norm(partition_by)]  # one bare transform tuple
     else:
@@ -3122,7 +3297,13 @@ def snapshot_stage(spark, df, path: str, branch: str) -> str:
     meta = {"branch": branch, "base_version": base_version, "files": new_files}
     if layout:
         _, lsrc = _layout_cluster_exprs(layout)
-        meta["stats"] = multi_file_stats(spark, staged, lsrc)
+        stats = multi_file_stats(spark, staged, lsrc) if lsrc else {}
+        espec = _layout_expr_specs(layout)
+        if espec:
+            for f, entry in multi_file_expr_stats(spark, staged, espec).items():
+                stats.setdefault(f, {}).update(entry)
+        if stats:
+            meta["stats"] = stats
     target = os.path.join(path, f"branch-{branch}.manifest.json")
     tmp = target + f".{os.getpid()}.tmp"
     with open(tmp, "w") as f:

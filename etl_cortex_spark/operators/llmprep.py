@@ -1684,18 +1684,20 @@ def lang_id_predict(
     construction, and the filtered form plans as WindowGroupLimit)."""
     from pyspark.sql import Window
 
-    tg = track(
-        docs.select(
-            F.col(id_col).alias("__id"),
-            F.col(lang_col).alias("__lang"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 1)),"
-                    f" i -> substring(lower({text_col}), i, 3))"
-                )
-            ).alias("__tg"),
-        ).filter(F.length("__tg") == 3)
-    )
+    # deliberately NOT persisted (the d111 choice): the exploded
+    # trigram frame is data-sized × ~length(text) — recomputing the
+    # narrow projection for the profile pass and the scoring pass
+    # beats materializing it at 100 TB
+    tg = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("__lang"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 1)),"
+                f" i -> substring(lower({text_col}), i, 3))"
+            )
+        ).alias("__tg"),
+    ).filter(F.length("__tg") == 3)
     counts = tg.groupBy("__lang", "__tg").agg(F.count(F.lit(1)).alias("__n"))
     w_lm = Window.partitionBy("__lang").orderBy(
         F.col("__n").desc(), F.col("__tg")

@@ -725,3 +725,63 @@ def foreach_batch_postings(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_merge_mor(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols,
+    max_retries: int = 5,
+):
+    """Streaming EXACTLY-ONCE MERGE-ON-READ UPSERT into the snapshot
+    table (round 17 — the CDC-upsert sink the protocol family was
+    missing between append-only ingest and WAP): every micro-batch
+    commits through `layout.snapshot_merge_mor` — the batch's rows as
+    new data files plus ONE equality-delete entry scoped to the
+    pre-merge files, so matched keys update, new keys insert, and the
+    commit stays O(|batch|) no matter how the keys scatter across a
+    100 TB table. Exactly-once composes from the batch ledger:
+    `snapshot_merge_mor(batch_id=...)` stamps the manifest, so a
+    crash-replayed micro-batch is a lookup no-op; a merge that loses
+    the head race to a concurrent writer re-runs against the new head
+    (its read set is one manifest resolve — always recoverable for an
+    upsert whose delete scope is re-derived), bounded by
+    ``max_retries``. The per-table MOR debt drains at the next
+    `snapshot_compact`, exactly like the batch form.
+
+    The MERGE uniqueness contract is the caller's (a batch carrying
+    duplicate keys lands duplicate rows — deduplicate upstream with
+    `dedup_latest_agg`), and keep-latest ACROSS batches follows the
+    commit order, i.e. the engine's batch order: suitable for
+    key-unique streams (CDC by primary key) or per-batch-deduped
+    upserts. Returns the started availableNow query."""
+    from etl_cortex_spark.operators.layout import (
+        SnapshotCommitConflict,
+        snapshot_merge_mor,
+    )
+
+    spark = stream.sparkSession
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for _ in range(max_retries):
+            try:
+                snapshot_merge_mor(
+                    spark, batch_df, path, key_cols, batch_id=int(batch_id)
+                )
+                return
+            except SnapshotCommitConflict:
+                continue  # head moved: re-resolve and re-merge
+        raise SnapshotCommitConflict(
+            f"foreach_batch_merge_mor: batch {batch_id} lost the commit "
+            f"race {max_retries} times at {path}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

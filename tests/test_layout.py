@@ -1796,7 +1796,7 @@ def test_snapshot_hidden_partitioning_transforms(spark, tmp_path):
     clusters appends by calendar month with SOURCE-column zone maps
     (a one-month scan touches only that month's files, filtering the
     plain date column — no query rewrite); truncate() works on
-    numerics; bucket() is rejected loudly with the contiguity reason."""
+    numerics; malformed transform specs are rejected loudly."""
     import datetime as dt
     import os
 
@@ -1836,11 +1836,14 @@ def test_snapshot_hidden_partitioning_transforms(spark, tmp_path):
     assert sorted(r["k"] for r in got2.collect()) == list(range(150, 161))
     assert len(got2.inputFiles()) == 1
 
-    # bucket() rejected loudly
-    with pytest.raises(ValueError, match="bucket"):
-        snapshot_set_layout(path2, [("bucket", "k", 8)])
+    # invalid transform params rejected loudly (bucket(n) itself is
+    # ADMITTED since round 17 — see test_snapshot_bucket_layout_*)
     with pytest.raises(ValueError, match="width"):
         snapshot_set_layout(path2, [("truncate", "k", 0)])
+    with pytest.raises(ValueError, match="bucket needs n > 0"):
+        snapshot_set_layout(path2, [("bucket", "k", 0)])
+    with pytest.raises(ValueError, match="not supported"):
+        snapshot_set_layout(path2, [("hash_mod", "k", 8)])
 
 
 def test_snapshot_selective_compact_keeps_big_files_by_reference(spark, tmp_path):
@@ -2521,3 +2524,58 @@ def test_snapshot_rewrite_segments_consolidates_metadata_only(spark, tmp_path):
     # idempotent: single segment (plus scoping refs) is a no-op
     assert snapshot_rewrite_segments(path) == 15
     assert "stats" in meta and "blooms" in meta
+
+
+def test_snapshot_bucket_layout_prunes_point_lookups(spark, tmp_path):
+    """Round-17 bucket(n) hidden partitioning (the round-16 documented
+    boundary, closed): appends under a bucket layout cluster by the
+    md5 bucket of the key and record TRANSFORM-VALUE zone maps;
+    `snapshot_point_lookup_bucket` prunes a key probe to the files
+    whose bucket range can contain it — strictly fewer than the
+    table's — while pre-layout files stay conservatively read, and
+    the result equals the full-scan filter exactly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_point_lookup_bucket,
+        snapshot_read,
+        snapshot_set_layout,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.concat(F.lit("user-"), F.col("id")).alias("uid"),
+        (F.col("id") * 3).alias("v"),
+    )
+    # one PRE-layout file (no transform stats — must stay readable)
+    snapshot_append(spark, mk(0, 50).coalesce(1), path)
+    snapshot_set_layout(path, ("bucket", "uid", 16), files_per_batch=8)
+    snapshot_append(spark, mk(50, 1050), path)
+    snapshot_append(spark, mk(1050, 2050), path)
+    assert snapshot_read(spark, path).count() == 2050
+
+    # probe a key in the bucketed generations
+    got = snapshot_point_lookup_bucket(spark, path, "uid", "user-1234")
+    rows = got.collect()
+    assert [(r.uid, r.v) for r in rows] == [("user-1234", 3702)]
+    n_total = len(snapshot_read(spark, path).inputFiles())
+    n_read = len(got.inputFiles())
+    # pruned: the pre-layout file + ~1/8 of each bucketed generation
+    assert 0 < n_read < n_total
+    assert n_read <= 1 + 2 * 2  # conservative slack: seed + <=2/gen
+
+    # a pre-layout key must also be found (its file has no transform
+    # stats and is conservatively kept)
+    got0 = snapshot_point_lookup_bucket(spark, path, "uid", "user-7")
+    assert [(r.uid, r.v) for r in got0.collect()] == [("user-7", 21)]
+
+    # rendering contract: non-int/str probes refuse loudly
+    with pytest.raises(TypeError, match="int or str"):
+        snapshot_point_lookup_bucket(spark, path, "uid", 1.5)
+    # no bucket layout on that column -> loud
+    with pytest.raises(ValueError, match="no bucket"):
+        snapshot_point_lookup_bucket(spark, path, "v", 3702)

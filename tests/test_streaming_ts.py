@@ -302,3 +302,49 @@ def test_wap_commit_batch_empty_batch_short_circuits(spark, tmp_path):
     assert out == "discarded"
     assert snapshot_read(spark, path).count() == 5
     assert not glob.glob(os.path.join(path, "branch-*.manifest.json"))
+
+
+def test_merge_mor_batch_id_replay_is_ledger_noop(spark, tmp_path):
+    """Round-17 exactly-once for the streaming MOR upsert: a replayed
+    snapshot_merge_mor with the same batch_id returns the original
+    version without writing (no new manifest, no new rows), and the
+    replay survives retention through the retired-batch ledger."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_expire,
+        snapshot_merge_mor,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(
+        spark,
+        spark.range(10).select(F.col("id").alias("k"), F.lit("a").alias("s")),
+        path,
+    )
+    batch = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit("b").alias("s")
+    )
+    v = snapshot_merge_mor(spark, batch, path, "k", batch_id=7)
+    n_manifests = len(glob.glob(os.path.join(path, "v*.manifest.json")))
+    assert snapshot_merge_mor(spark, batch, path, "k", batch_id=7) == v
+    assert len(glob.glob(os.path.join(path, "v*.manifest.json"))) == n_manifests
+    rows = {(r.k, r.s) for r in snapshot_read(spark, path).collect()}
+    assert rows == {(k, "a") for k in range(5)} | {(k, "b") for k in range(5, 15)}
+    # replay OLDER than retention: still a no-op via the ledger
+    snapshot_append(
+        spark,
+        spark.range(20, 22).select(F.col("id").alias("k"), F.lit("c").alias("s")),
+        path,
+    )
+    from etl_cortex_spark.operators.layout import snapshot_compact
+
+    snapshot_compact(spark, path)
+    snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0.0)
+    assert snapshot_merge_mor(spark, batch, path, "k", batch_id=7) == v
+    assert snapshot_read(spark, path).count() == 17
