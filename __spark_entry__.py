@@ -124,6 +124,7 @@ _REVERIFY_NOW: dict[str, int] = {
     "d113_lang_id": 17,
     "scale_snapshot_bucket_layout": 17,
     "stream_snapshot_upsert": 17,
+    "d113_ccnet_chain": 17,
 }
 
 

@@ -1644,7 +1644,7 @@ def ccnet_perplexity_buckets(
     )
 
 
-def lang_id_predict(
+def lang_id_labels(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1652,36 +1652,15 @@ def lang_id_predict(
     top_k: int = 256,
     match_bonus_micro: int = 20_000_000,
 ) -> DataFrame:
-    """Hash-n-gram LANGUAGE IDENTIFICATION (round 17 — the round-16
-    verdict's "what's missing #3", completing the CCNet chain
-    end-to-end: lang-id here → per-language trigram LM (`d17`) →
-    perplexity buckets (`ccnet_perplexity_buckets`)): a naive-Bayes
-    classifier over character trigrams, trained on the corpus's own
-    labeled rows and then asked to re-derive every document's language
-    from TEXT ALONE. Returns the (true lang, predicted lang) confusion
-    matrix with per-cell score mass — the auditable form: the diagonal
-    is the classifier's accuracy, off-diagonal cells are exactly the
-    confusions a pipeline owner reviews before trusting the labels.
-
-    Scoring is CLD/langid-style multinomial NB reduced to integers
-    (the d101 µunit convention, engine-portable): each profile trigram
-    carries ``floor(1e6·ln(n)) − floor(1e6·ln(N_lang)) +
-    match_bonus_micro`` — the quantized in-profile log-probability
-    plus a constant match bonus standing in for the unmatched-trigram
-    log(ε) penalty (T·log ε is constant per document across candidate
-    languages, so only the per-MATCH offset matters for the argmax) —
-    and a document's score per candidate language is the exact BIGINT
-    sum over matched trigrams; argmax breaks ties by language name, a
-    total order.
-
-    Scale shape: profiles are CAPPED to ``top_k`` trigrams per
-    language (count DESC, trigram ASC — the d111 cap, WindowGroupLimit
-    -prunable derivation), so the model broadcast is bounded by
-    ``top_k · |langs|`` rows regardless of charset; scoring is one
-    trigram explode (map-side combined), one bounded broadcast join,
-    and an rk=1-filtered row_number per DOCUMENT (unbounded-
-    cardinality partitions of ≤|langs| rows — skew-free by
-    construction, and the filtered form plans as WindowGroupLimit)."""
+    """Per-document language predictions — the raw (id, true lang,
+    predicted lang, score) frame `lang_id_predict` aggregates into a
+    confusion matrix, exposed separately so the prediction can FEED
+    the rest of the CCNet chain (`ccnet_perplexity_buckets` over the
+    predicted language — see `d113_ccnet_chain`). Same arithmetic and
+    scale shape as `lang_id_predict` (one capped-profile broadcast,
+    rk=1 argmax over ≤|langs|-row per-document partitions); columns:
+    ``__id``, ``__lang`` (true), ``__plang`` (predicted), ``__s``
+    (BIGINT µunit score)."""
     from pyspark.sql import Window
 
     # deliberately NOT persisted (the d111 choice): the exploded
@@ -1725,8 +1704,51 @@ def lang_id_predict(
     w_arg = Window.partitionBy("__id").orderBy(
         F.col("__s").desc(), F.col("__plang").asc()
     )
-    pred = scores.withColumn("__r", F.row_number().over(w_arg)).filter(
+    return scores.withColumn("__r", F.row_number().over(w_arg)).filter(
         F.col("__r") == 1
+    ).drop("__r")
+
+
+def lang_id_predict(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    top_k: int = 256,
+    match_bonus_micro: int = 20_000_000,
+) -> DataFrame:
+    """Hash-n-gram LANGUAGE IDENTIFICATION (round 17 — the round-16
+    verdict's "what's missing #3", completing the CCNet chain
+    end-to-end: lang-id here → per-language trigram LM (`d17`) →
+    perplexity buckets (`ccnet_perplexity_buckets`)): a naive-Bayes
+    classifier over character trigrams, trained on the corpus's own
+    labeled rows and then asked to re-derive every document's language
+    from TEXT ALONE. Returns the (true lang, predicted lang) confusion
+    matrix with per-cell score mass — the auditable form: the diagonal
+    is the classifier's accuracy, off-diagonal cells are exactly the
+    confusions a pipeline owner reviews before trusting the labels.
+
+    Scoring is CLD/langid-style multinomial NB reduced to integers
+    (the d101 µunit convention, engine-portable): each profile trigram
+    carries ``floor(1e6·ln(n)) − floor(1e6·ln(N_lang)) +
+    match_bonus_micro`` — the quantized in-profile log-probability
+    plus a constant match bonus standing in for the unmatched-trigram
+    log(ε) penalty (T·log ε is constant per document across candidate
+    languages, so only the per-MATCH offset matters for the argmax) —
+    and a document's score per candidate language is the exact BIGINT
+    sum over matched trigrams; argmax breaks ties by language name, a
+    total order.
+
+    Scale shape: profiles are CAPPED to ``top_k`` trigrams per
+    language (count DESC, trigram ASC — the d111 cap, WindowGroupLimit
+    -prunable derivation), so the model broadcast is bounded by
+    ``top_k · |langs|`` rows regardless of charset; scoring is one
+    trigram explode (map-side combined), one bounded broadcast join,
+    and an rk=1-filtered row_number per DOCUMENT (unbounded-
+    cardinality partitions of ≤|langs| rows — skew-free by
+    construction, and the filtered form plans as WindowGroupLimit)."""
+    pred = lang_id_labels(
+        docs, text_col, id_col, lang_col, top_k, match_bonus_micro
     )
     return (
         pred.groupBy(

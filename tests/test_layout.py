@@ -2579,3 +2579,60 @@ def test_snapshot_bucket_layout_prunes_point_lookups(spark, tmp_path):
     # no bucket layout on that column -> loud
     with pytest.raises(ValueError, match="no bucket"):
         snapshot_point_lookup_bucket(spark, path, "v", 3702)
+
+
+def test_snapshot_grammar_boundary_wap_and_rollback(spark, tmp_path):
+    """Round-17 mixed-history pins: (a) WAP staged onto a LEGACY
+    inline head publishes through the segment grammar (migration +
+    branch segment); (b) rollback to a legacy version re-commits its
+    inline grammar verbatim and the next append migrates it again;
+    (c) snapshot_changes walks cleanly across the legacy→segmented
+    boundary (the migration preserves file paths exactly)."""
+    import glob as g
+    import json
+    import os
+
+    from etl_cortex_spark.operators.layout import (
+        _commit_manifest,
+        snapshot_append,
+        snapshot_changes,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_stage,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(path, "data"))
+    staged = os.path.join(path, "data", "legacy")
+    spark.range(0, 40).withColumnRenamed("id", "k").coalesce(1) \
+        .write.parquet(staged)
+    files = sorted(g.glob(os.path.join(staged, "*.parquet")))
+    _commit_manifest(path, 1, {"version": 1, "files": files})
+
+    # (a) WAP onto the legacy head
+    snapshot_stage(
+        spark, spark.range(40, 70).withColumnRenamed("id", "k"), path, "gate"
+    )
+    v2 = snapshot_publish(spark, path, "gate")
+    assert v2 == 2
+    with open(os.path.join(path, "v2.manifest.json")) as f:
+        raw2 = json.load(f)
+    assert "files" not in raw2 and len(raw2["segments"]) == 2
+    assert snapshot_read(spark, path).count() == 70
+
+    # (c) changes across the boundary: v1 -> v2 is a pure append
+    assert snapshot_changes(spark, path, 1, 2).count() == 30
+
+    # (b) rollback to the legacy version, then append on top
+    v3 = snapshot_rollback(spark, path, to_version=1)
+    with open(os.path.join(path, f"v{v3}.manifest.json")) as f:
+        raw3 = json.load(f)
+    assert raw3.get("files") == files  # legacy grammar carried verbatim
+    assert snapshot_read(spark, path).count() == 40
+    snapshot_append(
+        spark, spark.range(70, 75).withColumnRenamed("id", "k").coalesce(1), path
+    )
+    assert sorted(r.k for r in snapshot_read(spark, path).collect()) == (
+        list(range(0, 40)) + list(range(70, 75))
+    )
