@@ -125,6 +125,7 @@ _REVERIFY_NOW: dict[str, int] = {
     "scale_snapshot_bucket_layout": 17,
     "stream_snapshot_upsert": 17,
     "d113_ccnet_chain": 17,
+    "scale_snapshot_cdf_pos": 17,
 }
 
 

@@ -2313,6 +2313,60 @@ def scale_snapshot_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scale_snapshot_cdf_pos",
+    oracle="""
+    SELECT 'delete' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE (o_orderkey % 3) < 2 AND (o_orderkey % 10) = 1
+    """,
+)
+def scale_snapshot_cdf_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-FEED across a POSITION delete (round 17 — the CDF
+    leg of D139, extending `scale_snapshot_changes_cdf`'s equality
+    coverage): two appends land the orders thirds 0/1, a position
+    delete retracts the o_orderkey%10==1 ROWS by (file, row_index),
+    and `snapshot_changes_cdf(2, 3)` must deliver exactly those rows'
+    FULL PRE-IMAGES as ``_change_type='delete'`` — reconstructed by
+    semi-joining the prior version's live view, tagged with its
+    (path, row_index), against the entry's position files. The oracle
+    is the plain predicate over orders: a downstream incremental
+    consumer (index maintenance, aggregate view) sees precisely the
+    retraction set, once, with no key column anywhere in the path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes_cdf,
+        snapshot_delete_pos,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdfpos_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path)
+    snapshot_append(spark, orders.filter(F.col("o_orderkey") % 3 == 1), path)
+    snapshot_delete_pos(spark, path, F.col("o_orderkey") % 10 == 1)
+    feed = snapshot_changes_cdf(spark, path, 2, 3)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("change_type")
+    )
+
+
+@query(
     "scale_snapshot_zorder_compact",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_orders,

@@ -1300,7 +1300,8 @@ def snapshot_read(
 
 
 def _apply_mor_deletes(spark, meta: dict, files: list, schema,
-                       tag_versions: dict | None = None):
+                       tag_versions: dict | None = None,
+                       keep_pos_tags: bool = False):
     """Resolve the LIVE rows of a merge-on-read version: scan ``files``
     and anti-join each against the equality-delete files that COVER it
     (an entry covers exactly the data files present when the delete
@@ -1344,6 +1345,10 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
     if pos_entries:
         pos_files = [p for d in pos_entries for p in d["files"]]
         pos_keys = spark.read.parquet(*pos_files).select("_file", "_pos")
+    # keep_pos_tags (round 17 — the CDF's pos-delete pre-image read):
+    # surface each surviving row's normalized (path, row_index) as
+    # ``_file``/``_pos`` output columns, so a caller can semi-join a
+    # position-delete entry against the LIVE view of the prior version
 
     # file paths render PERCENT-ENCODED as file:/ or file:/// URIs (a
     # space is %20, '%' is %25, non-ASCII is UTF-8 escaped): collapse
@@ -1360,7 +1365,7 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
         if lineage_dim is not None:
             # input_file_name()/metadata cols projected AT SCAN TIME
             extra.append(_norm_path(F.input_file_name()).alias("__file"))
-        if pos_keys is not None:
+        if pos_keys is not None or keep_pos_tags:
             extra.append(
                 _norm_path(F.col("_metadata.file_path")).alias("__pf")
             )
@@ -1373,7 +1378,13 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
                 (F.col("__pf") == pos_keys["_file"])
                 & (F.col("__pp") == pos_keys["_pos"]),
                 "left_anti",
-            ).drop("__pf", "__pp")
+            )
+        if pos_keys is not None and not keep_pos_tags:
+            part = part.drop("__pf", "__pp")
+        elif keep_pos_tags:
+            part = part.withColumnRenamed("__pf", "_file").withColumnRenamed(
+                "__pp", "_pos"
+            )
         if lineage_dim is not None:
             # LEFT join, not inner: a residual path mismatch surfaces
             # as a NULL _commit_version in an audit-facing read — loud
@@ -1389,6 +1400,9 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
         out = spark.createDataFrame([], schema)
         if lineage_dim is not None:
             out = out.withColumn("_commit_version", F.lit(None).cast("int"))
+        if keep_pos_tags:
+            out = out.withColumn("_file", F.lit(None).cast("string"))
+            out = out.withColumn("_pos", F.lit(None).cast("long"))
         return out
     if not deletes:
         return _scan(files)
@@ -3168,6 +3182,10 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
       against the new entries' key files — already-deleted rows never
       re-emit, and the delete costs O(|retracted| + |covered files|),
       never the table;
+    - a POSITION delete (round 17 — `snapshot_delete_pos`) → the same
+      pre-image contract, reconstructed by semi-joining the previous
+      live view's (path, row_index) tags against the new entries'
+      position files;
     - any rewriting commit (COW delete/merge/compact/rollback) still
       raises loudly: a file-level feed cannot represent a rewrite
       without content diffing, which is `cdc_diff`'s job.
@@ -3198,27 +3216,27 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
     schema = _version_schema(spark, load_meta(to_version)["files"])
     for v in range(from_version + 1, to_version + 1):
         cur = load_meta(v)
-        if (cur.get("pos_deletes") or []) != (prev.get("pos_deletes") or []):
-            # a position delete names (file, pos) rows, not keys — the
-            # key-semi-join pre-image reconstruction below cannot
-            # represent it; fail loudly like a rewrite (round 17)
-            raise ValueError(
-                f"snapshot_changes_cdf: version {v} adds position "
-                "deletes — a key-level feed cannot represent them; use "
-                "cdc_diff for content diffs"
-            )
         prev_files, cur_files = set(prev["files"]), set(cur["files"])
         prev_dels = prev.get("deletes") or []
         cur_dels = cur.get("deletes") or []
-        if prev_files < cur_files and cur_dels == prev_dels:
+        prev_pos = prev.get("pos_deletes") or []
+        cur_pos = cur.get("pos_deletes") or []
+        if (
+            prev_files < cur_files
+            and cur_dels == prev_dels
+            and cur_pos == prev_pos
+        ):
             added = sorted(cur_files - prev_files)
             parts.append(
                 spark.read.schema(schema)
                 .parquet(*added)
                 .withColumn("_change_type", F.lit("insert"))
             )
-        elif prev_files == cur_files and len(cur_dels) > len(prev_dels) and (
-            cur_dels[: len(prev_dels)] == prev_dels
+        elif (
+            prev_files == cur_files
+            and cur_pos == prev_pos
+            and len(cur_dels) > len(prev_dels)
+            and cur_dels[: len(prev_dels)] == prev_dels
         ):
             # the previous version's LIVE view is the pre-image space:
             # rows earlier deletes already removed must not re-emit
@@ -3232,7 +3250,35 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
                         F.broadcast(keys), entry["keys"], "left_semi"
                     ).withColumn("_change_type", F.lit("delete"))
                 )
-        elif prev_files == cur_files and cur_dels == prev_dels:
+        elif (
+            prev_files == cur_files
+            and cur_dels == prev_dels
+            and len(cur_pos) > len(prev_pos)
+            and cur_pos[: len(prev_pos)] == prev_pos
+        ):
+            # POSITION-delete step (round 17): pre-images come from the
+            # previous version's live view TAGGED with each row's
+            # (path, row_index), semi-joined against the new entries'
+            # position files — already-deleted rows never re-emit, and
+            # the step costs O(|retracted| + |covered files|) exactly
+            # like the equality branch
+            live_prev = _apply_mor_deletes(
+                spark, prev, prev["files"], schema, keep_pos_tags=True
+            )
+            for entry in cur_pos[len(prev_pos):]:
+                keys = spark.read.parquet(*entry["files"])
+                parts.append(
+                    live_prev.join(
+                        F.broadcast(keys), ["_file", "_pos"], "left_semi"
+                    )
+                    .drop("_file", "_pos")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+        elif (
+            prev_files == cur_files
+            and cur_dels == prev_dels
+            and cur_pos == prev_pos
+        ):
             pass  # metadata-only commit: nothing to deliver
         else:
             raise ValueError(

@@ -2340,11 +2340,17 @@ def test_snapshot_position_deletes_keyless_compose_and_guard(spark, tmp_path):
     # COW rewrites refuse while pos deletes pend
     with pytest.raises(ValueError, match="pending merge-on-read"):
         snapshot_delete(spark, path, F.col("bucket") == 0)
-    # append-only feeds refuse the pos-delete step
+    # the added-files feed refuses the pos-delete step; the CDF feed
+    # DELIVERS it (round 17): full pre-images, _change_type='delete'
     with pytest.raises(ValueError, match="delete"):
         snapshot_changes(spark, path, 2, 3)
-    with pytest.raises(ValueError, match="position"):
-        snapshot_changes_cdf(spark, path, 2, 3)
+    feed = snapshot_changes_cdf(spark, path, 2, 3).collect()
+    assert all(r._change_type == "delete" for r in feed)
+    assert sorted(r.text for r in feed) == sorted(
+        f"doc-{i}" for i in range(100) if i % 10 == 3
+    )
+    # and the no-op pos delete (v4) delivers nothing
+    assert snapshot_changes_cdf(spark, path, 3, 4).count() == 0
     # compaction applies and clears both families
     cv = snapshot_compact(spark, path, target_files=1)
     head = snapshot_meta(path, cv)
