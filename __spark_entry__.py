@@ -84,13 +84,15 @@ _REVERIFY_NOW: dict[str, int] = {
     # this session, seeded for official records on the new format.
     # Seed list sized so the round-15 verdict-#3 drain of the r9
     # least-recently-verified cohort (23 entries) still fits the
-    # 50-sample rotation beside it: 25 seeds + 2 unrecorded new
-    # entries + 23 r9 = 50. The WRITE-path entries (commit grammar
-    # changed) are all seeded; READ-only consumers of the resolved
-    # meta (postings/IVF lookups, pruned scans, history, time travel)
-    # ride the normal rotation — they run against the same resolver
-    # the seeded entries prove, and all 351 verified green this
-    # session anyway.
+    # 50-sample rotation beside it: 21 seeds + 6 UNRECORDED new
+    # round-17 entries (tier 0 of the rotation regardless) + 23 r9
+    # = 50. The WRITE-path entries (commit grammar changed) are
+    # seeded; READ-only consumers of the resolved meta (postings/IVF
+    # lookups, pruned scans, scan_multi, tags, rollback, history,
+    # time travel) ride the normal rotation — they run against the
+    # same resolver the seeded entries prove, and the full 355-entry
+    # registry verified green against the sf0.01 oracle this session
+    # anyway.
     "scale_snapshot_cow_delete": 17,
     "scale_snapshot_compact": 17,
     "scale_snapshot_compact_small_files": 17,
@@ -98,14 +100,11 @@ _REVERIFY_NOW: dict[str, int] = {
     "scale_snapshot_merge": 17,
     "scale_snapshot_merge_mor": 17,
     "scale_snapshot_mor_delete": 17,
-    "scale_snapshot_scan_multi": 17,
     "scale_snapshot_changes": 17,
     "scale_snapshot_changes_cdf": 17,
-    "scale_snapshot_rollback": 17,
     "scale_snapshot_expire": 17,
     "scale_snapshot_schema_evolution": 17,
     "scale_snapshot_bloom_lookup": 17,
-    "scale_snapshot_tags": 17,
     "scale_snapshot_wap": 17,
     "scale_snapshot_partition_evolution": 17,
     "scale_snapshot_hidden_partitioning": 17,
@@ -115,7 +114,6 @@ _REVERIFY_NOW: dict[str, int] = {
     "pyds_stream_snapshot_changes": 17,
     "stream_postings_ingest": 17,
     "stream_ivf_ingest": 17,
-    "scale_snapshot_pruned_scan": 17,
     # Round 17 NEW entries: position deletes (Iceberg v2's second MOR
     # delete form, keyless tables) and hash-trigram language ID (the
     # CCNet-chain completion). Both verified green against their full

@@ -576,6 +576,27 @@ def _manifests(path: str) -> list:
     )
 
 
+def _norm_path_col(col):
+    """Normalize a Spark-side file URI (input_file_name() /
+    _metadata.file_path) to the plain abspath the manifest keys carry:
+    collapse the file: scheme, then percent-decode. The decode is
+    F.url_decode, which is FORM decoding — it would turn a literal
+    '+' in a path into a space — so literal '+' is pre-escaped to
+    %2B first (Spark never encodes a space as '+' in these URIs; a
+    '+' in the rendered URI is always a literal path character).
+    Round-16 ADVICE #1 + round-17 review. Shared by the lineage tag,
+    the position-delete writer and the position-delete read-side
+    anti-join, so every (path, pos) producer/consumer pair agrees
+    byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, "^file:/+", "/"), "\\+", "%2B"
+        )
+    )
+
+
 class SnapshotCommitConflict(ValueError):
     """Another writer committed this version number first. Appends
     rebase and retry automatically (`snapshot_append`); rewriting
@@ -1031,9 +1052,17 @@ def _stats_range(entry, col: str, legacy_ok: bool = False):
     (round-14 ADVICE #3)."""
     if entry is None:
         return None
-    if isinstance(entry, dict):
-        return entry.get(col)
-    return entry if legacy_ok else None  # legacy unlabeled [lo, hi]
+    rng = entry.get(col) if isinstance(entry, dict) else (
+        entry if legacy_ok else None  # legacy unlabeled [lo, hi]
+    )
+    # an all-NULL file records [None, None] (min/max ignore NULLs —
+    # and a bucket layout on a NULLABLE key deterministically produces
+    # such a file: repartitionByRange sorts NULLs first). None bounds
+    # cannot be compared — treat them as "no stats", never prune
+    # (round-17 review)
+    if rng is not None and (rng[0] is None or rng[1] is None):
+        return None
+    return rng
 
 
 def snapshot_append(
@@ -1351,13 +1380,10 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
     # position-delete entry against the LIVE view of the prior version
 
     # file paths render PERCENT-ENCODED as file:/ or file:/// URIs (a
-    # space is %20, '%' is %25, non-ASCII is UTF-8 escaped): collapse
-    # the scheme, then url_decode back to the plain abspath the
-    # dim/delete keys carry (round-16 ADVICE #1 — without the decode,
-    # a table path containing ' ', '%', '#' or non-ASCII never matches
-    # the os.path.abspath keys)
-    def _norm_path(col):
-        return F.url_decode(F.regexp_replace(col, "^file:/+", "/"))
+    # space is %20, '%' is %25, non-ASCII is UTF-8 escaped): normalize
+    # with the shared '+'-safe helper so the dim/delete keys match
+    # (round-16 ADVICE #1, round-17 review)
+    _norm_path = _norm_path_col
 
     def _scan(fs):
         part = spark.read.schema(schema).parquet(*fs)
@@ -1478,7 +1504,11 @@ def snapshot_history(spark, path: str):
                 len(cur - prev),
                 len(prev - cur),
                 int(bid) if bid is not None else None,
-                len(meta.get("deletes") or []),
+                # pending MOR debt across BOTH delete families (round-17
+                # review: a position-delete commit must not read as a
+                # metadata no-op in the audit view)
+                len(meta.get("deletes") or [])
+                + len(meta.get("pos_deletes") or []),
                 "layout" in meta,
             )
         )
@@ -1651,11 +1681,7 @@ def snapshot_delete_pos(spark, path: str, predicate) -> int:
         .parquet(*latest["files"])
         .select(
             "*",
-            F.url_decode(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                )
-            ).alias("_file"),
+            _norm_path_col(F.col("_metadata.file_path")).alias("_file"),
             F.col("_metadata.row_index").alias("_pos"),
         )
         .filter(matched)

@@ -2379,7 +2379,7 @@ def test_snapshot_lineage_survives_special_char_table_paths(spark, tmp_path):
         snapshot_read_lineage,
     )
 
-    path = str(tmp_path / "dir with space" / "t%20bl")
+    path = str(tmp_path / "dir with space" / "run+1" / "t%20bl")
     snapshot_append(
         spark, spark.range(0, 50).withColumnRenamed("id", "k"), path
     )
@@ -2642,3 +2642,56 @@ def test_snapshot_grammar_boundary_wap_and_rollback(spark, tmp_path):
     assert sorted(r.k for r in snapshot_read(spark, path).collect()) == (
         list(range(0, 40)) + list(range(70, 75))
     )
+
+
+def test_snapshot_bucket_layout_tolerates_null_keys(spark, tmp_path):
+    """Round-17 review finding #1: a NULLABLE bucket key
+    deterministically produces an all-NULL file (repartitionByRange
+    sorts NULLs first), whose transform-value zone map is [None,
+    None]; the probe must treat None bounds as "no stats" and keep
+    the file conservatively — never TypeError, never a wrong prune."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_point_lookup_bucket,
+        snapshot_read,
+        snapshot_set_layout,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = spark.range(0, 400).select(
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.concat(F.lit("u"), F.col("id")))
+        .alias("uid"),
+        F.col("id").alias("v"),
+    )
+    snapshot_append(spark, mk.limit(1), path)
+    snapshot_set_layout(path, ("bucket", "uid", 8), files_per_batch=8)
+    snapshot_append(spark, mk.filter(F.col("v") > 0), path)
+    assert snapshot_read(spark, path).count() == 400
+    got = snapshot_point_lookup_bucket(spark, path, "uid", "u77")
+    assert [(r.uid, r.v) for r in got.collect()] == [("u77", 77)]
+
+
+def test_snapshot_history_counts_position_delete_entries(spark, tmp_path):
+    """Round-17 review finding #2: the history view's pending-delete
+    column covers BOTH MOR families — a position-delete commit is
+    visible audit debt, not a metadata no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_mor,
+        snapshot_delete_pos,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(
+        spark, spark.range(100).withColumnRenamed("id", "k"), path
+    )
+    snapshot_delete_pos(spark, path, F.col("k") < 5)
+    snapshot_delete_mor(spark, path, F.col("k") >= 95, "k")
+    hist = {r.version: r.n_delete_entries for r in snapshot_history(spark, path).collect()}
+    assert hist == {1: 0, 2: 1, 3: 2}
