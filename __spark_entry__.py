@@ -86,7 +86,9 @@ _REVERIFY_NOW: dict[str, int] = {
     # least-recently-verified cohort (23 entries) still fits the
     # 50-sample rotation beside it: 21 seeds + 6 UNRECORDED new
     # round-17 entries (tier 0 of the rotation regardless) + 23 r9
-    # = 50. The WRITE-path entries (commit grammar changed) are
+    # = 50 (d02_containment_pairs, the 7th new entry, lands in the
+    # same tier-0 pool; one r9 entry rolls to the next round's head —
+    # acceptable). The WRITE-path entries (commit grammar changed) are
     # seeded; READ-only consumers of the resolved meta (postings/IVF
     # lookups, pruned scans, scan_multi, tags, rollback, history,
     # time travel) ride the normal rotation — they run against the
@@ -124,6 +126,7 @@ _REVERIFY_NOW: dict[str, int] = {
     "stream_snapshot_upsert": 17,
     "d113_ccnet_chain": 17,
     "scale_snapshot_cdf_pos": 17,
+    "d02_containment_pairs": 17,
 }
 
 

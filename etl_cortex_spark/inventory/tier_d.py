@@ -3209,3 +3209,56 @@ def d08up(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("status")
     )
+
+
+@query(
+    "d02_containment_pairs",
+    oracle=f"""
+    WITH q0 AS (
+      SELECT doc_id,
+             substring(text, 1,
+                       greatest(CAST(floor(length(text) * 0.4) AS INT), 20))
+               AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ), q AS (
+      SELECT doc_id, {_shingles_sql(3)} AS sh FROM q0
+    ), d AS (
+      SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents
+    )
+    SELECT q.doc_id AS new_id, d.doc_id AS existing_id,
+           round(len(list_intersect(q.sh, d.sh))
+                 / greatest(len(q.sh), 1), 6) AS containment
+    FROM q, d
+    WHERE round(len(list_intersect(q.sh, d.sh))
+                / greatest(len(q.sh), 1), 6) >= 0.5
+    """,
+)
+def d02cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection (round 17 —
+    `dedup.prefix_filter_probe(metric="containment")`, the asymmetric
+    sibling of the AllPairs Jaccard probe): |Sa∩Sb| / |Sa| ≥ t finds
+    "a lives inside b" — quotes, excerpts, benchmark snippets hidden
+    in crawl documents — which resemblance structurally misses (a
+    short quote in a long article has Jaccard ≈ 0, containment ≈ 1).
+    The fixture makes the ground truth mechanical: every 7th
+    document's 40%-character PREFIX plays the quote side, probed
+    against the full corpus — each quote is near-fully contained in
+    its own source (the broken tail shingle keeps it just under 1.0),
+    plus whatever cross-document containments the shared vocabulary
+    produces. Same guaranteed-recall prefix lemma (no shared prefix
+    token ⇒ |a∩b| < t·|Sa|), same persisted inverted index; the
+    length filter keeps only its lower bound (the containing side may
+    be arbitrarily larger — that is the point). The oracle is the
+    brute-force all-pairs replay, so the hash match proves the filter
+    is lossless, not just plausible."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.expr(
+            "substring(text, 1, greatest(CAST(floor(length(text) * 0.4) "
+            "AS INT), 20))"
+        ).alias("text"),
+    )
+    return DD.prefix_filter_probe(
+        existing=docs, new=quotes, k=3, threshold=0.5, metric="containment"
+    )

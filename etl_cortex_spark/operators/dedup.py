@@ -244,6 +244,7 @@ def prefix_filter_probe(
     k: int = 3,
     threshold: float = 0.5,
     df_ordered: bool = False,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Incremental near-dup probe with GUARANTEED recall: prefix-filter
     candidate generation (AllPairs / PPJoin family, Bayardo et al.,
@@ -295,8 +296,27 @@ def prefix_filter_probe(
     the df path's rank window partitions by new_id — batch-sized by
     contract, never corpus-sized.
 
-    Returns (new_id, existing_id, jaccard ≥ threshold).
+    ``metric`` (round 17): ``"jaccard"`` (the default, resemblance —
+    symmetric) or ``"containment"`` — |Sa∩Sb| / |Sa| ≥ t, "the new doc
+    is t-contained in the existing one": the asymmetric near-dup
+    quote/subset detection Jaccard structurally misses (a 50-word
+    quote inside a 5000-word article has Jaccard ≈ 0.01 but
+    containment ≈ 1.0 — exactly the training-data hazard when
+    benchmark snippets hide inside crawl documents). The SAME prefix
+    lemma covers it — no shared prefix token bounds |a∩b| ≤
+    ceil(t·|Sa|) − 1 < t·|Sa| directly — so candidate generation is
+    identical; only the length filter changes (lower bound alone:
+    |Sb| ≥ t·|Sa|, since b may be arbitrarily LARGER — that is the
+    point) and verification divides by |Sa| instead of the union.
+
+    Returns (new_id, existing_id, jaccard ≥ threshold) — the metric
+    column is named ``containment`` under that metric.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"prefix_filter_probe: unknown metric {metric!r} "
+            "(jaccard | containment)"
+        )
     t = float(threshold)
     # t must be strictly positive: the length filter's upper bound is
     # |Sb| ≤ |Sa|/t, and at t=0 the division yields NULL (non-ANSI) —
@@ -380,12 +400,17 @@ def prefix_filter_probe(
             F.size("__shingles").alias("__new_n"),
             F.explode(F.slice(sorted_sh, F.lit(1), prefix_len)).alias("__tok_s"),
         ).select("new_id", "__new_n", F.xxhash64("__tok_s").alias("__tok"))
+    size_filter = F.col("__ex_n") >= F.col("__new_n") * F.lit(t)
+    if metric == "jaccard":
+        # the symmetric length filter (t·|Sa| ≤ |Sb| ≤ |Sa|/t) is a
+        # JACCARD necessity; containment keeps only the lower bound
+        # (|Sb| ≥ |Sa∩Sb| ≥ t·|Sa|) — a containing doc may be any size
+        size_filter = size_filter & (
+            F.col("__ex_n") <= F.col("__new_n") / F.lit(t)
+        )
     cand = (
         probe.join(inv_index, "__tok")
-        .filter(
-            (F.col("__ex_n") >= F.col("__new_n") * F.lit(t))
-            & (F.col("__ex_n") <= F.col("__new_n") / F.lit(t))
-        )
+        .filter(size_filter)
         .select("new_id", "existing_id")
         .dropDuplicates(["new_id", "existing_id"])
     )
@@ -406,6 +431,13 @@ def prefix_filter_probe(
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    if metric == "containment":
+        ratio = inter / F.greatest(F.size("sh_a"), F.lit(1))
+        return (
+            pairs.withColumn("containment", F.round(ratio, 6))
+            .filter(F.col("containment") >= threshold)
+            .select("new_id", "existing_id", "containment")
+        )
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         pairs.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
