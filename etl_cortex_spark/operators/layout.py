@@ -597,6 +597,24 @@ def _norm_path_col(col):
     )
 
 
+def _norm_path_py(uri: str) -> str:
+    """Driver-side twin of `_norm_path_col`: collapse the file: scheme
+    and percent-decode a Spark-rendered file URI to the plain abspath
+    the manifest keys carry. urllib's ``unquote`` (NOT unquote_plus)
+    is the Python spelling of the same form-safe decode — a literal
+    '+' stays '+'. input_file_name()/_metadata.file_path render
+    spaces, '%' and non-ASCII percent-encoded, so an UNDECODED abspath
+    never equals a manifest key on such table paths: stats/Bloom maps
+    keyed that way silently lose all pruning, and COW affected-file
+    sets resolve empty (round-17 ADVICE #1 — the same gap class
+    `_norm_path_col` closed Spark-side)."""
+    import os
+    import re
+    from urllib.parse import unquote
+
+    return os.path.abspath(unquote(re.sub("^file:/+", "/", uri)))
+
+
 class SnapshotCommitConflict(ValueError):
     """Another writer committed this version number first. Appends
     rebase and retry automatically (`snapshot_append`); rewriting
@@ -746,21 +764,30 @@ def _load_meta(path: str, manifest_path: str) -> dict:
     return _resolve_meta(path, _load_raw(manifest_path))
 
 
-def _segments_of(path: str, raw: dict, spark=None) -> list:
+def _segments_of(path: str, raw: dict, spark=None,
+                 migrated: list | None = None) -> list:
     """The segment-name list a NEW commit builds on. A segmented head
     returns its list; a legacy inline head (pre-17, or a hand-built
     fixture) is MIGRATED: its inline files/stats/Blooms are written
     once as a segment, and every subsequent commit is O(batch). The
-    migration pays O(table) metadata exactly once per legacy table."""
+    migration pays O(table) metadata exactly once per legacy table.
+
+    ``migrated`` (round-17 ADVICE #2): a caller-owned list the freshly
+    written migration segment's name is appended to, so commit paths
+    that can FAIL after this point (lost append race, publish/delete
+    conflict) can remove the never-referenced segment instead of
+    orphaning it until the grace-window sweep — the same no-orphan
+    convention the batch segments already follow."""
     if "segments" in raw:
         return list(raw["segments"])
     if not raw.get("files"):
         return []
-    return [
-        _write_segment(
-            path, raw["files"], raw.get("stats") or None, raw.get("blooms") or None
-        )
-    ]
+    name = _write_segment(
+        path, raw["files"], raw.get("stats") or None, raw.get("blooms") or None
+    )
+    if migrated is not None:
+        migrated.append(name)
+    return [name]
 
 
 def _rewrite_segments(path: str, raw: dict, drop_abs: set) -> list:
@@ -844,7 +871,7 @@ def multi_file_stats(spark, path: str, cols: list) -> dict:
         .collect()
     )
     return {
-        os.path.abspath(r["file"].removeprefix("file:")): {
+        _norm_path_py(r["file"]): {
             c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols
         }
         for r in rows
@@ -958,7 +985,7 @@ def file_blooms(spark, path: str, col: str, m: int = _BLOOM_BITS) -> dict:
     )
     out: dict = {}
     for r in rows:
-        f = os.path.abspath(r["file"].removeprefix("file:"))
+        f = _norm_path_py(r["file"])
         words = out.setdefault(f, [0] * (m // 64))
         words[r["slot"]] = r["bits"]
     return out
@@ -1210,6 +1237,20 @@ def snapshot_append(
         {bloom_col: batch_blooms} if bloom_col is not None and batch_blooms else None,
     )
 
+    # legacy-head migration segments written by _segments_of inside
+    # the retry loop; a lost race strands the attempt's migration
+    # (the winner's head is segmented, so the retry never references
+    # it) — track and drop stale ones (round-17 ADVICE #2)
+    migrations: list = []
+
+    def _drop_migrations():
+        import contextlib
+
+        for name in migrations:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, name))
+        migrations.clear()
+
     def _abandon():
         # OUR staged files and segment will never be referenced —
         # remove them now instead of leaving re-vacuumable orphans
@@ -1218,6 +1259,7 @@ def snapshot_append(
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
+        _drop_migrations()
         with contextlib.suppress(OSError):
             os.remove(os.path.join(path, batch_seg))
 
@@ -1230,6 +1272,10 @@ def snapshot_append(
     # concurrent commit, so they surface SnapshotCommitConflict and
     # the caller re-runs against the new head.
     for attempt in range(25):
+        # migrations written by a LOST attempt reference a superseded
+        # head (the race winner's manifest is segmented) — unreferenced
+        # by construction, so drop before re-resolving
+        _drop_migrations()
         manifests = _manifests(path)
         if attempt and batch_id is not None:
             # a racing replay of OUR batch may have won a commit since
@@ -1245,7 +1291,7 @@ def snapshot_append(
         version = 1
         if manifests:
             latest = _load_raw(manifests[-1])
-            prev_segments = _segments_of(path, latest)
+            prev_segments = _segments_of(path, latest, migrated=migrations)
             # pending equality deletes carry UNCHANGED (by reference —
             # their applies_to sets exclude this batch's files, so
             # appended rows keep their keys: the MOR sequence rule)
@@ -1328,6 +1374,24 @@ def snapshot_read(
     return reader.parquet(*files)
 
 
+def _check_reserved_cols(schema, names: tuple, op: str) -> None:
+    """The position-delete machinery reserves ``_file``/``_pos``
+    (delete-file columns, `keep_pos_tags` output) and ``__pf``/``__pp``
+    (scan-time tags); a data column with one of those names would turn
+    the read-side anti-join into an ambiguous-column
+    AnalysisException — or worse, a silently wrong join (round-17
+    ADVICE #4). Raise loudly at the boundary instead, alongside the
+    Bloom/µunit type contracts this protocol already documents."""
+    clash = [f for f in schema.fieldNames() if f in set(names)]
+    if clash:
+        raise ValueError(
+            f"{op}: table schema contains reserved column name(s) "
+            f"{clash} — the position-delete protocol reserves "
+            f"{sorted(set(names))} for its (path, row_index) plumbing; "
+            "rename the column(s) before using position deletes"
+        )
+
+
 def _apply_mor_deletes(spark, meta: dict, files: list, schema,
                        tag_versions: dict | None = None,
                        keep_pos_tags: bool = False):
@@ -1365,12 +1429,17 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
 
     lineage_dim = None
     if tag_versions is not None:
+        _check_reserved_cols(schema, ("__file",), "_apply_mor_deletes")
         lineage_dim = spark.createDataFrame(
             [(k, int(v)) for k, v in tag_versions.items()],
             "__file string, _commit_version int",
         )
     pos_entries = meta.get("pos_deletes") or []
     pos_keys = None
+    if pos_entries or keep_pos_tags:
+        _check_reserved_cols(
+            schema, ("_file", "_pos", "__pf", "__pp"), "_apply_mor_deletes"
+        )
     if pos_entries:
         pos_files = [p for d in pos_entries for p in d["files"]]
         pos_keys = spark.read.parquet(*pos_files).select("_file", "_pos")
@@ -1618,7 +1687,8 @@ def snapshot_delete_mor(spark, path: str, predicate, key_cols) -> int:
     # O(batch) commit metadata (round 17): data files, stats and Blooms
     # carry BY SEGMENT REFERENCE; the delete entry scopes its coverage
     # by the same segment names instead of re-listing every table file
-    prev_segments = _segments_of(path, raw)
+    migrations: list = []
+    prev_segments = _segments_of(path, raw, migrated=migrations)
     meta = {
         "version": version,
         "segments": prev_segments,
@@ -1634,7 +1704,21 @@ def snapshot_delete_mor(spark, path: str, predicate, key_cols) -> int:
     for carry in ("pos_deletes", "layout"):
         if carry in raw:
             meta[carry] = raw[carry]
-    _commit_manifest(path, version, meta)
+    try:
+        _commit_manifest(path, version, meta)
+    except SnapshotCommitConflict:
+        # no-orphan convention (round-17 ADVICE #3, matching
+        # snapshot_append/_merge_mor/_publish): the staged delete file
+        # and any legacy-head migration segment will never be
+        # referenced — remove them before surfacing the conflict
+        import contextlib
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        for seg in migrations:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, seg))
+        raise
     return version
 
 
@@ -1672,6 +1756,13 @@ def snapshot_delete_pos(spark, path: str, predicate) -> int:
     version = _manifest_version(manifests[-1]) + 1
     matched = F.coalesce(predicate, F.lit(False))
     schema = _version_schema(spark, latest["files"])
+    # all four names, not just the two this writer uses: a committed
+    # pos delete makes EVERY later read go through _apply_mor_deletes'
+    # __pf/__pp scan tags, so admitting those here would commit a
+    # table its own reads then refuse
+    _check_reserved_cols(
+        schema, ("_file", "_pos", "__pf", "__pp"), "snapshot_delete_pos"
+    )
     # (file, pos) of matched rows over the RAW file set: rows already
     # dead behind a pending equality/position delete may re-enter the
     # set, which is harmless (the anti-joins compose idempotently) and
@@ -1692,16 +1783,30 @@ def snapshot_delete_pos(spark, path: str, predicate) -> int:
     # file keeps the manifest entry and the read-side broadcast tiny
     hits.coalesce(1).write.mode("errorifexists").parquet(staged)
     del_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    migrations: list = []
     meta = {
         "version": version,
-        "segments": _segments_of(path, raw),
+        "segments": _segments_of(path, raw, migrated=migrations),
         "pos_deletes": (raw.get("pos_deletes") or [])
         + [{"files": del_files}],
     }
     for carry in ("deletes", "layout"):
         if carry in raw:
             meta[carry] = raw[carry]
-    _commit_manifest(path, version, meta)
+    try:
+        _commit_manifest(path, version, meta)
+    except SnapshotCommitConflict:
+        # no-orphan convention (round-17 ADVICE #3): the staged
+        # position-delete file and any migration segment will never
+        # be referenced — remove before surfacing the conflict
+        import contextlib
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        for seg in migrations:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, seg))
+        raise
     return version
 
 
@@ -1780,7 +1885,7 @@ def snapshot_delete(spark, path: str, predicate) -> int:
     matched = F.coalesce(predicate, F.lit(False))
     full = spark.read.parquet(*cur)
     affected = {
-        os.path.abspath(r["f"].removeprefix("file:"))
+        _norm_path_py(r["f"])
         for r in full.filter(matched)
         .select(F.input_file_name().alias("f"))
         .distinct()
@@ -2044,7 +2149,7 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
     # input_file_name() must be PROJECTED AT SCAN TIME, before the
     # semi-join's shuffle boundary — after a shuffle it returns ''
     affected = {
-        os.path.abspath(r["f"].removeprefix("file:"))
+        _norm_path_py(r["f"])
         for r in full.select(*keys, F.input_file_name().alias("f"))
         .join(batch_keys, keys, "left_semi")
         .select("f")
@@ -2157,7 +2262,8 @@ def snapshot_merge_mor(
     # segment; prior data/stats/Blooms carry by segment name and the
     # delete entry scopes to those names (the batch's own segment is
     # NOT covered — its rows keep their keys, the MOR sequence rule)
-    prev_segments = _segments_of(path, raw)
+    migrations: list = []
+    prev_segments = _segments_of(path, raw, migrated=migrations)
     batch_seg = _write_segment(path, new_files)
     meta = {
         "version": version,
@@ -2195,8 +2301,9 @@ def snapshot_merge_mor(
 
         shutil.rmtree(batch_staged, ignore_errors=True)
         shutil.rmtree(eq_staged, ignore_errors=True)
-        with contextlib.suppress(OSError):
-            os.remove(os.path.join(path, batch_seg))
+        for seg in [batch_seg] + migrations:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, seg))
         raise
     return version
 
@@ -2511,7 +2618,7 @@ def multi_file_expr_stats(spark, path: str, specs: dict) -> dict:
         .collect()
     )
     return {
-        os.path.abspath(r["file"].removeprefix("file:")): {
+        _norm_path_py(r["file"]): {
             k: [r[f"lo_{k}"], r[f"hi_{k}"]] for k in specs
         }
         for r in rows
@@ -3445,7 +3552,12 @@ def snapshot_publish(
     # layout-derived zone maps staged with the branch, round 16);
     # prior state carries by segment name — publish commits O(|batch|)
     # metadata exactly like an append
-    prev_segments = _segments_of(path, latest_raw) if manifests else []
+    migrations: list = []
+    prev_segments = (
+        _segments_of(path, latest_raw, migrated=migrations)
+        if manifests
+        else []
+    )
     branch_seg = _write_segment(path, meta["files"], meta.get("stats") or None)
     new_meta = {"version": version, "segments": prev_segments + [branch_seg]}
     for carry in ("deletes", "pos_deletes", "layout"):
@@ -3458,8 +3570,11 @@ def snapshot_publish(
     except SnapshotCommitConflict:
         import contextlib
 
-        with contextlib.suppress(OSError):
-            os.remove(os.path.join(path, branch_seg))
+        # never-referenced: the branch segment AND any legacy-head
+        # migration segment this publish wrote (round-17 ADVICE #2)
+        for seg in [branch_seg] + migrations:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, seg))
         raise
     os.remove(target)
     return version

@@ -2695,3 +2695,199 @@ def test_snapshot_history_counts_position_delete_entries(spark, tmp_path):
     snapshot_delete_mor(spark, path, F.col("k") >= 95, "k")
     hist = {r.version: r.n_delete_entries for r in snapshot_history(spark, path).collect()}
     assert hist == {1: 0, 2: 1, 3: 2}
+
+
+def test_stats_and_cow_survive_special_char_paths(spark, tmp_path):
+    """Round-17 ADVICE #1: multi_file_stats / multi_file_expr_stats
+    keyed their maps with an UNDECODED abspath of input_file_name()'s
+    percent-encoded URI, so on table paths with spaces/'%'/non-ASCII
+    the stat keys never matched manifest abspaths — zone-map and
+    bucket pruning silently lost, and the COW delete's affected-file
+    set resolved to paths that don't exist on disk. Pinned on a path
+    with every hazard at once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_meta,
+        snapshot_point_lookup_bucket,
+        snapshot_read,
+        snapshot_scan,
+        snapshot_set_layout,
+    )
+
+    path = str(tmp_path / "dir with space" / "run+1" / "t%20ü")
+    snapshot_append(
+        spark,
+        spark.range(0, 100).withColumnRenamed("id", "k").repartition(4),
+        path,
+        stats_col="k",
+        bloom_col="k",
+    )
+    meta = snapshot_meta(path)
+    file_set = {os.path.abspath(f) for f in meta["files"]}
+    # the zone-map and Bloom maps key EXACTLY the manifest's files
+    assert set(meta["stats"]) == file_set
+    assert set(meta["blooms"]["k"]) == file_set
+    # so stats-based pruning actually prunes on this path
+    pruned = snapshot_scan(spark, path, "k", 0, 0)
+    assert pruned.count() == 1
+    assert len(pruned.inputFiles()) < len(meta["files"])
+    # bucket(n) hidden partitioning: transform-value stats key correctly
+    snapshot_set_layout(path, ("bucket", "k", 8), files_per_batch=4)
+    snapshot_append(
+        spark,
+        spark.range(100, 200).withColumnRenamed("id", "k").repartition(4),
+        path,
+    )
+    hit = snapshot_point_lookup_bucket(spark, path, "k", 150)
+    assert hit.count() == 1
+    # and the COW delete's affected-set paths exist and rewrite works
+    # (v1 append, v2 layout commit, v3 append — the delete is v4)
+    v = snapshot_delete(spark, path, F.col("k") < 10)
+    assert v == 4
+    assert snapshot_read(spark, path).count() == 190
+
+
+def test_append_retry_drops_stale_migration_segments(spark, tmp_path):
+    """Round-17 ADVICE #2: snapshot_append called _segments_of once
+    per RETRY, so a legacy inline head plus a lost commit race wrote a
+    fresh migration segment per attempt and abandoned the stale ones
+    as orphans (only batch_seg was cleaned). Pinned by racing a
+    segmented commit under the first attempt and asserting every
+    segment file on disk is referenced by some manifest."""
+    import glob as g
+    import json
+    import os
+
+    import etl_cortex_spark.operators.layout as L
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(path, "data"))
+    staged = os.path.join(path, "data", "legacy")
+    spark.range(0, 50).withColumnRenamed("id", "k").coalesce(1) \
+        .write.parquet(staged)
+    files = sorted(g.glob(os.path.join(staged, "*.parquet")))
+    L._commit_manifest(path, 1, {"version": 1, "files": files})
+
+    other = os.path.join(path, "data", "racer")
+    spark.range(50, 60).withColumnRenamed("id", "k").coalesce(1) \
+        .write.parquet(other)
+    other_files = sorted(g.glob(os.path.join(other, "*.parquet")))
+
+    real = L._commit_manifest
+    state = {"raced": False}
+
+    def racing(p, version, meta):
+        if not state["raced"]:
+            state["raced"] = True
+            seg = L._write_segment(p, files + other_files)
+            real(p, version, {"version": version, "segments": [seg]})
+        return real(p, version, meta)
+
+    L._commit_manifest = racing
+    try:
+        v = L.snapshot_append(
+            spark,
+            spark.range(60, 70).withColumnRenamed("id", "k").coalesce(1),
+            path,
+        )
+    finally:
+        L._commit_manifest = real
+    assert state["raced"] and v == 3
+    referenced: set = set()
+    for m in g.glob(os.path.join(path, "v*.manifest.json")):
+        with open(m) as f:
+            referenced |= set(json.load(f).get("segments") or [])
+    on_disk = {
+        os.path.basename(s)
+        for s in g.glob(os.path.join(path, "seg-*.segment.json"))
+    }
+    assert on_disk == referenced  # attempt-1's migration segment is gone
+    assert L.snapshot_read(spark, path).count() == 70
+
+
+def test_delete_conflict_paths_leave_no_orphans(spark, tmp_path):
+    """Round-17 ADVICE #3: snapshot_delete_pos / snapshot_delete_mor
+    left their staged delete parquet (and any legacy-head migration
+    segment) on disk when the commit lost a race, inconsistent with
+    the no-orphan abandon paths of append/merge_mor/publish."""
+    import glob as g
+    import os
+
+    from pyspark.sql import functions as F
+
+    import etl_cortex_spark.operators.layout as L
+
+    def _legacy_table(name):
+        path = str(tmp_path / name)
+        os.makedirs(os.path.join(path, "data"))
+        staged = os.path.join(path, "data", "legacy")
+        spark.range(0, 30).withColumnRenamed("id", "k").coalesce(1) \
+            .write.parquet(staged)
+        files = sorted(g.glob(os.path.join(staged, "*.parquet")))
+        L._commit_manifest(path, 1, {"version": 1, "files": files})
+        return path
+
+    real = L._commit_manifest
+
+    def conflict(p, version, meta):
+        raise L.SnapshotCommitConflict("simulated lost race")
+
+    for op, staged_prefix in (
+        (lambda p: L.snapshot_delete_pos(spark, p, F.col("k") < 5),
+         "posdel-"),
+        (lambda p: L.snapshot_delete_mor(spark, p, F.col("k") < 5, "k"),
+         "eqdel-"),
+    ):
+        path = _legacy_table(staged_prefix)
+        L._commit_manifest = conflict
+        try:
+            import pytest
+
+            with pytest.raises(L.SnapshotCommitConflict):
+                op(path)
+        finally:
+            L._commit_manifest = real
+        # the staged delete dir is gone ...
+        assert not g.glob(os.path.join(path, "data", staged_prefix + "*"))
+        # ... and so is the migration segment the attempt wrote
+        assert not g.glob(os.path.join(path, "seg-*.segment.json"))
+        # the table still reads at its pre-conflict state
+        assert L.snapshot_read(spark, path).count() == 30
+
+
+def test_position_delete_reserved_column_guard(spark, tmp_path):
+    """Round-17 ADVICE #4: the position-delete machinery reserves
+    _file/_pos (delete files, keep_pos_tags output) and __pf/__pp
+    (scan tags); a data column with one of those names used to
+    surface as an ambiguous-column AnalysisException (or a wrong
+    semi-join) deep inside the read path. Both boundaries now refuse
+    loudly at entry."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import etl_cortex_spark.operators.layout as L
+
+    for bad in ("_file", "_pos", "__pf", "__pp"):
+        path = str(tmp_path / f"t{bad}")
+        df = spark.range(0, 10).withColumnRenamed("id", "k") \
+            .withColumn(bad, F.lit(1))
+        L.snapshot_append(spark, df.coalesce(1), path)
+        with pytest.raises(ValueError, match="reserved"):
+            L.snapshot_delete_pos(spark, path, F.col("k") < 3)
+    # the read-side guard fires too (a hand-built pos-delete state)
+    df = spark.range(0, 10).withColumnRenamed("id", "k") \
+        .withColumn("__pf", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        L._apply_mor_deletes(
+            spark, {"pos_deletes": [{"files": []}]}, ["x"], df.schema
+        )
+    # lineage's __file reservation is guarded the same way
+    df2 = spark.range(0, 10).withColumnRenamed("id", "k") \
+        .withColumn("__file", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        L._apply_mor_deletes(spark, {}, ["x"], df2.schema, tag_versions={})
