@@ -47,86 +47,36 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # changes only — the rotation below is otherwise purely
 # least-recently-verified.
 _REVERIFY_NOW: dict[str, int] = {
-    # (Every earlier seed — through the round-15 snapshot-protocol
-    # backlog — has a CORRECTNESS record at or after its seed round,
-    # so all prior boosts expired and were removed. Round-10 verdict
-    # #4 standing rule: keep this dict MINIMAL; the round-16 sample's
-    # natural target is the r8-era least-recently-verified cohort
-    # (round-15 verdict #3) and it must not be crowded out.)
+    # (Every earlier seed — through the round-17 snapshot-grammar
+    # backlog — has a CORRECTNESS record at or after its seed round:
+    # all 28 round-17 seeds were recorded green in CORRECTNESS_r17,
+    # and the two round-16 plan-change seeds (d111/d85) in
+    # CORRECTNESS_r16 — so every prior boost expired and was removed.
+    # Round-10 verdict #4 standing rule: keep this dict MINIMAL.)
     #
-    # Round 16: d111's SEMANTICS changed — the trigram LM is capped to
-    # the top-256 trigrams per language (bounded broadcast; the cap
-    # binds at every test SF and the oracle reproduces it) and the
-    # tercile is assigned by skew.grouped_ntile's two-phase census
-    # instead of ntile OVER (PARTITION BY lang). Verified green
-    # against the full sf0.01 oracle this session; seeded for an
-    # official record on the new plan.
-    "d111_ccnet_buckets": 16,
-    # Round 16: d85's per-stratum rank moved from the windowed
-    # row_number (single-tasks the dominant stratum — found by this
-    # round's latent-skew sweep) to skew.grouped_rank's two-phase
-    # census; values identical (exact rank), rank_in_stratum widened
-    # to BIGINT in plan+oracle. Verified green against the sf0.01
-    # oracle this session; seeded for an official record on the new
-    # plan.
-    "d85_curriculum_order": 16,
-    # (The four round-16 seeds — d111/d85/d103/d17 — all have green
-    # CORRECTNESS_r16 records, so those boosts expired and were
-    # removed.)
-    #
-    # Round 17: the snapshot protocol's ON-DISK METADATA changed —
-    # commits now write immutable per-batch SEGMENT files referenced
-    # by a small manifest list (O(batch) commit metadata, the round-16
-    # weak flag), with pre-17 inline manifests still readable and
-    # migrated on their next commit. Values identical everywhere, but
-    # every entry that commits or resolves manifests runs on the new
-    # grammar; all re-verified green against the full sf0.01 oracle
-    # this session, seeded for official records on the new format.
-    # Seed list sized so the round-15 verdict-#3 drain of the r9
-    # least-recently-verified cohort (23 entries) still fits the
-    # 50-sample rotation beside it: 21 seeds + 6 UNRECORDED new
-    # round-17 entries (tier 0 of the rotation regardless) + 23 r9
-    # = 50 (d02_containment_pairs, the 7th new entry, lands in the
-    # same tier-0 pool; one r9 entry rolls to the next round's head —
-    # acceptable). The WRITE-path entries (commit grammar changed) are
-    # seeded; READ-only consumers of the resolved meta (postings/IVF
-    # lookups, pruned scans, scan_multi, tags, rollback, history,
-    # time travel) ride the normal rotation — they run against the
-    # same resolver the seeded entries prove, and the full 355-entry
-    # registry verified green against the sf0.01 oracle this session
-    # anyway.
-    "scale_snapshot_cow_delete": 17,
-    "scale_snapshot_compact": 17,
-    "scale_snapshot_compact_small_files": 17,
-    "scale_snapshot_zorder_compact": 17,
-    "scale_snapshot_merge": 17,
-    "scale_snapshot_merge_mor": 17,
-    "scale_snapshot_mor_delete": 17,
-    "scale_snapshot_changes": 17,
-    "scale_snapshot_changes_cdf": 17,
-    "scale_snapshot_expire": 17,
-    "scale_snapshot_schema_evolution": 17,
-    "scale_snapshot_bloom_lookup": 17,
-    "scale_snapshot_wap": 17,
-    "scale_snapshot_partition_evolution": 17,
-    "scale_snapshot_hidden_partitioning": 17,
-    "scale_snapshot_row_lineage": 17,
-    "stream_snapshot_ingest": 17,
-    "stream_snapshot_wap": 17,
-    "pyds_stream_snapshot_changes": 17,
-    "stream_postings_ingest": 17,
-    "stream_ivf_ingest": 17,
-    # Round 17 NEW entries: position deletes (Iceberg v2's second MOR
-    # delete form, keyless tables) and hash-trigram language ID (the
-    # CCNet-chain completion). Both verified green against their full
-    # sf0.01 oracles this session.
-    "scale_snapshot_delete_pos": 17,
-    "d113_lang_id": 17,
-    "scale_snapshot_bucket_layout": 17,
-    "stream_snapshot_upsert": 17,
-    "d113_ccnet_chain": 17,
-    "scale_snapshot_cdf_pos": 17,
-    "d02_containment_pairs": 17,
+    # Round 18 NEW entries (unrecorded — tier 0 of the rotation
+    # regardless; listed for the audit trail): the snapshot table as
+    # a checkpointed STREAMING SOURCE, and CDF-driven incremental
+    # materialized-view maintenance. Both verified green against
+    # their full DuckDB oracles at sf0.001 AND sf0.01 this session.
+    "stream_snapshot_tail": 18,
+    "stream_snapshot_tail_mv": 18,
+    "scale_snapshot_cdf_mv": 18,
+    # Round 18 MODIFIED write paths (round-17 ADVICE fixes): the
+    # driver-side stat/Bloom keying is now percent-decoded
+    # (_norm_path_py — values identical on fixture paths, changed
+    # only on special-char table paths), delete_pos/delete_mor/
+    # publish/append clean their staged files and legacy-migration
+    # segments on commit conflicts, and the pos-delete paths refuse
+    # reserved column names. No recorded entry's VALUES change, but
+    # these six exercise the edited functions end-to-end — seeded for
+    # official records on the new code.
+    "scale_snapshot_delete_pos": 18,
+    "scale_snapshot_cdf_pos": 18,
+    "scale_snapshot_mor_delete": 18,
+    "scale_snapshot_merge_mor": 18,
+    "stream_snapshot_wap": 18,
+    "scale_snapshot_bucket_layout": 18,
 }
 
 

@@ -3262,3 +3262,155 @@ def d02cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.prefix_filter_probe(
         existing=docs, new=quotes, k=3, threshold=0.5, metric="containment"
     )
+
+
+@query(
+    "stream_snapshot_tail",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    """,
+)
+def d08tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TABLE AS A STREAMING SOURCE (round 18 —
+    `layout.snapshot_tail`, the Delta readStream-on-a-table analog):
+    the sinks made the snapshot table writable from a stream
+    (D102c/D132/D143); this closes the other half, making it READABLE
+    as one. An upstream table lands the events in three appended
+    slices; a checkpointed consumer drains it in two pulls with an
+    append arriving in between, committing each pull downstream via
+    `snapshot_append(batch_id=to_version)` — and before acking the
+    first pull, the entry REPLAYS it (the crash-before-ack path): the
+    re-delivered window hits the downstream batch ledger and resolves
+    to a no-op, which is exactly-once by the same composition the
+    foreachBatch sinks use. Per-pull planning is O(new versions + new
+    segments) driver JSON — a 100 TB table's incremental consumer
+    pays for its deltas, never the table — so the drained downstream
+    equals the full corpus independent of where the pulls cut the
+    version history: the plain batch aggregate is the oracle, and a
+    hash match proves no row was lost, doubled, or delivered twice
+    across the replay."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_tail,
+    )
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tail_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    state = os.path.join(base, "cursor.json")
+    os.makedirs(base)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 0), src)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 1), src)
+    # pull 1: versions (0, 2]
+    df, _, hi, ack = snapshot_tail(spark, src, state)
+    snapshot_append(spark, df, dst, batch_id=hi)
+    # crash-before-ack replay: same window, downstream ledger no-op
+    df_r, _, hi_r, ack_r = snapshot_tail(spark, src, state)
+    assert hi_r == hi
+    snapshot_append(spark, df_r, dst, batch_id=hi_r)
+    ack_r()
+    # the third slice arrives; pull 2 delivers ONLY it
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 2), src)
+    df2, _, hi2, ack2 = snapshot_tail(spark, src, state)
+    snapshot_append(spark, df2, dst, batch_id=hi2)
+    ack2()
+    return (
+        snapshot_read(spark, dst)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "stream_snapshot_tail_mv",
+    oracle="""
+    SELECT CAST(user_id % 10 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    WHERE (event_id % 7) <> 0
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def d08tailmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUSLY MAINTAINED MATERIALIZED VIEW over a snapshot table
+    (round 18 — the composition the two new primitives exist for:
+    `layout.snapshot_tail_changes` → `mv.apply_cdf_to_rollup`): a
+    checkpointed consumer keeps a grouped rollup current across the
+    table's whole life — the seed pull materializes the head's live
+    view as inserts, a later pull delivers one CDF frame spanning an
+    APPEND and a merge-on-read RETRACTION (every event_id%7==0 row),
+    and each pull folds into the partials with one O(|changes|+|MV|)
+    signed aggregate. The measures are BIGINTs, so the partials are
+    additive exactly and the maintained view equals the from-scratch
+    survivors' aggregate — the oracle — independent of where the
+    cursor cut the version history. At 100 TB this is the dashboard /
+    feature-store refresh loop: the fact table is scanned once at
+    seed time and never again; every refresh after that reads deltas
+    sized by what actually changed."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_mor,
+        snapshot_tail_changes,
+    )
+    from etl_cortex_spark.operators.mv import (
+        apply_cdf_to_rollup,
+        build_rollup,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 10).cast("bigint").alias("grp"),
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tailmv_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    path = os.path.join(base, "tbl")
+    state = os.path.join(base, "cursor.json")
+    # v1: the seed generation
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 0), path)
+    seed, _, _, ack = snapshot_tail_changes(spark, path, state)
+    mv = build_rollup(seed.drop("_change_type"), ["grp"], ["event_id"])
+    ack()
+    # v2 append + v3 MOR retraction arrive; ONE pull folds both
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 != 0), path)
+    snapshot_delete_mor(spark, path, F.col("event_id") % 7 == 0, "event_id")
+    pull, _, _, ack2 = snapshot_tail_changes(spark, path, state)
+    mv = apply_cdf_to_rollup(mv, pull, ["grp"], ["event_id"])
+    ack2()
+    return (
+        mv.select(
+            F.col("grp"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col("__sum_event_id").cast("bigint").alias("sum_eid"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("grp")
+    )

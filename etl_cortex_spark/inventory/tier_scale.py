@@ -2821,3 +2821,78 @@ def scale_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "scale_snapshot_cdf_mv",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE (event_id % 7) <> 0
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def scale_snapshot_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-DRIVEN INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (round 18
+    — `mv.apply_cdf_to_rollup`, the joint between
+    `layout.snapshot_changes_cdf` and the D white rollup family): a
+    grouped rollup built ONCE at v1 is kept current by folding the
+    table's change feed — v2's appended rows as (+1, +x) partials,
+    v3's merge-on-read GDPR-style retraction (every event_id%7==0
+    row, committed as one equality-delete entry with zero files
+    rewritten) as (−1, −x) — with one O(|changes| + |MV|) signed
+    aggregate per refresh. The 100 TB fact is never rescanned: the
+    insert deltas read only v2's appended files (segment-list
+    arithmetic) and the delete pre-images replay from the delete
+    entry's keys. Measures are DECIMAL, so the partials are additive
+    EXACTLY and the maintained view is bit-equal to a from-scratch
+    recompute of the final version — which is what the oracle is: the
+    plain survivors' aggregate, so the hash match proves insert fold,
+    retraction fold, and the zero-count group-eviction rule at once.
+    Cites the reference's silver→gold recompute loop (app.py) as the
+    pattern this replaces at scale."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes_cdf,
+        snapshot_delete_mor,
+        snapshot_read,
+    )
+    from etl_cortex_spark.operators.mv import (
+        apply_cdf_to_rollup,
+        build_rollup,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 8).cast("bigint").alias("grp"),
+        F.col("value").cast("decimal(18,6)").alias("x"),
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdfmv_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 < 2), path)
+    mv = build_rollup(snapshot_read(spark, path, version=1), ["grp"], ["x"])
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 2), path)
+    snapshot_delete_mor(spark, path, F.col("event_id") % 7 == 0, "event_id")
+    cdf = snapshot_changes_cdf(spark, path, 1, 3)
+    maintained = apply_cdf_to_rollup(mv, cdf, ["grp"], ["x"])
+    return (
+        maintained.select(
+            F.col("grp"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.round("__sum_x", 2).cast("double").alias("total_value"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("grp")
+    )

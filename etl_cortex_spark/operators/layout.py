@@ -790,7 +790,8 @@ def _segments_of(path: str, raw: dict, spark=None,
     return [name]
 
 
-def _rewrite_segments(path: str, raw: dict, drop_abs: set) -> list:
+def _rewrite_segments(path: str, raw: dict, drop_abs: set,
+                      written: list | None = None) -> list:
     """The segment list of a REWRITING commit (COW delete/merge,
     selective compaction): segments whose files all survive carry BY
     NAME (zero bytes rewritten), segments fully consumed by the
@@ -798,11 +799,17 @@ def _rewrite_segments(path: str, raw: dict, drop_abs: set) -> list:
     segment holding their survivors with stats/Blooms filtered to
     match. Write cost is O(|touched segments|), never O(table) — the
     untouched majority of a 100 TB table's metadata is never
-    reserialized, matching the data-side COW contract."""
+    reserialized, matching the data-side COW contract.
+
+    ``written`` (round-18 sweep of the round-17 ADVICE #3 class):
+    caller-owned list collecting every segment file this call writes
+    (replacements AND a legacy-head migration), so a commit that then
+    loses its race can remove the never-referenced metadata instead
+    of orphaning it until the grace-window sweep."""
     import os
 
     out: list = []
-    for name in _segments_of(path, raw):
+    for name in _segments_of(path, raw, migrated=written):
         seg = _load_segment(path, name)
         surviving = [
             f for f in seg["files"] if os.path.abspath(f) not in drop_abs
@@ -821,10 +828,32 @@ def _rewrite_segments(path: str, raw: dict, drop_abs: set) -> list:
             for c, fb in (seg.get("blooms") or {}).items()
         }
         blooms = {c: fb for c, fb in blooms.items() if fb}
-        out.append(
-            _write_segment(path, surviving, stats or None, blooms or None)
+        replacement = _write_segment(
+            path, surviving, stats or None, blooms or None
         )
+        if written is not None:
+            written.append(replacement)
+        out.append(replacement)
     return out
+
+
+def _abandon_rewrite(path: str, staged_dirs: list, segments: list) -> None:
+    """No-orphan convention for a REWRITING commit that lost its race
+    (round-18 sweep of the round-17 ADVICE #3 class, matching
+    append/merge_mor/publish/delete_mor/delete_pos): the staged data
+    dirs and freshly written segment files will never be referenced —
+    remove them before surfacing SnapshotCommitConflict to the caller
+    (who re-runs against the new head)."""
+    import contextlib
+    import os
+    import shutil
+
+    for d in staged_dirs:
+        if d:
+            shutil.rmtree(d, ignore_errors=True)
+    for seg in segments:
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(path, seg))
 
 
 def snapshot_meta(path: str, version: int | None = None) -> dict:
@@ -1382,7 +1411,10 @@ def _check_reserved_cols(schema, names: tuple, op: str) -> None:
     AnalysisException — or worse, a silently wrong join (round-17
     ADVICE #4). Raise loudly at the boundary instead, alongside the
     Bloom/µunit type contracts this protocol already documents."""
-    clash = [f for f in schema.fieldNames() if f in set(names)]
+    # casefolded: Spark resolves column names case-insensitively by
+    # default, so a data column `_FILE` clashes exactly like `_file`
+    lowered = {n.lower() for n in names}
+    clash = [f for f in schema.fieldNames() if f.lower() in lowered]
     if clash:
         raise ValueError(
             f"{op}: table schema contains reserved column name(s) "
@@ -1906,13 +1938,20 @@ def snapshot_delete(spark, path: str, predicate) -> int:
     # O(|touched segments|) metadata written, never the table's;
     # rewritten files re-enter without stats until the next
     # stats-carrying commit or compaction
-    segments = _rewrite_segments(path, raw, affected)
+    written: list = []
+    segments = _rewrite_segments(path, raw, affected, written=written)
     if new_files:
-        segments.append(_write_segment(path, new_files))
+        survivor_seg = _write_segment(path, new_files)
+        written.append(survivor_seg)
+        segments.append(survivor_seg)
     meta = {"version": version, "segments": segments}
     if "layout" in raw:
         meta["layout"] = raw["layout"]
-    _commit_manifest(path, version, meta)
+    try:
+        _commit_manifest(path, version, meta)
+    except SnapshotCommitConflict:
+        _abandon_rewrite(path, [staged if affected else None], written)
+        raise
     return version
 
 
@@ -2172,13 +2211,24 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
     # untouched segments carry BY NAME (kept files keep their zone
     # maps and Blooms); the survivor rewrite + batch land as one new
     # stats-less segment — O(|touched| + |batch|) metadata written
-    segments = _rewrite_segments(path, raw, affected)
+    written: list = []
+    segments = _rewrite_segments(path, raw, affected, written=written)
     if new_files:
-        segments.append(_write_segment(path, new_files))
+        out_seg = _write_segment(path, new_files)
+        written.append(out_seg)
+        segments.append(out_seg)
     meta = {"version": version, "segments": segments}
     if "layout" in raw:
         meta["layout"] = raw["layout"]
-    _commit_manifest(path, version, meta)
+    try:
+        _commit_manifest(path, version, meta)
+    except SnapshotCommitConflict:
+        _abandon_rewrite(
+            path,
+            [staged if affected else None, batch_staged],
+            written,
+        )
+        raise
     return version
 
 
@@ -2443,16 +2493,21 @@ def snapshot_compact(
         new_blooms: dict = {}
         if bloom_col is not None:
             new_blooms = {bloom_col: file_blooms(spark, staged, bloom_col)}
-        segments = _rewrite_segments(path, raw, small_set)
-        segments.append(
-            _write_segment(
-                path, new_files, new_stats or None, new_blooms or None
-            )
+        written: list = []
+        segments = _rewrite_segments(path, raw, small_set, written=written)
+        packed_seg = _write_segment(
+            path, new_files, new_stats or None, new_blooms or None
         )
+        written.append(packed_seg)
+        segments.append(packed_seg)
         meta = {"version": version, "segments": segments}
         if "layout" in raw:
             meta["layout"] = raw["layout"]
-        _commit_manifest(path, version, meta)
+        try:
+            _commit_manifest(path, version, meta)
+        except SnapshotCommitConflict:
+            _abandon_rewrite(path, [staged], written)
+            raise
         return version
     staged = os.path.join(path, "data", f"compact-{uuid.uuid4().hex[:12]}")
     # a merge-on-read table compacts through the delete-resolving read:
@@ -2491,13 +2546,15 @@ def snapshot_compact(
     # Iceberg rewrite_manifests analogue): the whole table collapses
     # to ONE segment, so the head manifest's name list — which grows
     # by one entry per commit — resets alongside the files
-    meta = {
-        "version": version,
-        "segments": [_write_segment(path, new_files, stats, blooms)],
-    }
+    compact_seg = _write_segment(path, new_files, stats, blooms)
+    meta = {"version": version, "segments": [compact_seg]}
     if "layout" in raw:
         meta["layout"] = raw["layout"]
-    _commit_manifest(path, version, meta)
+    try:
+        _commit_manifest(path, version, meta)
+    except SnapshotCommitConflict:
+        _abandon_rewrite(path, [staged], [compact_seg])
+        raise
     return version
 
 
@@ -2864,6 +2921,218 @@ def snapshot_changes(
     if merge_schema:
         return spark.read.option("mergeSchema", "true").parquet(*new_files)
     return spark.read.schema(schema).parquet(*new_files)
+
+
+def _added_files_between(path: str, from_version: int, to_version: int):
+    """Files ADDED in (from_version, to_version], validating that every
+    step is an append — resolved from the manifests' SEGMENT-NAME
+    lists, so the walk costs O(new versions + new segments) JSON
+    reads, never O(table files) (an append extends the previous
+    manifest's name list by exactly its batch segment, so the prefix
+    test is pure list arithmetic). Steps that change the equality- or
+    position-delete sets, drop a segment (COW rewrite, compaction,
+    rollback, segment consolidation) raise loudly — an added-files
+    read there would double-count or skip retractions, the
+    `snapshot_changes` contract. Legacy inline manifests fall back to
+    the resolved file-set diff for that step (O(its files), paid only
+    on pre-17 history)."""
+    import os
+
+    def raw_of(v: int) -> dict:
+        target = os.path.join(path, f"v{v}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_tail: version {v} does not exist at {path} "
+                "(expired past the cursor? re-seed the consumer)"
+            )
+        return _load_raw(target)
+
+    added_segments: list = []
+    added_inline: list = []
+    prev = raw_of(from_version)
+    for v in range(from_version + 1, to_version + 1):
+        cur = raw_of(v)
+        if (cur.get("deletes") or []) != (prev.get("deletes") or []) or (
+            cur.get("pos_deletes") or []
+        ) != (prev.get("pos_deletes") or []):
+            raise ValueError(
+                f"snapshot_tail: version {v} changes the merge-on-read "
+                "delete set; append-only lineage required"
+            )
+        if "segments" in prev and "segments" in cur:
+            p, c = prev["segments"], cur["segments"]
+            if c[: len(p)] != p:
+                raise ValueError(
+                    f"snapshot_tail: version {v} is not an append (it "
+                    "rewrites or drops a segment of the previous "
+                    "version); append-only lineage required"
+                )
+            added_segments += c[len(p):]
+        else:
+            # legacy inline step: exact file-set diff, paid once
+            pf = set(_resolve_meta(path, prev)["files"])
+            cf = set(_resolve_meta(path, cur)["files"])
+            if not pf <= cf:
+                raise ValueError(
+                    f"snapshot_tail: version {v} is not an append "
+                    f"(it drops {len(pf - cf)} file(s)); append-only "
+                    "lineage required"
+                )
+            added_inline += sorted(cf - pf)
+        prev = cur
+    files = list(added_inline)
+    for name in added_segments:
+        files += _load_segment(path, name)["files"]
+    return sorted(set(files))
+
+
+def _read_cursor(state_path: str, path: str, op: str) -> int:
+    """The durable tail cursor, validated against the table it was
+    written for: a cursor file accidentally pointed at a different
+    table would silently skip that table's early versions (the
+    version numbers alias), so the mismatch raises instead."""
+    import json
+    import os
+
+    if not os.path.exists(state_path):
+        return 0
+    with open(state_path) as f:
+        state = json.load(f)
+    table = state.get("table")
+    if table is not None and table != os.path.abspath(path):
+        raise ValueError(
+            f"{op}: cursor file {state_path} belongs to table "
+            f"{table!r}, not {os.path.abspath(path)!r} — refusing to "
+            "misapply its version"
+        )
+    return int(state["version"])
+
+
+def snapshot_tail(spark, path: str, state_path: str,
+                  merge_schema: bool = False):
+    """CHECKPOINTED INCREMENTAL SOURCE over the snapshot table — the
+    Delta `readStream`-on-a-table analog on the D102 protocol: each
+    pull resolves the head manifest, validates that every commit since
+    the consumer's durable cursor is an APPEND, and returns exactly
+    the rows those commits added. Planning cost per pull is O(new
+    versions + new segments) driver JSON plus O(|new data|) read — a
+    downstream consumer of a 100 TB table pays for its deltas, never
+    the table.
+
+    Returns ``(df, from_version, to_version, ack)``. The consumer
+    processes ``df`` downstream and then calls ``ack()`` to durably
+    advance the cursor (atomic tmp+rename) — crash BEFORE ack means
+    the next pull re-delivers the same versions (at-least-once).
+    Exactly-once composes the same way the streaming sinks do it:
+    commit downstream with ``snapshot_append(..., batch_id=
+    to_version)`` (or any idempotent keyed write) so a re-delivered
+    pull resolves to a ledger no-op. A cursor at the head returns an
+    empty frame with ``from_version == to_version``.
+
+    A commit that is NOT an append (COW delete/merge, compaction,
+    MOR delete, rollback, segment consolidation) raises loudly — the
+    tailing consumer must re-seed (full refresh) or switch to
+    `snapshot_changes_cdf` for retraction-aware feeds, exactly
+    Delta's ignoreChanges contract made explicit."""
+    import json
+    import os
+
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_tail: no manifests under {path}")
+    head = _manifest_version(manifests[-1])
+    cur = _read_cursor(state_path, path, "snapshot_tail")
+    if cur > head:
+        raise ValueError(
+            f"snapshot_tail: cursor v{cur} is ahead of head v{head} — "
+            "the table was rolled over or the state file belongs to a "
+            "different table"
+        )
+
+    def ack():
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": head, "table": os.path.abspath(path)}, f)
+        os.replace(tmp, state_path)
+
+    head_files = _load_meta(path, manifests[-1])["files"]
+    schema = _version_schema(spark, head_files)
+    if cur == head:
+        return spark.createDataFrame([], schema), cur, head, ack
+    if cur == 0:
+        # first pull: everything visible at head, but STILL validated —
+        # a pending MOR delete means "all head files" is not "all rows"
+        raw = _load_raw(manifests[-1])
+        if raw.get("deletes") or raw.get("pos_deletes"):
+            raise ValueError(
+                "snapshot_tail: head has pending merge-on-read deletes; "
+                "seed from a compacted version or use snapshot_changes_cdf"
+            )
+        new_files = head_files
+    else:
+        new_files = _added_files_between(path, cur, head)
+    if not new_files:
+        return spark.createDataFrame([], schema), cur, head, ack
+    if merge_schema:
+        df = spark.read.option("mergeSchema", "true").parquet(*new_files)
+    else:
+        df = spark.read.schema(schema).parquet(*new_files)
+    return df, cur, head, ack
+
+
+def snapshot_tail_changes(spark, path: str, state_path: str):
+    """RETRACTION-AWARE checkpointed source — `snapshot_tail`'s
+    sibling for consumers that can fold deletes (incremental MV
+    maintenance, downstream index upkeep): each pull returns
+    CDF-SHAPED rows (``_change_type`` in {'insert','delete'}, the
+    `snapshot_changes_cdf` contract) for every commit since the
+    durable cursor, so merge-on-read retractions flow through instead
+    of refusing. A from-scratch seed emits the head's LIVE view
+    (MOR-resolved) as inserts — well-defined even over pending
+    deletes, unlike an added-files seed. Returns ``(df, from_version,
+    to_version, ack)`` with the same at-least-once ack contract as
+    `snapshot_tail`; exactly-once composes with an idempotent
+    downstream commit keyed by ``to_version``. COW rewrites,
+    compaction and rollback still refuse (inherited from
+    `snapshot_changes_cdf` — a rewrite step has no row-level delta
+    representation; re-seed the consumer across maintenance
+    boundaries, Delta's ignoreChanges contract)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(f"snapshot_tail_changes: no manifests under {path}")
+    head = _manifest_version(manifests[-1])
+    cur = _read_cursor(state_path, path, "snapshot_tail_changes")
+    if cur > head:
+        raise ValueError(
+            f"snapshot_tail_changes: cursor v{cur} is ahead of head "
+            f"v{head} — the state file belongs to a different table"
+        )
+
+    def ack():
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": head, "table": os.path.abspath(path)}, f)
+        os.replace(tmp, state_path)
+
+    if cur == head:
+        meta = _load_meta(path, manifests[-1])
+        schema = _version_schema(spark, meta["files"])
+        empty = spark.createDataFrame([], schema).withColumn(
+            "_change_type", F.lit(None).cast("string")
+        )
+        return empty, cur, head, ack
+    if cur == 0:
+        df = snapshot_read(spark, path, version=head).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    else:
+        df = snapshot_changes_cdf(spark, path, cur, head)
+    return df, cur, head, ack
 
 
 def snapshot_rollback(spark, path: str, to_version: int) -> int:

@@ -76,3 +76,48 @@ def answer_aggregate(
         # identical doubles divides identically in any engine
         out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
     return out
+
+
+def apply_cdf_to_rollup(
+    mv: DataFrame, cdf: DataFrame, dims: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of a `build_rollup` view from a
+    change-data-feed (round 18 — the missing joint between
+    `layout.snapshot_changes_cdf` and the rollup family): fold the
+    deltas of a CDF frame (rows tagged ``_change_type`` in
+    {'insert','delete'}, the `snapshot_changes_cdf` contract) into
+    the partials with SIGNED aggregation — inserts add (+1, +x),
+    deletes retract (−1, −x) — then merge with the existing rollup by
+    one |MV ∪ changed-groups| aggregate. Groups whose live count
+    reaches zero LEAVE the view, so a fully retracted dimension tuple
+    does not linger as a zero row.
+
+    Cost is O(|changes| + |MV|), never O(fact): the 100 TB fact table
+    is not rescanned when a micro-batch lands or a GDPR delete
+    retracts a user — which is the entire point of carrying additive
+    partials instead of finished answers (AVG derives as sum/count
+    downstream; COUNT DISTINCT needs the sketch rollup, exactly as
+    the module docstring's algebra says). For exact retraction
+    arithmetic, feed DECIMAL measures: float partials are additive
+    only up to reassociation ulps, decimals are additive exactly —
+    the same convention `scale_incremental_agg` documents.
+
+    The CDF's UPDATE shape (a delete pre-image + an insert post-image
+    pair) needs no special case: the signed fold handles it as the
+    retract-then-add it is."""
+    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    delta = cdf.groupBy(*dims).agg(
+        F.sum(sign).alias("__n"),
+        *[F.sum(F.col(c) * sign).alias(f"__sum_{c}") for c in sum_cols],
+    )
+    merged = (
+        mv.unionByName(delta)
+        .groupBy(*dims)
+        .agg(
+            F.sum("__n").alias("__n"),
+            *[F.sum(f"__sum_{c}").alias(f"__sum_{c}") for c in sum_cols],
+        )
+    )
+    return merged.filter(F.col("__n") > 0)

@@ -263,3 +263,46 @@ def test_mv_navigator_routes_and_reaggregates_correctly(spark):
     assert "__n" not in plan2  # fact path
     got = {(r["v_bucket"], r["n_rows"], r["sum_v"]) for r in out2.collect()}
     assert got == {(1, 1, 100), (0, 99, 0)}
+
+
+def test_apply_cdf_to_rollup_matches_full_recompute(spark, tmp_path):
+    """Round 18 — CDF-driven incremental MV maintenance: folding a
+    snapshot table's change feed into the rollup partials equals a
+    full recompute over the final version, exactly (decimal
+    measures), and fully retracted groups leave the view."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_changes_cdf,
+        snapshot_delete_mor,
+        snapshot_read,
+    )
+    from etl_cortex_spark.operators.mv import (
+        apply_cdf_to_rollup,
+        build_rollup,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        F.col("id").cast("decimal(18,6)").alias("x"),
+    )
+    snapshot_append(spark, base.filter(F.col("k") < 120), path)
+    mv = build_rollup(
+        snapshot_read(spark, path, version=1), ["g"], ["x"]
+    ).cache()
+    mv.count()
+    # v2 appends, v3 retracts group g==3 ENTIRELY plus some of g==5
+    snapshot_append(spark, base.filter(F.col("k") >= 120), path)
+    snapshot_delete_mor(
+        spark, path, (F.col("g") == 3) | (F.col("k") % 10 == 5), "k"
+    )
+    cdf = snapshot_changes_cdf(spark, path, 1, 3)
+    maintained = apply_cdf_to_rollup(mv, cdf, ["g"], ["x"])
+    full = build_rollup(snapshot_read(spark, path), ["g"], ["x"])
+    got = {r["g"]: (r["__n"], r["__sum_x"]) for r in maintained.collect()}
+    want = {r["g"]: (r["__n"], r["__sum_x"]) for r in full.collect()}
+    assert got == want  # exact, decimals — no reassociation slack
+    assert 3 not in got  # the fully retracted group left the view

@@ -2891,3 +2891,248 @@ def test_position_delete_reserved_column_guard(spark, tmp_path):
         .withColumn("__file", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         L._apply_mor_deletes(spark, {}, ["x"], df2.schema, tag_versions={})
+
+
+def test_snapshot_tail_checkpointed_source(spark, tmp_path):
+    """Round 18 — `snapshot_tail`, the Delta readStream analog: a
+    durable cursor, per-pull delivery of exactly the appended rows,
+    at-least-once on crash (no ack → re-delivery), and a loud refusal
+    on non-append commits."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_tail,
+    )
+
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cursor.json")
+    snapshot_append(
+        spark, spark.range(0, 40).withColumnRenamed("id", "k"), path
+    )
+    snapshot_append(
+        spark, spark.range(40, 70).withColumnRenamed("id", "k"), path
+    )
+    # first pull: everything at head
+    df, lo, hi, ack = snapshot_tail(spark, path, state)
+    assert (lo, hi) == (0, 2) and df.count() == 70
+    # crash before ack: the pull re-delivers (at-least-once)
+    df2, lo2, hi2, ack2 = snapshot_tail(spark, path, state)
+    assert (lo2, hi2) == (0, 2) and df2.count() == 70
+    ack2()
+    # cursor at head: empty pull, from == to
+    df3, lo3, hi3, ack3 = snapshot_tail(spark, path, state)
+    assert (lo3, hi3) == (2, 2) and df3.count() == 0
+    ack3()
+    # a later append delivers ONLY its own rows
+    snapshot_append(
+        spark, spark.range(70, 85).withColumnRenamed("id", "k"), path
+    )
+    df4, lo4, hi4, ack4 = snapshot_tail(spark, path, state)
+    assert (lo4, hi4) == (2, 3)
+    assert sorted(r.k for r in df4.collect()) == list(range(70, 85))
+    ack4()
+    # a MOR delete breaks the append-only lineage: refuse loudly
+    snapshot_delete_mor(spark, path, F.col("k") < 10, "k")
+    with pytest.raises(ValueError, match="append-only|delete"):
+        snapshot_tail(spark, path, state)
+    # a compaction (rewrite) past the cursor refuses too
+    snapshot_compact(spark, path)
+    with pytest.raises(ValueError, match="append-only|delete"):
+        snapshot_tail(spark, path, state)
+    # re-seed: a fresh cursor full-refreshes from the compacted head
+    os.remove(state)
+    df5, lo5, hi5, _ = snapshot_tail(spark, path, state)
+    assert (lo5, hi5) == (0, 5) and df5.count() == 75
+
+
+def test_snapshot_tail_exactly_once_composition(spark, tmp_path):
+    """Crash-replay of an UNACKED pull composes with the downstream
+    batch ledger to exactly-once: the re-delivered pull's
+    snapshot_append(batch_id=to_version) resolves to a no-op."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_tail,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "cursor.json")
+    snapshot_append(
+        spark, spark.range(0, 50).withColumnRenamed("id", "k"), src
+    )
+    df, lo, hi, ack = snapshot_tail(spark, src, state)
+    snapshot_append(spark, df, dst, batch_id=hi)
+    # CRASH before ack: next pull re-delivers the same window ...
+    df2, lo2, hi2, ack2 = snapshot_tail(spark, src, state)
+    assert (lo2, hi2) == (lo, hi)
+    # ... and the downstream ledger makes the replayed commit a no-op
+    v = snapshot_append(spark, df2, dst, batch_id=hi2)
+    assert v == 1
+    ack2()
+    assert snapshot_read(spark, dst).count() == 50
+
+
+def test_snapshot_tail_first_pull_refuses_pending_mor(spark, tmp_path):
+    """A from-scratch seed over a head with pending MOR deletes would
+    deliver retracted rows as live — refuse loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_pos,
+        snapshot_tail,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(
+        spark, spark.range(0, 30).withColumnRenamed("id", "k"), path
+    )
+    snapshot_delete_pos(spark, path, F.col("k") < 5)
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        snapshot_tail(spark, path, str(tmp_path / "c.json"))
+
+
+def test_snapshot_tail_changes_delivers_retractions(spark, tmp_path):
+    """Round 18 — `snapshot_tail_changes`, the retraction-aware
+    sibling: a from-scratch seed emits the MOR-resolved live view as
+    inserts, later pulls deliver CDF-shaped deltas across appends AND
+    MOR deletes, and the ack cursor is durable."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_delete_mor,
+        snapshot_delete_pos,
+        snapshot_tail_changes,
+    )
+
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cursor.json")
+    snapshot_append(
+        spark, spark.range(0, 40).withColumnRenamed("id", "k"), path
+    )
+    snapshot_delete_pos(spark, path, F.col("k") >= 35)
+    # seed over a pending-MOR head: live view as inserts (35 rows)
+    df, lo, hi, ack = snapshot_tail_changes(spark, path, state)
+    assert (lo, hi) == (0, 2)
+    rows = df.collect()
+    assert all(r._change_type == "insert" for r in rows)
+    assert sorted(r.k for r in rows) == list(range(35))
+    ack()
+    # an append then an equality delete: one pull, both delta kinds
+    snapshot_append(
+        spark, spark.range(40, 60).withColumnRenamed("id", "k"), path
+    )
+    snapshot_delete_mor(spark, path, F.col("k") % 2 == 0, "k")
+    df2, lo2, hi2, ack2 = snapshot_tail_changes(spark, path, state)
+    assert (lo2, hi2) == (2, 4)
+    ins = sorted(r.k for r in df2.collect() if r._change_type == "insert")
+    dels = sorted(r.k for r in df2.collect() if r._change_type == "delete")
+    assert ins == list(range(40, 60))
+    # deletes retract the LIVE evens: 0..34 minus nothing pos-deleted
+    # below 35, plus the just-appended evens 40..58
+    assert dels == [k for k in list(range(35)) + list(range(40, 60))
+                    if k % 2 == 0]
+    ack2()
+    # cursor at head: empty pull with the _change_type column present
+    df3, lo3, hi3, _ = snapshot_tail_changes(spark, path, state)
+    assert (lo3, hi3) == (4, 4) and df3.count() == 0
+    assert "_change_type" in df3.columns
+
+
+def test_snapshot_tail_cursor_is_table_scoped(spark, tmp_path):
+    """A cursor file written for one table refuses to drive another
+    (version numbers alias across tables, so misapplying it would
+    silently skip the other table's early versions)."""
+    import pytest
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_tail,
+        snapshot_tail_changes,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    state = str(tmp_path / "cursor.json")
+    snapshot_append(spark, spark.range(0, 10).withColumnRenamed("id", "k"), a)
+    snapshot_append(spark, spark.range(0, 99).withColumnRenamed("id", "k"), b)
+    _, _, _, ack = snapshot_tail(spark, a, state)
+    ack()
+    with pytest.raises(ValueError, match="belongs to table"):
+        snapshot_tail(spark, b, state)
+    with pytest.raises(ValueError, match="belongs to table"):
+        snapshot_tail_changes(spark, b, state)
+
+
+def test_rewriting_commit_conflicts_leave_no_orphans(spark, tmp_path):
+    """Round-18 sweep of the round-17 ADVICE #3 hazard class across
+    the REMAINING rewriting commits: COW delete, COW merge, and both
+    snapshot_compact forms now remove their staged rewrite dirs and
+    freshly written segments (replacements AND legacy migrations)
+    when the commit loses its race."""
+    import glob as g
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import etl_cortex_spark.operators.layout as L
+
+    def _legacy_table(name, two_files=False):
+        path = str(tmp_path / name)
+        os.makedirs(os.path.join(path, "data"))
+        n = 2 if two_files else 1
+        for i in range(n):
+            staged = os.path.join(path, "data", f"legacy{i}")
+            spark.range(i * 20, (i + 1) * 20).withColumnRenamed(
+                "id", "k"
+            ).coalesce(1).write.parquet(staged)
+        files = sorted(
+            g.glob(os.path.join(path, "data", "legacy*", "*.parquet"))
+        )
+        L._commit_manifest(path, 1, {"version": 1, "files": files})
+        return path
+
+    real = L._commit_manifest
+
+    def conflict(p, version, meta):
+        raise L.SnapshotCommitConflict("simulated lost race")
+
+    cases = [
+        ("cowdel", False,
+         lambda p: L.snapshot_delete(spark, p, F.col("k") < 5)),
+        ("cowmerge", False,
+         lambda p: L.snapshot_merge(
+             spark,
+             spark.range(0, 3).withColumnRenamed("id", "k"),
+             p, "k")),
+        ("compactfull", False, lambda p: L.snapshot_compact(spark, p)),
+        ("compactsmall", True,
+         lambda p: L.snapshot_compact(spark, p, small_bytes=1 << 30)),
+    ]
+    for name, two, op in cases:
+        path = _legacy_table(name, two_files=two)
+        L._commit_manifest = conflict
+        try:
+            with pytest.raises(L.SnapshotCommitConflict):
+                op(path)
+        finally:
+            L._commit_manifest = real
+        leftovers = [
+            d for d in g.glob(os.path.join(path, "data", "*"))
+            if not os.path.basename(d).startswith("legacy")
+        ]
+        assert leftovers == [], (name, leftovers)
+        assert not g.glob(os.path.join(path, "seg-*.segment.json")), name
+        n = 40 if two else 20
+        assert L.snapshot_read(spark, path).count() == n, name
