@@ -2980,10 +2980,22 @@ def _added_files_between(path: str, from_version: int, to_version: int):
                 )
             added_inline += sorted(cf - pf)
         prev = cur
+    # COMMIT ORDER preserved, not lexicographic: `_version_schema`
+    # plans the delta's schema from files[-1] (the newest commit's
+    # file — the additive-evolution contract), and staged dir names
+    # are uuid-random so a sort would scramble that. Legacy inline
+    # steps can only precede segmented ones (every post-16 commit
+    # writes segments), so inline-first keeps the order faithful.
     files = list(added_inline)
     for name in added_segments:
         files += _load_segment(path, name)["files"]
-    return sorted(set(files))
+    seen: set = set()
+    out: list = []
+    for f in files:
+        if f not in seen:
+            seen.add(f)
+            out.append(f)
+    return out
 
 
 def _read_cursor(state_path: str, path: str, op: str) -> int:
@@ -3055,24 +3067,38 @@ def snapshot_tail(spark, path: str, state_path: str,
             json.dump({"version": head, "table": os.path.abspath(path)}, f)
         os.replace(tmp, state_path)
 
-    head_files = _load_meta(path, manifests[-1])["files"]
-    schema = _version_schema(spark, head_files)
+    raw = _load_raw(manifests[-1])
     if cur == head:
+        # schema-only resolve: ONE footer via the newest file of the
+        # newest segment — not _load_meta, which would pull every
+        # segment of a 100 TB table for an empty pull
+        if "segments" in raw and raw["segments"]:
+            last = _load_segment(path, raw["segments"][-1])["files"]
+        else:
+            last = raw.get("files") or []
+        schema = _version_schema(spark, last)
         return spark.createDataFrame([], schema), cur, head, ack
     if cur == 0:
         # first pull: everything visible at head, but STILL validated —
         # a pending MOR delete means "all head files" is not "all rows"
-        raw = _load_raw(manifests[-1])
         if raw.get("deletes") or raw.get("pos_deletes"):
             raise ValueError(
                 "snapshot_tail: head has pending merge-on-read deletes; "
                 "seed from a compacted version or use snapshot_changes_cdf"
             )
-        new_files = head_files
+        new_files = _load_meta(path, manifests[-1])["files"]
     else:
         new_files = _added_files_between(path, cur, head)
     if not new_files:
+        # e.g. the window holds only metadata-only commits (layout
+        # evolution): schema from the newest segment's newest file
+        if "segments" in raw and raw["segments"]:
+            last = _load_segment(path, raw["segments"][-1])["files"]
+        else:
+            last = raw.get("files") or []
+        schema = _version_schema(spark, last)
         return spark.createDataFrame([], schema), cur, head, ack
+    schema = _version_schema(spark, new_files)
     if merge_schema:
         df = spark.read.option("mergeSchema", "true").parquet(*new_files)
     else:

@@ -3136,3 +3136,54 @@ def test_rewriting_commit_conflicts_leave_no_orphans(spark, tmp_path):
         assert not g.glob(os.path.join(path, "seg-*.segment.json")), name
         n = 40 if two else 20
         assert L.snapshot_read(spark, path).count() == n, name
+
+
+def test_snapshot_tail_schema_evolution_and_metadata_only_window(
+    spark, tmp_path
+):
+    """Two round-18 refinements pinned: (a) a pull window spanning an
+    ADDITIVE schema evolution plans the delta with the widest (newest-
+    commit) schema — commit order survives into the file list, uuid
+    dir names notwithstanding; (b) a window holding only metadata-only
+    commits (layout evolution) returns an empty frame with the right
+    schema, resolving ONE segment for it, and still advances the
+    cursor."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_set_layout,
+        snapshot_tail,
+    )
+
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cursor.json")
+    snapshot_append(
+        spark, spark.range(0, 10).withColumnRenamed("id", "k"), path
+    )
+    _, _, _, ack = snapshot_tail(spark, path, state)
+    ack()
+    # window spans v2 (old schema) then v3 (adds a column)
+    snapshot_append(
+        spark, spark.range(10, 20).withColumnRenamed("id", "k"), path
+    )
+    snapshot_append(
+        spark,
+        spark.range(20, 30)
+        .withColumnRenamed("id", "k")
+        .withColumn("extra", F.lit("x")),
+        path,
+    )
+    df, lo, hi, ack2 = snapshot_tail(spark, path, state)
+    assert (lo, hi) == (1, 3)
+    assert "extra" in df.columns  # widest schema, not a scrambled [-1]
+    rows = {r.k: r.extra for r in df.collect()}
+    assert len(rows) == 20
+    assert rows[25] == "x" and rows[15] is None  # NULL-filled old rows
+    ack2()
+    # metadata-only window: layout commit, no data
+    snapshot_set_layout(path, ["k"], files_per_batch=2)
+    df2, lo2, hi2, ack3 = snapshot_tail(spark, path, state)
+    assert (lo2, hi2) == (3, 4) and df2.count() == 0
+    assert "extra" in df2.columns
+    ack3()
