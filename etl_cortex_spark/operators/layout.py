@@ -2923,6 +2923,46 @@ def snapshot_changes(
     return spark.read.schema(schema).parquet(*new_files)
 
 
+def _tail_cut_version(path: str, from_version: int, head: int,
+                      max_files: int) -> int:
+    """The version a rate-limited tail pull should stop at: walk the
+    manifests' SEGMENT-NAME lists forward from the cursor, counting
+    each new segment's file count (one JSON read per NEW segment —
+    the same O(new) arithmetic as `_added_files_between`), and cut
+    BEFORE the version that would push the pull past ``max_files``.
+    At least one version is always consumed (a single over-budget
+    commit must still drain, exactly Delta's maxFilesPerTrigger
+    behavior — the knob bounds batches, it cannot wedge the stream).
+    Validation of the steps is left to `_added_files_between`, which
+    the pull still runs over the cut window."""
+    import os
+
+    def raw_of(v: int) -> dict:
+        return _load_raw(os.path.join(path, f"v{v}.manifest.json"))
+
+    prev = raw_of(from_version) if from_version else {"segments": []}
+    taken = 0
+    cut = from_version
+    for v in range(from_version + 1, head + 1):
+        cur = raw_of(v)
+        if "segments" in prev and "segments" in cur:
+            p, c = prev["segments"], cur["segments"]
+            step = sum(
+                len(_load_segment(path, n)["files"]) for n in c[len(p):]
+            ) if c[: len(p)] == p else 0
+        else:
+            # legacy inline step: file-set diff (pre-17 history only)
+            pf = set(_resolve_meta(path, prev)["files"]) if prev.get(
+                "files") or prev.get("segments") else set()
+            step = len(set(_resolve_meta(path, cur)["files"]) - pf)
+        if cut > from_version and taken + step > max_files:
+            break
+        taken += step
+        cut = v
+        prev = cur
+    return cut
+
+
 def _added_files_between(path: str, from_version: int, to_version: int):
     """Files ADDED in (from_version, to_version], validating that every
     step is an append — resolved from the manifests' SEGMENT-NAME
@@ -3021,7 +3061,8 @@ def _read_cursor(state_path: str, path: str, op: str) -> int:
 
 
 def snapshot_tail(spark, path: str, state_path: str,
-                  merge_schema: bool = False):
+                  merge_schema: bool = False,
+                  max_files: int | None = None):
     """CHECKPOINTED INCREMENTAL SOURCE over the snapshot table — the
     Delta `readStream`-on-a-table analog on the D102 protocol: each
     pull resolves the head manifest, validates that every commit since
@@ -3045,7 +3086,17 @@ def snapshot_tail(spark, path: str, state_path: str,
     MOR delete, rollback, segment consolidation) raises loudly — the
     tailing consumer must re-seed (full refresh) or switch to
     `snapshot_changes_cdf` for retraction-aware feeds, exactly
-    Delta's ignoreChanges contract made explicit."""
+    Delta's ignoreChanges contract made explicit.
+
+    ``max_files`` (Delta's maxFilesPerTrigger): bound the pull to at
+    most that many data files, cutting at a VERSION boundary so the
+    cursor stays a consistent checkpoint; the backlog drains across
+    successive pulls. A single over-budget commit still drains whole
+    (the knob bounds batches; it cannot wedge the stream). The cut
+    walk costs the same O(new segments) JSON arithmetic as the pull
+    itself. Not applied to a from-scratch seed's head==cut case —
+    a cur==0 seed cuts too, draining the initial backfill in
+    version-sized steps."""
     import json
     import os
 
@@ -3061,13 +3112,20 @@ def snapshot_tail(spark, path: str, state_path: str,
             "different table"
         )
 
+    if max_files is not None and head > cur:
+        # RATE LIMIT (Delta's maxFilesPerTrigger): cut the pull at the
+        # last version that keeps the file budget — the cursor then
+        # advances to the CUT, so the backlog drains across pulls and
+        # every version boundary stays a consistent checkpoint
+        head = _tail_cut_version(path, cur, head, int(max_files))
+
     def ack():
         tmp = f"{state_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"version": head, "table": os.path.abspath(path)}, f)
         os.replace(tmp, state_path)
 
-    raw = _load_raw(manifests[-1])
+    raw = _load_raw(os.path.join(path, f"v{head}.manifest.json"))
     if cur == head:
         # schema-only resolve: ONE footer via the newest file of the
         # newest segment — not _load_meta, which would pull every
@@ -3086,7 +3144,9 @@ def snapshot_tail(spark, path: str, state_path: str,
                 "snapshot_tail: head has pending merge-on-read deletes; "
                 "seed from a compacted version or use snapshot_changes_cdf"
             )
-        new_files = _load_meta(path, manifests[-1])["files"]
+        new_files = _load_meta(
+            path, os.path.join(path, f"v{head}.manifest.json")
+        )["files"]
     else:
         new_files = _added_files_between(path, cur, head)
     if not new_files:

@@ -3187,3 +3187,46 @@ def test_snapshot_tail_schema_evolution_and_metadata_only_window(
     assert (lo2, hi2) == (3, 4) and df2.count() == 0
     assert "extra" in df2.columns
     ack3()
+
+
+def test_snapshot_tail_max_files_rate_limit(spark, tmp_path):
+    """Round 18 — Delta's maxFilesPerTrigger on the tail source: pulls
+    cut at version boundaries under a file budget, the backlog drains
+    across pulls, a single over-budget commit still drains whole, and
+    a from-scratch seed backfills in version-sized steps."""
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_tail,
+    )
+
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cursor.json")
+    # v1: 1 file, v2: 1 file, v3: 4 files (over any 2-file budget)
+    snapshot_append(
+        spark,
+        spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1),
+        path,
+    )
+    snapshot_append(
+        spark,
+        spark.range(10, 20).withColumnRenamed("id", "k").coalesce(1),
+        path,
+    )
+    snapshot_append(
+        spark,
+        spark.range(20, 60).withColumnRenamed("id", "k").repartition(4),
+        path,
+    )
+    # seed with budget 2: v1+v2 fit, v3 would blow it -> cut at 2
+    df, lo, hi, ack = snapshot_tail(spark, path, state, max_files=2)
+    assert (lo, hi) == (0, 2)
+    assert sorted(r.k for r in df.collect()) == list(range(20))
+    ack()
+    # next pull: the over-budget v3 drains whole (never wedges)
+    df2, lo2, hi2, ack2 = snapshot_tail(spark, path, state, max_files=2)
+    assert (lo2, hi2) == (2, 3)
+    assert df2.count() == 40
+    ack2()
+    # caught up: empty pull
+    df3, lo3, hi3, _ = snapshot_tail(spark, path, state, max_files=2)
+    assert (lo3, hi3) == (3, 3) and df3.count() == 0
