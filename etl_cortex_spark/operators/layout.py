@@ -1346,6 +1346,9 @@ def snapshot_append(
             meta["layout"] = layout
         if batch_id is not None:
             meta["batch_id"] = batch_id
+        _stamp_recent_batches(
+            meta, latest if manifests else {}, version - 1, batch_id
+        )
         try:
             _commit_manifest(path, version, meta)
             return version
@@ -1736,6 +1739,7 @@ def snapshot_delete_mor(spark, path: str, predicate, key_cols) -> int:
     for carry in ("pos_deletes", "layout"):
         if carry in raw:
             meta[carry] = raw[carry]
+    _stamp_recent_batches(meta, raw, version - 1)
     try:
         _commit_manifest(path, version, meta)
     except SnapshotCommitConflict:
@@ -1825,6 +1829,7 @@ def snapshot_delete_pos(spark, path: str, predicate) -> int:
     for carry in ("deletes", "layout"):
         if carry in raw:
             meta[carry] = raw[carry]
+    _stamp_recent_batches(meta, raw, version - 1)
     try:
         _commit_manifest(path, version, meta)
     except SnapshotCommitConflict:
@@ -1947,6 +1952,7 @@ def snapshot_delete(spark, path: str, predicate) -> int:
     meta = {"version": version, "segments": segments}
     if "layout" in raw:
         meta["layout"] = raw["layout"]
+    _stamp_recent_batches(meta, raw, version - 1)
     try:
         _commit_manifest(path, version, meta)
     except SnapshotCommitConflict:
@@ -2220,6 +2226,7 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
     meta = {"version": version, "segments": segments}
     if "layout" in raw:
         meta["layout"] = raw["layout"]
+    _stamp_recent_batches(meta, raw, version - 1)
     try:
         _commit_manifest(path, version, meta)
     except SnapshotCommitConflict:
@@ -2338,6 +2345,7 @@ def snapshot_merge_mor(
             meta[carry] = raw[carry]
     if batch_id is not None:
         meta["batch_id"] = batch_id
+    _stamp_recent_batches(meta, raw, version - 1, batch_id)
     try:
         _commit_manifest(path, version, meta)
     except SnapshotCommitConflict:
@@ -2503,6 +2511,7 @@ def snapshot_compact(
         meta = {"version": version, "segments": segments}
         if "layout" in raw:
             meta["layout"] = raw["layout"]
+        _stamp_recent_batches(meta, raw, version - 1)
         try:
             _commit_manifest(path, version, meta)
         except SnapshotCommitConflict:
@@ -2550,6 +2559,7 @@ def snapshot_compact(
     meta = {"version": version, "segments": [compact_seg]}
     if "layout" in raw:
         meta["layout"] = raw["layout"]
+    _stamp_recent_batches(meta, raw, version - 1)
     try:
         _commit_manifest(path, version, meta)
     except SnapshotCommitConflict:
@@ -2723,6 +2733,7 @@ def snapshot_rewrite_segments(path: str) -> int:
         for carry in ("deletes", "pos_deletes", "layout"):
             if carry in raw:
                 meta[carry] = raw[carry]
+        _stamp_recent_batches(meta, raw, version - 1)
         try:
             _commit_manifest(path, version, meta)
             return version
@@ -2832,6 +2843,7 @@ def snapshot_set_layout(
                 "files_per_batch": int(files_per_batch),
                 "since_version": version,
             }
+        _stamp_recent_batches(meta, latest, version - 1)
         try:
             _commit_manifest(path, version, meta)
             return version
@@ -3250,6 +3262,11 @@ def snapshot_rollback(spark, path: str, to_version: int) -> int:
     ):
         if carry in old:
             meta[carry] = old[carry]
+    # the batch map carries from the LATEST head, NOT the rollback
+    # target: rolling back past a batch's commit must not turn its
+    # crash-replay into a duplicate re-append (the manifest walk kept
+    # that true pre-18; the map keeps it true in O(1))
+    _stamp_recent_batches(meta, _load_raw(manifests[-1]), version - 1)
     _commit_manifest(path, version, meta)
     return version
 
@@ -3276,18 +3293,93 @@ def _read_batch_ledger(path: str) -> dict:
         return json.load(f)
 
 
+#: bound on the batch_id → version map every commit carries forward
+#: (Delta's SetTransaction retention reduced to a count cap): 1024
+#: entries ≈ a day of minute-granularity micro-batches, a few tens of
+#: KB of manifest bytes — O(1) per commit, never O(#batches).
+_RECENT_BATCHES_CAP = 1024
+
+
+def _recent_batches_next(raw: dict, head_version: int,
+                         batch_id: int | None = None,
+                         new_version: int | None = None):
+    """The (map, floor) a NEW commit carries (round 18 — the
+    `snapshot_batch_version` walk was the metadata layer's remaining
+    per-commit O(history) cost: every micro-batch's idempotence check
+    opened EVERY surviving manifest, O(N²) cumulative over a stream's
+    life). The map records recent batch_id → version; ``floor`` is
+    the highest version whose batch stamp may be MISSING from the map
+    (evictions past the cap, and everything up to the migration point
+    on a pre-18 table) — a lookup can conclude absence without any
+    walk exactly when floor is 0, and otherwise walks only manifests
+    ≤ floor. The map can never hold a false entry (it is extended
+    only by the committing writer with its own version), so a hit is
+    always safe, expired-manifest semantics included (same contract
+    as the retired ledger: the version may no longer be readable)."""
+    if "recent_batches" in raw:
+        m = dict(raw["recent_batches"])
+        floor = int(raw.get("recent_batches_floor", 0))
+    else:
+        # migration: pre-18 manifests may carry batch stamps the map
+        # has never seen — everything at or below the current head
+        # stays walk-covered
+        m = {}
+        floor = int(head_version)
+    if batch_id is not None:
+        m[str(batch_id)] = int(new_version)
+    if len(m) > _RECENT_BATCHES_CAP:
+        items = sorted(m.items(), key=lambda kv: kv[1])
+        evicted = items[: -_RECENT_BATCHES_CAP]
+        floor = max(floor, max(v for _, v in evicted))
+        m = dict(items[-_RECENT_BATCHES_CAP:])
+    return m, floor
+
+
+def _stamp_recent_batches(meta: dict, raw: dict, head_version: int,
+                          batch_id: int | None = None) -> None:
+    """Apply `_recent_batches_next` to a commit's ``meta`` in place
+    (every commit path calls this, so the map survives deletes,
+    compactions, layout evolution and rollback unbroken)."""
+    m, floor = _recent_batches_next(
+        raw, head_version, batch_id, meta.get("version")
+    )
+    meta["recent_batches"] = m
+    if floor:
+        meta["recent_batches_floor"] = floor
+
+
 def snapshot_batch_version(path: str, batch_id: int) -> int | None:
     """The version that committed ``batch_id``, or None (round 16 —
     the exactly-once lookup shared by `snapshot_append` and the
-    streaming WAP sink): live manifests first, then the retired-batch
-    ledger, so a replay stays a no-op even when the original manifest
-    is past retention."""
+    streaming WAP sink): the retired-batch ledger first (batches past
+    retention), then the HEAD manifest's bounded ``recent_batches``
+    map (round 18 — one JSON read, O(1) for both hits and misses when
+    the map is complete), and only then the manifest walk, restricted
+    to versions ≤ the map's completeness floor (pre-18 history and
+    cap evictions). Pre-18: every lookup — including the
+    nothing-committed-yet common case of each NEW micro-batch —
+    opened every surviving manifest: O(versions) per commit,
+    O(N²) over a stream's life."""
     import json
 
     retired = _read_batch_ledger(path)
     if str(batch_id) in retired:
         return retired[str(batch_id)]
-    for m in _manifests(path):
+    manifests = _manifests(path)
+    if not manifests:
+        return None
+    head = _load_raw(manifests[-1])
+    if "recent_batches" in head:
+        hit = head["recent_batches"].get(str(batch_id))
+        if hit is not None:
+            return int(hit)
+        floor = int(head.get("recent_batches_floor", 0))
+        if floor <= 0:
+            return None  # the map is complete: absence without a walk
+        walk = [m for m in manifests if _manifest_version(m) <= floor]
+    else:
+        walk = manifests
+    for m in reversed(walk):  # newest first: replays are recent
         with open(m) as f:
             meta = json.load(f)
         if meta.get("batch_id") == batch_id:
@@ -3920,6 +4012,7 @@ def snapshot_publish(
             new_meta[carry] = latest_raw[carry]
     if batch_id is not None:
         new_meta["batch_id"] = batch_id
+    _stamp_recent_batches(new_meta, latest_raw, head, batch_id)
     try:
         _commit_manifest(path, version, new_meta)
     except SnapshotCommitConflict:

@@ -3230,3 +3230,132 @@ def test_snapshot_tail_max_files_rate_limit(spark, tmp_path):
     # caught up: empty pull
     df3, lo3, hi3, _ = snapshot_tail(spark, path, state, max_files=2)
     assert (lo3, hi3) == (3, 3) and df3.count() == 0
+
+
+def test_recent_batches_map_lookup_without_walk(spark, tmp_path):
+    """Round 18 — `snapshot_batch_version` is O(1) when the head's
+    bounded `recent_batches` map is complete: a hit resolves from the
+    head manifest alone and a miss concludes absence with NO manifest
+    walk. Pinned by corrupting every non-head manifest — the pre-18
+    walk would crash on them."""
+    import glob as g
+    import json
+    import os
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_batch_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_append(
+            spark,
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k"),
+            path,
+            batch_id=100 + i,
+        )
+    with open(os.path.join(path, "v4.manifest.json")) as f:
+        head = json.load(f)
+    assert head["recent_batches"] == {
+        "100": 1, "101": 2, "102": 3, "103": 4
+    }
+    assert "recent_batches_floor" not in head  # complete map
+    # corrupt every older manifest: the walk would die here
+    for m in sorted(g.glob(os.path.join(path, "v*.manifest.json")))[:0]:
+        pass
+    for v in (1, 2, 3):
+        with open(os.path.join(path, f"v{v}.manifest.json"), "w") as f:
+            f.write("NOT JSON")
+    assert snapshot_batch_version(path, 102) == 3  # map hit, no walk
+    assert snapshot_batch_version(path, 999) is None  # O(1) absence
+
+
+def test_recent_batches_eviction_floor_and_legacy_walk(spark, tmp_path):
+    """Cap evictions and pre-18 history stay correct through the
+    floor: evicted/legacy batch stamps resolve via the restricted
+    walk, in-map ones via the head."""
+    import glob as g
+    import json
+    import os
+
+    import etl_cortex_spark.operators.layout as L
+
+    # legacy table whose pre-18 manifest carries a batch stamp
+    path = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(path, "data"))
+    staged = os.path.join(path, "data", "legacy")
+    spark.range(0, 10).withColumnRenamed("id", "k").coalesce(1) \
+        .write.parquet(staged)
+    files = sorted(g.glob(os.path.join(staged, "*.parquet")))
+    L._commit_manifest(
+        path, 1, {"version": 1, "files": files, "batch_id": 7}
+    )
+    old_cap = L._RECENT_BATCHES_CAP
+    L._RECENT_BATCHES_CAP = 2
+    try:
+        for i in range(3):
+            L.snapshot_append(
+                spark,
+                spark.range(10 + i, 11 + i).withColumnRenamed("id", "k"),
+                path,
+                batch_id=200 + i,
+            )
+    finally:
+        L._RECENT_BATCHES_CAP = old_cap
+    with open(os.path.join(path, "v4.manifest.json")) as f:
+        head = json.load(f)
+    # cap 2: batch 200 (v2) evicted; floor covers v1 legacy + v2
+    assert head["recent_batches"] == {"201": 3, "202": 4}
+    assert head["recent_batches_floor"] == 2
+    assert L.snapshot_batch_version(path, 7) == 1      # legacy, walk
+    assert L.snapshot_batch_version(path, 200) == 2    # evicted, walk
+    assert L.snapshot_batch_version(path, 202) == 4    # map
+    assert L.snapshot_batch_version(path, 999) is None
+    # a replay of the evicted batch is still a no-op
+    v = L.snapshot_append(
+        spark,
+        spark.range(99, 100).withColumnRenamed("id", "k"),
+        path,
+        batch_id=200,
+    )
+    assert v == 2
+
+
+def test_recent_batches_survive_rollback_and_maintenance(spark, tmp_path):
+    """The map carries through delete/compact/layout/rollback commits,
+    and rollback keeps post-target batch replays no-ops (carried from
+    the LATEST head, not the rollback target)."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_batch_version,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_rollback,
+        snapshot_set_layout,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_append(
+        spark, spark.range(0, 20).withColumnRenamed("id", "k"), path,
+        batch_id=1,
+    )
+    snapshot_append(
+        spark, spark.range(20, 40).withColumnRenamed("id", "k"), path,
+        batch_id=2,
+    )
+    snapshot_delete(spark, path, F.col("k") < 5)       # v3
+    snapshot_compact(spark, path)                      # v4
+    snapshot_set_layout(path, ["k"])                   # v5
+    snapshot_rollback(spark, path, to_version=1)       # v6
+    # every batch still resolves O(1) from the head map
+    assert snapshot_batch_version(path, 1) == 1
+    assert snapshot_batch_version(path, 2) == 2
+    # replaying batch 2 after the rollback stays a no-op
+    v = snapshot_append(
+        spark, spark.range(99, 100).withColumnRenamed("id", "k"), path,
+        batch_id=2,
+    )
+    assert v == 2
