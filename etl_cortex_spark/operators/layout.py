@@ -2950,7 +2950,13 @@ def _tail_cut_version(path: str, from_version: int, head: int,
     import os
 
     def raw_of(v: int) -> dict:
-        return _load_raw(os.path.join(path, f"v{v}.manifest.json"))
+        target = os.path.join(path, f"v{v}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_tail: version {v} does not exist at {path} "
+                "(expired past the cursor? re-seed the consumer)"
+            )
+        return _load_raw(target)
 
     prev = raw_of(from_version) if from_version else {"segments": []}
     taken = 0
@@ -3218,8 +3224,15 @@ def snapshot_tail_changes(spark, path: str, state_path: str):
         os.replace(tmp, state_path)
 
     if cur == head:
-        meta = _load_meta(path, manifests[-1])
-        schema = _version_schema(spark, meta["files"])
+        # schema-only resolve: ONE segment, one footer — not
+        # _load_meta, which would pull every segment of a 100 TB
+        # table for an empty pull (the snapshot_tail rule)
+        raw = _load_raw(manifests[-1])
+        if "segments" in raw and raw["segments"]:
+            last = _load_segment(path, raw["segments"][-1])["files"]
+        else:
+            last = raw.get("files") or []
+        schema = _version_schema(spark, last)
         empty = spark.createDataFrame([], schema).withColumn(
             "_change_type", F.lit(None).cast("string")
         )
