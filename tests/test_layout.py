@@ -3359,3 +3359,66 @@ def test_recent_batches_survive_rollback_and_maintenance(spark, tmp_path):
         batch_id=2,
     )
     assert v == 2
+
+
+def test_recent_batches_map_under_racing_batch_writers(spark, tmp_path):
+    """The batch map stays complete under REAL multi-writer contention:
+    six batch-stamped appends racing from three threads all commit via
+    rebase-and-retry, and afterwards every batch_id resolves O(1) from
+    the head map (floor stays 0 — no entry was lost in any retry), so
+    a replay of any of them is a no-op."""
+    import json
+    import os
+    import threading
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_batch_version,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    errors = []
+
+    def writer(lo):
+        try:
+            for i in range(2):
+                snapshot_append(
+                    spark,
+                    spark.range(lo + i * 100, lo + i * 100 + 100)
+                    .withColumnRenamed("id", "k"),
+                    path,
+                    batch_id=lo + i,
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(lo,)) for lo in (0, 1000, 2000)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    with open(os.path.join(path, "v6.manifest.json")) as f:
+        head = json.load(f)
+    assert len(head["recent_batches"]) == 6
+    assert "recent_batches_floor" not in head
+    versions = set()
+    for b in (0, 1, 1000, 1001, 2000, 2001):
+        v = snapshot_batch_version(path, b)
+        assert v is not None
+        versions.add(v)
+        # replay is a no-op at the original version
+        assert (
+            snapshot_append(
+                spark,
+                spark.range(5).withColumnRenamed("id", "k"),
+                path,
+                batch_id=b,
+            )
+            == v
+        )
+    assert versions == {1, 2, 3, 4, 5, 6}
+    assert snapshot_read(spark, path).count() == 600
