@@ -77,6 +77,13 @@ _REVERIFY_NOW: dict[str, int] = {
     "scale_snapshot_merge_mor": 18,
     "stream_snapshot_wap": 18,
     "scale_snapshot_bucket_layout": 18,
+    # Round 18 LATE addition: every commit now stamps the bounded
+    # recent_batches map (the O(1) exactly-once lookup, D149) — the
+    # batch-stamped ingest path and the manifest-grammar reader are
+    # the two entries most directly on the new grammar. Both green in
+    # this session's final full-registry verify.
+    "stream_snapshot_ingest": 18,
+    "scale_snapshot_history": 18,
 }
 
 
