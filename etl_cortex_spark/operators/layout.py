@@ -3078,6 +3078,31 @@ def _read_cursor(state_path: str, path: str, op: str) -> int:
     return int(state["version"])
 
 
+def snapshot_tail_seed(path: str, state_path: str, version: int) -> None:
+    """Pre-position a tail consumer's cursor AT ``version`` without
+    reading anything — the escape hatch both tail sources' refusal
+    messages point at: seed a consumer at a compacted version (whose
+    read you materialized some other way, or chose to skip), then
+    pull only what lands after it. Validates the version exists so a
+    typo can't silently skip history; writes the same table-scoped
+    cursor file `ack` writes (atomic tmp+rename)."""
+    import json
+    import os
+
+    target = os.path.join(path, f"v{version}.manifest.json")
+    if not os.path.exists(target):
+        raise ValueError(
+            f"snapshot_tail_seed: version {version} does not exist at "
+            f"{path}"
+        )
+    tmp = f"{state_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"version": int(version), "table": os.path.abspath(path)}, f
+        )
+    os.replace(tmp, state_path)
+
+
 def snapshot_tail(spark, path: str, state_path: str,
                   merge_schema: bool = False,
                   max_files: int | None = None):

@@ -3422,3 +3422,42 @@ def test_recent_batches_map_under_racing_batch_writers(spark, tmp_path):
         )
     assert versions == {1, 2, 3, 4, 5, 6}
     assert snapshot_read(spark, path).count() == 600
+
+
+def test_snapshot_tail_seed_skips_pending_mor_head(spark, tmp_path):
+    """`snapshot_tail_seed` is the escape hatch the pending-MOR seed
+    refusal points at: position the cursor at the compacted version
+    and tail only what lands after it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_mor,
+        snapshot_tail,
+        snapshot_tail_seed,
+    )
+
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cursor.json")
+    snapshot_append(
+        spark, spark.range(0, 30).withColumnRenamed("id", "k"), path
+    )
+    snapshot_delete_mor(spark, path, F.col("k") < 10, "k")
+    # fresh seed refuses over the pending delete ...
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        snapshot_tail(spark, path, state)
+    # ... compact, seed AT the compacted version, tail the rest
+    v = snapshot_compact(spark, path)
+    snapshot_tail_seed(path, state, v)
+    snapshot_append(
+        spark, spark.range(30, 45).withColumnRenamed("id", "k"), path
+    )
+    df, lo, hi, ack = snapshot_tail(spark, path, state)
+    assert (lo, hi) == (v, v + 1)
+    assert sorted(r.k for r in df.collect()) == list(range(30, 45))
+    ack()
+    # a bad seed version refuses loudly
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_tail_seed(path, state, 99)
