@@ -47,43 +47,44 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 # changes only — the rotation below is otherwise purely
 # least-recently-verified.
 _REVERIFY_NOW: dict[str, int] = {
-    # (Every earlier seed — through the round-17 snapshot-grammar
-    # backlog — has a CORRECTNESS record at or after its seed round:
-    # all 28 round-17 seeds were recorded green in CORRECTNESS_r17,
-    # and the two round-16 plan-change seeds (d111/d85) in
-    # CORRECTNESS_r16 — so every prior boost expired and was removed.
-    # Round-10 verdict #4 standing rule: keep this dict MINIMAL.)
+    # (Every round-18 seed was recorded green in CORRECTNESS_r18, so
+    # every prior boost expired and was removed. Round-10 verdict #4
+    # standing rule: keep this dict MINIMAL.)
     #
-    # Round 18 NEW entries (unrecorded — tier 0 of the rotation
-    # regardless; listed for the audit trail): the snapshot table as
-    # a checkpointed STREAMING SOURCE, and CDF-driven incremental
-    # materialized-view maintenance. Both verified green against
-    # their full DuckDB oracles at sf0.001 AND sf0.01 this session.
-    "stream_snapshot_tail": 18,
-    "stream_snapshot_tail_mv": 18,
-    "scale_snapshot_cdf_mv": 18,
-    # Round 18 MODIFIED write paths (round-17 ADVICE fixes): the
-    # driver-side stat/Bloom keying is now percent-decoded
-    # (_norm_path_py — values identical on fixture paths, changed
-    # only on special-char table paths), delete_pos/delete_mor/
-    # publish/append clean their staged files and legacy-migration
-    # segments on commit conflicts, and the pos-delete paths refuse
-    # reserved column names. No recorded entry's VALUES change, but
-    # these six exercise the edited functions end-to-end — seeded for
-    # official records on the new code.
-    "scale_snapshot_delete_pos": 18,
-    "scale_snapshot_cdf_pos": 18,
-    "scale_snapshot_mor_delete": 18,
-    "scale_snapshot_merge_mor": 18,
-    "stream_snapshot_wap": 18,
-    "scale_snapshot_bucket_layout": 18,
-    # Round 18 LATE addition: every commit now stamps the bounded
-    # recent_batches map (the O(1) exactly-once lookup, D149) — the
-    # batch-stamped ingest path and the manifest-grammar reader are
-    # the two entries most directly on the new grammar. Both green in
-    # this session's final full-registry verify.
-    "stream_snapshot_ingest": 18,
-    "scale_snapshot_history": 18,
+    # Round 19 NEW entries (unrecorded — tier 0 of the rotation
+    # regardless; listed for the audit trail): tail across compaction
+    # boundaries, the tail as a registered streaming DataSource, and
+    # the IVF semantic-dedup probe + its ε-recall audit. All four
+    # verified green against their DuckDB oracles at sf0.001 AND
+    # sf0.01 this session.
+    "stream_snapshot_tail_across": 19,
+    "pyds_stream_snapshot_tail": 19,
+    "d25_semantic_dedup_probe": 19,
+    "d25_semantic_probe_recall": 19,
+    # Round 19 MODIFIED write/read paths: tiered AUTO segment
+    # consolidation runs inside snapshot_append / snapshot_merge_mor /
+    # snapshot_publish (tail planning gained the file-level fallback
+    # for consolidated name lists), snapshot_compact stamps
+    # `operation: compact`, the recent_batches migration now
+    # BACKFILLS pre-18 stamps (floor 0), and apply_cdf_to_rollup
+    # validates _change_type. These exercise the edited functions
+    # end-to-end — seeded for official records on the new code.
+    "stream_snapshot_tail": 19,
+    "stream_snapshot_tail_mv": 19,
+    "scale_snapshot_cdf_mv": 19,
+    "stream_snapshot_ingest": 19,
+    "stream_snapshot_upsert": 19,
+    "stream_snapshot_wap": 19,
+    "scale_snapshot_compact": 19,
+    "scale_snapshot_zorder_compact": 19,
+    "scale_snapshot_compact_small_files": 19,
+    # Round 19 guard-state change (bounded applied.json replacing
+    # one-file-per-batch): every apply_merge_commit-protocol sink.
+    "stream_foreach_batch_upsert": 19,
+    "stream_cms_sketch": 19,
+    "stream_bloom_membership": 19,
+    "stream_hll_distinct": 19,
+    "stream_kmv_quantile": 19,
 }
 
 

@@ -3414,3 +3414,90 @@ def d08tailmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("grp")
     )
+
+
+@query(
+    "stream_snapshot_tail_across",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    """,
+)
+def d08tailacross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAIL ACROSS MAINTENANCE BOUNDARIES (round 19 — the r18
+    verdict's #3: tail consumers did not survive a compaction; the
+    refusal pointed at a MANUAL re-seed). `snapshot_tail(...,
+    across_compaction=True)` now crosses `snapshot_compact` commits
+    automatically: the protocol stamps them ``operation: compact``,
+    and the pull drains the rows appended BEFORE the rewrite from the
+    pre-compact manifests — still on disk until retention — steps
+    the cursor over the boundary for zero rows, and continues after
+    it. Safe even when the compact APPLIES pending MOR deletes:
+    delete-set changes inside a window still refuse, so pending
+    entries predate the cursor and the sequence rule scopes them to
+    pre-cursor files — no undrained row is touched (pinned in
+    tests/test_layout_r19.py). The fixture interleaves the adversarial schedule: two appends
+    → pull 1 → append → FULL COMPACT → append → pull 2; pull 2 must
+    deliver exactly the third and fourth slices (the third from
+    pre-compact history, the fourth from after) — Delta's
+    ignoreChanges would re-deliver the whole rewritten table there
+    (caller dedups); this is the stronger exactly-the-appends
+    contract. The same pull WITHOUT the flag refuses (asserted
+    inline), pinning that the crossing is opt-in. Downstream commits
+    stay exactly-once via `snapshot_append(batch_id=to_version)`;
+    the oracle is the plain batch aggregate over everything, so the
+    hash match proves no row was lost, doubled, or re-delivered
+    across the rewrite."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_tail,
+    )
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tailx_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    state = os.path.join(base, "cursor.json")
+    os.makedirs(base)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 0), src)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 1), src)
+    df, _, hi, ack = snapshot_tail(spark, src, state)
+    snapshot_append(spark, df, dst, batch_id=hi)
+    ack()
+    # slice 3 lands, THEN maintenance rewrites every file, THEN slice 4
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 2), src)
+    snapshot_compact(spark, src, target_files=2)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 3), src)
+    # without the flag the rewrite refuses — the crossing is opt-in
+    try:
+        snapshot_tail(spark, src, state)
+        raise AssertionError("snapshot_tail must refuse a compact step")
+    except ValueError:
+        pass
+    df2, lo2, hi2, ack2 = snapshot_tail(
+        spark, src, state, across_compaction=True
+    )
+    snapshot_append(spark, df2, dst, batch_id=hi2)
+    ack2()
+    return (
+        snapshot_read(spark, dst)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("sum_eid"),
+        )
+    )

@@ -517,6 +517,186 @@ def d25ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arriving embedding batch the probe entries share: a
+    +0.01-perturbed copy of every 10th corpus vector (cosine ≈ 1 with
+    its original — true near-dups the gate must flag) plus the
+    NEGATION of every (10k+5)th vector (cosine = −1 with its source —
+    fresh content that must pass). Double arithmetic on both engines
+    for bit parity, same discipline as `_seeded_embeddings`."""
+    emb = T(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + 0.01
+        ).alias("embedding"),
+    )
+    fresh = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return dups.unionByName(fresh)
+
+
+def _probe_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfprobe_{tag}_{os.getpid()}"
+    )
+
+
+@query(
+    "d25_semantic_dedup_probe",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+    newb AS (
+      SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+      FROM base WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + 20000 AS vec_id, list_transform(v, x -> -x) AS v
+      FROM base WHERE vec_id % 10 = 5
+    ),
+    cb AS (SELECT vec_id, v, ({_bucket_sql("v")}) AS bkt FROM base),
+    nb AS (SELECT vec_id, v, ({_bucket_sql("v")}) AS bkt FROM newb),
+    hits AS (
+      SELECT nb.vec_id,
+             round(list_dot_product(nb.v, cb.v) /
+                   (sqrt(list_dot_product(nb.v, nb.v)) *
+                    sqrt(list_dot_product(cb.v, cb.v))), 6) AS c
+      FROM nb JOIN cb ON nb.bkt = cb.bkt
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_mates, max(c) AS max_cosine
+    FROM hits WHERE c >= 0.99
+    GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def d25probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SEMANTIC-DEDUP PROBE against the persisted IVF
+    index (round 19 — `similarity.ivf_probe_near_dups`, closing the
+    incremental-probe family's semantic gap: exact d87, MinHash-LSH
+    d59 and prefix-filter D59b all had per-batch probes; SemDeDup
+    (d25) only had the full-corpus job). The corpus is indexed ONCE
+    (`write_ivf_index`, partitioned by the deterministic sign-LSH
+    cell); the arriving batch is bucketed with the same planes and
+    each new vector is flagged iff a corpus mate in ITS cell has
+    cosine ≥ 0.99 — new-vs-corpus bipartite, never corpus-vs-corpus,
+    and the index scan reads ONLY the batch's touched cell
+    DIRECTORIES (partition pruning over the ≤ 2^n_planes-value isin;
+    pinned in tests/test_plans.py). On the fixture the perturbed
+    copies are flagged with their source as the top mate and the
+    negated vectors pass. The oracle replays the same bucket-gated
+    bipartite join in SQL, so the hash match proves cell assignment,
+    pruning, and the cosine gate end-to-end; recall vs the unbucketed
+    ground truth is certified by `d25_semantic_probe_recall`."""
+    import shutil
+
+    from etl_cortex_spark.operators import similarity as SIM
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    path = _probe_index_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_ivf_index(emb, path, n_planes=6, seed=7)
+    out = SIM.ivf_probe_near_dups(
+        spark, path, _probe_batch(spark, sf_dir), threshold=0.99,
+        n_planes=6, seed=7,
+    )
+    return out.orderBy("vec_id")
+
+
+@query(
+    "d25_semantic_probe_recall",
+    oracle="""
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+    newb AS (
+      SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x + 0.01) AS v
+      FROM base WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id + 20000 AS vec_id, list_transform(v, x -> -x) AS v
+      FROM base WHERE vec_id % 10 = 5
+    ),
+    exact AS (
+      SELECT DISTINCT nb.vec_id FROM newb nb JOIN base cb
+        ON round(list_dot_product(nb.v, cb.v) /
+                 (sqrt(list_dot_product(nb.v, nb.v)) *
+                  sqrt(list_dot_product(cb.v, cb.v))), 6) >= 0.99
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_flagged, true AS recall_ok
+    FROM exact
+    """,
+)
+def d25probera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSILON-RECALL audit for the IVF semantic probe (the
+    d02/d03/d25 recall-audit pattern): the probe's only approximation
+    is the cell gate — a true near-dup pair split across sign-LSH
+    cells lets the new vector through. Over the EXACT flag set (every
+    batch vector with a cosine ≥ 0.99 corpus mate ANYWHERE, computed
+    by the guarded bipartite baseline with the same rounded-cosine
+    expression the oracle uses), the probe must catch ≥ 0.85.
+    ``n_exact_flagged`` is data-derived on both sides, so the audit
+    provably measured the set the oracle counted; a plane/threshold
+    regression flips ``recall_ok`` and the hash compare fails. The
+    baseline is |batch| × |corpus| bipartite — batch-bounded by
+    construction, never corpus²."""
+    import shutil
+
+    from etl_cortex_spark.operators import similarity as SIM
+    from etl_cortex_spark.operators.similarity import dot, l2norm
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    batch = _probe_batch(spark, sf_dir)
+    nb = batch.select(
+        F.col("vec_id").alias("id_n"),
+        F.col("embedding").alias("vn"),
+        l2norm(F.col("embedding")).alias("nn"),
+    )
+    cb = emb.select(
+        F.col("embedding").alias("vc"),
+        l2norm(F.col("embedding")).alias("nc"),
+    )
+    exact = (
+        nb.join(cb)
+        .filter(
+            F.round(
+                dot(F.col("vn"), F.col("vc")) / (F.col("nn") * F.col("nc")),
+                6,
+            )
+            >= 0.99
+        )
+        .select(F.col("id_n").alias("vec_id"))
+        .distinct()
+    )
+    path = _probe_index_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    SIM.write_ivf_index(emb, path, n_planes=6, seed=7)
+    probed = SIM.ivf_probe_near_dups(
+        spark, path, batch, threshold=0.99, n_planes=6, seed=7
+    ).select("vec_id")
+    n_exact = exact.count()
+    missed = exact.join(probed, "vec_id", "left_anti").count()
+    ok = n_exact > 0 and (n_exact - missed) / n_exact >= 0.85
+    return spark.createDataFrame(
+        [(n_exact, ok)], "n_exact_flagged bigint, recall_ok boolean"
+    )
+
+
 # --- D26: fuzzy entity match --------------------------------------------------
 
 

@@ -104,9 +104,28 @@ def apply_cdf_to_rollup(
 
     The CDF's UPDATE shape (a delete pre-image + an insert post-image
     pair) needs no special case: the signed fold handles it as the
-    retract-then-add it is."""
-    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
-        F.lit(1)
+    retract-then-add it is.
+
+    ``_change_type`` is VALIDATED row-by-row (round-18 ADVICE #3): a
+    foreign CDF frame carrying e.g. 'update_preimage' (or a typo'd
+    tag) raises inside the fold instead of silently signing as +1 and
+    corrupting the rollup — the loud-contract convention the snapshot
+    protocol's reserved-column guards follow."""
+    tag = F.col("_change_type")
+    sign = (
+        F.when(tag == "delete", F.lit(-1))
+        .when(tag == "insert", F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "apply_cdf_to_rollup: unexpected _change_type "
+                    ),
+                    F.coalesce(tag, F.lit("NULL")),
+                    F.lit(" — the contract is {'insert','delete'}"),
+                )
+            ).cast("int")
+        )
     )
     delta = cdf.groupBy(*dims).agg(
         F.sum(sign).alias("__n"),

@@ -345,3 +345,187 @@ def make_snapshot_changes_stream_source():
 
 def register_snapshot_stream(spark) -> None:
     spark.dataSource.register(make_snapshot_changes_stream_source())
+
+
+def make_snapshot_tail_stream_source():
+    """`layout.snapshot_tail`'s cursor + rate-limit contract as a
+    Spark streaming DataSource (round 19 — the r18 verdict's #4):
+    ``spark.readStream.format("snapshot_tail_stream")`` with offsets
+    that ARE snapshot versions, so the engine's checkpoint replaces
+    the tail's cursor file, and an optional ``max_files`` option that
+    cuts each micro-batch at the last version fitting the file budget
+    (Delta's maxFilesPerTrigger) — the backlog drains across
+    micro-batches/restarts, each offset a consistent version
+    boundary. Every step is validated append-only at the FILE level
+    (subset test + unchanged delete sets), which also tolerates the
+    round-19 tiered segment consolidation — a consolidation commit
+    rewrites segment NAMES, never drops a file. ``readBetweenOffsets``
+    replays any committed window deterministically from the immutable
+    manifests; exactly-once downstream composes with
+    ``snapshot_append(batch_id=<engine batch id>)`` in foreachBatch,
+    the same ledger the sinks use.
+
+    Self-contained on purpose (no etl_cortex_spark imports): Python
+    DataSource planner code runs in its own worker process that
+    inherits neither sys.path nor addPyFile — the round-15 lesson.
+    Driver-side materialization via the Simple reader is right for
+    rate-limited control-plane batches; a partition-parallel
+    DataSourceStreamReader is the same walk fanned out."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def latest_version(path):
+        import glob
+        import os
+
+        versions = [
+            int(os.path.basename(m).split(".")[0][1:])
+            for m in glob.glob(os.path.join(path, "v*.manifest.json"))
+        ]
+        return max(versions) if versions else 0
+
+    def load_files(path, v):
+        import json
+        import os
+
+        target = os.path.join(path, f"v{v}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot tail stream: version {v} missing at {path} "
+                "(expired past the checkpoint? re-seed the stream)"
+            )
+        with open(target) as f:
+            raw = json.load(f)
+        if "segments" not in raw:
+            return raw.get("files") or [], raw
+        files = []
+        for name in raw["segments"]:
+            with open(os.path.join(path, name)) as f:
+                files += json.load(f)["files"]
+        return files, raw
+
+    def step_added(path, v_prev, prev_files, prev_raw, v):
+        """Added files of one step, validated append-only: the file
+        set may only grow and the MOR delete sets may not change —
+        a consolidation step passes (names rewritten, files kept),
+        a COW rewrite/compact/rollback raises."""
+        cur_files, cur_raw = load_files(path, v)
+        prev_set = set(prev_files)
+        if (
+            not prev_set <= set(cur_files)
+            or (cur_raw.get("deletes") or []) != (prev_raw.get("deletes") or [])
+            or (cur_raw.get("pos_deletes") or [])
+            != (prev_raw.get("pos_deletes") or [])
+        ):
+            raise ValueError(
+                f"snapshot tail stream: version {v} is not a pure "
+                "append (rewrite or merge-on-read delete) — re-seed "
+                "the stream or use the CDF source"
+            )
+        added = [f for f in cur_files if f not in prev_set]
+        return added, cur_files, cur_raw
+
+    def window_plan(path, v_from, v_to, max_files):
+        """(cut_version, added_files_in_commit_order) for the pull
+        window, honoring the file budget at version boundaries; a
+        single over-budget commit still drains whole."""
+        if v_from:
+            prev_files, prev_raw = load_files(path, v_from)
+        else:
+            prev_files, prev_raw = [], {}
+        out, taken, cut = [], 0, v_from
+        for v in range(v_from + 1, v_to + 1):
+            added, prev_files, prev_raw = step_added(
+                path, v - 1, prev_files, prev_raw, v
+            )
+            if max_files and cut > v_from and taken + len(added) > max_files:
+                break
+            out += added
+            taken += len(added)
+            cut = v
+            if max_files and taken >= max_files:
+                break
+        return cut, out
+
+    def rows_of(files, cols):
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in files:
+            for rec in pq.read_table(f).to_pylist():
+                out.append(tuple(rec.get(c) for c in cols))
+        return out
+
+    class SnapshotTailStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options, cols):
+            self.path = options["path"]
+            self.start_version = int(options.get("start_version", 0))
+            self.max_files = int(options.get("max_files", 0))
+            self.cols = cols
+
+        def initialOffset(self):
+            return {"version": self.start_version}
+
+        def read(self, start):
+            v0 = start["version"]
+            head = latest_version(self.path)
+            if head <= v0:
+                return iter([]), {"version": v0}
+            cut, files = window_plan(self.path, v0, head, self.max_files)
+            return iter(rows_of(files, self.cols)), {"version": cut}
+
+        def readBetweenOffsets(self, start, end):
+            _, files = window_plan(
+                self.path, start["version"], end["version"], 0
+            )
+            return iter(rows_of(files, self.cols))
+
+        def commit(self, end):
+            pass
+
+    class SnapshotTailStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "snapshot_tail_stream"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+
+            head = latest_version(self.options["path"])
+            if not head:
+                raise ValueError("snapshot tail stream: empty table")
+            files, _ = load_files(self.options["path"], head)
+            if not files:
+                raise ValueError(
+                    "snapshot tail stream: head references no data files"
+                )
+            sch = pq.read_schema(files[-1])
+            m = {
+                "int64": "bigint", "int32": "int", "double": "double",
+                "float": "float", "string": "string",
+                "large_string": "string", "bool": "boolean",
+            }
+            parts = []
+            for field in sch:
+                t = m.get(str(field.type))
+                if t is None:
+                    raise ValueError(
+                        f"snapshot tail stream: unmapped column type "
+                        f"{field.type}"
+                    )
+                parts.append(f"{field.name} {t}")
+            return ", ".join(parts)
+
+        def simpleStreamReader(self, schema):
+            if schema is not None:
+                cols = [f.name for f in schema.fields]
+            else:
+                cols = [
+                    p.strip().split(" ")[0] for p in self.schema().split(",")
+                ]
+            return SnapshotTailStreamReader(self.options, cols)
+
+    return SnapshotTailStreamSource
+
+
+def register_snapshot_tail_stream(spark) -> None:
+    spark.dataSource.register(make_snapshot_tail_stream_source())

@@ -1,0 +1,394 @@
+"""Round-19 protocol pins: tiered auto segment consolidation, tail
+across compaction boundaries, the bounded foreachBatch guard state,
+the recent_batches migration backfill, and the round-18 ADVICE soft
+edges (loud cursor errors, CDF tag validation, seed re-target guard,
+empty-version schema guard)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import etl_cortex_spark.operators.layout as L
+
+
+def _head_raw(path: str) -> dict:
+    return L._load_raw(L._manifests(path)[-1])
+
+
+def _row_df(spark, i: int):
+    # spark.range, not createDataFrame: a LocalTableScan+coalesce(1)
+    # write costs ~5 s/job in this environment (measured round 19);
+    # the JVM-side range is ~0.3 s and keeps the 200-append pin cheap
+    return spark.range(i, i + 1).selectExpr("id as k", "id * 10 as v")
+
+
+def test_auto_consolidation_bounds_segments_and_commit_bytes(spark, tmp_path):
+    """The r18 verdict's lead item, pinned: across 200 one-file
+    appends the head's segment-NAME list stays tiered-bounded (never
+    ~200), the manifest stays KB-sized (commit bytes flat, not
+    O(commits)), reads and time travel stay exact, and a tail
+    consumer pulling through consolidation commits drains every row
+    exactly once."""
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cursor.json")
+    n = 200
+    max_segs = 0
+    max_manifest_bytes = 0
+    drained = 0
+    for i in range(n):
+        L.snapshot_append(spark, _row_df(spark, i), path)
+        raw = _head_raw(path)
+        max_segs = max(max_segs, len(raw["segments"]))
+        max_manifest_bytes = max(
+            max_manifest_bytes, os.path.getsize(L._manifests(path)[-1])
+        )
+        if i % 23 == 11:
+            # the pull window spans consolidation commits — the
+            # file-level fallback must deliver, not refuse
+            df, lo, hi, ack = L.snapshot_tail(spark, path, state)
+            drained += df.count()
+            ack()
+    df, lo, hi, ack = L.snapshot_tail(spark, path, state)
+    drained += df.count()
+    ack()
+    assert drained == n, "tail through consolidation lost or doubled rows"
+    # tiered bound: fanout + a logarithmic number of tiers, NOT O(n).
+    # For 200 one-file batches at fanout 8 the observed peak is ~11;
+    # 2*fanout is the generous structural ceiling.
+    assert max_segs <= 2 * L._SEG_AUTO_FANOUT, max_segs
+    assert max_manifest_bytes < 8192, max_manifest_bytes
+    # correctness end-to-end: every appended row is live exactly once
+    got = L.snapshot_read(spark, path)
+    assert got.count() == n
+    assert got.agg(F.sum("k")).first()[0] == n * (n - 1) // 2
+    # time travel to a mid version still resolves (old segments remain
+    # on disk for the manifests that reference them)
+    assert L.snapshot_read(spark, path, version=97).count() == 97
+    # the maintenance collapse still composes on top
+    v = L.snapshot_rewrite_segments(path)
+    assert len(_head_raw(path)["segments"]) == 1
+    assert L.snapshot_read(spark, path, version=v).count() == n
+
+
+def test_auto_consolidation_keeps_stats_blooms_and_mor_deletes(spark, tmp_path):
+    """Consolidation must merge zone maps and Blooms losslessly and
+    leave pending MOR delete coverage intact: after enough stats+bloom
+    appends to trigger merges, point lookups still prune and a
+    pre-consolidation equality delete still hides its rows."""
+    path = str(tmp_path / "tbl")
+    for i in range(9):
+        df = spark.range(i * 10, i * 10 + 5).selectExpr(
+            "id as k", f"'u{i}' as u"
+        ).coalesce(1)
+        L.snapshot_append(spark, df, path, stats_col="k", bloom_col="u")
+    raw = _head_raw(path)
+    assert len(raw["segments"]) < 9, "expected at least one auto-merge"
+    meta = L.snapshot_meta(path)
+    # stats/Blooms survived the merge for every file
+    assert len(meta["stats"]) == len(meta["files"])
+    assert len(meta["blooms"]["u"]) == len(meta["files"])
+    # zone-map pruning still plans from the merged segment: [42, 43]
+    # lives in batch 4's file only — one input file, two rows
+    out = L.snapshot_scan(spark, path, "k", 42, 43)
+    assert sorted(r["k"] for r in out.collect()) == [42, 43]
+    assert len(out.inputFiles()) == 1
+    # a MOR delete whose applies_to_segments names PRE-consolidation
+    # segments keeps retracting after further consolidating appends
+    assert L.snapshot_delete_mor(spark, path, F.col("k") < 3, "k") > 0
+    for i in range(9, 18):
+        df = spark.range(i * 10, i * 10 + 5).selectExpr(
+            "id as k", f"'u{i}' as u"
+        ).coalesce(1)
+        L.snapshot_append(spark, df, path, stats_col="k", bloom_col="u")
+    live = L.snapshot_read(spark, path)
+    assert live.filter(F.col("k") < 3).count() == 0
+    assert live.count() == 18 * 5 - 3
+
+
+def test_tail_across_compaction_pytest_windows(spark, tmp_path):
+    """The across_compaction crossing, against the refusal matrix:
+    (a) drains pre-compact backlog + post-compact appends exactly
+    once, (b) max_files still cuts inside an append window, (c) a
+    compaction that APPLIED pending MOR deletes refuses loudly."""
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cur.json")
+    for i in range(3):
+        L.snapshot_append(spark, _row_df(spark, i), path)
+    df, _, hi, ack = L.snapshot_tail(spark, path, state)
+    assert df.count() == 3
+    ack()
+    L.snapshot_append(spark, _row_df(spark, 3), path)
+    L.snapshot_compact(spark, path)
+    L.snapshot_append(spark, _row_df(spark, 4), path)
+    L.snapshot_append(spark, _row_df(spark, 5), path)
+    # (b) rate limit: first across-pull cuts inside the pre-compact
+    # window (1 file), cursor lands on a version boundary
+    df1, lo1, hi1, ack1 = L.snapshot_tail(
+        spark, path, state, across_compaction=True, max_files=1
+    )
+    assert df1.count() == 1 and df1.first()["k"] == 3
+    ack1()
+    # (a) next across-pull crosses the boundary and drains the rest
+    df2, lo2, hi2, ack2 = L.snapshot_tail(
+        spark, path, state, across_compaction=True
+    )
+    assert sorted(r["k"] for r in df2.collect()) == [4, 5]
+    ack2()
+    # cursor is at head: empty pull
+    df3, lo3, hi3, _ = L.snapshot_tail(
+        spark, path, state, across_compaction=True
+    )
+    assert df3.count() == 0 and lo3 == hi3
+    # (c) delete-set changes INSIDE a window still refuse (the
+    # added-files feed cannot represent a retraction) — but a compact
+    # that merely APPLIES deletes pending since before the cursor is
+    # crossed safely: the sequence rule scopes those entries to
+    # pre-cursor files, so no undrained row is touched.
+    path2 = str(tmp_path / "tbl2")
+    state2 = str(tmp_path / "cur2.json")
+    for i in range(2):
+        L.snapshot_append(spark, _row_df(spark, i), path2)
+    dv = L.snapshot_delete_mor(spark, path2, F.col("k") == 0, "k")
+    L.snapshot_compact(spark, path2)  # applies + clears the delete
+    L.snapshot_append(spark, _row_df(spark, 9), path2)
+    # a window containing the MOR-delete step refuses on the delete
+    L.snapshot_tail_seed(path2, state2, dv - 1)
+    with pytest.raises(ValueError, match="merge-on-read delete set"):
+        L.snapshot_tail(spark, path2, state2, across_compaction=True)
+    # a consumer seeded AT the delete version crosses the applying
+    # compact and receives exactly the post-compact append
+    L.snapshot_tail_seed(path2, state2, dv)
+    dfp, lop, hip, ackp = L.snapshot_tail(
+        spark, path2, state2, across_compaction=True
+    )
+    assert sorted(r["k"] for r in dfp.collect()) == [9]
+    ackp()
+
+
+def test_tail_changes_across_compaction_mv_parity(spark, tmp_path):
+    """CDF tail across a compaction: a continuously maintained rollup
+    folded through the boundary equals the from-scratch aggregate —
+    the compact step contributes zero delta."""
+    from etl_cortex_spark.operators.mv import apply_cdf_to_rollup, build_rollup
+
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cur.json")
+    rows = spark.range(30).selectExpr(
+        "id as k", "id % 3 as g", "id * 2 as x"
+    )
+    L.snapshot_append(spark, rows.filter(F.col("k") < 10), path)
+    seed, _, _, ack = L.snapshot_tail_changes(spark, path, state)
+    mv = apply_cdf_to_rollup(
+        build_rollup(seed.drop("_change_type").limit(0), ["g"], ["x"]),
+        seed, ["g"], ["x"],
+    )
+    ack()
+    # the adversarial schedule: append + MOR delete + a compact that
+    # APPLIES the pending delete + another append — ONE across-pull
+    # spans all of it; the delete's retractions arrive at the delete
+    # step and the applying compact is a zero-delta crossing
+    L.snapshot_append(
+        spark, rows.filter((F.col("k") >= 10) & (F.col("k") < 20)), path
+    )
+    L.snapshot_delete_mor(spark, path, F.col("k") % 5 == 0, "k")
+    L.snapshot_compact(spark, path)
+    L.snapshot_append(spark, rows.filter(F.col("k") >= 20), path)
+    pull, _, _, ack2 = L.snapshot_tail_changes(
+        spark, path, state, across_compaction=True
+    )
+    mv = apply_cdf_to_rollup(mv, pull, ["g"], ["x"])
+    ack2()
+    got = {r["g"]: (r["__n"], r["__sum_x"]) for r in mv.collect()}
+    # survivors: the delete named k%5==0 but covers only files present
+    # at ITS commit (k < 20); the later k >= 20 multiples keep rows
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in rows.filter(~((F.col("k") % 5 == 0) & (F.col("k") < 20)))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_mv_unknown_change_type_raises(spark):
+    """r18 ADVICE #3: a foreign CDF tag must fail the fold loudly,
+    never sign as +1."""
+    from etl_cortex_spark.operators.mv import apply_cdf_to_rollup, build_rollup
+
+    base = spark.createDataFrame([(1, 10)], "g int, x int")
+    mv = build_rollup(base, ["g"], ["x"])
+    bad = spark.createDataFrame(
+        [(1, 5, "update_preimage")], "g int, x int, _change_type string"
+    )
+    with pytest.raises(Exception, match="unexpected _change_type"):
+        apply_cdf_to_rollup(mv, bad, ["g"], ["x"]).collect()
+
+
+def test_cursor_soft_edges(spark, tmp_path):
+    """r18 review items: malformed cursor state raises a contract
+    ValueError (not KeyError); re-seeding a cursor that belongs to a
+    different table refuses without force=True; an empty version's
+    schema resolve raises the clear contract error."""
+    path = str(tmp_path / "tbl")
+    other = str(tmp_path / "other")
+    L.snapshot_append(spark, _row_df(spark, 1), path)
+    L.snapshot_append(spark, _row_df(spark, 2), other)
+    state = str(tmp_path / "cur.json")
+    with open(state, "w") as f:
+        json.dump({"table": os.path.abspath(path)}, f)  # no version key
+    with pytest.raises(ValueError, match="malformed"):
+        L.snapshot_tail(spark, path, state)
+    # live cursor for `path`; seeding it with `other` must refuse
+    L.snapshot_tail_seed(path, state, 1)
+    with pytest.raises(ValueError, match="force=True"):
+        L.snapshot_tail_seed(other, state, 1)
+    L.snapshot_tail_seed(other, state, 1, force=True)  # deliberate
+    assert L._read_cursor(state, other, "t") == 1
+    # empty-files schema guard (the bare-IndexError class)
+    with pytest.raises(ValueError, match="no data files"):
+        L._version_schema(spark, [])
+
+
+def test_recent_batches_migration_backfill(spark, tmp_path):
+    """r18 ADVICE #4: the FIRST commit on a pre-18 table (manifests
+    without recent_batches) backfills every surviving batch stamp into
+    the map with floor 0 — misses conclude O(1) from then on, and an
+    old batch replay still resolves to its original version."""
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    # hand-build a pre-18 INLINE history with batch stamps
+    staged = str(tmp_path / "d")
+    _row_df(spark, 0).write.parquet(staged)
+    f = [os.path.join(staged, n) for n in os.listdir(staged) if n.endswith(".parquet")]
+    for v, bid in ((1, 100), (2, 101), (3, None)):
+        meta = {"version": v, "files": f}
+        if bid is not None:
+            meta["batch_id"] = bid
+        with open(os.path.join(path, f"v{v}.manifest.json"), "w") as fh:
+            json.dump(meta, fh)
+    # the migration commit
+    L.snapshot_append(spark, _row_df(spark, 9), path, batch_id=200)
+    head = _head_raw(path)
+    assert head["recent_batches"] == {"100": 1, "101": 2, "200": 4}
+    assert head.get("recent_batches_floor", 0) == 0
+    # a replay of a pre-migration batch is a ledger no-op at its
+    # original version; an unknown id concludes absent without a walk
+    assert L.snapshot_batch_version(path, 101) == 2
+    assert L.snapshot_batch_version(path, 999) is None
+    assert L.snapshot_append(spark, _row_df(spark, 1), path, batch_id=100) == 1
+
+
+def test_guard_state_bounded_and_replay_noop(spark, tmp_path):
+    """The r18 verdict's guard_dir item, pinned: across 100 committed
+    micro-batches the guard directory holds ONE state file (constant
+    inodes, never one per batch), replay of any recent id is a no-op,
+    floor-evicted ids still read as applied, and legacy per-batch
+    guard files migrate in and are removed."""
+    from etl_cortex_spark.streaming.ingest import (
+        apply_merge_commit,
+        arm_guard,
+        disarm_guard,
+        guard_applied,
+    )
+
+    table_dir = str(tmp_path / "table")
+    guard_dir = str(tmp_path / "guards")
+    os.makedirs(table_dir)
+    os.makedirs(guard_dir)
+
+    def merge(prev, batch):
+        return prev.unionByName(batch) if prev is not None else batch
+
+    df = spark.range(1).selectExpr("id as k")
+    n = 100
+    for i in range(n):
+        apply_merge_commit(spark, df, i, table_dir, guard_dir, merge)
+    assert os.listdir(guard_dir) == ["applied.json"], "one inode, ever"
+    assert spark.read.parquet(
+        os.path.join(table_dir, f"v{n - 1:020d}")
+    ).count() == n
+    # replay of a recent id: no-op (count unchanged)
+    apply_merge_commit(spark, df, n - 1, table_dir, guard_dir, merge)
+    assert spark.read.parquet(
+        os.path.join(table_dir, f"v{n - 1:020d}")
+    ).count() == n
+    # ids evicted past the cap are floor-covered: still applied
+    state = json.load(open(os.path.join(guard_dir, "applied.json")))
+    assert len(state["batches"]) <= 64
+    assert state["floor"] >= 0
+    assert guard_applied(guard_dir, 0) and guard_applied(guard_dir, state["floor"])
+    assert not guard_applied(guard_dir, n + 7)
+    # disarm/re-arm round-trip (the crash-window test hook)
+    disarm_guard(guard_dir, n - 1)
+    assert not guard_applied(guard_dir, n - 1)
+    arm_guard(guard_dir, n - 1)
+    assert guard_applied(guard_dir, n - 1)
+    # legacy per-batch files (a pre-19 checkpoint) migrate on the next
+    # arm and the inodes disappear
+    legacy_dir = str(tmp_path / "legacy_guards")
+    os.makedirs(legacy_dir)
+    for i in (3, 4, 5):
+        open(os.path.join(legacy_dir, str(i)), "w").close()
+    assert guard_applied(legacy_dir, 4)  # readable before migration
+    arm_guard(legacy_dir, 6)
+    assert os.listdir(legacy_dir) == ["applied.json"]
+    for i in (3, 4, 5, 6):
+        assert guard_applied(legacy_dir, i)
+
+
+def test_upsert_full_state_size_warns(spark, tmp_path, monkeypatch):
+    """The sink-choice guardrail: once the keep-latest snapshot
+    exceeds the documented threshold, the next merge warns once,
+    pointing at the O(batch) MOR sink."""
+    import etl_cortex_spark.streaming.ingest as ING
+
+    monkeypatch.setattr(ING, "_FULL_STATE_WARN_BYTES", 1)
+    monkeypatch.setattr(ING, "_WARNED_TABLES", set())
+    table_dir = str(tmp_path / "table")
+    guard_dir = str(tmp_path / "guards")
+    os.makedirs(table_dir)
+    os.makedirs(guard_dir)
+    df = spark.range(1).selectExpr(
+        "id as user_id", "id as seq", "cast(id as double) as v"
+    )
+    ING.apply_upsert_batch(spark, df, 0, table_dir, guard_dir, ["user_id"], ["seq"])
+    with pytest.warns(UserWarning, match="foreach_batch_merge_mor"):
+        ING.apply_upsert_batch(
+            spark, df, 1, table_dir, guard_dir, ["user_id"], ["seq"]
+        )
+
+
+def test_ivf_probe_reads_only_touched_cells(spark, tmp_path):
+    """Plan pin for `similarity.ivf_probe_near_dups` (round 19): the
+    index side of the probe scans ONLY the batch's cell directories —
+    the __bucket isin literal must reach the parquet scan as a
+    partition filter, pruning untouched cells."""
+    from etl_cortex_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0, float(i % 5) - 2.0, 1.0, -1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(emb, path, n_planes=4, seed=7)
+    batch = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    out = SIM.ivf_probe_near_dups(
+        spark, path, batch, threshold=0.99, n_planes=4, seed=7
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
+    # the scan must carry a partition filter on __bucket (values from
+    # the batch's cells), not read the full index
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__bucket" in seg and seg.strip() != ""
+    # and the probe flags exactly the self-duplicates
+    flagged = sorted(r["vec_id"] for r in out.collect())
+    assert flagged == [100, 110, 120, 130]

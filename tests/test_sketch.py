@@ -108,8 +108,12 @@ def test_streamed_sketch_equals_batch_build_and_replay_is_noop(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = foreach_batch_cms(stream, table_dir, ckpt, "k", width, depth)
     q.awaitTermination()
-    guards = os.listdir(os.path.join(ckpt, "applied_batches"))
-    assert len(guards) >= 2, "expected one commit per micro-batch"
+    from etl_cortex_spark.streaming.ingest import guard_applied
+
+    gdir = os.path.join(ckpt, "applied_batches")
+    assert guard_applied(gdir, 0) and guard_applied(gdir, 1), (
+        "expected one commit per micro-batch in the bounded guard state"
+    )
 
     streamed = {
         (r["i"], r["bucket"]): r["cnt"]
@@ -296,8 +300,12 @@ def test_streamed_bloom_equals_batch_build_and_replay_is_noop(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = foreach_batch_bloom(stream, table_dir, ckpt, "k")
     q.awaitTermination()
-    guards = os.listdir(os.path.join(ckpt, "applied_batches"))
-    assert len(guards) >= 2, "expected one commit per micro-batch"
+    from etl_cortex_spark.streaming.ingest import guard_applied
+
+    gdir = os.path.join(ckpt, "applied_batches")
+    assert guard_applied(gdir, 0) and guard_applied(gdir, 1), (
+        "expected one commit per micro-batch in the bounded guard state"
+    )
 
     streamed = read_upsert_table(spark, table_dir).collect()[0]
     batch = SK.bloom_build(a.unionByName(b), "k").collect()[0]
@@ -361,8 +369,12 @@ def test_streamed_hll_equals_batch_build_and_replay_is_noop(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = foreach_batch_hll(stream, table_dir, ckpt, "k", lg_k=12)
     q.awaitTermination()
-    guards = os.listdir(os.path.join(ckpt, "applied_batches"))
-    assert len(guards) >= 2, "expected one commit per micro-batch"
+    from etl_cortex_spark.streaming.ingest import guard_applied
+
+    gdir = os.path.join(ckpt, "applied_batches")
+    assert guard_applied(gdir, 0) and guard_applied(gdir, 1), (
+        "expected one commit per micro-batch in the bounded guard state"
+    )
 
     def est(df):
         return df.select(F.hll_sketch_estimate("sketch").alias("e")).first()["e"]

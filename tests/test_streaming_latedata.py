@@ -147,8 +147,15 @@ def test_foreach_batch_upsert_across_batches_and_replay(spark, tmp_path):
     # crash-replay: re-merging an already-applied batch id is a no-op
     import os
 
-    applied = sorted(os.listdir(os.path.join(ckpt, "applied_batches")))
-    assert len(applied) >= 2, "expected one guard per micro-batch"
+    from etl_cortex_spark.streaming.ingest import guard_applied
+
+    guard_dir = os.path.join(ckpt, "applied_batches")
+    assert guard_applied(guard_dir, 0) and guard_applied(guard_dir, 1), (
+        "both micro-batches must be recorded in the bounded guard state"
+    )
+    # round 19: the guard is ONE bounded state file, not one inode per
+    # batch — the directory must hold exactly applied.json
+    assert sorted(os.listdir(guard_dir)) == ["applied.json"]
 
     # re-run the whole bounded stream with the SAME checkpoint: every
     # batch id is already guarded, so the table must not change
@@ -177,6 +184,8 @@ def test_upsert_crash_windows_recover(spark, tmp_path):
     from etl_cortex_spark.streaming.ingest import (
         _resolve_current,
         apply_upsert_batch,
+        disarm_guard,
+        guard_applied,
         read_upsert_table,
     )
 
@@ -207,14 +216,14 @@ def test_upsert_crash_windows_recover(spark, tmp_path):
     assert os.path.isdir(os.path.join(table_dir, "v" + "0" * 20))
 
     # window A: guard lost after the flip — replay must be a no-op
-    os.remove(os.path.join(guard_dir, "1"))
+    disarm_guard(guard_dir, 1)
     apply_upsert_batch(spark, df1, 1, table_dir, guard_dir, ku, ko)
     assert table() == expected
-    assert os.path.exists(os.path.join(guard_dir, "1"))
+    assert guard_applied(guard_dir, 1)
 
     # window B: crash BEFORE the flip — pointer still names v0, the
     # v1 directory may exist half-written; replay re-merges and commits
-    os.remove(os.path.join(guard_dir, "1"))
+    disarm_guard(guard_dir, 1)
     with open(os.path.join(table_dir, "CURRENT"), "w") as f:
         f.write("v" + "0" * 20)
     apply_upsert_batch(spark, df1, 1, table_dir, guard_dir, ku, ko)
