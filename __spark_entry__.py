@@ -61,6 +61,10 @@ _REVERIFY_NOW: dict[str, int] = {
     "pyds_stream_snapshot_tail": 19,
     "d25_semantic_dedup_probe": 19,
     "d25_semantic_probe_recall": 19,
+    "scale_snapshot_cdf_rollback": 19,
+    # snapshot_changes_cdf gained the file-drop retraction branch — its
+    # direct oracle entry re-verifies the edited function end-to-end.
+    "scale_snapshot_changes_cdf": 19,
     # Round 19 MODIFIED write/read paths: tiered AUTO segment
     # consolidation runs inside snapshot_append / snapshot_merge_mor /
     # snapshot_publish (tail planning gained the file-level fallback

@@ -2896,3 +2896,86 @@ def scale_snapshot_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("grp")
     )
+
+
+@query(
+    "scale_snapshot_cdf_rollback",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    WHERE (event_id % 3) <> 1
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def scale_snapshot_cdf_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV SURVIVES A TABLE RESTORE (round 19 — the file-drop
+    retraction branch of `snapshot_changes_cdf`): a `snapshot_rollback`
+    of appends strictly SHRINKS the file set with nothing added and no
+    MOR entries in play, so its row-level delta IS the dropped files'
+    rows as ``_change_type='delete'`` — Delta's CDF errors on RESTORE
+    and forces a full MV rebuild; here the checkpointed consumer folds
+    the retraction incrementally and keeps going. Schedule: v1 seeds
+    the rollup, v2 appends a bad batch and is folded in, v3 ROLLS BACK
+    to v1 (one manifest write, zero data IO — the D115 contract), v4
+    appends the corrected batch; one `snapshot_tail_changes` pull
+    spans the rollback and the new append, and the maintained view
+    equals the from-scratch aggregate of what is actually live
+    (slices 1 and 3 — the oracle). Cost stays O(|changes| + |MV|):
+    the retraction reads exactly the files the rollback dropped
+    (still on disk until `snapshot_expire`), never the table. BIGINT
+    measures ⇒ exact partials ⇒ hash-exact parity."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_rollback,
+        snapshot_tail_changes,
+    )
+    from etl_cortex_spark.operators.mv import (
+        apply_cdf_to_rollup,
+        build_rollup,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 8).cast("bigint").alias("grp"),
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdfrb_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    path = os.path.join(base, "tbl")
+    state = os.path.join(base, "cursor.json")
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 0), path)
+    seed, _, _, ack = snapshot_tail_changes(spark, path, state)
+    mv = build_rollup(seed.drop("_change_type"), ["grp"], ["event_id"])
+    ack()
+    # the bad batch lands and the consumer folds it in (it cannot know)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 1), path)
+    pull, _, _, ack2 = snapshot_tail_changes(spark, path, state)
+    mv = apply_cdf_to_rollup(mv, pull, ["grp"], ["event_id"])
+    ack2()
+    # operator RESTOREs the table, then the corrected batch arrives;
+    # ONE pull delivers the rollback's retractions + the new inserts
+    snapshot_rollback(spark, path, to_version=1)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 2), path)
+    pull2, _, _, ack3 = snapshot_tail_changes(spark, path, state)
+    mv = apply_cdf_to_rollup(mv, pull2, ["grp"], ["event_id"])
+    ack3()
+    return (
+        mv.select(
+            F.col("grp"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col("__sum_event_id").cast("bigint").alias("sum_eid"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("grp")
+    )

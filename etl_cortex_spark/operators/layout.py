@@ -4121,9 +4121,15 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
       pre-image contract, reconstructed by semi-joining the previous
       live view's (path, row_index) tags against the new entries'
       position files;
-    - any rewriting commit (COW delete/merge/compact/rollback) still
-      raises loudly: a file-level feed cannot represent a rewrite
-      without content diffing, which is `cdc_diff`'s job.
+    - a pure FILE DROP (round 19 — the file set strictly shrank,
+      nothing added, no MOR entries on either side: a ROLLBACK of
+      appends, or a COW delete that consumed whole files) → the
+      dropped files' rows as ``_change_type='delete'`` — a downstream
+      MV survives a table RESTORE incrementally;
+    - any other rewriting commit (partial-file COW delete/merge,
+      compact, rollback past a rewrite) still raises loudly: a
+      file-level feed cannot represent it without content diffing,
+      which is `cdc_diff`'s job.
 
     This is what a downstream incremental consumer (index maintenance,
     aggregate view, training-data refresh) needs to stay correct under
@@ -4215,11 +4221,36 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
             and cur_pos == prev_pos
         ):
             pass  # metadata-only commit: nothing to deliver
+        elif (
+            cur_files < prev_files
+            and not prev.get("deletes")
+            and not cur.get("deletes")
+            and not prev.get("pos_deletes")
+            and not cur.get("pos_deletes")
+        ):
+            # FILE-DROP retraction (round 19): the file set strictly
+            # SHRANK with nothing added and no MOR entries on either
+            # side — a ROLLBACK of appends (`snapshot_rollback`), or a
+            # COW delete whose every affected file was fully consumed.
+            # The row-level delta IS the dropped files' rows as
+            # deletes (every dropped row was live — no delete entries
+            # exist to have hidden any), so a downstream MV survives a
+            # table RESTORE incrementally (Delta's CDF errors there).
+            # A rewrite that also ADDS files (partial-file COW, or a
+            # rollback past a delete/compact) still refuses below —
+            # that delta needs content diffing.
+            dropped = sorted(prev_files - cur_files)
+            parts.append(
+                spark.read.schema(schema)
+                .parquet(*dropped)
+                .withColumn("_change_type", F.lit("delete"))
+            )
         else:
             raise ValueError(
                 f"snapshot_changes_cdf: version {v} rewrites data files "
-                "(COW delete/merge/compact/rollback) — a file-level feed "
-                "cannot represent it; use cdc_diff for content diffs"
+                "(COW delete/merge/compact/rollback-past-a-rewrite) — a "
+                "file-level feed cannot represent it; use cdc_diff for "
+                "content diffs"
             )
         prev = cur
     if not parts:

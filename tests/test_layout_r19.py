@@ -392,3 +392,85 @@ def test_ivf_probe_reads_only_touched_cells(spark, tmp_path):
     # and the probe flags exactly the self-duplicates
     flagged = sorted(r["vec_id"] for r in out.collect())
     assert flagged == [100, 110, 120, 130]
+
+
+def test_cdf_file_drop_rollback_retraction(spark, tmp_path):
+    """Round-19 file-drop CDF branch: a rollback of appends delivers
+    the dropped files' rows as deletes (exactly once, alongside later
+    inserts); a rollback PAST a rewrite still refuses."""
+    path = str(tmp_path / "tbl")
+    L.snapshot_append(spark, spark.range(0, 5).selectExpr("id as k"), path)
+    L.snapshot_append(spark, spark.range(5, 8).selectExpr("id as k"), path)
+    L.snapshot_rollback(spark, path, to_version=1)          # v3
+    L.snapshot_append(spark, spark.range(8, 10).selectExpr("id as k"), path)
+    got = [
+        (r["k"], r["_change_type"])
+        for r in L.snapshot_changes_cdf(spark, path, 2, 4).collect()
+    ]
+    assert sorted(k for k, t in got if t == "delete") == [5, 6, 7]
+    assert sorted(k for k, t in got if t == "insert") == [8, 9]
+    assert len(got) == 5  # exactly-once
+    # rollback past a COMPACT rewrites the file set in both directions
+    # (drops the compacted file, restores originals) — refuses
+    L.snapshot_compact(spark, path)                          # v5
+    L.snapshot_rollback(spark, path, to_version=4)           # v6
+    with pytest.raises(ValueError, match="rewrites data files"):
+        L.snapshot_changes_cdf(spark, path, 4, 6).collect()
+
+
+def test_consolidation_migrates_pre19_segment_backlog(spark, tmp_path):
+    """A table that accumulated one segment per commit before the
+    auto-tiering existed (the pre-19 shape) collapses on its FIRST
+    post-upgrade growing commit: the greedy suffix swallows the whole
+    equal-sized backlog in one merge."""
+    path = str(tmp_path / "tbl")
+    orig = L._SEG_AUTO_FANOUT
+    L._SEG_AUTO_FANOUT = 10 ** 9  # build the legacy shape: no merging
+    try:
+        for i in range(30):
+            L.snapshot_append(spark, _row_df(spark, i), path)
+    finally:
+        L._SEG_AUTO_FANOUT = orig
+    assert len(_head_raw(path)["segments"]) == 30
+    L.snapshot_append(spark, _row_df(spark, 30), path)
+    assert len(_head_raw(path)["segments"]) == 1
+    got = L.snapshot_read(spark, path)
+    assert got.count() == 31
+    assert got.agg(F.sum("k")).first()[0] == 31 * 30 // 2
+
+
+def test_consolidation_lost_race_drops_merged_segment(spark, tmp_path, monkeypatch):
+    """No-orphan convention for the consolidation tier: an append that
+    writes a merged segment and then loses the commit race must not
+    strand it — the retry (or abandon) removes the never-referenced
+    file, and the winning retry's own merge is referenced."""
+    path = str(tmp_path / "tbl")
+    for i in range(L._SEG_AUTO_FANOUT - 1):
+        L.snapshot_append(spark, _row_df(spark, i), path)
+    # the next append triggers a merge; make its FIRST commit attempt
+    # lose a simulated race (a concurrent writer takes the version
+    # with ITS OWN state — a metadata-only commit carrying the head)
+    head_segments = list(_head_raw(path)["segments"])
+    real_commit = L._commit_manifest
+    state = {"failed": False}
+
+    def racy(path_, version, meta):
+        if not state["failed"]:
+            state["failed"] = True
+            real_commit(
+                path_, version, {"version": version, "segments": head_segments}
+            )
+            raise L.SnapshotCommitConflict("simulated lost race")
+        return real_commit(path_, version, meta)
+
+    monkeypatch.setattr(L, "_commit_manifest", racy)
+    L.snapshot_append(spark, _row_df(spark, 99), path)
+    # every segment file on disk is referenced by SOME manifest
+    # (no orphaned merge tiers), and the head resolves correctly
+    referenced = set()
+    for m in L._manifests(path):
+        referenced |= set(L._load_raw(m).get("segments") or [])
+    on_disk = {n for n in os.listdir(path) if n.startswith("seg-")}
+    assert on_disk <= referenced, on_disk - referenced
+    # fanout-1 seed appends + the racing one
+    assert L.snapshot_read(spark, path).count() == L._SEG_AUTO_FANOUT
