@@ -474,3 +474,22 @@ def test_consolidation_lost_race_drops_merged_segment(spark, tmp_path, monkeypat
     assert on_disk <= referenced, on_disk - referenced
     # fanout-1 seed appends + the racing one
     assert L.snapshot_read(spark, path).count() == L._SEG_AUTO_FANOUT
+
+
+def test_expire_sweeps_superseded_consolidation_tiers(spark, tmp_path):
+    """Auto-consolidation supersedes segments (older manifests still
+    reference them); once retention drops those manifests,
+    snapshot_expire must GC the dead tiers — consolidation garbage is
+    bounded by retention, not accumulated forever."""
+    path = str(tmp_path / "tbl")
+    for i in range(20):
+        L.snapshot_append(spark, _row_df(spark, i), path)
+    n_before = len([n for n in os.listdir(path) if n.startswith("seg-")])
+    L.snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0.0)
+    live = set(_head_raw(path)["segments"])
+    on_disk = {n for n in os.listdir(path) if n.startswith("seg-")}
+    assert on_disk == live, "dead consolidation tiers must be GC'd"
+    assert len(on_disk) < n_before
+    got = L.snapshot_read(spark, path)
+    assert got.count() == 20
+    assert got.agg(F.sum("k")).first()[0] == 20 * 19 // 2
