@@ -493,3 +493,39 @@ def test_expire_sweeps_superseded_consolidation_tiers(spark, tmp_path):
     got = L.snapshot_read(spark, path)
     assert got.count() == 20
     assert got.agg(F.sum("k")).first()[0] == 20 * 19 // 2
+
+
+def test_snapshot_tail_dist_reader_plans_one_partition_per_file(spark, tmp_path):
+    """The partition-parallel tail source's planner contract: one
+    InputPartition per file added in the offset window (the
+    executor-parallel scan unit), validated append-only; read() of a
+    partition yields exactly its file's rows."""
+    from etl_cortex_spark.sources.pyds import (
+        make_snapshot_tail_stream_dist_source,
+    )
+
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        L.snapshot_append(spark, _row_df(spark, i), path)
+    # instantiate the source directly (no engine): options + reader
+    cls = make_snapshot_tail_stream_dist_source()
+    inst = cls.__new__(cls)
+    inst.options = {"path": path}
+    reader = inst.streamReader(None)
+    assert reader.initialOffset() == {"version": 0}
+    head = reader.latestOffset()
+    assert head == {"version": 3}
+    parts = reader.partitions({"version": 0}, head)
+    meta = L.snapshot_meta(path)
+    assert len(parts) == len(meta["files"])
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(r[0] for r in rows) == [0, 1, 2]
+    # the incremental window plans only the delta's files
+    L.snapshot_append(spark, _row_df(spark, 9), path)
+    parts2 = reader.partitions({"version": 3}, reader.latestOffset())
+    rows2 = [r for p in parts2 for r in reader.read(p)]
+    assert [r[0] for r in rows2] == [9]
+    # a rewrite inside the window refuses
+    L.snapshot_compact(spark, path)
+    with pytest.raises(ValueError, match="not a pure append"):
+        reader.partitions({"version": 4}, reader.latestOffset())
