@@ -503,3 +503,77 @@ def pyds_tail_stream_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("sum_eid"),
         )
     )
+
+
+@query(
+    "pyds_batch_snapshot_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey <= (
+        SELECT CAST(FLOOR(max(l_orderkey) / 2) AS BIGINT) FROM lineitem
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def pyds_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH snapshot DataSource with stats-pruned scans end-to-end
+    (round 19): lineitem lands in a snapshot table as four orderkey-
+    range slices with manifest zone maps (`stats_col`), then the query
+    reads it back through `spark.read.format("snapshot_batch")` with a
+    half-range predicate — Spark's filter-pushdown hook hands the
+    predicate to the source, whose `partitions()` prunes the upper-
+    half files from the MANIFEST alone and whose executor-side tasks
+    re-apply it as parquet row-group filters. The aggregate over the
+    pruned scan must equal plain SQL over the whole table — pruning
+    that changed a result would hash-mismatch here (the conservative-
+    keep contract, pinned structurally in tests/test_layout_r19.py)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import snapshot_append
+    from etl_cortex_spark.sources.pyds import register_snapshot_batch
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    mink, maxk = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    cut = maxk // 2
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_snapbatch_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    # slices are (lo, hi]: start below the true minimum (sf lineitem
+    # keys start at 0, not 1) so the first slice keeps every low row
+    bounds = [mink - 1, maxk // 4, cut, (3 * maxk) // 4, maxk]
+    for lo, hi in zip(bounds, bounds[1:]):
+        snapshot_append(
+            spark,
+            li.filter(
+                (F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi)
+            ).coalesce(1),
+            path,
+            stats_col=["l_orderkey"],
+        )
+    register_snapshot_batch(spark)
+    # the pushdown hook is opt-in (and LOUD when a reader implements
+    # pushFilters with it off) — runtime-settable SQLConf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("snapshot_batch")
+        .option("path", path)
+        .load()
+        .filter(F.col("l_orderkey") <= cut)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

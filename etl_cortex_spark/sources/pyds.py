@@ -230,6 +230,7 @@ def make_snapshot_changes_stream_source():
 
     def added_files(path, v_from, v_to):
         prev_meta = load_meta(path, v_from) if v_from else {"files": []}
+        first_files = set(prev_meta["files"])
         prev = set(prev_meta["files"])
         prev_dels = prev_meta.get("deletes") or []
         prev_pos = prev_meta.get("pos_deletes") or []
@@ -240,6 +241,8 @@ def make_snapshot_changes_stream_source():
                 not prev <= cur
                 or (meta.get("deletes") or []) != prev_dels
                 or (meta.get("pos_deletes") or []) != prev_pos
+                or (meta.get("renames") or [])
+                != (prev_meta.get("renames") or [])
             ):
                 raise ValueError(
                     f"snapshot stream: version {v} is not a pure append "
@@ -248,7 +251,10 @@ def make_snapshot_changes_stream_source():
                 )
             prev, prev_dels = cur, meta.get("deletes") or []
             prev_pos = meta.get("pos_deletes") or []
-        return sorted(set(load_meta(path, v_to)["files"]) - set(prev_meta["files"]))
+            prev_meta = meta
+        return sorted(
+            set(load_meta(path, v_to)["files"]) - first_files
+        )
 
     def rows_of(files, cols):
         # a LIST, not a generator (the prefetch cache copy.copy()s the
@@ -415,6 +421,8 @@ def make_snapshot_tail_stream_source():
             or (cur_raw.get("deletes") or []) != (prev_raw.get("deletes") or [])
             or (cur_raw.get("pos_deletes") or [])
             != (prev_raw.get("pos_deletes") or [])
+            or (cur_raw.get("renames") or [])
+            != (prev_raw.get("renames") or [])
         ):
             raise ValueError(
                 f"snapshot tail stream: version {v} is not a pure "
@@ -605,6 +613,8 @@ def make_snapshot_tail_stream_dist_source():
                 != (prev_raw.get("deletes") or [])
                 or (cur_raw.get("pos_deletes") or [])
                 != (prev_raw.get("pos_deletes") or [])
+                or (cur_raw.get("renames") or [])
+                != (prev_raw.get("renames") or [])
             ):
                 raise ValueError(
                     f"snapshot tail dist stream: version {v} is not a "
@@ -705,3 +715,281 @@ def make_snapshot_tail_stream_dist_source():
 
 def register_snapshot_tail_stream_dist(spark) -> None:
     spark.dataSource.register(make_snapshot_tail_stream_dist_source())
+
+
+def make_snapshot_batch_source():
+    """BATCH snapshot-table DataSource with STATS-PRUNED scans (round
+    19): ``spark.read.format("snapshot_batch").option("path", t)``
+    plans from the manifest alone — `pushFilters` (PySpark 4.1's
+    data-source filter-pushdown hook) records the scan's supported
+    conjuncts, `partitions()` prunes the file list against the
+    manifest's per-file ZONE MAPS (``stats: {file: {col: [lo, hi]}}``)
+    and BLOOM FILTERS (equality probes, md5 bit positions — the exact
+    arithmetic `layout._bloom_positions_py` commits, duplicated here
+    because this class must stay repo-import-free), and `read()` runs
+    ON THE EXECUTORS, pyarrow-reading one surviving file per task with
+    the same predicates passed down again as parquet row-group
+    filters. Three pruning tiers for the one declared predicate —
+    manifest file skip, row-group skip, Spark's own post-scan filter —
+    which is the Iceberg/Delta scan shape expressed through the public
+    DataSource API instead of `layout.snapshot_scan`'s helper calls.
+
+    Every pushed filter is also RETURNED to Spark (the API allows
+    claiming filters as fully handled; this source never does), so
+    pruning can only ever skip files/row-groups the predicate provably
+    excludes — a wrong zone map could lose rows, but a conservative
+    keep never corrupts a result, and files committed without stats
+    are always kept. Tables carrying merge-on-read delete entries
+    refuse loudly (raw file reads would resurrect deleted rows —
+    `layout.snapshot_read` is the MOR-aware path). ``option("version",
+    n)`` time-travels: the scan resolves that manifest, immutable by
+    protocol. Classes live in the factory → cloudpickled by value (the
+    round-15 worker-import rule)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    def resolve(path, version):
+        """Manifest → logical {files, stats, blooms, deletes,
+        pos_deletes}, honoring both the segmented (round-17) and
+        inline grammars — the read-side subset of
+        `layout._resolve_meta`, repo-import-free."""
+        import glob
+        import json
+        import os
+
+        if version is None:
+            versions = [
+                int(os.path.basename(m).split(".")[0][1:])
+                for m in glob.glob(os.path.join(path, "v*.manifest.json"))
+            ]
+            if not versions:
+                raise ValueError(f"snapshot_batch: no manifests under {path}")
+            version = max(versions)
+        target = os.path.join(path, f"v{version}.manifest.json")
+        if not os.path.exists(target):
+            raise ValueError(
+                f"snapshot_batch: version {version} does not exist at {path}"
+            )
+        with open(target) as f:
+            raw = json.load(f)
+        if "segments" not in raw:
+            return raw
+        files, stats, blooms = [], {}, {}
+        for name in raw["segments"]:
+            with open(os.path.join(path, name)) as f:
+                seg = json.load(f)
+            files += seg["files"]
+            stats.update(seg.get("stats") or {})
+            for c, fb in (seg.get("blooms") or {}).items():
+                blooms.setdefault(c, {}).update(fb)
+        meta = {k: v for k, v in raw.items() if k != "segments"}
+        meta["files"] = files
+        if stats:
+            meta["stats"] = stats
+        if blooms:
+            meta["blooms"] = blooms
+        return meta
+
+    def bloom_maybe(words, value):
+        """`layout._bloom_maybe_contains`' arithmetic: 8192 bits as
+        128 longs, 3 md5 positions; int/str probes only (the rendering
+        contract) — anything else conservatively matches."""
+        import hashlib
+
+        if not words or isinstance(value, bool) or not isinstance(
+            value, (int, str)
+        ):
+            return True
+        for i in range(3):
+            p = int(
+                hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16
+            ) % 8192
+            if not (words[p // 64] >> (p % 64)) & 1:
+                return False
+        return True
+
+    def range_may(rng, op, val):
+        """Can a file whose column spans [lo, hi] satisfy the
+        predicate? None bounds (no stats / all-null file) and
+        cross-type comparisons keep the file — pruning is only ever
+        a proof of exclusion."""
+        lo, hi = rng
+        if lo is None or hi is None:
+            return True
+        try:
+            if op == "=":
+                return lo <= val <= hi
+            if op == ">":
+                return hi > val
+            if op == ">=":
+                return hi >= val
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == "in":
+                return any(lo <= v <= hi for v in val)
+        except TypeError:
+            return True
+        return True
+
+    class FilePartition(InputPartition):
+        def __init__(self, path, cols, pq_filters):
+            self.path = path
+            self.cols = cols
+            self.pq_filters = pq_filters
+
+    class SnapshotBatchReader(DataSourceReader):
+        def __init__(self, options, cols):
+            self.path = options["path"]
+            self.version = (
+                int(options["version"]) if "version" in options else None
+            )
+            self.cols = cols
+            self.triples = []  # (col, op, value) recorded by pushFilters
+
+        def pushFilters(self, filters):
+            ops = {
+                EqualTo: "=",
+                GreaterThan: ">",
+                GreaterThanOrEqual: ">=",
+                LessThan: "<",
+                LessThanOrEqual: "<=",
+                In: "in",
+            }
+            for f in filters:
+                op = ops.get(type(f))
+                if op is not None and len(f.attribute) == 1:
+                    val = tuple(f.value) if op == "in" else f.value
+                    self.triples.append((f.attribute[0], op, val))
+            # every filter goes back to Spark: this source prunes, it
+            # never claims exact evaluation
+            return filters
+
+        def partitions(self):
+            meta = resolve(self.path, self.version)
+            if meta.get("deletes") or meta.get("pos_deletes"):
+                raise ValueError(
+                    "snapshot_batch: table carries merge-on-read delete "
+                    "entries — raw file scans would resurrect deleted "
+                    "rows; read via layout.snapshot_read"
+                )
+            if meta.get("renames"):
+                raise ValueError(
+                    "snapshot_batch: table carries metadata-only column "
+                    "renames — raw file scans would surface pre-rename "
+                    "physical names; read via layout.snapshot_read or "
+                    "snapshot_materialize_renames the table"
+                )
+            stats = meta.get("stats") or {}
+            blooms = meta.get("blooms") or {}
+            keep = []
+            for fp in meta["files"]:
+                fstats = stats.get(fp) or {}
+                ok = True
+                for col, op, val in self.triples:
+                    rng = fstats.get(col)
+                    if rng is not None and not range_may(rng, op, val):
+                        ok = False
+                        break
+                    fb = (blooms.get(col) or {}).get(fp)
+                    if fb is not None:
+                        if op == "=" and not bloom_maybe(fb, val):
+                            ok = False
+                            break
+                        if op == "in" and not any(
+                            bloom_maybe(fb, v) for v in val
+                        ):
+                            ok = False
+                            break
+                if ok:
+                    keep.append(fp)
+            if not keep:
+                return [FilePartition(None, self.cols, [])]
+            pq_filters = [(c, o, list(v) if o == "in" else v)
+                          for c, o, v in self.triples]
+            return [
+                FilePartition(fp, self.cols, pq_filters) for fp in keep
+            ]
+
+        def read(self, partition):
+            # EXECUTOR-side: stdlib + pyarrow only; the recorded
+            # predicates prune parquet ROW GROUPS here (footer stats),
+            # then filter rows — Spark re-applies them regardless, so
+            # this tier is pure I/O reduction
+            import pyarrow.parquet as pq
+
+            if partition.path is None:
+                return iter([])
+            tbl = pq.read_table(
+                partition.path,
+                columns=partition.cols,
+                filters=partition.pq_filters or None,
+            )
+            return iter(tbl.select(partition.cols).to_batches())
+
+    class SnapshotBatchSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "snapshot_batch"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+
+            meta = resolve(
+                self.options["path"],
+                int(self.options["version"])
+                if "version" in self.options
+                else None,
+            )
+            if not meta["files"]:
+                raise ValueError(
+                    "snapshot_batch: version references no data files"
+                )
+            if meta.get("renames"):
+                raise ValueError(
+                    "snapshot_batch: table carries metadata-only column "
+                    "renames — the raw physical schema would be wrong; "
+                    "read via layout.snapshot_read or "
+                    "snapshot_materialize_renames the table"
+                )
+            sch = pq.read_schema(meta["files"][-1])
+            m = {
+                "int64": "bigint", "int32": "int", "double": "double",
+                "float": "float", "string": "string",
+                "large_string": "string", "bool": "boolean",
+                "date32[day]": "date",
+            }
+            parts = []
+            for field in sch:
+                t = m.get(str(field.type))
+                if t is None:
+                    raise ValueError(
+                        f"snapshot_batch: unmapped column type {field.type}"
+                    )
+                parts.append(f"{field.name} {t}")
+            return ", ".join(parts)
+
+        def reader(self, schema):
+            if schema is not None:
+                cols = [f.name for f in schema.fields]
+            else:
+                cols = [
+                    p.strip().split(" ")[0] for p in self.schema().split(",")
+                ]
+            return SnapshotBatchReader(self.options, cols)
+
+    return SnapshotBatchSource
+
+
+def register_snapshot_batch(spark) -> None:
+    spark.dataSource.register(make_snapshot_batch_source())
