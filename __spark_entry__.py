@@ -63,6 +63,9 @@ _REVERIFY_NOW: dict[str, int] = {
     "d25_semantic_probe_recall": 19,
     "scale_snapshot_cdf_rollback": 19,
     "pyds_stream_snapshot_tail_dist": 19,
+    "pyds_batch_snapshot_pruned": 19,
+    "scale_snapshot_clone": 19,
+    "scale_snapshot_rename": 19,
     # snapshot_changes_cdf gained the file-drop retraction branch — its
     # direct oracle entry re-verifies the edited function end-to-end.
     "scale_snapshot_changes_cdf": 19,

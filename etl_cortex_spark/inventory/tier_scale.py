@@ -2979,3 +2979,136 @@ def scale_snapshot_cdf_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("grp")
     )
+
+
+@query(
+    "scale_snapshot_clone",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE event_id % 4 <> 3) AS clone_n,
+      (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+        WHERE event_id % 4 <> 3) AS clone_sum,
+      (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE event_id % 4 <> 2) AS src_n,
+      (SELECT CAST(sum(event_id) AS BIGINT) FROM events
+        WHERE event_id % 4 <> 2) AS src_sum
+    """,
+)
+def scale_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY TABLE CLONE with divergent histories (round 19,
+    `snapshot_clone` — Delta's CREATE TABLE SHALLOW CLONE): the clone
+    commit writes one segment + one manifest REFERENCING the source's
+    data files, O(metadata) at any table size — the dev/test-fork
+    shape a 100 TB table needs (a copy would be days of IO). Both
+    sides then diverge: slice 2 lands only in the clone, slice 3 only
+    in the source, and the final read shows each history seeing its
+    own writes plus the shared prefix — proving the clone is a real
+    independent table, not a view. Divergence-blind zone: the hash
+    match fails if the clone leaked a write into the source (or vice
+    versa), since the two aggregates share the slices 0+1 prefix but
+    differ in exactly one slice each way. Retention/GC contracts
+    (clone-side expire can never touch source files; source-side
+    expire breaking shallow clones = Delta's VACUUM hazard; deep
+    clones immune) are pinned in tests/test_layout_r19.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_clone,
+        snapshot_read,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_clone_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "clone")
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 0), src)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 1), src)
+    snapshot_clone(spark, src, dst)  # shallow: no data moves
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 2), dst)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 3), src)
+    clone_agg = snapshot_read(spark, dst).agg(
+        F.count(F.lit(1)).alias("clone_n"),
+        F.sum("event_id").cast("bigint").alias("clone_sum"),
+    )
+    src_agg = snapshot_read(spark, src).agg(
+        F.count(F.lit(1)).alias("src_n"),
+        F.sum("event_id").cast("bigint").alias("src_sum"),
+    )
+    return clone_agg.crossJoin(src_agg)
+
+
+@query(
+    "scale_snapshot_rename",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def scale_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COLUMN RENAME across file generations (round 19,
+    `snapshot_rename_column` — Delta column mapping / Iceberg RENAME
+    COLUMN, closing the protocol's documented additive-only schema
+    evolution): the rename is ONE manifest write at any table size —
+    pre-rename files keep the old physical name and map at read time
+    (scoped by the segments recorded at the event, the MOR deletes'
+    ``applies_to_segments`` grammar), post-rename appends write the
+    new name physically, so the mapping debt never grows with the
+    table. Half the events land BEFORE the rename (physical
+    ``event_id``), half AFTER (physical ``eid``); the read resolves
+    one logical view across both generations and the aggregate must
+    equal plain SQL over the whole table — a lost or misrouted value
+    in the generation-group union hash-mismatches here. The
+    physical-name-coupled op surface (deletes, compact, scans, tail
+    mid-window, raw DataSources) refuses loudly until
+    `snapshot_materialize_renames` folds the names in — contracts
+    pinned in tests/test_layout_r19.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_rename_column,
+    )
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rename_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 2 == 0), path)
+    snapshot_rename_column(path, "event_id", "eid")
+    snapshot_append(
+        spark,
+        ev.filter(F.col("event_id") % 2 == 1).withColumnRenamed(
+            "event_id", "eid"
+        ),
+        path,
+    )
+    return (
+        snapshot_read(spark, path)
+        .groupBy((F.col("user_id") % 8).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("eid").cast("bigint").alias("sum_eid"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("grp")
+    )

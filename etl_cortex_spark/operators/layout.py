@@ -1154,6 +1154,7 @@ def snapshot_point_lookup(spark, path: str, col: str, value, version: int | None
                 f"snapshot_point_lookup: version {version} does not exist at {path}"
             )
     meta = _load_meta(path, target)
+    _require_no_renames(meta, "snapshot_point_lookup")
     blooms = meta.get("blooms", {}).get(col, {})
     keep = [
         fp
@@ -1394,6 +1395,7 @@ def snapshot_append(
         prev_segments: list = []
         prev_deletes: list = []
         prev_pos: list = []
+        prev_renames: list = []
         version = 1
         if manifests:
             latest = _load_raw(manifests[-1])
@@ -1403,6 +1405,10 @@ def snapshot_append(
             # appended rows keep their keys: the MOR sequence rule)
             prev_deletes = latest.get("deletes") or []
             prev_pos = latest.get("pos_deletes") or []
+            # rename events carry too: this batch's files are NOT in
+            # any event's cover (they write the logical names
+            # physically), so appends never grow the mapping debt
+            prev_renames = latest.get("renames") or []
             version = _manifest_version(manifests[-1]) + 1
         if (latest.get("layout") if manifests else None) != layout:
             # the layout spec changed between staging and commit — the
@@ -1425,6 +1431,8 @@ def snapshot_append(
             meta["deletes"] = prev_deletes
         if prev_pos:
             meta["pos_deletes"] = prev_pos
+        if prev_renames:
+            meta["renames"] = prev_renames
         if layout:
             meta["layout"] = layout
         if batch_id is not None:
@@ -1485,6 +1493,11 @@ def snapshot_read(
             )
     meta = _load_meta(path, target)
     files = meta["files"]
+    if meta.get("renames"):
+        # metadata-only renamed table (round 19): resolve the logical
+        # view by file generation; cannot coexist with MOR entries
+        # (rename refuses on MOR tables and MOR ops refuse on renames)
+        return _read_with_renames(spark, path, meta, merge_schema)
     if meta.get("deletes") or meta.get("pos_deletes"):
         # merge-on-read table: the equality/position-delete anti-joins
         # resolve the live rows (schema merging is folded into
@@ -1754,6 +1767,7 @@ def snapshot_read_lineage(spark, path: str, version: int | None = None):
                 f"snapshot_read_lineage: version {version} does not exist"
             )
     meta = _load_meta(path, target)
+    _require_no_renames(meta, "snapshot_read_lineage")
     files = meta["files"]
     schema = _version_schema(spark, files) if files else None
     if not files:
@@ -1797,6 +1811,7 @@ def snapshot_delete_mor(spark, path: str, predicate, key_cols) -> int:
     if not manifests:
         raise ValueError(f"snapshot_delete_mor: no manifests under {path}")
     raw = _load_raw(manifests[-1])
+    _require_no_renames(raw, "snapshot_delete_mor")
     latest = _resolve_meta(path, raw)
     version = _manifest_version(manifests[-1]) + 1
     matched = F.coalesce(predicate, F.lit(False))
@@ -1885,6 +1900,7 @@ def snapshot_delete_pos(spark, path: str, predicate) -> int:
     if not manifests:
         raise ValueError(f"snapshot_delete_pos: no manifests under {path}")
     raw = _load_raw(manifests[-1])
+    _require_no_renames(raw, "snapshot_delete_pos")
     latest = _resolve_meta(path, raw)
     version = _manifest_version(manifests[-1]) + 1
     matched = F.coalesce(predicate, F.lit(False))
@@ -2007,6 +2023,7 @@ def snapshot_delete(spark, path: str, predicate) -> int:
     if not manifests:
         raise ValueError(f"snapshot_delete: no manifests under {path}")
     raw = _load_raw(manifests[-1])
+    _require_no_renames(raw, "snapshot_delete")
     latest = _resolve_meta(path, raw)
     if latest.get("deletes") or latest.get("pos_deletes"):
         raise ValueError(
@@ -2090,6 +2107,7 @@ def snapshot_scan(
                 f"snapshot_scan: version {version} does not exist at {path}"
             )
     meta = _load_meta(path, target)
+    _require_no_renames(meta, "snapshot_scan")
     stats = meta.get("stats", {})
     keep = []
     for fpath in meta["files"]:
@@ -2148,6 +2166,7 @@ def snapshot_scan_multi(spark, path: str, ranges: dict, version: int | None = No
                 f"snapshot_scan_multi: version {version} does not exist at {path}"
             )
     meta = _load_meta(path, target)
+    _require_no_renames(meta, "snapshot_scan_multi")
     stats = meta.get("stats", {})
     keep = []
     for fpath in meta["files"]:
@@ -2205,6 +2224,7 @@ def snapshot_point_lookup_bucket(spark, path: str, col: str, value, version: int
                 f"snapshot_point_lookup_bucket: version {version} does not exist"
             )
     meta = _load_meta(path, target)
+    _require_no_renames(meta, "snapshot_point_lookup_bucket")
     layout = meta.get("layout") or {}
     spec = next(
         (
@@ -2277,6 +2297,7 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
     if not manifests:
         raise ValueError(f"snapshot_merge: no manifests under {path}")
     raw = _load_raw(manifests[-1])
+    _require_no_renames(raw, "snapshot_merge")
     latest = _resolve_meta(path, raw)
     if latest.get("deletes") or latest.get("pos_deletes"):
         raise ValueError(
@@ -2381,6 +2402,7 @@ def snapshot_merge_mor(
     if not manifests:
         raise ValueError(f"snapshot_merge_mor: no manifests under {path}")
     raw = _load_raw(manifests[-1])
+    _require_no_renames(raw, "snapshot_merge_mor")
     version = _manifest_version(manifests[-1]) + 1
     batch_staged = os.path.join(
         path, "data", f"mormerge-{uuid.uuid4().hex[:12]}"
@@ -2569,6 +2591,7 @@ def snapshot_compact(
     if not manifests:
         raise ValueError(f"snapshot_compact: no manifests under {path}")
     raw = _load_raw(manifests[-1])
+    _require_no_renames(raw, "snapshot_compact")
     cur = _resolve_meta(path, raw)
     version = _manifest_version(manifests[-1]) + 1
     if small_bytes is not None:
@@ -2957,6 +2980,7 @@ def snapshot_set_layout(
         meta = {"version": version}
         for carry in (
             "segments", "files", "stats", "blooms", "deletes", "pos_deletes",
+            "renames",
         ):
             if carry in latest:
                 meta[carry] = latest[carry]
@@ -3041,8 +3065,20 @@ def snapshot_changes(
                 "read delete set; append-only lineage required for an "
                 "added-files read"
             )
+        if (cur_meta.get("renames") or []) != (
+            prev_meta.get("renames") or []
+        ):
+            # a rename step adds no files but shifts the logical
+            # schema — refuse; CONSTANT events are safe (every file
+            # added after an event already carries the new name)
+            raise ValueError(
+                f"snapshot_changes: version {v} renames a column "
+                "inside the window; start the read at or after the "
+                "rename, or snapshot_materialize_renames the table"
+            )
         prev, prev_dels = cur, cur_meta.get("deletes") or []
         prev_pos = cur_meta.get("pos_deletes") or []
+        prev_meta = cur_meta
     new_files = sorted(set(load(to_version)) - set(load(from_version)))
     # Schema from the NEWEST file (manifests append new files at the
     # end), so a change feed spanning an additive schema evolution
@@ -3151,6 +3187,16 @@ def _added_files_between(path: str, from_version: int, to_version: int):
             raise ValueError(
                 f"snapshot_tail: version {v} changes the merge-on-read "
                 "delete set; append-only lineage required"
+            )
+        if (cur.get("renames") or []) != (prev.get("renames") or []):
+            # a rename step delivers no files but shifts the LOGICAL
+            # schema under the consumer — refuse like a rewrite;
+            # events constant across the window are safe (every file
+            # added after an event already carries the new name)
+            raise ValueError(
+                f"snapshot_tail: version {v} renames a column inside "
+                "the window — re-seed past it, or "
+                "snapshot_materialize_renames the table"
             )
         if "segments" in prev and "segments" in cur:
             p, c = prev["segments"], cur["segments"]
@@ -3415,7 +3461,9 @@ def snapshot_tail(spark, path: str, state_path: str,
             last = _load_segment(path, raw["segments"][-1])["files"]
         else:
             last = raw.get("files") or []
-        schema = _version_schema(spark, last)
+        schema = _renamed_schema(
+            _version_schema(spark, last), path, raw, last[-1]
+        )
         return spark.createDataFrame([], schema), cur, head, ack
     if cur == 0:
         # first pull: everything visible at head, but STILL validated —
@@ -3424,6 +3472,16 @@ def snapshot_tail(spark, path: str, state_path: str,
             raise ValueError(
                 "snapshot_tail: head has pending merge-on-read deletes; "
                 "seed from a compacted version or use snapshot_changes_cdf"
+            )
+        if raw.get("renames"):
+            # a raw first pull would force the newest file's schema
+            # onto pre-rename files, silently nulling the renamed
+            # column there — seed through the logical read instead
+            raise ValueError(
+                "snapshot_tail: head carries metadata-only column "
+                "renames; seed the consumer from snapshot_read (or "
+                "snapshot_tail_changes' seed), or "
+                "snapshot_materialize_renames the table"
             )
         new_files = _load_meta(
             path, os.path.join(path, f"v{head}.manifest.json")
@@ -3437,7 +3495,9 @@ def snapshot_tail(spark, path: str, state_path: str,
             last = _load_segment(path, raw["segments"][-1])["files"]
         else:
             last = raw.get("files") or []
-        schema = _version_schema(spark, last)
+        schema = _renamed_schema(
+            _version_schema(spark, last), path, raw, last[-1]
+        )
         return spark.createDataFrame([], schema), cur, head, ack
     schema = _version_schema(spark, new_files)
     if merge_schema:
@@ -3522,7 +3582,9 @@ def snapshot_tail_changes(spark, path: str, state_path: str,
             last = _load_segment(path, raw["segments"][-1])["files"]
         else:
             last = raw.get("files") or []
-        schema = _version_schema(spark, last)
+        schema = _renamed_schema(
+            _version_schema(spark, last), path, raw, last[-1]
+        )
         empty = spark.createDataFrame([], schema).withColumn(
             "_change_type", F.lit(None).cast("string")
         )
@@ -3556,7 +3618,9 @@ def snapshot_tail_changes(spark, path: str, state_path: str,
                 last = _load_segment(path, raw["segments"][-1])["files"]
             else:
                 last = raw.get("files") or []
-            schema = _version_schema(spark, last)
+            schema = _renamed_schema(
+                _version_schema(spark, last), path, raw, last[-1]
+            )
             df = spark.createDataFrame([], schema).withColumn(
                 "_change_type", F.lit(None).cast("string")
             )
@@ -3592,7 +3656,7 @@ def snapshot_rollback(spark, path: str, to_version: int) -> int:
     meta = {"version": version}
     for carry in (
         "segments", "files", "stats", "blooms", "deletes", "pos_deletes",
-        "layout",
+        "layout", "renames",
     ):
         if carry in old:
             meta[carry] = old[carry]
@@ -3832,6 +3896,10 @@ def _snapshot_expire_locked(
             live_segments.add(name)
         for d in kraw.get("deletes") or []:
             live_segments.update(d.get("applies_to_segments") or [])
+        for e in kraw.get("renames") or []:
+            # a rename event's cover resolves through its recorded
+            # segment names for the event's whole life (round 19)
+            live_segments.update(e.get("applies_to_segments") or [])
     # staged WAP branches are live too (round 15): their files are
     # referenced by no version manifest YET — sweeping them would kill
     # an in-flight write-audit-publish older than the grace window
@@ -3850,6 +3918,8 @@ def _snapshot_expire_locked(
         dropped_segments.update(draw.get("segments") or [])
         for d in draw.get("deletes") or []:
             dropped_segments.update(d.get("applies_to_segments") or [])
+        for e in draw.get("renames") or []:
+            dropped_segments.update(e.get("applies_to_segments") or [])
         if meta.get("batch_id") is not None:
             retired[str(meta["batch_id"])] = meta["version"]
     # ledger BEFORE manifest deletion: a crash after this point may
@@ -4104,6 +4174,340 @@ def snapshot_read_ref(spark, path: str, name: str):
     return snapshot_read(spark, path, version=refs[name])
 
 
+def snapshot_clone(
+    spark, src: str, dest: str, version: int | None = None,
+    deep: bool = False,
+) -> int:
+    """CLONE the snapshot table (round 19 — Delta's CREATE TABLE
+    CLONE / Iceberg snapshot-ref forks, the missing member of the
+    tag/branch/rollback family): ``dest`` becomes an independent
+    table whose v1 equals ``src`` at ``version`` (default head), with
+    its own history, refs, ledger and retention from then on —
+    divergent writes to either side never touch the other.
+
+    SHALLOW (default) is ZERO-COPY and O(metadata): the resolved
+    file list, zone maps and Blooms are written as one segment under
+    ``dest`` REFERENCING THE SOURCE'S DATA FILES by absolute path —
+    at 100 TB the clone commits in milliseconds, the dev/test-fork
+    and experiment-branch shape. Two contracts make this sound:
+    `snapshot_expire` only ever deletes files under a table's OWN
+    ``data/`` directory, so clone-side retention can never reach the
+    source's files; and the source does NOT know about clones, so
+    source-side expire that drops the cloned version's files BREAKS
+    shallow clones — exactly Delta's documented VACUUM-vs-shallow-
+    clone hazard, pinned (not papered over) in pytest. Tag the source
+    version (`snapshot_tag` is a retention guarantee) to keep a
+    shallow clone durable.
+
+    DEEP copies the version's data files into ``dest/data`` (stats
+    and Bloom keys re-pointed file-by-file — clustering and pruning
+    metadata survive), making the clone self-contained and immune to
+    source retention, at O(table bytes) copy cost.
+
+    A version carrying merge-on-read delete entries refuses SHALLOW
+    (the entries' segment-scoping grammar is table-local; carrying
+    them cross-table would fork that contract) — DEEP materializes
+    the LIVE rows through `snapshot_read` into a fresh single-history
+    append instead, which is also Delta's CLONE semantics (clones see
+    applied deletes, not pending ones)."""
+    import os
+    import shutil
+    import uuid
+
+    meta = snapshot_meta(src, version)
+    if _manifests(dest):
+        raise ValueError(
+            f"snapshot_clone: {dest} is already a snapshot table — "
+            "clone targets must be fresh paths"
+        )
+    has_mor = bool(meta.get("deletes") or meta.get("pos_deletes"))
+    has_renames = bool(meta.get("renames"))
+    if (has_mor or has_renames) and not deep:
+        raise ValueError(
+            "snapshot_clone: source version carries "
+            + ("merge-on-read delete entries" if has_mor
+               else "metadata-only column renames")
+            + " — shallow clones cannot carry another table's "
+            "delete/rename scoping; pass deep=True to materialize "
+            "the logical rows"
+        )
+    os.makedirs(dest, exist_ok=True)
+    if has_mor or has_renames:
+        live = snapshot_read(spark, src, version=version)
+        return snapshot_append(spark, live, dest)
+    src_files = [os.path.abspath(f) for f in meta["files"]]
+    stats = {
+        os.path.abspath(f): v for f, v in (meta.get("stats") or {}).items()
+    }
+    blooms = {
+        c: {os.path.abspath(f): w for f, w in fb.items()}
+        for c, fb in (meta.get("blooms") or {}).items()
+    }
+    if deep:
+        copy_dir = os.path.join(dest, "data", f"clone-{uuid.uuid4().hex[:12]}")
+        os.makedirs(copy_dir)
+        mapping = {}
+        for i, f in enumerate(src_files):
+            # index prefix: part-file basenames repeat across the
+            # source's batch directories
+            to = os.path.join(copy_dir, f"{i:06d}-{os.path.basename(f)}")
+            shutil.copyfile(f, to)
+            mapping[f] = to
+        src_files = [mapping[f] for f in src_files]
+        stats = {mapping[f]: v for f, v in stats.items() if f in mapping}
+        blooms = {
+            c: {mapping[f]: w for f, w in fb.items() if f in mapping}
+            for c, fb in blooms.items()
+        }
+    seg = _write_segment(dest, src_files, stats or None, blooms or None)
+    manifest: dict = {
+        "version": 1,
+        "segments": [seg],
+        "cloned_from": {
+            "path": os.path.abspath(src),
+            "version": int(meta["version"]),
+            "deep": bool(deep),
+        },
+    }
+    if meta.get("layout"):
+        manifest["layout"] = meta["layout"]
+    _commit_manifest(dest, 1, manifest)
+    return 1
+
+
+def _renamed_schema(schema, path: str, raw: dict, newest_file: str):
+    """Map a physically-resolved schema to LOGICAL names (round 19):
+    when the newest file itself predates a rename event (a rename
+    with no append since), its footer carries the old physical name —
+    apply the covering events so empty-pull/tail schema resolves
+    stay consistent with what the next non-empty pull will deliver."""
+    events = raw.get("renames") or []
+    if not events:
+        return schema
+    from pyspark.sql import types as T
+
+    names = [f.name for f in schema.fields]
+    for e in events:
+        if newest_file in _rename_cover(path, e):
+            names = [e["new"] if n == e["old"] else n for n in names]
+    return T.StructType(
+        [
+            T.StructField(n, f.dataType, f.nullable)
+            for n, f in zip(names, schema.fields)
+        ]
+    )
+
+
+def _rename_cover(path: str, event: dict) -> set:
+    """The file set a rename event applies to: the segments recorded
+    at its commit, resolved by name. Segment files outlive
+    consolidation (merges write NEW names; the old segment files stay
+    on disk until `snapshot_expire`, whose liveness walk keeps every
+    rename-referenced segment — same mechanism as the MOR deletes'
+    ``applies_to_segments``), so the cover stays resolvable for the
+    event's whole life."""
+    cover: set = set()
+    for name in event["applies_to_segments"]:
+        cover.update(_load_segment(path, name)["files"])
+    return cover
+
+
+def _require_no_renames(raw_or_meta: dict, op: str) -> None:
+    """Loud guard for paths coupled to PHYSICAL column names (COW/MOR
+    rewrites, stats-pruned scans, tail/CDF deltas, raw-file sources):
+    a metadata-only rename makes logical ≠ physical for pre-rename
+    files, and these paths would silently read or write the wrong
+    name. The escape hatch is the explicit O(table) rewrite."""
+    if raw_or_meta.get("renames"):
+        raise ValueError(
+            f"{op}: table carries metadata-only column renames — this "
+            "path depends on physical column names; run "
+            "snapshot_materialize_renames(spark, path) to fold the "
+            "renames into the data files first"
+        )
+
+
+def _read_with_renames(spark, path: str, meta: dict, merge_schema: bool):
+    """Resolve the LOGICAL view of a renamed table (round 19 — Delta
+    column mapping / Iceberg RENAME COLUMN, metadata-only): files
+    group by WHICH rename events cover them (pre-rename generations
+    carry the old physical name; generations appended after an event
+    already wrote the new name), each group scans once with its
+    event-chain applied as `withColumnRenamed`, and the groups union
+    BY NAME. Cost: O(renames) extra scans at most — in practice one
+    group per schema generation — with additive evolution handled by
+    ``allowMissingColumns`` exactly like the base read's
+    merge-schema contract."""
+    events = meta["renames"]
+    covers = [_rename_cover(path, e) for e in events]
+    groups: dict = {}
+    order: list = []
+    for f in meta["files"]:
+        sig = tuple(i for i, cov in enumerate(covers) if f in cov)
+        if sig not in groups:
+            order.append(sig)
+        groups.setdefault(sig, []).append(f)
+    frames = []
+    for sig in order:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*groups[sig])
+        for i in sig:  # events apply in commit order
+            df = df.withColumnRenamed(events[i]["old"], events[i]["new"])
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def snapshot_rename_column(path: str, old: str, new: str) -> int:
+    """METADATA-ONLY column rename (round 19 — the standard lakehouse
+    answer to the protocol's documented additive-only schema
+    evolution: Delta's column mapping, Iceberg's RENAME COLUMN): one
+    manifest write, zero data IO at any table size. The commit
+    records a rename EVENT scoped to the segments existing NOW
+    (``applies_to_segments`` — the same table-local scoping grammar
+    the MOR deletes use): files in those segments keep their old
+    PHYSICAL name and are mapped at read time; every later append
+    writes the new name physically, so the mapping debt never grows
+    with the table, only with the rename count.
+
+    Contract boundaries, all loud: paths that depend on physical
+    names — COW/MOR deletes, merge, compact, stats-pruned scans,
+    lineage, tail/CDF deltas, the raw-file DataSources, WAP staging,
+    shallow clones — REFUSE while rename events are active and point
+    at `snapshot_materialize_renames` (the explicit O(table) rewrite
+    that folds names into the files and restores the full op
+    surface). Renaming a table that carries MOR delete entries
+    refuses symmetrically (delete files reference physical key
+    columns). `snapshot_read`, appends, rollback, tags, expire and
+    further renames all compose with active events."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    migrations: list = []
+
+    def _drop_migrations():
+        import contextlib
+
+        for name in migrations:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, name))
+        migrations.clear()
+
+    for _ in range(25):
+        _drop_migrations()
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(
+                f"snapshot_rename_column: no manifests under {path}"
+            )
+        latest = _load_raw(manifests[-1])
+        if latest.get("deletes") or latest.get("pos_deletes"):
+            raise ValueError(
+                "snapshot_rename_column: table carries merge-on-read "
+                "delete entries whose delete files reference the "
+                "physical column names — compact/merge them first"
+            )
+        version = _manifest_version(manifests[-1]) + 1
+        events = list(latest.get("renames") or [])
+        segs = _segments_of(path, latest, migrated=migrations)
+        files: list = []
+        for name in segs:
+            files += _load_segment(path, name)["files"]
+        if not files:
+            raise ValueError(
+                "snapshot_rename_column: version references no data "
+                "files — there is no schema to rename against"
+            )
+        # LOGICAL schema = the newest file's physical names with any
+        # covering events applied (the `_version_schema` convention)
+        logical = [f.name for f in pq.read_schema(files[-1])]
+        for e in events:
+            if files[-1] in _rename_cover(path, e):
+                logical = [
+                    e["new"] if c == e["old"] else c for c in logical
+                ]
+        if old not in logical:
+            raise ValueError(
+                f"snapshot_rename_column: no column {old!r} in the "
+                f"table's logical schema {logical}"
+            )
+        if new.lower() in {c.lower() for c in logical}:
+            # casefolded: Spark resolves column names case-insensitively
+            raise ValueError(
+                f"snapshot_rename_column: column {new!r} already exists "
+                "in the logical schema"
+            )
+        meta: dict = {
+            "version": version,
+            "segments": segs,
+            "renames": events
+            + [{"old": old, "new": new, "applies_to_segments": segs}],
+        }
+        if "layout" in latest:
+            meta["layout"] = latest["layout"]
+        _stamp_recent_batches(meta, latest, version - 1, path=path)
+        try:
+            _commit_manifest(path, version, meta)
+            return version
+        except SnapshotCommitConflict:
+            continue
+    _drop_migrations()
+    raise SnapshotCommitConflict(
+        f"snapshot_rename_column: lost the commit race 25 times at {path}"
+    )
+
+
+def snapshot_materialize_renames(spark, path: str) -> int:
+    """Fold active rename events INTO the data files (round 19 — the
+    explicit rewrite `_require_no_renames` points at, playing the
+    role Delta's REORG TABLE plays for column mapping): read the
+    logical view, write it as a fresh file generation, and commit a
+    manifest with no rename events — after which every physical-name-
+    coupled path (deletes, merge, compact, scans, tail, sources)
+    works again. O(table) by design, the price the metadata-only
+    rename deferred; a no-op (head version returned) when no events
+    are active. Rewriting-commit convention: a concurrent commit
+    surfaces SnapshotCommitConflict after cleaning up the staged
+    files."""
+    import contextlib
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    manifests = _manifests(path)
+    if not manifests:
+        raise ValueError(
+            f"snapshot_materialize_renames: no manifests under {path}"
+        )
+    latest = _load_raw(manifests[-1])
+    if not latest.get("renames"):
+        return _manifest_version(manifests[-1])
+    version = _manifest_version(manifests[-1]) + 1
+    df = snapshot_read(spark, path)
+    staged = os.path.join(path, "data", f"rewrite-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(staged)
+    new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    seg = _write_segment(path, new_files)
+    meta: dict = {"version": version, "segments": [seg]}
+    if "layout" in latest:
+        meta["layout"] = latest["layout"]
+    _stamp_recent_batches(meta, latest, version - 1, path=path)
+    try:
+        _commit_manifest(path, version, meta)
+    except SnapshotCommitConflict:
+        shutil.rmtree(staged, ignore_errors=True)
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(path, seg))
+        raise
+    return version
+
+
 def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
     """CHANGE-DATA-FEED read between snapshot versions (round 15 — the
     Delta CDF shape: rows + ``_change_type``): extends
@@ -4148,7 +4552,12 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
             raise ValueError(
                 f"snapshot_changes_cdf: version {v} does not exist at {path}"
             )
-        return _load_meta(path, target)
+        m = _load_meta(path, target)
+        # conservative, unlike the added-files walk: CDF retraction
+        # branches read DROPPED (possibly pre-rename) files raw, so
+        # any active event could surface physical names mid-feed
+        _require_no_renames(m, "snapshot_changes_cdf")
+        return m
 
     if not 0 < from_version < to_version:
         raise ValueError("snapshot_changes_cdf: need 0 < from < to")
@@ -4396,7 +4805,9 @@ def snapshot_publish(
         path, prev_segments + [branch_seg], migrations
     )
     new_meta = {"version": version, "segments": segs}
-    for carry in ("deletes", "pos_deletes", "layout"):
+    # "renames" carries like an append's: staged files were written
+    # from the LOGICAL view, so they are outside every event's cover
+    for carry in ("deletes", "pos_deletes", "layout", "renames"):
         if carry in latest_raw:
             new_meta[carry] = latest_raw[carry]
     if batch_id is not None:

@@ -529,3 +529,292 @@ def test_snapshot_tail_dist_reader_plans_one_partition_per_file(spark, tmp_path)
     L.snapshot_compact(spark, path)
     with pytest.raises(ValueError, match="not a pure append"):
         reader.partitions({"version": 4}, reader.latestOffset())
+
+
+def test_snapshot_batch_source_prunes_by_stats_and_blooms(spark, tmp_path):
+    """The batch DataSource's pruning contract: pushFilters records
+    conjuncts but returns every filter to Spark (prune-only, never
+    claims evaluation); partitions() drops files the manifest zone
+    maps / Blooms provably exclude; version option time-travels; MOR
+    delete entries refuse the raw-file scan."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from etl_cortex_spark.sources.pyds import make_snapshot_batch_source
+
+    path = str(tmp_path / "tbl")
+    for lo in (0, 10, 20, 30):
+        df = spark.range(lo, lo + 10, 2).selectExpr(
+            "id as k", "cast(id * 2 as double) as v"
+        )
+        L.snapshot_append(
+            spark, df.coalesce(1), path, stats_col=["k"], bloom_col="k"
+        )
+    cls = make_snapshot_batch_source()
+    inst = cls.__new__(cls)
+    inst.options = {"path": path}
+
+    reader = inst.reader(None)
+    flts = [EqualTo(("k",), 12)]
+    assert list(reader.pushFilters(flts)) == flts  # all returned to Spark
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].path is not None
+    rows = [r for p in parts for b in reader.read(p) for r in b.to_pylist()]
+    assert rows == [{"k": 12, "v": 24.0}]
+
+    # k=13 sits inside file 2's [10, 18] zone map but was never
+    # committed (even keys only): the Bloom prunes where the range
+    # cannot, leaving the zero-row sentinel partition
+    r2 = inst.reader(None)
+    r2.pushFilters([EqualTo(("k",), 13)])
+    p2 = r2.partitions()
+    assert len(p2) == 1 and p2[0].path is None
+
+    r3 = inst.reader(None)
+    r3.pushFilters([GreaterThan(("k",), 28)])
+    assert len(r3.partitions()) == 1  # hi=28 file excluded, last kept
+
+    r4 = inst.reader(None)
+    r4.pushFilters([In(("k",), (4, 36))])
+    assert len(r4.partitions()) == 2
+
+    # time travel: version 2's manifest sees only the first two slices
+    inst2 = cls.__new__(cls)
+    inst2.options = {"path": path, "version": "2"}
+    r5 = inst2.reader(None)
+    r5.pushFilters([])
+    assert len(r5.partitions()) == 2
+
+    # MOR delete entries refuse — a raw file scan would resurrect rows
+    L.snapshot_delete_mor(spark, path, F.col("k") == 12, ["k"])
+    r6 = inst.reader(None)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        r6.partitions()
+
+
+def test_snapshot_clone_shallow_deep_and_retention(spark, tmp_path):
+    """The clone family's contracts: shallow = zero-copy (no files
+    under the clone's data dir; manifest references source files),
+    histories diverge independently, deep = self-contained with
+    re-pointed stats, source-side expire breaks shallow but not deep
+    (the documented VACUUM hazard), MOR sources refuse shallow and
+    materialize deep, and clone targets must be fresh."""
+    src = str(tmp_path / "src")
+    for lo in (0, 10):
+        df = spark.range(lo, lo + 10).selectExpr("id as k")
+        L.snapshot_append(spark, df.coalesce(1), src, stats_col=["k"])
+
+    shallow = str(tmp_path / "shallow")
+    assert L.snapshot_clone(spark, src, shallow) == 1
+    assert not os.path.exists(os.path.join(shallow, "data"))
+    meta = L.snapshot_meta(shallow)
+    assert all(f.startswith(os.path.join(str(tmp_path), "src")) for f in meta["files"])
+    assert meta["cloned_from"]["version"] == 2
+    assert {r["k"] for r in L.snapshot_read(spark, shallow).collect()} == set(range(20))
+    # stats carried: a pruned scan on the clone sees the zone maps
+    assert set(meta["stats"]) == set(meta["files"])
+
+    # divergence: clone-side append invisible to the source
+    L.snapshot_append(spark, spark.range(20, 25).selectExpr("id as k"), shallow)
+    assert L.snapshot_read(spark, shallow).count() == 25
+    assert L.snapshot_read(spark, src).count() == 20
+
+    deep = str(tmp_path / "deep")
+    L.snapshot_clone(spark, src, deep, deep=True)
+    dmeta = L.snapshot_meta(deep)
+    assert all(f.startswith(os.path.join(str(tmp_path), "deep")) for f in dmeta["files"])
+    assert set(dmeta["stats"]) == set(dmeta["files"])  # re-pointed
+    assert L.snapshot_read(spark, deep).count() == 20
+
+    # existing-table target refuses
+    with pytest.raises(ValueError, match="fresh paths"):
+        L.snapshot_clone(spark, src, shallow)
+
+    # MOR source: shallow refuses, deep materializes live rows
+    L.snapshot_delete_mor(spark, src, F.col("k") == 5, ["k"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        L.snapshot_clone(spark, src, str(tmp_path / "x"))
+    mor_deep = str(tmp_path / "mor_deep")
+    L.snapshot_clone(spark, src, mor_deep, deep=True)
+    assert {r["k"] for r in L.snapshot_read(spark, mor_deep).collect()} == set(range(20)) - {5}
+
+    # retention hazard: source rollback + expire drops the second
+    # slice's file → the shallow clone (which references it) breaks,
+    # the deep clone keeps reading
+    src2 = str(tmp_path / "src2")
+    for lo in (0, 10):
+        L.snapshot_append(
+            spark, spark.range(lo, lo + 10).selectExpr("id as k").coalesce(1), src2
+        )
+    sh2 = str(tmp_path / "sh2")
+    dp2 = str(tmp_path / "dp2")
+    L.snapshot_clone(spark, src2, sh2)
+    L.snapshot_clone(spark, src2, dp2, deep=True)
+    L.snapshot_rollback(spark, src2, to_version=1)
+    L.snapshot_expire(spark, src2, keep_last=1, orphan_grace_secs=0)
+    assert L.snapshot_read(spark, dp2).count() == 20
+    with pytest.raises(Exception):
+        L.snapshot_read(spark, sh2).count()
+
+
+def test_rename_column_metadata_only_read_and_append(spark, tmp_path):
+    """Core rename contract: one manifest write, zero data IO; reads
+    resolve the logical view across generations; appends after the
+    rename write the new name physically; chained renames compose;
+    rollback across the rename restores the old logical schema."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tbl")
+    L.snapshot_append(
+        spark, spark.range(0, 10).selectExpr("id as a", "id * 2 as v").coalesce(1), path
+    )
+    n_data_files = len(L.snapshot_meta(path)["files"])
+    assert L.snapshot_rename_column(path, "a", "b") == 2
+    meta = L.snapshot_meta(path)
+    assert len(meta["files"]) == n_data_files  # zero data IO
+    got = L.snapshot_read(spark, path)
+    assert got.columns == ["b", "v"]
+    assert got.agg(F.sum("b")).first()[0] == 45
+    # the old file physically keeps 'a'
+    assert [f.name for f in pq.read_schema(meta["files"][0])][0] == "a"
+
+    # post-rename append writes 'b' physically; mixed read unions
+    L.snapshot_append(
+        spark, spark.range(10, 20).selectExpr("id as b", "id * 2 as v").coalesce(1), path
+    )
+    newest = L.snapshot_meta(path)["files"][-1]
+    assert [f.name for f in pq.read_schema(newest)][0] == "b"
+    got = L.snapshot_read(spark, path)
+    assert got.columns == ["b", "v"]
+    assert got.count() == 20 and got.agg(F.sum("b")).first()[0] == 190
+
+    # chained rename over the mixed generations
+    L.snapshot_rename_column(path, "b", "c")
+    got = L.snapshot_read(spark, path)
+    assert got.columns == ["c", "v"]
+    assert got.agg(F.sum("c")).first()[0] == 190
+
+    # collision / missing-column / MOR refusals
+    with pytest.raises(ValueError, match="already exists"):
+        L.snapshot_rename_column(path, "v", "c")
+    with pytest.raises(ValueError, match="no column"):
+        L.snapshot_rename_column(path, "zz", "y")
+
+    # rollback to the pre-rename version restores the old names
+    L.snapshot_rollback(spark, path, to_version=1)
+    assert L.snapshot_read(spark, path).columns == ["a", "v"]
+
+
+def test_rename_guards_refuse_physical_paths(spark, tmp_path):
+    """Every physical-name-coupled path refuses loudly on active
+    rename events and points at the materialize rewrite."""
+    path = str(tmp_path / "tbl")
+    L.snapshot_append(
+        spark,
+        spark.range(0, 10).selectExpr("id as a", "id * 2 as v").coalesce(1),
+        path,
+        stats_col=["a"],
+        bloom_col="a",
+    )
+    L.snapshot_rename_column(path, "a", "b")
+    for op, call in {
+        "snapshot_delete_mor": lambda: L.snapshot_delete_mor(
+            spark, path, F.col("b") == 1, ["b"]
+        ),
+        "snapshot_delete": lambda: L.snapshot_delete(
+            spark, path, F.col("b") == 1
+        ),
+        "snapshot_merge": lambda: L.snapshot_merge(
+            spark, spark.range(1).selectExpr("id as b", "id as v"), path, ["b"]
+        ),
+        "snapshot_compact": lambda: L.snapshot_compact(spark, path),
+        "snapshot_scan": lambda: L.snapshot_scan(spark, path, "b", 1, 3),
+        "snapshot_point_lookup": lambda: L.snapshot_point_lookup(
+            spark, path, "b", 1
+        ),
+        "snapshot_read_lineage": lambda: L.snapshot_read_lineage(spark, path),
+        "snapshot_changes_cdf": lambda: L.snapshot_changes_cdf(
+            spark, path, 1, 2
+        ),
+        "snapshot_clone": lambda: L.snapshot_clone(
+            spark, path, str(tmp_path / "cl")
+        ),
+    }.items():
+        with pytest.raises(ValueError, match="rename"):
+            call()
+    # a rename on a MOR table refuses symmetrically
+    path2 = str(tmp_path / "mor")
+    L.snapshot_append(
+        spark, spark.range(0, 10).selectExpr("id as a", "id as v"), path2
+    )
+    L.snapshot_delete_mor(spark, path2, F.col("a") == 1, ["a"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        L.snapshot_rename_column(path2, "a", "b")
+    # deep clone materializes the logical rows instead
+    dc = str(tmp_path / "dc")
+    L.snapshot_clone(spark, path, dc, deep=True)
+    got = L.snapshot_read(spark, dc)
+    assert got.columns == ["b", "v"] and got.count() == 10
+
+
+def test_rename_materialize_restores_full_surface(spark, tmp_path):
+    """The explicit O(table) rewrite folds events into the files:
+    physical names become logical, the event list clears, and the
+    guarded ops work again; a no-op materialize returns the head."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tbl")
+    L.snapshot_append(
+        spark, spark.range(0, 10).selectExpr("id as a", "id * 2 as v").coalesce(1), path
+    )
+    L.snapshot_rename_column(path, "a", "b")
+    v = L.snapshot_materialize_renames(spark, path)
+    assert v == 3
+    meta = L.snapshot_meta(path)
+    assert not meta.get("renames")
+    assert [f.name for f in pq.read_schema(meta["files"][-1])][0] == "b"
+    got = L.snapshot_read(spark, path)
+    assert got.columns == ["b", "v"] and got.agg(F.sum("b")).first()[0] == 45
+    L.snapshot_compact(spark, path)  # guarded op works again
+    assert L.snapshot_read(spark, path).count() == 10
+    assert L.snapshot_materialize_renames(spark, path) == 4  # no-op
+
+
+def test_rename_tail_and_expire_contracts(spark, tmp_path):
+    """Streaming/tail semantics around a rename: a rename step inside
+    the window refuses; a window entirely AFTER the rename delivers
+    (added files carry logical names); the raw first pull refuses on
+    a renamed head; an empty pull's schema resolves the LOGICAL name
+    even when no append followed the rename; expire keeps the
+    event's cover segments resolvable."""
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "cursor.json")
+    L.snapshot_append(
+        spark, spark.range(0, 5).selectExpr("id as a").coalesce(1), path
+    )
+    df, _, _, ack = L.snapshot_tail(spark, path, state)
+    assert df.count() == 5
+    ack()
+    L.snapshot_rename_column(path, "a", "b")
+    with pytest.raises(ValueError, match="renames a column"):
+        L.snapshot_tail(spark, path, state)
+    # re-seed past the rename: empty pull resolves the LOGICAL schema
+    L.snapshot_tail_seed(path, state, 2)
+    df2, _, _, ack2 = L.snapshot_tail(spark, path, state)
+    assert df2.columns == ["b"] and df2.count() == 0
+    ack2()
+    # post-rename appends deliver normally under constant events
+    L.snapshot_append(
+        spark, spark.range(5, 9).selectExpr("id as b").coalesce(1), path
+    )
+    df3, _, _, ack3 = L.snapshot_tail(spark, path, state)
+    assert df3.columns == ["b"]
+    assert sorted(r["b"] for r in df3.collect()) == [5, 6, 7, 8]
+    ack3()
+    # raw first pull refuses on a renamed head
+    with pytest.raises(ValueError, match="renames"):
+        L.snapshot_tail(spark, path, str(tmp_path / "fresh.json"))
+    # retention: expire to the head only — the rename event's cover
+    # segments stay resolvable (liveness walk) and reads still work
+    L.snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0)
+    got = L.snapshot_read(spark, path)
+    assert got.columns == ["b"] and got.count() == 9
