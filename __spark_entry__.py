@@ -66,6 +66,9 @@ _REVERIFY_NOW: dict[str, int] = {
     "pyds_batch_snapshot_pruned": 19,
     "scale_snapshot_clone": 19,
     "scale_snapshot_rename": 19,
+    "scale_snapshot_drop_column": 19,
+    "scale_snapshot_constraints": 19,
+    "scale_snapshot_analyze": 19,
     # snapshot_changes_cdf gained the file-drop retraction branch — its
     # direct oracle entry re-verifies the edited function end-to-end.
     "scale_snapshot_changes_cdf": 19,

@@ -3112,3 +3112,200 @@ def scale_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("grp")
     )
+
+
+@query(
+    "scale_snapshot_drop_column",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid,
+           CAST(count(CASE WHEN event_id % 4 = 3 THEN 1 END) AS BIGINT)
+               AS n_et
+    FROM events
+    """,
+)
+def scale_snapshot_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY DROP COLUMN with re-add semantics (round 19,
+    `snapshot_drop_column` — the other half of Delta column-mapping
+    parity): slice A lands WITH ``event_type``, the drop commits as
+    one manifest write (covered files keep the bytes, readers exclude
+    the column), slice B lands without it, and slice C RE-ADDS the
+    name — which must surface as a logically NEW column: pre-drop
+    generations read NULL, so ``count(event_type)`` equals exactly
+    slice C's row count. A leak of slice A's physically-still-present
+    values into the revived column would inflate ``n_et`` and
+    hash-mismatch — the oracle pins the drop's read-side exclusion,
+    not just the schema shape. Kept columns aggregate over all three
+    generations unchanged."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_drop_column,
+        snapshot_read,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dropcol_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 2 == 0), path)
+    snapshot_drop_column(path, "event_type")
+    snapshot_append(
+        spark,
+        ev.filter(F.col("event_id") % 4 == 1).drop("event_type"),
+        path,
+    )
+    snapshot_append(spark, ev.filter(F.col("event_id") % 4 == 3), path)
+    return (
+        snapshot_read(spark, path, merge_schema=True)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_eid"),
+            F.count("event_type").alias("n_et"),
+        )
+    )
+
+
+@query(
+    "scale_snapshot_constraints",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    GROUP BY 1
+    ORDER BY grp
+    """,
+)
+def scale_snapshot_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-CONSTRAINT enforcement end-to-end (round 19,
+    `snapshot_set_constraint` — Delta's ALTER TABLE ADD CONSTRAINT):
+    slice A lands, the constraint (``event_id >= 0``) validates the
+    existing rows in one O(table) aggregate and commits as metadata,
+    then a POISONED batch (slice B with negated ids) is refused
+    BEFORE staging a single file — one O(|batch|) aggregate per
+    write is the whole enforcement cost — and the corrected slice B
+    plus slice C land normally. The final aggregate must equal plain
+    SQL over all events: a leaked poisoned row would flip ``sum_eid``
+    negative in its group and double ``n_rows`` — the oracle pins the
+    refusal's atomicity (refused batch leaves nothing), not just the
+    error message. Constraint rides all later commits via the
+    `_stamp_recent_batches` carry; write-path refusals for
+    merge/merge_mor/WAP and NULL-passes semantics are pinned in
+    tests/test_layout_r19.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_set_constraint,
+    )
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_constr_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 0), path)
+    snapshot_set_constraint(spark, path, "nonneg", "event_id >= 0")
+    poisoned = ev.filter(F.col("event_id") % 3 == 1).withColumn(
+        "event_id", -F.col("event_id")
+    )
+    try:
+        snapshot_append(spark, poisoned, path)
+        raise AssertionError("poisoned batch must refuse")  # pragma: no cover
+    except ValueError:
+        pass
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 1), path)
+    snapshot_append(spark, ev.filter(F.col("event_id") % 3 == 2), path)
+    return (
+        snapshot_read(spark, path)
+        .groupBy((F.col("user_id") % 8).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_eid"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("grp")
+    )
+
+
+@query(
+    "scale_snapshot_analyze",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN
+        (SELECT CAST(FLOOR(max(l_orderkey) / 4) AS BIGINT) FROM lineitem)
+        AND
+        (SELECT CAST(FLOOR(max(l_orderkey) / 2) AS BIGINT) FROM lineitem)
+    """,
+)
+def scale_snapshot_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS BACKFILL then pruned scan (round 19, `snapshot_analyze` —
+    Iceberg's ANALYZE TABLE): four lineitem slices land WITHOUT zone
+    maps (the legacy-ingest shape — at 100 TB, files committed before
+    anyone thought about pruning), one analyze pass computes per-file
+    min/max over exactly the stat-less files and swaps replacement
+    segments in (zero data rewritten), and `snapshot_scan` then
+    serves a quarter-range probe from the manifest's fresh zone maps
+    — pruning a scan family that was conservatively unprunable a
+    commit earlier. The aggregate must equal plain SQL BETWEEN over
+    the whole table: a zone map backfilled wrong (swapped bounds,
+    miskeyed file) silently drops or duplicates a boundary file and
+    hash-mismatches. Replacement-segment discipline and affected-only
+    rewrites pinned in tests/test_layout_r19.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from etl_cortex_spark.operators.layout import (
+        snapshot_analyze,
+        snapshot_append,
+        snapshot_scan,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    mink, maxk = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_analyze_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    bounds = [mink - 1, maxk // 4, maxk // 2, (3 * maxk) // 4, maxk]
+    for lo, hi in zip(bounds, bounds[1:]):
+        snapshot_append(
+            spark,
+            li.filter(
+                (F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= hi)
+            ).coalesce(1),
+            path,  # deliberately NO stats_col: the legacy generation
+        )
+    snapshot_analyze(spark, path, ["l_orderkey"])
+    return (
+        snapshot_scan(spark, path, "l_orderkey", maxk // 4, maxk // 2)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

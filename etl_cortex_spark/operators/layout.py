@@ -1287,9 +1287,17 @@ def snapshot_append(
     # their old layout and whatever stats their commits recorded.
     manifests0 = _manifests(path)
     layout = None
+    constraints0: dict = {}
     if manifests0:
         with open(manifests0[-1]) as f:
-            layout = json.load(f).get("layout")
+            head0 = json.load(f)
+        layout = head0.get("layout")
+        constraints0 = head0.get("constraints") or {}
+    # CHECK constraints (round 19 — Delta's ADD CONSTRAINT contract):
+    # validate the BATCH before any file is staged, one aggregate over
+    # the micro-batch per append; SQL semantics — NULL passes, only an
+    # expression that evaluates FALSE is a violation
+    _check_constraints(df, constraints0, "snapshot_append")
     staged = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
     to_write = df
     if layout:
@@ -1420,6 +1428,15 @@ def snapshot_append(
                 f"{path} — the staged batch was clustered under the old "
                 "spec; re-run the append"
             )
+        if ((latest.get("constraints") or {}) if manifests else {}) != constraints0:
+            # a constraint added between validation and commit: the
+            # batch was validated against a superseded contract set
+            _abandon()
+            raise SnapshotCommitConflict(
+                f"snapshot_append: table constraints changed concurrently "
+                f"at {path} — the batch was validated against the old "
+                "set; re-run the append"
+            )
         # tiered auto-consolidation (round 19): merged segments written
         # by a LOST attempt are stale exactly like migration segments —
         # track them in the same per-attempt drop list
@@ -1433,6 +1450,8 @@ def snapshot_append(
             meta["pos_deletes"] = prev_pos
         if prev_renames:
             meta["renames"] = prev_renames
+        if constraints0:
+            meta["constraints"] = constraints0
         if layout:
             meta["layout"] = layout
         if batch_id is not None:
@@ -2298,6 +2317,7 @@ def snapshot_merge(spark, df, path: str, key_cols) -> int:
         raise ValueError(f"snapshot_merge: no manifests under {path}")
     raw = _load_raw(manifests[-1])
     _require_no_renames(raw, "snapshot_merge")
+    _check_constraints(df, raw.get("constraints") or {}, "snapshot_merge")
     latest = _resolve_meta(path, raw)
     if latest.get("deletes") or latest.get("pos_deletes"):
         raise ValueError(
@@ -2403,6 +2423,9 @@ def snapshot_merge_mor(
         raise ValueError(f"snapshot_merge_mor: no manifests under {path}")
     raw = _load_raw(manifests[-1])
     _require_no_renames(raw, "snapshot_merge_mor")
+    _check_constraints(
+        df, raw.get("constraints") or {}, "snapshot_merge_mor"
+    )
     version = _manifest_version(manifests[-1]) + 1
     batch_staged = os.path.join(
         path, "data", f"mormerge-{uuid.uuid4().hex[:12]}"
@@ -2876,7 +2899,12 @@ def snapshot_rewrite_segments(path: str) -> int:
             resolved.get("blooms") or None,
         )
         meta = {"version": version, "segments": [merged]}
-        for carry in ("deletes", "pos_deletes", "layout"):
+        # "renames" MUST carry: this is a content-preserving metadata
+        # reorg, and dropping the event list would silently revert a
+        # renamed table's reads to the physical names (the events'
+        # covers stay resolvable — replaced segment files persist and
+        # the expire liveness walk keeps event-referenced segments)
+        for carry in ("deletes", "pos_deletes", "layout", "renames"):
             if carry in raw:
                 meta[carry] = raw[carry]
         _stamp_recent_batches(meta, raw, version - 1, path=path)
@@ -2892,6 +2920,114 @@ def snapshot_rewrite_segments(path: str) -> int:
             continue
     raise SnapshotCommitConflict(
         f"snapshot_rewrite_segments: lost the commit race 25 times at {path}"
+    )
+
+
+def snapshot_analyze(spark, path: str, cols) -> int:
+    """Zone-map BACKFILL for files committed without stats (round 19
+    — Iceberg's ANALYZE TABLE for the snapshot protocol): compute
+    per-file min/max for ``cols`` over exactly the files MISSING
+    them (one Spark aggregate pass over those files, never the
+    table) and commit replacement segments carrying the merged
+    stats — after which `snapshot_scan`/`snapshot_scan_multi` prune
+    the previously-unpruned legacy generation from the manifest
+    alone. This closes the one gap `snapshot_set_layout`'s
+    no-rewrite contract leaves: pre-evolution files stayed
+    conservatively unpruned forever unless recommitted; analyze
+    retrofits their pruning metadata at O(legacy data) scan +
+    O(affected segments) metadata cost, zero data rewritten.
+    Replaced segment files persist for older manifests (the
+    replacement-segment discipline `_rewrite_segments` established);
+    a fully-statted table is a no-op returning the head version.
+    Refuses on renamed tables (stats keys are physical names — the
+    scan paths refuse there anyway)."""
+    import contextlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    migrations: list = []
+
+    def _cleanup(written: list):
+        for name in written + migrations:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, name))
+        migrations.clear()
+
+    for _ in range(25):
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(f"snapshot_analyze: no manifests under {path}")
+        raw = _load_raw(manifests[-1])
+        _require_no_renames(raw, "snapshot_analyze")
+        segs = _segments_of(path, raw, migrated=migrations)
+        affected: dict = {}  # segment name -> files missing stats
+        for name in segs:
+            seg = _load_segment(path, name)
+            seg_stats = seg.get("stats") or {}
+            missing = [
+                f
+                for f in seg["files"]
+                if any(c not in (seg_stats.get(f) or {}) for c in cols)
+            ]
+            if missing:
+                affected[name] = missing
+        if not affected:
+            _cleanup([])
+            return _manifest_version(manifests[-1])
+        # ONE aggregate pass over every missing file, all columns —
+        # the multi_file_stats shape on an explicit file list
+        all_missing = sorted({f for fs in affected.values() for f in fs})
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        rows = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*all_missing)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs)
+            .collect()
+        )
+        new_stats = {
+            _norm_path_py(r["file"]): {
+                c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols
+            }
+            for r in rows
+        }
+        version = _manifest_version(manifests[-1]) + 1
+        written: list = []
+        replaced: dict = {}
+        for name in affected:
+            seg = _load_segment(path, name)
+            stats = dict(seg.get("stats") or {})
+            for f in seg["files"]:
+                add = new_stats.get(os.path.abspath(f))
+                if add:
+                    merged = dict(stats.get(f) or {})
+                    merged.update(add)
+                    stats[f] = merged
+            replaced[name] = _write_segment(
+                path, seg["files"], stats, seg.get("blooms") or None
+            )
+            written.append(replaced[name])
+        meta: dict = {
+            "version": version,
+            "segments": [replaced.get(n, n) for n in segs],
+        }
+        for carry in ("deletes", "pos_deletes", "layout"):
+            if carry in raw:
+                meta[carry] = raw[carry]
+        _stamp_recent_batches(meta, raw, version - 1, path=path)
+        try:
+            _commit_manifest(path, version, meta)
+            return version
+        except SnapshotCommitConflict:
+            _cleanup(written)
+            continue
+    _cleanup([])
+    raise SnapshotCommitConflict(
+        f"snapshot_analyze: lost the commit race 25 times at {path}"
     )
 
 
@@ -3762,6 +3898,14 @@ def _stamp_recent_batches(meta: dict, raw: dict, head_version: int,
     meta["recent_batches"] = m
     if floor:
         meta["recent_batches_floor"] = floor
+    # CHECK constraints ride EVERY commit from the current head
+    # (round 19 — Delta table-property semantics: rewrites, deletes,
+    # compactions and rollback keep the policy in force; only the
+    # set/drop-constraint commits, which set the key themselves,
+    # change it). One line here instead of one per commit path, so a
+    # future commit path cannot silently drop the table's contract.
+    if "constraints" not in meta and raw.get("constraints"):
+        meta["constraints"] = raw["constraints"]
 
 
 def snapshot_batch_version(path: str, batch_id: int) -> int | None:
@@ -4271,6 +4415,9 @@ def snapshot_clone(
     }
     if meta.get("layout"):
         manifest["layout"] = meta["layout"]
+    if meta.get("constraints"):
+        # clones inherit the source's CHECK contracts
+        manifest["constraints"] = meta["constraints"]
     _commit_manifest(dest, 1, manifest)
     return 1
 
@@ -4286,16 +4433,19 @@ def _renamed_schema(schema, path: str, raw: dict, newest_file: str):
         return schema
     from pyspark.sql import types as T
 
-    names = [f.name for f in schema.fields]
+    fields = list(schema.fields)
     for e in events:
         if newest_file in _rename_cover(path, e):
-            names = [e["new"] if n == e["old"] else n for n in names]
-    return T.StructType(
-        [
-            T.StructField(n, f.dataType, f.nullable)
-            for n, f in zip(names, schema.fields)
-        ]
-    )
+            if "drop" in e:
+                fields = [f for f in fields if f.name != e["drop"]]
+            else:
+                fields = [
+                    T.StructField(e["new"], f.dataType, f.nullable)
+                    if f.name == e["old"]
+                    else f
+                    for f in fields
+                ]
+    return T.StructType(fields)
 
 
 def _rename_cover(path: str, event: dict) -> set:
@@ -4354,7 +4504,11 @@ def _read_with_renames(spark, path: str, meta: dict, merge_schema: bool):
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*groups[sig])
         for i in sig:  # events apply in commit order
-            df = df.withColumnRenamed(events[i]["old"], events[i]["new"])
+            e = events[i]
+            if "drop" in e:
+                df = df.drop(e["drop"])
+            else:
+                df = df.withColumnRenamed(e["old"], e["new"])
         frames.append(df)
     out = frames[0]
     for f in frames[1:]:
@@ -4384,6 +4538,189 @@ def snapshot_rename_column(path: str, old: str, new: str) -> int:
     refuses symmetrically (delete files reference physical key
     columns). `snapshot_read`, appends, rollback, tags, expire and
     further renames all compose with active events."""
+
+    def edit(logical: list) -> dict:
+        if old not in logical:
+            raise ValueError(
+                f"snapshot_rename_column: no column {old!r} in the "
+                f"table's logical schema {logical}"
+            )
+        if new.lower() in {c.lower() for c in logical}:
+            # casefolded: Spark resolves column names case-insensitively
+            raise ValueError(
+                f"snapshot_rename_column: column {new!r} already exists "
+                "in the logical schema"
+            )
+        return {"old": old, "new": new}
+
+    return _schema_edit_commit(path, "snapshot_rename_column", edit)
+
+
+def snapshot_drop_column(path: str, col: str) -> int:
+    """METADATA-ONLY column drop (round 19 — `snapshot_rename_column`'s
+    sibling, completing Delta column-mapping parity: DROP COLUMN is
+    one manifest write, zero data IO). The event is scoped to the
+    segments existing now; covered files keep the physical column but
+    readers exclude it, and later appends simply never write it.
+    Re-adding the NAME later (an append whose frame carries a column
+    so named) creates a logically NEW column: pre-drop generations
+    read NULL for it — exactly Delta's drop-then-re-add semantics,
+    which falls out of the generation-grouped union by name. The
+    physical bytes remain until `snapshot_materialize_renames` (or
+    any compaction after it) rewrites them — the erasure caveat Delta
+    documents for metadata-only drops; materialize IS the erasure
+    path. Same guard surface and MOR refusal as rename."""
+
+    def edit(logical: list) -> dict:
+        if col not in logical:
+            raise ValueError(
+                f"snapshot_drop_column: no column {col!r} in the "
+                f"table's logical schema {logical}"
+            )
+        if len(logical) == 1:
+            raise ValueError(
+                "snapshot_drop_column: cannot drop the table's only "
+                "column"
+            )
+        return {"drop": col}
+
+    return _schema_edit_commit(path, "snapshot_drop_column", edit)
+
+
+def _check_constraints(df, constraints: dict, op: str) -> None:
+    """Validate a frame against the table's CHECK constraints in ONE
+    aggregate pass (round 19 — Delta's enforcement cost: one extra
+    O(|batch|) job per constrained write, all constraints together).
+    SQL CHECK semantics: a row violates only when the expression
+    evaluates FALSE — NULL passes (``~expr`` of NULL is NULL, which
+    the conditional count skips)."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    names = list(constraints)
+    aggs = [
+        F.count(F.when(~F.expr(constraints[n]), 1)).alias(f"__c{i}")
+        for i, n in enumerate(names)
+    ]
+    row = df.agg(*aggs).first()
+    bad = {
+        n: int(row[f"__c{i}"])
+        for i, n in enumerate(names)
+        if row[f"__c{i}"]
+    }
+    if bad:
+        raise ValueError(
+            f"{op}: CHECK constraint violation(s) — "
+            + ", ".join(
+                f"{n!r} ({constraints[n]}): {c} row(s)"
+                for n, c in bad.items()
+            )
+            + " — the batch was refused before any file was staged"
+        )
+
+
+def snapshot_set_constraint(spark, path: str, name: str, expr: str) -> int:
+    """ADD a CHECK constraint (round 19 — Delta's ALTER TABLE ADD
+    CONSTRAINT for the snapshot protocol): ``expr`` is a SQL boolean
+    over the table's LOGICAL columns; the commit first validates the
+    EXISTING table (one O(table) aggregate — exactly Delta's add-time
+    scan) and then records the constraint on the manifest, after
+    which every file-adding write — `snapshot_append`, `snapshot_
+    merge`/`merge_mor`'s upsert batch, WAP `snapshot_stage` — refuses
+    batches containing a violating row BEFORE staging any file, at
+    one extra O(|batch|) aggregate per write. NULL passes (SQL CHECK
+    semantics). The constraint rides every subsequent commit —
+    rewrites, deletes, compaction, rollback (policy follows the HEAD,
+    not the restored version: RESTORE restores data, not contracts) —
+    via the `_stamp_recent_batches` carry, and an append racing a
+    constraint change re-validates (commit-loop conflict check).
+    Duplicate names refuse; `snapshot_drop_constraint` removes one.
+    A rename/drop of a column the expression references makes later
+    validations fail LOUDLY at analysis time (never silently)."""
+    for _ in range(25):
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(
+                f"snapshot_set_constraint: no manifests under {path}"
+            )
+        latest = _load_raw(manifests[-1])
+        constraints = dict(latest.get("constraints") or {})
+        if name in constraints:
+            raise ValueError(
+                f"snapshot_set_constraint: constraint {name!r} already "
+                "exists — snapshot_drop_constraint it first"
+            )
+        # add-time validation: the EXISTING rows must satisfy the new
+        # contract (reads the logical, MOR-resolved view)
+        _check_constraints(
+            snapshot_read(spark, path, merge_schema=True),
+            {name: expr},
+            "snapshot_set_constraint",
+        )
+        version = _manifest_version(manifests[-1]) + 1
+        constraints[name] = expr
+        meta: dict = {"version": version, "constraints": constraints}
+        for carry in (
+            "segments", "files", "stats", "blooms", "deletes",
+            "pos_deletes", "layout", "renames",
+        ):
+            if carry in latest:
+                meta[carry] = latest[carry]
+        _stamp_recent_batches(meta, latest, version - 1, path=path)
+        try:
+            _commit_manifest(path, version, meta)
+            return version
+        except SnapshotCommitConflict:
+            continue
+    raise SnapshotCommitConflict(
+        f"snapshot_set_constraint: lost the commit race 25 times at {path}"
+    )
+
+
+def snapshot_drop_constraint(path: str, name: str) -> int:
+    """Remove a CHECK constraint by name — metadata-only commit."""
+    for _ in range(25):
+        manifests = _manifests(path)
+        if not manifests:
+            raise ValueError(
+                f"snapshot_drop_constraint: no manifests under {path}"
+            )
+        latest = _load_raw(manifests[-1])
+        constraints = dict(latest.get("constraints") or {})
+        if name not in constraints:
+            raise ValueError(
+                f"snapshot_drop_constraint: no constraint {name!r} "
+                f"(active: {sorted(constraints)})"
+            )
+        del constraints[name]
+        version = _manifest_version(manifests[-1]) + 1
+        meta: dict = {"version": version, "constraints": constraints}
+        for carry in (
+            "segments", "files", "stats", "blooms", "deletes",
+            "pos_deletes", "layout", "renames",
+        ):
+            if carry in latest:
+                meta[carry] = latest[carry]
+        _stamp_recent_batches(meta, latest, version - 1, path=path)
+        try:
+            _commit_manifest(path, version, meta)
+            return version
+        except SnapshotCommitConflict:
+            continue
+    raise SnapshotCommitConflict(
+        f"snapshot_drop_constraint: lost the commit race 25 times at {path}"
+    )
+
+
+def _schema_edit_commit(path: str, op: str, edit) -> int:
+    """Shared metadata-only schema-edit commit (rename/drop): resolve
+    the head, refuse MOR entries, derive the LOGICAL schema (newest
+    file's footer + covering events — the `_version_schema`
+    convention), let ``edit(logical)`` validate and produce the event
+    body, and commit it appended to the event list with
+    ``applies_to_segments`` = the head's segment names. Optimistic
+    retry like every append-shaped commit."""
     import os
 
     import pyarrow.parquet as pq
@@ -4402,15 +4739,13 @@ def snapshot_rename_column(path: str, old: str, new: str) -> int:
         _drop_migrations()
         manifests = _manifests(path)
         if not manifests:
-            raise ValueError(
-                f"snapshot_rename_column: no manifests under {path}"
-            )
+            raise ValueError(f"{op}: no manifests under {path}")
         latest = _load_raw(manifests[-1])
         if latest.get("deletes") or latest.get("pos_deletes"):
             raise ValueError(
-                "snapshot_rename_column: table carries merge-on-read "
-                "delete entries whose delete files reference the "
-                "physical column names — compact/merge them first"
+                f"{op}: table carries merge-on-read delete entries "
+                "whose delete files reference the physical column "
+                "names — compact/merge them first"
             )
         version = _manifest_version(manifests[-1]) + 1
         events = list(latest.get("renames") or [])
@@ -4420,33 +4755,26 @@ def snapshot_rename_column(path: str, old: str, new: str) -> int:
             files += _load_segment(path, name)["files"]
         if not files:
             raise ValueError(
-                "snapshot_rename_column: version references no data "
-                "files — there is no schema to rename against"
+                f"{op}: version references no data files — there is "
+                "no schema to edit against"
             )
         # LOGICAL schema = the newest file's physical names with any
         # covering events applied (the `_version_schema` convention)
         logical = [f.name for f in pq.read_schema(files[-1])]
         for e in events:
             if files[-1] in _rename_cover(path, e):
-                logical = [
-                    e["new"] if c == e["old"] else c for c in logical
-                ]
-        if old not in logical:
-            raise ValueError(
-                f"snapshot_rename_column: no column {old!r} in the "
-                f"table's logical schema {logical}"
-            )
-        if new.lower() in {c.lower() for c in logical}:
-            # casefolded: Spark resolves column names case-insensitively
-            raise ValueError(
-                f"snapshot_rename_column: column {new!r} already exists "
-                "in the logical schema"
-            )
+                if "drop" in e:
+                    logical = [c for c in logical if c != e["drop"]]
+                else:
+                    logical = [
+                        e["new"] if c == e["old"] else c for c in logical
+                    ]
+        event = dict(edit(logical))
+        event["applies_to_segments"] = segs
         meta: dict = {
             "version": version,
             "segments": segs,
-            "renames": events
-            + [{"old": old, "new": new, "applies_to_segments": segs}],
+            "renames": events + [event],
         }
         if "layout" in latest:
             meta["layout"] = latest["layout"]
@@ -4458,7 +4786,7 @@ def snapshot_rename_column(path: str, old: str, new: str) -> int:
             continue
     _drop_migrations()
     raise SnapshotCommitConflict(
-        f"snapshot_rename_column: lost the commit race 25 times at {path}"
+        f"{op}: lost the commit race 25 times at {path}"
     )
 
 
@@ -4489,7 +4817,10 @@ def snapshot_materialize_renames(spark, path: str) -> int:
     if not latest.get("renames"):
         return _manifest_version(manifests[-1])
     version = _manifest_version(manifests[-1]) + 1
-    df = snapshot_read(spark, path)
+    # merge_schema: a REWRITE must preserve the union of the
+    # generations' schemas — the plain read's pick-one-footer default
+    # would silently drop additively-evolved columns from the table
+    df = snapshot_read(spark, path, merge_schema=True)
     staged = os.path.join(path, "data", f"rewrite-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(staged)
     new_files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
@@ -4702,9 +5033,17 @@ def snapshot_stage(spark, df, path: str, branch: str) -> str:
     manifests = _manifests(path)
     base_version = _manifest_version(manifests[-1]) if manifests else 0
     layout = None
+    constraints: dict = {}
     if manifests:
         with open(manifests[-1]) as f:
-            layout = json.load(f).get("layout")
+            head0 = json.load(f)
+        layout = head0.get("layout")
+        constraints = head0.get("constraints") or {}
+    # WAP is the other file-adding write path: a staged batch is
+    # validated against the base head's CHECK constraints before any
+    # file lands (a constraint added between stage and publish moves
+    # the head, so publish's stale-base refusal re-covers it)
+    _check_constraints(df, constraints, "snapshot_stage")
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     staged = os.path.join(path, "data", f"wap-{uuid.uuid4().hex[:12]}")
     to_write = df

@@ -11,8 +11,8 @@ from __future__ import annotations
 from etl_cortex_spark.inventory.tier_d import _tws_available
 from etl_cortex_spark.queries import ORACLE, QUERIES
 
-BASE_QUERIES = 368
-BASE_ORACLE = 362
+BASE_QUERIES = 371
+BASE_ORACLE = 365
 
 
 def test_registry_count_matches_env_gates():

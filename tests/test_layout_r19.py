@@ -818,3 +818,202 @@ def test_rename_tail_and_expire_contracts(spark, tmp_path):
     L.snapshot_expire(spark, path, keep_last=1, orphan_grace_secs=0)
     got = L.snapshot_read(spark, path)
     assert got.columns == ["b"] and got.count() == 9
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """Drop contract: one manifest write; readers exclude the column
+    while covered files keep the bytes; post-drop appends never write
+    it; re-adding the name creates a logically NEW column (pre-drop
+    generations read NULL — Delta's drop-then-re-add semantics);
+    rename and drop events chain; materialize folds the drop into a
+    fresh generation."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tbl")
+    L.snapshot_append(
+        spark,
+        spark.range(0, 10)
+        .selectExpr("id as a", "id * 2 as v", "id * 3 as w")
+        .coalesce(1),
+        path,
+    )
+    assert L.snapshot_drop_column(path, "v") == 2
+    meta = L.snapshot_meta(path)
+    got = L.snapshot_read(spark, path)
+    assert got.columns == ["a", "w"]
+    assert got.agg(F.sum("w")).first()[0] == 135
+    # physical bytes remain in the covered file (the erasure caveat)
+    assert "v" in [f.name for f in pq.read_schema(meta["files"][0])]
+
+    # post-drop append without the column
+    L.snapshot_append(
+        spark,
+        spark.range(10, 15).selectExpr("id as a", "id * 3 as w").coalesce(1),
+        path,
+    )
+    assert L.snapshot_read(spark, path).count() == 15
+
+    # re-add the name: logically NEW column, old generations read NULL
+    L.snapshot_append(
+        spark,
+        spark.range(15, 20)
+        .selectExpr("id as a", "id * 3 as w", "id * 10 as v")
+        .coalesce(1),
+        path,
+    )
+    got = L.snapshot_read(spark, path, merge_schema=True)
+    assert set(got.columns) == {"a", "w", "v"}
+    assert got.filter(F.col("v").isNull()).count() == 15
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(15, 20))
+
+    # rename chains over an active drop; guards still refuse
+    L.snapshot_rename_column(path, "a", "k")
+    assert set(L.snapshot_read(spark, path, merge_schema=True).columns) == {"k", "w", "v"}
+    with pytest.raises(ValueError, match="rename"):
+        L.snapshot_compact(spark, path)
+
+    # refusals
+    with pytest.raises(ValueError, match="no column"):
+        L.snapshot_drop_column(path, "zz")
+    solo = str(tmp_path / "solo")
+    L.snapshot_append(spark, spark.range(3).selectExpr("id as x"), solo)
+    with pytest.raises(ValueError, match="only"):
+        L.snapshot_drop_column(solo, "x")
+
+    # materialize folds drop + rename into a fresh physical generation
+    L.snapshot_materialize_renames(spark, path)
+    meta = L.snapshot_meta(path)
+    assert not meta.get("renames")
+    got = L.snapshot_read(spark, path)
+    assert set(got.columns) == {"k", "w", "v"} and got.count() == 20
+    L.snapshot_compact(spark, path)
+    assert L.snapshot_read(spark, path).count() == 20
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraint contracts: add-time validation scans existing
+    rows; append/merge/merge_mor/stage refuse violating batches
+    BEFORE staging (no orphan files); NULL passes (SQL semantics);
+    the constraint rides rewrites, compaction and rollback; clones
+    inherit it; drop removes it."""
+    import glob
+
+    path = str(tmp_path / "tbl")
+    L.snapshot_append(
+        spark,
+        spark.range(1, 11).selectExpr("id as k", "id * 2 as v").coalesce(1),
+        path,
+    )
+    # add-time validation refuses when existing rows violate
+    with pytest.raises(ValueError, match="violation"):
+        L.snapshot_set_constraint(spark, path, "big_k", "k > 5")
+    assert L.snapshot_set_constraint(spark, path, "pos_k", "k > 0") == 2
+    with pytest.raises(ValueError, match="already exists"):
+        L.snapshot_set_constraint(spark, path, "pos_k", "k > 0")
+
+    # append of a violating batch refuses and stages NOTHING
+    files_before = set(glob.glob(f"{path}/data/*/*.parquet"))
+    with pytest.raises(ValueError, match="pos_k"):
+        L.snapshot_append(
+            spark, spark.range(-3, 3).selectExpr("id as k", "id as v"), path
+        )
+    assert set(glob.glob(f"{path}/data/*/*.parquet")) == files_before
+
+    # NULL passes (SQL CHECK semantics)
+    L.snapshot_append(
+        spark,
+        spark.range(1).selectExpr("CAST(NULL AS BIGINT) as k", "id as v"),
+        path,
+    )
+    assert L.snapshot_read(spark, path).count() == 11
+
+    # merge / merge_mor / stage all refuse violating frames
+    bad = spark.range(-1, 0).selectExpr("id as k", "id as v")
+    with pytest.raises(ValueError, match="pos_k"):
+        L.snapshot_merge(spark, bad, path, ["k"])
+    with pytest.raises(ValueError, match="pos_k"):
+        L.snapshot_merge_mor(spark, bad, path, ["k"])
+    with pytest.raises(ValueError, match="pos_k"):
+        L.snapshot_stage(spark, bad, path, "audit")
+
+    # the contract rides rewrites: COW delete, compact, rollback
+    L.snapshot_delete(spark, path, F.col("v") == 4)
+    L.snapshot_compact(spark, path)
+    L.snapshot_rollback(spark, path, to_version=L.snapshot_meta(path)["version"])
+    assert L.snapshot_meta(path)["constraints"] == {"pos_k": "k > 0"}
+    with pytest.raises(ValueError, match="pos_k"):
+        L.snapshot_append(spark, bad, path)
+
+    # clones inherit the contract
+    cl = str(tmp_path / "cl")
+    L.snapshot_clone(spark, path, cl)
+    with pytest.raises(ValueError, match="pos_k"):
+        L.snapshot_append(spark, bad, cl)
+
+    # drop removes enforcement
+    L.snapshot_drop_constraint(path, "pos_k")
+    with pytest.raises(ValueError, match="no constraint"):
+        L.snapshot_drop_constraint(path, "pos_k")
+    L.snapshot_append(spark, bad.coalesce(1), path)
+    assert "constraints" not in L.snapshot_meta(path) or not L.snapshot_meta(path)["constraints"]
+
+
+def test_rewrite_segments_carries_rename_events(spark, tmp_path):
+    """A segment-collapse maintenance commit on a renamed table must
+    carry the rename events (dropping them would silently revert
+    reads to physical names) and keep the covers resolvable."""
+    path = str(tmp_path / "tbl")
+    for lo in (0, 5, 10):
+        L.snapshot_append(
+            spark, spark.range(lo, lo + 5).selectExpr("id as a").coalesce(1), path
+        )
+    L.snapshot_rename_column(path, "a", "b")
+    L.snapshot_append(
+        spark, spark.range(15, 20).selectExpr("id as b").coalesce(1), path
+    )
+    L.snapshot_rewrite_segments(path)
+    meta = L.snapshot_meta(path)
+    assert meta["renames"] and meta["renames"][0]["new"] == "b"
+    got = L.snapshot_read(spark, path)
+    assert got.columns == ["b"]
+    assert got.agg(F.sum("b")).first()[0] == 190
+
+
+def test_snapshot_analyze_backfills_missing_stats(spark, tmp_path):
+    """ANALYZE contract: only files missing the requested zone maps
+    are scanned and only their segments are replaced; scans prune
+    the legacy generation afterwards; a fully-statted table no-ops."""
+    path = str(tmp_path / "tbl")
+    # two legacy (stat-less) slices + one already-statted slice
+    for lo in (0, 10):
+        L.snapshot_append(
+            spark, spark.range(lo, lo + 10).selectExpr("id as k").coalesce(1), path
+        )
+    L.snapshot_append(
+        spark,
+        spark.range(20, 30).selectExpr("id as k").coalesce(1),
+        path,
+        stats_col=["k"],
+    )
+    segs_before = L._load_raw(
+        L._manifests(path)[-1]
+    )["segments"]
+    v = L.snapshot_analyze(spark, path, ["k"])
+    assert v == 4
+    segs_after = L._load_raw(L._manifests(path)[-1])["segments"]
+    # the already-statted segment carries BY NAME; the two legacy ones
+    # were replaced
+    assert segs_before[2] == segs_after[2]
+    assert segs_before[0] != segs_after[0] and segs_before[1] != segs_after[1]
+    meta = L.snapshot_meta(path)
+    assert all("k" in meta["stats"].get(f, {}) for f in meta["files"])
+    # scans now prune: the [0,9] file alone covers the probe range
+    kept = [
+        f for f in meta["files"]
+        if meta["stats"][f]["k"][0] <= 5 and meta["stats"][f]["k"][1] >= 3
+    ]
+    assert len(kept) == 1
+    got = L.snapshot_scan(spark, path, "k", 3, 5)
+    assert sorted(r["k"] for r in got.collect()) == [3, 4, 5]
+    # idempotent: nothing missing -> no-op at the head version
+    assert L.snapshot_analyze(spark, path, ["k"]) == 4
