@@ -96,6 +96,11 @@ _REVERIFY_NOW: dict[str, int] = {
     "stream_bloom_membership": 19,
     "stream_hll_distinct": 19,
     "stream_kmv_quantile": 19,
+    # Round 19 OPTIMIZATION pass: gram repetition signals rewritten
+    # sort+run-length (textops.top_ngram_frac / dup_ngram_frac, exact
+    # equality pinned old-vs-new) — re-verify the one entry built on
+    # them end-to-end.
+    "d04_repetition_signals": 19,
 }
 
 

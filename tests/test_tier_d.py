@@ -544,6 +544,65 @@ def test_repetition_signals_fixture(spark):
     assert rows[3]["dl"] == 0.0 and rows[3]["t2"] == 0.0
 
 
+def test_repetition_signals_run_length_equals_reference(spark):
+    """Round-19 optimization pin: the sort-then-run-length forms of
+    top_ngram_frac / dup_ngram_frac must equal the reference
+    distinct×filter (quadratic) definition EXACTLY — same integers,
+    same quotient — on adversarial shapes: empty, NULL, < n words,
+    all-identical grams, no duplicates, interleaved repeats, and a
+    doc whose repeated gram run sits at the array tail (exercises the
+    finish-lambda close)."""
+    from pyspark.sql import functions as F
+
+    from etl_cortex_spark.operators import textops as TX
+
+    def ref_top(col, n):
+        g = TX.word_ngrams(col, n)
+        cnts = F.transform(
+            F.array_distinct(g),
+            lambda gg: F.size(F.filter(g, lambda x: x == gg)),
+        )
+        return F.coalesce(
+            F.array_max(cnts) / F.greatest(F.size(g), F.lit(1)), F.lit(0.0)
+        )
+
+    def ref_dup(col, n):
+        g = TX.word_ngrams(col, n)
+        cnts = F.transform(
+            F.array_distinct(g),
+            lambda gg: F.size(F.filter(g, lambda x: x == gg)),
+        )
+        dup = F.aggregate(
+            F.filter(cnts, lambda c: c >= 2), F.lit(0), lambda acc, x: acc + x
+        )
+        return dup / F.greatest(F.size(g), F.lit(1))
+
+    fix = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, None),
+            (2, "one"),
+            (3, "a a a a a a a a a a"),
+            (4, "b c d e f g h i j k l m"),
+            (5, "x y x y x y x y"),
+            (6, "p q r p q r p q r p q"),
+            (7, "z z q w e r t y z z"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3, 5):
+        bad = fix.select(
+            ref_top(F.col("text"), n).alias("rt"),
+            TX.top_ngram_frac("text", n).alias("nt"),
+            ref_dup(F.col("text"), n).alias("rd"),
+            TX.dup_ngram_frac("text", n).alias("nd"),
+        ).filter(
+            (~F.col("rt").eqNullSafe(F.col("nt")))
+            | (~F.col("rd").eqNullSafe(F.col("nd")))
+        )
+        assert bad.count() == 0, f"n={n}: {bad.collect()}"
+
+
 def test_span_dedup_removes_shared_span_only(spark):
     """Two docs share a 6-word sentence (=> two duplicated 5-grams
     covering exactly those 6 words); a third doc is unique. The shared
