@@ -101,6 +101,12 @@ _REVERIFY_NOW: dict[str, int] = {
     # equality pinned old-vs-new) — re-verify the one entry built on
     # them end-to-end.
     "d04_repetition_signals": 19,
+    # Round 19 OPTIMIZATION pass: c19 split into two aggregates (the
+    # acd+countDistinct Expand pathology), fuzzy_join refine-before-
+    # distinct + probe-spread repartition.
+    "c19_approx_count_distinct": 19,
+    "d26_fuzzy_entity_match": 19,
+    "d31_entity_clusters": 19,
 }
 
 

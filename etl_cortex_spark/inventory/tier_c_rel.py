@@ -333,13 +333,28 @@ def c19(spark: SparkSession, sf_dir: str) -> DataFrame:
     -specific, so the oracle-checkable contract is the ERROR BOUND: the
     query emits whether each estimate lands within 5% of the exact
     count (computed in the same plan), and the oracle pins both flags
-    true — an epsilon oracle instead of a rows-only pass."""
-    est = T(spark, sf_dir, "lineitem").agg(
+    true — an epsilon oracle instead of a rows-only pass.
+
+    Round 19: the sketches and the exact counts are computed in TWO
+    aggregates joined on their 1-row outputs, not one. Mixing
+    approx_count_distinct with count(DISTINCT) in a single Aggregate
+    triggers the planner's distinct-rewrite (Expand + group-by the
+    distinct columns), which evaluates the HLL++ partial PER DISTINCT
+    VALUE GROUP — ~1.2M groups each allocating a 2^14-register sketch
+    buffer instead of one per partition. Measured at sf0.1:
+    125-173 s combined vs 1.9 s + 0.3 s split (~75×); same estimates,
+    same exact counts, same flags. The 1-row cross join is a
+    broadcast-nested-loop of two singletons — no data shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    approx = li.agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("a_o"),
-        F.countDistinct("l_orderkey").alias("e_o"),
         F.approx_count_distinct("l_partkey", 0.01).alias("a_p"),
+    )
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("e_o"),
         F.countDistinct("l_partkey").alias("e_p"),
     )
+    est = approx.crossJoin(exact)
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
     )

@@ -59,29 +59,67 @@ def fuzzy_join(
     max_dist reachable through banded blocking. Returns (left_id,
     right_id, dist)."""
     n_bands = max_dist + 1
-    l = left.select(
-        F.col(left_id).alias("__lid"),
-        F.col(left_key).alias("__lkey"),
-        F.explode(_bands(F.col(left_key), key_width, n_bands)).alias("__b"),
-    ).select("__lid", "__lkey", "__b.band", "__b.val")
-    r = right.select(
-        F.col(right_id).alias("__rid"),
-        F.col(right_key).alias("__rkey"),
-        F.explode(_bands(F.col(right_key), key_width, n_bands)).alias("__b"),
-    ).select("__rid", "__rkey", "__b.band", "__b.val")
+    # Both band frames are round-robined across the session's default
+    # parallelism BEFORE the join (round 19): a low-entropy band value
+    # (e.g. the all-zeros leading band of zero-padded numeric keys)
+    # makes the band join's probe OUTPUT volume quadratic in that
+    # band's membership, and that per-pair refine work otherwise lands
+    # on however few partitions the source scan produced (a dimension-
+    # sized parquet is a handful of splits; d26 measured a 4-fast +
+    # 1-straggler stage shape — guide §2.5 input skew). Whichever side
+    # the planner broadcasts, the PROBE side is now spread over every
+    # core; the exchanged rows are (id, key, band) triples — band-count
+    # × input rows, never pair volume, and the extra exchange on the
+    # broadcast side is input-sized too. Scale-adaptive:
+    # defaultParallelism is total cluster cores, not a local constant.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    l = (
+        left.select(
+            F.col(left_id).alias("__lid"),
+            F.col(left_key).alias("__lkey"),
+            F.explode(_bands(F.col(left_key), key_width, n_bands)).alias("__b"),
+        )
+        .select("__lid", "__lkey", "__b.band", "__b.val")
+        .repartition(par)
+    )
+    r = (
+        right.select(
+            F.col(right_id).alias("__rid"),
+            F.col(right_key).alias("__rkey"),
+            F.explode(_bands(F.col(right_key), key_width, n_bands)).alias("__b"),
+        )
+        .select("__rid", "__rkey", "__b.band", "__b.val")
+        .repartition(par)
+    )
 
-    # candidate ids only through the band shuffle; dedup before refine
-    cand = (
+    # Refine BEFORE dedup (round 19): a low-entropy band value (e.g.
+    # the all-zeros leading band of zero-padded numeric keys) can make
+    # one band's candidate set quasi-cross-join sized. The original
+    # order shuffled that entire candidate set through a 4-string-
+    # column DISTINCT before scoring; levenshtein is deterministic per
+    # pair, so filter∘distinct ≡ distinct∘filter — score in the join's
+    # own stage (codegen, no extra exchange) and dedup only the pairs
+    # that survive ≤ max_dist, which is candidate-bounded, never
+    # band-volume-bounded. A pair matching in k bands is scored k
+    # times instead of once — strictly cheaper than exchanging it k
+    # times at any band volume. Measured on d26 (15k keys, hot "000"
+    # band → 32M band pairs) at sf0.1: 19.1 s → 1.5 s for this +
+    # the probe-spread repartition above together.
+    dist = F.levenshtein("__lkey", "__rkey")
+    return (
         l.select("__lid", "__lkey", "band", "val")
         .join(r.select("__rid", "__rkey", "band", "val"), ["band", "val"])
-        .select("__lid", "__lkey", "__rid", "__rkey")
+        .filter(dist <= max_dist)
+        .select(
+            F.col("__lid").alias(
+                left_id if left_id != right_id else f"l_{left_id}"
+            ),
+            F.col("__rid").alias(
+                right_id if right_id != left_id else f"r_{right_id}"
+            ),
+            dist.alias("dist"),
+        )
         .distinct()
-    )
-    dist = F.levenshtein("__lkey", "__rkey")
-    return cand.filter(dist <= max_dist).select(
-        F.col("__lid").alias(left_id if left_id != right_id else f"l_{left_id}"),
-        F.col("__rid").alias(right_id if right_id != left_id else f"r_{right_id}"),
-        dist.alias("dist"),
     )
 
 
