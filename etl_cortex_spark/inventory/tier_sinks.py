@@ -394,7 +394,34 @@ def pyds_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         snapshot_append(spark, batch_df, dst, batch_id=int(batch_id))
 
-    for _ in range(6):  # loop until the offset stops advancing
+    # Loop until the committed offset reaches the table head (round
+    # 19): the fixed 6-run loop paid 2-3 full availableNow streaming-
+    # query startups past quiescence — each is seconds of engine
+    # setup for a provably empty pull. The committed offset IS the
+    # engine's checkpoint (offsets/<max committed batch>'s JSON line,
+    # written by the offset log), so "offset == head version" is the
+    # same condition the 6th run would observe, checked without
+    # starting a query. Cap unchanged at 6 — the drain needs 3 runs
+    # (max_files=1, three one-file appends).
+    import json as _json
+
+    from etl_cortex_spark.operators.layout import snapshot_meta
+
+    def _committed_version() -> int:
+        cdir = os.path.join(ckpt, "commits")
+        if not os.path.isdir(cdir):
+            return -1
+        done = [int(f) for f in os.listdir(cdir) if f.isdigit()]
+        if not done:
+            return -1
+        with open(os.path.join(ckpt, "offsets", str(max(done)))) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        return int(_json.loads(lines[-1])["version"])
+
+    head = snapshot_meta(src)["version"]
+    for _ in range(6):
+        if _committed_version() >= head:
+            break
         stream = (
             spark.readStream.format("snapshot_tail_stream")
             .option("path", src)

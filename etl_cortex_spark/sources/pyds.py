@@ -266,13 +266,25 @@ def make_snapshot_changes_stream_source():
         # does not guard schema drift. Missing declared columns
         # surface as None; columns the declared schema doesn't know
         # are ignored (the stream's schema is fixed at start, the CDC
-        # convention).
+        # convention). Round 19: columns are PRUNED at the parquet
+        # read (undeclared columns are never decoded) and rows are
+        # built column-wise (one to_pylist per column + zip) instead
+        # of via per-row dicts — same tuples, same alignment, no
+        # per-row dict churn.
         import pyarrow.parquet as pq
 
         out = []
         for f in files:
-            for rec in pq.read_table(f).to_pylist():
-                out.append(tuple(rec.get(c) for c in cols))
+            pf = pq.ParquetFile(f)
+            have = set(pf.schema_arrow.names)
+            tbl = pf.read(columns=[c for c in cols if c in have])
+            series = [
+                tbl.column(c).to_pylist()
+                if c in tbl.column_names
+                else [None] * tbl.num_rows
+                for c in cols
+            ]
+            out.extend(zip(*series))
         return out
 
     class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
@@ -455,12 +467,22 @@ def make_snapshot_tail_stream_source():
         return cut, out
 
     def rows_of(files, cols):
+        # LIST-backed, name-aligned (see the changes source's twin);
+        # round 19: column-pruned read + column-wise tuple build
         import pyarrow.parquet as pq
 
         out = []
         for f in files:
-            for rec in pq.read_table(f).to_pylist():
-                out.append(tuple(rec.get(c) for c in cols))
+            pf = pq.ParquetFile(f)
+            have = set(pf.schema_arrow.names)
+            tbl = pf.read(columns=[c for c in cols if c in have])
+            series = [
+                tbl.column(c).to_pylist()
+                if c in tbl.column_names
+                else [None] * tbl.num_rows
+                for c in cols
+            ]
+            out.extend(zip(*series))
         return out
 
     class SnapshotTailStreamReader(SimpleDataSourceStreamReader):
@@ -625,15 +647,17 @@ def make_snapshot_tail_stream_dist_source():
         return out
 
     class FilePartition(InputPartition):
-        def __init__(self, path, cols):
+        def __init__(self, path, cols, types):
             self.path = path
             self.cols = cols
+            self.types = types  # DDL type names aligned with cols
 
     class SnapshotTailDistReader(DataSourceStreamReader):
-        def __init__(self, options, cols):
+        def __init__(self, options, cols, types):
             self.path = options["path"]
             self.start_version = int(options.get("start_version", 0))
             self.cols = cols
+            self.types = types
 
         def initialOffset(self):
             return {"version": self.start_version}
@@ -649,20 +673,49 @@ def make_snapshot_tail_stream_dist_source():
             # window still needs ≥1 (zero-row) partition — the engine
             # rejects an empty list
             if not files:
-                return [FilePartition(None, self.cols)]
-            return [FilePartition(f, self.cols) for f in files]
+                return [FilePartition(None, self.cols, self.types)]
+            return [FilePartition(f, self.cols, self.types) for f in files]
 
         def read(self, partition):
             # EXECUTOR-side: this function runs in the task's Python
-            # worker — only stdlib + pyarrow, no repo imports
+            # worker — only stdlib + pyarrow, no repo imports.
+            # Round 19: yield ARROW BATCHES, not per-row Python tuples
+            # — the engine accepts pyarrow.RecordBatch from DataSource
+            # readers (the batch snapshot source already relies on it)
+            # and the columnar path skips the per-row pickle + convert
+            # hop entirely (guide §4: control how much crosses the
+            # boundary and how). Columns are PRUNED at the parquet
+            # read (only declared columns are decoded) and aligned BY
+            # NAME to the declared schema: a column missing from an
+            # older file (additive evolution) surfaces as typed nulls,
+            # exactly the tuple path's rec.get(c) semantics; a file
+            # whose physical type differs is cast to the declared
+            # type (the tuple path coerced implicitly).
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             if partition.path is None:
                 return iter([])
-            out = []
-            for rec in pq.read_table(partition.path).to_pylist():
-                out.append(tuple(rec.get(c) for c in partition.cols))
-            return iter(out)
+            amap = {
+                "bigint": pa.int64(), "int": pa.int32(),
+                "double": pa.float64(), "float": pa.float32(),
+                "string": pa.string(), "boolean": pa.bool_(),
+            }
+            pf = pq.ParquetFile(partition.path)
+            have = set(pf.schema_arrow.names)
+            tbl = pf.read(columns=[c for c in partition.cols if c in have])
+            arrays = []
+            for c, t in zip(partition.cols, partition.types):
+                typ = amap[t]
+                if c in tbl.column_names:
+                    a = tbl.column(c)
+                    if a.type != typ:
+                        a = a.cast(typ)
+                else:
+                    a = pa.nulls(tbl.num_rows, typ)
+                arrays.append(a)
+            out = pa.table(arrays, names=list(partition.cols))
+            return iter(out.to_batches())
 
         def commit(self, end):
             pass
@@ -702,13 +755,18 @@ def make_snapshot_tail_stream_dist_source():
             return ", ".join(parts)
 
         def streamReader(self, schema):
+            # names AND DDL type names travel to the partitions so the
+            # executor-side Arrow path can null-fill/cast by declared
+            # type; simpleString() yields exactly the DDL-subset names
+            # this source's schema() emits
             if schema is not None:
                 cols = [f.name for f in schema.fields]
+                types = [f.dataType.simpleString() for f in schema.fields]
             else:
-                cols = [
-                    p.strip().split(" ")[0] for p in self.schema().split(",")
-                ]
-            return SnapshotTailDistReader(self.options, cols)
+                parts = [p.strip() for p in self.schema().split(",")]
+                cols = [p.split(" ")[0] for p in parts]
+                types = [p.split(" ")[1] for p in parts]
+            return SnapshotTailDistReader(self.options, cols, types)
 
     return SnapshotTailDistSource
 

@@ -518,17 +518,72 @@ def test_snapshot_tail_dist_reader_plans_one_partition_per_file(spark, tmp_path)
     parts = reader.partitions({"version": 0}, head)
     meta = L.snapshot_meta(path)
     assert len(parts) == len(meta["files"])
-    rows = [r for p in parts for r in reader.read(p)]
-    assert sorted(r[0] for r in rows) == [0, 1, 2]
+    # round 19: read() yields ARROW BATCHES (columnar boundary), not
+    # per-row tuples — assert the contract and the row content
+    import pyarrow as pa
+
+    batches = [b for p in parts for b in reader.read(p)]
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    rows = [r for b in batches for r in b.to_pylist()]
+    assert sorted(r["k"] for r in rows) == [0, 1, 2]
     # the incremental window plans only the delta's files
     L.snapshot_append(spark, _row_df(spark, 9), path)
     parts2 = reader.partitions({"version": 3}, reader.latestOffset())
-    rows2 = [r for p in parts2 for r in reader.read(p)]
-    assert [r[0] for r in rows2] == [9]
+    rows2 = [
+        r for p in parts2 for b in reader.read(p) for r in b.to_pylist()
+    ]
+    assert [r["k"] for r in rows2] == [9]
     # a rewrite inside the window refuses
     L.snapshot_compact(spark, path)
     with pytest.raises(ValueError, match="not a pure append"):
         reader.partitions({"version": 4}, reader.latestOffset())
+
+
+def test_snapshot_tail_dist_reader_aligns_drifted_schema(spark, tmp_path):
+    """Round-19 Arrow-path pin: the executor-side batch build aligns
+    BY NAME to the declared schema — a file missing a declared column
+    (additive evolution: stream declared against the widened head)
+    surfaces typed nulls, a file with a narrower physical type casts
+    to the declared type, and extra physical columns are ignored.
+    This is exactly the tuple path's rec.get(c) semantics, now pinned
+    on the columnar path."""
+    import pyarrow as pa
+
+    from etl_cortex_spark.sources.pyds import (
+        make_snapshot_tail_stream_dist_source,
+    )
+
+    path = str(tmp_path / "tbl")
+    # v1: (k, v) — missing the later column w
+    L.snapshot_append(
+        spark, spark.range(0, 2).selectExpr("id as k", "id * 10 as v"), path
+    )
+    # v2: (k, v, w) — widened (additive evolution)
+    L.snapshot_append(
+        spark,
+        spark.range(2, 3).selectExpr(
+            "id as k", "id * 10 as v", "id * 100 as w"
+        ),
+        path,
+    )
+    cls = make_snapshot_tail_stream_dist_source()
+    inst = cls.__new__(cls)
+    inst.options = {"path": path}
+    reader = inst.streamReader(None)  # declared = head schema (k, v, w)
+    parts = reader.partitions({"version": 0}, reader.latestOffset())
+    rows = sorted(
+        (r for p in parts for b in reader.read(p) for r in b.to_pylist()),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [0, 1, 2]
+    assert [r["v"] for r in rows] == [0, 10, 20]
+    # the pre-evolution rows carry NULL w; the new row carries its value
+    assert [r["w"] for r in rows] == [None, None, 200]
+    # every batch's arrow schema matches the declared column order/types
+    for p in parts:
+        for b in reader.read(p):
+            assert b.schema.names == ["k", "v", "w"]
+            assert b.schema.types == [pa.int64(), pa.int64(), pa.int64()]
 
 
 def test_snapshot_batch_source_prunes_by_stats_and_blooms(spark, tmp_path):
