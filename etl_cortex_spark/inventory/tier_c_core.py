@@ -15,6 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.queries import T, query
 
 FIXTURES = os.path.join(
@@ -76,7 +77,7 @@ def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(1, "gold"), (2, "silver"), (3, "gold"), (4, "bronze"), (5, "gold")]
-    spark.createDataFrame(rows, "id int, tier string").createOrReplaceTempView(
+    local_df(spark, rows, "id int, tier string").createOrReplaceTempView(
         "c04_mem"
     )
     return spark.sql(
@@ -216,7 +217,7 @@ def c40(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return spark.createDataFrame([(plan,)], "plan string")
+    return local_df(spark, [(plan,)], "plan string")
 
 
 # --- B4: silver string→datetime conversion ------------------------------------
@@ -233,7 +234,7 @@ def c40(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b04(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [("2024-01-10 12:00:00",), ("not a date",), ("2023-06-30 23:59:59",), (None,)]
-    df = spark.createDataFrame(rows, "raw_ts string")
+    df = local_df(spark, rows, "raw_ts string")
     return df.select(
         "raw_ts", F.try_to_timestamp(F.col("raw_ts")).alias("parsed")
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators.asof import asof_join
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.queries import T, query
 
 # --- Joins -------------------------------------------------------------------
@@ -187,7 +188,8 @@ def c14(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the bucket table is constant-size, so BNLJ is O(n·buckets)
     with zero shuffle of the big side."""
     part = T(spark, sf_dir, "part")
-    buckets = spark.createDataFrame(
+    buckets = local_df(
+        spark,
         [("small", 1, 15), ("medium", 16, 35), ("large", 36, 50)],
         "label string, lo int, hi int",
     )
@@ -875,7 +877,8 @@ def c38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lookup = spark.createDataFrame(
+    lookup = local_df(
+        spark,
         [
             ("1-URGENT", "hot"),
             ("2-HIGH", "hot"),
@@ -1424,7 +1427,8 @@ def c62(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).save()
     got = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(got["n_rows"], got["null_qty"], got["total_price"], got["max_orderkey"])],
         "n_rows bigint, null_qty bigint, total_price double, max_orderkey bigint",
     )
@@ -1646,7 +1650,7 @@ def c68(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderstatus"))
         .alias("k"),
     )
-    nums = spark.createDataFrame([(0,), (1,), (2,)], "s int").select(
+    nums = local_df(spark, [(0,), (1,), (2,)], "s int").select(
         F.when(F.col("s") % 2 == 0, None).otherwise(F.col("s").cast("string")).alias("k"),
         F.col("s").cast("bigint").alias("tag"),
     )

@@ -18,6 +18,7 @@ from etl_cortex_spark.operators import dedup as DD
 from etl_cortex_spark.operators import multimodal as MM
 from etl_cortex_spark.operators import similarity as SIM
 from etl_cortex_spark.operators import textops as TX
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.queries import T, query
 
 # shared oracle SQL fragments (DuckDB): whitespace words + k-shingles,
@@ -122,16 +123,15 @@ def d02ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts."""
     base = _mutated_corpus(spark, sf_dir)
     exact = (
-        DD.ngram_jaccard_pairs(base)
-        .filter(F.col("jaccard") >= 0.8)
+        DD.ngram_jaccard_pairs(base, min_jaccard=0.8)
         .select("id_a", "id_b")
     )
     lsh = DD.minhash_lsh_pairs(base, threshold=0.5).select("id_a", "id_b")
     n_exact = exact.count()
     missed = exact.join(lsh, ["id_a", "id_b"], "left_anti").count()
     ok = n_exact > 0 and (n_exact - missed) / n_exact >= 0.95
-    return spark.createDataFrame(
-        [(n_exact, ok)], "n_exact_high bigint, recall_ok boolean"
+    return local_df(
+        spark, [(n_exact, ok)], "n_exact_high bigint, recall_ok boolean"
     )
 
 
@@ -330,16 +330,15 @@ def d02sr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side state is two counts."""
     base = _mutated_corpus(spark, sf_dir, mutate="suffix")
     exact = (
-        DD.ngram_jaccard_pairs(base)
-        .filter(F.col("jaccard") >= 0.8)
+        DD.ngram_jaccard_pairs(base, min_jaccard=0.8)
         .select("id_a", "id_b")
     )
     cand = DD.simhash_candidates(base, max_hamming=3).select("id_a", "id_b")
     n_exact = exact.count()
     missed = exact.join(cand, ["id_a", "id_b"], "left_anti").count()
     ok = n_exact > 0 and (n_exact - missed) / n_exact >= 0.95
-    return spark.createDataFrame(
-        [(n_exact, ok)], "n_exact_high bigint, recall_ok boolean"
+    return local_df(
+        spark, [(n_exact, ok)], "n_exact_high bigint, recall_ok boolean"
     )
 
 
@@ -380,7 +379,7 @@ def d02e(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering with a recursive CTE); the production LSH pairing is
     exercised by d02_near_dedup_minhash and pytest."""
     base = _mutated_corpus(spark, sf_dir)
-    pairs = DD.ngram_jaccard_pairs(base, max_rows=None).filter(F.col("jaccard") >= 0.5)
+    pairs = DD.ngram_jaccard_pairs(base, max_rows=None, min_jaccard=0.5)
     return DD.near_dedup(base, pairs=pairs).select("doc_id").orderBy("doc_id")
 
 
@@ -572,8 +571,8 @@ def d03c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = len(ann_ids & {r["vec_id"] for r in exact})
     n = emb.count()
-    return spark.createDataFrame(
-        [(n, 5, hits >= 4)], "n_candidates bigint, k int, recall_ok boolean"
+    return local_df(
+        spark, [(n, 5, hits >= 4)], "n_candidates bigint, k int, recall_ok boolean"
     )
 
 
@@ -976,7 +975,7 @@ def d05w(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``decode_image``), which genuinely need external libraries."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_wav_assets(docs)
-    return MM.decode_wav_features(assets).orderBy("asset_id")
+    return MM.decode_wav_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1015,7 +1014,7 @@ def d05i(spark: SparkSession, sf_dir: str) -> DataFrame:
     Means are exact-integer-sum / count, emitted unrounded."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_bmp_assets(docs)
-    return MM.decode_bmp_features(assets).orderBy("asset_id")
+    return MM.decode_bmp_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1062,7 +1061,7 @@ def d05p(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-sum / count, emitted unrounded."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_png_assets(docs)
-    return MM.decode_png_features(assets).orderBy("asset_id")
+    return MM.decode_png_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1108,7 +1107,7 @@ def d05j(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. Means are exact-integer-sum / count, emitted unrounded."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_jpeg_assets(docs)
-    return MM.decode_jpeg_features(assets).orderBy("asset_id")
+    return MM.decode_jpeg_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1190,7 +1189,7 @@ def d05cj(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16-aligned, distinct from every other asset family)."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_color_jpeg_assets(docs)
-    return MM.decode_color_jpeg_features(assets).orderBy("asset_id")
+    return MM.decode_color_jpeg_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1242,8 +1241,10 @@ def d05rz(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_bmp_assets(docs)
     resized = MM.resize_bmp_nearest(assets, max_side=8)
-    return MM.decode_bmp_features(resized.select("asset_id", "payload")).orderBy(
-        "asset_id"
+    return (
+        MM.decode_bmp_features(resized.select("asset_id", "payload"))
+        .repartition(1)
+        .sortWithinPartitions("asset_id")
     )
 
 
@@ -1291,7 +1292,7 @@ def d05avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     movi_bytes replays the frame-size closed form with a range join."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_avi_assets(docs)
-    return MM.parse_avi_features(assets).orderBy("asset_id")
+    return MM.parse_avi_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1340,7 +1341,7 @@ def d05avif(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the pixel ramps with a 3-way range join."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_dib_avi_assets(docs)
-    return MM.decode_avi_frame_features(assets).orderBy("asset_id", "frame_idx")
+    return MM.decode_avi_frame_features(assets).repartition(1).sortWithinPartitions("asset_id", "frame_idx")
 
 
 @query(
@@ -1388,7 +1389,7 @@ def d05mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     a range join and the same 14-entry bitrate table."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_mp3_assets(docs)
-    return MM.parse_mp3_features(assets).orderBy("asset_id")
+    return MM.parse_mp3_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 def _si_bits_sql(p: int, w: int) -> str:
@@ -1477,7 +1478,7 @@ def d05mp3si(spark: SparkSession, sf_dir: str) -> DataFrame:
     censuses (operators/multimodal.py:parse_mp3_sideinfo)."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_mp3_assets(docs)
-    return MM.parse_mp3_sideinfo(assets).orderBy("asset_id")
+    return MM.parse_mp3_sideinfo(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1527,7 +1528,7 @@ def d05mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation raise loudly (pytest twins, tests/test_multimodal_wav.py)."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_mjpeg_avi_assets(docs)
-    return MM.decode_mjpeg_frame_features(assets).orderBy("asset_id", "frame_idx")
+    return MM.decode_mjpeg_frame_features(assets).repartition(1).sortWithinPartitions("asset_id", "frame_idx")
 
 
 @query(
@@ -1585,7 +1586,7 @@ def d05rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.decode_image)."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_rle8_avi_assets(docs)
-    return MM.decode_rle8_frame_features(assets).orderBy("asset_id", "frame_idx")
+    return MM.decode_rle8_frame_features(assets).repartition(1).sortWithinPartitions("asset_id", "frame_idx")
 
 
 @query(
@@ -1663,7 +1664,7 @@ def d05mp2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_mp2.py)."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_mp2_assets(docs)
-    return MM.decode_mp2_subband_features(assets).orderBy("asset_id")
+    return MM.decode_mp2_subband_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -1704,7 +1705,7 @@ def d05tar(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload running sum) as a window over the member sequence."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_tar_shards(docs)
-    return MM.tar_shard_manifest(assets).orderBy("asset_id", "data_offset")
+    return MM.tar_shard_manifest(assets).repartition(1).sortWithinPartitions("asset_id", "data_offset")
 
 
 @query(
@@ -1749,7 +1750,7 @@ def d05pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp3-sample and video-codec decode remain stubbed."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_progressive_jpeg_assets(docs)
-    return MM.decode_progressive_jpeg_features(assets).orderBy("asset_id")
+    return MM.decode_progressive_jpeg_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 # --- D6-D8: streaming ---------------------------------------------------------
@@ -2868,7 +2869,7 @@ def d110warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Framing/magic/truncation violations raise loudly (pytest)."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_warc_assets(docs)
-    return MM.parse_warc_responses(assets).orderBy("asset_id")
+    return MM.parse_warc_responses(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -2923,7 +2924,7 @@ def d05gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel at 100 TB, the sanctioned escape hatch."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_gif_assets(docs)
-    return MM.decode_gif_features(assets).orderBy("asset_id")
+    return MM.decode_gif_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -2997,7 +2998,7 @@ def d05mp3scf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-pinned."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_mp3_scf_assets(docs)
-    return MM.decode_mp3_scalefactors(assets).orderBy("asset_id")
+    return MM.decode_mp3_scalefactors(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(
@@ -3117,7 +3118,7 @@ def d05rice(spark: SparkSession, sf_dir: str) -> DataFrame:
     overrun / unsupported order raise loudly (pytest)."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_rice_audio_assets(docs)
-    return MM.decode_rice_audio_features(assets).orderBy("asset_id")
+    return MM.decode_rice_audio_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
 @query(

@@ -18,6 +18,7 @@ from etl_cortex_spark.operators import llmprep as LP
 from etl_cortex_spark.operators import search as SR
 from etl_cortex_spark.operators import textops as TX
 from etl_cortex_spark.inventory.tier_d import _WORDS, _bucket_sql, _shingles_sql
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.queries import T, query
 
 
@@ -512,8 +513,8 @@ def d25ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split across buckets); bucketed losers ⊆ exact losers always.
     missed = exact_losers.join(survivors, "vec_id", "semi").count()
     ok = n_exact > 0 and (n_exact - missed) / n_exact >= 0.85
-    return spark.createDataFrame(
-        [(n_exact, ok)], "n_exact_losers bigint, recall_ok boolean"
+    return local_df(
+        spark, [(n_exact, ok)], "n_exact_losers bigint, recall_ok boolean"
     )
 
 
@@ -692,8 +693,8 @@ def d25probera(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.count()
     missed = exact.join(probed, "vec_id", "left_anti").count()
     ok = n_exact > 0 and (n_exact - missed) / n_exact >= 0.85
-    return spark.createDataFrame(
-        [(n_exact, ok)], "n_exact_flagged bigint, recall_ok boolean"
+    return local_df(
+        spark, [(n_exact, ok)], "n_exact_flagged bigint, recall_ok boolean"
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from etl_cortex_spark.inventory.tier_d import _WORDS, _bucket_sql, _shingles_sql
 from etl_cortex_spark.operators import llmprep as LP
 from etl_cortex_spark.operators import textops as TX
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.queries import T, query
 
 
@@ -1488,7 +1489,8 @@ def d12semlshra(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in approx.filter("contaminated").select("bench_id").collect()
     }
     recall = len(exact_ids & caught) / max(len(exact_ids), 1)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(len(exact_ids), bool(recall >= 0.95))],
         "n_exact_contaminated long, recall_ok boolean",
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators.skew import salted_agg, salted_broadcast_left
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.queries import T, query
 
 
@@ -757,7 +758,8 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
             .parquet(path)
         )
     fact = spark.read.parquet(path)
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [(y, "focus" if y in (1996, 1998) else "archive") for y in range(1995, 2002)],
         "d_year int, d_tag string",
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators.caching import track
+from etl_cortex_spark.operators.localframe import local_df
 
 
 def pagerank(
@@ -384,7 +385,7 @@ def bfs_hops(
         edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
     ).localCheckpoint()
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(source, 0)], "node bigint, hops int")
+    visited = local_df(spark, [(source, 0)], "node bigint, hops int")
     frontier = visited.select("node").localCheckpoint()
     visited = visited.localCheckpoint()
     for depth in range(1, max_iter + 1):

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.localframe import local_df
+
 BITS = 16  # per-dimension fixed-point resolution
 
 
@@ -1163,7 +1165,7 @@ def snapshot_point_lookup(spark, path: str, col: str, value, version: int | None
     ]
     schema = _version_schema(spark, meta["files"])
     if not keep:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     # Blooms stay valid under merge-on-read (a deleted key's bits may
     # still be set — false-positive direction only, never a miss); the
     # delete anti-join applies after pruning
@@ -1594,7 +1596,8 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
         _check_reserved_cols(
             schema, ("__file", "_commit_version"), "_apply_mor_deletes"
         )
-        lineage_dim = spark.createDataFrame(
+        lineage_dim = local_df(
+            spark,
             [(k, int(v)) for k, v in tag_versions.items()],
             "__file string, _commit_version int",
         )
@@ -1656,7 +1659,7 @@ def _apply_mor_deletes(spark, meta: dict, files: list, schema,
 
     deletes = meta.get("deletes") or []
     if not files:
-        out = spark.createDataFrame([], schema)
+        out = local_df(spark, [], schema)
         if lineage_dim is not None:
             out = out.withColumn("_commit_version", F.lit(None).cast("int"))
         if keep_pos_tags:
@@ -1746,7 +1749,8 @@ def snapshot_history(spark, path: str):
             )
         )
         prev = cur
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "version int, n_files int, n_added int, n_removed int, "
         "batch_id bigint, n_delete_entries int, has_layout boolean",
@@ -2141,7 +2145,7 @@ def snapshot_scan(
     # data file is touched to plan the scan" claim holds at 100k files.
     schema = _version_schema(spark, meta["files"])
     if not keep:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     # zone maps stay valid under merge-on-read (rows only disappear,
     # so a file's recorded range can only be too WIDE — conservative);
     # the delete anti-join applies after pruning
@@ -2200,7 +2204,7 @@ def snapshot_scan_multi(spark, path: str, ranges: dict, version: int | None = No
             keep.append(fpath)
     schema = _version_schema(spark, meta["files"])
     if not keep:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     pred = None
     for col, (lo, hi) in ranges.items():
         c = F.col(col).between(F.lit(lo), F.lit(hi))
@@ -2272,7 +2276,7 @@ def snapshot_point_lookup_bucket(spark, path: str, col: str, value, version: int
             keep.append(fp)
     schema = _version_schema(spark, meta["files"])
     if not keep:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     return _apply_mor_deletes(spark, meta, keep, schema).filter(
         F.col(col) == F.lit(value)
     )
@@ -3224,7 +3228,7 @@ def snapshot_changes(
     # the exact union when the evolution shape is unknown.
     schema = _version_schema(spark, load(to_version))
     if not new_files:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     if merge_schema:
         return spark.read.option("mergeSchema", "true").parquet(*new_files)
     return spark.read.schema(schema).parquet(*new_files)
@@ -3600,7 +3604,7 @@ def snapshot_tail(spark, path: str, state_path: str,
         schema = _renamed_schema(
             _version_schema(spark, last), path, raw, last[-1]
         )
-        return spark.createDataFrame([], schema), cur, head, ack
+        return local_df(spark, [], schema), cur, head, ack
     if cur == 0:
         # first pull: everything visible at head, but STILL validated —
         # a pending MOR delete means "all head files" is not "all rows"
@@ -3634,7 +3638,7 @@ def snapshot_tail(spark, path: str, state_path: str,
         schema = _renamed_schema(
             _version_schema(spark, last), path, raw, last[-1]
         )
-        return spark.createDataFrame([], schema), cur, head, ack
+        return local_df(spark, [], schema), cur, head, ack
     schema = _version_schema(spark, new_files)
     if merge_schema:
         df = spark.read.option("mergeSchema", "true").parquet(*new_files)
@@ -3721,7 +3725,7 @@ def snapshot_tail_changes(spark, path: str, state_path: str,
         schema = _renamed_schema(
             _version_schema(spark, last), path, raw, last[-1]
         )
-        empty = spark.createDataFrame([], schema).withColumn(
+        empty = local_df(spark, [], schema).withColumn(
             "_change_type", F.lit(None).cast("string")
         )
         return empty, cur, head, ack
@@ -3757,7 +3761,7 @@ def snapshot_tail_changes(spark, path: str, state_path: str,
             schema = _renamed_schema(
                 _version_schema(spark, last), path, raw, last[-1]
             )
-            df = spark.createDataFrame([], schema).withColumn(
+            df = local_df(spark, [], schema).withColumn(
                 "_change_type", F.lit(None).cast("string")
             )
         else:
@@ -4994,7 +4998,7 @@ def snapshot_changes_cdf(spark, path: str, from_version: int, to_version: int):
             )
         prev = cur
     if not parts:
-        return spark.createDataFrame([], schema).withColumn(
+        return local_df(spark, [], schema).withColumn(
             "_change_type", F.lit("insert")
         ).limit(0)
     return reduce(lambda a, b: a.unionByName(b), parts)

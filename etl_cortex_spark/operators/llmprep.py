@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators.caching import track
+from etl_cortex_spark.operators.localframe import local_df
 
 # --- D10: PII redaction -------------------------------------------------------
 
@@ -796,8 +797,10 @@ def perceptron_weights_df(
     the oracle-checkable surface of ``perceptron_train``; zero
     weights are kept so the row count is always n_buckets."""
     w = perceptron_train(df, id_col, text_col, label, n_buckets, n_iters)
-    return df.sparkSession.createDataFrame(
-        sorted((int(b), int(v)) for b, v in w.items()), "bucket int, weight bigint"
+    return local_df(
+        df.sparkSession,
+        sorted((int(b), int(v)) for b, v in w.items()),
+        "bucket int, weight bigint",
     )
 
 
@@ -1457,7 +1460,7 @@ def domain_blocklist_filter(
 
     spark = docs.sparkSession
     bl = F.broadcast(
-        spark.createDataFrame([(b,) for b in blocklist], "domain string")
+        local_df(spark, [(b,) for b in blocklist], "domain string")
     )
     parts = F.split(F.col(host_col), r"\.")
     suffixes = F.transform(

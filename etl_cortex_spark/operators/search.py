@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators.caching import track
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.operators.textops import words
 
 
@@ -488,7 +489,7 @@ def snapshot_postings_lookup(
     schema = spark.read.parquet(meta["files"][0]).schema
     terms_lit = F.array(*[F.lit(t) for t in terms])
     base = (
-        spark.createDataFrame([], schema)
+        local_df(spark, [], schema)
         if not keep
         else spark.read.schema(schema).parquet(*keep)
     )

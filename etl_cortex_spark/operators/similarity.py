@@ -27,6 +27,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_cortex_spark.operators.localframe import local_df
+
 
 def as_double(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
@@ -443,8 +445,8 @@ def ivf_probe_near_dups(
     # pruning on the index scan
     cells = [r[0] for r in nb.select("__bucket").distinct().collect()]
     if not cells:
-        return spark.createDataFrame(
-            [], f"{id_col} bigint, n_mates bigint, max_cosine double"
+        return local_df(
+            spark, [], f"{id_col} bigint, n_mates bigint, max_cosine double"
         )
     idx = (
         spark.read.parquet(path)
@@ -518,7 +520,7 @@ def snapshot_ivf_topk(
             keep.append(fp)
     schema = spark.read.parquet(meta["files"][0]).schema
     base = (
-        spark.createDataFrame([], schema)
+        local_df(spark, [], schema)
         if not keep
         else spark.read.schema(schema).parquet(*keep)
     )

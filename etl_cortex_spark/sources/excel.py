@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_cortex_spark.operators.cleaning import norm_col
+from etl_cortex_spark.operators.localframe import local_df
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -246,7 +247,7 @@ def read_excel(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
         if len(pdf):
             dfs.append(spark.createDataFrame(pdf))
     if not dfs:
-        return spark.createDataFrame([], "unused string").limit(0).drop("unused")
+        return local_df(spark, [], "unused string").limit(0).drop("unused")
     return union_all(dfs)
 
 

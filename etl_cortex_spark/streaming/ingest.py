@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from etl_cortex_spark.operators.localframe import local_df
 from etl_cortex_spark.pipeline import silver_clean
 
 
@@ -85,7 +86,7 @@ def silver_table(
         return spark.read.parquet(out_dir)
     except AnalysisException:
         if schema is not None:
-            return silver_clean(spark.createDataFrame([], schema))
+            return silver_clean(local_df(spark, [], schema))
         raise
 
 

@@ -1096,3 +1096,24 @@ def test_ccnet_buckets_plan_no_ntile_and_lm_topk_prunes(spark):
     assert "ntile(" not in opt
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in ex
+
+
+def test_ngram_jaccard_indexed_equals_quadratic(spark, docs_with_dups):
+    """min_jaccard mode (inverted-index exact plan, round 19) must
+    return exactly the pairs the quadratic all-pairs form yields after
+    the same threshold filter — same ids, same rounded jaccard."""
+    for t in (0.5, 0.8):
+        quad = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in DD.ngram_jaccard_pairs(docs_with_dups)
+            .filter(F.col("jaccard") >= t)
+            .collect()
+        }
+        idx = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in DD.ngram_jaccard_pairs(
+                docs_with_dups, min_jaccard=t
+            ).collect()
+        }
+        assert idx == quad
+        assert quad, "fixture should contain pairs above threshold"
