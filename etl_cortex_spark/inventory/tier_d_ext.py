@@ -1217,7 +1217,19 @@ def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison exact on both engines). The oracle enumerates a<b<c
     triangles by id-order; the operator's enumeration order is an
     implementation choice (degree-ordering at scale) — the hash match
-    proves the triangle SET is orientation-invariant."""
+    proves the triangle SET is orientation-invariant.
+
+    Round 19 (guide §2.4/§5): the downstream graph algebra references
+    its input many times — `cut` reads `ed` twice (avg + filter) and
+    `triangle_count`'s canonicalize/degree/wedge/closure self-joins
+    re-read `cut` ~6× — and Spark re-executes the whole 4-table fact
+    join per reference (no subplan sharing across self-join arms).
+    `localCheckpoint` materializes the nation-pair aggregate ONCE
+    (≤ |nations|² ≈ 625 rows), so the fact join runs exactly once and
+    every graph step reads the 625-row snapshot; measured noop
+    2.3 s → 0.7 s at sf0.1 (A/B best-of-2, fresh sessions). Lineage
+    truncation on a metadata-sized frame is the guide's sanctioned
+    use; results are bit-identical (oracle re-verified)."""
     from etl_cortex_spark.operators.graph import triangle_count
 
     o = T(spark, sf_dir, "orders")
@@ -1233,6 +1245,8 @@ def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .coalesce(1)
+        .localCheckpoint()
     )
     cut = ed.crossJoin(
         F.broadcast(ed.agg(F.avg("w").alias("avg_w")))

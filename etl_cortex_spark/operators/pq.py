@@ -230,7 +230,10 @@ def write_ivfpq_index(
 
     Cell assignment and codes come from the same shared expressions as
     the standalone paths (`lsh_bucket`, `pq_codes_expr`), so index and
-    query can never disagree on either half."""
+    query can never disagree on either half. Repartitioned by the cell
+    before the write (the `append_ivf_index` discipline, round 19) so
+    each cell directory holds ONE file instead of one per scan task —
+    O(tasks × 2^n_planes) few-KB files otherwise (guide §6)."""
     from etl_cortex_spark.operators.similarity import hyperplanes, lsh_bucket
 
     dim = len(codebooks) * len(codebooks[0][0])
@@ -240,7 +243,9 @@ def write_ivfpq_index(
         pq_codes_expr(codebooks, vec_col).alias("codes"),
         lsh_bucket(as_double(F.col(vec_col)), planes).alias("__bucket"),
     )
-    out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    out.repartition("__bucket").write.mode("overwrite").partitionBy(
+        "__bucket"
+    ).parquet(path)
 
 
 def ivfpq_adc_topk(
