@@ -638,7 +638,9 @@ def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.round("total", 2) == F.col("ftotal"))
             ).alias("matches_full"),
         )
-        .orderBy("o_orderstatus")
+        # 3-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("o_orderstatus")
     )
 
 
@@ -884,7 +886,9 @@ def b27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.col("report_day").cast("timestamp").alias("report_day"), "wau")
-        .orderBy("report_day")
+        # 30-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("report_day")
     )
 
 

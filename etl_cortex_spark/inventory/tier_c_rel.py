@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from etl_cortex_spark.operators.asof import asof_join
 from etl_cortex_spark.operators.localframe import local_df
+from etl_cortex_spark.operators.quantiles import exact_percentile_disc
 from etl_cortex_spark.queries import T, query
 
 # --- Joins -------------------------------------------------------------------
@@ -508,7 +509,9 @@ def c24(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "priorities"
             )
         )
-        .orderBy("o_orderstatus")
+        # 3-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("o_orderstatus")
     )
 
 
@@ -1152,7 +1155,9 @@ def c54(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack = ", ".join(f"'{a}', '{b}', __c_{a}__{b}" for a, b in names)
     return (
         one.selectExpr(f"stack({len(names)}, {stack}) AS (col_a, col_b, corr)")
-        .orderBy("col_a", "col_b")
+        # 10-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("col_a", "col_b")
     )
 
 
@@ -1195,7 +1200,9 @@ def c55(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_days"),
             F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
         )
-        .orderBy("l_returnflag")
+        # 3-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
     )
 
 
@@ -1230,7 +1237,9 @@ def c56(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         i.select(F.lit("intersect_all").alias("op"), "s", "n")
         .unionByName(e.select(F.lit("except_all").alias("op"), "s", "n"))
-        .orderBy("op", "s")
+        # 6-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("op", "s")
     )
 
 
@@ -1369,20 +1378,37 @@ def c61(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned value is an ACTUAL data point, not an interpolation — the
     semantics a median-of-prices report usually wants, and a different
     code path from c23's continuous percentile. Data points pass
-    through untouched, so no rounding is needed at all."""
+    through untouched, so no rounding is needed at all.
+
+    Round 19: the three native percentile_disc aggregates (each its
+    own per-partition value map over a 97%-distinct price column — the
+    b29 pathology) are replaced by histogram-refinement selection
+    (`operators/quantiles.exact_percentile_disc`, same rank definition
+    smallest v with cum/n >= p, bit-equal data points pinned in
+    tests/test_quantiles.py), one call per value column joined on the
+    3-row group frame; trailing sort is local (no range sampling)."""
     li = T(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("c61_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
-                 AS median_qty_disc,
-               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
-                 AS p25_price_disc,
-               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
-                 AS p75_price_disc
-        FROM c61_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-        """
+    qty = exact_percentile_disc(
+        li.select("l_returnflag", "l_quantity"),
+        "l_quantity",
+        [0.5],
+        group_cols=["l_returnflag"],
+        out_names=["median_qty_disc"],
+    )
+    price = exact_percentile_disc(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_extendedprice",
+        [0.25, 0.75],
+        group_cols=["l_returnflag"],
+        out_names=["p25_price_disc", "p75_price_disc"],
+    )
+    return (
+        qty.join(price, "l_returnflag")
+        .select(
+            "l_returnflag", "median_qty_disc", "p25_price_disc", "p75_price_disc"
+        )
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
     )
 
 
@@ -1496,7 +1522,10 @@ def c64(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p75_price"
             ),
         )
-        .orderBy("l_returnflag")
+        # 3-row output: local sort — orderBy's range sampling would
+        # re-execute the percentile-buffer aggregate (the c23 finding)
+        .repartition(1)
+        .sortWithinPartitions("l_returnflag")
     )
 
 

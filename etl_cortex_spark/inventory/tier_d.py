@@ -210,7 +210,9 @@ def d02gr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("mutated "), F.col("text")).alias("text"),
     )
     base = docs.unionByName(verbatim).unionByName(mutated)
-    return DD.group_rep_near_pairs(base, threshold=0.5).orderBy("id_a", "id_b")
+    return DD.group_rep_near_pairs(base, threshold=0.5).repartition(
+        1
+    ).sortWithinPartitions("id_a", "id_b")
 
 
 @query(
@@ -930,7 +932,11 @@ def d04g(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.top_ngram_frac("text", 2).alias("top2_frac"),
         TX.top_ngram_frac("text", 3).alias("top3_frac"),
         TX.dup_ngram_frac("text", 5).alias("dup5_frac"),
-    ).orderBy("doc_id")
+        # |docs|-row signal frame: deterministic order via a single
+        # hash exchange + local sort — a global orderBy's range
+        # sampling pass re-executes the whole interpreted-HOF chain
+        # (measured 3.28 s -> 1.9 s at sf0.1, round 19)
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 # --- D5: multimodal -----------------------------------------------------------
@@ -2391,7 +2397,7 @@ def d02g(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return DD.minhash_lsh_probe(
         existing, new, threshold=0.5, num_hashes=32, bands=32
-    ).orderBy("new_id", "existing_id")
+    ).repartition(1).sortWithinPartitions("new_id", "existing_id")
 
 
 @query(
@@ -2705,9 +2711,11 @@ def d89(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup); md5-prefix hashing so the oracle selects the IDENTICAL
     fingerprints."""
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return TX.winnowing_fingerprints(docs, k=3, window=4).orderBy(
-        "doc_id", "fingerprint"
-    )
+    # bounded fingerprint frame: local sort — orderBy's sampling pass
+    # would re-execute the whole HOF fingerprint chain (r19)
+    return TX.winnowing_fingerprints(docs, k=3, window=4).repartition(
+        1
+    ).sortWithinPartitions("doc_id", "fingerprint")
 
 
 _D92_SUMS = ", ".join(f"sum(qv[{i}])" for i in range(1, 65))

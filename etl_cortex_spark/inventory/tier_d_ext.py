@@ -175,7 +175,9 @@ def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dup).alias("n_dup_grams"),
             F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"),
         )
-        .orderBy("doc_id")
+        # |docs|-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -431,7 +433,11 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seeded = _seeded_embeddings(spark, sf_dir)
     out = CL.semantic_dedup(seeded, threshold=0.99, n_planes=6, seed=7)
-    return out.select("vec_id", "label", "bucket").orderBy("vec_id")
+    return (
+        out.select("vec_id", "label", "bucket")
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )
 
 
 @query(
@@ -758,9 +764,9 @@ def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_width=9,
         max_dist=2,
     )
-    return best_fuzzy_match(pairs, left_id="dirty_id", right_id="c_custkey").orderBy(
-        "dirty_id"
-    )
+    return best_fuzzy_match(
+        pairs, left_id="dirty_id", right_id="c_custkey"
+    ).repartition(1).sortWithinPartitions("dirty_id")
 
 
 # --- D8 extension: stream-stream interval join --------------------------------
@@ -914,7 +920,11 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = n.select(F.col("n_nationkey").alias("node"))
     pr = pagerank(edges, nodes, iters=3, damping=0.85)
-    return pr.select("node", F.round("pr", 6).alias("pr")).orderBy("node")
+    return (
+        pr.select("node", F.round("pr", 6).alias("pr"))
+        .repartition(1)
+        .sortWithinPartitions("node")
+    )
 
 
 # --- D28: sparse lexical doc-doc similarity (inverted index) ------------------
@@ -1251,7 +1261,9 @@ def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ed.crossJoin(
         F.broadcast(ed.agg(F.avg("w").alias("avg_w")))
     ).filter(F.col("w") > F.col("avg_w"))
-    return triangle_count(cut, order_by_degree=True).orderBy("node")
+    return triangle_count(cut, order_by_degree=True).repartition(
+        1
+    ).sortWithinPartitions("node")
 
 
 def _pq_oracle(m: int = 4, k: int = 8, d_sub: int = 16) -> str:
@@ -1552,7 +1564,9 @@ def d77(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("a_orders").cast("double") * F.col("b_orders"))
             ).alias("lift"),
         )
-        .orderBy(F.desc("pair_orders"), "part_a", "part_b")
+        # 20-row output: local sort, no range-sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions(F.desc("pair_orders"), "part_a", "part_b")
     )
 
 

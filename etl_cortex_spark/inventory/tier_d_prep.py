@@ -220,7 +220,9 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", TX.n_tokens("text").alias("n_tokens")
     )
-    return LP.pack_sequences(docs, max_tokens=2048).orderBy("bin_id", "doc_id")
+    return LP.pack_sequences(docs, max_tokens=2048).repartition(
+        1
+    ).sortWithinPartitions("bin_id", "doc_id")
 
 
 @query(
@@ -890,7 +892,7 @@ def d62(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = assigned.filter(F.col("split") == "test").select("text")
     return LP.contamination_check(
         train, test, k=8, min_overlap=0.05
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 # --- D63: hashed-feature linear quality classifier ---------------------------
@@ -1230,7 +1232,10 @@ def d91(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_candidates") / F.greatest("n_grams", F.lit(1)), 6),
         )
         .filter(F.col("bloom_overlap") >= 0.5)
-        .orderBy("doc_id")
+        # flagged slice: local sort, no range-sampling re-execution of
+        # the per-gram md5 probe chain (r19)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -1088,7 +1088,10 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("profit_sum")
         )
-        .orderBy("supp_nation", F.desc("o_year"))
+        # nation x year output (~175 rows): local sort, no sampling
+        # re-execution of the 5-way join
+        .repartition(1)
+        .sortWithinPartitions("supp_nation", F.desc("o_year"))
     )
 
 
@@ -1231,7 +1234,9 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        # brand/type/size groups: local sort, no sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -1315,5 +1320,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .select("s_name", "s_acctbal")
-        .orderBy("s_name")
+        # bounded supplier slice: local sort, no sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("s_name")
     )
