@@ -775,14 +775,26 @@ def bitext_margin_pairs(
     planes = hyperplanes(dim, n_planes, seed)
     cv = as_double(F.col(vec_col))
     flips = [0] + [1 << j for j in range(n_planes)]
-    s = src.select(
-        F.col(src_id_col),
-        cv.alias("__sv"),
-        F.explode(
-            F.array(
-                *[lsh_bucket(cv, planes).bitwiseXOR(F.lit(f)) for f in flips]
-            )
-        ).alias("__cell"),
+    # round 19: materialize the bucket ONCE per row and xor the flip
+    # constants against the column — the old form embedded the whole
+    # n_planes x dim dot-fold tree once PER FLIP inside the explode
+    # array (n+1 evaluations per row, and an (n+1)x bigger plan for
+    # the analyzer); same cells by construction (xor of the same b).
+    s = (
+        src.select(
+            F.col(src_id_col),
+            cv.alias("__sv"),
+            lsh_bucket(cv, planes).alias("__b"),
+        )
+        .select(
+            src_id_col,
+            "__sv",
+            F.explode(
+                F.array(
+                    *[F.col("__b").bitwiseXOR(F.lit(f)) for f in flips]
+                )
+            ).alias("__cell"),
+        )
     )
     t = tgt.select(
         F.col(tgt_id_col),
@@ -800,8 +812,15 @@ def bitext_margin_pairs(
     wt = Window.partitionBy(tgt_id_col).orderBy(
         F.desc("__c6"), F.asc(src_id_col)
     )
-    ranked = pairs.withColumn("__rs", F.row_number().over(ws)).withColumn(
-        "__rt", F.row_number().over(wt)
+    # round 19: the candidate frame is read THREE times below (both
+    # neighborhood aggregates + the scored join) and Spark re-executes
+    # the cell join + windows per reference; a lazy per-instance
+    # localCheckpoint materializes it once per run (no cross-run
+    # cache: every build gets its own checkpoint).
+    ranked = (
+        pairs.withColumn("__rs", F.row_number().over(ws))
+        .withColumn("__rt", F.row_number().over(wt))
+        .localCheckpoint(eager=False)
     )
     nbh_s = (
         ranked.filter(F.col("__rs") <= k)
