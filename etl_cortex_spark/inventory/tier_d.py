@@ -558,7 +558,7 @@ def d03c(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ids = {
         r["vec_id"] for r in SIM.ann_brp_topk(emb, qv, k=5).select("vec_id").collect()
     }
-    q = F.array(*[F.lit(float(v)) for v in qv])
+    q = SIM._lit_array([float(v) for v in qv])
     v = SIM.as_double(F.col("embedding"))
     d2 = F.aggregate(
         F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),

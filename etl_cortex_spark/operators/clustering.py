@@ -44,7 +44,9 @@ def _sq_dist(vec, centroid: list[float]):
     unrolled expression at every SF, and k centroids multiply the
     expression size here. Same left-to-right order as the unroll it
     replaces → distances bit-identical, d24 oracle unaffected."""
-    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    from etl_cortex_spark.operators.similarity import _lit_array
+
+    carr = _lit_array([float(c) for c in centroid])
     return F.aggregate(
         F.zip_with(vec, carr, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -151,6 +153,13 @@ def kmeans_fit_predict(
                 "__v"
             ),
         )
+    # round 19: every iteration's update job (and the final assign)
+    # re-read the scan + quantize projection; a lazy per-instance
+    # localCheckpoint materializes (id, __v) once at the first job and
+    # the k-means loop iterates over the snapshot — the standard
+    # iterative-ML posture (MLlib persists its input the same way),
+    # with no cross-run cache (each fit gets its own checkpoint).
+    base = base.localCheckpoint(eager=False)
     centroids = initial_centroids(base, k, id_col, "__v")
 
     dim = len(centroids[0])

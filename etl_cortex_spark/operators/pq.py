@@ -46,7 +46,9 @@ def _sq_dist_lit(sub: Column, codeword: list[float]) -> Column:
     # BASELINE.md round-10). Same left-to-right order as the unroll
     # it replaces → distances bit-identical, round(6) oracles
     # unaffected.
-    carr = F.array(*[F.lit(float(x)) for x in codeword])
+    from etl_cortex_spark.operators.similarity import _lit_array
+
+    carr = _lit_array([float(x) for x in codeword])
     return F.aggregate(
         F.zip_with(sub, carr, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
