@@ -1448,10 +1448,15 @@ def c62(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_orderkey": F.max("l_orderkey"),
         },
     )
-    # the pipeline's own (filtered) action — metrics ride along
-    observed.filter(F.col("l_quantity") >= 25).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # the pipeline's own (filtered) action — metrics ride along. The
+    # action projects one column (round 19): the observe node keeps
+    # its own inputs alive, so the scan reads exactly the 3 metric
+    # columns + the filter column instead of all 16 (ReadSchema
+    # pruning through the noop write; metrics see every pre-filter
+    # row either way).
+    observed.filter(F.col("l_quantity") >= 25).select("l_quantity").write.format(
+        "noop"
+    ).mode("overwrite").save()
     got = obs.get
     return local_df(
         spark,

@@ -926,17 +926,26 @@ def d04g(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel, zero shuffles before the ORDER BY (the
     same shuffle-free contract as the d04 family plan test)."""
     docs = T(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.dup_line_frac("text").alias("dup_line_frac"),
-        TX.top_ngram_frac("text", 2).alias("top2_frac"),
-        TX.top_ngram_frac("text", 3).alias("top3_frac"),
-        TX.dup_ngram_frac("text", 5).alias("dup5_frac"),
-        # |docs|-row signal frame: deterministic order via a single
-        # hash exchange + local sort — a global orderBy's range
-        # sampling pass re-executes the whole interpreted-HOF chain
-        # (measured 3.28 s -> 1.9 s at sf0.1, round 19)
-    ).repartition(1).sortWithinPartitions("doc_id")
+    # round 19, two plan-level changes (bit-equal outputs, oracle
+    # re-verified): (1) the token array is materialized ONCE and all
+    # three gram widths derive from it — the interpreted split+filter
+    # tokenizer was re-evaluated per signal (measured 1.8 s -> 0.9 s
+    # at sf0.1); (2) the trailing global orderBy became a local sort —
+    # its range-sampling pass re-executed the whole HOF chain
+    # (3.3 s -> 1.8 s).
+    w = F.col("__w")
+    return (
+        docs.select("doc_id", "text", TX.words("text").alias("__w"))
+        .select(
+            "doc_id",
+            TX.dup_line_frac("text").alias("dup_line_frac"),
+            TX.top_ngram_frac("text", 2, words_col=w).alias("top2_frac"),
+            TX.top_ngram_frac("text", 3, words_col=w).alias("top3_frac"),
+            TX.dup_ngram_frac("text", 5, words_col=w).alias("dup5_frac"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
 
 
 # --- D5: multimodal -----------------------------------------------------------

@@ -267,11 +267,20 @@ def dup_line_frac(col: Column | str) -> Column:
     return F.when(F.size(ls) > 0, 1.0 - F.size(F.array_distinct(ls)) / F.size(ls)).otherwise(0.0)
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
+def word_ngrams(
+    col: Column | str, n: int, *, words_col: Column | None = None
+) -> Column:
     """Word n-grams as strings; empty array when the doc has < n
     words (guarded — an unguarded descending ``sequence`` would fan
-    out garbage grams)."""
-    w = words(col)
+    out garbage grams).
+
+    ``words_col``: a PRE-MATERIALIZED token array to build grams from
+    (round 19). The tokenizer is an interpreted HOF, so a caller that
+    derives several gram widths from one document re-pays the split+
+    filter once per width unless it projects the array first and
+    passes it here — d04's three signals measured 2x faster with one
+    shared array; grams are identical by construction."""
+    w = words(col) if words_col is None else words_col
     k = F.size(w)
     return F.when(
         k >= n,
@@ -282,7 +291,9 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def top_ngram_frac(col: Column | str, n: int) -> Column:
+def top_ngram_frac(
+    col: Column | str, n: int, *, words_col: Column | None = None
+) -> Column:
     """Occurrence fraction of the most frequent word n-gram (Gopher's
     top-n-gram repetition signal, as a count fraction — integer
     quotient, engine-exact). Per-row compute only, embarrassingly
@@ -299,7 +310,7 @@ def top_ngram_frac(col: Column | str, n: int) -> Column:
     literals; measured 59.6 s → 2.1 s for the 3-signal d04 entry at
     sf0.01, ~28×). The "" accumulator sentinel is safe: run starts at
     0, so a first element equal to the sentinel still yields run=1."""
-    g = word_ngrams(col, n)
+    g = word_ngrams(col, n, words_col=words_col)
     s = F.array_sort(g)
     best = F.aggregate(
         s,
@@ -319,7 +330,9 @@ def top_ngram_frac(col: Column | str, n: int) -> Column:
     return F.coalesce(best / F.greatest(F.size(g), F.lit(1)), F.lit(0.0))
 
 
-def dup_ngram_frac(col: Column | str, n: int) -> Column:
+def dup_ngram_frac(
+    col: Column | str, n: int, *, words_col: Column | None = None
+) -> Column:
     """Fraction of n-gram occurrences belonging to grams that appear
     more than once (Gopher's duplicate-n-gram signal for n=5..10).
 
@@ -328,7 +341,7 @@ def dup_ngram_frac(col: Column | str, n: int) -> Column:
     of length ≥ 2 contributes its length — summed over runs this is
     exactly Σ count(gram) over grams with count ≥ 2, the original
     definition. The finish lambda closes the final run."""
-    g = word_ngrams(col, n)
+    g = word_ngrams(col, n, words_col=words_col)
     s = F.array_sort(g)
     dup = F.aggregate(
         s,
