@@ -474,7 +474,9 @@ def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         zscore_anomalies(daily)
         .withColumn("day", F.col("day").cast("timestamp"))
-        .orderBy("event_type", "day")
+        # bounded anomaly frame: local sort, no sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("event_type", "day")
     )
 
 
@@ -511,7 +513,9 @@ def b21(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.filter(F.col("next_type").isNotNull())
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type", "next_type")
+        # event-type matrix (k^2 rows): local sort
+        .repartition(1)
+        .sortWithinPartitions("event_type", "next_type")
     )
 
 
@@ -575,7 +579,9 @@ def b13c(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
             "val_interp",
         )
-        .orderBy("event_type", "day")
+        # k x days frame: local sort, no sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("event_type", "day")
     )
 
 

@@ -2114,7 +2114,8 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("mean_logprob", 4).alias("mean_logprob"),
         "n_trigrams",
-    ).orderBy("doc_id")
+        # scored slice: local sort, no sampling re-execution
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @query(

@@ -100,7 +100,9 @@ def d19ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = keep.unionByName(seeded)
     from etl_cortex_spark.operators.search import phrase_search
 
-    return phrase_search(base, "alpha beta").orderBy("doc_id")
+    return phrase_search(base, "alpha beta").repartition(
+        1
+    ).sortWithinPartitions("doc_id")
 
 
 @query(

@@ -319,7 +319,9 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"), F.lit("\n"), F.lit("click here to subscribe now")
         ).alias("text"),
     )
-    return LP.line_dedup(seeded, min_count=3).orderBy("doc_id")
+    return LP.line_dedup(seeded, min_count=3).repartition(
+        1
+    ).sortWithinPartitions("doc_id")
 
 
 @query(

@@ -371,7 +371,9 @@ def scale_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_total))
         .filter(F.col("cnt") > F.lit(support) * F.col("__n"))
         .select("key", "cnt")
-        .orderBy("key")
+        # candidate heavy-hitter slice: local sort
+        .repartition(1)
+        .sortWithinPartitions("key")
     )
 
 

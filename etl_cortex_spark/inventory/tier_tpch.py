@@ -392,7 +392,9 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shipped_late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        # 5-row output: local sort, no sampling re-execution
+        .repartition(1)
+        .sortWithinPartitions("o_orderpriority")
     )
 
 
