@@ -35,22 +35,24 @@ from etl_cortex_spark.operators.similarity import (
 )
 
 
-def _sq_dist(vec, centroid: list[float]):
+def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:
     """Σ (v[i]-c[i])^2 against a LITERAL centroid, as the zip_with/
-    aggregate fold over a literal array. Round 9 unrolled this to an
-    element_at chain on a single slope-window measurement; the
-    round-10 interleaved A/B (similarity.py block comment) refuted
-    that — at 64 dims the fold's one tight loop beats the giant
-    unrolled expression at every SF, and k centroids multiply the
-    expression size here. Same left-to-right order as the unroll it
-    replaces → distances bit-identical, d24 oracle unaffected."""
-    from etl_cortex_spark.operators.similarity import _lit_array
-
-    carr = _lit_array([float(c) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, carr, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda s, x: s + x,
+    aggregate fold over a literal array — rendered as SQL TEXT. Round 9
+    unrolled this to an element_at chain on a single slope-window
+    measurement; the round-10 interleaved A/B (similarity.py block
+    comment) refuted that — at 64 dims the fold's one tight loop beats
+    the giant unrolled expression at every SF, and k centroids multiply
+    the expression size here. Round 19 renders the fold as a parsed
+    string (one py4j call per assignment instead of ~6 driver
+    round-trips per centroid per operator node — the _lit_array
+    measurement): the parsed tree is the same functions in the same
+    order, so distances stay bit-identical and the d24 oracle is
+    unaffected (shortest-roundtrip repr + D suffix re-parses each
+    codeword to the same double)."""
+    arr = "array(" + ",".join(f"{float(c)!r}D" for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, c) -> (x - c) * (x - c)), "
+        f"0.0D, (s, x) -> s + x)"
     )
 
 
@@ -67,21 +69,26 @@ def _assign(
     contract for any quantize != 6). A NULL vector assigns to a
     NULL cluster explicitly — struct comparison against NULL distances
     would otherwise pick an arbitrary-looking (if deterministic)
-    cluster for rows that carry no vector at all."""
-    v = as_double(F.col(vec_col))
-    pairs = F.array(
-        *[
-            F.struct(
-                F.round(_sq_dist(v, c), precision).alias("dist"),
-                F.lit(j).alias("idx"),
-            )
-            for j, c in enumerate(centroids)
-        ]
+    cluster for rows that carry no vector at all.
+
+    Round 19: the whole projection is built as TWO parsed SQL
+    expressions instead of ~k·dim·6 py4j Column calls (k-means builds
+    a fresh assignment per iteration, so driver-side construction cost
+    multiplies); the parsed tree — named_struct/array_min/CASE — is
+    operation-identical to the Column form it replaces (same fold,
+    same round, same lexicographic min, same NULL guard), pinned by
+    the argmin/determinism pytests and the d24 oracles."""
+    v_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    structs = ", ".join(
+        f"named_struct('dist', round({_sq_dist_sql(v_sql, c)}, {precision}), "
+        f"'idx', {j})"
+        for j, c in enumerate(centroids)
     )
-    best = F.array_min(pairs)
+    best = f"array_min(array({structs}))"
+    notnull = f"{v_sql} IS NOT NULL"
     return (
-        F.when(v.isNotNull(), best["idx"]).alias("cluster"),
-        F.when(v.isNotNull(), best["dist"]).alias("sq_dist"),
+        F.expr(f"CASE WHEN {notnull} THEN {best}.idx END").alias("cluster"),
+        F.expr(f"CASE WHEN {notnull} THEN {best}.dist END").alias("sq_dist"),
     )
 
 
@@ -175,10 +182,15 @@ def kmeans_fit_predict(
         # aggregation order — so the d24 oracle is unaffected; the
         # float path's per-dim avg is the same Spark avg aggregate it
         # always was (no oracle depends on its accumulation order).
+        # expr-string aggregate columns (round 19): one parsed call per
+        # dimension instead of ~6 py4j round-trips each — the update
+        # plan is rebuilt per iteration, so construction cost
+        # multiplies; parsed trees are the identical sum/round/cast
+        # (or avg) expressions.
         if quantize is None:
             new_rows = assigned.groupBy("cluster").agg(
                 *[
-                    F.avg(F.element_at("__v", i + 1)).alias(f"m{i}")
+                    F.expr(f"avg(element_at(__v, {i + 1})) AS m{i}")
                     for i in range(dim)
                 ]
             ).collect()
@@ -191,9 +203,10 @@ def kmeans_fit_predict(
             sums = assigned.groupBy("cluster").agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(
-                        F.round(F.element_at("__v", i + 1) * scale).cast("long")
-                    ).alias(f"s{i}")
+                    F.expr(
+                        f"sum(CAST(round(element_at(__v, {i + 1}) * "
+                        f"{scale!r}D) AS BIGINT)) AS s{i}"
+                    )
                     for i in range(dim)
                 ],
             ).collect()

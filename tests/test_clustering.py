@@ -66,6 +66,52 @@ def test_assignment_is_true_argmin(spark):
         assert abs(r.sq_dist - min(dists)) < 1e-9
 
 
+def test_assignment_sql_form_equals_column_reference(spark):
+    """Round-19 pin: `_assign` is rendered as parsed SQL text (one
+    py4j call instead of ~k·dim·6 Column calls). The parsed tree must
+    stay operation-identical to the Column form it replaced — same
+    zip_with/aggregate fold, same round-then-argmin, same
+    lowest-index tie rule, same NULL guard. Reference rebuilt here
+    with the Column API over an adversarial fixture: an exact
+    tie between centroids 0 and 1, a NULL vector, and an ordinary
+    point."""
+    cents = [[0.0, 0.0], [0.0, 0.0], [3.0, 4.0]]  # 0 and 1 tie always
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id bigint, __v array<double>",
+    )
+    got = df.select("vec_id", *CL._assign(df, cents, "__v", 6)).collect()
+
+    # the pre-round-19 Column construction, verbatim
+    v = F.transform(F.col("__v"), lambda x: x.cast("double"))
+
+    def sq(c):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(v, carr, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(F.round(sq(c), 6).alias("dist"), F.lit(j).alias("idx"))
+            for j, c in enumerate(cents)
+        ]
+    )
+    best = F.array_min(pairs)
+    want = df.select(
+        "vec_id",
+        F.when(v.isNotNull(), best["idx"]).alias("cluster"),
+        F.when(v.isNotNull(), best["dist"]).alias("sq_dist"),
+    ).collect()
+    assert sorted(got) == sorted(want)
+    by_id = {r.vec_id: r for r in got}
+    assert by_id[1].cluster == 0  # tie -> lowest index
+    assert by_id[2].cluster is None and by_id[2].sq_dist is None
+    assert by_id[3].cluster == 2 and by_id[3].sq_dist == 0.0
+
+
 # --- Lloyd's convergence ------------------------------------------------------
 
 
