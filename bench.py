@@ -67,6 +67,27 @@ HEADLINE = [
 ]
 
 
+#: ADDITIONS-ONLY registry extras (round 20 — the r19 verdict's #6):
+#: the registry-wide operator wins of rounds 19-20 (54×/28×/17×/12×/6×
+#: movers) are invisible to the 16-query headline because these
+#: entries aren't in it. They are timed with the same best-of-N noop
+#: discipline and printed as EXTRA keys in ``queries`` plus a separate
+#: ``registry_extras_total`` — and deliberately EXCLUDED from
+#: ``value`` and every ratio, so all pre-existing numbers keep their
+#: round-over-round meaning (the contract allows adding queries keys,
+#: never removing). Spark-only legs: their DuckDB oracles replay
+#: deliberately brute-force verifies (gram unnests, cross-join
+#: levenshtein) whose cost would be methodology noise, not an engine
+#: comparison.
+REGISTRY_EXTRAS = [
+    "c19_approx_count_distinct",
+    "d04_repetition_signals",
+    "d58_unigram_em",
+    "d26_fuzzy_entity_match",
+    "b29_equidepth_histogram",
+]
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     return float(m.group(1)) if m else 0.0
@@ -512,7 +533,20 @@ def main() -> None:
     lfl_duck = sum(duck[n] for n in lfl)
     lfl_ratio = round(lfl_spark / lfl_duck, 2) if lfl_duck else None
 
+    # ``value`` and the ratios above are computed from the HEADLINE
+    # names ONLY (timings holds exactly those at this point); the
+    # registry extras below are appended to the printed ``queries``
+    # dict afterwards and never enter value/ratios — additions-only.
     total = round(sum(timings.values()), 4)
+    extras: dict[str, float] = {}
+    for name in REGISTRY_EXTRAS:
+        if name not in QUERIES:
+            continue
+        try:
+            extras[name] = round(run_one(spark, name, sf_dir), 4)
+        except Exception:
+            continue  # an extra must never break the official record
+    timings.update(extras)
     # Two-layer record (round-9 verdict #2: the r9 JSON line overflowed
     # the driver's 2000-char tail-capture window and the official
     # record lost its headline). The PRINTED line is the compact
@@ -539,6 +573,14 @@ def main() -> None:
             "scale_bucketed_join fact buckets), charged to ingest "
             "not to queries; DuckDB scans raw parquet — the layout "
             "changes Spark's plan shape, not either engine's rows",
+        },
+        "registry_extras": {
+            "names": sorted(extras),
+            "total_secs": round(sum(extras.values()), 4),
+            "note": "additions-only Spark legs (r19 verdict #6): "
+            "registry-wide operator movers surfaced as named keys in "
+            "queries; excluded from value and every ratio so all "
+            "pre-existing numbers keep their round-over-round meaning",
         },
         "data_sized_global_windows": window_violations,
         "relayout": {
@@ -572,6 +614,7 @@ def main() -> None:
         )
     }
     compact["job_floor_ms"] = detail["job_floor_ms"]
+    compact["registry_extras_total"] = detail["registry_extras"]["total_secs"]
     compact["ingest_secs"] = ingest_secs
     compact["method"] = f"interleaved_best_of_{RUNS}"
     if window_violations:

@@ -1263,7 +1263,14 @@ def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .coalesce(1)
-        .localCheckpoint()
+        # lazy (round 20 — the r19 ADVICE): eager=True executed the
+        # 4-table fact join at DataFrame-CONSTRUCTION time, so even
+        # explain/build-only paths paid the job; lazy materializes at
+        # the first action and the ~6 self-join readers still share
+        # the one snapshot. (localCheckpoint storage is non-reliable —
+        # executor loss recomputes from scratch; acceptable for a
+        # ≤625-row intermediate, noted where the pattern is reused.)
+        .localCheckpoint(eager=False)
     )
     cut = ed.crossJoin(
         F.broadcast(ed.agg(F.avg("w").alias("avg_w")))

@@ -419,15 +419,24 @@ def pyds_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(_json.loads(lines[-1])["version"])
 
     head = snapshot_meta(src)["version"]
+    # Build the streaming DataFrame ONCE, outside the run loop (round
+    # 20, guide §4 driver boundary): each `.load()` spawns a fresh
+    # Python DataSource PLANNER worker to re-resolve the schema —
+    # measured ~0.2 s warm / ~1.5 s cold per call — and restarting a
+    # new query from the same lazy streaming frame is exactly the
+    # restarting-consumer semantics (each start() plans its own scan
+    # against the checkpoint). The per-QUERY cost that remains is the
+    # engine's non-daemon Python runner spin-up, which no driver code
+    # controls.
+    stream = (
+        spark.readStream.format("snapshot_tail_stream")
+        .option("path", src)
+        .option("max_files", 1)
+        .load()
+    )
     for _ in range(6):
         if _committed_version() >= head:
             break
-        stream = (
-            spark.readStream.format("snapshot_tail_stream")
-            .option("path", src)
-            .option("max_files", 1)
-            .load()
-        )
         q = (
             stream.writeStream.foreachBatch(commit)
             .option("checkpointLocation", ckpt)
@@ -504,12 +513,18 @@ def pyds_tail_stream_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         snapshot_append(spark, batch_df, dst, batch_id=int(batch_id))
 
+    # one planner round-trip for both runs (round 20 — the same
+    # hoisted-load form as the Simple-reader twin above); each start()
+    # still plans its own scan against the checkpoint
+    stream = (
+        spark.readStream.format("snapshot_tail_stream_dist")
+        .option("path", src)
+        .load()
+    )
+
     def run_once():
         q = (
-            spark.readStream.format("snapshot_tail_stream_dist")
-            .option("path", src)
-            .load()
-            .writeStream.foreachBatch(commit)
+            stream.writeStream.foreachBatch(commit)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

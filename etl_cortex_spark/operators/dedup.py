@@ -715,49 +715,89 @@ def ngram_jaccard_pairs(
 
     With ``min_jaccard`` (> 0) set, only pairs with jaccard ≥ the
     threshold are returned, and the computation switches from the
-    quadratic theta self-join to an EXACT inverted-index plan (round
-    19, guide §1.2-1): explode each doc's distinct shingles, equi-join
-    on the shingle, count shared shingles per pair — cost Σ_g freq(g)²
-    instead of n², near-linear when shingles are mostly rare. Pairs
-    with zero shared shingles have jaccard 0 < min_jaccard, so the
-    output set is identical to filtering the all-pairs form. A
-    size-ratio prefilter (j ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|),
-    epsilon-relaxed so float rounding can only ADMIT extra candidates,
-    which the exact final filter then removes) drops length-mismatched
-    pairs before the per-pair count. Measured 22 s → 2.1 s on the d02
-    recall-audit corpus at sf0.1.
+    quadratic theta self-join to an EXACT prefix-filtered inverted-
+    index plan (round 19 indexed every shingle — cost Σ_g freq(g)²,
+    quadratic in any HOT shingle's frequency, the boilerplate cliff
+    the r19 verdict flagged; round 20 applies the AllPairs/PPJoin
+    prefix filter the probe path already carries): order each doc's
+    shingle set by document frequency ascending, explode only its
+    PREFIX of ``|S| − ceil(t·|S|) + 1`` rarest tokens on the probe
+    side, and join against the full index restricted to ``probe id <
+    index id``. The single-sided prefix lemma (see
+    `prefix_filter_probe`) makes this lossless: a pair sharing no
+    probe-prefix token has |a∩b| ≤ ceil(t·|Sa|) − 1 < t·|Sa| ≤
+    t·|a∪b|, i.e. j < t. Candidate cost is Σ_g pref(g)·freq(g) —
+    df-ascending ordering pushes hot boilerplate shingles OUT of
+    prefixes, so a shingle shared by 1% of the corpus no longer
+    produces a quadratic join output (pinned on a boilerplate-heavy
+    fixture in tests/test_tier_d.py). The ε-relaxed size-ratio filter
+    (j ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)) can only ADMIT extras;
+    verification recomputes the exact jaccard from the full shingle
+    arrays and filters ≥ t, so the output set is identical to
+    filtering the all-pairs form (equivalence pin kept).
 
-    ``persist`` caches the shingle frame in the all-pairs form (both
-    self-join sides read it); callers owning a long-lived session can
-    pass False or clear via ``spark.catalog.clearCache()``.
+    ``persist`` caches the shingle frame (min_jaccard mode reads it
+    for the index, the prefix ranking and both verification sides;
+    the all-pairs form for both self-join sides); callers owning a
+    long-lived session can pass False or clear via
+    ``spark.catalog.clearCache()``.
     """
     s = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh"))
     if min_jaccard is not None and min_jaccard > 0:
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+
         t = float(min_jaccard)
+        if persist:
+            s = track(s.persist(StorageLevel.MEMORY_AND_DISK))
         e = s.select(
             "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__g")
+        ).select("__id", "__n", F.xxhash64("__g").alias("__tok"))
+        # hashed join keys (the prefix_filter_probe discipline): a
+        # shared string always shares its hash — recall exact — and a
+        # 64-bit collision only ADDS a candidate the exact verify drops
+        tok_df = e.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy("__id").orderBy("__df", "__tok")
+        prefix_len = (
+            F.col("__n") - F.ceil(F.col("__n") * F.lit(t)).cast("int") + 1
         )
-        a, b = e.alias("a"), e.alias("b")
-        na, nb = F.col("a.__n"), F.col("b.__n")
-        pre = (F.col("a.__id") < F.col("b.__id")) & (
-            F.least(na, nb) >= F.lit(t) * F.greatest(na, nb) - F.lit(1e-9)
-        )
-        inter = (
-            a.join(b, (F.col("a.__g") == F.col("b.__g")) & pre)
-            .groupBy(
-                F.col("a.__id").alias("id_a"),
-                F.col("b.__id").alias("id_b"),
-                na.alias("__na"),
-                nb.alias("__nb"),
+        probe = (
+            e.join(tok_df, "__tok")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= prefix_len)
+            .select(
+                F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__tok"
             )
-            .agg(F.count(F.lit(1)).alias("__i"))
         )
-        j = F.round(
-            F.col("__i")
-            / F.greatest(F.col("__na") + F.col("__nb") - F.col("__i"), F.lit(1)),
-            6,
+        index = e.select(
+            F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__tok"
         )
-        return inter.select("id_a", "id_b", j.alias("jaccard")).filter(
+        na, nb = F.col("__na"), F.col("__nb")
+        cand = (
+            probe.join(index, "__tok")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.least(na, nb) >= F.lit(t) * F.greatest(na, nb) - F.lit(1e-9))
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = (
+            cand.join(
+                s.select(F.col("__id"), F.col("__sh").alias("__sh_a")),
+                F.col("id_a") == F.col("__id"),
+            )
+            .drop("__id")
+            .join(
+                s.select(F.col("__id"), F.col("__sh").alias("__sh_b")),
+                F.col("id_b") == F.col("__id"),
+            )
+            .drop("__id")
+        )
+        inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+        union = F.size("__sh_a") + F.size("__sh_b") - inter
+        j = F.round(inter / F.greatest(union, F.lit(1)), 6)
+        return pairs.select("id_a", "id_b", j.alias("jaccard")).filter(
             F.col("jaccard") >= min_jaccard
         )
     _guard_quadratic(df, max_rows, "ngram_jaccard_pairs")

@@ -80,10 +80,24 @@ def _lit_array(q: list[float]) -> Column:
     6 arrays, k-means = k per iteration) — measured 4x faster to
     build, and the parsed tree is bit-identical (shortest-roundtrip
     repr + D suffix re-parses to the same double; verified on
-    denormals/negatives)."""
+    denormals/negatives). Non-finite elements (inf/nan — e.g. a
+    degenerate data-derived centroid) render as explicit CASTs because
+    ``infD``/``nanD`` do not parse (round-20 — the r19 ADVICE guard;
+    same rendering as clustering._render_double)."""
     if not q:
         return F.array().cast("array<double>")
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in q) + ")")
+
+    def r(x: float) -> str:
+        x = float(x)
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{x!r}D"
+
+    return F.expr("array(" + ",".join(r(x) for x in q) + ")")
 
 
 def _unrolled_dot(v: Column, q: list[float]) -> Column:

@@ -80,7 +80,7 @@ def test_assignment_sql_form_equals_column_reference(spark):
         [(1, [1.0, 1.0]), (2, None), (3, [3.0, 4.0])],
         "vec_id bigint, __v array<double>",
     )
-    got = df.select("vec_id", *CL._assign(df, cents, "__v", 6)).collect()
+    got = df.select("vec_id", *CL._assign(cents, "__v", 6)).collect()
 
     # the pre-round-19 Column construction, verbatim
     v = F.transform(F.col("__v"), lambda x: x.cast("double"))
@@ -110,6 +110,60 @@ def test_assignment_sql_form_equals_column_reference(spark):
     assert by_id[1].cluster == 0  # tie -> lowest index
     assert by_id[2].cluster is None and by_id[2].sq_dist is None
     assert by_id[3].cluster == 2 and by_id[3].sq_dist == 0.0
+
+
+def test_assignment_column_form_equals_literal_reference(spark):
+    """Round-20 pin: the production assignment runs against a flat
+    centroid-literal COLUMN (`_cents_lit` + `_assign_cols`) so Lloyd
+    iterations reuse one O(1)-sized parsed argmin plan. It must stay
+    operation-identical to the literal-embedding `_assign` reference —
+    same fold element order, same round-before-argmin, same
+    lexicographic lowest-index tie rule, same NULL-vector guard — on
+    the adversarial tie/NULL fixture AND on real sf0.001 embeddings
+    (bit-equal sq_dist included)."""
+    cents = [[0.0, 0.0], [0.0, 0.0], [3.0, 4.0]]  # 0 and 1 tie always
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id bigint, __v array<double>",
+    )
+    ref = df.select("vec_id", *CL._assign(cents, "__v", 6)).collect()
+    cluster, dist = CL._assign_cols(len(cents), "__v", "__cents", 6)
+    got = (
+        df.withColumn("__cents", CL._cents_lit(cents))
+        .select("vec_id", cluster, dist)
+        .collect()
+    )
+    assert sorted(got) == sorted(ref)
+
+    emb = _emb(spark).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    k = 5
+    real_cents = CL.initial_centroids(emb, k, "vec_id", "__v")
+    ref2 = emb.select("vec_id", *CL._assign(real_cents, "__v", 6)).collect()
+    cluster2, dist2 = CL._assign_cols(k, "__v", "__cents", 6)
+    got2 = (
+        emb.withColumn("__cents", CL._cents_lit(real_cents))
+        .select("vec_id", cluster2, dist2)
+        .collect()
+    )
+    assert sorted(got2) == sorted(ref2)  # exact equality incl. sq_dist
+
+
+def test_render_double_non_finite_guard(spark):
+    """Round-20 (r19 ADVICE): non-finite centroid elements render as
+    parseable CASTs instead of the unparseable ``infD``/``nanD``."""
+    import math
+
+    cents = [[float("inf"), float("-inf")], [float("nan"), 1.0]]
+    row = (
+        spark.range(1)
+        .select(CL._cents_lit(cents).alias("__cents"))
+        .collect()[0]["__cents"]
+    )
+    assert row[0][0] == float("inf") and row[0][1] == float("-inf")
+    assert math.isnan(row[1][0]) and row[1][1] == 1.0
 
 
 # --- Lloyd's convergence ------------------------------------------------------

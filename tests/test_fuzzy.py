@@ -64,6 +64,58 @@ def test_unequal_lengths_still_scored_when_banded(spark):
     assert len(pairs) == 1 and pairs[0].dist == 1
 
 
+def test_length_prefilter_is_lossless(spark):
+    """Round-20 pin: the in-band length prefilter (|len_l − len_r| <=
+    max_dist, a levenshtein lower bound) must not change the output
+    set — band-matching pairs whose lengths differ by more than
+    max_dist (skipped by the prefilter) are exactly pairs the
+    levenshtein refine rejects. Fixture: shared leading bands (the
+    padded-key hot-band shape) with length spreads straddling the
+    cutoff, checked against a brute-force cross-join reference."""
+    from pyspark.sql import functions as F
+
+    left = _df(
+        spark,
+        [
+            (1, "000123"),
+            (2, "000123XYZQ"),  # +4 chars: len-diff 4 > max_dist
+            (3, "000124"),
+            (4, "00012"),  # len-diff 1: must survive the prefilter
+            (5, None),  # NULL key: dropped either way
+        ],
+    )
+    right = _df(spark, [(10, "000123"), (11, "000123XY")])
+    got = fuzzy_join(
+        left, right, left_id="id", right_id="id",
+        left_key="key", right_key="key", key_width=10, max_dist=2,
+    )
+    got_set = {(r.l_id, r.r_id, r.dist) for r in got.collect()}
+    # brute-force reference: every cross pair scored, banding-reachable
+    # subset only (equal leading band after rpad to key_width)
+    ref = (
+        left.selectExpr("id AS l_id", "key AS lk")
+        .crossJoin(right.selectExpr("id AS r_id", "key AS rk"))
+        .withColumn("dist", F.levenshtein("lk", "rk"))
+        .filter("dist <= 2")
+    )
+    ref_set = set()
+    for r in ref.collect():
+        # reachability: some band slice aligned+equal (the blocking
+        # contract) — replicate _bands: width 10, 3 bands of 4
+        import math
+
+        w = math.ceil(10 / 3)
+        lk, rk = (r.lk or "").ljust(10), (r.rk or "").ljust(10)
+        if any(lk[i * w : i * w + w] == rk[i * w : i * w + w] for i in range(3)):
+            ref_set.add((r.l_id, r.r_id, r.dist))
+    assert got_set == ref_set
+    # the straddle cases behaved as designed
+    assert (4, 10, 1) in got_set  # len-diff 1 survives the prefilter
+    assert (2, 10) not in {(l, r) for (l, r, _) in got_set}  # len-diff 4
+    assert (2, 11, 2) in got_set  # len-diff 2 == max_dist still scored
+    assert all(l != 5 for (l, _, _) in got_set)  # NULL key dropped
+
+
 def test_best_match_tiebreak_lowest_id(spark):
     left = _df(spark, [(1, "abcdefghi")])
     right = _df(

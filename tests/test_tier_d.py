@@ -1117,3 +1117,73 @@ def test_ngram_jaccard_indexed_equals_quadratic(spark, docs_with_dups):
         }
         assert idx == quad
         assert quad, "fixture should contain pairs above threshold"
+
+
+def test_ngram_jaccard_prefix_filter_on_boilerplate_fixture(spark):
+    """Round-20 pin (r19 verdict #4): a HOT shingle shared corpus-wide
+    (boilerplate header) must neither change the output set nor drive
+    the candidate join quadratic. Fixture: 60 docs all opening with
+    the same 6-word boilerplate (every doc shares those hot 3-grams)
+    followed by mostly-unique bodies, plus 3 genuine near-dup pairs.
+    (a) the prefix-filtered indexed output equals the quadratic
+    all-pairs output exactly; (b) the candidate volume stays near the
+    true-pair count — with the hot grams indexed on the probe side it
+    would be ~all C(60,2)=1770 pairs."""
+    from pyspark.sql import functions as FF
+
+    boiler = "terms of service apply to everything"
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omic pi".split()
+
+    def body(i, tail="end"):
+        return " ".join(f"{w}{i}" for w in words) + f" {tail}"
+
+    rows = [(i, f"{boiler} {body(i)}") for i in range(60)]
+    # 3 planted near-dups: same body, the tail word changed
+    rows += [
+        (100 + j, f"{boiler} {body(src, 'CHANGED')}")
+        for j, src in enumerate((0, 1, 2))
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    quad = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(docs, max_rows=None)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    idx = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(docs, min_jaccard=t, persist=False).collect()
+    }
+    assert idx == quad
+    assert {(a, b) for (a, b, _) in quad} >= {(0, 100), (1, 101), (2, 102)}
+    # candidate-volume bound: replicate the probe/index join without
+    # the verify step and count pre-verify candidates — the hot grams
+    # must stay out of the df-ordered prefixes
+    from pyspark.sql import Window
+
+    from etl_cortex_spark.operators.textops import shingles as _sh
+
+    s = docs.select(
+        F.col("doc_id").alias("__id"), _sh(F.col("text"), 3).alias("__sh")
+    )
+    e = s.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__g")
+    ).select("__id", "__n", F.xxhash64("__g").alias("__tok"))
+    tok_df = e.groupBy("__tok").agg(F.count(FF.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    plen = F.col("__n") - F.ceil(F.col("__n") * F.lit(t)).cast("int") + 1
+    probe = (
+        e.join(tok_df, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= plen)
+        .select(F.col("__id").alias("id_a"), "__tok")
+    )
+    cands = (
+        probe.join(e.select(F.col("__id").alias("id_b"), "__tok"), "__tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert cands < 200, f"hot grams leaked into prefixes: {cands} candidates"
