@@ -1277,7 +1277,7 @@ def c58(spark: SparkSession, sf_dir: str) -> DataFrame:
             "with_tax"
         ),
         F.col("l_returnflag").try_cast("double").alias("flag_as_num"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
 
 
 @query(
@@ -1981,8 +1981,10 @@ def c76(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority STRING')"
         ).alias("p")
     )
-    return parsed.select("p.o_orderkey", "p.o_totalprice", "p.o_orderpriority").orderBy(
-        "o_orderkey"
+    return (
+        parsed.select("p.o_orderkey", "p.o_totalprice", "p.o_orderpriority")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
     )
 
 
@@ -2015,7 +2017,7 @@ def c77(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every kept orderkey is positive, so MAX + key always overflows
         F.expr("try_add(9223372036854775807, l_orderkey)").alias("overflowed"),
         F.expr("try_element_at(split(l_returnflag, ' '), 99)").alias("elem99"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
 
 
 @query(

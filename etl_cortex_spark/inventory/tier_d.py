@@ -990,6 +990,13 @@ def d05w(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``decode_image``), which genuinely need external libraries."""
     docs = T(spark, sf_dir, "documents")
     assets = MM.synthesize_wav_assets(docs)
+    # repartition(1).sortWithinPartitions THRESHOLD (round-20, the r19
+    # ADVICE): the local-sort pattern applies to outputs that fit one
+    # task with headroom (~100 MB / ≲100k rows at any supported SF) —
+    # k-row aggregates, sample-bounded frames, and the per-document
+    # feature frames of this family (≤5k rows/SF-0.1). Corpus-sized
+    # outputs (b17, b23, scale_*) keep the distributed range sort; at
+    # true 100 TB per-document scale these entries would too.
     return MM.decode_wav_features(assets).repartition(1).sortWithinPartitions("asset_id")
 
 
@@ -2023,7 +2030,7 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.top_word_frac("text"), 4).alias("top_word_frac"),
         TX.stopword_hits("text").alias("stopword_hits"),
         TX.gopher_pass("text").alias("keep"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 # --- D3+: int8 embedding quantization -----------------------------------------
@@ -2078,7 +2085,7 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             < 1e-5
         ).alias("mse_below_tol"),
-    ).orderBy("vec_id")
+    ).repartition(1).sortWithinPartitions("vec_id")
 
 
 # --- D4+: corpus-trained trigram LM quality score -----------------------------

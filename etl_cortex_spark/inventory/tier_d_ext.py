@@ -46,7 +46,7 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """llmprep.chunk_documents: 64-word windows, 16-word overlap,
     stride 48. Pure generator expression — zero shuffles."""
     docs = T(spark, sf_dir, "documents")
-    return LP.chunk_documents(docs, size=64, overlap=16).orderBy("doc_id", "chunk_id")
+    return LP.chunk_documents(docs, size=64, overlap=16).repartition(1).sortWithinPartitions("doc_id", "chunk_id")
 
 
 # --- D19: BM25 lexical retrieval ----------------------------------------------
@@ -293,7 +293,7 @@ def d24a(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     cents = CL.initial_centroids(emb, _CENTROID_K)
     out = CL.assign_centroids(emb, cents)
-    return out.select("vec_id", "cluster").orderBy("vec_id")
+    return out.select("vec_id", "cluster").repartition(1).sortWithinPartitions("vec_id")
 
 
 def _kmeans_oracle_sql(iters: int = 3, k: int = 8, q: int = 6) -> str:
@@ -1030,7 +1030,7 @@ def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
         (30.0 + (F.col("doc_id") % 7) * 10.0).alias("duration_s"),
         (24 + (F.col("doc_id") % 2) * 6).cast("double").alias("fps"),
     )
-    return plan_frame_samples(assets, every_s=2.0, max_frames=8).orderBy(
+    return plan_frame_samples(assets, every_s=2.0, max_frames=8).repartition(1).sortWithinPartitions(
         "asset_id", "sample_idx"
     )
 
@@ -1069,7 +1069,7 @@ def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return plan_audio_chunks(
         assets, window_s=5, sample_rate=16_000, bytes_per_sample=2
-    ).orderBy("asset_id", "chunk_id")
+    ).repartition(1).sortWithinPartitions("asset_id", "chunk_id")
 
 
 # --- D31: entity resolution end-to-end (fuzzy pairs -> clusters -> canonical) -
@@ -1384,7 +1384,7 @@ def d37(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.select(
         "vec_id",
         *[F.col("codes")[j].alias(f"code{j}") for j in range(4)],
-    ).orderBy("vec_id")
+    ).repartition(1).sortWithinPartitions("vec_id")
 
 
 # --- D56: hybrid lexical+vector retrieval (RRF) -------------------------------

@@ -619,7 +619,7 @@ def d53(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id", TX.strip_markup(html).alias("text"))
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
 
 
@@ -705,7 +705,7 @@ def d54(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("#frag"), d)).otherwise(""),
         )
     )
-    return docs.select("doc_id", TX.norm_url(url).alias("url")).orderBy("doc_id")
+    return docs.select("doc_id", TX.norm_url(url).alias("url")).repartition(1).sortWithinPartitions("doc_id")
 
 
 # --- D55: BPE pair-count step -------------------------------------------------
@@ -1773,7 +1773,7 @@ def d106(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("ids", ",").alias("ids_csv"),
         "n_tokens",
         "n_unk",
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 @query(
@@ -1977,7 +1977,7 @@ def d109(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return TX.encoding_audit(seeded).orderBy("doc_id")
+    return TX.encoding_audit(seeded).repartition(1).sortWithinPartitions("doc_id")
 
 
 @query(

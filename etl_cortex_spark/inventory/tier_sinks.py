@@ -235,7 +235,7 @@ def pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("splits", 8)
         .load()
     )
-    return df.orderBy("doc_id")
+    return df.repartition(1).sortWithinPartitions("doc_id")
 
 
 @query(

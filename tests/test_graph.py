@@ -65,6 +65,7 @@ def test_edge_weights_matter(spark):
     assert pr[1] > pr[2]
 
 
+@pytest.mark.slow
 def test_deep_iteration_with_lineage_truncation(spark):
     """iters crossing the localCheckpoint boundaries must still
     converge to the cycle's stationary uniform vector."""

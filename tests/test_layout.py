@@ -957,6 +957,7 @@ def test_snapshot_delete_keeps_zone_maps_of_untouched_files(spark, tmp_path):
     assert 0 < len(pruned.inputFiles()) < len(meta["files"])
 
 
+@pytest.mark.slow
 def test_snapshot_bloom_lookup_prunes_and_never_misses(spark, tmp_path):
     """Manifest Blooms: every committed key is findable (no false
     negatives over a 300-key sweep), the point probe reads strictly
@@ -2156,6 +2157,7 @@ def test_snapshot_lineage_after_expiry_resolves_to_oldest_survivor(spark, tmp_pa
 # --- manifest segments: O(batch) commit metadata (round 17) ----------------
 
 
+@pytest.mark.slow
 def test_snapshot_commit_metadata_bytes_do_not_grow_with_table(spark, tmp_path):
     """The round-16 weak flag, closed and pinned: every commit used to
     reserialize the FULL cumulative file list + zone maps + Blooms into
@@ -2458,6 +2460,7 @@ def test_catalog_lock_fence_detects_broken_hold(spark, tmp_path):
             fence()
 
 
+@pytest.mark.slow
 def test_snapshot_rewrite_segments_consolidates_metadata_only(spark, tmp_path):
     """Round-17 rewrite_manifests analogue: consolidating the segment
     list touches NO data file, shrinks the head manifest back to one

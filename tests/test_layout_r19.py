@@ -26,6 +26,7 @@ def _row_df(spark, i: int):
     return spark.range(i, i + 1).selectExpr("id as k", "id * 10 as v")
 
 
+@pytest.mark.slow
 def test_auto_consolidation_bounds_segments_and_commit_bytes(spark, tmp_path):
     """The r18 verdict's lead item, pinned: across 200 one-file
     appends the head's segment-NAME list stays tiered-bounded (never
@@ -283,6 +284,7 @@ def test_recent_batches_migration_backfill(spark, tmp_path):
     assert L.snapshot_append(spark, _row_df(spark, 1), path, batch_id=100) == 1
 
 
+@pytest.mark.slow
 def test_guard_state_bounded_and_replay_noop(spark, tmp_path):
     """The r18 verdict's guard_dir item, pinned: across 100 committed
     micro-batches the guard directory holds ONE state file (constant

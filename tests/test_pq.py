@@ -58,6 +58,7 @@ def test_training_reduces_reconstruction_error(spark, emb):
     assert e1 < e0, f"training did not improve reconstruction: {e1} >= {e0}"
 
 
+@pytest.mark.slow
 def test_adc_topk_tracks_exact_l2(spark, emb):
     """ADC is an approximation, and the driver's embeddings are
     near-random unit vectors — PQ's worst case — so the assertions are
