@@ -8,6 +8,7 @@ on either column. The test measures that property directly.
 
 from __future__ import annotations
 
+import pytest
 import glob
 
 import pandas as pd
